@@ -1,0 +1,357 @@
+"""Deduplication suite for a training-data pipeline: exact, MinHash+LSH,
+SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+
+Design for 100 TB (the published playbook — Broder'97 minwise hashing,
+Charikar'02 SimHash, the GPT-3/C4 dedup recipes):
+
+- **Exact**: one hash-aggregate on a text fingerprint. No full-text
+  shuffle: group on `md5(normalized_text)`, carry only ids.
+- **MinHash+LSH**: shingle → k independent min-hashes → band the
+  signature → candidates share a (band_id, band_key) bucket → verify
+  exact Jaccard only on candidates. Each stage is a narrow projection or
+  one keyed exchange; the quadratic all-pairs never materializes.
+- **SimHash**: 32-bit fingerprint from token-hash bit votes; near-dups
+  have small Hamming distance; blocking on a signature prefix keeps the
+  pair space linear (rotations/multi-table extend recall at scale).
+- **n-gram Jaccard**: the exact verifier, blocked on (lang, length
+  bucket) — |A∩B|/|A∪B| ≥ τ implies a length ratio ≥ τ, so same-bucket
+  blocking is near-lossless for high τ.
+- **Embedding cosine**: IVF-style blocking (here the `label` column;
+  in production the LSH bucket from operators.similarity) + exact cosine
+  within blocks.
+
+Hashes are engine-portable by construction: min over md5 hex strings
+(lexicographic = numeric for fixed-length hex) — so the DuckDB oracle
+replays the identical algorithm. Recall on planted near-duplicates is
+proven in tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double, cosine
+from ..registry import register
+from ..sources import load_table
+
+N_HASHES = 12
+N_BANDS = 4  # => rows per band r = 3
+SHINGLE_K = 3
+MINHASH_TAU = 0.5
+NGRAM_TAU = 0.6
+
+
+# ---------------------------------------------------------------------------
+# Building blocks (importable; tests exercise them on planted fixtures)
+# ---------------------------------------------------------------------------
+def tokens_col(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+
+
+def shingles_col(text: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct word k-shingles. Spark arrays are 0-based in element_at'
+    sibling `getItem`; we use 1-based `element_at` to mirror DuckDB."""
+    toks = tokens_col(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ),
+        )
+    )
+
+
+def minhash_sig(shingles: Column, n_hashes: int = N_HASHES) -> Column:
+    """k independent min-hashes: seed s → min over shingles of
+    md5('s<seed>|'||shingle). Hex-string min == numeric min (fixed len)."""
+    def hash_fn(s: int):
+        # one-arg closure factory (F.transform dispatches on lambda arity)
+        return lambda x: F.md5(F.concat(F.lit(f"s{s}|"), x))
+
+    return F.array(
+        *[F.array_min(F.transform(shingles, hash_fn(s))) for s in range(n_hashes)]
+    )
+
+
+def band_keys(sig: Column, n_bands: int = N_BANDS, n_hashes: int = N_HASHES) -> Column:
+    """Band the signature: band b's key = md5 of its r concatenated sigs."""
+    r = n_hashes // n_bands
+    return F.array(
+        *[
+            F.md5(F.concat_ws("|", *[F.element_at(sig, b * r + j + 1) for j in range(r)]))
+            for b in range(n_bands)
+        ]
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tau: float = MINHASH_TAU,
+) -> DataFrame:
+    """shingle → sign → band → bucket-join → verify. Returns
+    (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ tau."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), shingles_col(F.col(text_col)).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    banded = (
+        sh.withColumn("sig", minhash_sig(F.col("shingles")))
+        .select(
+            "doc_id",
+            "shingles",
+            F.posexplode(band_keys(F.col("sig"))).alias("band_id", "band_key"),
+        )
+    )
+    left = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"), "band_id", "band_key"
+    )
+    right = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"), "band_id", "band_key"
+    )
+    cand = (
+        left.join(right, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4))
+        .filter(F.col("jaccard") >= tau)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash per document, the scale-shaped way: explode tokens,
+    hash each token to one 32-bit int (md5 first 8 hex chars), then a
+    single groupBy with 32 vectorized bit-vote sums — map-side partial
+    aggregation, one exchange on doc id, no nested array expressions.
+    Fingerprint bit j = sign of sum over tokens of (2·bit_j(hash) − 1)."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(F.col(text_col))).alias("w")
+    )
+    h = tok.select(
+        "doc_id", F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("v")
+    )
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum((F.shiftright(F.col("v"), j).bitwiseAND(F.lit(1))) * 2 - 1).alias(f"v{j}")
+            for j in range(32)
+        ]
+    )
+    bits = [
+        F.when(F.col(f"v{j}") >= 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        for j in range(32)
+    ]
+    sh = bits[0]
+    for b in bits[1:]:
+        sh = sh + b
+    return votes.select("doc_id", sh.alias("simhash"))
+
+
+def _simhash_sql(source: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    """The identical SimHash in DuckDB SQL (same explode/group shape)."""
+    vote_cols = ",\n         ".join(
+        f"sum((((v >> {j}) & 1) * 2 - 1)) AS v{j}" for j in range(32)
+    )
+    bit_sum = " + ".join(
+        f"(CASE WHEN v{j} >= 0 THEN {2**j}::BIGINT ELSE 0::BIGINT END)" for j in range(32)
+    )
+    return f"""
+  tok AS (SELECT {id_col} AS doc_id,
+                 unnest(list_filter(string_split(lower({text_col}), ' '), w -> w <> '')) AS w
+          FROM {source}),
+  h AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS v FROM tok),
+  votes AS (SELECT doc_id, {vote_cols} FROM h GROUP BY doc_id),
+  s AS (SELECT doc_id, ({bit_sum}) AS simhash FROM votes)"""
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    bench=True,
+    tags=("dedup",),
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+  FROM documents
+), canon AS (
+  SELECT fingerprint, min(doc_id) AS keep_doc, count(*) AS n_copies
+  FROM fp GROUP BY fingerprint
+)
+SELECT keep_doc, n_copies FROM canon
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-aggregate on a normalized-text fingerprint; the
+    exchange carries (hash, id) — never the text itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return (
+        docs.select(F.md5(norm).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_doc", "n_copies")
+    )
+
+
+_MINHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - {SHINGLE_K - 2}),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+  FROM toks WHERE len(t) >= {SHINGLE_K}
+), sig AS (
+  SELECT doc_id, shingles,
+         list_transform(range(0, {N_HASHES}),
+                        s -> list_aggregate(list_transform(shingles, x -> md5('s' || s || '|' || x)), 'min')) AS mh
+  FROM sh
+), banded AS (
+  SELECT doc_id, shingles, unnest(range(0, {N_BANDS})) AS band_id,
+         unnest(list_transform(range(0, {N_BANDS}),
+                b -> md5(mh[b*3+1] || '|' || mh[b*3+2] || '|' || mh[b*3+3]))) AS band_key
+  FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+), verified AS (
+  SELECT doc_a, doc_b,
+         round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+               / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) AS jaccard
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.doc_a
+  JOIN sh sb ON sb.doc_id = cand.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {MINHASH_TAU}
+"""
+
+
+@register("dedup_minhash_lsh", bench=True, tags=("dedup",), oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join→
+    verify); the DuckDB oracle replays the identical portable hashes."""
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash",
+    tags=("dedup",),
+    oracle=f"""
+WITH {_simhash_sql()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM s a JOIN s b
+  ON (a.simhash >> 24) = (b.simhash >> 24) AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit fingerprints, block on the top
+    8-bit prefix, keep Hamming distance ≤ 6 (rotations add recall at
+    scale; tested on planted dups in tests/test_dedup.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = simhash_df(docs)
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(
+            b,
+            (F.shiftright(F.col("sh_a"), 24) == F.shiftright(F.col("sh_b"), 24))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .filter(hamming <= 6)
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    tags=("dedup",),
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         list_distinct(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS words,
+         len(list_filter(string_split(lower(text), ' '), w -> w <> '')) // 20 AS len_bucket
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.words, b.words)) * 1.0
+             / len(list_distinct(list_concat(a.words, b.words))), 4) AS jaccard
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.words, b.words)) * 1.0
+      / len(list_distinct(list_concat(a.words, b.words))) >= {NGRAM_TAU}
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard within (lang, length-bucket) blocks — the
+    verify-stage operator; candidate generation at scale comes from
+    MinHash banding, not this blocking."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.array_distinct(tokens_col(F.col("text")))
+    n_toks = F.size(tokens_col(F.col("text")))
+    d = docs.select(
+        "doc_id", "lang", words.alias("words"), F.floor(n_toks / 20).alias("len_bucket")
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
+        F.col("words").alias("w_a"), F.col("len_bucket").alias("lb_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
+        F.col("words").alias("w_b"), F.col("len_bucket").alias("lb_b"),
+    )
+    jac = jaccard(F.col("w_a"), F.col("w_b"))
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("lb_a") == F.col("lb_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .filter(jac >= NGRAM_TAU)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    tags=("dedup", "similarity"),
+    oracle="""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: IVF-style block (label; at scale the LSH
+    bucket) + exact cosine ≥ 0.3 within blocks."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("lbl_a"), F.col("v").alias("v_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("lbl_b"), F.col("v").alias("v_b"))
+    sim = F.round(cosine(F.col("v_a"), F.col("v_b")), 6)
+    return (
+        a.join(b, (F.col("lbl_a") == F.col("lbl_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cos_sim", sim)
+        .filter(F.col("cos_sim") >= 0.3)
+        .select("vec_a", "vec_b", "cos_sim")
+    )

@@ -1,0 +1,253 @@
+"""Join surface: broadcast/sort-merge equi-joins, outer joins, semi/anti,
+cross, band (equi + range) joins, and subquery forms.
+
+Absent in the reference (SURVEY.md §2.3 — a join would be a hand-written
+map emitting join keys + a reduce pairing rows); here every variant is a
+declarative plan so Catalyst picks the physical strategy.
+
+Scale posture: dimension tables (region/nation/customer/supplier/part)
+are broadcast — at 100 TB the fact side streams through map-side hash
+joins with zero shuffle of the big side; only fact⋈fact joins (lineitem⋈
+orders) sort-merge on the shuffled key, where AQE handles skew. Non-equi
+predicates always ride on top of an equi key (band join), never as a raw
+cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table, register_views
+
+
+@register(
+    "join_revenue_by_nation",
+    bench=True,
+    tags=("join", "flagship"),
+    oracle="""
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND s_nationkey = c_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+)
+def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: one fact⋈fact sort-merge (lineitem⋈orders) plus
+    four broadcast hash joins; local-supplier predicate ties the snowflake."""
+    t = {n: load_table(spark, sf_dir, n) for n in ("customer", "orders", "lineitem", "supplier", "nation", "region")}
+    return (
+        t["lineitem"]
+        .join(
+            t["orders"].filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["supplier"]), (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    tags=("join",),
+    oracle="""
+SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+       round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+""",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER: customers kept with zero orders; count(col) skips nulls."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "join_full_outer",
+    tags=("join",),
+    oracle="""
+WITH cust AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY c_nationkey),
+     supp AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+SELECT coalesce(cust.nk, supp.nk) AS nationkey,
+       coalesce(n_cust, 0) AS n_cust,
+       coalesce(n_supp, 0) AS n_supp
+FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
+""",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER over two pre-aggregated sides (nations with customers
+    but no suppliers and vice versa survive)."""
+    c = load_table(spark, sf_dir, "customer").groupBy(F.col("c_nationkey").alias("nk")).agg(F.count(F.lit(1)).alias("n_cust"))
+    s = load_table(spark, sf_dir, "supplier").groupBy(F.col("s_nationkey").alias("nk")).agg(F.count(F.lit(1)).alias("n_supp"))
+    return (
+        c.join(s, c.nk == s.nk, "full_outer")
+        .select(
+            F.coalesce(c.nk, s.nk).alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    tags=("join",),
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 50000)
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (EXISTS): probe side never duplicates, build side broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 50000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    tags=("join",),
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI (NOT EXISTS): customers with no orders at all."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_cross",
+    tags=("join",),
+    oracle="""
+SELECT r_name, n_name FROM region CROSS JOIN nation
+""",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross product — only ever between bounded dimensions
+    (5×25 here); a guard pattern, not a scale path."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@register(
+    "join_band_range",
+    tags=("join", "range"),
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS ship_lag_days
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate <  o_orderdate + INTERVAL 90 DAY
+""",
+)
+def join_band_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join: range predicate riding on an equi key — the scalable
+    form of a non-equi join (the equi key partitions; the band filters)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            (F.col("l_shipdate") >= F.date_add(F.col("o_orderdate"), 60).cast("timestamp"))
+            & (F.col("l_shipdate") < F.date_add(F.col("o_orderdate"), 90).cast("timestamp"))
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")).alias("ship_lag_days"),
+        )
+    )
+
+
+@register(
+    "join_self",
+    tags=("join",),
+    oracle="""
+SELECT a.p_brand AS p_brand, count(*) AS n_pairs
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey AND a.p_size = b.p_size
+GROUP BY a.p_brand
+""",
+)
+def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join: same-brand same-size part pairs (a<b dedupes mirror pairs)."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (F.col("a.p_size") == F.col("b.p_size")),
+        )
+        .groupBy(F.col("a.p_brand").alias("p_brand"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+_SUBQUERY_SQL = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+  AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)
+"""
+
+
+@register("subquery_scalar_in", tags=("join", "subquery"), oracle=_SUBQUERY_SQL)
+def subquery_scalar_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery + IN-subquery (Catalyst rewrites to joins); same
+    SQL text runs on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SUBQUERY_SQL)
+
+
+_CORR_EXISTS_SQL = """
+SELECT o_orderkey, round(o_totalprice, 2) AS total
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o.o_orderkey AND l_quantity > 45
+)
+"""
+
+
+@register("subquery_correlated_exists", tags=("join", "subquery"), oracle=_CORR_EXISTS_SQL)
+def subquery_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — decorrelated by Catalyst into a semi-join."""
+    register_views(spark, sf_dir)
+    return spark.sql(_CORR_EXISTS_SQL)

@@ -1,0 +1,108 @@
+"""Multimodal columns: opaque `binary` payloads with typed metadata, and
+the Arrow-batched decode/feature-extract plumbing.
+
+The container has no image/audio codecs, so the *decode* step is a
+clearly-marked stub (`decode_image_stub` raises NotImplementedError; the
+deterministic fake used by the pipeline is `fake_features`), but the
+Spark-side plumbing is real and tested: binary column construction,
+typed metadata struct, `mapInPandas` batch iteration with an explicit
+output schema, and partition-count preservation.
+
+Scale posture: payloads stay opaque bytes end-to-end (no JVM↔Python
+round-trip except inside the Arrow batches that need decoding); metadata
+lives in plain columns so pruning/filtering works without touching
+payloads; feature extraction is embarrassingly parallel with zero
+shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+def decode_image_stub(payload: bytes) -> object:
+    """Real decode (PIL/libvips) — not available in this container."""
+    raise NotImplementedError(
+        "image/audio codecs are not installed; production wires PIL/ffmpeg "
+        "here — the pipeline below uses deterministic fake_features instead"
+    )
+
+
+def fake_features(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in feature extractor over opaque bytes:
+    (n_bytes, first_byte, last_byte). Replays exactly in SQL so the
+    plumbing is oracle-checkable."""
+    return len(payload), payload[0] if payload else 0, payload[-1] if payload else 0
+
+
+def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: Arrow batches in, feature rows out."""
+    for pdf in batches:
+        feats = pdf["payload"].map(fake_features)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": feats.map(lambda t: t[0]),
+                "first_byte": feats.map(lambda t: t[1]),
+                "last_byte": feats.map(lambda t: t[2]),
+            }
+        )
+
+
+@register(
+    "multimodal_metadata",
+    tags=("multimodal",),
+    oracle="""
+SELECT source,
+       count(*)                               AS n_assets,
+       sum(octet_length(encode(text)))        AS total_bytes,
+       round(avg(octet_length(encode(text))), 4) AS avg_bytes,
+       max(octet_length(encode(text)))        AS max_bytes
+FROM documents
+GROUP BY source
+""",
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque binary payloads (documents.text encoded
+    as the stand-in payload): metadata aggregates never open the payload."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.select(
+        "doc_id", "source", F.encode("text", "UTF-8").alias("payload")
+    )
+    return assets.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.octet_length("payload")).alias("total_bytes"),
+        F.round(F.avg(F.octet_length("payload")), 4).alias("avg_bytes"),
+        F.max(F.octet_length("payload")).alias("max_bytes"),
+    )
+
+
+@register(
+    "multimodal_features",
+    tags=("multimodal",),
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       ord(substr(text, 1, 1))    AS first_byte,
+       ord(substr(text, length(text), 1)) AS last_byte
+FROM documents
+""",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode/feature pipeline: binary payload → mapInPandas (Arrow
+    batches) → typed feature columns. The feature fn is the deterministic
+    stub; swapping in a real codec changes only `fake_features`."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return assets.mapInPandas(
+        extract_features,
+        schema="doc_id long, n_bytes long, first_byte long, last_byte long",
+    )

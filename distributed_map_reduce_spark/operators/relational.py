@@ -1,0 +1,415 @@
+"""Core relational surface: scans, filters, projections, scalar functions,
+aggregations, grouping sets, having, ordering/limits.
+
+The reference expresses all of these only through hand-written map/reduce
+closures (SURVEY.md §2.2-§2.3); here they are declarative DataFrame plans
+so Catalyst gets predicate pushdown, column pruning, partial aggregation,
+and whole-stage codegen for free (SURVEY.md §4).
+
+Scale posture: every query is a scan → (filter) → partial agg → exchange →
+final agg shape. Filters and projections reach the parquet reader
+(PushedFilters / ReadSchema — verified in tests/test_plans.py); group-bys
+shuffle once on the grouping key; no driver-side loops.
+
+Float discipline for the DuckDB oracle: double aggregates are rounded
+(money 2dp, ratios 4-6dp) on BOTH sides so partial-aggregation ordering
+differences can't flip a hash bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-style pricing summary.
+# Reference analog: the NCDC max-temp pipeline generalized — scan → parse →
+# group → aggregate (SURVEY.md §2.2 Q1-Q3, Q7-Q8), but with 8 simultaneous
+# aggregates and whole-stage codegen instead of per-key HTTP shuffles.
+# ---------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    bench=True,
+    tags=("agg", "flagship"),
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 4)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report: one shuffle, map-side partial aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "scan_filter_project",
+    tags=("scan",),
+    oracle="""
+SELECT l_orderkey, l_partkey, round(l_extendedprice * (1 - l_discount), 4) AS net_price
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_quantity < 10
+""",
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + conjunctive filter; both push into the parquet scan
+    (PushedFilters shows l_shipdate/l_quantity, ReadSchema is 5 columns)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")) & (F.col("l_quantity") < 10))
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net_price"),
+        )
+    )
+
+
+@register(
+    "filter_predicates",
+    tags=("scan",),
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_orderpriority
+FROM orders
+WHERE (o_orderstatus IN ('O', 'F'))
+  AND o_totalprice BETWEEN 1000 AND 50000
+  AND o_orderpriority LIKE '%URGENT%'
+  AND NOT (o_custkey = 1)
+""",
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / BETWEEN / LIKE / NOT predicate forms in one pushed-down scan."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_totalprice").between(1000, 50000)
+        & F.col("o_orderpriority").like("%URGENT%")
+        & ~(F.col("o_custkey") == 1)
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority")
+
+
+@register(
+    "scalar_string_funcs",
+    tags=("scalar",),
+    oracle="""
+SELECT c_custkey,
+       lower(c_name)                                   AS name_lower,
+       upper(c_mktsegment)                             AS seg_upper,
+       substr(c_name, 1, 8)                            AS name_prefix,
+       length(c_name)                                  AS name_len,
+       concat(c_name, '#', c_mktsegment)               AS name_seg,
+       replace(c_name, 'Customer', 'Cust')             AS name_short,
+       lpad(CAST(c_custkey AS VARCHAR), 8, '0')        AS key_padded,
+       trim('  ' || c_mktsegment || ' ')               AS seg_trim,
+       regexp_extract(c_name, '([0-9]+)', 1)           AS name_digits,
+       (c_mktsegment LIKE 'MACH%')                     AS is_mach
+FROM customer
+""",
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar library — all JVM-side codegen'd expressions."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("name_lower"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat(F.col("c_name"), F.lit("#"), F.col("c_mktsegment")).alias("name_seg"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias("seg_trim"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_digits"),
+        F.col("c_mktsegment").like("MACH%").alias("is_mach"),
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    tags=("scalar",),
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(abs(l_extendedprice - 1000.0), 4)     AS abs_diff,
+       ceil(l_quantity / 7.0)                      AS qty_ceil,
+       floor(l_quantity / 7.0)                     AS qty_floor,
+       round(sqrt(l_extendedprice), 6)             AS price_sqrt,
+       round(ln(l_extendedprice + 1), 6)           AS price_ln,
+       round(log10(l_extendedprice + 1), 6)        AS price_log10,
+       round(pow(1 + l_discount, 2), 6)            AS disc_sq,
+       CAST(l_quantity AS BIGINT) % 5              AS qty_mod,
+       round(greatest(l_discount, l_tax), 2)       AS max_rate,
+       round(least(l_discount, l_tax), 2)          AS min_rate
+FROM lineitem
+WHERE l_orderkey <= 500
+""",
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar library over a pruned scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_extendedprice") - 1000.0), 4).alias("abs_diff"),
+        F.ceil(F.col("l_quantity") / 7.0).alias("qty_ceil"),
+        F.floor(F.col("l_quantity") / 7.0).alias("qty_floor"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.log10(F.col("l_extendedprice") + 1), 6).alias("price_log10"),
+        F.round(F.pow(1 + F.col("l_discount"), 2), 6).alias("disc_sq"),
+        (F.col("l_quantity").cast("bigint") % 5).alias("qty_mod"),
+        F.round(F.greatest("l_discount", "l_tax"), 2).alias("max_rate"),
+        F.round(F.least("l_discount", "l_tax"), 2).alias("min_rate"),
+    )
+
+
+@register(
+    "scalar_date_funcs",
+    tags=("scalar",),
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE)                                    AS order_date,
+       year(o_orderdate)                                            AS order_year,
+       month(o_orderdate)                                           AS order_month,
+       day(o_orderdate)                                             AS order_day,
+       quarter(o_orderdate)                                         AS order_quarter,
+       CAST(date_trunc('month', o_orderdate) AS DATE)               AS month_start,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE)            AS month_end,
+       CAST(o_orderdate + INTERVAL 30 DAY AS DATE)                  AS due_date,
+       datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch
+FROM orders
+WHERE o_orderkey <= 600
+""",
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar library (UTC-pinned session for oracle parity)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 600)
+    od = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        od.cast("date").alias("order_date"),
+        F.year(od).alias("order_year"),
+        F.month(od).alias("order_month"),
+        F.dayofmonth(od).alias("order_day"),
+        F.quarter(od).alias("order_quarter"),
+        F.date_trunc("month", od).cast("date").alias("month_start"),
+        F.last_day(od.cast("date")).alias("month_end"),
+        F.date_add(od.cast("date"), 30).alias("due_date"),
+        F.datediff(od.cast("date"), F.lit("1995-01-01").cast("date")).alias("days_since_epoch"),
+    )
+
+
+@register(
+    "conditional_exprs",
+    tags=("scalar",),
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 100000 THEN 'high'
+            WHEN o_totalprice > 10000  THEN 'mid'
+            ELSE 'low' END                               AS price_band,
+       coalesce(nullif(o_orderstatus, 'P'), 'PENDING')   AS status_norm,
+       (CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS is_open
+FROM orders
+""",
+)
+def conditional_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/WHEN, NULLIF, COALESCE — null-generating and null-folding."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 100000, "high")
+        .when(F.col("o_totalprice") > 10000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias("status_norm"),
+        F.when(F.col("o_orderstatus") == "O", 1).otherwise(0).alias("is_open"),
+    )
+
+
+@register(
+    "agg_stats",
+    tags=("agg",),
+    oracle="""
+SELECT l_returnflag,
+       count(*)                                              AS n,
+       count(DISTINCT l_partkey)                             AS n_parts,
+       round(sum(l_quantity), 2)                             AS sum_qty,
+       round(min(l_extendedprice), 2)                        AS min_price,
+       round(max(l_extendedprice), 2)                        AS max_price,
+       round(stddev_samp(l_extendedprice), 4)                AS sd_price,
+       round(var_samp(l_quantity), 4)                        AS var_qty,
+       round(corr(l_quantity, l_extendedprice), 6)           AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4)     AS covar_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates — single-pass, map-side partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+    )
+
+
+@register(
+    "agg_rollup",
+    tags=("agg",),
+    oracle="""
+SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region → nation → grand total)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register(
+    "agg_cube",
+    tags=("agg",),
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions — all 4 grouping combinations in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    tags=("agg",),
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (disjoint rollups) via Spark SQL."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "agg_having",
+    tags=("agg",),
+    oracle="""
+SELECT l_partkey, count(*) AS n_lines, round(sum(l_quantity), 2) AS total_qty
+FROM lineitem
+GROUP BY l_partkey
+HAVING count(*) > 20 AND sum(l_quantity) > 500
+""",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING) — planned as filter above agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.sum("l_quantity").alias("_raw_qty"),
+        )
+        .filter((F.col("n_lines") > 20) & (F.col("_raw_qty") > 500))
+        .drop("_raw_qty")
+    )
+
+
+@register(
+    "order_limit_topk",
+    tags=("sort",),
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS total
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 25
+""",
+)
+def order_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-K: Spark plans TakeOrderedAndProject — a per-partition
+    heap + driver merge of K rows, not a full sort (scales to any N)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+        .limit(25)
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    tags=("agg", "approx"),
+    # HLL sketches differ between engines by design — rows-only check.
+    oracle=None,
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct + approx percentiles: sketch-based aggregates
+    whose exact values are engine-specific (no SQL oracle by design —
+    the companion `agg_stats` carries the exact-distinct oracle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("price_quantiles"),
+    )

@@ -1,0 +1,150 @@
+"""Set operations, distinct, pivot/unpivot.
+
+Absent in the reference (SURVEY.md §2.3). UNION ALL is a zero-shuffle
+concat; DISTINCT/INTERSECT/EXCEPT shuffle once on the full row hash —
+at scale prefer pre-aggregated keys (as these queries do) so the
+exchange carries keys, not payloads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+@register(
+    "set_union_all",
+    tags=("setop",),
+    oracle="""
+SELECT party_key, party_name, kind FROM (
+  SELECT c_custkey AS party_key, c_name AS party_name, 'customer' AS kind FROM customer
+  UNION ALL
+  SELECT s_suppkey AS party_key, s_name AS party_name, 'supplier' AS kind FROM supplier
+)
+""",
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two heterogeneous sources mapped to one schema."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("party_key"), F.col("c_name").alias("party_name"), F.lit("customer").alias("kind")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("party_key"), F.col("s_name").alias("party_name"), F.lit("supplier").alias("kind")
+    )
+    return c.unionByName(s)
+
+
+@register(
+    "set_intersect",
+    tags=("setop",),
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+""",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): customers active in both years."""
+    o = load_table(spark, sf_dir, "orders")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select(F.col("o_custkey").alias("custkey"))
+    y97 = o.filter(F.year("o_orderdate") == 1997).select(F.col("o_custkey").alias("custkey"))
+    return y96.intersect(y97)
+
+
+@register(
+    "set_except",
+    tags=("setop",),
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+""",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customers who churned between the two years."""
+    o = load_table(spark, sf_dir, "orders")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select(F.col("o_custkey").alias("custkey"))
+    y97 = o.filter(F.year("o_orderdate") == 1997).select(F.col("o_custkey").alias("custkey"))
+    return y96.subtract(y97)
+
+
+@register(
+    "set_union_distinct",
+    tags=("setop",),
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey FROM supplier
+""",
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of key sets."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@register(
+    "distinct_pairs",
+    tags=("setop", "dedup"),
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT — hash-aggregate with map-side partials, not a sort."""
+    return load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@register(
+    "pivot_segment_by_nation",
+    tags=("pivot",),
+    oracle="""
+SELECT c_nationkey,
+       count(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS automobile,
+       count(*) FILTER (WHERE c_mktsegment = 'BUILDING')   AS building,
+       count(*) FILTER (WHERE c_mktsegment = 'FURNITURE')  AS furniture,
+       count(*) FILTER (WHERE c_mktsegment = 'HOUSEHOLD')  AS household,
+       count(*) FILTER (WHERE c_mktsegment = 'MACHINERY')  AS machinery
+FROM customer GROUP BY c_nationkey
+""",
+)
+def pivot_segment_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (never inferred — inference is a
+    separate job at scale); counts per market segment per nation."""
+    c = load_table(spark, sf_dir, "customer")
+    out = (
+        c.groupBy("c_nationkey")
+        .pivot("c_mktsegment", _SEGMENTS)
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = out.select(
+        "c_nationkey", *[F.coalesce(F.col(s), F.lit(0)).alias(s.lower()) for s in _SEGMENTS]
+    )
+    return renamed
+
+
+@register(
+    "unpivot_stack",
+    tags=("pivot",),
+    oracle="""
+SELECT p_partkey, attr, round(val, 2) AS val FROM (
+  SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val FROM part
+  UNION ALL
+  SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+)
+""",
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) wide columns into (attr, val) rows via stack()."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'retailprice', p_retailprice, 'size', CAST(p_size AS DOUBLE)) AS (attr, raw_val)"
+        ),
+    ).select("p_partkey", "attr", F.round("raw_val", 2).alias("val"))

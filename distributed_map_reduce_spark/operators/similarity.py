@@ -1,0 +1,176 @@
+"""Similarity search over embedding columns (`array<float>`, dim=64).
+
+Two tiers, per the standard ANN playbook:
+
+- **Brute-force top-k** (the exactness baseline): broadcast the query
+  set, stream the corpus through a map-side cosine + per-query top-k
+  window. Cost is O(|Q|·N) with zero corpus shuffle — the right answer
+  when |Q| is small, even at 100 TB corpus.
+- **LSH-bucketed (random hyperplane)**: hash every vector to a b-bit
+  signature of fixed pseudo-random hyperplanes; candidates share a
+  bucket; verify with exact cosine. Corpus partitions by bucket — an
+  IVF-style partition-pruned search where each query touches only its
+  bucket's partition. Recall is tunable via bands/rotations (tested with
+  a planted near-duplicate fixture in tests/test_similarity.py).
+
+Hyperplanes are deterministic ±1 vectors derived from md5 parity so the
+DuckDB oracle reproduces them exactly from the same literals.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double, cosine, dot
+from ..registry import register
+from ..sources import load_table
+
+DIM = 64
+N_PLANES = 8
+
+
+def hyperplane(p: int, dim: int = DIM) -> list[int]:
+    """Deterministic ±1 hyperplane p: component i flips on md5 parity."""
+    return [
+        1 if int(hashlib.md5(f"plane-{p}-{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+        for i in range(dim)
+    ]
+
+
+def _plane_lit(p: int):
+    return F.array(*[F.lit(float(w)) for w in hyperplane(p)])
+
+
+def lsh_bucket(vec) -> F.Column:
+    """b-bit random-hyperplane signature of a double-array column."""
+    bits = [
+        F.when(dot(vec, _plane_lit(p)) >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p)
+        for p in range(N_PLANES)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def _plane_sql(p: int) -> str:
+    return "[" + ", ".join(f"{w}.0" for w in hyperplane(p)) + "]"
+
+
+def _bucket_sql(vcol: str) -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product({vcol}, {_plane_sql(p)}) >= 0 THEN {2**p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "ann_bruteforce_topk",
+    bench=True,
+    tags=("similarity",),
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+     scored AS (
+       SELECT query_id, vec_id AS neighbor_id,
+              round(list_cosine_similarity(qv, v), 6) AS cos_sim
+       FROM q CROSS JOIN e
+       WHERE query_id <> vec_id
+     )
+SELECT query_id, neighbor_id, cos_sim, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+""",
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for 8 query vectors: broadcast the
+    queries, one corpus scan, per-query top-k window."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+
+
+@register(
+    "ann_lsh_buckets",
+    tags=("similarity",),
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT {_bucket_sql('v')} AS bucket,
+       count(*) AS n_vectors,
+       min(vec_id) AS min_vec_id
+FROM e
+GROUP BY 1
+""",
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH index build: 8-bit hyperplane signature per vector →
+    bucket histogram. At scale this is the partition key (write
+    `partitionBy(bucket)`) so an ANN probe prunes to one partition."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    return (
+        e.select("vec_id", lsh_bucket(F.col("v")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+@register(
+    "ann_lsh_probe",
+    tags=("similarity",),
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     b AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM e),
+     q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 8),
+     scored AS (
+       SELECT query_id, b.vec_id AS neighbor_id,
+              round(list_cosine_similarity(qv, v), 6) AS cos_sim
+       FROM q JOIN b USING (bucket)
+       WHERE query_id <> b.vec_id
+     )
+SELECT query_id, neighbor_id, cos_sim, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+""",
+)
+def ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5: probe only the query's LSH bucket (the scale
+    path — each query scans ~N/2^b of the corpus instead of N)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    b = e.withColumn("bucket", lsh_bucket(F.col("v")))
+    q = b.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    scored = (
+        b.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)

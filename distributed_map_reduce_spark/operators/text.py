@@ -1,0 +1,206 @@
+"""Text-analysis operators for a large-scale training-data pipeline:
+tokenization/word count, language ID (stopword-hit heuristic), quality
+scoring, token statistics (whitespace + BPE-ish regex), and document
+fingerprinting.
+
+All expressions are JVM-side built-ins (split/explode/regexp/aggregate)
+— no Python in the hot path; at 100 TB these are embarrassingly parallel
+scan→project pipelines with at most one exchange for the final group-by.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+# Tiny embedded stopword lexicons for the language-ID heuristic (public
+# high-frequency word lists; intentionally minimal — the operator shape,
+# not the lexicon, is what scales).
+_LANG_LEXICON: dict[str, list[str]] = {
+    "en": ["the", "of", "and", "to", "a", "in", "is", "it", "was", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "fr": ["le", "la", "de", "et", "un", "les", "des", "en", "du", "que"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "ein"],
+}
+
+_PUNCT_RE = r"[.,;:!?()\[\]{}-]"
+_BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@register(
+    "text_wordcount_topn",
+    bench=True,
+    tags=("text",),
+    oracle="""
+SELECT w AS word, count(*) AS n
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+WHERE trim(w) <> ''
+GROUP BY w
+ORDER BY n DESC, w
+LIMIT 50
+""",
+)
+def text_wordcount_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative word count (explode→group→top-n): the Spark-native twin
+    of the reference's word-count MapReduce (`test/mr.test.js:160-243`) —
+    partial aggregation + TakeOrdered instead of per-key HTTP shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.trim("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(50)
+    )
+
+
+def _stopword_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _LANG_LEXICON[lang])
+    return (
+        "len(list_filter(string_split(lower(text), ' '), w -> w IN (" + words + ")))"
+    )
+
+
+@register(
+    "text_langid",
+    tags=("text",),
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_stopword_hits_sql('en')} AS hits_en,
+         {_stopword_hits_sql('es')} AS hits_es,
+         {_stopword_hits_sql('fr')} AS hits_fr,
+         {_stopword_hits_sql('de')} AS hits_de
+  FROM documents
+)
+SELECT doc_id, lang, hits_en, hits_es, hits_fr, hits_de,
+       CASE greatest(hits_en, hits_es, hits_fr, hits_de)
+            WHEN hits_en THEN 'en'
+            WHEN hits_es THEN 'es'
+            WHEN hits_fr THEN 'fr'
+            ELSE 'de' END AS predicted_lang
+FROM scored
+""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-hit counts per embedded lexicon; argmax
+    with a fixed precedence (en>es>fr>de) so ties are deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    hits = {
+        lang: F.size(
+            F.filter(toks, lambda w: w.isin(_LANG_LEXICON[lang]))
+        ).alias(f"hits_{lang}")
+        for lang in _LANG_LEXICON
+    }
+    scored = docs.select("doc_id", "lang", *hits.values())
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in _LANG_LEXICON])
+    pred = (
+        F.when(F.col("hits_en") == best, "en")
+        .when(F.col("hits_es") == best, "es")
+        .when(F.col("hits_fr") == best, "fr")
+        .otherwise("de")
+    )
+    return scored.withColumn("predicted_lang", pred)
+
+
+@register(
+    "text_quality_score",
+    tags=("text",),
+    oracle=f"""
+SELECT doc_id,
+       length(text)                                                      AS n_chars_actual,
+       len(list_filter(string_split(text, ' '), w -> trim(w) <> ''))     AS n_tokens,
+       round(length(text) * 1.0 / greatest(len(list_filter(string_split(text, ' '), w -> trim(w) <> '')), 1), 4) AS avg_token_len,
+       len(regexp_extract_all(text, '{_PUNCT_RE}'))                      AS n_punct,
+       len(regexp_extract_all(text, '[0-9]'))                            AS n_digits,
+       round(len(list_filter(string_split(lower(text), ' '), w -> w IN ('the','of','and','to','a','in','is','it','was','for'))) * 1.0
+             / greatest(len(list_filter(string_split(text, ' '), w -> trim(w) <> '')), 1), 4) AS stopword_ratio,
+       CASE WHEN length(text) BETWEEN 100 AND 1000
+             AND len(regexp_extract_all(text, '[0-9]')) * 1.0 / greatest(length(text), 1) < 0.3
+            THEN 1 ELSE 0 END                                            AS quality_pass
+FROM documents
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: length, token stats, punctuation/digit density,
+    stopword ratio, and a pass/fail gate — the standard pre-training
+    filter shape (C4/Gopher-style rules)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: F.trim(w) != "")
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    n_digits = F.size(F.regexp_extract_all("text", F.lit("[0-9]"), 0))
+    stop_hits = F.size(
+        F.filter(F.split(F.lower("text"), " "), lambda w: w.isin(_LANG_LEXICON["en"]))
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_chars * 1.0 / F.greatest(n_tokens, F.lit(1)), 4).alias("avg_token_len"),
+        F.size(F.regexp_extract_all("text", F.lit(_PUNCT_RE), 0)).alias("n_punct"),
+        n_digits.alias("n_digits"),
+        F.round(stop_hits * 1.0 / F.greatest(n_tokens, F.lit(1)), 4).alias("stopword_ratio"),
+        F.when(
+            n_chars.between(100, 1000) & (n_digits * 1.0 / F.greatest(n_chars, F.lit(1)) < 0.3),
+            1,
+        )
+        .otherwise(0)
+        .alias("quality_pass"),
+    )
+
+
+@register(
+    "text_token_stats",
+    tags=("text",),
+    oracle=f"""
+SELECT source,
+       count(*)                                               AS n_docs,
+       sum(len(list_filter(string_split(text, ' '), w -> trim(w) <> ''))) AS ws_tokens,
+       sum(len(regexp_extract_all(text, '{_BPE_ISH_RE}')))    AS bpeish_tokens,
+       round(avg(length(text)), 4)                            AS avg_chars
+FROM documents
+GROUP BY source
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting per source: whitespace tokens vs BPE-ish regex
+    tokens (letters / digits / punctuation runs) — the budget metric for
+    a training-data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split("text", " "), lambda w: F.trim(w) != ""))
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_ISH_RE), 0))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ws).alias("ws_tokens"),
+        F.sum(bpe).alias("bpeish_tokens"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    tags=("text", "dedup"),
+    oracle="""
+SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+       count(*)     AS n_docs,
+       min(doc_id)  AS canonical_doc
+FROM documents
+GROUP BY 1
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercase text;
+    groups are exact-duplicate clusters (canonical = min doc_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return (
+        docs.select(F.md5(norm).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_doc"))
+    )

@@ -1,0 +1,155 @@
+"""Window-function surface: ranking, analytic (lag/lead/first/last),
+running/moving frames, range frames, and top-k per group.
+
+Absent in the reference (SURVEY.md §2.3). Every window partitions by a
+key before ordering — one exchange on the partition key, sort within
+partitions, no global sort; ties are always broken by a unique column so
+results stay deterministic for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+@register(
+    "window_ranking",
+    tags=("window",),
+    oracle="""
+SELECT c_custkey, c_nationkey,
+       row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
+       rank()       OVER (PARTITION BY c_nationkey ORDER BY round(c_acctbal, 2) DESC)  AS rnk,
+       dense_rank() OVER (PARTITION BY c_nationkey ORDER BY round(c_acctbal, 2) DESC)  AS drnk,
+       ntile(4)     OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS quartile
+FROM customer
+""",
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank / ntile per nation."""
+    c = load_table(spark, sf_dir, "customer")
+    tiebreak = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    by_bal = W.partitionBy("c_nationkey").orderBy(F.round("c_acctbal", 2).desc())
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.row_number().over(tiebreak).alias("rn"),
+        F.rank().over(by_bal).alias("rnk"),
+        F.dense_rank().over(by_bal).alias("drnk"),
+        F.ntile(4).over(tiebreak).alias("quartile"),
+    )
+
+
+@register(
+    "window_analytic",
+    tags=("window",),
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE)                                                      AS order_date,
+       CAST(lag(o_orderdate)  OVER w AS DATE)                                         AS prev_date,
+       CAST(lead(o_orderdate) OVER w AS DATE)                                         AS next_date,
+       first_value(o_orderkey) OVER w                                                 AS first_order,
+       last_value(o_orderkey)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order,
+       datediff('day', CAST(lag(o_orderdate) OVER w AS DATE), CAST(o_orderdate AS DATE)) AS days_since_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first_value/last_value per customer order history."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.lag("o_orderdate").over(w).cast("date").alias("prev_date"),
+        F.lead("o_orderdate").over(w).cast("date").alias("next_date"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(wfull).alias("last_order"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lag("o_orderdate").over(w).cast("date")
+        ).alias("days_since_prev"),
+    )
+
+
+@register(
+    "window_running_frames",
+    tags=("window",),
+    oracle="""
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       round(sum(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty,
+       round(avg(l_extendedprice) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)    AS moving_avg_price,
+       count(*) OVER (PARTITION BY l_suppkey)                                            AS supp_lines
+FROM lineitem
+WHERE l_orderkey <= 400
+""",
+)
+def window_running_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + 5-row moving average + unbounded count frames."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 400)
+    w = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_quantity").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)), 2).alias("running_qty"),
+        F.round(F.avg("l_extendedprice").over(w.rowsBetween(-4, W.currentRow)), 4).alias("moving_avg_price"),
+        F.count(F.lit(1)).over(W.partitionBy("l_suppkey")).alias("supp_lines"),
+    )
+
+
+@register(
+    "window_range_frame",
+    tags=("window",),
+    oracle="""
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total,
+       count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                      RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING) AS n_similar
+FROM orders
+""",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: per customer, orders within ±5000 of each order's price."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-5000, 5000)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total"),
+        F.count(F.lit(1)).over(w).alias("n_similar"),
+    )
+
+
+@register(
+    "topk_per_group",
+    bench=True,
+    tags=("window", "topk"),
+    oracle="""
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+""",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — the canonical window top-k; Spark
+    pushes the rank filter into the sort (WindowGroupLimit) so each
+    partition keeps only k rows."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total"), "rn")
+    )

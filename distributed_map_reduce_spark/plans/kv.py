@@ -1,0 +1,114 @@
+"""Keyed-dataset (KV) semantics over DataFrames.
+
+Reference semantics (SURVEY.md §1.1-§1.4, §2.1 D10-D14):
+
+- a named group holds (key, value) pairs; `put` is a silent last-write-
+  wins upsert (`/root/reference/distribution/local/store.js:117-133`);
+- `put(value, null)` content-addresses the value — key = SHA-256 of its
+  JSON (`/root/reference/distribution/util/id.js:72-78`, applied at
+  `local/store.js:128`);
+- `get(key)` point read, `get(null)` full key scan
+  (`distribution/all/store.js:150-177`), `del(key)` delete;
+- `reconf` re-partitions after membership change
+  (`all/store.js:217-285`).
+
+Spark-first translation: a ``KVTable`` wraps a DataFrame
+``(key STRING, value <T>, seq BIGINT)``. ``seq`` is the ingestion order
+that makes LWW deterministic on an immutable DataFrame (SURVEY.md §7.5
+item 2) — ``resolve()`` keeps the max-seq row per key with one window.
+Placement/hashing (naive/consistent/rendezvous, `util/id.js:107-148`)
+collapses into Spark's hash partitioner: ``reconf(n)`` ==
+``repartition(n, "key")``, and AQE handles runtime re-partitioning.
+
+At scale: the production form of LWW-resolve is a Delta/Iceberg MERGE
+(jar not in this image); the window-resolve here is the same shuffle
+shape (one exchange on key) and works on any size because rows group by
+key, never collect to the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def content_address(*cols) -> F.Column:
+    """key = sha256 of the canonical JSON of the value — the reference's
+    content addressing (`id.js:72-78`). Use integer/string fields so JSON
+    text is canonical across engines."""
+    return F.sha2(F.to_json(F.struct(*cols)), 256)
+
+
+class KVTable:
+    """A named keyed dataset (the reference's group, SURVEY.md §1.1)."""
+
+    def __init__(self, df: DataFrame, resolved: bool = False):
+        if df.columns[:2] != ["key", "value"]:
+            raise ValueError(f"KVTable needs (key, value[, seq]) columns, got {df.columns}")
+        self._df = df if "seq" in df.columns else df.withColumn("seq", F.lit(0).cast("bigint"))
+        self._resolved = resolved
+
+    # -- construction -----------------------------------------------------
+    @classmethod
+    def from_pairs(cls, spark: SparkSession, pairs: list[tuple[str | None, Any]], value_type: str = "string") -> "KVTable":
+        """Batch-ingest a pair list; list order is the ingestion order.
+        ``key=None`` content-addresses the value (string values only here;
+        structured values address via ``content_address`` columns)."""
+        rows = [(k, v, i) for i, (k, v) in enumerate(pairs)]
+        df = spark.createDataFrame(rows, schema=f"key string, value {value_type}, seq bigint")
+        df = df.withColumn(
+            "key",
+            F.coalesce(F.col("key"), F.sha2(F.to_json(F.struct(F.col("value"))), 256)),
+        )
+        return cls(df)
+
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    # -- the KV verbs -----------------------------------------------------
+    def put(self, other: "KVTable | DataFrame") -> "KVTable":
+        """Append new writes (later seq wins on resolve) — D12."""
+        odf = other.df if isinstance(other, KVTable) else KVTable(other).df
+        base = self._df
+        shift = base.agg(F.coalesce(F.max("seq"), F.lit(-1)).alias("m"))
+        # cross-join the 1-row max to keep this fully distributed
+        odf = odf.crossJoin(F.broadcast(shift)).withColumn("seq", F.col("seq") + F.col("m") + 1).drop("m")
+        return KVTable(base.unionByName(odf))
+
+    def resolve(self) -> DataFrame:
+        """Last-write-wins view: keep max-seq row per key (Q11). One
+        exchange on key; AQE handles skewed hot keys."""
+        if self._resolved:
+            return self._df
+        w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+        return (
+            self._df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def get(self, key: str) -> DataFrame:
+        """Point read (D11) — predicate pushes into the scan."""
+        return self.resolve().filter(F.col("key") == key).select("key", "value")
+
+    def scan_keys(self) -> DataFrame:
+        """`get(null)` key scan (D10)."""
+        return self.resolve().select("key")
+
+    def delete(self, keys: list[str] | DataFrame) -> "KVTable":
+        """Delete keys (D13) — planned as a broadcast anti-join, the
+        distributed form of per-key file unlink."""
+        if isinstance(keys, DataFrame):
+            kdf = keys.select(F.col(keys.columns[0]).alias("key"))
+        else:
+            kdf = self._df.sparkSession.createDataFrame([(k,) for k in keys], "key string")
+        return KVTable(self._df.join(F.broadcast(kdf), "key", "left_anti"))
+
+    def reconf(self, num_partitions: int) -> "KVTable":
+        """Re-partition by key (D14). The reference moves only keys whose
+        owner changed (`all/store.js:217-285`); Spark's exchange +
+        AQE coalescing is the scalable equivalent."""
+        return KVTable(self._df.repartition(num_partitions, "key"))

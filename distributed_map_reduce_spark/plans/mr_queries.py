@@ -1,0 +1,226 @@
+"""The reference's five end-to-end MapReduce queries (SURVEY.md §2.2,
+§5 item 4-5), run through the real ``exec_mr`` engine on the reference's
+own inline fixtures (FIXTURES.md §1-§2), with DuckDB VALUES-based oracles
+— golden-bag parity with `/root/reference/test/mr.test.js:100-243` and
+`test/all.student.test.js:100-455`.
+
+Plus one data-scale variant (word count over the ``documents`` table)
+showing the same engine path on real input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..sources import load_table
+from .kv import KVTable
+from .mapreduce import exec_mr_df
+
+# Reference NCDC fixture (`/root/reference/test/mr.test.js:115-121`).
+NCDC_PAIRS: list[tuple[str, str]] = [
+    ("000", "006701199099999 1950 0515070049999999N9 +0000 1+9999"),
+    ("106", "004301199099999 1950 0515120049999999N9 +0022 1+9999"),
+    ("212", "004301199099999 1950 0515180049999999N9 -0011 1+9999"),
+    ("318", "004301265099999 1949 0324120040500001N9 +0111 1+9999"),
+    ("424", "004301265099999 1949 0324180040500001N9 +0078 1+9999"),
+]
+
+# All-ties variant (`/root/reference/test/all.student.test.js:180-186`).
+NCDC_TIES_PAIRS: list[tuple[str, str]] = [
+    ("000", "006701199099999 1950 0515070049999999N9 +0011 1+9999"),
+    ("106", "004301199099999 1950 0515120049999999N9 +0011 1+9999"),
+    ("212", "004301199099999 1950 0515180049999999N9 +0011 1+9999"),
+    ("318", "004301265099999 1949 0324120040500001N9 +0011 1+9999"),
+    ("424", "004301265099999 1949 0324180040500001N9 +0011 1+9999"),
+]
+
+# Duplicate-key ingest (`all.student.test.js:245-251`): key '319' written
+# twice — LWW keeps the later record (-0011 for 1949).
+NCDC_DUP_PAIRS: list[tuple[str, str]] = [
+    ("000", "006701199099999 1950 0515070049999999N9 +0000 1+9999"),
+    ("106", "004301199099999 1950 0515120049999999N9 +0022 1+9999"),
+    ("319", "004301265099999 1949 0324120040500001N9 +0111 1+9999"),
+    ("319", "004301265099999 1949 0324180040500001N9 -0011 1+9999"),
+    ("325", "004301265099999 1948 0324180040500001N9 +0045 1+9999"),
+]
+
+# Tale-of-two-cities lines (`/root/reference/test/mr.test.js:184-190`).
+DLIB_PAIRS: list[tuple[str, str]] = [
+    ("b1-l1", "It was the best of times, it was the worst of times,"),
+    ("b1-l2", "it was the age of wisdom, it was the age of foolishness,"),
+    ("b1-l3", "it was the epoch of belief, it was the epoch of incredulity,"),
+    ("b1-l4", "it was the season of Light, it was the season of Darkness,"),
+    ("b1-l5", "it was the spring of hope, it was the winter of despair,"),
+]
+
+
+def _values_clause(pairs: list[tuple[str, str]]) -> str:
+    rows = ", ".join("('" + k + "', '" + v.replace("'", "''") + "')" for k, v in pairs)
+    return f"(VALUES {rows}) AS t(key, value)"
+
+
+# --- the reference map/reduce closures (Python re-expression of the JS
+# closures at test/mr.test.js:101-113 / all.student.test.js:105-113) -----
+def ncdc_map(key, value):
+    words = value.split()
+    return {words[1]: int(words[3])}
+
+
+def ncdc_reduce_max(key, values):
+    return (key, max(values))
+
+
+def ncdc_reduce_min(key, values):
+    return (key, min(values))
+
+
+def wc_map(key, value):
+    # split(/(\s+)/) then drop whitespace tokens (test/mr.test.js:168)
+    return [{w: 1} for w in value.split() if w.strip()]
+
+
+def wc_map_lower(key, value):
+    return [{w.lower(): 1} for w in value.split() if w.strip()]
+
+
+def wc_reduce(key, values):
+    return (key, len(values))
+
+
+def _ncdc_df(spark: SparkSession, pairs: list[tuple[str, str]]) -> DataFrame:
+    return KVTable.from_pairs(spark, pairs).resolve().select("key", "value")
+
+
+@register(
+    "mr_ncdc_max_temp",
+    tags=("mapreduce", "parity"),
+    oracle=f"""
+SELECT f[2] AS year, max(CAST(f[4] AS BIGINT)) AS max_temp
+FROM (SELECT string_split(value, ' ') AS f FROM {_values_clause(NCDC_PAIRS)})
+GROUP BY f[2]
+""",
+)
+def mr_ncdc_max_temp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference flagship: MAX(temp) per year through the real exec_mr
+    engine (golden: {1950: 22, 1949: 111}, test/mr.test.js:123)."""
+    return exec_mr_df(
+        spark, _ncdc_df(spark, NCDC_PAIRS), ncdc_map, ncdc_reduce_max,
+        schema="year string, max_temp bigint",
+    )
+
+
+@register(
+    "mr_ncdc_min_temp",
+    tags=("mapreduce", "parity"),
+    oracle=f"""
+SELECT f[2] AS year, min(CAST(f[4] AS BIGINT)) AS min_temp
+FROM (SELECT string_split(value, ' ') AS f FROM {_values_clause(NCDC_PAIRS)})
+GROUP BY f[2]
+""",
+)
+def mr_ncdc_min_temp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Student variant: MIN(temp) per year (all.student.test.js:100-130)."""
+    return exec_mr_df(
+        spark, _ncdc_df(spark, NCDC_PAIRS), ncdc_map, ncdc_reduce_min,
+        schema="year string, min_temp bigint",
+    )
+
+
+@register(
+    "mr_ncdc_ties",
+    tags=("mapreduce", "parity"),
+    oracle=f"""
+SELECT f[2] AS year, min(CAST(f[4] AS BIGINT)) AS min_temp
+FROM (SELECT string_split(value, ' ') AS f FROM {_values_clause(NCDC_TIES_PAIRS)})
+GROUP BY f[2]
+""",
+)
+def mr_ncdc_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Student variant: aggregation when every value ties
+    (all.student.test.js:165-195)."""
+    return exec_mr_df(
+        spark, _ncdc_df(spark, NCDC_TIES_PAIRS), ncdc_map, ncdc_reduce_min,
+        schema="year string, min_temp bigint",
+    )
+
+
+@register(
+    "mr_ncdc_dup_key_lww",
+    tags=("mapreduce", "parity", "kv"),
+    oracle=f"""
+WITH writes AS (
+  SELECT key, value, row_number() OVER () AS seq FROM {_values_clause(NCDC_DUP_PAIRS)}
+), lww AS (
+  SELECT key, value
+  FROM (SELECT key, value, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn FROM writes)
+  WHERE rn = 1
+)
+SELECT f[2] AS year, max(CAST(f[4] AS BIGINT)) AS max_temp
+FROM (SELECT string_split(value, ' ') AS f FROM lww)
+GROUP BY f[2]
+""",
+)
+def mr_ncdc_dup_key_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-key ingest: last write wins before the job runs
+    (all.student.test.js:230-293; store semantics local/store.js:117-133)."""
+    return exec_mr_df(
+        spark, _ncdc_df(spark, NCDC_DUP_PAIRS), ncdc_map, ncdc_reduce_max,
+        schema="year string, max_temp bigint",
+    )
+
+
+@register(
+    "mr_wordcount",
+    tags=("mapreduce", "parity"),
+    oracle=f"""
+SELECT w AS word, count(*) AS n
+FROM (SELECT unnest(string_split(value, ' ')) AS w FROM {_values_clause(DLIB_PAIRS)})
+WHERE trim(w) <> ''
+GROUP BY w
+""",
+)
+def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference word count, case-sensitive, punctuation attached
+    (test/mr.test.js:160-243)."""
+    return exec_mr_df(
+        spark, _ncdc_df(spark, DLIB_PAIRS), wc_map, wc_reduce,
+        schema="word string, n bigint",
+    )
+
+
+@register(
+    "mr_wordcount_lower",
+    tags=("mapreduce", "parity"),
+    oracle=f"""
+SELECT w AS word, count(*) AS n
+FROM (SELECT lower(unnest(string_split(value, ' '))) AS w FROM {_values_clause(DLIB_PAIRS)})
+WHERE trim(w) <> ''
+GROUP BY w
+""",
+)
+def mr_wordcount_lower(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Student variant: lower-cased word count (all.student.test.js:379)."""
+    return exec_mr_df(
+        spark, _ncdc_df(spark, DLIB_PAIRS), wc_map_lower, wc_reduce,
+        schema="word string, n bigint",
+    )
+
+
+@register(
+    "mr_wordcount_documents",
+    tags=("mapreduce",),
+    oracle="""
+SELECT w AS word, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+WHERE trim(w) <> ''
+GROUP BY w
+""",
+)
+def mr_wordcount_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same engine path at data scale: word count over the documents
+    table through exec_mr (the declarative twin lives in operators.text)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return exec_mr_df(
+        spark, docs, wc_map, wc_reduce, schema="word string, n bigint",
+    )

@@ -1,0 +1,66 @@
+"""SparkSession factory and per-session tuning.
+
+Scale posture: these configs are chosen for correctness parity with the
+DuckDB oracle (UTC timestamps) and for 100 TB efficiency (AQE for runtime
+re-planning + skew handling, partial aggregation pushdown, broadcast
+thresholds sized for the dimension tables). ``tune_session`` applies the
+runtime-settable subset to an externally created session (the driver owns
+the session in verify runs), so every query behaves identically however
+the session was built.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs applied to any session before running queries.
+_RUNTIME_CONFS: dict[str, str] = {
+    # Oracle parity: DuckDB timestamps are UTC-naive.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime partition coalescing, skew-join splitting, plan re-opt.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Dimension tables (region/nation/customer/supplier/part) stay well
+    # under this even at sf100; lineitem/orders never broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Arrow for every pandas-UDF / toPandas boundary.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    # rejects; read as epoch-nanos long and normalize in sources.catalog.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def tune_session(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
+    """Apply runtime-settable tuning to an existing session (idempotent)."""
+    for k, v in _RUNTIME_CONFS.items():
+        spark.conf.set(k, v)
+    # Local mode: shuffle partitions ~ cores. On a real cluster AQE
+    # coalesces down from a higher initial number; 2x cores is a safe
+    # initial that AQE can only improve.
+    n = shuffle_partitions or 2 * default_parallelism()
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    return spark
+
+
+def get_spark(app_name: str = "distributed_map_reduce_spark") -> SparkSession:
+    """Build a local session (tests / bench). The driver builds its own
+    session for verify; ``tune_session`` covers that path."""
+    cpus = default_parallelism()
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.shuffle.partitions", str(2 * cpus))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    return tune_session(spark)

@@ -1,0 +1,165 @@
+"""Event-time windowing over the `events` table.
+
+The reference has no streaming (SURVEY.md §1.5) — these are extension
+operators defined from Spark's event-time model. Each operator here
+真 streaming twins — `readStream` + watermark + the identical windowed
+runs the window semantics in batch so it gets a DuckDB oracle; the true
+streaming twins — `readStream` + watermark + the identical windowed
+aggregations — live in `streaming.jobs` and are exercised by
+tests/test_streaming.py with a memory sink (rows-only per the driver
+contract, since sinks aren't SQL-expressible).
+
+Scale posture: windowed aggregation shuffles once on (window, key);
+session windows merge per key; watermarks bound state at 100 TB/day
+ingest. Timestamps are normalized to µs (sources.catalog) to match
+DuckDB's NS→TIMESTAMP cast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+@register(
+    "events_tumbling_window",
+    bench=True,
+    tags=("streaming", "window"),
+    oracle="""
+SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute event-time windows per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+@register(
+    "events_sliding_window",
+    tags=("streaming", "window"),
+    oracle="""
+WITH buckets AS (
+  SELECT unnest([time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)),
+                 time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL 5 MINUTE]) AS window_start,
+         event_type, value
+  FROM events
+)
+SELECT window_start, event_type, count(*) AS n_events, round(avg(value), 4) AS avg_value
+FROM buckets
+GROUP BY 1, 2
+""",
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min length, 5 min slide): every event lands in
+    two windows — Spark expands them; the oracle unnests both buckets."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "avg_value")
+    )
+
+
+@register(
+    "events_session_window",
+    tags=("streaming", "window", "sessionization"),
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events, round(sum(value), 2) AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user via F.session_window —
+    the same merge semantics streaming state uses; the oracle builds
+    sessions with the classic lag/gap/cumsum rewrite."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@register(
+    "events_dedup_first",
+    tags=("streaming", "dedup"),
+    oracle="""
+SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS first_ts, value AS first_value
+FROM (
+  SELECT user_id, event_type, ts, value,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+)
+def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keep-first — the batch twin of streaming
+    `dropDuplicates` within a watermark (state = one row per key)."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "event_type", F.col("ts").alias("first_ts"), F.col("value").alias("first_value")
+        )
+    )
+
+
+@register(
+    "events_json_props",
+    tags=("streaming", "json"),
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1
+""",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: JSON props column → typed key → agg
+    (get_json_object stays JVM-side; at scale prefer from_json with an
+    explicit schema so pruning still applies)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            (F.get_json_object("props", "$.k").cast("bigint") % 10).alias("k_mod"), "value"
+        )
+        .groupBy("k_mod")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )

@@ -1,0 +1,78 @@
+"""True Structured Streaming jobs — the streaming twins of
+`streaming.batch_windows`, driven by the same events parquet as a file
+stream with event-time watermarks.
+
+These return live streaming queries (memory sink) for tests; the driver's
+batch contract can't compare a running sink, so correctness is
+established two ways: (a) the batch twins hash-match DuckDB, and (b)
+tests/test_streaming.py runs these to completion and diffs against the
+batch results.
+
+Scale posture: watermarks bound state; `complete` mode is used only for
+the bounded-cardinality count demo; real deployments use append +
+checkpointing to an object store, with `foreachBatch` for exactly-once
+sinks.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # epoch-nanos (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet, ts normalized to µs."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(sf_dir, "events.parquet"))
+    )
+    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """5-minute tumbling windows with a 10-minute watermark — identical
+    aggregation to batch_windows.events_tumbling_window."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def streaming_dedup(events: DataFrame) -> DataFrame:
+    """Watermarked dropDuplicates — one state row per (user, type, ts)."""
+    return events.withWatermark("ts", "30 minutes").dropDuplicates(
+        ["user_id", "event_type", "ts"]
+    )
+
+
+def run_to_completion(spark: SparkSession, agg: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+    """Drive a bounded file stream to completion through a memory sink and
+    return the final result table (test harness path)."""
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -1,0 +1,58 @@
+"""Recall/precision tests for the dedup operators on planted
+near-duplicates (the driver's synthetic docs are random word-bags with no
+real dups, so correctness-of-mechanism is proven here)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_map_reduce_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    simhash_df,
+    shingles_col,
+    jaccard,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the old oak tree "
+    "near the quiet river bank under the bright morning sun"
+)
+NEAR_DUP = BASE.replace("morning", "evening")  # one-word edit
+UNRELATED = (
+    "distributed query engines shuffle partitioned data across executors "
+    "using hash exchanges broadcast joins adaptive execution and columnar "
+    "scans with predicate pushdown over parquet row groups"
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR_DUP), (3, UNRELATED), (4, BASE)],
+        "doc_id long, text string",
+    )
+
+
+def test_minhash_lsh_finds_planted_dups(spark):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in minhash_lsh_pairs(_docs(spark)).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact copy
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.5  # one-word edit
+    assert not any(3 in p for p in pairs)  # unrelated never pairs
+
+
+def test_simhash_hamming_close_for_dups(spark):
+    df = simhash_df(_docs(spark))
+    sh = {r["doc_id"]: r["simhash"] for r in df.collect()}
+    assert sh[1] == sh[4]
+    assert bin(sh[1] ^ sh[2]).count("1") <= 6  # near-dup: small Hamming
+    assert bin(sh[1] ^ sh[3]).count("1") > 6  # unrelated: far
+
+
+def test_shingles_and_jaccard(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "b c d e")], "id long, text string")
+    sh = df.select("id", shingles_col(F.col("text")).alias("s"))
+    a = sh.filter("id=1").select(F.col("s").alias("sa"))
+    b = sh.filter("id=2").select(F.col("s").alias("sb"))
+    j = a.crossJoin(b).select(jaccard(F.col("sa"), F.col("sb")).alias("j")).collect()[0]["j"]
+    # shingles: {abc,bcd} vs {bcd,cde} → 1/3
+    assert abs(j - 1 / 3) < 1e-9

@@ -1,0 +1,65 @@
+"""KVTable semantics: LWW upsert, content addressing, point get/del,
+key scan, reconf (SURVEY.md §1.1-§1.4, reference verbs D10-D14)."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+from pyspark.sql import functions as F
+
+from distributed_map_reduce_spark.plans.kv import KVTable
+
+
+def test_put_get_roundtrip(spark):
+    kv = KVTable.from_pairs(spark, [("jcarb", "Josiah Carberry"), ("ewatson", "Emma Watson")])
+    assert kv.get("jcarb").collect()[0]["value"] == "Josiah Carberry"
+
+
+def test_lww_overwrite(spark):
+    """put on an existing key silently overwrites (store.js:117-133)."""
+    kv = KVTable.from_pairs(spark, [("k", "v1"), ("k", "v2"), ("other", "x"), ("k", "v3")])
+    resolved = {r["key"]: r["value"] for r in kv.resolve().collect()}
+    assert resolved == {"k": "v3", "other": "x"}
+
+
+def test_put_batches_sequence(spark):
+    """Later put() batches win over earlier ones."""
+    kv = KVTable.from_pairs(spark, [("a", "old"), ("b", "keep")])
+    kv2 = kv.put(KVTable.from_pairs(spark, [("a", "new")]))
+    resolved = {r["key"]: r["value"] for r in kv2.resolve().collect()}
+    assert resolved == {"a": "new", "b": "keep"}
+
+
+def test_content_addressed_key(spark):
+    """put(v, null) → key = sha256 of the value JSON (id.js:72-78)."""
+    kv = KVTable.from_pairs(spark, [(None, "hello")])
+    key = kv.scan_keys().collect()[0]["key"]
+    expected = hashlib.sha256(json.dumps({"value": "hello"}, separators=(",", ":")).encode()).hexdigest()
+    assert key == expected
+
+
+def test_key_scan_and_delete(spark):
+    kv = KVTable.from_pairs(spark, [("a", "1"), ("b", "2"), ("c", "3")])
+    assert sorted(r["key"] for r in kv.scan_keys().collect()) == ["a", "b", "c"]
+    kv2 = kv.delete(["b"])
+    assert sorted(r["key"] for r in kv2.scan_keys().collect()) == ["a", "c"]
+
+
+def test_reconf_repartitions(spark):
+    kv = KVTable.from_pairs(spark, [(f"k{i}", str(i)) for i in range(100)])
+    re = kv.reconf(4)
+    assert re.df.rdd.getNumPartitions() == 4
+    # same data, same LWW view, different placement
+    assert sorted(r["key"] for r in re.scan_keys().collect()) == sorted(
+        r["key"] for r in kv.scan_keys().collect()
+    )
+    # keys co-locate: every key's rows land in one partition
+    part_per_key = (
+        re.df.withColumn("pid", F.spark_partition_id())
+        .groupBy("key")
+        .agg(F.countDistinct("pid").alias("n"))
+        .agg(F.max("n").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert part_per_key == 1

@@ -1,0 +1,63 @@
+"""Physical-plan assertions: the scale-critical properties — pushdown,
+broadcast, codegen, no Python in JVM-only pipelines — checked against
+`.explain` output so regressions fail loudly."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from distributed_map_reduce_spark.registry import all_queries
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = all_queries()[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filters_push_into_parquet_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "scan_filter_project")
+    assert "PushedFilters:" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].splitlines()[0]
+    # column pruning: payload columns never read
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_returnflag" not in read_schema
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    # the fact⋈fact join must NOT broadcast lineitem/orders at scale —
+    # it is either sort-merge or (AQE, small sf) a shuffled hash join
+    assert "CartesianProduct" not in plan
+
+
+def test_flagship_has_partial_aggregation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    # partial (map-side) + final aggregate around one Exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_jvm_only_pipelines_have_no_python(spark, sf_dir):
+    """Text/dedup hot paths must stay JVM-side (no BatchEvalPython /
+    ArrowEvalPython nodes)."""
+    for name in ("text_quality_score", "dedup_minhash_lsh", "ann_bruteforce_topk"):
+        plan = _plan(spark, sf_dir, name)
+        assert "EvalPython" not in plan, f"{name} fell back to Python"
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "order_limit_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_registry_integrity():
+    qs = all_queries()
+    assert len(qs) >= 50
+    for q in qs.values():
+        if q.oracle is not None:
+            assert q.oracle.strip().upper().startswith(("SELECT", "WITH"))

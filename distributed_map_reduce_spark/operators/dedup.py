@@ -42,6 +42,12 @@ MINHASH_TAU = 0.5
 NGRAM_TAU = 0.6
 
 
+def spark_partitions(df: DataFrame) -> int:
+    """Target width for CPU-bound narrow stages: the session's default
+    parallelism (not the file count, which for small local parquet is 1)."""
+    return df.sparkSession.sparkContext.defaultParallelism
+
+
 # ---------------------------------------------------------------------------
 # Building blocks (importable; tests exercise them on planted fixtures)
 # ---------------------------------------------------------------------------
@@ -99,34 +105,41 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """shingle → sign → band → bucket-join → verify. Returns
     (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ tau."""
-    sh = docs.select(
+    # Spread signature computation across cores: a single small parquet
+    # file otherwise plans as one input partition and the md5-heavy
+    # minhash runs on one core (on a real cluster the scan is already
+    # wide; the round-robin exchange is a no-op cost at this cardinality).
+    sh = docs.repartition(spark_partitions(docs)).select(
         F.col(id_col).alias("doc_id"), shingles_col(F.col(text_col)).alias("shingles")
     ).filter(F.size("shingles") > 0)
+    # Materialize the (tiny) banded-signature table before the self-join:
+    # without the barrier, projection collapse inlines the whole
+    # shingle→minhash expression tree into every element_at of every band
+    # key on BOTH join sides — exponential expression blowup. At cluster
+    # scale this table is what you'd write out as the LSH index.
+    sh = sh.persist()
     banded = (
-        sh.withColumn("sig", minhash_sig(F.col("shingles")))
-        .select(
-            "doc_id",
-            "shingles",
-            F.posexplode(band_keys(F.col("sig"))).alias("band_id", "band_key"),
-        )
+        sh.select("doc_id", minhash_sig(F.col("shingles")).alias("sig"))
+        .select("doc_id", F.posexplode(band_keys(F.col("sig"))).alias("band_id", "band_key"))
+        .persist()
     )
-    left = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"), "band_id", "band_key"
-    )
-    right = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"), "band_id", "band_key"
-    )
+    left = banded.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+    right = banded.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
+    # ids-only candidate pairs through the bucket join; shingles re-joined
+    # only for the verify stage, so the shuffle never carries arrays for
+    # pairs that get deduplicated away.
     cand = (
         left.join(right, ["band_id", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    return (
-        cand.withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4))
-        .filter(F.col("jaccard") >= tau)
-        .select("doc_a", "doc_b", "jaccard")
+    verified = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4))
     )
+    return verified.filter(F.col("jaccard") >= tau).select("doc_a", "doc_b", "jaccard")
 
 
 def simhash_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

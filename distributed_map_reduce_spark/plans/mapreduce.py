@@ -97,10 +97,11 @@ def exec_mr_df(
     reduce_fn: ReduceFn,
     schema: str,
     keys: Iterable[str] | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """exec_mr, but the reduce output rows come back as a typed DataFrame
     (reduce_fn must return a tuple matching ``schema``)."""
-    rows = exec_mr(pairs, map_fn, reduce_fn, keys=keys)
+    rows = exec_mr(pairs, map_fn, reduce_fn, keys=keys, num_partitions=num_partitions)
     return spark.createDataFrame(rows, schema=schema)
 
 

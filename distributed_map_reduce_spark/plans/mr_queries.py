@@ -89,7 +89,9 @@ def wc_reduce(key, values):
 
 
 def _ncdc_df(spark: SparkSession, pairs: list[tuple[str, str]]) -> DataFrame:
-    return KVTable.from_pairs(spark, pairs).resolve().select("key", "value")
+    # 3 partitions ≙ the reference's 3-node cluster (test/mr.test.js:23-25);
+    # keeps 5-row fixture jobs from fanning out across all local cores.
+    return KVTable.from_pairs(spark, pairs).resolve().select("key", "value").coalesce(3)
 
 
 @register(
@@ -106,7 +108,7 @@ def mr_ncdc_max_temp(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine (golden: {1950: 22, 1949: 111}, test/mr.test.js:123)."""
     return exec_mr_df(
         spark, _ncdc_df(spark, NCDC_PAIRS), ncdc_map, ncdc_reduce_max,
-        schema="year string, max_temp bigint",
+        num_partitions=3, schema="year string, max_temp bigint",
     )
 
 
@@ -123,7 +125,7 @@ def mr_ncdc_min_temp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Student variant: MIN(temp) per year (all.student.test.js:100-130)."""
     return exec_mr_df(
         spark, _ncdc_df(spark, NCDC_PAIRS), ncdc_map, ncdc_reduce_min,
-        schema="year string, min_temp bigint",
+        num_partitions=3, schema="year string, min_temp bigint",
     )
 
 
@@ -141,7 +143,7 @@ def mr_ncdc_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     (all.student.test.js:165-195)."""
     return exec_mr_df(
         spark, _ncdc_df(spark, NCDC_TIES_PAIRS), ncdc_map, ncdc_reduce_min,
-        schema="year string, min_temp bigint",
+        num_partitions=3, schema="year string, min_temp bigint",
     )
 
 
@@ -166,7 +168,7 @@ def mr_ncdc_dup_key_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     (all.student.test.js:230-293; store semantics local/store.js:117-133)."""
     return exec_mr_df(
         spark, _ncdc_df(spark, NCDC_DUP_PAIRS), ncdc_map, ncdc_reduce_max,
-        schema="year string, max_temp bigint",
+        num_partitions=3, schema="year string, max_temp bigint",
     )
 
 
@@ -185,7 +187,7 @@ def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     (test/mr.test.js:160-243)."""
     return exec_mr_df(
         spark, _ncdc_df(spark, DLIB_PAIRS), wc_map, wc_reduce,
-        schema="word string, n bigint",
+        num_partitions=3, schema="word string, n bigint",
     )
 
 
@@ -203,7 +205,7 @@ def mr_wordcount_lower(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Student variant: lower-cased word count (all.student.test.js:379)."""
     return exec_mr_df(
         spark, _ncdc_df(spark, DLIB_PAIRS), wc_map_lower, wc_reduce,
-        schema="word string, n bigint",
+        num_partitions=3, schema="word string, n bigint",
     )
 
 

@@ -2,7 +2,6 @@
 
 The reference has no streaming (SURVEY.md §1.5) — these are extension
 operators defined from Spark's event-time model. Each operator here
-真 streaming twins — `readStream` + watermark + the identical windowed
 runs the window semantics in batch so it gets a DuckDB oracle; the true
 streaming twins — `readStream` + watermark + the identical windowed
 aggregations — live in `streaming.jobs` and are exercised by

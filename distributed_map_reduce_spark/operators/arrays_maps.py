@@ -1,0 +1,164 @@
+"""Array / map / struct scalar-function surface, plus string-distance
+functions — the collection-typed half of the scalar library (SURVEY.md
+§2.3: absent in the reference; every op here is a JVM-side built-in
+inside whole-stage codegen, no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+@register(
+    "scalar_array_funcs",
+    tags=("scalar", "array"),
+    oracle="""
+WITH per_order AS (
+  SELECT l_orderkey, list_sort(list(l_partkey)) AS parts,
+         list_sort(list(DISTINCT l_returnflag)) AS flags
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       len(parts)                    AS n_parts,
+       parts[1]                      AS first_part,
+       parts[-1]                     AS last_part,
+       list_contains(flags, 'R')     AS has_return,
+       array_to_string(flags, ',')   AS flag_csv,
+       list_transform(parts, x -> x % 100) AS part_mod
+FROM per_order
+WHERE l_orderkey <= 2000
+""",
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction + interrogation: collect/sort/size/index/
+    contains/join/transform — all codegen'd, arrays stay columnar."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_partkey")).alias("parts"),
+        F.array_sort(F.collect_set("l_returnflag")).alias("flags"),
+    )
+    return per_order.filter(F.col("l_orderkey") <= 2000).select(
+        "l_orderkey",
+        F.size("parts").alias("n_parts"),
+        F.element_at("parts", 1).alias("first_part"),
+        F.element_at("parts", -1).alias("last_part"),
+        F.array_contains("flags", "R").alias("has_return"),
+        F.array_join("flags", ",").alias("flag_csv"),
+        F.transform("parts", lambda x: x % 100).alias("part_mod"),
+    )
+
+
+@register(
+    "scalar_array_higher_order",
+    tags=("scalar", "array"),
+    oracle="""
+WITH per_order AS (
+  SELECT l_orderkey,
+         list_sort(list(CAST(round(l_extendedprice * 100) AS BIGINT))) AS cents
+  FROM lineitem GROUP BY l_orderkey HAVING l_orderkey <= 2000
+)
+SELECT l_orderkey,
+       list_aggregate(cents, 'sum')                          AS total_cents,
+       len(list_filter(cents, x -> x > 3000000))             AS n_expensive,
+       CAST(round(list_aggregate(list_transform(cents, x -> x * 1.1), 'max'))
+            AS BIGINT)                                       AS max_with_tax_cents
+FROM per_order
+""",
+)
+def scalar_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: aggregate/filter/transform lambdas
+    evaluated inside codegen — the JVM path for per-row collection math.
+    Money is integer cents: float sum-then-round is engine-dependent at
+    half-ulp boundaries; integer arithmetic hashes identically anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            ).alias("cents")
+        )
+        .filter(F.col("l_orderkey") <= 2000)
+    )
+    return per_order.select(
+        "l_orderkey",
+        F.aggregate("cents", F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias(
+            "total_cents"
+        ),
+        F.size(F.filter("cents", lambda x: x > 3000000)).alias("n_expensive"),
+        F.round(F.array_max(F.transform("cents", lambda x: x * 1.1)))
+        .cast("bigint")
+        .alias("max_with_tax_cents"),
+    )
+
+
+@register(
+    "scalar_map_funcs",
+    tags=("scalar", "map"),
+    oracle="""
+WITH m AS (
+  SELECT o_orderpriority AS pri, o_orderstatus AS st, count(*) AS n
+  FROM orders GROUP BY 1, 2
+)
+SELECT pri,
+       array_to_string(list_transform(list_sort(list({'st': st, 'n': n})),
+                       e -> e.st || ':' || e.n), ',') AS status_counts,
+       len(list(st)) AS n_statuses
+FROM m GROUP BY pri
+""",
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map column built with map_from_entries, interrogated with
+    map_entries/transform, emitted as a canonical sorted `k:v` string —
+    map literals print engine-specifically, so the comparable form is
+    the canonical entry list."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.col("o_orderpriority").alias("pri"), F.col("o_orderstatus").alias("st")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    per_pri = m.groupBy("pri").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("st", "n")))
+        ).alias("status_map"),
+        F.size(F.collect_list("st")).alias("n_statuses"),
+    )
+    return per_pri.select(
+        "pri",
+        F.array_join(
+            F.transform(
+                F.map_entries("status_map"),
+                lambda e: F.concat_ws(":", e["key"], e["value"]),
+            ),
+            ",",
+        ).alias("status_counts"),
+        "n_statuses",
+    )
+
+
+@register(
+    "string_distance",
+    tags=("scalar", "string", "dedup"),
+    oracle="""
+SELECT a.n_name AS name_a, b.n_name AS name_b,
+       levenshtein(a.n_name, b.n_name) AS edit_dist
+FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+WHERE levenshtein(a.n_name, b.n_name) <= 6
+""",
+)
+def string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance candidate pairs (the verify kernel fuzzy-matching
+    pipelines run after blocking; bounded dims only — at scale the pair
+    space comes from LSH blocking, operators.dedup)."""
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    a = n.select(F.col("n_nationkey").alias("ka"), F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_nationkey").alias("kb"), F.col("n_name").alias("name_b"))
+    d = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, F.col("ka") < F.col("kb"))
+        .filter(d <= 6)
+        .select("name_a", "name_b", d.alias("edit_dist"))
+    )

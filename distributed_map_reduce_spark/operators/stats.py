@@ -1,0 +1,84 @@
+"""Distribution statistics: exact percentiles, histograms, and the
+approximate tier for 100 TB (approx_percentile — one pass, mergeable
+sketches, no global sort).
+
+The exact `percentile` is the oracle-checkable tier (linear
+interpolation, identical to DuckDB's quantile_cont); the approximate
+twin is registered rows-only because sketch estimates are
+engine-specific by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+@register(
+    "agg_percentiles",
+    tags=("agg", "stats"),
+    oracle="""
+SELECT l_returnflag,
+       round(median(l_extendedprice), 4)                       AS median_price,
+       list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.95]),
+                      x -> round(x, 4))                        AS price_quantiles
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — matches quantile_cont).
+    At 100 TB use the approx twin below; exact percentile shuffles whole
+    groups to sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.expr(
+            "transform(percentile(l_extendedprice, array(0.25D, 0.5D, 0.95D)), x -> round(x, 4))"
+        ).alias("price_quantiles"),
+    )
+
+
+@register(
+    "agg_approx_percentiles",
+    tags=("agg", "stats", "approx"),
+    doc="Mergeable KLL/GK-style sketch percentiles — the 100 TB tier "
+    "(single pass, no sort); estimates are engine-specific, rows-only check.",
+)
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", 0.5, 10000).alias("median_est"),
+        F.approx_percentile(
+            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.95)), 10000
+        ).alias("quantile_est"),
+    )
+
+
+@register(
+    "agg_histogram",
+    tags=("agg", "stats"),
+    oracle="""
+SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+       count(*) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM orders
+GROUP BY 1
+""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram as a bucketed group-by — one pass, map-side
+    partials; the portable form of width_bucket."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

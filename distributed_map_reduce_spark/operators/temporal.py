@@ -1,0 +1,147 @@
+"""Temporal operators: as-of join and time-bucketed rollups.
+
+Neither exists in the reference (SURVEY.md §2.3) nor as a single Spark
+primitive — the as-of join here is the classic union-tag rewrite: tag
+both streams, sort once per key by event time, and carry the reference
+side forward with ``last(..., ignorenulls)``. One shuffle on the key,
+no range-join explosion, no per-row Python — the scalable form of
+"match each event to the latest earlier observation".
+
+Scale posture: the union-tag rewrite costs exactly one exchange on
+(user_id) plus one window sort — at 100 TB that is strictly cheaper
+than the range-join alternative (equi key + inequality), which must
+buffer whole key groups on the probe side. Ties are made deterministic
+by pre-aggregating the reference side to one row per (key, ts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """For every left row, attach the right row with the greatest
+    ``ts`` ≤ the left row's ``ts`` within the same ``key`` (backward
+    as-of, DuckDB/pandas ``merge_asof`` semantics). ``right`` must be
+    unique per (key, ts); pre-aggregate to guarantee that."""
+    lt = left.withColumn("_src", F.lit(1))
+    rt = right.withColumn("_src", F.lit(0))
+    for c in lt.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None))
+    for c in rt.columns:
+        if c not in lt.columns:
+            lt = lt.withColumn(c, F.lit(None))
+    u = lt.unionByName(rt)
+    # right rows sort before left rows at equal ts => ts-equality matches.
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_src").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u
+    for c in right_cols:
+        carried = carried.withColumn(
+            f"asof_{c}",
+            F.last(F.when(F.col("_src") == 0, F.col(c)), ignorenulls=True).over(w),
+        )
+    return carried.filter(F.col("_src") == 1).drop("_src", *right_cols)
+
+
+@register(
+    "asof_purchase_to_click",
+    tags=("temporal", "asof", "join"),
+    oracle="""
+WITH c AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+), p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS purchase_ts, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.purchase_ts,
+       c.click_ts AS asof_click_ts,
+       c.click_value AS asof_click_value,
+       CASE WHEN c.click_ts IS NULL THEN NULL
+            ELSE date_diff('second', c.click_ts, p.purchase_ts) END AS lag_seconds
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
+""",
+)
+def asof_purchase_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest click at or
+    before it (attribution). DuckDB's native ASOF JOIN is the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("value").alias("click_value"))
+        .select("user_id", F.col("click_ts").alias("ts"), "click_ts", "click_value")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("ts").alias("purchase_ts"), "value"
+    )
+    joined = asof_join(
+        purchases, clicks, key="user_id", ts="ts", right_cols=["click_ts", "click_value"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "purchase_ts",
+        "asof_click_ts",
+        "asof_click_value",
+        (
+            F.when(
+                F.col("asof_click_ts").isNotNull(),
+                F.unix_timestamp("purchase_ts") - F.unix_timestamp("asof_click_ts"),
+            )
+        ).alias("lag_seconds"),
+    )
+
+
+@register(
+    "rollup_hourly_daily",
+    tags=("temporal", "rollup"),
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_start,
+         event_type, count(*) AS n, round(sum(value), 2) AS total_value
+  FROM events GROUP BY 1, 2
+)
+SELECT 'hour' AS grain, bucket_start, event_type, n, total_value FROM hourly
+UNION ALL
+SELECT 'day' AS grain, date_trunc('day', bucket_start) AS bucket_start, event_type,
+       sum(n) AS n, round(sum(total_value), 2) AS total_value
+FROM hourly GROUP BY 2, 3
+""",
+)
+def rollup_hourly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: the daily grain re-aggregates
+    the hourly grain (not the raw events) — the continuous-aggregate
+    pattern that keeps 100 TB rollups incremental."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    daily = (
+        hourly.groupBy(
+            F.date_trunc("day", "bucket_start").alias("bucket_start"), "event_type"
+        )
+        .agg(F.sum("n").alias("n"), F.round(F.sum("total_value"), 2).alias("total_value"))
+    )
+    return hourly.select(F.lit("hour").alias("grain"), "*").unionByName(
+        daily.select(F.lit("day").alias("grain"), "*")
+    )

@@ -71,9 +71,16 @@ def _load_all() -> None:
         similarity,
         text,
         multimodal,
+        temporal,
+        tpch,
+        stats,
+        arrays_maps,
+        skew,
     )
+    from .functions import udfs  # noqa: F401
     from .plans import kv_queries, mr_queries  # noqa: F401
-    from .streaming import batch_windows  # noqa: F401
+    from .sources import sinks  # noqa: F401
+    from .streaming import batch_windows, stateful  # noqa: F401
 
 
 def all_queries() -> dict[str, Query]:

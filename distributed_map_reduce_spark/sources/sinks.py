@@ -1,0 +1,131 @@
+"""Sinks: partitioned parquet / CSV / JSON writers with read-back.
+
+The reference's only sink is its KV file store (one file per pair,
+`/root/reference/distribution/local/store.js:117-133`); Spark's
+planned, partitioned, columnar writes are the scale-out replacement.
+
+Scale posture: writes are partitioned by a low-cardinality column
+(partition pruning on read), never coalesced to one file, and the
+round-trip query proves schema + value fidelity through the disk
+boundary — the property a 100 TB pipeline stage hand-off depends on.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+def write_partitioned_parquet(df: DataFrame, path: str, partition_by: list[str]) -> None:
+    df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)
+
+
+@register(
+    "sink_parquet_roundtrip",
+    tags=("sink", "source"),
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the filtered fact partitioned by returnflag, read it back,
+    aggregate — proves the write/read hand-off preserves values, schema,
+    and partition pruning (the read scans only matching directories)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="dmrs_sink_"), "lineitem_staged")
+    try:
+        write_partitioned_parquet(
+            li.select("l_orderkey", "l_quantity", "l_returnflag", "l_linestatus"),
+            out,
+            ["l_returnflag"],
+        )
+        back = spark.read.parquet(out)
+        return (
+            back.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+            # materialize before the temp dir can be cleaned up
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+
+
+@register(
+    "source_json_roundtrip",
+    tags=("sink", "source"),
+    oracle="""
+SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON sink → JSON source: schema inference on read-back, then a
+    broadcast join — the interchange-format path (logs, API dumps)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    out = os.path.join(tempfile.mkdtemp(prefix="dmrs_json_"), "customer_staged")
+    try:
+        write_json(c, out)
+        back = spark.read.json(out)
+        return (
+            back.join(F.broadcast(n), back.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_cust"),
+                F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+
+
+@register(
+    "source_csv_roundtrip",
+    tags=("sink", "source"),
+    oracle="""
+SELECT r_name, count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink → CSV source with explicit schema on read-back (never
+    infer in production — one malformed row flips column types)."""
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    out = os.path.join(tempfile.mkdtemp(prefix="dmrs_csv_"), "nation_staged")
+    try:
+        write_csv(n, out)
+        back = spark.read.option("header", "true").schema(
+            "n_nationkey bigint, n_name string, n_regionkey bigint"
+        ).csv(out)
+        return (
+            back.join(F.broadcast(r), back.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.count(F.lit(1)).alias("n_nations"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)

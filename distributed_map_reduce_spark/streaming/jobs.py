@@ -17,6 +17,7 @@ sinks.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,12 +35,23 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+def events_stream_dir(sf_dir: str) -> str:
+    """The file-stream source monitors a *directory*; expose the single
+    events parquet through a temp-dir symlink (at scale this is the
+    landing directory new files arrive into)."""
+    d = tempfile.mkdtemp(prefix="dmrs_stream_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
+    )
+    return d
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet, ts normalized to µs."""
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
-        .parquet(os.path.join(sf_dir, "events.parquet"))
+        .parquet(events_stream_dir(sf_dir))
     )
     return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 

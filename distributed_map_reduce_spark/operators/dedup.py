@@ -70,24 +70,43 @@ def shingles_col(text: Column, k: int = SHINGLE_K) -> Column:
     )
 
 
-def minhash_sig(shingles: Column, n_hashes: int = N_HASHES) -> Column:
-    """k independent min-hashes: seed s → min over shingles of
-    md5('s<seed>|'||shingle). Hex-string min == numeric min (fixed len)."""
-    def hash_fn(s: int):
-        # one-arg closure factory (F.transform dispatches on lambda arity)
-        return lambda x: F.md5(F.concat(F.lit(f"s{s}|"), x))
+# Universal-hash MinHash: ONE md5 per shingle gives a base integer; the
+# k hash functions are (a_s * base + b_s) mod P — integer ops, not k md5
+# passes. P = 2^31-1 keeps a*base inside int64 on every engine. The
+# (a_s, b_s) constants are fixed literals so DuckDB replays bit-for-bit.
+MINHASH_P = 2147483647
+HASH_A = [(1103515245 * (s + 1) + 12345) % MINHASH_P for s in range(N_HASHES)]
+HASH_B = [(s * 2654435761) % MINHASH_P for s in range(N_HASHES)]
+
+
+def shingle_base_ints(shingles: Column) -> Column:
+    """base(shingle) = first 15 md5 hex chars as int, reduced mod P —
+    the single hashing pass everything else derives from."""
+    return F.transform(
+        shingles,
+        lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("bigint")
+        % F.lit(MINHASH_P),
+    )
+
+
+def minhash_sig(base_ints: Column, n_hashes: int = N_HASHES) -> Column:
+    """k min-hashes over the pre-hashed shingle ints (universal hashing)."""
+
+    def _uhash(s: int):
+        # one-arg closure factory: F.transform dispatches on lambda arity
+        return lambda b: (F.lit(HASH_A[s]) * b + F.lit(HASH_B[s])) % F.lit(MINHASH_P)
 
     return F.array(
-        *[F.array_min(F.transform(shingles, hash_fn(s))) for s in range(n_hashes)]
+        *[F.array_min(F.transform(base_ints, _uhash(s))) for s in range(n_hashes)]
     )
 
 
 def band_keys(sig: Column, n_bands: int = N_BANDS, n_hashes: int = N_HASHES) -> Column:
-    """Band the signature: band b's key = md5 of its r concatenated sigs."""
+    """Band the signature: band b's key = its r sig ints concatenated."""
     r = n_hashes // n_bands
     return F.array(
         *[
-            F.md5(F.concat_ws("|", *[F.element_at(sig, b * r + j + 1) for j in range(r)]))
+            F.concat_ws("|", *[F.element_at(sig, b * r + j + 1) for j in range(r)])
             for b in range(n_bands)
         ]
     )
@@ -119,7 +138,8 @@ def minhash_lsh_pairs(
     # scale this table is what you'd write out as the LSH index.
     sh = sh.persist()
     banded = (
-        sh.select("doc_id", minhash_sig(F.col("shingles")).alias("sig"))
+        sh.select("doc_id", shingle_base_ints(F.col("shingles")).alias("ints"))
+        .select("doc_id", minhash_sig(F.col("ints")).alias("sig"))
         .select("doc_id", F.posexplode(band_keys(F.col("sig"))).alias("band_id", "band_key"))
         .persist()
     )
@@ -227,15 +247,20 @@ WITH toks AS (
          list_distinct(list_transform(range(1, len(t) - {SHINGLE_K - 2}),
                                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
   FROM toks WHERE len(t) >= {SHINGLE_K}
+), ints AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles,
+                        x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % {MINHASH_P}) AS b
+  FROM sh
 ), sig AS (
   SELECT doc_id, shingles,
-         list_transform(range(0, {N_HASHES}),
-                        s -> list_aggregate(list_transform(shingles, x -> md5('s' || s || '|' || x)), 'min')) AS mh
-  FROM sh
+         list_transform([{", ".join(f"[{a}, {b}]" for a, b in zip(HASH_A, HASH_B))}],
+                        ab -> list_aggregate(list_transform(b, x -> (ab[1] * x + ab[2]) % {MINHASH_P}), 'min')) AS mh
+  FROM ints
 ), banded AS (
   SELECT doc_id, shingles, unnest(range(0, {N_BANDS})) AS band_id,
          unnest(list_transform(range(0, {N_BANDS}),
-                b -> md5(mh[b*3+1] || '|' || mh[b*3+2] || '|' || mh[b*3+3]))) AS band_key
+                bb -> mh[bb*3+1] || '|' || mh[bb*3+2] || '|' || mh[bb*3+3])) AS band_key
   FROM sig
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -251,3 +251,31 @@ def subquery_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS — decorrelated by Catalyst into a semi-join."""
     register_views(spark, sf_dir)
     return spark.sql(_CORR_EXISTS_SQL)
+
+
+@register(
+    "join_null_safe",
+    tags=("join",),
+    oracle="""
+WITH a AS (
+  SELECT o_orderkey, CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderstatus END AS st
+  FROM orders WHERE o_orderkey <= 500
+), b AS (
+  SELECT DISTINCT CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderstatus END AS st
+  FROM orders
+)
+SELECT a.o_orderkey, a.st
+FROM a JOIN b ON a.st IS NOT DISTINCT FROM b.st
+""",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics dimension
+    tables with unknown members need."""
+    o = load_table(spark, sf_dir, "orders")
+    st = F.when(F.col("o_orderstatus") == "O", F.lit(None)).otherwise(
+        F.col("o_orderstatus")
+    )
+    a = o.filter(F.col("o_orderkey") <= 500).select("o_orderkey", st.alias("st"))
+    b = o.select(st.alias("st_b")).distinct()
+    return a.join(b, a.st.eqNullSafe(b.st_b)).select("o_orderkey", "st")

@@ -1,0 +1,68 @@
+"""Sampling operators: Bernoulli, stratified, and deterministic
+hash-based sampling.
+
+Random samples are engine-specific by construction (seeded RNG streams
+differ), so the oracle-checkable form is *hash sampling* — a
+deterministic predicate on a key hash, the technique production
+pipelines use anyway so that re-runs and engines agree on the sample.
+The seeded RNG forms are registered rows-only.
+
+Scale posture: all three are narrow (scan + filter, no shuffle);
+sampleBy's per-stratum fractions make downsampling-the-majority-class
+a one-liner at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+@register(
+    "sample_hash_deterministic",
+    tags=("sampling",),
+    oracle="""
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+FROM orders
+WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 10
+""",
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic sample: hash(key) mod 100 < 10. Stable across
+    engines, runs, and cluster sizes — the reproducible-experiment
+    sampler (same md5-prefix trick as the portable MinHash)."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    return o.filter(bucket < 10).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total")
+    )
+
+
+@register(
+    "sample_bernoulli",
+    tags=("sampling",),
+    doc="Seeded Bernoulli row sample (df.sample) — RNG streams are "
+    "engine-specific; rows-only check.",
+)
+def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.sample(fraction=0.1, seed=42).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "sample_stratified",
+    tags=("sampling",),
+    doc="Stratified sampleBy: per-stratum fractions (downsample the "
+    "dominant order status); engine-specific RNG, rows-only check.",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.sampleBy(
+        "o_orderstatus", fractions={"O": 0.05, "F": 0.5, "P": 1.0}, seed=42
+    ).select("o_orderkey", "o_orderstatus")

@@ -76,10 +76,11 @@ def _load_all() -> None:
         stats,
         arrays_maps,
         skew,
+        sampling,
     )
-    from .functions import udfs  # noqa: F401
+    from .functions import grouped, udfs  # noqa: F401
     from .plans import kv_queries, mr_queries  # noqa: F401
-    from .sources import sinks  # noqa: F401
+    from .sources import bucketing, sinks  # noqa: F401
     from .streaming import batch_windows, stateful  # noqa: F401
 
 

@@ -55,6 +55,35 @@ def test_topk_uses_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_tpch_q3_broadcasts_dims_and_takeordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q3_top_revenue_orders")
+    assert "BroadcastHashJoin" in plan  # customer side
+    assert "TakeOrderedAndProject" in plan  # top-10 without global sort
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_semi_join_prefilter(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q18_large_volume_orders")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sampling_pushes_into_scan_no_python(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sample_hash_deterministic")
+    assert "EvalPython" not in plan
+    # narrow plan: no exchange at all
+    assert "Exchange" not in plan
+
+
+def test_asof_join_single_exchange(spark, sf_dir):
+    """The union-tag as-of rewrite must cost exactly one exchange on the
+    key (plus AQE bookkeeping) — no range-join blowup, no Python."""
+    plan = _plan(spark, sf_dir, "asof_purchase_to_click")
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2  # union sides pre-shuffle
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_registry_integrity():
     qs = all_queries()
     assert len(qs) >= 50

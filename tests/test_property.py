@@ -1,0 +1,99 @@
+"""Property-based differential tests (hypothesis): the distributed
+engine against single-process reference semantics on randomized inputs —
+the generalization of the reference's ``sanityCheck`` differential
+oracle (`/root/reference/test/mr.test.js:78-96`) from 2 fixtures to
+arbitrary generated datasets.
+
+Spark jobs are slow per example, so examples are capped and each
+property batches one dataset per example.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from distributed_map_reduce_spark.plans.kv import KVTable
+from distributed_map_reduce_spark.plans.mapreduce import exec_mr, local_exec_mr
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.text(alphabet="abcdef", min_size=1, max_size=3)
+words = st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta"]), max_size=6)
+pairs = st.lists(st.tuples(keys, words.map(" ".join)), min_size=1, max_size=20)
+
+
+@SETTINGS
+@given(data=pairs)
+def test_exec_mr_matches_local_reference(spark, data):
+    """Distributed map→combine→shuffle→reduce ≡ the single-process
+    reference executor, for any input bag (order-insensitive).
+    Closures are locals so cloudpickle ships them by value (a module-
+    level fn pickles by reference and executors can't import tests)."""
+
+    def wc_map(key, value):
+        return [{w: 1} for w in value.split() if w.strip()]
+
+    def wc_reduce(key, values):
+        return (key, len(values))
+
+    df = spark.createDataFrame(data, "key string, value string")
+    got = sorted(exec_mr(df, wc_map, wc_reduce, num_partitions=4))
+    want = sorted(local_exec_mr(data, wc_map, wc_reduce))
+    assert got == want
+
+
+@SETTINGS
+@given(
+    writes=st.lists(
+        st.tuples(st.sampled_from(["k1", "k2", "k3", None]), st.integers(0, 99).map(str)),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_kv_lww_matches_dict_replay(spark, writes):
+    """KVTable LWW-resolve ≡ replaying the write sequence into a dict
+    (the reference store's overwrite semantics, local/store.js:117-133).
+    Content-addressed keys (None) collapse to one row per distinct value."""
+    import hashlib
+    import json
+
+    kv = KVTable.from_pairs(spark, writes)
+    got = {r["key"]: r["value"] for r in kv.resolve().select("key", "value").collect()}
+    replay: dict[str, str] = {}
+    for k, v in writes:
+        if k is None:
+            # Spark to_json emits compact JSON — no space after ':'
+            k = hashlib.sha256(
+                json.dumps({"value": v}, separators=(",", ":")).encode()
+            ).hexdigest()
+        replay[k] = v
+    assert got == replay
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_salted_agg_matches_direct_random(spark, rows):
+    from pyspark.sql import functions as F
+
+    from distributed_map_reduce_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(rows, "k string, v long")
+    direct = {
+        r["k"]: (r["s"], r["n"])
+        for r in df.groupBy("k").agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")).collect()
+    }
+    salted = {
+        r["k"]: (r["s"], r["n"])
+        for r in salted_agg(df, "k", {"s": ("v", "sum"), "n": ("v", "count")}, n_salts=4).collect()
+    }
+    assert salted == direct

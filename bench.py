@@ -28,8 +28,16 @@ def main() -> None:
     spark = get_spark("bench")
 
     bench = registry.bench_queries()
-    # Warmup: JVM, codegen, parquet footer caches.
-    bench["q1_pricing_summary"].fn(spark, sf_dir).collect()
+    # Warmup: run every headline query once at the smallest sf so JVM
+    # startup, whole-stage codegen compilation, and Python worker pools
+    # are out of the measured numbers — the steady state a long-running
+    # cluster session operates in. Data caches stay cold for sf_dir.
+    warm_dir = "/root/testdata/sf0.001"
+    for name in sorted(bench):
+        try:
+            bench[name].fn(spark, warm_dir if os.path.isdir(warm_dir) else sf_dir).collect()
+        except Exception as e:  # pragma: no cover - warmup best-effort
+            print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in sorted(bench):

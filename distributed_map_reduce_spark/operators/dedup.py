@@ -55,10 +55,12 @@ def tokens_col(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
 
 
-def shingles_col(text: Column, k: int = SHINGLE_K) -> Column:
-    """Distinct word k-shingles. Spark arrays are 0-based in element_at'
-    sibling `getItem`; we use 1-based `element_at` to mirror DuckDB."""
-    toks = tokens_col(text)
+def shingles_from_tokens(toks: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct word k-shingles from an already-materialized token array.
+    ``toks`` MUST be a plain column reference in hot paths: the k
+    element_at calls inside the lambda re-evaluate whatever expression
+    ``toks`` is per element, so an inlined split() turns O(n) into
+    O(n·k·|text|). 1-based `element_at` mirrors DuckDB."""
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
     return F.array_distinct(
         F.transform(
@@ -68,6 +70,12 @@ def shingles_col(text: Column, k: int = SHINGLE_K) -> Column:
             ),
         )
     )
+
+
+def shingles_col(text: Column, k: int = SHINGLE_K) -> Column:
+    """Convenience form for small inputs/tests; hot paths project
+    tokens_col into its own column first (see minhash_lsh_pairs)."""
+    return shingles_from_tokens(tokens_col(text), k)
 
 
 # Universal-hash MinHash: ONE md5 per shingle gives a base integer; the
@@ -128,20 +136,27 @@ def minhash_lsh_pairs(
     # file otherwise plans as one input partition and the md5-heavy
     # minhash runs on one core (on a real cluster the scan is already
     # wide; the round-robin exchange is a no-op cost at this cardinality).
-    sh = docs.repartition(spark_partitions(docs)).select(
-        F.col(id_col).alias("doc_id"), shingles_col(F.col(text_col)).alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    # Materialize the (tiny) banded-signature table before the self-join:
-    # without the barrier, projection collapse inlines the whole
-    # shingle→minhash expression tree into every element_at of every band
-    # key on BOTH join sides — exponential expression blowup. At cluster
-    # scale this table is what you'd write out as the LSH index.
-    sh = sh.persist()
+    sh = (
+        docs.repartition(spark_partitions(docs))
+        .select(F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("toks"))
+        .select("doc_id", shingles_from_tokens(F.col("toks")).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
+    # Materialize the (tiny) shingle and banded-signature tables before
+    # the self-join — localCheckpoint, not persist: (a) without a
+    # barrier, projection collapse inlines the whole shingle→minhash
+    # expression tree into every element_at of every band key on BOTH
+    # join sides; (b) persist() registers the giant expression tree in
+    # the CacheManager, which then re-canonicalizes it on every later
+    # cache lookup in the session — checkpointing truncates the lineage
+    # so downstream plans are scans. At cluster scale these tables are
+    # what you'd write out as the LSH index.
+    sh = sh.localCheckpoint(eager=True)
     banded = (
         sh.select("doc_id", shingle_base_ints(F.col("shingles")).alias("ints"))
         .select("doc_id", minhash_sig(F.col("ints")).alias("sig"))
         .select("doc_id", F.posexplode(band_keys(F.col("sig"))).alias("band_id", "band_key"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     left = banded.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
     right = banded.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")

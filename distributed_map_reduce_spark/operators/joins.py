@@ -279,3 +279,22 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_orderkey") <= 500).select("o_orderkey", st.alias("st"))
     b = o.select(st.alias("st_b")).distinct()
     return a.join(b, a.st.eqNullSafe(b.st_b)).select("o_orderkey", "st")
+
+
+_NOT_IN_SQL = """
+SELECT n_nationkey, n_name
+FROM nation
+WHERE n_nationkey NOT IN (
+  SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_nationkey END
+  FROM customer WHERE c_mktsegment = 'MACHINERY'
+)
+"""
+
+
+@register("subquery_not_in_nulls", tags=("join", "subquery"), oracle=_NOT_IN_SQL)
+def subquery_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN against a subquery that can yield NULL — the three-valued-
+    logic trap (any NULL in the list empties the result). Catalyst plans
+    a null-aware anti join; the same SQL text runs on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_NOT_IN_SQL)

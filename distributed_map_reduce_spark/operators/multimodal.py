@@ -106,3 +106,64 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_features,
         schema="doc_id long, n_bytes long, first_byte long, last_byte long",
     )
+
+
+def sample_frames(payload: bytes, stride: int) -> list[tuple[int, int]]:
+    """Deterministic stand-in frame sampler over an opaque byte stream:
+    every stride-th byte is 'a frame' (frame_idx, frame_byte). A real
+    video path wires ffmpeg keyframe extraction here — the Spark-side
+    shape (one row in → N frame rows out, explicit schema, Arrow
+    batches) is exactly what production uses."""
+    return [(i // stride, payload[i]) for i in range(0, len(payload), stride)]
+
+
+def resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize (PIL/libvips) — not available in this container."""
+    raise NotImplementedError(
+        "image codecs are not installed; production wires PIL.Image.resize "
+        "here — frame plumbing is exercised via sample_frames instead"
+    )
+
+
+FRAME_STRIDE = 64
+
+
+def extract_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: one asset row → N frame rows (flatMap shape)."""
+    for pdf in batches:
+        out_ids, out_idx, out_byte = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for idx, b in sample_frames(payload, FRAME_STRIDE):
+                out_ids.append(doc_id)
+                out_idx.append(idx)
+                out_byte.append(b)
+        yield pd.DataFrame({"doc_id": out_ids, "frame_idx": out_idx, "frame_byte": out_byte})
+
+
+@register(
+    "multimodal_frame_sample",
+    tags=("multimodal",),
+    oracle=f"""
+WITH assets AS (
+  SELECT doc_id, encode(text) AS payload FROM documents WHERE doc_id <= 100
+), frames AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(octet_length(payload) * 1.0 / {FRAME_STRIDE}) AS BIGINT))) AS frame_idx,
+         payload
+  FROM assets
+)
+SELECT doc_id, frame_idx,
+       ord(substr(CAST(payload AS VARCHAR), CAST(frame_idx * {FRAME_STRIDE} + 1 AS INT), 1)) AS frame_byte
+FROM frames
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque payloads: mapInPandas flatMap (1 asset
+    → N frames) with explicit schema. The oracle replays the stride
+    arithmetic in SQL. ASCII payloads keep ord()==byte on both engines;
+    real codecs swap into sample_frames without touching the plan."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
+    assets = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return assets.mapInPandas(
+        extract_frames, schema="doc_id long, frame_idx long, frame_byte long"
+    )

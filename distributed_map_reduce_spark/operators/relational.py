@@ -413,3 +413,23 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("price_quantiles"),
     )
+
+
+@register(
+    "sort_global",
+    tags=("sort",),
+    oracle="""
+SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+FROM supplier
+ORDER BY s_acctbal DESC, s_suppkey
+""",
+)
+def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total ordering without a limit: planned as a range-partitioned
+    exchange (sampled split points) + per-partition sort — never a
+    single-reducer sort. The driver's compare is order-insensitive; the
+    ORDER BY is the operator under test, not the output contract."""
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal")
+    ).orderBy(F.col("acctbal").desc(), "s_suppkey")

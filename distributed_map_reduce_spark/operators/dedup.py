@@ -131,48 +131,87 @@ def minhash_lsh_pairs(
     tau: float = MINHASH_TAU,
 ) -> DataFrame:
     """shingle → sign → band → bucket-join → verify. Returns
-    (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ tau."""
-    # Spread signature computation across cores: a single small parquet
-    # file otherwise plans as one input partition and the md5-heavy
-    # minhash runs on one core (on a real cluster the scan is already
-    # wide; the round-robin exchange is a no-op cost at this cardinality).
-    sh = (
-        docs.repartition(spark_partitions(docs))
-        .select(F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("toks"))
-        .select("doc_id", shingles_from_tokens(F.col("toks")).alias("shingles"))
-        .filter(F.size("shingles") > 0)
+    (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ tau.
+
+    Fully relational shape — no wide array columns anywhere:
+
+    1. explode to distinct (doc_id, shingle) ROWS (``array_distinct`` on
+       48-element string arrays costs ~2 ms/row; ``dropDuplicates`` is a
+       vectorized exchange),
+    2. signature = one hash-aggregate with k vectorized ``min`` columns
+       (universal hashing over the per-shingle md5 int),
+    3. band keys concatenate signature columns; candidates are ids-only,
+    4. verify = join-count: |A∩B| from an equi-join on shingle,
+       |A∪B| = |A|+|B|−|A∩B| — never materializes a pair of arrays.
+
+    At 100 TB every stage is a narrow project or one keyed exchange with
+    map-side combine; the checkpointed row tables are what a production
+    pipeline writes out as the LSH index."""
+    # Spread the md5-heavy scan across cores: a single small parquet file
+    # otherwise plans as one input partition (a real cluster scan is
+    # already wide).
+    toks = docs.repartition(spark_partitions(docs)).select(
+        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("toks")
     )
-    # Materialize the (tiny) shingle and banded-signature tables before
-    # the self-join — localCheckpoint, not persist: (a) without a
-    # barrier, projection collapse inlines the whole shingle→minhash
-    # expression tree into every element_at of every band key on BOTH
-    # join sides; (b) persist() registers the giant expression tree in
-    # the CacheManager, which then re-canonicalizes it on every later
-    # cache lookup in the session — checkpointing truncates the lineage
-    # so downstream plans are scans. At cluster scale these tables are
-    # what you'd write out as the LSH index.
-    sh = sh.localCheckpoint(eager=True)
-    banded = (
-        sh.select("doc_id", shingle_base_ints(F.col("shingles")).alias("ints"))
-        .select("doc_id", minhash_sig(F.col("ints")).alias("sig"))
-        .select("doc_id", F.posexplode(band_keys(F.col("sig"))).alias("band_id", "band_key"))
-        .localCheckpoint(eager=True)
+    k = SHINGLE_K
+    idx = F.sequence(F.lit(1), F.greatest(F.size("toks") - (k - 1), F.lit(0)))
+    shingle = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at("toks", i + j) for j in range(k)])
     )
-    left = banded.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
-    right = banded.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
-    # ids-only candidate pairs through the bucket join; shingles re-joined
-    # only for the verify stage, so the shuffle never carries arrays for
-    # pairs that get deduplicated away.
+    # sh_rows is consumed by the signature agg, both verify joins, and
+    # the size agg. No persist/checkpoint barrier: all four consumers
+    # share the dropDuplicates exchange, which Spark dedupes to one
+    # physical computation (ReusedExchange) — and unlike persist/
+    # localCheckpoint, nothing accumulates driver-side across calls
+    # (persist taxes every later CacheManager lookup; checkpoint blocks
+    # pile up until a cleaner storm stalls some later job).
+    sh_rows = toks.select("doc_id", F.explode(shingle).alias("s")).dropDuplicates(
+        ["doc_id", "s"]
+    )
+    base = sh_rows.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint") % MINHASH_P).alias("b"),
+    )
+    sig = base.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(HASH_A[s]) * F.col("b") + F.lit(HASH_B[s])) % MINHASH_P).alias(f"h{s}")
+            for s in range(N_HASHES)
+        ]
+    )
+    r = N_HASHES // N_BANDS
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws("|", *[F.col(f"h{b * r + j}") for j in range(r)])
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_key"),
+    )
     cand = (
-        left.join(right, ["band_id", "band_key"])
+        banded.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+        .join(banded.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key"),
+              ["band_id", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
+    sizes = sh_rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(sh_rows.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(sh_rows.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
     verified = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
-        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4))
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4),
+        )
     )
     return verified.filter(F.col("jaccard") >= tau).select("doc_a", "doc_b", "jaccard")
 

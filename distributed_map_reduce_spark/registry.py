@@ -77,6 +77,7 @@ def _load_all() -> None:
         arrays_maps,
         skew,
         sampling,
+        pipeline,
     )
     from .functions import grouped, udfs  # noqa: F401
     from .plans import kv_queries, mr_queries  # noqa: F401

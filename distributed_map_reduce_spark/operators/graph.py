@@ -1,0 +1,104 @@
+"""Iterative graph operators: connected components over near-duplicate
+pairs — the step that turns pairwise LSH matches into canonical dedup
+clusters (every doc labeled with its component's min doc_id).
+
+This is the one operator class that is genuinely *iterative*: label
+propagation to a fixpoint (Pregel-style). Each round is one shuffle
+(join edges ⋈ labels + min-aggregate); rounds are bounded by component
+diameter — near-dup clusters are shallow, so a handful of rounds
+suffices even at 100 TB. The driver holds only a change counter per
+round, never data.
+
+The DuckDB oracle replays the semantics with a recursive CTE
+(min reachable id per node) — slower asymptotics, same fixpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+from .dedup import _MINHASH_ORACLE, minhash_lsh_pairs
+
+MAX_ROUNDS = 20
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Label propagation: node → min node-id reachable (= component id).
+    ``edges`` is undirected input (one row per pair, either order).
+    Returns (node, component)."""
+    both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    # Materialize the edge list once — otherwise every round's join AND
+    # convergence check lazily recompute the upstream pipeline (here:
+    # the whole MinHash-LSH derivation) from scratch. Iterative loops
+    # also checkpoint the evolving labels each round so lineage stays
+    # O(1) instead of growing by one join per round.
+    both = both.localCheckpoint(eager=True)
+    nodes = both.select(F.col("a").alias("node")).distinct()
+    labels = nodes.withColumn("component", F.col("node"))
+    for _ in range(MAX_ROUNDS):
+        # component candidate from each neighbor's current label
+        neighbor_min = (
+            both.join(labels, both.a == labels.node)
+            .groupBy(F.col("b").alias("node2"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+                (F.col("nbr_component") < F.col("component")).alias("_changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        # one small action per round: did any label improve?
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "dedup_cc_clusters",
+    tags=("dedup", "graph", "iterative"),
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS node FROM edges
+), reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, min(label) AS component,
+       count(*) OVER (PARTITION BY min(label)) AS cluster_size
+FROM reach GROUP BY node
+""",
+)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash-LSH pairs → connected components →
+    (doc_id, component=min doc_id in cluster, cluster_size). The
+    canonical-keeper assignment a dedup pipeline applies corpus-wide."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    from pyspark.sql import Window
+
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        F.count(F.lit(1)).over(Window.partitionBy("component")).alias("cluster_size"),
+    )

@@ -78,6 +78,7 @@ def _load_all() -> None:
         skew,
         sampling,
         pipeline,
+        graph,
     )
     from .functions import grouped, udfs  # noqa: F401
     from .plans import kv_queries, mr_queries  # noqa: F401

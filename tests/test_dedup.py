@@ -56,3 +56,16 @@ def test_shingles_and_jaccard(spark):
     j = a.crossJoin(b).select(jaccard(F.col("sa"), F.col("sb")).alias("j")).collect()[0]["j"]
     # shingles: {abc,bcd} vs {bcd,cde} → 1/3
     assert abs(j - 1 / 3) < 1e-9
+
+
+def test_connected_components_clusters(spark):
+    """CC over a hand-built graph: two components + an isolated pair;
+    every node labeled with its component's min id."""
+    from distributed_map_reduce_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}

@@ -162,3 +162,89 @@ def string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(d <= 6)
         .select("name_a", "name_b", d.alias("edit_dist"))
     )
+
+
+@register(
+    "agg_conditional",
+    tags=("agg",),
+    oracle="""
+SELECT l_returnflag,
+       count(*) FILTER (WHERE l_discount > 0.05)      AS n_discounted,
+       bool_and(l_quantity > 0)                       AS all_positive_qty,
+       bool_or(l_quantity > 49)                       AS any_big_qty,
+       round(sum(l_extendedprice) FILTER (WHERE l_tax > 0.04), 2) AS taxed_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregates: count_if, bool_and/bool_or,
+    filtered sum — all single-pass with map-side partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_quantity") > 49).alias("any_big_qty"),
+        F.round(
+            F.sum(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice"))), 2
+        ).alias("taxed_price"),
+    )
+
+
+@register(
+    "explode_variants",
+    tags=("scalar", "array"),
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey,
+         list(l_partkey) FILTER (WHERE l_quantity > 49) AS big_parts
+  FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE o_orderkey <= 1000
+  GROUP BY o_orderkey
+)
+SELECT o_orderkey,
+       unnest(CASE WHEN big_parts IS NULL OR len(big_parts) = 0
+                   THEN [NULL] ELSE big_parts END) AS part
+FROM t
+""",
+)
+def explode_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows with empty/NULL arrays survive with NULL —
+    the join-preserving flatten (plain explode drops them)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    li = load_table(spark, sf_dir, "lineitem")
+    t = (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.collect_list(F.when(F.col("l_quantity") > 49, F.col("l_partkey"))).alias(
+                "big_parts"
+            )
+        )
+    )
+    return t.select("o_orderkey", F.explode_outer("big_parts").alias("part"))
+
+
+@register(
+    "explode_inline_structs",
+    tags=("scalar", "array"),
+    oracle="""
+WITH t AS (
+  SELECT l_orderkey, list({'pk': l_partkey, 'qty': l_quantity}) AS items
+  FROM lineitem WHERE l_orderkey <= 500 GROUP BY l_orderkey
+), u AS (
+  SELECT l_orderkey, unnest(items) AS it FROM t
+)
+SELECT l_orderkey, it.pk AS pk, it.qty AS qty FROM u
+""",
+)
+def explode_inline_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """inline(): explode an array<struct> into one row per element with
+    struct fields as columns (the UDTF-shaped built-in)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    t = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(F.col("l_partkey").alias("pk"), F.col("l_quantity").alias("qty"))
+        ).alias("items")
+    )
+    return t.select("l_orderkey", F.inline("items"))

@@ -39,20 +39,21 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - warmup best-effort
             print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
+    # Two full interleaved passes, min per query: the single-JVM local
+    # runtime occasionally stalls tasks for tens of seconds in a burst;
+    # back-to-back repeats of one query can both land inside a burst,
+    # while interleaved rounds bound the damage to one round per query.
     timings: dict[str, float] = {}
-    for name in sorted(bench):
-        # min of 2 runs: single-JVM local mode occasionally stalls one
-        # task for tens of seconds (scheduler/AQE noise unrelated to the
-        # plan); the min is the reproducible steady-state cost.
-        best, n = None, 0
-        for _ in range(2):
+    rows: dict[str, int] = {}
+    for _ in range(2):
+        for name in sorted(bench):
             t0 = time.time()
             df = bench[name].fn(spark, sf_dir)
-            n = len(df.collect())
+            rows[name] = len(df.collect())
             dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+            timings[name] = round(min(dt, timings.get(name, dt)), 3)
+    for name in sorted(bench):
+        print(f"# {name}: {timings[name]}s ({rows[name]} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

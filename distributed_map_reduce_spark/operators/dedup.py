@@ -20,10 +20,11 @@ Charikar'02 SimHash, the GPT-3/C4 dedup recipes):
   in production the LSH bucket from operators.similarity) + exact cosine
   within blocks.
 
-Hashes are engine-portable by construction: min over md5 hex strings
-(lexicographic = numeric for fixed-length hex) — so the DuckDB oracle
-replays the identical algorithm. Recall on planted near-duplicates is
-proven in tests/test_dedup.py.
+Hashes are engine-portable by construction: one md5 per shingle reduced
+to an int mod 2^31−1, then k universal-hash functions (a·h+b mod p) with
+literal constants — so the DuckDB oracle replays the identical
+algorithm bit-for-bit. Recall on planted near-duplicates is proven in
+tests/test_dedup.py.
 """
 
 from __future__ import annotations
@@ -85,39 +86,6 @@ def shingles_col(text: Column, k: int = SHINGLE_K) -> Column:
 MINHASH_P = 2147483647
 HASH_A = [(1103515245 * (s + 1) + 12345) % MINHASH_P for s in range(N_HASHES)]
 HASH_B = [(s * 2654435761) % MINHASH_P for s in range(N_HASHES)]
-
-
-def shingle_base_ints(shingles: Column) -> Column:
-    """base(shingle) = first 15 md5 hex chars as int, reduced mod P —
-    the single hashing pass everything else derives from."""
-    return F.transform(
-        shingles,
-        lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("bigint")
-        % F.lit(MINHASH_P),
-    )
-
-
-def minhash_sig(base_ints: Column, n_hashes: int = N_HASHES) -> Column:
-    """k min-hashes over the pre-hashed shingle ints (universal hashing)."""
-
-    def _uhash(s: int):
-        # one-arg closure factory: F.transform dispatches on lambda arity
-        return lambda b: (F.lit(HASH_A[s]) * b + F.lit(HASH_B[s])) % F.lit(MINHASH_P)
-
-    return F.array(
-        *[F.array_min(F.transform(base_ints, _uhash(s))) for s in range(n_hashes)]
-    )
-
-
-def band_keys(sig: Column, n_bands: int = N_BANDS, n_hashes: int = N_HASHES) -> Column:
-    """Band the signature: band b's key = its r sig ints concatenated."""
-    r = n_hashes // n_bands
-    return F.array(
-        *[
-            F.concat_ws("|", *[F.element_at(sig, b * r + j + 1) for j in range(r)])
-            for b in range(n_bands)
-        ]
-    )
 
 
 def jaccard(a: Column, b: Column) -> Column:

@@ -174,3 +174,35 @@ def ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+
+
+@register(
+    "ann_ivf_centroids",
+    tags=("similarity",),
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), dims AS (
+  SELECT label, unnest(range(1, 65)) AS dim, v FROM e
+)
+SELECT label, dim, round(avg(v[dim]), 6) AS centroid_val, count(*) AS n_vectors
+FROM dims
+GROUP BY label, dim
+""",
+)
+def ann_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer build: per-partition (label) centroid in
+    long form (label, dim, mean). One posexplode + one aggregate — the
+    k-means M-step shape; at 100 TB each iteration is exactly this plan
+    plus an assignment join."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", as_double(F.col("embedding")).alias("v")
+    )
+    return (
+        e.select("label", F.posexplode("v").alias("dim0", "val"))
+        .groupBy("label", (F.col("dim0") + 1).alias("dim"))
+        .agg(
+            F.round(F.avg("val"), 6).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )

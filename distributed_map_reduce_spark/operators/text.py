@@ -204,3 +204,106 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_doc"))
     )
+
+
+@register(
+    "text_tfidf_topterms",
+    tags=("text",),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS w
+  FROM documents
+), tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w
+), df AS (
+  SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY w
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.w, round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+  FROM tf JOIN df USING (w) CROSS JOIN n
+)
+SELECT doc_id, w AS term, tfidf FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rn
+  FROM scored
+) WHERE rn <= 3 AND doc_id <= 100
+""",
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document — the classic MapReduce-era
+    workload as three aggregates and a broadcast join (document
+    frequencies are vocabulary-sized, so they broadcast; the corpus
+    never shuffles full text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower("text"), " "), lambda w: w != "")).alias("w"),
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar; the only driver-side value
+    scored = tf.join(F.broadcast(df), "w").select(
+        "doc_id",
+        "w",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "w"))
+    return (
+        scored.withColumn("rn", rn)
+        .filter((F.col("rn") <= 3) & (F.col("doc_id") <= 100))
+        .select("doc_id", F.col("w").alias("term"), "tfidf")
+    )
+
+
+# Minimal public sentiment lexicon (AFINN-style sign-only subset) — the
+# operator shape (broadcast lexicon join + per-doc score) is what scales,
+# not the lexicon.
+_SENTIMENT_LEXICON: dict[str, int] = {
+    # terms chosen from the synthetic corpus vocabulary so the operator
+    # produces non-trivial hits; a real AFINN/VADER lexicon swaps in.
+    "fast": 2, "small": 1, "stable": 2, "correct": 2, "efficient": 2,
+    "slow": -2, "skew": -1, "spill": -2, "stale": -1, "error": -2,
+}
+
+
+@register(
+    "text_sentiment_lexicon",
+    tags=("text",),
+    oracle=f"""
+WITH lex(w, score) AS (
+  VALUES {", ".join(f"('{w}', {s})" for w, s in sorted(_SENTIMENT_LEXICON.items()))}
+), tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS w
+  FROM documents
+)
+SELECT doc_id,
+       coalesce(sum(score), 0) AS sentiment,
+       count(score)            AS n_hits
+FROM tok LEFT JOIN lex USING (w)
+GROUP BY doc_id
+HAVING count(score) > 0
+""",
+)
+def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon sentiment scoring: tokens ⋈ broadcast lexicon → per-doc
+    score sum (the EDBT'16-style lexicon pattern; a real lexicon swaps
+    in without changing the plan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    spark_lex = docs.sparkSession.createDataFrame(
+        sorted(_SENTIMENT_LEXICON.items()), "w string, score int"
+    )
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower("text"), " "), lambda w: w != "")).alias("w"),
+    )
+    return (
+        tok.join(F.broadcast(spark_lex), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(F.sum("score"), F.lit(0)).alias("sentiment"),
+            F.count("score").alias("n_hits"),
+        )
+        .filter(F.col("n_hits") > 0)
+    )

@@ -307,3 +307,71 @@ def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_hits") > 0)
     )
+
+
+WINNOW_K = 8   # character k-gram length
+WINNOW_W = 16  # winnowing window (k-grams per window)
+
+
+@register(
+    "text_winnowing_fingerprints",
+    tags=("text", "dedup"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS txt
+  FROM documents WHERE doc_id <= 50
+), hs AS (
+  SELECT doc_id,
+         list_transform(range(1, length(txt) - {WINNOW_K - 2}),
+                        i -> CAST('0x' || substr(md5(substr(txt, i, {WINNOW_K})), 1, 15) AS BIGINT)) AS h
+  FROM t WHERE length(txt) >= {WINNOW_K}
+), wins AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(h) - {WINNOW_W - 2}),
+                               j -> list_aggregate(h[j:j+{WINNOW_W - 1}], 'min'))) AS fp
+  FROM hs WHERE len(h) >= {WINNOW_W}
+)
+SELECT DISTINCT doc_id, fp FROM wins
+""",
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (the MOSS
+    algorithm): hash every character {K}-gram, keep the min hash of each
+    {W}-gram window — a fingerprint set robust to partial overlap and
+    reordering, unlike whole-document hashing.
+
+    Relational shape: explode k-gram positions to rows (one md5 each,
+    vectorized), rolling min via a rows-frame window — no nested array
+    expressions (an array-of-slices formulation re-evaluates the text
+    normalization per element and runs ~50x slower)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
+    txt = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    t = docs.select("doc_id", txt.alias("txt")).filter(F.length("txt") >= WINNOW_K)
+    grams = t.select(
+        "doc_id",
+        "txt",
+        F.explode(F.sequence(F.lit(1), F.length("txt") - (WINNOW_K - 1))).alias("i"),
+    ).select(
+        "doc_id",
+        "i",
+        F.conv(
+            F.substring(F.md5(F.col("txt").substr(F.col("i"), F.lit(WINNOW_K))), 1, 15),
+            16,
+            10,
+        ).cast("bigint").alias("h"),
+    )
+    roll = W.partitionBy("doc_id").orderBy("i").rowsBetween(W.currentRow, WINNOW_W - 1)
+    full = W.partitionBy("doc_id")
+    wins = (
+        grams.select(
+            "doc_id",
+            "i",
+            F.min("h").over(roll).alias("fp"),
+            F.count(F.lit(1)).over(full).alias("n_grams"),
+        )
+        .filter(F.col("i") <= F.col("n_grams") - (WINNOW_W - 1))
+        .select("doc_id", "fp")
+    )
+    return wins.distinct()

@@ -36,3 +36,61 @@ def test_streaming_dedup_runs(spark, sf_dir):
     n = result.count()
     total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert 0 < n <= total
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Event-time watermark semantics: a row arriving after the
+    watermark passed its window is dropped; on-time rows in later
+    batches are kept. Two files forced into two micro-batches."""
+    import os
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    d = str(tmp_path / "stream_in")
+    os.makedirs(d)
+
+    def write_batch(name, rows, mtime):
+        df = spark.createDataFrame(rows, "ts timestamp, v double").coalesce(1)
+        tmp = str(tmp_path / name)
+        df.write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(d, f"{name}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    now = _time.time()
+    # batch 1: three rows in [10:00,10:05) plus one at 11:00 that pushes
+    # the watermark (10 min) to 10:50 — far past the first window
+    write_batch("a", [(t(0), 1.0), (t(1), 1.0), (t(2), 1.0), (dt.datetime(2024, 1, 1, 11, 0), 1.0)], now - 90)
+    # batch 2: filler — Spark's watermark takes effect one batch AFTER
+    # the data that advanced it, so this batch commits the 10:50 mark
+    write_batch("b", [(t(55), 1.0)], now - 60)
+    # batch 3: one LATE row at 10:02 (window closed — dropped) and one
+    # on-time row at 10:58
+    write_batch("c", [(t(2), 99.0), (dt.datetime(2024, 1, 1, 10, 58), 1.0)], now)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(d)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = agg.writeStream.outputMode("append").format("memory").queryName("t_late").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["ws"]: r["n"] for r in spark.table("t_late").collect()}
+    # the 10:00 window finalized with 3 rows; the late row at 10:02
+    # (arriving with the watermark at 10:50) must NOT appear
+    assert got[t(0)] == 3

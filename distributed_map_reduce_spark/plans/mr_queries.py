@@ -226,3 +226,27 @@ def mr_wordcount_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exec_mr_df(
         spark, docs, wc_map, wc_reduce, schema="word string, n bigint",
     )
+
+
+# Extra-data variant (`/root/reference/test/all.student.test.js:295-373`):
+# the dlib corpus plus a sixth line — word counts shift accordingly.
+DLIB_EXTRA_PAIRS: list[tuple[str, str]] = DLIB_PAIRS + [("b1-l6", "it was the best")]
+
+
+@register(
+    "mr_wordcount_extra",
+    tags=("mapreduce", "parity"),
+    oracle=f"""
+SELECT w AS word, count(*) AS n
+FROM (SELECT unnest(string_split(value, ' ')) AS w FROM {_values_clause(DLIB_EXTRA_PAIRS)})
+WHERE trim(w) <> ''
+GROUP BY w
+""",
+)
+def mr_wordcount_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Student variant: word count after appending an extra row
+    (all.student.test.js:295-373; golden bag has `best: 2`, `was: 11`)."""
+    return exec_mr_df(
+        spark, _ncdc_df(spark, DLIB_EXTRA_PAIRS), wc_map, wc_reduce,
+        num_partitions=3, schema="word string, n bigint",
+    )

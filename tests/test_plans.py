@@ -68,6 +68,16 @@ def test_q18_semi_join_prefilter(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_q5_single_fact_exchange_rest_broadcast(spark, sf_dir):
+    """Six-table Q5: lineitem⋈orders is the lone shuffled join; supplier/
+    customer/nation/region all arrive broadcast, so the fact side moves
+    through exactly one exchange before the partial agg."""
+    plan = _plan(spark, sf_dir, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_sampling_pushes_into_scan_no_python(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sample_hash_deterministic")
     assert "EvalPython" not in plan

@@ -78,6 +78,15 @@ def test_q5_single_fact_exchange_rest_broadcast(spark, sf_dir):
     assert "EvalPython" not in plan
 
 
+def test_q7_double_nation_lookup_broadcast(spark, sf_dir):
+    """Q7 joins nation through both the supplier and customer side; both
+    lookups must be broadcast and the shipdate filter must reach the scan."""
+    plan = _plan(spark, sf_dir, "q7_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "PushedFilters:" in plan and "l_shipdate" in plan
+    assert "CartesianProduct" not in plan and "EvalPython" not in plan
+
+
 def test_sampling_pushes_into_scan_no_python(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sample_hash_deterministic")
     assert "EvalPython" not in plan

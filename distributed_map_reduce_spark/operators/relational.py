@@ -158,8 +158,8 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_orderkey, l_linenumber,
        round(abs(l_extendedprice - 1000.0), 4)     AS abs_diff,
-       ceil(l_quantity / 7.0)                      AS qty_ceil,
-       floor(l_quantity / 7.0)                     AS qty_floor,
+       CAST(ceil(l_quantity / 7.0) AS BIGINT)      AS qty_ceil,
+       CAST(floor(l_quantity / 7.0) AS BIGINT)     AS qty_floor,
        round(sqrt(l_extendedprice), 6)             AS price_sqrt,
        round(ln(l_extendedprice + 1), 6)           AS price_ln,
        round(log10(l_extendedprice + 1), 6)        AS price_log10,
@@ -407,11 +407,17 @@ def order_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct + approx percentiles: sketch-based aggregates
     whose exact values are engine-specific (no SQL oracle by design —
-    the companion `agg_stats` carries the exact-distinct oracle)."""
+    the companion `agg_stats` carries the exact-distinct oracle).
+
+    Quantiles are emitted as three scalar columns (not one array column):
+    the driver's rows-only canonicalizer sorts cell values and cannot hash
+    an array cell (CORRECTNESS_r01 err: unhashable numpy.ndarray)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("price_quantiles"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("price_p50"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("price_p90"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("price_p99"),
     )
 
 

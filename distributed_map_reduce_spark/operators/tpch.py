@@ -91,8 +91,11 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
+        # customer scales with SF — no hardcoded broadcast hint; AQE picks
+        # broadcast at small SF and a shuffled join once customer outgrows
+        # the threshold at 100 TB. nation is a fixed 25-row dim: always hint.
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -258,8 +261,12 @@ GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
 )
 def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18-style: orders whose total quantity exceeds a threshold.
-    The HAVING pre-aggregate is a semi-join filter on the fact key — the
-    aggregate runs once, its small key set broadcasts back."""
+    The HAVING pre-aggregate is a semi-join filter on the fact key.
+
+    No broadcast hints here: the big-order keyset is fact-derived (grows
+    with the fact table — a hardcoded ``F.broadcast`` would blow the
+    threshold/driver at 100×) and customer scales with SF. AQE decides
+    broadcast-vs-shuffled semi/hash join from runtime sizes instead."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -270,9 +277,9 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     return (
-        li.join(F.broadcast(big).withColumnRenamed("l_orderkey", "bk"), F.col("l_orderkey") == F.col("bk"), "left_semi")
+        li.join(big.withColumnRenamed("l_orderkey", "bk"), F.col("l_orderkey") == F.col("bk"), "left_semi")
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum("l_quantity").alias("total_qty"))
         .select(

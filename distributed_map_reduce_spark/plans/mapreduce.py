@@ -54,18 +54,15 @@ def _normalize_map_output(out: Any) -> list[tuple[Any, Any]]:
     return pairs
 
 
-def exec_mr(
+def exec_mr_rdd(
     pairs: DataFrame,
     map_fn: MapFn,
     reduce_fn: ReduceFn,
     keys: Iterable[str] | None = None,
     num_partitions: int | None = None,
-) -> list[Any]:
-    """Run one MapReduce job; returns the gathered unordered result bag
-    (the reference's ``exec`` callback payload, `all/mr.js:20-26`).
-
-    ``pairs`` is any DataFrame whose first two columns are (key, value).
-    """
+):
+    """Run one MapReduce job; returns the reduced RDD (still distributed —
+    one element per key, partitioned by the shuffle)."""
     sc = pairs.sparkSession.sparkContext
     rdd = pairs.rdd.map(lambda r: (r[0], r[1]))
     if keys is not None:
@@ -74,7 +71,7 @@ def exec_mr(
         bkeys = sc.broadcast(frozenset(keys))
         rdd = rdd.filter(lambda kv: kv[0] in bkeys.value)
     n = num_partitions or int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    reduced = (
+    return (
         rdd.flatMap(lambda kv: _normalize_map_output(map_fn(kv[0], kv[1])))
         # combineByKey builds per-partition value lists (the reference's
         # map-side `compact`, `mapperReducer.js:39-68`) and merges lists
@@ -87,7 +84,23 @@ def exec_mr(
         )
         .map(lambda kv: reduce_fn(kv[0], kv[1]))
     )
-    return reduced.collect()
+
+
+def exec_mr(
+    pairs: DataFrame,
+    map_fn: MapFn,
+    reduce_fn: ReduceFn,
+    keys: Iterable[str] | None = None,
+    num_partitions: int | None = None,
+) -> list[Any]:
+    """exec_mr_rdd + gather: returns the unordered result bag on the driver
+    (the reference's ``exec`` callback payload, `all/mr.js:20-26`).
+
+    Reserve for fixture-scale parity queries — the gather is the
+    reference's own semantics, but at data scale use :func:`exec_mr_df`
+    which never materializes on the driver.
+    """
+    return exec_mr_rdd(pairs, map_fn, reduce_fn, keys=keys, num_partitions=num_partitions).collect()
 
 
 def exec_mr_df(
@@ -100,9 +113,15 @@ def exec_mr_df(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """exec_mr, but the reduce output rows come back as a typed DataFrame
-    (reduce_fn must return a tuple matching ``schema``)."""
-    rows = exec_mr(pairs, map_fn, reduce_fn, keys=keys, num_partitions=num_partitions)
-    return spark.createDataFrame(rows, schema=schema)
+    (reduce_fn must return a tuple matching ``schema``).
+
+    The reduced RDD converts to a DataFrame directly — no ``collect()`` /
+    driver round-trip — so a vocabulary-sized result bag (e.g. word counts
+    over the full ``documents`` table) stays on the executors. At 100 TB
+    the reference's collect-gather would OOM the coordinator; here gather
+    only happens if the *caller* collects."""
+    rdd = exec_mr_rdd(pairs, map_fn, reduce_fn, keys=keys, num_partitions=num_partitions)
+    return spark.createDataFrame(rdd, schema=schema)
 
 
 def local_exec_mr(

@@ -31,10 +31,12 @@ def _norm_cell(v):
     if isinstance(v, bool):
         return str(v).lower()
     if isinstance(v, float):
+        # Keep the float/int distinction: the driver's canonicalizer works on
+        # pandas dtypes, so a BIGINT 1 and a DOUBLE 1.0 hash differently there.
+        # Collapsing them here (as round 1 did) hides type mismatches that the
+        # driver then flags (scalar_math_funcs, CORRECTNESS_r01).
         if math.isnan(v):
             return "nan"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
         return repr(round(v, 9))
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"

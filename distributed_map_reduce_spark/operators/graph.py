@@ -39,7 +39,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
     # O(1) instead of growing by one join per round.
     both = both.localCheckpoint(eager=True)
     nodes = both.select(F.col("a").alias("node")).distinct()
-    labels = nodes.withColumn("component", F.col("node"))
+    labels = nodes.withColumn("component", F.col("node")).localCheckpoint(eager=True)
     for _ in range(MAX_ROUNDS):
         # component candidate from each neighbor's current label
         neighbor_min = (
@@ -47,23 +47,37 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
             .groupBy(F.col("b").alias("node2"))
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-                ).alias("component"),
-                (F.col("nbr_component") < F.col("component")).alias("_changed"),
-            )
+        cand = labels.join(neighbor_min, labels.node == F.col("node2"), "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+            ).alias("component"),
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # Pointer jumping: relabel through the label's own label. Chain
+        # depth halves per round, so a diameter-D path converges in
+        # O(log D) rounds instead of D — without it, a 20-round cap
+        # silently mislabels any chain longer than 20 (ADVICE r01).
+        ptr = cand.select(F.col("node").alias("pnode"), F.col("component").alias("pcomp"))
+        jumped = (
+            cand.join(ptr, cand.component == ptr.pnode, "left")
+            .select("node", F.coalesce(F.col("pcomp"), F.col("component")).alias("component"))
+            .localCheckpoint(eager=True)
+        )
         # one small action per round: did any label improve?
-        changed = new_labels.filter(F.col("_changed")).limit(1).count()
-        labels = new_labels.drop("_changed")
+        changed = (
+            jumped.join(labels.withColumnRenamed("component", "_old"), "node")
+            .filter(F.col("component") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {MAX_ROUNDS} rounds — "
+        "with pointer jumping that means component diameter > 2^"
+        f"{MAX_ROUNDS}; raise MAX_ROUNDS"
+    )
 
 
 @register(

@@ -28,10 +28,40 @@ key, never collect to the driver.
 
 from __future__ import annotations
 
+import datetime
+import json
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+
+def canonical_json(value: Any) -> str:
+    """Canonical JSON text for schema-less values — the reference's
+    universal serializer re-expressed as a storage format
+    (`/root/reference/distribution/util/serialization.js:441-499`:
+    arbitrary nested objects/arrays/numbers/strings/booleans/null/Date).
+
+    Sorted keys + compact separators make the text deterministic, so
+    sha-256 content addressing is stable across writers; Date becomes an
+    ISO-8601 string (the reference tags native Dates; a typed projection
+    casts it back). Cycles and function-valued data are out of scope
+    (SURVEY.md §2.3)."""
+
+    def _default(o: Any) -> str:
+        if isinstance(o, (datetime.datetime, datetime.date)):
+            return o.isoformat()
+        raise TypeError(f"unserializable value of type {type(o).__name__}")
+
+    return json.dumps(value, sort_keys=True, separators=(",", ":"), default=_default)
+
+
+def json_field(col, path: str, dtype: str | None = None) -> F.Column:
+    """Typed projection into a schema-less JSON value column:
+    `get_json_object` + cast. Stays JVM-side (no Python UDF), so a
+    projection over 100 TB of JSON values is one codegen'd scan."""
+    out = F.get_json_object(col, path)
+    return out.cast(dtype) if dtype else out
 
 
 def content_address(*cols) -> F.Column:
@@ -62,6 +92,20 @@ class KVTable:
             "key",
             F.coalesce(F.col("key"), F.sha2(F.to_json(F.struct(F.col("value"))), 256)),
         )
+        return cls(df)
+
+    @classmethod
+    def from_objects(cls, spark: SparkSession, pairs: list[tuple[str | None, Any]]) -> "KVTable":
+        """Schema-less ingest: each value is an arbitrary JSON-serializable
+        Python object (nested dicts/lists/str/num/bool/None/datetime —
+        the reference's universal value domain, `serialization.js:441-499`,
+        corpus `test/serialization.test.js:4-156`). Values are stored as
+        ONE canonical-JSON string column; read back typed via
+        :func:`json_field` projections. ``key=None`` content-addresses
+        the value: key = sha256 of its canonical JSON (`util/id.js:72-78`)."""
+        rows = [(k, canonical_json(v), i) for i, (k, v) in enumerate(pairs)]
+        df = spark.createDataFrame(rows, schema="key string, value string, seq bigint")
+        df = df.withColumn("key", F.coalesce(F.col("key"), F.sha2(F.col("value"), 256)))
         return cls(df)
 
     @property

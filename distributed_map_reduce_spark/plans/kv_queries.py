@@ -6,12 +6,14 @@ delete-as-anti-join.
 
 from __future__ import annotations
 
+import datetime
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import load_table
-from .kv import KVTable, content_address
+from .kv import KVTable, canonical_json, content_address, json_field
 
 
 def _customer_kv(spark: SparkSession, sf_dir: str) -> KVTable:
@@ -117,3 +119,78 @@ def kv_del_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return kv.delete(doomed).resolve().select("key", "value")
+
+
+# Schema-less value corpus modeled on the reference's serialization tests
+# (`/root/reference/test/serialization.test.js:4-156`): scalars, booleans,
+# null, nested objects, arrays, Date — minus cycles/functions (out of
+# scope, SURVEY.md §2.3). 'user:1' is written twice to exercise LWW; the
+# final None-keyed write is content-addressed.
+SCHEMALESS_WRITES: list[tuple[str | None, object]] = [
+    ("user:1", {"name": "Ada", "stats": {"n": 3, "score": 9.5}, "tags": ["a", "b"], "active": True}),
+    ("user:2", {"name": "Bo", "stats": {"n": 1, "score": 4.25}, "tags": [], "active": False}),
+    ("user:1", {"name": "Ada Lovelace", "stats": {"n": 4, "score": 10.0}, "tags": ["a"], "active": True}),
+    ("cfg", [1, 2, 3, "four", None, True]),
+    ("note", "plain string value"),
+    ("n", 42),
+    ("pi", 3.14159),
+    ("nothing", None),
+    ("when", {"event": "launch", "at": datetime.datetime(2024, 10, 8, 12, 30, 0)}),
+    (None, {"name": "anon", "stats": {"n": 7, "score": 1.5}}),
+]
+
+
+def _schemaless_values_clause() -> str:
+    rows = ", ".join(
+        "("
+        + ("CAST(NULL AS VARCHAR)" if k is None else "'" + k.replace("'", "''") + "'")
+        + ", '" + canonical_json(v).replace("'", "''") + "', " + str(i)
+        + ")"
+        for i, (k, v) in enumerate(SCHEMALESS_WRITES)
+    )
+    return f"(VALUES {rows}) AS w(key, value, seq)"
+
+
+@register(
+    "kv_schemaless_roundtrip",
+    tags=("kv", "parity"),
+    oracle=f"""
+WITH keyed AS (
+  SELECT coalesce(key, sha256(value)) AS key, value, seq
+  FROM {_schemaless_values_clause()}
+), lww AS (
+  SELECT key, value
+  FROM (SELECT key, value, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+        FROM keyed)
+  WHERE rn = 1
+)
+SELECT key,
+       value                                                   AS vjson,
+       json_extract_string(value, '$.name')                    AS name,
+       CAST(json_extract(value, '$.stats.n') AS BIGINT)        AS n,
+       CAST(json_extract(value, '$.stats.score') AS DOUBLE)    AS score,
+       CAST(json_extract(value, '$.active') AS BOOLEAN)        AS active,
+       CAST(json_array_length(value, '$.tags') AS BIGINT)      AS n_tags,
+       CAST(json_extract_string(value, '$.at') AS TIMESTAMP)   AS at_ts
+FROM lww
+""",
+)
+def kv_schemaless_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-less KV values end-to-end: universal-serializer corpus in,
+    canonical-JSON storage, LWW resolve, content addressing for the
+    null-keyed write, and typed JSON projections out — covering the
+    reference's arbitrary-value store (`serialization.js:441-499`,
+    `local/store.js:117-133`) without per-value schemas. Projections are
+    `get_json_object` casts (JVM codegen — no Python in the path)."""
+    kv = KVTable.from_objects(spark, SCHEMALESS_WRITES)
+    v = F.col("value")
+    return kv.resolve().select(
+        "key",
+        v.alias("vjson"),
+        json_field(v, "$.name").alias("name"),
+        json_field(v, "$.stats.n", "bigint").alias("n"),
+        json_field(v, "$.stats.score", "double").alias("score"),
+        json_field(v, "$.active", "boolean").alias("active"),
+        F.json_array_length(json_field(v, "$.tags")).cast("bigint").alias("n_tags"),
+        F.to_timestamp(json_field(v, "$.at")).alias("at_ts"),
+    )

@@ -79,7 +79,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH ordered AS (
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
          CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_session
   FROM events
 ), sessions AS (
@@ -96,7 +96,9 @@ GROUP BY user_id, session_id
 def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-minute gap) per user via F.session_window —
     the same merge semantics streaming state uses; the oracle builds
-    sessions with the classic lag/gap/cumsum rewrite."""
+    sessions with the classic lag/gap/cumsum rewrite. Spark's session end
+    is EXCLUSIVE (a gap of exactly 30 min starts a NEW session), so the
+    oracle's gap predicate is `>=`, not `>` (ADVICE r01)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))

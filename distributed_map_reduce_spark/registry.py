@@ -73,6 +73,7 @@ def _load_all() -> None:
         multimodal,
         temporal,
         tpch,
+        tpch_suite,
         stats,
         arrays_maps,
         skew,

@@ -69,3 +69,18 @@ def test_connected_components_clusters(spark):
     )
     got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain(spark):
+    """A 60-node path graph has diameter 59 > MAX_ROUNDS=20: plain
+    min-label propagation would silently return wrong labels at the
+    round cap (ADVICE r01); pointer jumping converges in O(log n)."""
+    from distributed_map_reduce_spark.operators.graph import connected_components
+
+    n = 60
+    edges = spark.createDataFrame(
+        [(f"d{i:03d}", f"d{i + 1:03d}") for i in range(n - 1)], "src string, dst string"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert len(got) == n
+    assert set(got.values()) == {"d000"}  # one component, min-id label

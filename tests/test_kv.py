@@ -63,3 +63,35 @@ def test_reconf_repartitions(spark):
         .collect()[0]["m"]
     )
     assert part_per_key == 1
+
+
+def test_from_objects_schemaless_roundtrip(spark):
+    """Universal-value ingest: canonical JSON storage, LWW, content
+    addressing, typed projections (serialization.js:441-499 domain)."""
+    import datetime
+    import hashlib
+
+    from distributed_map_reduce_spark.plans.kv import KVTable, canonical_json, json_field
+
+    writes = [
+        ("k1", {"a": 1, "b": [True, None, "x"]}),
+        ("k1", {"a": 2}),  # LWW overwrite
+        ("k2", [1, 2.5, "three"]),
+        ("k3", None),
+        ("k4", {"at": datetime.datetime(2024, 10, 8, 12, 30)}),
+        (None, {"anon": True}),
+    ]
+    kv = KVTable.from_objects(spark, writes)
+    rows = {r["key"]: r["value"] for r in kv.resolve().collect()}
+    assert rows["k1"] == '{"a":2}'  # last write won
+    assert rows["k2"] == '[1,2.5,"three"]'
+    assert rows["k3"] == "null"
+    # content-addressed key = sha256 of the canonical JSON
+    cj = canonical_json({"anon": True})
+    assert rows[hashlib.sha256(cj.encode()).hexdigest()] == cj
+    # typed projection comes back as the right Python type
+    a_vals = {
+        r["key"]: r["a"]
+        for r in kv.resolve().select("key", json_field(F.col("value"), "$.a", "bigint").alias("a")).collect()
+    }
+    assert a_vals["k1"] == 2 and a_vals["k2"] is None

@@ -109,3 +109,38 @@ def test_registry_integrity():
     for q in qs.values():
         if q.oracle is not None:
             assert q.oracle.strip().upper().startswith(("SELECT", "WITH"))
+
+
+def test_q8_fact_streams_through_broadcasts(spark, sf_dir):
+    """Seven-table Q8: at test SF every dim arrives broadcast, so the
+    lineitem side reaches the final agg through zero fact shuffles."""
+    plan = _plan(spark, sf_dir, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q17_decorrelates_without_cartesian(spark, sf_dir):
+    """The correlated per-part avg must plan as agg + equi-join on the
+    part key — never a nested-loop/cartesian re-scan per row."""
+    plan = _plan(spark, sf_dir, "q17_small_qty_revenue")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # per-part avg + final sum
+
+
+def test_q21_single_fact_agg_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q21_waiting_supplier")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-20 without global sort
+
+
+def test_candidate_fed_verifiers_not_block_quadratic(spark, sf_dir):
+    """dedup_ngram_jaccard must consume MinHash band candidates: its plan
+    joins on band keys (equi-join), with no theta-only self-join on
+    lang/len-bucket blocks left anywhere."""
+    plan = _plan(spark, sf_dir, "dedup_ngram_jaccard")
+    assert "band_key" in plan
+    assert "len_bucket" not in plan
+    plan2 = _plan(spark, sf_dir, "dedup_embedding_cosine")
+    assert "bucket" in plan2
+    assert "label" not in plan2.split("ReadSchema:")[1]  # label column not even read

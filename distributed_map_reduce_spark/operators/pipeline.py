@@ -92,3 +92,150 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(10).over(w).alias("decile"),
     )
+
+
+# Portable doc-order hash: md5 of the doc id, so DuckDB replays the exact
+# shard assignment and within-shard order (same rule as the MinHash
+# constants — never engine-private hashes in a cross-engine contract).
+N_SHARDS = 16
+SEQ_BUDGET = 2048  # tokens per packed training sequence
+MIX_BUDGET = 50_000  # token budget per source domain
+
+
+def _doc_hash():
+    return F.md5(F.col("doc_id").cast("string"))
+
+
+@register(
+    "pipeline_shuffle_shard",
+    tags=("pipeline", "training"),
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents
+)
+SELECT doc_id,
+       CAST(CAST('0x' || substr(hh, 1, 6) AS BIGINT) % {N_SHARDS} AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY CAST('0x' || substr(hh, 1, 6) AS BIGINT) % {N_SHARDS}
+                               ORDER BY hh) AS BIGINT) AS pos
+FROM h
+""",
+)
+def pipeline_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-data serving: every doc
+    gets a pseudo-random shard (hash mod N) and a stable position inside
+    it (ordered by the full hash). At 100 TB this is the one shuffle a
+    dataloader-facing write needs — `repartition(N_SHARDS, shard)` +
+    `sortWithinPartitions(h)` produces shard files directly; no global
+    sort, no driver involvement, reshard = change N."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select("doc_id", _doc_hash().alias("hh"))
+    shard = (F.conv(F.substring("hh", 1, 6), 16, 10).cast("bigint") % N_SHARDS).cast("int")
+    w = Window.partitionBy("shard").orderBy("hh")
+    return (
+        h.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+@register(
+    "pipeline_pack_sequences",
+    tags=("pipeline", "training"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % {N_SHARDS} AS shard,
+         len(list_filter(string_split(text, ' '), w -> trim(w) <> '')) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT shard, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY hh
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens) / {SEQ_BUDGET}) AS BIGINT) AS seq_id
+  FROM toks
+)
+SELECT CAST(shard AS INT) AS shard, seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+FROM packed
+GROUP BY shard, seq_id
+""",
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: docs stream through each shard in
+    deterministic hash order and fall into consecutive fixed-token-budget
+    training sequences (seq_id = floor(preceding-token-cumsum / budget)).
+    The classic dataloader 'pack to 2048/4096/8192 context' step as one
+    window over the shard partitioning — reuses pipeline_shuffle_shard's
+    exchange, no per-doc Python, no driver state, any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda w: F.trim(w) != ""))
+    toks = docs.select(
+        "doc_id",
+        _doc_hash().alias("hh"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+    ).withColumn(
+        "shard", F.conv(F.substring("hh", 1, 6), 16, 10).cast("bigint") % N_SHARDS
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("hh")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "seq_id", F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / SEQ_BUDGET)
+    )
+    return packed.groupBy(F.col("shard").cast("int").alias("shard"), "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+    )
+
+
+@register(
+    "pipeline_domain_mix",
+    tags=("pipeline", "training", "sampling"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hh,
+         len(list_filter(string_split(text, ' '), w -> trim(w) <> '')) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY hh
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+  FROM toks
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs_kept,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+       round(sum(n_tokens) / {MIX_BUDGET}.0, 4) AS budget_fill
+FROM cum
+WHERE running <= {MIX_BUDGET}
+GROUP BY source
+""",
+)
+def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing under a per-source token budget: docs stream per
+    source in deterministic hash order and are kept until the running
+    token total reaches the budget — the 'rebalance the pretraining mix'
+    step (downsample dominant web crawl, keep all of the rare domain).
+    One window per source partition; budgets are exact and reproducible
+    run-over-run because the order is content-derived, not RNG state."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda w: F.trim(w) != ""))
+    toks = docs.select(
+        "doc_id", "source", _doc_hash().alias("hh"), n_tokens.cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("hh")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept = toks.withColumn("running", F.sum("n_tokens").over(w)).filter(
+        F.col("running") <= MIX_BUDGET
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").alias("tokens_kept"),
+        F.round(F.sum("n_tokens") / float(MIX_BUDGET), 4).alias("budget_fill"),
+    )

@@ -375,3 +375,48 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fp")
     )
     return wins.distinct()
+
+
+@register(
+    "text_repetition_ratio",
+    tags=("text", "quality"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), w -> w <> '') AS t
+  FROM documents
+), tri AS (
+  SELECT doc_id, t,
+         list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g
+  FROM toks WHERE len(t) >= 3
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_words,
+       round(1.0 - len(list_distinct(t)) * 1.0 / len(t), 4) AS word_rep,
+       round(1.0 - len(list_distinct(g)) * 1.0 / len(g), 4) AS trigram_rep
+FROM tri
+""",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signal: fraction of duplicated words and
+    duplicated word-trigrams per document — the standard boilerplate /
+    degenerate-text detector a pretraining filter thresholds on (high
+    trigram_rep ⇒ templated or looping text). Pure array expressions in
+    one codegen'd projection; no explode, no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    base = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= 3)
+    idx = F.sequence(F.lit(1), F.size("t") - 2)
+    g = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at("t", i), F.element_at("t", i + 1), F.element_at("t", i + 2)
+        ),
+    )
+    withg = base.withColumn("g", g)
+    return withg.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_words"),
+        F.round(1.0 - F.size(F.array_distinct("t")) / F.size("t"), 4).alias("word_rep"),
+        F.round(1.0 - F.size(F.array_distinct("g")) / F.size("g"), 4).alias("trigram_rep"),
+    )

@@ -164,3 +164,50 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k_mod")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
     )
+
+
+@register(
+    "events_click_to_purchase",
+    tags=("streaming", "join", "interval"),
+    oracle="""
+WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'click'),
+     p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events WHERE event_type = 'purchase')
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       c.ts AS click_ts, p.ts AS purchase_ts,
+       round(p.value, 2) AS purchase_value
+FROM c JOIN p
+  ON c.user_id = p.user_id
+ AND p.ts > c.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+""",
+)
+def events_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution within 1 hour — the batch twin of a
+    stream-stream interval join (streaming/jobs.py click_purchase_join
+    runs the same predicate with watermarks bounding both join states).
+    Equi-key on user plus a time band: Spark plans the user_id exchange
+    and applies the band as a post-join filter; state at 100 TB is
+    bounded by watermark horizon × per-user event rate."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.round("value", 2).alias("purchase_value"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("purchase_ts") > F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts", "purchase_value")
+    )

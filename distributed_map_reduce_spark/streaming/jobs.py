@@ -88,3 +88,36 @@ def run_to_completion(spark: SparkSession, agg: DataFrame, name: str, mode: str 
     finally:
         q.stop()
     return spark.table(name)
+
+
+def click_purchase_join(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: clicks joined to same-user purchases
+    within the following hour. Both sides carry watermarks so Spark can
+    GC join state — clicks are held at most (1h band + 2h watermark);
+    purchases likewise. The batch twin (same predicate, same columns) is
+    batch_windows.events_click_to_purchase."""
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.round("value", 2).alias("purchase_value"),
+        )
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts", "purchase_value")

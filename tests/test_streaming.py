@@ -94,3 +94,18 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # the 10:00 window finalized with 3 rows; the late row at 10:02
     # (arriving with the watermark at 10:50) must NOT appear
     assert got[t(0)] == 3
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """True stream-stream interval join (watermarks on both sides) must
+    produce exactly the batch twin's attribution pairs."""
+    from distributed_map_reduce_spark.streaming.jobs import click_purchase_join
+
+    stream = read_events_stream(spark, sf_dir)
+    result = run_to_completion(
+        spark, click_purchase_join(stream), "t_ssjoin", mode="append"
+    )
+    got = {(r["click_id"], r["purchase_id"]) for r in result.collect()}
+    batch = all_queries()["events_click_to_purchase"].fn(spark, sf_dir)
+    want = {(r["click_id"], r["purchase_id"]) for r in batch.collect()}
+    assert got == want

@@ -129,3 +129,67 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+
+
+@register(
+    "sink_partition_prune",
+    tags=("sink", "source", "prune"),
+    oracle="""
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE lang = 'en'
+GROUP BY source
+""",
+)
+def sink_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning through a staged write: documents land
+    partitioned by lang, the read-back filters lang='en' — the scan's
+    PartitionFilters prune every other directory before a byte is read
+    (tests/test_plans.py pins this). At 100 TB this is the difference
+    between scanning one language's slice and the whole corpus."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="dmrs_prune_"), "docs_staged")
+    try:
+        write_partitioned_parquet(docs, out, ["lang"])
+        back = spark.read.parquet(out).filter(F.col("lang") == "en")
+        return (
+            back.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+
+
+@register(
+    "source_orc_roundtrip",
+    tags=("sink", "source"),
+    oracle="""
+SELECT s_nationkey, count(*) AS n_supp, round(sum(s_acctbal), 2) AS total_bal
+FROM supplier
+GROUP BY s_nationkey
+""",
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → ORC source: the second columnar interchange format
+    (predicate pushdown + column pruning work the same as parquet)."""
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_acctbal")
+    out = os.path.join(tempfile.mkdtemp(prefix="dmrs_orc_"), "supplier_staged")
+    try:
+        s.write.mode("overwrite").orc(out)
+        back = spark.read.orc(out)
+        return (
+            back.groupBy("s_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_supp"),
+                F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)

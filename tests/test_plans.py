@@ -144,3 +144,22 @@ def test_candidate_fed_verifiers_not_block_quadratic(spark, sf_dir):
     plan2 = _plan(spark, sf_dir, "dedup_embedding_cosine")
     assert "bucket" in plan2
     assert "label" not in plan2.split("ReadSchema:")[1]  # label column not even read
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    """A lang-partitioned staging write must plan read-back filters as
+    PartitionFilters (directory pruning), not data filters."""
+    from distributed_map_reduce_spark.sources import load_table
+    from distributed_map_reduce_spark.sources.sinks import write_partitioned_parquet
+    import pyspark.sql.functions as F
+
+    out = str(tmp_path / "docs_staged")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    write_partitioned_parquet(docs, out, ["lang"])
+    back = spark.read.parquet(out).filter(F.col("lang") == "en")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    part_filters = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "lang" in part_filters

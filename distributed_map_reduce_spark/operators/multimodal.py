@@ -167,3 +167,58 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.mapInPandas(
         extract_frames, schema="doc_id long, frame_idx long, frame_byte long"
     )
+
+
+def byte_entropy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel, properly vectorized: np.frombuffer + bincount
+    per payload — no Python loop over bytes. This is the real-kernel
+    pattern (unlike the documented decode stubs): numpy over the Arrow
+    buffer, one output row per asset."""
+    import numpy as np
+
+    for pdf in batches:
+        ids, ents, sizes = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = np.frombuffer(payload, dtype=np.uint8)
+            counts = np.bincount(b, minlength=256)
+            p = counts[counts > 0] / b.size
+            ids.append(doc_id)
+            ents.append(float(-(p * np.log2(p)).sum()))
+            sizes.append(b.size)
+        yield pd.DataFrame({"doc_id": ids, "n_bytes": sizes, "entropy": ents})
+
+
+@register(
+    "multimodal_byte_entropy",
+    tags=("multimodal", "quality"),
+    oracle="""
+WITH assets AS (
+  SELECT doc_id, text FROM documents WHERE doc_id <= 200
+), chars AS (
+  SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
+  FROM assets, unnest(range(1, length(text) + 1)) AS t(i)
+), freq AS (
+  SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+), tot AS (
+  SELECT doc_id, sum(c) AS n FROM freq GROUP BY doc_id
+)
+SELECT f.doc_id,
+       CAST(t.n AS BIGINT) AS n_bytes,
+       round(-sum((f.c * 1.0 / t.n) * log2(f.c * 1.0 / t.n)), 4) AS entropy
+FROM freq f JOIN tot t ON f.doc_id = t.doc_id
+GROUP BY f.doc_id, t.n
+""",
+)
+def multimodal_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon byte entropy per opaque payload — the classic 'is this
+    blob compressed/encrypted or structured?' triage signal a multimodal
+    ingest runs before decode. Vectorized numpy kernel over Arrow
+    batches (zero shuffle, partition-preserving); the oracle replays the
+    distribution entropy character-wise (payloads are ASCII so byte ==
+    char on both engines)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    assets = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    out = assets.mapInPandas(
+        byte_entropy_batches, schema="doc_id long, n_bytes long, entropy double"
+    )
+    return out.select("doc_id", "n_bytes", F.round("entropy", 4).alias("entropy"))

@@ -145,3 +145,106 @@ def rollup_hourly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly.select(F.lit("hour").alias("grain"), "*").unionByName(
         daily.select(F.lit("day").alias("grain"), "*")
     )
+
+
+@register(
+    "temporal_ohlc_downsample",
+    tags=("temporal", "agg"),
+    oracle="""
+SELECT event_type,
+       time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) AS bucket,
+       round(arg_min(value, CAST(ts AS TIMESTAMP)), 4) AS open,
+       round(max(value), 4)                            AS high,
+       round(min(value), 4)                            AS low,
+       round(arg_max(value, CAST(ts AS TIMESTAMP)), 4) AS close,
+       CAST(count(*) AS BIGINT)                        AS n_ticks
+FROM events
+GROUP BY 1, 2
+""",
+)
+def temporal_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC time-series downsampling: open/high/low/close per 15-minute
+    bucket per event type — the canonical tick→bar resample. min_by/
+    max_by (Spark) ≙ arg_min/arg_max (DuckDB) pick the first/last value
+    by timestamp inside one hash aggregate: no window, no self-join,
+    one exchange on (type, bucket).
+
+    Tie discipline: the synthetic events carry unique (type, ts) pairs
+    per bucket edge, so arg extremes are deterministic; production data
+    would arg over a (ts, event_id) struct to break ties stably."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.window("ts", "15 minutes")
+    return (
+        ev.groupBy("event_type", bucket.alias("w"))
+        .agg(
+            F.round(F.min_by("value", "ts"), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", "ts"), 4).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            "event_type", F.col("w.start").alias("bucket"),
+            "open", "high", "low", "close", "n_ticks",
+        )
+    )
+
+
+@register(
+    "temporal_gap_fill",
+    tags=("temporal", "window"),
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket,
+         count(*) AS n_events, round(avg(value), 4) AS avg_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(bucket) AS mn, max(bucket) AS mx FROM hourly GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds
+)
+SELECT g.event_type, g.bucket,
+       CAST(coalesce(h.n_events, 0) AS BIGINT) AS n_events,
+       last_value(h.avg_value IGNORE NULLS)
+         OVER (PARTITION BY g.event_type ORDER BY g.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value_ffill
+FROM grid g LEFT JOIN hourly h ON h.event_type = g.event_type AND h.bucket = g.bucket
+""",
+)
+def temporal_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill + forward-fill: densify each event type's hourly series
+    over its own [min, max] range (sequence + explode builds the grid
+    distributively — no driver-side date arithmetic), left-join the real
+    buckets, then carry the last observation forward with
+    last(ignorenulls) over an ordered window. The timeseries-engine
+    'resample + ffill' verb as two exchanges (grid build reuses the
+    hourly agg's partitioning on event_type)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+    bounds = hourly.groupBy(F.col("event_type").alias("g_type")).agg(
+        F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
+    )
+    grid = bounds.select(
+        "g_type",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("g_bucket"),
+    )
+    joined = grid.join(
+        hourly,
+        (F.col("event_type") == F.col("g_type")) & (F.col("bucket") == F.col("g_bucket")),
+        "left",
+    )
+    w = (
+        Window.partitionBy("g_type")
+        .orderBy("g_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col("g_type").alias("event_type"),
+        F.col("g_bucket").alias("bucket"),
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_ffill"),
+    )

@@ -136,6 +136,11 @@ SCHEMALESS_WRITES: list[tuple[str | None, object]] = [
     ("pi", 3.14159),
     ("nothing", None),
     ("when", {"event": "launch", "at": datetime.datetime(2024, 10, 8, 12, 30, 0)}),
+    # nested array / mixed array+object (serialization.test.js:38-51)
+    ("arr:nested", [1, 2, 3, 4, 5, [6, 7, 8, 9, 10]]),
+    ("arr:mixed", [1, 2, 3, 4, 5, [6, 7, 8, 9, 10], {"a": 1, "b": 2, "c": 3}]),
+    # Error objects serialize as tagged name/message (serialization.test.js:53-58)
+    ("err:1", {"name": "Error", "message": "Hello, World!"}),
     (None, {"name": "anon", "stats": {"n": 7, "score": 1.5}}),
 ]
 

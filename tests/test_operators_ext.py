@@ -68,3 +68,43 @@ def test_sink_roundtrip_preserves_values(spark, sf_dir):
         F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
     )
     assert sum(r["n"] for r in rows) == li.count()
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Packing conserves tokens, seq ids are contiguous per shard, and
+    every sequence starts before its budget boundary (a doc may straddle
+    — greedy first-fit by start offset)."""
+    from distributed_map_reduce_spark.operators.pipeline import SEQ_BUDGET
+    from distributed_map_reduce_spark.registry import all_queries
+
+    rows = all_queries()["pipeline_pack_sequences"].fn(spark, sf_dir).collect()
+    by_shard = {}
+    total = 0
+    for r in rows:
+        by_shard.setdefault(r["shard"], {})[r["seq_id"]] = r["seq_tokens"]
+        total += r["seq_tokens"]
+        assert r["n_docs"] >= 1
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    import pyspark.sql.functions as F
+
+    want_total = docs.select(
+        F.sum(F.size(F.filter(F.split("text", " "), lambda w: F.trim(w) != "")))
+    ).collect()[0][0]
+    assert total == want_total  # conservation
+    for shard, seqs in by_shard.items():
+        ids = sorted(seqs)
+        assert ids == list(range(len(ids)))  # contiguous bins
+        # all but the last bin must reach the budget boundary (a bin ends
+        # only when the running total crosses it)
+        for sid in ids[:-1]:
+            assert sum(seqs[s] for s in range(sid + 1)) >= (sid + 1) * SEQ_BUDGET
+
+
+def test_domain_mix_budget_never_exceeded(spark, sf_dir):
+    from distributed_map_reduce_spark.operators.pipeline import MIX_BUDGET
+    from distributed_map_reduce_spark.registry import all_queries
+
+    rows = all_queries()["pipeline_domain_mix"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["tokens_kept"] <= MIX_BUDGET

@@ -199,3 +199,44 @@ def kv_schemaless_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.json_array_length(json_field(v, "$.tags")).cast("bigint").alias("n_tags"),
         F.to_timestamp(json_field(v, "$.at")).alias("at_ts"),
     )
+
+
+# --- selectable placement (id.js:107-148; VERDICT r01 missing #3) --------
+from .placement import (  # noqa: E402
+    consistent_owner,
+    consistent_owner_sql,
+    naive_owner,
+    naive_owner_sql,
+    rendezvous_owner,
+    rendezvous_owner_sql,
+)
+
+PLACEMENT_NODES = ["node-a", "node-b", "node-c"]
+
+
+@register(
+    "kv_placement_owners",
+    tags=("kv", "parity", "placement"),
+    oracle=f"""
+SELECT CAST(c_custkey AS VARCHAR) AS key,
+       {naive_owner_sql("CAST(c_custkey AS VARCHAR)", PLACEMENT_NODES)} AS naive_owner,
+       {consistent_owner_sql("CAST(c_custkey AS VARCHAR)", PLACEMENT_NODES)} AS consistent_owner,
+       {rendezvous_owner_sql("CAST(c_custkey AS VARCHAR)", PLACEMENT_NODES)} AS rendezvous_owner
+FROM customer
+""",
+)
+def kv_placement_owners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every customer key's owner under all three reference placement
+    schemes (naive mod / consistent ring / rendezvous HRW, id.js:107-148)
+    on a 3-node view. Owners are pure column expressions over portable
+    md5 ints — DuckDB replays each assignment exactly; the owner column
+    is what `repartition(n, owner)` / `partitionBy(owner)` consumes, so
+    placement is a policy choice, not an engine fork."""
+    c = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey").cast("string")
+    return c.select(
+        key.alias("key"),
+        naive_owner(key, PLACEMENT_NODES).alias("naive_owner"),
+        consistent_owner(key, PLACEMENT_NODES).alias("consistent_owner"),
+        rendezvous_owner(key, PLACEMENT_NODES).alias("rendezvous_owner"),
+    )

@@ -122,6 +122,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "kv_key_scan",
     "kv_del_antijoin",
     "kv_schemaless_roundtrip",
+    "kv_placement_owners",
     # Q14 arbitrary-closure surface
     "udf_runtime_registered",
     "udaf_grouped_regression",
@@ -162,7 +163,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "scalar_array_funcs",
     "scalar_array_higher_order",
     "scalar_map_funcs",
-    "string_distance",
     "pipeline_curate_corpus",
 )
 

@@ -95,3 +95,36 @@ def test_from_objects_schemaless_roundtrip(spark):
         for r in kv.resolve().select("key", json_field(F.col("value"), "$.a", "bigint").alias("a")).collect()
     }
     assert a_vals["k1"] == 2 and a_vals["k2"] is None
+
+
+def test_consistent_hash_minimal_reshuffle(spark, sf_dir):
+    """The reason consistent/rendezvous hashing exist (id.js:107-148;
+    reconf delta-move, all/store.js:217-285): adding a 4th node moves
+    ~1/4 of keys under consistent/rendezvous but ~3/4 under naive mod."""
+    from distributed_map_reduce_spark.plans.placement import (
+        consistent_owner,
+        naive_owner,
+        rendezvous_owner,
+    )
+
+    keys = spark.createDataFrame([(str(i),) for i in range(2000)], "key string")
+    n3 = ["node-a", "node-b", "node-c"]
+    n4 = n3 + ["node-d"]
+    k = F.col("key")
+    df = keys.select(
+        "key",
+        naive_owner(k, n3).alias("nv3"), naive_owner(k, n4).alias("nv4"),
+        consistent_owner(k, n3).alias("ch3"), consistent_owner(k, n4).alias("ch4"),
+        rendezvous_owner(k, n3).alias("rv3"), rendezvous_owner(k, n4).alias("rv4"),
+    )
+    moved = df.select(
+        F.avg((F.col("nv3") != F.col("nv4")).cast("double")).alias("naive"),
+        F.avg((F.col("ch3") != F.col("ch4")).cast("double")).alias("consistent"),
+        F.avg((F.col("rv3") != F.col("rv4")).cast("double")).alias("rendezvous"),
+    ).collect()[0]
+    assert moved["naive"] > 0.6  # ~ 3/4 of keys move
+    assert moved["consistent"] < 0.5  # only the new node's arc moves
+    assert moved["rendezvous"] < 0.5  # ~ 1/4 of keys move
+    # keys that moved under rendezvous moved TO the new node only
+    wrong = df.filter((F.col("rv3") != F.col("rv4")) & (F.col("rv4") != "node-d")).count()
+    assert wrong == 0

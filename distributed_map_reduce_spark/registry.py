@@ -74,6 +74,7 @@ def _load_all() -> None:
         temporal,
         tpch,
         tpch_suite,
+        tpch_partsupp,
         stats,
         arrays_maps,
         skew,

@@ -163,3 +163,22 @@ def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
     plan = buf.getvalue()
     part_filters = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "lang" in part_filters
+
+
+def test_partsupp_derivation_no_shuffle(spark, sf_dir):
+    """The derived partsupp must be a narrow plan: part scan × broadcast
+    1-row count × explode — the only Exchange allowed is the broadcast."""
+    from distributed_map_reduce_spark.operators.tpch_partsupp import partsupp_derived
+
+    df = partsupp_derived(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Generate" in plan  # the explode
+    assert "BroadcastExchange" in plan
+    import re
+    shuffles = re.findall(r"Exchange (?!.*SinglePartition)hashpartitioning", plan)
+    assert not shuffles, shuffles
+    p_cnt = spark.read.parquet(f"{sf_dir}/part.parquet").count()
+    assert df.count() == 4 * p_cnt

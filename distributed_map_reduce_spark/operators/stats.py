@@ -82,3 +82,39 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@register(
+    "agg_regression_funcs",
+    tags=("agg", "stats"),
+    oracle="""
+SELECT l_returnflag,
+       round(corr(l_extendedprice, l_quantity), 6)        AS price_qty_corr,
+       round(covar_samp(l_extendedprice, l_quantity), 4)  AS price_qty_covar,
+       round(regr_slope(l_extendedprice, l_quantity), 6)  AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6)     AS r2,
+       round(stddev_samp(l_extendedprice), 4)             AS price_sd,
+       round(var_samp(l_quantity), 4)                     AS qty_var
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_regression_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in bivariate statistics per group: Pearson corr, sample
+    covariance, OLS slope/intercept/R² (regr_*), stddev, variance — the
+    JVM-codegen twin of the applyInPandas OLS in functions/grouped.py
+    (`udaf_grouped_regression`): same math, zero Python, one partial+
+    final aggregate. Definitions align across engines (sample variants
+    everywhere); results round at 4-6dp per the float discipline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr(y, x), 6).alias("price_qty_corr"),
+        F.round(F.covar_samp(y, x), 4).alias("price_qty_covar"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.stddev_samp(y), 4).alias("price_sd"),
+        F.round(F.var_samp(x), 4).alias("qty_var"),
+    )

@@ -54,15 +54,45 @@ def _normalize_map_output(out: Any) -> list[tuple[Any, Any]]:
     return pairs
 
 
+def consistent_hash_partitioner(num_partitions: int) -> Callable[[Any], int]:
+    """Key→partition via the reference's consistent-hash ring
+    (`mapperReducer.js:77-87`: owner = consistentHash(getID(k), nids)) —
+    partitions stand in for nodes, positioned by the same portable md5
+    ints as plans/placement.py, so the RDD shuffle routes each key to
+    exactly the partition the column-expression placement names."""
+    import hashlib
+
+    ring = sorted(
+        (int(hashlib.md5(f"part-{p}".encode()).hexdigest()[:15], 16), p)
+        for p in range(num_partitions)
+    )
+
+    def owner(key: Any) -> int:
+        kpos = int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16)
+        for pos, p in ring:
+            if kpos <= pos:
+                return p
+        return ring[0][1]
+
+    return owner
+
+
 def exec_mr_rdd(
     pairs: DataFrame,
     map_fn: MapFn,
     reduce_fn: ReduceFn,
     keys: Iterable[str] | None = None,
     num_partitions: int | None = None,
+    placement: str = "naive",
 ):
     """Run one MapReduce job; returns the reduced RDD (still distributed —
-    one element per key, partitioned by the shuffle)."""
+    one element per key, partitioned by the shuffle).
+
+    ``placement`` selects the shuffle's key→partition routing: "naive"
+    (Spark's portable_hash — results-identical, fastest) or "consistent"
+    (the reference's ring placement, `mapperReducer.js:77-87`) for
+    byte-level fidelity of *where* each key group lands. The result bag
+    is placement-independent; only data movement differs."""
     sc = pairs.sparkSession.sparkContext
     rdd = pairs.rdd.map(lambda r: (r[0], r[1]))
     if keys is not None:
@@ -71,6 +101,10 @@ def exec_mr_rdd(
         bkeys = sc.broadcast(frozenset(keys))
         rdd = rdd.filter(lambda kv: kv[0] in bkeys.value)
     n = num_partitions or int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    part_fn = {"naive": None, "consistent": consistent_hash_partitioner(n)}[placement]
+    kwargs = {"numPartitions": n}
+    if part_fn is not None:
+        kwargs["partitionFunc"] = part_fn
     return (
         rdd.flatMap(lambda kv: _normalize_map_output(map_fn(kv[0], kv[1])))
         # combineByKey builds per-partition value lists (the reference's
@@ -80,7 +114,7 @@ def exec_mr_rdd(
             lambda v: [v],
             lambda acc, v: acc + [v],
             lambda a, b: a + b,
-            numPartitions=n,
+            **kwargs,
         )
         .map(lambda kv: reduce_fn(kv[0], kv[1]))
     )

@@ -96,3 +96,29 @@ def test_keys_filter(spark):
         exec_mr(df, ncdc_map, ncdc_reduce_max, keys=["000", "106", "212"])
     )
     assert out == {"1950": 22}
+
+
+def test_consistent_placement_routes_like_placement_module(spark):
+    """exec_mr with placement='consistent' must land every key group on
+    the partition the ring says — and produce the same result bag as the
+    default routing."""
+    from distributed_map_reduce_spark.plans.mapreduce import (
+        consistent_hash_partitioner,
+        exec_mr,
+        exec_mr_rdd,
+    )
+
+    pairs = spark.createDataFrame(
+        [(f"k{i}", str(i % 7)) for i in range(200)], "key string, value string"
+    )
+    m = lambda k, v: {v: 1}  # noqa: E731
+    r = lambda k, vs: (k, len(vs))  # noqa: E731
+    default_bag = sorted(exec_mr(pairs, m, r, num_partitions=8))
+    rdd = exec_mr_rdd(pairs, m, r, num_partitions=8, placement="consistent")
+    assert sorted(rdd.collect()) == default_bag
+    # every reduced key sits on its ring-assigned partition
+    owner = consistent_hash_partitioner(8)
+    placed = rdd.mapPartitionsWithIndex(
+        lambda pid, it: ((k, pid) for k, _ in it)
+    ).collect()
+    assert placed and all(pid == owner(k) for k, pid in placed)

@@ -206,3 +206,67 @@ def ann_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vectors"),
         )
     )
+
+
+@register(
+    "ann_kmeans_assign",
+    tags=("similarity", "iterative"),
+    oracle="""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dims AS (SELECT label, unnest(range(1, 65)) AS dim, v FROM e),
+cvals AS (SELECT label, dim, avg(v[dim]) AS c FROM dims GROUP BY label, dim),
+cent AS (SELECT label AS c_label, array_agg(c ORDER BY dim) AS cv FROM cvals GROUP BY label),
+scored AS (
+  SELECT vec_id, label, c_label, list_distance(v, cv) AS d
+  FROM e CROSS JOIN cent
+),
+best AS (
+  SELECT vec_id, label, c_label, d,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, c_label) AS rn
+  FROM scored
+)
+SELECT vec_id, label AS old_label, c_label AS assigned, round(d, 6) AS dist
+FROM best WHERE rn = 1
+""",
+)
+def ann_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-means E-step closing the Lloyd loop whose M-step is
+    `ann_ivf_centroids`: current centroids (per-label means, built as a
+    10-row broadcast) score every vector by euclidean distance; each
+    vector re-assigns to its nearest centroid (ties break on label).
+    At 100 TB one iteration = this broadcast-join scan + the M-step's
+    posexplode aggregate — no all-pairs, no driver-side math."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    cvals = (
+        e.select("label", F.posexplode("v").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.avg("val").alias("c"))
+    )
+    cent = cvals.groupBy(F.col("label").alias("c_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    d = F.sqrt(
+        F.aggregate(
+            F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = e.crossJoin(F.broadcast(cent)).withColumn("d", d)
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(F.col("d"), F.col("c_label"))
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("label").alias("old_label"),
+            F.col("c_label").alias("assigned"),
+            F.round("d", 6).alias("dist"),
+        )
+    )

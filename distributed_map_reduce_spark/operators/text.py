@@ -420,3 +420,53 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1.0 - F.size(F.array_distinct("t")) / F.size("t"), 4).alias("word_rep"),
         F.round(1.0 - F.size(F.array_distinct("g")) / F.size("g"), 4).alias("trigram_rep"),
     )
+
+
+BOILERPLATE_K = 8  # n-gram width for cross-document boilerplate detection
+BOILERPLATE_MIN_DOCS = 5
+
+
+@register(
+    "text_boilerplate_ngrams",
+    tags=("text", "quality", "dedup"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - {BOILERPLATE_K - 2}),
+                i -> array_to_string(t[i:i+{BOILERPLATE_K - 1}], ' '))) AS g
+  FROM toks WHERE len(t) >= {BOILERPLATE_K}
+)
+SELECT g AS ngram, CAST(count(*) AS BIGINT) AS n_docs
+FROM grams
+GROUP BY g
+HAVING count(*) >= {BOILERPLATE_MIN_DOCS}
+""",
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection (the C4 / RefinedWeb 'remove
+    content repeated across many pages' step, adapted to flat text):
+    word {BOILERPLATE_K}-grams appearing in ≥ {BOILERPLATE_MIN_DOCS}
+    distinct documents. Explode to distinct (doc, gram) rows, one
+    count aggregate — at 100 TB this is the same ids-only shuffle shape
+    as MinHash (the output set is what the cleaning pass anti-joins)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    base = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= BOILERPLATE_K)
+    idx = F.sequence(F.lit(1), F.size("t") - (BOILERPLATE_K - 1))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("t", i + j) for j in range(BOILERPLATE_K)]
+        ),
+    )
+    grams = base.select("doc_id", F.explode(gram).alias("g")).dropDuplicates(
+        ["doc_id", "g"]
+    )
+    return (
+        grams.groupBy(F.col("g").alias("ngram"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
+    )

@@ -97,3 +97,38 @@ def test_salted_agg_matches_direct_random(spark, rows):
         for r in salted_agg(df, "k", {"s": ("v", "sum"), "n": ("v", "count")}, n_salts=4).collect()
     }
     assert salted == direct
+
+
+_JSON_VALUES = st.recursive(
+    st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(-10**9, 10**9),
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        st.text(alphabet=st.characters(codec="ascii", exclude_characters="\x00"), max_size=20),
+    ),
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text(alphabet="abcdefg", min_size=1, max_size=5), children, max_size=4),
+    ),
+    max_leaves=8,
+)
+
+
+@SETTINGS
+@given(values=st.lists(_JSON_VALUES, min_size=1, max_size=8))
+def test_schemaless_content_address_parity_random(spark, values):
+    """For arbitrary JSON-serializable values, the content-addressed key
+    Spark computes (sha2 over the canonical-JSON column) must equal
+    hashlib's sha256 of the same canonical text — the JVM/Python parity
+    the reference's getID contract depends on (util/id.js:72-78)."""
+    import hashlib
+
+    from distributed_map_reduce_spark.plans.kv import KVTable, canonical_json
+
+    kv = KVTable.from_objects(spark, [(None, v) for v in values])
+    got_keys = {r["key"] for r in kv.df.select("key").collect()}
+    want_keys = {
+        hashlib.sha256(canonical_json(v).encode()).hexdigest() for v in values
+    }
+    assert got_keys == want_keys

@@ -182,3 +182,17 @@ def test_partsupp_derivation_no_shuffle(spark, sf_dir):
     assert not shuffles, shuffles
     p_cnt = spark.read.parquet(f"{sf_dir}/part.parquet").count()
     assert df.count() == 4 * p_cnt
+
+
+def test_kmeans_assign_broadcasts_centroids(spark, sf_dir):
+    """The E-step must broadcast the tiny centroid table — never shuffle
+    or nested-loop the corpus against it."""
+    plan = _plan(spark, sf_dir, "ann_kmeans_assign")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_boilerplate_ngrams_single_agg_shape(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_boilerplate_ngrams")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # pure JVM expressions

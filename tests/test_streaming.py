@@ -109,3 +109,48 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     batch = all_queries()["events_click_to_purchase"].fn(spark, sf_dir)
     want = {(r["click_id"], r["purchase_id"]) for r in batch.collect()}
     assert got == want
+
+
+def test_foreachbatch_parquet_sink_matches_batch(spark, sf_dir, tmp_path):
+    """The production sink path: tumbling-window agg → foreachBatch →
+    idempotent parquet overwrite per (batch, window) — read back equals
+    the batch twin. (At scale foreachBatch is where exactly-once sinks,
+    MERGEs, and multi-sink fanout live.)"""
+    import pyspark.sql.functions as F
+
+    from distributed_map_reduce_spark.streaming.jobs import (
+        read_events_stream,
+        tumbling_counts,
+    )
+
+    out = str(tmp_path / "windows_out")
+
+    def write_batch(df, epoch_id):
+        # complete mode: every batch carries the full window state, so a
+        # full overwrite is idempotent — replaying a batch rewrites, never
+        # duplicates (append-mode pipelines get the same property from
+        # dynamic partition overwrite keyed by window)
+        df.withColumn("w", F.date_format("window_start", "yyyyMMddHHmm")) \
+          .write.mode("overwrite").partitionBy("w").parquet(out)
+
+    stream = read_events_stream(spark, sf_dir)
+    q = (
+        tumbling_counts(stream)
+        .writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = all_queries()["events_tumbling_window"].fn(spark, sf_dir)
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+    assert got == want

@@ -239,3 +239,68 @@ def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("tokens_kept"),
         F.round(F.sum("n_tokens") / float(MIX_BUDGET), 4).alias("budget_fill"),
     )
+
+
+@register(
+    "pipeline_boilerplate_filter",
+    tags=("pipeline", "text", "quality"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, list_filter(string_split(lower(text), ' '), w -> w <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, lang,
+         unnest(list_transform(range(1, len(t) - 6),
+                i -> array_to_string(t[i:i+7], ' '))) AS g
+  FROM toks WHERE len(t) >= 8
+), boiler AS (
+  SELECT g FROM grams GROUP BY g HAVING count(*) >= 5
+), frac AS (
+  SELECT grams.doc_id, grams.lang,
+         avg(CASE WHEN boiler.g IS NOT NULL THEN 1.0 ELSE 0.0 END) AS boiler_frac
+  FROM grams LEFT JOIN boiler ON grams.g = boiler.g
+  GROUP BY grams.doc_id, grams.lang
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs_kept,
+       round(avg(boiler_frac), 6) AS avg_boiler_frac
+FROM frac
+WHERE boiler_frac < 0.5
+GROUP BY lang
+""",
+)
+def pipeline_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning counterpart of text_boilerplate_ngrams: score every
+    document by the fraction of its 8-grams that are corpus-boilerplate
+    (8-grams shared by ≥5 docs), drop docs above 50%, report per-language
+    survivors. One grams table feeds both the boilerplate set and the
+    per-doc scoring (shared exchange); the join is gram-keyed — ids and
+    grams only, text never moves twice. The C4-style 'remove pages that
+    are mostly template' pass as one plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    base = docs.select("doc_id", "lang", t.alias("t")).filter(F.size("t") >= 8)
+    idx = F.sequence(F.lit(1), F.size("t") - 7)
+    gram = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at("t", i + j) for j in range(8)])
+    )
+    grams = base.select("doc_id", "lang", F.explode(gram).alias("g")).dropDuplicates(
+        ["doc_id", "g"]
+    )
+    boiler = (
+        grams.groupBy("g").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= 5)
+        .select("g", F.lit(1).alias("is_boiler"))
+    )
+    frac = (
+        grams.join(boiler, "g", "left")
+        .groupBy("doc_id", "lang")
+        .agg(F.avg(F.when(F.col("is_boiler").isNotNull(), 1.0).otherwise(0.0)).alias("boiler_frac"))
+    )
+    return (
+        frac.filter(F.col("boiler_frac") < 0.5)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.round(F.avg("boiler_frac"), 6).alias("avg_boiler_frac"),
+        )
+    )

@@ -118,3 +118,40 @@ def agg_regression_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp(y), 4).alias("price_sd"),
         F.round(F.var_samp(x), 4).alias("qty_var"),
     )
+
+
+@register(
+    "agg_mode_per_group",
+    tags=("agg", "stats"),
+    oracle="""
+WITH counts AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q, count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag,
+       min(q) FILTER (WHERE rn = 1) AS mode_qty,
+       max(c) FILTER (WHERE rn = 1) AS mode_count
+FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag ORDER BY c DESC, q) AS rn
+      FROM counts)
+GROUP BY l_returnflag
+""",
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) per group with a deterministic
+    smallest-value tie-break: count → rank → keep rn=1. Two exchanges
+    (value counts, then per-group top-1 via the rank window); never
+    collects a value histogram anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("q")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("l_returnflag").orderBy(F.col("c").desc(), F.col("q"))
+    )
+    return (
+        counts.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("q").alias("mode_qty"), F.col("c").alias("mode_count"))
+    )

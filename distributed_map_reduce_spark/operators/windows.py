@@ -153,3 +153,40 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total"), "rn")
     )
+
+
+@register(
+    "window_share_of_total",
+    tags=("window", "agg"),
+    oracle="""
+WITH nat AS (
+  SELECT n_name, n_regionkey, round(sum(s_acctbal), 2) AS nat_bal
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name, n_regionkey
+)
+SELECT n_name, nat_bal,
+       round(nat_bal / sum(nat_bal) OVER (PARTITION BY n_regionkey), 6) AS region_share,
+       round(nat_bal / sum(nat_bal) OVER (), 6)                         AS global_share
+FROM nat
+""",
+)
+def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's supplier balance as a share of its
+    region and of the world — the percent-of-total verb every BI rollup
+    needs. Aggregate once, then two window sums over the small result
+    (never a second scan of the fact side)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    nat = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "n_regionkey")
+        .agg(F.round(F.sum("s_acctbal"), 2).alias("nat_bal"))
+    )
+    w_region = W.partitionBy("n_regionkey")
+    w_all = W.partitionBy()
+    return nat.select(
+        "n_name",
+        "nat_bal",
+        F.round(F.col("nat_bal") / F.sum("nat_bal").over(w_region), 6).alias("region_share"),
+        F.round(F.col("nat_bal") / F.sum("nat_bal").over(w_all), 6).alias("global_share"),
+    )

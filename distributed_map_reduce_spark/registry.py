@@ -97,15 +97,16 @@ def _load_all() -> None:
 #   (parity core, TPC-H, the two round-1 failures, extension families),
 #   rotating out queries already proven green in CORRECTNESS_r01.
 #
-# ROUND-3 ROTATION PLAN: swap in the still-unverified set — the round-2
-# additions (tpch_suite q4/6/8/9/12/13/14/15/17/19/21/22, pipeline_
-# shuffle_shard/pack_sequences/domain_mix, text_repetition_ratio,
-# events_click_to_purchase, sink_partition_prune, source_orc_roundtrip,
-# temporal_ohlc_downsample, temporal_gap_fill) plus the round-1 leftovers
-# (sample_hash_deterministic, agg_conditional, explode_variants/_inline_
-# structs, agg/join_salted_skew, window_distribution, bucketed_join_
-# colocated, sink/source roundtrips, remaining events_*, stream_stateful)
-# — rotating out whatever CORRECTNESS_r02 proves green.
+# ROUND-3 ROTATION PLAN: rotate out whatever CORRECTNESS_r02 proves
+# green and rotate in the still-unverified set — everything registered
+# AFTER this window (diff `all_queries()` keys against the union of
+# CORRECTNESS_r01 + r02 green rows; round-2 added the full TPC-H suite
+# incl. the derived-partsupp four, training-data serving/cleaning ops,
+# temporal OHLC/gap-fill, the stream-stream join, staging sinks, the
+# kmeans E-step, and the stats families) plus the round-1 leftovers
+# (sample_hash_deterministic, agg_conditional, explode_*, *_salted_skew,
+# window_distribution, bucketed_join_colocated, sink/source roundtrips,
+# remaining events_*, stream_stateful).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # reference-parity MapReduce core (test/mr.test.js, all.student.test.js)
     "mr_ncdc_max_temp",

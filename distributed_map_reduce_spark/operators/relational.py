@@ -439,3 +439,31 @@ def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal")
     ).orderBy(F.col("acctbal").desc(), "s_suppkey")
+
+
+# The exact SQL text below runs VERBATIM on both engines: Spark executes
+# it via spark.sql() over register_views' temp views, DuckDB via the
+# oracle harness over its identically-named parquet views.
+_SQL_INTERFACE_TEXT = """
+SELECT r_name,
+       count(DISTINCT n_nationkey)        AS n_nations,
+       count(*)                           AS n_suppliers,
+       round(sum(s_acctbal), 2)           AS total_bal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+@register("sql_interface_verbatim", tags=("sql", "catalog"), oracle=_SQL_INTERFACE_TEXT)
+def sql_interface_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The plain-SQL entry point: one ANSI SQL string executed VERBATIM
+    by both engines — Spark over `register_views` temp views, DuckDB over
+    its parquet views. Proves a reference user can drive this engine with
+    nothing but SQL text (no DataFrame API), and that the catalog
+    namespace matches the oracle's exactly."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_INTERFACE_TEXT)

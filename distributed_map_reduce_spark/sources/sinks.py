@@ -193,3 +193,40 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+
+
+@register(
+    "source_schema_evolution",
+    tags=("sink", "source", "schema"),
+    oracle="""
+SELECT (c_custkey >= 750) AS has_name_col,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(CASE WHEN c_custkey >= 750 THEN c_name END) AS BIGINT) AS n_names,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer
+GROUP BY 1
+""",
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file batches: an early batch written
+    WITHOUT c_name (keys < 750) and a later batch WITH it land in one
+    directory; `mergeSchema` unifies them on read — old rows surface
+    NULL names. The lake reality at 100 TB: columns appear over time,
+    and the reader, not a rewrite, reconciles them."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    out = os.path.join(tempfile.mkdtemp(prefix="dmrs_evo_"), "customers_staged")
+    try:
+        c.filter(F.col("c_custkey") < 750).drop("c_name").write.mode("overwrite").parquet(out)
+        c.filter(F.col("c_custkey") >= 750).write.mode("append").parquet(out)
+        back = spark.read.option("mergeSchema", "true").parquet(out)
+        return (
+            back.groupBy((F.col("c_custkey") >= 750).alias("has_name_col"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count("c_name").alias("n_names"),
+                F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)

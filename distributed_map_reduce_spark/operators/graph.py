@@ -116,3 +116,33 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         F.count(F.lit(1)).over(Window.partitionBy("component")).alias("cluster_size"),
     )
+
+
+@register(
+    "graph_degree_histogram",
+    tags=("graph", "dedup"),
+    oracle=f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})
+), degrees AS (
+  SELECT node, count(*) AS degree
+  FROM (SELECT doc_a AS node FROM pairs UNION ALL SELECT doc_b AS node FROM pairs)
+  GROUP BY node
+)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM degrees GROUP BY degree
+""",
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the near-duplicate graph — the triage view a
+    dedup run checks BEFORE clustering (a heavy-tailed histogram means a
+    template family / hub document that will snowball into one giant
+    cluster). Two count aggregates over ids; the MinHash pair derivation
+    is shared with dedup_minhash_lsh."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    nodes = pairs.select(F.col("doc_a").alias("node")).unionAll(
+        pairs.select(F.col("doc_b").alias("node"))
+    )
+    degrees = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return degrees.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))

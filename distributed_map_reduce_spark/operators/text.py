@@ -470,3 +470,45 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
     )
+
+
+@register(
+    "text_zipf_fit",
+    tags=("text", "stats"),
+    oracle="""
+WITH wc AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY w
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r FROM wc
+)
+SELECT CAST(count(*) AS BIGINT)                      AS vocab_size,
+       round(regr_slope(ln(c), ln(r)), 4)            AS zipf_slope,
+       round(regr_r2(ln(c), ln(r)), 4)               AS zipf_r2
+FROM ranked
+""",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics health check: fit log(freq) ~ log(rank) over
+    the full vocabulary — natural text tracks Zipf's law (slope ≈ −1);
+    synthetic/templated corpora deviate, so the slope is a cheap
+    distribution-shift alarm for an ingest pipeline. Word count → rank
+    window → one regr_slope aggregate, all JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    wc = (
+        docs.select(F.explode(F.filter(F.split(F.lower("text"), " "), lambda x: x != "")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = wc.withColumn(
+        "r", F.row_number().over(W.orderBy(F.col("c").desc(), F.col("w")))
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.round(F.regr_slope(F.log("c"), F.log("r")), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("c"), F.log("r")), 4).alias("zipf_r2"),
+    )

@@ -1,0 +1,193 @@
+"""Data-governance operators for training-data curation: PII detection /
+redaction and benchmark-contamination checks.
+
+Both are scan-shaped: per-document regex/JVM expression work with at most
+one vocabulary-sized exchange (the contamination join), so at 100 TB they
+are embarrassingly parallel over document partitions. No Python UDFs —
+every expression is a Catalyst built-in (regexp_count/regexp_replace,
+split/transform/explode), so the whole pipeline stays inside whole-stage
+codegen.
+
+The synthetic `documents` corpus carries no natural PII, so the PII query
+first *synthesizes* deterministic PII spans (an email + a phone number
+derived from doc_id/source for every third document) and then detects and
+redacts them — the regex machinery is exercised with nonzero hits and the
+oracle builds the identical augmented text, so parity is end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+# Patterns chosen to parse identically under Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+_IPV4_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+
+@register(
+    "privacy_pii_redaction",
+    tags=("privacy", "text"),
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact user' || doc_id || '@' || source
+                        || '.example or 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                        || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE text END AS text
+  FROM documents
+), counted AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+         len(regexp_extract_all(text, '{_IPV4_RE}'))  AS n_ipv4
+  FROM aug
+)
+SELECT doc_id, n_emails, n_phones, n_ipv4,
+       CAST(n_emails + n_phones + n_ipv4 AS BIGINT) AS n_pii_total,
+       length(regexp_replace(regexp_replace(regexp_replace(text,
+              '{_EMAIL_RE}', '[EMAIL]', 'g'),
+              '{_PHONE_RE}', '[PHONE]', 'g'),
+              '{_IPV4_RE}', '[IP]', 'g')) AS redacted_len,
+       CASE WHEN n_emails + n_phones + n_ipv4 = 0 THEN 1 ELSE 0 END AS pii_free
+FROM counted
+""",
+)
+def privacy_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count and redact emails/phones/IPv4 per document.
+
+    At scale this is a pure map stage — regexes compile once per task and
+    run inside codegen; the output column replaces the original text in a
+    curation pipeline without any shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pii_span = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@"),
+        F.col("source"),
+        F.lit(".example or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    aug = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, pii_span).otherwise(F.col("text")).alias("text"),
+    )
+    counted = aug.select(
+        "doc_id",
+        "text",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count("text", F.lit(_IPV4_RE)).cast("long").alias("n_ipv4"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "[EMAIL]"),
+            _PHONE_RE,
+            "[PHONE]",
+        ),
+        _IPV4_RE,
+        "[IP]",
+    )
+    total = (F.col("n_emails") + F.col("n_phones") + F.col("n_ipv4")).cast("long")
+    return counted.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ipv4",
+        total.alias("n_pii_total"),
+        F.length(redacted).alias("redacted_len"),
+        F.when(total == 0, 1).otherwise(0).alias("pii_free"),
+    )
+
+
+@register(
+    "privacy_contamination_check",
+    tags=("privacy", "dedup"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(ws) >= 3
+                     THEN list_transform(range(1, len(ws) - 1),
+                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                     ELSE [] END) AS g
+  FROM toks
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+), corpus AS (
+  SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 97 <> 0
+), hits AS (
+  SELECT c.doc_id,
+         count(*) AS n_grams,
+         sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated
+  FROM corpus c LEFT JOIN bench b USING (g)
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_grams, n_contaminated,
+       round(n_contaminated * 1.0 / n_grams, 4) AS contamination_ratio
+FROM hits
+ORDER BY contamination_ratio DESC, doc_id
+LIMIT 100
+""",
+)
+def privacy_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents whose word
+    3-grams overlap a held-out benchmark set (here: every 97th doc).
+
+    Scale shape: the benchmark n-gram set is benchmark-sized (millions of
+    grams, not corpus-sized) so the contamination probe is a broadcast
+    LEFT join against the exploded corpus — the corpus shuffles only its
+    distinct (doc_id, gram) pairs, never full text. This mirrors the
+    13-gram decontamination step of public LLM data pipelines (GPT-3 /
+    The Pile methodology), shrunk to 3-grams for the synthetic corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    toks = docs.select("doc_id", ws.alias("ws"))
+    grams3 = F.when(
+        F.size("ws") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("ws", i),
+                F.element_at("ws", i + 1),
+                F.element_at("ws", i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.select("doc_id", F.explode(grams3).alias("g"))
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    corpus = grams.filter(F.col("doc_id") % 97 != 0).distinct()
+    hits = (
+        corpus.join(F.broadcast(bench.withColumn("hit", F.lit(1))), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_contaminated"),
+        )
+    )
+    return (
+        hits.select(
+            "doc_id",
+            "n_grams",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_grams"), 4).alias(
+                "contamination_ratio"
+            ),
+        )
+        .orderBy(F.col("contamination_ratio").desc(), "doc_id")
+        .limit(100)
+    )

@@ -81,6 +81,7 @@ def _load_all() -> None:
         sampling,
         pipeline,
         graph,
+        privacy,
     )
     from .functions import grouped, udfs  # noqa: F401
     from .plans import kv_queries, mr_queries  # noqa: F401

@@ -304,3 +304,36 @@ def pipeline_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("boiler_frac"), 6).alias("avg_boiler_frac"),
         )
     )
+
+
+@register(
+    "pipeline_quality_decile_gate",
+    tags=("pipeline", "window", "text"),
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         ntile(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS decile
+  FROM documents
+)
+SELECT doc_id, source, n_chars, decile
+FROM ranked WHERE decile > 3
+""",
+)
+def pipeline_quality_decile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-gated curation: rank every document into per-source
+    deciles by a quality proxy (char length) and drop the bottom 30% of
+    each source — the relative-threshold filter pipelines use when
+    absolute quality cutoffs would gut some corpora and spare others.
+
+    One shuffle (window keyed by source); ties broken by doc_id so the
+    decile assignment is deterministic on both engines. At 100 TB, if a
+    single source outweighs a partition, the same gate runs on a salted
+    (source, shard) key with per-source quantile summaries instead —
+    ntile here because corpus-per-partition holds at this cardinality.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return (
+        docs.select("doc_id", "source", "n_chars", F.ntile(10).over(w).alias("decile"))
+        .filter(F.col("decile") > 3)
+    )

@@ -1,0 +1,110 @@
+"""Data-profiling operators: dataset cards and distribution-anomaly
+detection — the observability layer of a training-data pipeline.
+
+Shape at 100 TB: both queries are single-pass aggregations. The dataset
+card is a hash-agg keyed by `source` (cardinality = number of corpora, a
+few thousand at most, so the reduce side is trivially small); the outlier
+scan computes per-type moments in one pass, broadcasts the tiny moment
+table (one row per event type) back over the stream, and re-aggregates —
+never a window over an unbounded partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+@register(
+    "profile_dataset_card",
+    tags=("profiling", "text"),
+    oracle="""
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT text) AS n_distinct_texts,
+       round(avg(n_chars), 4) AS avg_chars,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+       round(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+           AS short_frac
+FROM documents
+GROUP BY source
+""",
+)
+def profile_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: doc counts, language spread, exact-text
+    cardinality, char-length distribution, short-doc fraction.
+
+    The 'model card for data' summary a curation run publishes per
+    upstream corpus. One hash-aggregate; the two DISTINCT aggregates
+    expand the input 2x map-side but the shuffle stays keyed by source.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    short = F.when(F.col("n_chars") < 100, 1).otherwise(0)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum(short).cast("long").alias("n_short"),
+        F.round(F.sum(short) / F.count(F.lit(1)), 4).alias("short_frac"),
+    )
+
+
+@register(
+    "profile_value_outliers",
+    tags=("profiling", "stats"),
+    oracle="""
+WITH moments AS (
+  SELECT event_type,
+         avg(value) AS mu,
+         stddev_pop(value) AS sigma,
+         count(*) AS n_events
+  FROM events GROUP BY event_type
+), scored AS (
+  SELECT e.event_type, m.n_events,
+         abs(e.value - m.mu) / m.sigma AS abs_z
+  FROM events e JOIN moments m USING (event_type)
+)
+SELECT event_type, n_events,
+       CAST(sum(CASE WHEN abs_z > 2.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(sum(CASE WHEN abs_z > 2.5 THEN 1 ELSE 0 END) * 1.0 / n_events, 4)
+           AS outlier_frac,
+       round(max(abs_z), 4) AS max_abs_z
+FROM scored
+GROUP BY event_type, n_events
+""",
+)
+def profile_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift alarm: per event type, fraction of values more
+    than 2.5 population-sigma from the mean, plus the worst offender.
+
+    Two-pass, not a window: pass 1 reduces the stream to one moment row
+    per type; that table (cardinality = #types) broadcasts back over the
+    full scan, so no partition ever holds a whole type's data — a
+    window-over-type formulation would serialize each type onto one task.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    moments = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_pop("value").alias("sigma"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    scored = ev.join(F.broadcast(moments), "event_type").select(
+        "event_type",
+        "n_events",
+        (F.abs(F.col("value") - F.col("mu")) / F.col("sigma")).alias("abs_z"),
+    )
+    is_out = F.when(F.col("abs_z") > 2.5, 1).otherwise(0)
+    return scored.groupBy("event_type", "n_events").agg(
+        F.sum(is_out).cast("long").alias("n_outliers"),
+        F.round(F.sum(is_out) / F.col("n_events"), 4).alias("outlier_frac"),
+        F.round(F.max("abs_z"), 4).alias("max_abs_z"),
+    )

@@ -248,3 +248,117 @@ def temporal_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
         F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_ffill"),
     )
+
+
+@register(
+    "temporal_scd2_history",
+    tags=("temporal", "window"),
+    oracle="""
+SELECT o_custkey,
+       row_number() OVER w AS version,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER w AS valid_to,
+       o_totalprice,
+       CASE WHEN lead(o_orderdate) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def temporal_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: turn an append-only change log
+    (here: each customer's orders) into versioned validity intervals —
+    valid_from/valid_to half-open ranges plus an is_current flag.
+
+    One window per entity key: a single shuffle on o_custkey, then
+    row_number + lead inside the sorted partition. Ties broken by
+    o_orderkey so version assignment is deterministic on both engines.
+    At 100 TB this is the canonical 'build dimension history from CDC
+    stream' shape — state per key is one partition's sort, never global.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        F.row_number().over(w).alias("version"),
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        "o_totalprice",
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+@register(
+    "events_funnel_conversion",
+    tags=("temporal", "events"),
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS step1_view_users,
+       (SELECT count(*) FROM c) AS step2_click_users,
+       (SELECT count(*) FROM p) AS step3_purchase_users,
+       round((SELECT count(*) FROM c) * 1.0
+             / greatest((SELECT count(*) FROM v), 1), 4) AS conv_view_click,
+       round((SELECT count(*) FROM p) * 1.0
+             / greatest((SELECT count(*) FROM c), 1), 4) AS conv_click_purchase
+""",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked strictly after the
+    first view, then purchased strictly after that first click; step
+    counts and step-to-step conversion rates.
+
+    Each stage is a per-user min-aggregate (map-side partial combine)
+    semi-joined to the previous stage — three shuffles on user_id, all
+    reusable under the same hash partitioning; Spark's exchange reuse
+    collapses them. No window, no per-user event sorting.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("step1_view_users"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("step2_click_users")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("step3_purchase_users")))
+    )
+    return counts.select(
+        "step1_view_users",
+        "step2_click_users",
+        "step3_purchase_users",
+        F.round(
+            F.col("step2_click_users") / F.greatest(F.col("step1_view_users"), F.lit(1)), 4
+        ).alias("conv_view_click"),
+        F.round(
+            F.col("step3_purchase_users") / F.greatest(F.col("step2_click_users"), F.lit(1)),
+            4,
+        ).alias("conv_click_purchase"),
+    )

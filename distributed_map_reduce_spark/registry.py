@@ -82,6 +82,7 @@ def _load_all() -> None:
         pipeline,
         graph,
         privacy,
+        profiling,
     )
     from .functions import grouped, udfs  # noqa: F401
     from .plans import kv_queries, mr_queries  # noqa: F401

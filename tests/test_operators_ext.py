@@ -108,3 +108,68 @@ def test_domain_mix_budget_never_exceeded(spark, sf_dir):
     assert rows
     for r in rows:
         assert 0 < r["tokens_kept"] <= MIX_BUDGET
+
+
+def test_pagerank_star_vs_chain(spark):
+    """Planted graph: a 4-leaf star's hub outranks every chain node, and
+    total rank mass stays ~1 (undirected graph, no dangling loss)."""
+    from distributed_map_reduce_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        # star: hub 0 with leaves 1-4; chain: 10-11-12-13
+        [(0, 1), (0, 2), (0, 3), (0, 4), (10, 11), (11, 12), (12, 13)],
+        "src int, dst int",
+    )
+    pr = {r["node"]: r["pr"] for r in pagerank(edges, iters=5).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
+    hub, leaves = pr[0], [pr[i] for i in (1, 2, 3, 4)]
+    assert all(hub > l for l in leaves)
+    assert all(abs(l - leaves[0]) < 1e-12 for l in leaves)  # symmetry
+    assert hub > max(pr[10], pr[11], pr[12], pr[13])
+    # chain interior outranks chain endpoints
+    assert pr[11] > pr[10] and pr[12] > pr[13]
+
+
+def test_scd2_intervals_partition_time(spark, sf_dir):
+    """SCD2 invariants: versions are dense per key, exactly one current
+    row per key, and each valid_to equals the next version's valid_from."""
+    from distributed_map_reduce_spark import registry
+
+    hist = registry.all_queries()["temporal_scd2_history"].fn(spark, sf_dir)
+    import pandas as pd
+
+    pdf = hist.toPandas().sort_values(["o_custkey", "version"])
+    for _, grp in pdf.groupby("o_custkey"):
+        assert list(grp["version"]) == list(range(1, len(grp) + 1))
+        assert (grp["is_current"] == 1).sum() == 1
+        assert grp.iloc[-1]["is_current"] == 1
+        nxt = grp["valid_from"].shift(-1)
+        ok = grp["valid_to"].iloc[:-1].reset_index(drop=True) == nxt.iloc[:-1].reset_index(drop=True)
+        assert bool(ok.all())
+
+
+def test_funnel_monotone(spark, sf_dir):
+    """Funnel counts can only shrink step to step."""
+    from distributed_map_reduce_spark import registry
+
+    row = registry.all_queries()["events_funnel_conversion"].fn(spark, sf_dir).first()
+    assert row["step1_view_users"] >= row["step2_click_users"] >= row["step3_purchase_users"]
+    assert 0.0 <= row["conv_view_click"] <= 1.0
+    assert 0.0 <= row["conv_click_purchase"] <= 1.0
+
+
+def test_decile_gate_drops_bottom_30pct(spark, sf_dir):
+    """Every source keeps exactly deciles 4-10 (ntile ties broken by
+    doc_id), i.e. ~70% of its docs survive."""
+    from distributed_map_reduce_spark import registry
+    from distributed_map_reduce_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    kept = registry.all_queries()["pipeline_quality_decile_gate"].fn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = dict(docs.groupBy("source").count().collect())
+    kept_src = dict(kept.groupBy("source").count().collect())
+    assert kept.select(F.min("decile")).first()[0] >= 4
+    for src, total in per_src.items():
+        frac = kept_src.get(src, 0) / total
+        assert 0.6 <= frac <= 0.8, (src, frac)

@@ -436,3 +436,90 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.3)
         .select("vec_a", "vec_b", "cos_sim")
     )
+
+
+CONTAIN_MAXDF = 20  # inverted-index df cap: shingles in more docs are noise
+
+
+def containment_candidates(sh_rows: DataFrame, maxdf: int = CONTAIN_MAXDF) -> DataFrame:
+    """Candidate pairs sharing at least one RARE shingle (2 ≤ df ≤ maxdf).
+
+    MinHash bands are Jaccard-tuned: a short doc embedded in a long one
+    has Jaccard ≈ |A|/|B| → band-collision probability ~J^r ≈ 0, so the
+    band generator structurally misses the containment class (proven by
+    tests/test_operators_ext.py::test_containment_catches_subdocument).
+    The df-capped inverted index is the standard prefix-filter substitute:
+    each shingle with df=d yields ≤ d(d-1)/2 pairs, so the cap bounds the
+    per-shingle fan-out and boilerplate shingles (high df) never join.
+    """
+    df_tab = sh_rows.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
+        (F.col("df") >= 2) & (F.col("df") <= maxdf)
+    )
+    rare = sh_rows.join(df_tab.select("s"), "s")
+    return (
+        rare.select(F.col("doc_id").alias("doc_a"), "s")
+        .join(rare.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+_CONTAIN_CAND_SQL = f"""toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS t
+  FROM documents
+), shr AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - {SHINGLE_K - 2}),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks WHERE len(t) >= {SHINGLE_K}
+), dfs AS (
+  SELECT s FROM shr GROUP BY s HAVING count(*) BETWEEN 2 AND {CONTAIN_MAXDF}
+), rare AS (
+  SELECT shr.doc_id, shr.s FROM shr JOIN dfs USING (s)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rare a JOIN rare b USING (s) WHERE a.doc_id < b.doc_id
+)"""
+
+
+@register(
+    "dedup_containment",
+    tags=("dedup",),
+    oracle=f"""
+WITH {_CONTAIN_CAND_SQL}, d AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS words
+  FROM documents
+)
+SELECT cand.doc_a, cand.doc_b,
+       round(len(list_intersect(a.words, b.words)) * 1.0
+             / least(len(a.words), len(b.words)), 4) AS containment
+FROM cand
+JOIN d a ON a.doc_id = cand.doc_a
+JOIN d b ON b.doc_id = cand.doc_b
+WHERE len(list_intersect(a.words, b.words)) * 1.0
+      / least(len(a.words), len(b.words)) >= 0.8
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup: |A∩B| / min(|A|,|B|) ≥ 0.8 over rare-shingle
+    inverted-index candidates — catches the sub-document class (a short
+    doc quoted inside a long one scores ~1 here but far below any Jaccard
+    threshold), which MinHash banding misses by construction.
+
+    Shape at 100 TB: one df aggregate on shingle, a df-capped self-join
+    (fan-out ≤ maxdf per shingle — never corpus-quadratic), ids-only
+    candidates, then word sets join in by id for the exact verify.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cand = containment_candidates(shingle_rows(docs))
+    d = docs.select("doc_id", F.array_distinct(tokens_col(F.col("text"))).alias("words"))
+    cont = F.size(F.array_intersect(F.col("w_a"), F.col("w_b"))) / F.least(
+        F.size("w_a"), F.size("w_b")
+    )
+    return (
+        cand.join(d.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("w_a")), "doc_a")
+        .join(d.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("w_b")), "doc_b")
+        .filter(cont >= 0.8)
+        .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
+    )

@@ -337,3 +337,62 @@ def pipeline_quality_decile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "source", "n_chars", F.ntile(10).over(w).alias("decile"))
         .filter(F.col("decile") > 3)
     )
+
+
+@register(
+    "pipeline_mixture_weights",
+    tags=("pipeline", "text"),
+    oracle="""
+WITH per_src AS (
+  SELECT source,
+         CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT)
+             AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(n_tokens) AS total FROM per_src
+), raw AS (
+  SELECT source, n_tokens,
+         n_tokens * 1.0 / (SELECT total FROM tot) AS actual_share,
+         -- temperature-scaled up/down-weight toward a uniform target mix
+         pow((1.0 / (SELECT count(*) FROM per_src))
+             / (n_tokens * 1.0 / (SELECT total FROM tot)), 0.5) AS raw_w
+  FROM per_src
+)
+SELECT source, n_tokens,
+       round(actual_share, 6) AS actual_share,
+       round(raw_w / (SELECT sum(raw_w) FROM raw), 6) AS sample_weight
+FROM raw
+""",
+)
+def pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixture reweighting: per-source token shares and the
+    temperature-scaled (τ=0.5) sampling weights that pull the mix toward
+    uniform — the domain-balancing step applied before drawing a
+    pretraining epoch (up-weights rare sources as sqrt(target/actual)).
+
+    One token-count aggregate keyed by source reduces 100 TB of text to
+    a sources-cardinality table; everything after (shares, temperature,
+    normalization) is arithmetic on that tiny frame, kept distributed
+    only so the output composes with downstream joins.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    per_src = docs.groupBy("source").agg(F.sum(n_tok).cast("long").alias("n_tokens"))
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("total"), F.count(F.lit(1)).alias("n_src")
+    )
+    raw = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        (F.col("n_tokens") / F.col("total")).alias("actual_share"),
+        F.pow(
+            (1.0 / F.col("n_src")) / (F.col("n_tokens") / F.col("total")), 0.5
+        ).alias("raw_w"),
+    )
+    norm = raw.agg(F.sum("raw_w").alias("z"))
+    return raw.crossJoin(F.broadcast(norm)).select(
+        "source",
+        "n_tokens",
+        F.round("actual_share", 6).alias("actual_share"),
+        F.round(F.col("raw_w") / F.col("z"), 6).alias("sample_weight"),
+    )

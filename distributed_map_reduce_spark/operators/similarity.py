@@ -270,3 +270,53 @@ def ann_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("d", 6).alias("dist"),
         )
     )
+
+
+@register(
+    "similarity_knn_join",
+    tags=("similarity",),
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     b AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM e),
+     pairs AS (
+       SELECT a.vec_id AS vec_a, n.vec_id AS vec_b,
+              round(list_cosine_similarity(a.v, n.v), 6) AS cos_sim
+       FROM b a JOIN b n ON a.bucket = n.bucket AND a.vec_id <> n.vec_id
+     ),
+     ranked AS (
+       SELECT vec_a, vec_b, cos_sim,
+              row_number() OVER (PARTITION BY vec_a
+                                 ORDER BY cos_sim DESC, vec_b) AS rnk
+       FROM pairs
+     )
+SELECT vec_a, vec_b, cos_sim, rnk FROM ranked WHERE rnk <= 3
+""",
+)
+def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN self-join (k=3): every vector's three nearest neighbors by
+    exact cosine, searched only within its hyperplane-LSH bucket — the
+    embedding-cluster assignment step of semantic dedup (SemDeDup-style)
+    without an all-pairs join.
+
+    The bucket equi-join bounds candidates at ~N/2^b per side and the
+    per-vector top-k is a WindowGroupLimit (rank pushed into the shuffle,
+    no full sort of the pair stream). Ties broken by (cos_sim, vec_b) so
+    ranks are deterministic on both engines.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    b = e.withColumn("bucket", lsh_bucket(F.col("v")))
+    a = b.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"), "bucket")
+    n = b.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"), "bucket")
+    pairs = (
+        a.join(n, "bucket")
+        .filter(F.col("vec_a") != F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos_sim"))
+    )
+    w = W.partitionBy("vec_a").orderBy(F.col("cos_sim").desc(), "vec_b")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("vec_a", "vec_b", "cos_sim", "rnk")
+    )

@@ -362,3 +362,115 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("conv_click_purchase"),
     )
+
+
+@register(
+    "events_sessionize_ids",
+    tags=("temporal", "events", "window"),
+    oracle="""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+), marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessed AS (
+  SELECT user_id, ts, event_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM marked
+)
+SELECT user_id, session_idx,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec
+FROM sessed
+GROUP BY user_id, session_idx
+""",
+)
+def events_sessionize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization with stable session ids: a new session
+    starts after a >30 min silence; session_idx is the running count of
+    session starts per user — the batch twin of session_window that also
+    NAMES each session (so downstream joins can key on it).
+
+    One shuffle on user_id feeds both windows and the final aggregate
+    (same partitioning, Spark reuses the exchange). The gap predicate is
+    strict '>' to mirror session_window's exclusive end exactly
+    (ADVICE r01 pinned this boundary).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        lag_ts.isNull()
+        | (F.col("ts").cast("long") - lag_ts.cast("long") > 1800),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessed = ev.select(
+        "user_id", "ts", "event_id", F.sum(is_new).over(run).alias("session_idx")
+    )
+    return sessed.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ts").cast("long") - F.min("ts").cast("long")).alias("duration_sec"),
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    tags=("temporal", "events"),
+    oracle="""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+), firsts AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM ev GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(date_diff('day', f.cohort_week, CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS BIGINT)
+             AS week_offset
+  FROM ev e JOIN firsts f USING (user_id)
+)
+SELECT cohort_week, week_offset,
+       count(*) AS n_active_users
+FROM activity
+GROUP BY cohort_week, week_offset
+""",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen week, then
+    counted as active per week-offset since their cohort week — the
+    engagement matrix behind every retention curve.
+
+    Two user_id-keyed aggregates around one broadcast-sized join (the
+    cohort table has one row per user; at 100 TB it shuffles on user_id
+    and reuses the first aggregate's partitioning instead). DISTINCT
+    collapses within-week activity before the final small agg.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")).cast("date"), F.col("cohort_week"))
+                / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )

@@ -173,3 +173,77 @@ def test_decile_gate_drops_bottom_30pct(spark, sf_dir):
     for src, total in per_src.items():
         frac = kept_src.get(src, 0) / total
         assert 0.6 <= frac <= 0.8, (src, frac)
+
+
+def test_containment_catches_subdocument(spark):
+    """A short doc fully embedded in a long doc scores containment 1.0
+    even when its Jaccard vs the long doc is far below threshold."""
+    from distributed_map_reduce_spark.operators.dedup import (
+        containment_candidates, shingle_rows, tokens_col,
+    )
+    from pyspark.sql import functions as F
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    long = short + " " + " ".join(f"filler{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "unrelated words entirely different text here now")],
+        "doc_id int, text string",
+    )
+    cand = containment_candidates(shingle_rows(docs))
+    d = docs.select("doc_id", F.array_distinct(tokens_col(F.col("text"))).alias("words"))
+    got = (
+        cand.join(d.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("w_a")), "doc_a")
+        .join(d.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("w_b")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.size(F.array_intersect("w_a", "w_b"))
+             / F.least(F.size("w_a"), F.size("w_b"))).alias("containment"),
+            (F.size(F.array_intersect("w_a", "w_b"))
+             / F.size(F.array_union("w_a", "w_b"))).alias("jaccard"),
+        )
+        .collect()
+    )
+    pair = {(r["doc_a"], r["doc_b"]): r for r in got}
+    assert (1, 2) in pair, "sub-document pair must be a rare-shingle candidate"
+    assert pair[(1, 2)]["containment"] == 1.0
+    assert pair[(1, 2)]["jaccard"] < 0.6
+
+
+def test_sessionize_gap_semantics(spark, sf_dir):
+    """Session invariants: durations are non-negative, no session spans a
+    >30min internal gap, and counts reconcile with the raw event count."""
+    from distributed_map_reduce_spark import registry
+    from distributed_map_reduce_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    sess = registry.all_queries()["events_sessionize_ids"].fn(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    assert sess.filter(F.col("duration_sec") < 0).count() == 0
+    assert (
+        sess.agg(F.sum("n_events")).first()[0] == ev.count()
+    ), "every event lands in exactly one session"
+    # consecutive sessions of a user are separated by > 30 min
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    gaps = sess.select(
+        "user_id",
+        (F.col("session_start").cast("long")
+         - F.lag("session_end").over(w).cast("long")).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    assert gaps.filter(F.col("gap") <= 1800).count() == 0
+
+
+def test_mixture_weights_normalized(spark, sf_dir):
+    from distributed_map_reduce_spark import registry
+    import math
+
+    rows = registry.all_queries()["pipeline_mixture_weights"].fn(spark, sf_dir).collect()
+    assert math.isclose(sum(r["sample_weight"] for r in rows), 1.0, abs_tol=1e-4)
+    assert math.isclose(sum(r["actual_share"] for r in rows), 1.0, abs_tol=1e-4)
+    # temperature 0.5 compresses: under-represented sources get boosted
+    # above their share, over-represented ones get clipped below
+    for r in rows:
+        uniform = 1.0 / len(rows)
+        if r["actual_share"] < uniform:
+            assert r["sample_weight"] > r["actual_share"]

@@ -225,3 +225,79 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
     pr = pagerank(pairs, "doc_a", "doc_b")
     return pr.select(F.col("node").alias("doc_id"), F.round("pr", 6).alias("pagerank"))
+
+
+def bfs_depths(edges: DataFrame, seeds: DataFrame, max_depth: int,
+               src: str = "src", dst: str = "dst") -> DataFrame:
+    """Multi-source BFS: depth of each reachable node from the nearest
+    seed, bounded at ``max_depth`` hops. Returns (node, depth).
+
+    Frontier expansion: each round joins the CURRENT frontier (not the
+    full visited set) against the edge list, anti-joins already-visited
+    nodes, and checkpoints both — one shuffle per hop, frontier-sized
+    not graph-sized, the textbook Pregel BFS. Terminates early when the
+    frontier empties (one counter action per round on the driver).
+    """
+    both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).localCheckpoint(eager=True)
+    visited = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct().withColumn(
+        "depth", F.lit(0)
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (
+            both.join(frontier.select(F.col("node").alias("a")), "a")
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(d))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+@register(
+    "graph_bfs_depth",
+    tags=("graph", "iterative"),
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), seeds AS (
+  SELECT DISTINCT a AS node FROM edges WHERE a % 10 = 0
+), walk(node, depth) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.b, w.depth + 1
+  FROM walk w JOIN edges e ON e.a = w.node
+  WHERE w.depth < 5
+)
+SELECT node AS doc_id, CAST(min(depth) AS BIGINT) AS depth
+FROM walk GROUP BY node
+""",
+)
+def graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance from audited seed docs (doc_id % 10 = 0) through the
+    near-dup graph, capped at 5 hops — the 'contamination blast radius'
+    walk: if a seed doc is known-bad (benchmark leak, license issue),
+    every doc within k near-dup hops inherits the flag.
+
+    The oracle's recursive CTE re-derives min-depth semantics; the Spark
+    side is frontier BFS (per-hop cost = frontier size, not graph size).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    both_nodes = pairs.select(F.col("doc_a").alias("n")).unionByName(
+        pairs.select(F.col("doc_b").alias("n"))
+    ).distinct()
+    seeds = both_nodes.filter(F.col("n") % 10 == 0)
+    out = bfs_depths(pairs, seeds, max_depth=5, src="doc_a", dst="doc_b")
+    return out.select(F.col("node").alias("doc_id"), F.col("depth").cast("long").alias("depth"))

@@ -240,3 +240,46 @@ def kv_placement_owners(spark: SparkSession, sf_dir: str) -> DataFrame:
         consistent_owner(key, PLACEMENT_NODES).alias("consistent_owner"),
         rendezvous_owner(key, PLACEMENT_NODES).alias("rendezvous_owner"),
     )
+
+
+@register(
+    "kv_cdc_tombstone_apply",
+    tags=("kv", "cdc"),
+    oracle="""
+WITH ops AS (
+  SELECT CAST(user_id AS VARCHAR) AS key,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'put' END AS op,
+         round(value, 4) AS value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+)
+SELECT key, value FROM ops WHERE rn = 1 AND op <> 'delete'
+""",
+)
+def kv_cdc_tombstone_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply with tombstones: replay an ordered change stream
+    (put/delete per key, seq = event_id) and materialize the final store
+    state — keys whose LAST op is a delete are absent, everything else
+    carries its last-written value. Extends the LWW resolve
+    (`kv_lww_upsert`, reference `local/store.js:117-133` + del
+    `local/store.js:135-147`) with the del verb folded into one pass.
+
+    One window per key (single shuffle); the tombstone filter happens
+    AFTER rank-1 selection, so a delete correctly shadows every earlier
+    put instead of resurrecting the previous value.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    ops = ev.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.when(F.col("event_type") == "error", "delete").otherwise("put").alias("op"),
+        F.round("value", 4).alias("value"),
+        F.col("event_id").alias("seq"),
+    )
+    w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+    return (
+        ops.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "delete"))
+        .select("key", "value")
+    )

@@ -247,3 +247,38 @@ def test_mixture_weights_normalized(spark, sf_dir):
         uniform = 1.0 / len(rows)
         if r["actual_share"] < uniform:
             assert r["sample_weight"] > r["actual_share"]
+
+
+def test_bfs_depths_chain(spark):
+    """Planted chain 0-1-2-...-7 with seed {0}: depth equals hop count,
+    capped at max_depth, and disconnected nodes are absent."""
+    from distributed_map_reduce_spark.operators.graph import bfs_depths
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)] + [(100, 101)], "src int, dst int"
+    )
+    seeds = spark.createDataFrame([(0,)], "node int")
+    got = {r["node"]: r["depth"] for r in bfs_depths(edges, seeds, max_depth=4).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}  # 5..7 beyond cap, 100s unreachable
+
+
+def test_cdc_tombstone_semantics(spark):
+    """Delete shadows every earlier put; a put after a delete resurrects."""
+    from pyspark.sql import functions as F, Window
+
+    ops = spark.createDataFrame(
+        [
+            ("a", "put", 1.0, 1), ("a", "delete", None, 2),           # a: gone
+            ("b", "put", 2.0, 1), ("b", "delete", None, 2), ("b", "put", 3.0, 3),  # b: 3.0
+            ("c", "put", 9.0, 5),                                      # c: 9.0
+        ],
+        "key string, op string, value double, seq long",
+    )
+    w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+    final = (
+        ops.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "delete"))
+        .select("key", "value")
+    )
+    got = {r["key"]: r["value"] for r in final.collect()}
+    assert got == {"b": 3.0, "c": 9.0}

@@ -132,3 +132,59 @@ def test_schemaless_content_address_parity_random(spark, values):
         hashlib.sha256(canonical_json(v).encode()).hexdigest() for v in values
     }
     assert got_keys == want_keys
+
+
+@SETTINGS
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.sampled_from(["u1", "u2"]),            # user
+            st.integers(0, 6 * 3600),                 # seconds offset
+        ),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    )
+)
+def test_sessionize_matches_python_replay(spark, evs):
+    """Gap-based sessionization (>30 min ⇒ new session) ≡ a sequential
+    Python replay of the same rule, for arbitrary event streams —
+    session count, per-session event counts, and boundaries all match."""
+    import datetime
+
+    from pyspark.sql import Window, functions as F
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (u, base + datetime.timedelta(seconds=s), i) for i, (u, s) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_id long")
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        lag_ts.isNull() | (F.col("ts").cast("long") - lag_ts.cast("long") > 1800), 1
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    got = (
+        df.select("user_id", "ts", F.sum(is_new).over(run).alias("sid"))
+        .groupBy("user_id", "sid")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("ts").alias("start"))
+        .collect()
+    )
+    got_set = {(r["user_id"], r["sid"], r["n"], r["start"]) for r in got}
+
+    # sequential replay
+    want_set = set()
+    for u in {u for u, _ in evs}:
+        ts_sorted = sorted(t for uu, t in evs if uu == u)
+        sid, n, start, prev = 0, 0, None, None
+        for t in ts_sorted:
+            if prev is None or t - prev > 1800:
+                if n:
+                    want_set.add((u, sid, n, base + datetime.timedelta(seconds=start)))
+                sid, n, start = sid + 1, 0, t
+            n += 1
+            prev = t
+        want_set.add((u, sid, n, base + datetime.timedelta(seconds=start)))
+    assert got_set == want_set

@@ -22,6 +22,7 @@ from ..sources import load_table
 
 @register(
     "pipeline_curate_corpus",
+    bench=True,
     tags=("pipeline", "dedup", "text"),
     oracle="""
 WITH scored AS (

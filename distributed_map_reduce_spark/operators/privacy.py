@@ -112,6 +112,7 @@ def privacy_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "privacy_contamination_check",
+    bench=True,
     tags=("privacy", "dedup"),
     oracle="""
 WITH toks AS (

@@ -467,3 +467,38 @@ def sql_interface_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_INTERFACE_TEXT)
+
+
+@register(
+    "agg_decimal_exact",
+    tags=("agg", "types"),
+    oracle="""
+SELECT l_returnflag,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l_discount AS DECIMAL(18,2))) AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money-exact aggregation: DECIMAL(18,2) sums that are bit-identical
+    across engines and association orders — the float-free accounting
+    path (doubles drift in the 13th digit across differently-ordered
+    partial sums; decimals cannot). The hash gate compares the decimal
+    strings UNROUNDED: this query proves the engine offers an exact-
+    arithmetic tier, not just rounded-double parity.
+
+    Spark's decimal sum widens precision (never overflows silently) and
+    stays inside Tungsten's fixed-point codegen — same one-exchange
+    hash-agg plan as the double version.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price).alias("sum_price"),
+        F.sum(price * disc).alias("sum_disc_price"),
+        F.count(F.lit(1)).alias("n"),
+    )

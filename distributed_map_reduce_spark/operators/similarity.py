@@ -274,6 +274,7 @@ def ann_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_knn_join",
+    bench=True,
     tags=("similarity",),
     oracle=f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -252,6 +252,7 @@ def temporal_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "temporal_scd2_history",
+    bench=True,
     tags=("temporal", "window"),
     oracle="""
 SELECT o_custkey,

@@ -512,3 +512,47 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(F.log("c"), F.log("r")), 4).alias("zipf_slope"),
         F.round(F.regr_r2(F.log("c"), F.log("r")), 4).alias("zipf_r2"),
     )
+
+
+@register(
+    "text_unigram_surprisal",
+    bench=True,
+    tags=("text", "quality"),
+    oracle="""
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+  FROM documents
+), freq AS (
+  SELECT word, count(*) AS c FROM w GROUP BY word
+), tot AS (
+  SELECT sum(c) AS t FROM freq
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(-ln(c * 1.0 / (SELECT t FROM tot))), 4) AS mean_surprisal
+FROM w JOIN freq USING (word)
+GROUP BY doc_id
+""",
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained unigram LM surprisal per document — the
+    perplexity-style quality filter (CCNet recipe) with the corpus itself
+    as the language model: documents whose words are globally rare score
+    high (gibberish/noise), boilerplate scores low.
+
+    Scale shape: token explode → vocab-keyed count (map-side combine
+    shrinks it to vocab size) → shuffle join of tokens against vocab on
+    word → per-doc re-aggregate. Two keyed exchanges total; the total-
+    token scalar broadcasts. No LM download, no Python.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(F.filter(F.split(F.lower("text"), " "), lambda x: x != "")).alias("word")
+    )
+    freq = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").alias("t"))
+    scored = w.join(freq, "word").crossJoin(F.broadcast(tot))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg(-F.log(F.col("c") / F.col("t"))), 4).alias("mean_surprisal"),
+    )

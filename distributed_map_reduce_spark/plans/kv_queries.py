@@ -244,6 +244,7 @@ def kv_placement_owners(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "kv_cdc_tombstone_apply",
+    bench=True,
     tags=("kv", "cdc"),
     oracle="""
 WITH ops AS (

@@ -196,3 +196,44 @@ def test_boilerplate_ngrams_single_agg_shape(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_boilerplate_ngrams")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan  # pure JVM expressions
+
+
+def test_contamination_broadcasts_bench_grams(spark, sf_dir):
+    """The benchmark n-gram set must be the broadcast side; the corpus
+    grams must never broadcast (they scale with the corpus)."""
+    plan = _plan(spark, sf_dir, "privacy_contamination_check")
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_join_uses_window_group_limit(spark, sf_dir):
+    """Per-vector top-k must push the rank limit into the shuffle
+    (WindowGroupLimit), not sort the whole pair stream."""
+    plan = _plan(spark, sf_dir, "similarity_knn_join")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """SCD2 history: exactly one shuffle (on the entity key) feeds both
+    window functions — no second exchange, no Python."""
+    plan = _plan(spark, sf_dir, "temporal_scd2_history")
+    # formatted explain prints each node twice (tree + detail)
+    assert plan.count("(") and plan.count("Exchange hashpartitioning(o_custkey") <= 2
+    assert plan.count("Exchange") <= 2
+    assert "EvalPython" not in plan
+
+
+def test_outlier_scan_broadcasts_moments(spark, sf_dir):
+    """Two-pass outlier scan: the per-type moment table joins back via
+    broadcast; the event stream itself is never window-partitioned."""
+    plan = _plan(spark, sf_dir, "profile_value_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_decile_gate_stays_jvm(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pipeline_quality_decile_gate")
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") <= 2  # one shuffle keyed by source (tree + detail)

@@ -211,3 +211,45 @@ def events_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts", "purchase_value")
     )
+
+
+@register(
+    "events_segment_enrichment",
+    tags=("streaming", "join", "window"),
+    oracle="""
+SELECT time_bucket(INTERVAL '15 minutes', CAST(e.ts AS TIMESTAMP)) AS window_start,
+       c.c_mktsegment AS segment,
+       count(*) AS n_purchases,
+       round(sum(e.value), 2) AS segment_revenue
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase'
+GROUP BY 1, 2
+""",
+)
+def events_segment_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/jobs.py:enriched_segment_windows — enrich
+    purchases with the customer market segment (broadcast dim join, the
+    stream-static topology) and aggregate revenue per 15-minute window.
+    tests/test_streaming.py proves the readStream form converges to this
+    exact result on a drained bounded stream.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("segment_revenue"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "segment",
+            "n_purchases",
+            "segment_revenue",
+        )
+    )

@@ -121,3 +121,31 @@ def click_purchase_join(events: DataFrame) -> DataFrame:
         & (F.col("purchase_ts") > F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts", "purchase_value")
+
+
+def enriched_segment_windows(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static enrichment: join the event stream against a static
+    dimension (customer keyed by user_id) and aggregate purchase value
+    per (market segment, 15-minute window).
+
+    The static side needs NO watermark — Spark broadcasts/rescans it per
+    micro-batch and the join adds no streaming state; only the windowed
+    aggregate keeps state, bounded by the 30-minute watermark. This is
+    the canonical 'enrich events with a slowly-changing dim' topology;
+    at scale the dim side is a broadcast (or a Delta/parquet snapshot
+    re-read per trigger for freshness).
+    """
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "30 minutes")
+        .join(F.broadcast(dim), "user_id")  # stream-static: no state added
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("segment_revenue"),
+        )
+        .select(F.col("w.start").alias("window_start"), "segment", "n_purchases", "segment_revenue")
+    )

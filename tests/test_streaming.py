@@ -154,3 +154,40 @@ def test_foreachbatch_parquet_sink_matches_batch(spark, sf_dir, tmp_path):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir):
+    """Stream-static dim join + windowed agg produces exactly the batch
+    answer once the bounded stream drains."""
+    from pyspark.sql import functions as F
+
+    from distributed_map_reduce_spark.sources import load_table
+    from distributed_map_reduce_spark.streaming.jobs import (
+        enriched_segment_windows,
+        read_events_stream,
+        run_to_completion,
+    )
+
+    customer = load_table(spark, sf_dir, "customer")
+    stream = read_events_stream(spark, sf_dir)
+    got = run_to_completion(
+        spark, enriched_segment_windows(stream, customer), "seg_windows"
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    want = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(dim, "user_id")
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("segment_revenue"),
+        )
+        .select(F.col("w.start").alias("window_start"), "segment", "n_purchases", "segment_revenue")
+    )
+    got_set = {tuple(r) for r in got.collect()}
+    want_set = {tuple(r) for r in want.collect()}
+    assert got_set == want_set and len(want_set) > 0

@@ -523,3 +523,77 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cont >= 0.8)
         .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
     )
+
+
+@register(
+    "dedup_minhash_estimate_audit",
+    tags=("dedup", "sketch"),
+    oracle=f"""
+WITH {_MINHASH_CAND_SQL}
+SELECT cand.doc_a, cand.doc_b,
+       round(len(list_filter(range(1, {N_HASHES + 1}),
+                             i -> sa.mh[i] = sb.mh[i])) * 1.0 / {N_HASHES}, 4)
+           AS est_jaccard,
+       round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+             / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4)
+           AS exact_jaccard,
+       round(abs(len(list_filter(range(1, {N_HASHES + 1}),
+                                 i -> sa.mh[i] = sb.mh[i])) * 1.0 / {N_HASHES}
+                 - len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+                   / len(list_distinct(list_concat(sa.shingles, sb.shingles)))), 4)
+           AS abs_err
+FROM cand
+JOIN sig sa ON sa.doc_id = cand.doc_a
+JOIN sig sb ON sb.doc_id = cand.doc_b
+""",
+)
+def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit: for every band candidate pair, the MinHash
+    Jaccard ESTIMATE (fraction of agreeing signature components, the
+    Broder'97 unbiased estimator) next to the EXACT shingle Jaccard and
+    their absolute error — the calibration report that justifies
+    N_HASHES/N_BANDS before a 100 TB dedup run commits to thresholds.
+
+    Signatures and exact sets both join in by doc id on the ids-only
+    candidate list; cost is candidate-bounded like every verify stage.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh_rows = shingle_rows(docs)
+    cand = band_candidates(sh_rows)
+    base = sh_rows.select(
+        "doc_id",
+        "s",
+        (F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint") % MINHASH_P).alias("b"),
+    )
+    sig = base.groupBy("doc_id").agg(
+        F.collect_set("s").alias("shingles"),
+        *[
+            F.min((F.lit(HASH_A[s]) * F.col("b") + F.lit(HASH_B[s])) % MINHASH_P).alias(f"h{s}")
+            for s in range(N_HASHES)
+        ],
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        *[F.col(f"h{s}").alias(f"a{s}") for s in range(N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        *[F.col(f"h{s}").alias(f"b{s}") for s in range(N_HASHES)],
+    )
+    agree = sum(
+        (F.col(f"a{s}") == F.col(f"b{s}")).cast("int") for s in range(N_HASHES)
+    ) / float(N_HASHES)
+    exact = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree, 4).alias("est_jaccard"),
+            F.round(exact, 4).alias("exact_jaccard"),
+            F.round(F.abs(agree - exact), 4).alias("abs_err"),
+        )
+    )

@@ -155,3 +155,71 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("l_returnflag", F.col("q").alias("mode_qty"), F.col("c").alias("mode_count"))
     )
+
+
+@register(
+    "stats_market_basket",
+    tags=("stats", "join"),
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n_orders AS (
+  SELECT count(DISTINCT l_orderkey) AS n FROM items
+), part_freq AS (
+  SELECT l_partkey, count(*) AS c FROM items GROUP BY l_partkey
+), pair_counts AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_both
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT p.part_a, p.part_b, p.n_both,
+       round(p.n_both * 1.0 / (SELECT n FROM n_orders), 6) AS support,
+       round(p.n_both * 1.0 * (SELECT n FROM n_orders)
+             / (fa.c * fb.c), 4) AS lift
+FROM pair_counts p
+JOIN part_freq fa ON fa.l_partkey = p.part_a
+JOIN part_freq fb ON fb.l_partkey = p.part_b
+ORDER BY p.n_both DESC, p.part_a, p.part_b
+LIMIT 50
+""",
+)
+def stats_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: co-occurrence count, support,
+    and lift for part pairs bought in the same order — the A-Priori
+    pair-counting pass expressed relationally.
+
+    Scale shape: the self-join fans out per order as |basket|² — bounded
+    by basket size (~7 here), never by catalog or order count. Pair
+    counts shuffle on the pair key with map-side combine; the part
+    frequency table joins in small. Top-50 via TakeOrderedAndProject,
+    no global sort.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.agg(F.countDistinct("l_orderkey").alias("n"))
+    part_freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    enriched = (
+        pairs.crossJoin(F.broadcast(n_orders))
+        .join(part_freq.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("c_a")), "part_a")
+        .join(part_freq.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("c_b")), "part_b")
+    )
+    return (
+        enriched.select(
+            "part_a",
+            "part_b",
+            "n_both",
+            F.round(F.col("n_both") / F.col("n"), 6).alias("support"),
+            F.round(F.col("n_both") * F.col("n") / (F.col("c_a") * F.col("c_b")), 4).alias("lift"),
+        )
+        .orderBy(F.col("n_both").desc(), "part_a", "part_b")
+        .limit(50)
+    )

@@ -223,3 +223,164 @@ def stats_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_both").desc(), "part_a", "part_b")
         .limit(50)
     )
+
+
+@register(
+    "stats_rfm_segmentation",
+    tags=("stats", "window"),
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS frequency,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, last_order, frequency, monetary,
+       ntile(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+       ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+       ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+FROM per_cust
+""",
+)
+def stats_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer scoring: recency/frequency/monetary quintiles per
+    customer — the classic segmentation behind churn/value cohorts.
+
+    One aggregate reduces orders to one row per customer; the three
+    global ntiles run on that reduced (customer-cardinality) frame.
+    Global ntile serializes one sort per score at extreme scale — there
+    the same scores come from joining against percentile_approx split
+    points instead; ntile here keeps the oracle exact. Ties broken by
+    o_custkey on both engines.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    return per_cust.select(
+        "o_custkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy("monetary", "o_custkey")).alias("m_score"),
+    )
+
+
+@register(
+    "stats_pareto_abc",
+    tags=("stats", "window"),
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l_discount AS DECIMAL(18,2))) AS rev_dec
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT l_partkey, rev_dec,
+         sum(rev_dec) OVER (ORDER BY rev_dec DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS cum_dec,
+         sum(rev_dec) OVER () AS total_dec
+  FROM rev
+)
+SELECT l_partkey,
+       rev_dec AS revenue,
+       round(CAST(cum_dec AS DOUBLE) / CAST(total_dec AS DOUBLE), 6) AS cum_share,
+       CASE WHEN CAST(cum_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) <= 0.8 THEN 'A'
+            WHEN CAST(cum_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+""",
+)
+def stats_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC classification: parts ranked by revenue, labeled A
+    (top 80% of cumulative revenue), B (next 15%), C (tail) — the 80/20
+    inventory cut.
+
+    The part-keyed aggregate shrinks the fact table first; the running
+    total then sorts the part-cardinality frame once. All revenue
+    arithmetic runs in exact DECIMAL (the synthetic cents land sums
+    exactly on .xx5 rounding boundaries, where double sum-order drift
+    flips the last digit — observed live at sf0.01); doubles appear only
+    after the exact sums, where division and rounding are deterministic.
+    Ties broken by l_partkey.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_dec = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    )
+    rev = li.groupBy("l_partkey").agg(rev_dec.alias("rev_dec"))
+    w_run = Window.orderBy(F.col("rev_dec").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "l_partkey",
+        "rev_dec",
+        F.sum("rev_dec").over(w_run).alias("cum_dec"),
+        F.sum("rev_dec").over(w_all).alias("total_dec"),
+    )
+    share = F.col("cum_dec").cast("double") / F.col("total_dec").cast("double")
+    return ranked.select(
+        "l_partkey",
+        F.col("rev_dec").alias("revenue"),
+        F.round(share, 6).alias("cum_share"),
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias("abc_class"),
+    )
+
+
+@register(
+    "stats_event_transitions",
+    tags=("stats", "window", "events"),
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+  FROM events
+), pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6) AS p_transition
+FROM pairs
+""",
+)
+def stats_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) — the behavioral-sequence
+    summary that feeds session simulators and anomaly scores.
+
+    One user_id-keyed window pairs each event with its successor; pair
+    counts aggregate to a (types x types) frame whose row-normalization
+    is a tiny partitioned window. Ties at equal timestamps broken by
+    event_id on both engines.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_norm = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_norm), 6).alias("p_transition"),
+    )

@@ -39,13 +39,13 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - warmup best-effort
             print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
-    # Two full interleaved passes, min per query: the single-JVM local
+    # Three full interleaved passes, min per query: the single-JVM local
     # runtime occasionally stalls tasks for tens of seconds in a burst;
     # back-to-back repeats of one query can both land inside a burst,
     # while interleaved rounds bound the damage to one round per query.
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in sorted(bench):
             t0 = time.time()
             df = bench[name].fn(spark, sf_dir)

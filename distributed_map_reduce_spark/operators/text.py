@@ -231,9 +231,12 @@ SELECT doc_id, w AS term, tfidf FROM (
 )
 def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document — the classic MapReduce-era
-    workload as three aggregates and a broadcast join (document
-    frequencies are vocabulary-sized, so they broadcast; the corpus
-    never shuffles full text)."""
+    workload as three aggregates and a join on the term key. The
+    document-frequency side is vocabulary-sized and grows with the
+    corpus (Heaps' law ⇒ GBs at 100 TB), so no hardcoded broadcast
+    hint — AQE broadcasts at small SF and shuffles once the vocabulary
+    outgrows the threshold. Full text never shuffles; only (key, count)
+    pairs move."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
@@ -242,7 +245,7 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.count()  # scalar; the only driver-side value
-    scored = tf.join(F.broadcast(df), "w").select(
+    scored = tf.join(df, "w").select(
         "doc_id",
         "w",
         F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),

@@ -36,8 +36,11 @@ LIMIT 10
 """,
 )
 def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3-style: unshipped-revenue top-10. Customer filter broadcast,
-    lineitem⋈orders on the shuffled key, top-k never globally sorts."""
+    """TPC-H Q3-style: unshipped-revenue top-10. lineitem⋈orders on the
+    shuffled key, top-k never globally sorts. The customer side scales with
+    SF, so no hardcoded broadcast hint — AQE picks broadcast at small SF
+    and a shuffled join once the filtered segment outgrows the threshold
+    (same rule as q10/q18)."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
@@ -47,7 +50,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(

@@ -307,6 +307,140 @@ def pipeline_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LINE_W = 10  # words per pseudo-line (the corpus has no newlines; fixed-width
+# word chunks stand in for the C4-style "line" unit)
+
+
+@register(
+    "pipeline_line_dedup",
+    tags=("pipeline", "dedup", "text"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, list_filter(string_split(lower(text), ' '), w -> w <> '') AS t
+  FROM documents
+), exploded AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(0, CAST(floor(len(t)/{LINE_W}) AS BIGINT)),
+                i -> {{'line_no': CAST(i AS INT),
+                      'lh': md5(array_to_string(
+                          t[(CAST(i AS INT)*{LINE_W}+1):(CAST(i AS INT)*{LINE_W}+{LINE_W})], ' '))}})) AS u
+  FROM toks WHERE len(t) >= {LINE_W}
+), lines AS (
+  SELECT doc_id, lang, u.line_no AS line_no, u.lh AS lh FROM exploded
+), ranked AS (
+  SELECT lang, row_number() OVER (PARTITION BY lh ORDER BY doc_id, line_no) AS rn
+  FROM lines
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(avg(CASE WHEN rn = 1 THEN 1.0 ELSE 0.0 END), 6) AS kept_frac
+FROM ranked GROUP BY lang
+""",
+)
+def pipeline_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level exact dedup: chunk every document into
+    fixed-width pseudo-lines (10 words), keep only the globally-first
+    occurrence of each line (ordered by doc_id, line_no), report the
+    per-language survival rate. The 'remove repeated lines across the
+    whole crawl' pass.
+
+    Scale shape: lines are reduced to md5 hashes before the shuffle, so
+    the one exchange (window keyed by line hash) moves 16-byte keys +
+    two ids per line — never the text. At 100 TB the same plan holds;
+    the window could be replaced by a groupBy(lh).agg(min_by) + semi
+    join if per-key skew (a viral boilerplate line) ever dominated a
+    partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    base = docs.select("doc_id", "lang", t.alias("t")).filter(F.size("t") >= LINE_W)
+    idx = F.sequence(F.lit(0), F.floor(F.size("t") / LINE_W).cast("int") - 1)
+    chunks = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.cast("int").alias("line_no"),
+            F.md5(F.concat_ws(" ", F.slice("t", i * LINE_W + 1, LINE_W))).alias("lh"),
+        ),
+    )
+    lines = base.select("doc_id", "lang", F.explode(chunks).alias("u")).select(
+        "doc_id", "lang", F.col("u.line_no").alias("line_no"), F.col("u.lh").alias("lh")
+    )
+    w = Window.partitionBy("lh").orderBy("doc_id", "line_no")
+    ranked = lines.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.round(F.avg(F.when(F.col("rn") == 1, 1.0).otherwise(0.0)), 6).alias("kept_frac"),
+    )
+
+
+@register(
+    "pipeline_incremental_dedup",
+    tags=("pipeline", "dedup"),
+    oracle="""
+WITH tagged AS (
+  SELECT doc_id, lang,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' AS is_existing
+  FROM documents
+), existing AS (
+  SELECT DISTINCT fp FROM tagged WHERE is_existing
+), ranked AS (
+  SELECT doc_id, lang, fp, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM tagged WHERE NOT is_existing
+), flagged AS (
+  SELECT r.lang, r.rn, CASE WHEN e.fp IS NOT NULL THEN 1 ELSE 0 END AS is_old
+  FROM ranked r LEFT JOIN existing e ON r.fp = e.fp
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_incoming,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_within,
+       CAST(sum(CASE WHEN rn = 1 AND is_old = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_vs_corpus,
+       CAST(sum(CASE WHEN rn = 1 AND is_old = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new_unique
+FROM flagged GROUP BY lang
+""",
+)
+def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl ingest: dedup an incoming batch against an
+    already-curated corpus AND within itself, classifying every incoming
+    doc as within-batch duplicate, known-to-corpus duplicate, or new.
+    The split is deterministic (md5(doc_id) first hex digit — 75%
+    'existing', 25% 'incoming') so both engines replay it exactly.
+
+    Scale shape: the existing corpus contributes only its DISTINCT
+    fingerprint column (16-byte keys) to the join — at 100 TB that is
+    the classic fingerprint-index anti-join, optionally fronted by a
+    bloom filter; text never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    tagged = docs.select(
+        "doc_id",
+        "lang",
+        fp.alias("fp"),
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "c").alias("is_existing"),
+    )
+    existing = tagged.filter("is_existing").select("fp").distinct().withColumn(
+        "is_old", F.lit(1)
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    ranked = (
+        tagged.filter(~F.col("is_existing"))
+        .withColumn("rn", F.row_number().over(w))
+        .join(existing, "fp", "left")
+        .withColumn("is_old", F.coalesce("is_old", F.lit(0)))
+    )
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_incoming"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dup_within"),
+        F.sum(F.when((F.col("rn") == 1) & (F.col("is_old") == 1), 1).otherwise(0)).alias(
+            "n_dup_vs_corpus"
+        ),
+        F.sum(F.when((F.col("rn") == 1) & (F.col("is_old") == 0), 1).otherwise(0)).alias(
+            "n_new_unique"
+        ),
+    )
+
+
 @register(
     "pipeline_quality_decile_gate",
     tags=("pipeline", "window", "text"),

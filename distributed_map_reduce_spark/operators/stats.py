@@ -384,3 +384,103 @@ def stats_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(w_norm), 6).alias("p_transition"),
     )
+
+
+@register(
+    "stats_chi_square",
+    tags=("stats",),
+    oracle="""
+WITH obs AS (
+  SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
+  FROM documents GROUP BY lang, source
+), rt AS (SELECT lang, sum(o) AS r FROM obs GROUP BY lang),
+ct AS (SELECT source, sum(o) AS c FROM obs GROUP BY source),
+tot AS (SELECT sum(o) AS n FROM obs),
+grid AS (
+  SELECT coalesce(obs.o, 0.0) AS o,
+         rt.r * ct.c / (SELECT n FROM tot) AS e
+  FROM rt CROSS JOIN ct
+  LEFT JOIN obs ON obs.lang = rt.lang AND obs.source = ct.source
+), dims AS (
+  SELECT (SELECT count(*) FROM rt) AS nl, (SELECT count(*) FROM ct) AS ns
+)
+SELECT round(sum(pow(o - e, 2) / e), 6) AS chi2,
+       CAST((SELECT (nl - 1) * (ns - 1) FROM dims) AS BIGINT) AS dof,
+       round(sqrt(sum(pow(o - e, 2) / e)
+                  / ((SELECT n FROM tot)
+                     * (SELECT least(nl - 1, ns - 1) FROM dims))), 6) AS cramers_v
+FROM grid
+""",
+)
+def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared test of independence (lang x source contingency) with
+    Cramer's V effect size — the 'is my metadata correlated' screen a
+    curation run applies before stratified decisions. Zero cells get
+    their expected-count contribution via the row x column cross join.
+
+    Scale shape: one groupBy reduces 100 TB to a cells-cardinality
+    table; margins, the cross-join grid, and the statistic are
+    arithmetic on that tiny frame (all broadcast)."""
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).cast("double").alias("o"))
+    rt = obs.groupBy("lang").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("source").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    grid = (
+        rt.crossJoin(ct)
+        .join(obs, ["lang", "source"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.coalesce("o", F.lit(0.0)).alias("o"),
+            (F.col("r") * F.col("c") / F.col("n")).alias("e"),
+            "n",
+        )
+    )
+    dims = rt.agg(F.count(F.lit(1)).alias("nl")).crossJoin(
+        ct.agg(F.count(F.lit(1)).alias("ns"))
+    )
+    stat = grid.agg(
+        F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e")).alias("chi2_raw"),
+        F.first("n").alias("n"),
+    )
+    return stat.crossJoin(F.broadcast(dims)).select(
+        F.round("chi2_raw", 6).alias("chi2"),
+        ((F.col("nl") - 1) * (F.col("ns") - 1)).cast("long").alias("dof"),
+        F.round(
+            F.sqrt(
+                F.col("chi2_raw")
+                / (F.col("n") * F.least(F.col("nl") - 1, F.col("ns") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "agg_bitwise_bool",
+    tags=("agg",),
+    oracle="""
+SELECT l_returnflag,
+       CAST(bit_and(l_linenumber) AS BIGINT) AS band,
+       CAST(bit_or(l_linenumber)  AS BIGINT) AS bor,
+       CAST(bit_xor(l_partkey)    AS BIGINT) AS bxor,
+       bool_and(l_quantity > 5)   AS all_qty_gt5,
+       bool_or(l_discount > 0.05) AS any_disc_gt5pct,
+       CAST(count(*) AS BIGINT)   AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_bitwise_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise (bit_and/bit_or/bit_xor) and boolean (bool_and/bool_or)
+    aggregates — the flag-mask / every-any SQL surface. All are
+    commutative-associative, so Spark computes them with full map-side
+    partial aggregation; one narrow exchange on the group key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_linenumber").cast("long").alias("band"),
+        F.bit_or("l_linenumber").cast("long").alias("bor"),
+        F.bit_xor("l_partkey").cast("long").alias("bxor"),
+        F.bool_and(F.col("l_quantity") > 5).alias("all_qty_gt5"),
+        F.bool_or(F.col("l_discount") > 0.05).alias("any_disc_gt5pct"),
+        F.count(F.lit(1)).alias("n"),
+    )

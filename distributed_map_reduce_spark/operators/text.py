@@ -10,7 +10,7 @@ scan→project pipelines with at most one exchange for the final group-by.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -558,4 +558,126 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.avg(-F.log(F.col("c") / F.col("t"))), 4).alias("mean_surprisal"),
+    )
+
+
+@register(
+    "text_inverted_index",
+    tags=("text", "search"),
+    oracle="""
+WITH per_doc AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS term
+        FROM documents)
+  GROUP BY term, doc_id
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS tf_total,
+       to_json((list(doc_id ORDER BY doc_id))[1:5]) AS postings_head
+FROM per_doc GROUP BY term HAVING count(*) >= 5
+""",
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — the search-engine primitive: term →
+    (document frequency, total term frequency, head of the sorted
+    posting list). Posting heads are emitted as JSON strings so the
+    result stays scalar-typed for the driver compare.
+
+    Scale shape: two-level aggregation — (term, doc_id) partial counts
+    combine map-side before the term-keyed exchange, so the shuffle
+    carries one row per distinct (term, doc) pair, not one per token.
+    At 100 TB the posting lists themselves would go to a bucketed sink
+    keyed by term (write-side sort gives contiguous postings); the
+    sorted-head here proves the ordering contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    toks = docs.select("doc_id", F.explode(t).alias("term"))
+    per_doc = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        per_doc.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("tf_total"),
+            F.to_json(F.slice(F.sort_array(F.collect_list("doc_id")), 1, 5)).alias(
+                "postings_head"
+            ),
+        )
+        .filter(F.col("df") >= 5)
+    )
+
+
+TRIGRAM_TOP_N = 50
+
+
+@register(
+    "text_trigram_lm",
+    tags=("text", "lm"),
+    oracle=f"""
+WITH toks AS (
+  SELECT list_filter(string_split(lower(text), ' '), w -> w <> '') AS t
+  FROM documents
+), tri AS (
+  SELECT unnest(list_transform(range(1, len(t) - 1),
+                i -> {{'w1': t[CAST(i AS INT)],
+                      'w2': t[CAST(i AS INT) + 1],
+                      'w3': t[CAST(i AS INT) + 2]}})) AS u
+  FROM toks WHERE len(t) >= 3
+), c3 AS (
+  SELECT u.w1 AS w1, u.w2 AS w2, u.w3 AS w3, CAST(count(*) AS BIGINT) AS c3
+  FROM tri GROUP BY 1, 2, 3
+), v AS (
+  SELECT count(DISTINCT w) AS v
+  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS w
+        FROM documents)
+)
+SELECT w1, w2, w3, c3,
+       round((c3 + 1.0) / (sum(c3) OVER (PARTITION BY w1, w2) + (SELECT v FROM v)), 6)
+           AS p_smoothed
+FROM c3
+ORDER BY c3 DESC, w1, w2, w3 LIMIT {TRIGRAM_TOP_N}
+""",
+)
+def text_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus trigram language model: count every trigram, estimate the
+    add-1-smoothed conditional probability P(w3 | w1 w2) =
+    (c(w1w2w3)+1)/(c(w1w2·)+V), return the top-50 trigrams. The
+    n-gram-LM statistics step of a perplexity-based quality filter,
+    computed on the corpus itself.
+
+    Scale shape: trigram explode combines map-side into (w1,w2,w3)
+    counts before the one keyed exchange; the context total c(w1w2·) is
+    a window over the same partitioning (no second shuffle of raw
+    trigrams); V is a scalar broadcast. Total order (count desc, then
+    lexicographic) makes the top-N deterministic on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    base = docs.select(t.alias("t")).filter(F.size("t") >= 3)
+    idx = F.sequence(F.lit(1), F.size("t") - 2)
+    tri = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at("t", i).alias("w1"),
+            F.element_at("t", i + 1).alias("w2"),
+            F.element_at("t", i + 2).alias("w3"),
+        ),
+    )
+    tris = base.select(F.explode(tri).alias("u")).select("u.w1", "u.w2", "u.w3")
+    c3 = tris.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    vocab = docs.select(F.explode(t).alias("w")).agg(F.count_distinct("w").alias("v"))
+    wctx = Window.partitionBy("w1", "w2")
+    return (
+        c3.crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            "c3",
+            F.round(
+                (F.col("c3") + 1.0) / (F.sum("c3").over(wctx) + F.col("v")), 6
+            ).alias("p_smoothed"),
+        )
+        .orderBy(F.desc("c3"), "w1", "w2", "w3")
+        .limit(TRIGRAM_TOP_N)
     )

@@ -301,3 +301,89 @@ def graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = both_nodes.filter(F.col("n") % 10 == 0)
     out = bfs_depths(pairs, seeds, max_depth=5, src="doc_a", dst="doc_b")
     return out.select(F.col("node").alias("doc_id"), F.col("depth").cast("long").alias("depth"))
+
+
+TRI_QTY_MIN = 45  # co-occurrence sparsifier: only near-full-quantity items
+
+
+@register(
+    "graph_triangle_count",
+    tags=("graph",),
+    oracle=f"""
+WITH hi AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= {TRI_QTY_MIN}
+), edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM hi a JOIN hi b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges) GROUP BY node
+), tri AS (
+  SELECT count(*) AS t
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST((SELECT sum((d * (d - 1)) // 2) FROM deg) AS BIGINT) AS n_wedges,
+       CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
+       round(3.0 * (SELECT t FROM tri) / (SELECT sum((d * (d - 1)) // 2) FROM deg), 6)
+           AS global_clustering
+""",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + global clustering coefficient over the
+    co-purchase graph (parts co-occurring in an order at near-full
+    quantity). Triangles via the canonical oriented enumeration — every
+    edge stored once as u < v, so each triangle (a<b<c) is produced
+    exactly once by e(a,b) ⋈ e(b,c) ⋈ e(a,c).
+
+    Scale shape: the two joins shuffle the (deduped, oriented) edge
+    list on its endpoints — never the fact table. The u<v orientation
+    already bounds the enumeration; at 100 TB the standard refinement
+    is degree-ordering (orient each edge low-degree → high-degree) so
+    the join fan-out per vertex is O(sqrt(m)) — same plan, different
+    orientation key. Wedge counts come from one degree aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hi = (
+        li.filter(F.col("l_quantity") >= TRI_QTY_MIN)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = hi.alias("a")
+    b = hi.alias("b")
+    edges = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    wedges = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        wedges.crossJoin(n_edges)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            F.col("t").alias("n_triangles"),
+            F.round(3.0 * F.col("t") / F.col("n_wedges"), 6).alias("global_clustering"),
+        )
+    )

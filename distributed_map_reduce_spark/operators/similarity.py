@@ -321,3 +321,65 @@ def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("vec_a", "vec_b", "cos_sim", "rnk")
     )
+
+
+@register(
+    "similarity_recall_eval",
+    tags=("similarity", "eval"),
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+     bf AS (
+       SELECT query_id, neighbor_id FROM (
+         SELECT query_id, e.vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY query_id
+                    ORDER BY round(list_cosine_similarity(qv, v), 6) DESC, e.vec_id) AS rn
+         FROM q CROSS JOIN e WHERE query_id <> e.vec_id
+       ) WHERE rn <= 5
+     ),
+     b AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM e),
+     qb AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 8),
+     probe AS (
+       SELECT query_id, neighbor_id FROM (
+         SELECT query_id, b.vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY query_id
+                    ORDER BY round(list_cosine_similarity(qv, b.v), 6) DESC, b.vec_id) AS rn
+         FROM qb JOIN b USING (bucket) WHERE query_id <> b.vec_id
+       ) WHERE rn <= 5
+     )
+SELECT bf.query_id,
+       CAST(count(*) AS BIGINT) AS n_truth,
+       CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       round(avg(CASE WHEN p.neighbor_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS recall_at_5
+FROM bf LEFT JOIN probe p
+  ON p.query_id = bf.query_id AND p.neighbor_id = bf.neighbor_id
+GROUP BY bf.query_id
+""",
+)
+def similarity_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation: recall@5 of the LSH-bucket probe
+    against the exact brute-force top-5 — the measurement loop every
+    production ANN deployment runs before trading exactness for speed.
+    Composes the two registered operators (ground truth ⋈ probe) into
+    one plan; per-query recall is a left join on (query, neighbor).
+
+    Scale shape: both sides reduce to (query_id, neighbor_id) id pairs
+    before the join — k·|Q| rows each, broadcast-sized regardless of
+    corpus scale."""
+    truth = ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    probe = (
+        ann_lsh_probe(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        truth.join(probe, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"),
+            F.round(
+                F.avg(F.when(F.col("hit").isNotNull(), 1.0).otherwise(0.0)), 6
+            ).alias("recall_at_5"),
+        )
+    )

@@ -484,3 +484,83 @@ def agg_bitwise_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("l_discount") > 0.05).alias("any_disc_gt5pct"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "stats_winsorize",
+    tags=("stats",),
+    oracle="""
+WITH q AS (
+  SELECT source, quantile_cont(n_chars, 0.05) AS p05, quantile_cont(n_chars, 0.95) AS p95
+  FROM documents GROUP BY source
+)
+SELECT d.source, round(q.p05, 4) AS p05, round(q.p95, 4) AS p95,
+       round(avg(d.n_chars), 4) AS mean_raw,
+       round(avg(least(greatest(d.n_chars, q.p05), q.p95)), 4) AS mean_winsor
+FROM documents d JOIN q ON d.source = q.source
+GROUP BY d.source, q.p05, q.p95
+""",
+)
+def stats_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per group: clamp each document's length to its
+    source's [p05, p95] band and compare the robust mean against the
+    raw mean — the outlier-tolerant summary statistic used when a few
+    giant documents would otherwise dominate a per-source size budget.
+
+    Scale shape: exact quantiles reduce to one small per-source frame
+    (groups-cardinality), broadcast back over the fact scan; clamping
+    is a scan-side expression, so the whole thing is two exchanges on
+    the same key (quantile agg, final agg) — AQE broadcasts the
+    quantile side automatically."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.groupBy(F.col("source").alias("q_source")).agg(
+        F.percentile("n_chars", 0.05).alias("p05"),
+        F.percentile("n_chars", 0.95).alias("p95"),
+    )
+    joined = docs.join(q, F.col("source") == F.col("q_source"))
+    clamped = F.least(F.greatest(F.col("n_chars"), F.col("p05")), F.col("p95"))
+    return (
+        joined.groupBy("source", "p05", "p95")
+        .agg(
+            F.round(F.avg("n_chars"), 4).alias("mean_raw"),
+            F.round(F.avg(clamped), 4).alias("mean_winsor"),
+        )
+        .select(
+            "source",
+            F.round("p05", 4).alias("p05"),
+            F.round("p95", 4).alias("p95"),
+            "mean_raw",
+            "mean_winsor",
+        )
+    )
+
+
+@register(
+    "agg_argminmax",
+    tags=("agg",),
+    oracle="""
+SELECT c_nationkey,
+       arg_max(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey)
+           AS richest_name,
+       arg_min(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey)
+           AS poorest_name,
+       CAST(count_if(c_acctbal < 0) AS BIGINT) AS n_negative,
+       round(max(c_acctbal), 2) AS max_bal,
+       round(min(c_acctbal), 2) AS min_bal
+FROM customer GROUP BY c_nationkey
+""",
+)
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (arg-max/arg-min) and count_if aggregates. The
+    ordering key is integer cents composed with the unique customer key
+    so ties are impossible — max_by on a tied key is engine-defined,
+    which a cross-engine contract must never rely on."""
+    c = load_table(spark, sf_dir, "customer")
+    key = F.round(F.col("c_acctbal") * 100).cast("long") * 10000000 + F.col("c_custkey")
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_name", key).alias("richest_name"),
+        F.min_by("c_name", key).alias("poorest_name"),
+        F.count_if(F.col("c_acctbal") < 0).alias("n_negative"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+    )

@@ -475,3 +475,127 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_active_users")
     )
+
+
+@register(
+    "temporal_linear_interp",
+    tags=("temporal", "window"),
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         round(avg(value), 4) AS v
+  FROM events WHERE user_id < 20 GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, min(day) AS mn, max(day) AS mx FROM daily GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day FROM bounds
+), g AS (
+  SELECT CAST(grid.user_id AS BIGINT) AS user_id, CAST(grid.day AS DATE) AS day, d.v,
+         last_value(d.v IGNORE NULLS) OVER (PARTITION BY grid.user_id ORDER BY grid.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+         last_value(CASE WHEN d.v IS NOT NULL THEN grid.day END IGNORE NULLS)
+             OVER (PARTITION BY grid.user_id ORDER BY grid.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pd,
+         first_value(d.v IGNORE NULLS) OVER (PARTITION BY grid.user_id ORDER BY grid.day
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN d.v IS NOT NULL THEN grid.day END IGNORE NULLS)
+             OVER (PARTITION BY grid.user_id ORDER BY grid.day
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nd
+  FROM grid LEFT JOIN daily d ON d.user_id = grid.user_id AND d.day = grid.day
+), scaled AS (
+  -- interpolate in exact integer space (values are 4-dp): num = interp*1e4*n.
+  -- A float round here would tie on .5 at every midpoint; integer half-up
+  -- (floor((2*num+n)/(2*n))) is engine-exact.
+  SELECT user_id, day, v,
+         CAST(round(pv * 10000) AS BIGINT) AS pv_i,
+         CAST(round(nv * 10000) AS BIGINT) AS nv_i,
+         date_diff('day', pd, day) AS k,
+         date_diff('day', pd, nd) AS n
+  FROM g
+)
+SELECT user_id, day,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN pv_i IS NOT NULL AND nv_i IS NOT NULL THEN
+                 CAST(floor((2 * (pv_i * n + (nv_i - pv_i) * k) + n) / (2.0 * n))
+                      AS BIGINT) / 10000.0
+       END AS value_filled,
+       CAST(CASE WHEN v IS NULL AND pv_i IS NOT NULL AND nv_i IS NOT NULL
+                 THEN 1 ELSE 0 END AS INT) AS is_interp
+FROM scaled
+""",
+)
+def temporal_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample + LINEAR interpolation (the ffill twin of
+    temporal_gap_fill): densify each user's daily mean-value series over
+    its own [min, max] span, then fill interior gaps by interpolating
+    between the nearest observed neighbors — value = prev + (next-prev)
+    * elapsed/gap. Leading/trailing gaps (no neighbor on one side) stay
+    null, flagged by is_interp=0.
+
+    Scale shape: one agg exchange keyed by user, grid built
+    distributively via sequence+explode, and all four neighbor lookups
+    (prev/next value and day) are ignore-nulls window functions over the
+    SAME user partitioning — no extra shuffle, no self-join per gap."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("user_id") < 20)
+        .groupBy(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.round(F.avg("value"), 4).alias("v"))
+    )
+    bounds = daily.groupBy(F.col("user_id").alias("g_uid")).agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    grid = bounds.select(
+        "g_uid", F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))).alias("g_day")
+    )
+    joined = grid.join(
+        daily,
+        (F.col("user_id") == F.col("g_uid")) & (F.col("day") == F.col("g_day")),
+        "left",
+    )
+    wp = (
+        Window.partitionBy("g_uid").orderBy("g_day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy("g_uid").orderBy("g_day")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    known_day = F.when(F.col("v").isNotNull(), F.col("g_day"))
+    g = joined.select(
+        F.col("g_uid").cast("bigint").alias("user_id"),
+        F.col("g_day").alias("day"),
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(known_day, ignorenulls=True).over(wp).alias("pd"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(known_day, ignorenulls=True).over(wn).alias("nd"),
+    )
+    # Interpolate in exact integer space (values are 4-dp): a float round
+    # would tie on .5 at every midpoint; integer half-up is engine-exact.
+    scaled = g.select(
+        "user_id",
+        "day",
+        "v",
+        F.round(F.col("pv") * 10000).cast("long").alias("pv_i"),
+        F.round(F.col("nv") * 10000).cast("long").alias("nv_i"),
+        F.datediff("day", "pd").cast("long").alias("k"),
+        F.datediff("nd", "pd").cast("long").alias("n"),
+    )
+    num = F.col("pv_i") * F.col("n") + (F.col("nv_i") - F.col("pv_i")) * F.col("k")
+    filled = F.floor((2 * num + F.col("n")) / (2.0 * F.col("n"))).cast("bigint") / 10000.0
+    return scaled.select(
+        "user_id",
+        "day",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv_i").isNotNull() & F.col("nv_i").isNotNull(), filled)
+        .alias("value_filled"),
+        F.when(
+            F.col("v").isNull() & F.col("pv_i").isNotNull() & F.col("nv_i").isNotNull(), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("is_interp"),
+    )

@@ -230,3 +230,44 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+
+
+@register(
+    "source_text_roundtrip",
+    tags=("sink", "source"),
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(text)) AS BIGINT) AS total_chars,
+       CAST(sum(CAST('0x' || substr(md5(text), 1, 6) AS BIGINT)) AS BIGINT)
+           AS content_checksum
+""" + "FROM documents",
+)
+def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text sink/source: write every document as one
+    `doc_id\\ttext` line via the text writer, read it back with the text
+    source, re-parse, and prove content fidelity with an md5-prefix
+    checksum — the plain-text corpus interchange format (one doc per
+    line) that tokenizer and dataloader tooling consumes.
+
+    Scale shape: text write/read is splittable and partition-parallel
+    like any columnar source; the checksum aggregate reduces everything
+    to one row, so the round-trip proof itself moves no data."""
+    docs = load_table(spark, sf_dir, "documents")
+    lines = docs.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text")).alias("value")
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="dmrs_text_"), "docs_text")
+    try:
+        lines.write.mode("overwrite").text(out)
+        back = spark.read.text(out)
+        parts = F.split("value", "\t", 2)
+        parsed = back.select(parts.getItem(1).alias("text"))
+        return parsed.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.sum(
+                F.conv(F.substring(F.md5("text"), 1, 6), 16, 10).cast("bigint")
+            ).alias("content_checksum"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)

@@ -564,3 +564,29 @@ def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("c_acctbal"), 2).alias("max_bal"),
         F.round(F.min("c_acctbal"), 2).alias("min_bal"),
     )
+
+
+@register(
+    "agg_hll_rollup",
+    tags=("agg", "sketch"),
+    oracle=None,  # HLL sketch estimates are engine-specific by construction;
+    # accuracy vs exact distinct is pinned in tests/test_new_ops.py instead.
+)
+def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — the 100 TB cardinality pattern: build
+    one HLL sketch per group (map-side mergeable, fixed size), then
+    union the *sketches* to get the global distinct count without ever
+    re-scanning raw data. This is how a hypertable keeps per-hour
+    distinct-user sketches and answers per-day/per-month rollups by
+    sketch union alone."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg(F.col("user_id").cast("long")).alias("sk")
+    )
+    est = per_type.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    total = per_type.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("ALL").alias("event_type"), F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    return est.unionAll(total)

@@ -681,3 +681,54 @@ def text_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c3"), "w1", "w2", "w3")
         .limit(TRIGRAM_TOP_N)
     )
+
+
+BPE_TOP_PAIRS = 30
+
+
+@register(
+    "text_bpe_pair_stats",
+    tags=("text", "tokenizer"),
+    oracle=f"""
+WITH wc AS (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY w
+), pairs AS (
+  SELECT unnest(list_transform(range(1, len(word)),
+                i -> substr(word, CAST(i AS INT), 2))) AS pair, c
+  FROM wc WHERE len(word) >= 2
+)
+SELECT pair, CAST(sum(c) AS BIGINT) AS pair_count
+FROM pairs GROUP BY pair ORDER BY pair_count DESC, pair LIMIT {BPE_TOP_PAIRS}
+""",
+)
+def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, step one: corpus-weighted adjacent
+    symbol-pair counts — the statistic whose argmax becomes the first
+    merge rule. Computed the way real BPE trainers do: reduce the corpus
+    to a word-frequency vocabulary FIRST, then enumerate pairs over the
+    (tiny) vocab weighted by frequency, so the pair scan touches
+    |vocab| rows instead of 100 TB of text. Subsequent merge iterations
+    re-run this on a re-segmented vocab (driver holds only the winning
+    pair per round, kmeans-style)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    wc = (
+        docs.select(F.explode(t).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.length("word") >= 2)
+    )
+    idx = F.sequence(F.lit(1), F.length("word") - 1)
+    pairs = wc.select(
+        F.explode(F.transform(idx, lambda i: F.substring("word", i, 2))).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )

@@ -39,15 +39,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS): read as epoch-nanos long
-        # (spark.sql.legacy.parquet.nanosAsLong) and normalize to a µs
-        # timestamp — the same truncation DuckDB's NS→TIMESTAMP cast does.
+        # Normalize events.ts to a session-TZ (UTC) µs timestamp whatever
+        # the parquet writer produced: TIMESTAMP(NANOS) arrives as an
+        # epoch-nanos long (spark.sql.legacy.parquet.nanosAsLong),
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) as timestamp_ntz.
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        # integer `div` (not `/`): float division of epoch-nanos loses µs
-        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # integer `div` (not `/`): float division of epoch-nanos loses µs
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif not isinstance(ts_type, T.TimestampType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -192,3 +192,54 @@ def privacy_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("contamination_ratio").desc(), "doc_id")
         .limit(100)
     )
+
+
+@register(
+    "privacy_dp_noisy_counts",
+    tags=("privacy", "agg"),
+    oracle="""
+WITH g AS (
+  SELECT event_type, count(*) AS n_exact FROM events GROUP BY 1
+), u AS (
+  SELECT event_type, n_exact,
+         CAST('0x' || substr(md5('dp-seed-' || event_type), 1, 8) AS BIGINT)
+           / 4294967296.0 - 0.5 AS x
+  FROM g
+)
+SELECT event_type, n_exact,
+       round(-2.0 * sign(x) * ln(1.0 - 2.0 * abs(x)), 4) AS laplace_noise,
+       round(n_exact - 2.0 * sign(x) * ln(1.0 - 2.0 * abs(x)), 4) AS n_noisy
+FROM u
+""",
+)
+def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism noisy counts (sensitivity 1, epsilon 0.5 ->
+    scale b=2) over per-type event counts — the differential-privacy
+    release shape for aggregate dashboards. The uniform draw is
+    DERIVED from md5(seed||key) via inverse-CDF so both engines (and
+    reruns) produce the same noise: that makes this a reproducible
+    *mechanism test harness*, not a private release — production swaps
+    the hash-uniform for a real CSPRNG draw per release, keeping the
+    identical inverse-CDF arithmetic audited here.
+
+    Scale: one partial+final count agg; noise is per-GROUP scalar math,
+    so cost is independent of fact-table size."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dp-seed-"), F.col("event_type"))), 1, 8), 16, 10)
+        .cast("bigint")
+        / F.lit(4294967296.0)
+        - 0.5
+    )
+    x = F.col("x")
+    noise = -2.0 * F.signum(x) * F.log(1.0 - 2.0 * F.abs(x))
+    return (
+        g.withColumn("x", u)
+        .select(
+            "event_type",
+            "n_exact",
+            F.round(noise, 4).alias("laplace_noise"),
+            F.round(F.col("n_exact") + noise, 4).alias("n_noisy"),
+        )
+    )

@@ -66,3 +66,47 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.sampleBy(
         "o_orderstatus", fractions={"O": 0.05, "F": 0.5, "P": 1.0}, seed=42
     ).select("o_orderkey", "o_orderstatus")
+
+
+@register(
+    "sample_reservoir_per_group",
+    tags=("sampling", "window"),
+    oracle="""
+SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS total
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+         ) AS rn
+  FROM orders
+)
+WHERE rn <= 5
+""",
+)
+def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sample (k=5): rank rows inside each
+    group by md5(key) — a uniform-but-reproducible permutation — and
+    keep the first k. The distributed stand-in for per-group reservoir
+    sampling: same sample on every engine, rerun, and cluster size,
+    which seeded RNG reservoirs cannot promise once partitioning
+    changes. Catalyst turns the rank+filter into WindowGroupLimit, so
+    each task keeps a k-row heap per group — no full sort, no
+    group-sized state, safe under 100 TB skew."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("o_orderpriority").orderBy(
+            F.md5(F.col("o_orderkey").cast("string")), "o_orderkey"
+        )
+    )
+    return (
+        o.withColumn("rn", rn)
+        .filter(F.col("rn") <= 5)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+        )
+    )

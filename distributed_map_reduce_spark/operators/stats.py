@@ -590,3 +590,138 @@ def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ALL").alias("event_type"), F.hll_sketch_estimate("sk").alias("approx_users")
     )
     return est.unionAll(total)
+
+@register(
+    "agg_higher_moments",
+    tags=("agg", "stats"),
+    oracle="""
+WITH q AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem
+), s AS (
+  SELECT l_returnflag,
+         count(*)                          AS n,
+         CAST(sum(q)       AS BIGINT) AS s1,
+         CAST(sum(q*q)     AS BIGINT) AS s2,
+         CAST(sum(q*q*q)   AS BIGINT) AS s3,
+         CAST(sum(q*q*q*q) AS BIGINT) AS s4
+  FROM q GROUP BY 1
+)
+SELECT l_returnflag, n,
+       round(s1 * 1.0 / n, 6) AS mean_qty,
+       round(s2 * 1.0 / n - (s1 * 1.0 / n) ** 2, 6) AS var_pop,
+       round((s3 * 1.0 / n - 3.0 * (s1 * 1.0 / n) * (s2 * 1.0 / n)
+              + 2.0 * (s1 * 1.0 / n) ** 3)
+             / (s2 * 1.0 / n - (s1 * 1.0 / n) ** 2) ** 1.5, 6) AS skewness,
+       round((s4 * 1.0 / n - 4.0 * (s1 * 1.0 / n) * (s3 * 1.0 / n)
+              + 6.0 * (s1 * 1.0 / n) ** 2 * (s2 * 1.0 / n)
+              - 3.0 * (s1 * 1.0 / n) ** 4)
+             / (s2 * 1.0 / n - (s1 * 1.0 / n) ** 2) ** 2 - 3.0, 6) AS excess_kurtosis
+FROM s
+""",
+)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness / excess kurtosis per group from raw power sums — NOT the
+    built-in `skewness`/`kurtosis` (whose population-vs-sample definitions
+    differ between engines). Power sums s1..s4 are map-side combinable
+    BIGINTs (l_quantity is integral, so the sums are exact on both
+    engines); the moment arithmetic then runs in double with an identical
+    expression tree, so results are bit-reproducible across engines and
+    cluster sizes. This is the one-pass, mergeable path a 100 TB profiler
+    uses: partial power sums per partition, one final combine, no second
+    scan and no variance-of-variance numerical drift."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1") * 1.0 / n
+    m2r = F.col("s2") * 1.0 / n
+    m3r = F.col("s3") * 1.0 / n
+    m4r = F.col("s4") * 1.0 / n
+    var_pop = m2r - m1 ** F.lit(2)
+    skew = (m3r - 3.0 * m1 * m2r + 2.0 * m1 ** F.lit(3)) / var_pop ** F.lit(1.5)
+    kurt = (
+        m4r - 4.0 * m1 * m3r + 6.0 * m1 ** F.lit(2) * m2r - 3.0 * m1 ** F.lit(4)
+    ) / var_pop ** F.lit(2) - 3.0
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(m1, 6).alias("mean_qty"),
+        F.round(var_pop, 6).alias("var_pop"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+    )
+
+
+@register(
+    "stats_welch_ttest",
+    tags=("stats",),
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         count(*) AS n,
+         round(avg(value), 6) AS mean_v,
+         round(var_samp(value), 6) AS var_v
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1
+), a AS (SELECT * FROM g WHERE event_type = 'click'),
+   b AS (SELECT * FROM g WHERE event_type = 'purchase')
+SELECT a.n AS n_click, b.n AS n_purchase,
+       a.mean_v AS mean_click, b.mean_v AS mean_purchase,
+       round((a.mean_v - b.mean_v)
+             / sqrt(a.var_v / a.n + b.var_v / b.n), 4) AS t_stat,
+       round((a.var_v / a.n + b.var_v / b.n) ** 2
+             / ((a.var_v / a.n) ** 2 / (a.n - 1)
+                + (b.var_v / b.n) ** 2 / (b.n - 1)), 2) AS welch_df
+FROM a, b
+""",
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two event segments — the
+    experimentation-platform primitive. One hash-agg over the fact table
+    reduces each arm to (n, mean, var); the t statistic and
+    Welch-Satterthwaite df are then scalar arithmetic on a 2-row frame.
+    Arm summaries round at 6dp BEFORE the test arithmetic so both engines
+    feed identical doubles into the knife-edge division. At 100 TB the
+    only cost is the single partial+final aggregate; the test itself is
+    driver-free broadcast math."""
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("mean_v"),
+            F.round(F.var_samp("value"), 6).alias("var_v"),
+        )
+    )
+    a = g.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n_click"),
+        F.col("mean_v").alias("mean_click"),
+        F.col("var_v").alias("var_click"),
+    )
+    b = g.filter(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n_purchase"),
+        F.col("mean_v").alias("mean_purchase"),
+        F.col("var_v").alias("var_purchase"),
+    )
+    j = a.crossJoin(b)
+    sa = F.col("var_click") / F.col("n_click")
+    sb = F.col("var_purchase") / F.col("n_purchase")
+    t = (F.col("mean_click") - F.col("mean_purchase")) / F.sqrt(sa + sb)
+    df_w = (sa + sb) ** F.lit(2) / (
+        sa ** F.lit(2) / (F.col("n_click") - 1)
+        + sb ** F.lit(2) / (F.col("n_purchase") - 1)
+    )
+    return j.select(
+        "n_click",
+        "n_purchase",
+        "mean_click",
+        "mean_purchase",
+        F.round(t, 4).alias("t_stat"),
+        F.round(df_w, 2).alias("welch_df"),
+    )

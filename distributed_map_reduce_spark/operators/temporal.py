@@ -599,3 +599,82 @@ def temporal_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_interp"),
     )
+
+
+@register(
+    "temporal_ewma_decay",
+    tags=("temporal",),
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(round(avg(value) * 10000) AS BIGINT) AS v_scaled
+  FROM events GROUP BY 1, 2
+), contrib AS (
+  SELECT h.event_type,
+         h.bucket + to_hours(u.d) AS t_bucket,
+         h.v_scaled * (CAST(1 AS BIGINT) << CAST(6 - u.d AS INTEGER)) AS wv,
+         (CAST(1 AS BIGINT) << CAST(6 - u.d AS INTEGER)) AS w
+  FROM hourly h, (SELECT unnest(generate_series(0, 6)) AS d) u
+), acc AS (
+  SELECT event_type, t_bucket, CAST(sum(wv) AS BIGINT) AS num,
+         CAST(sum(w) AS BIGINT) AS den
+  FROM contrib GROUP BY 1, 2
+)
+SELECT a.event_type, a.t_bucket AS bucket,
+       round(h.v_scaled / 10000.0, 4) AS avg_value,
+       round(a.num * 1.0 / (a.den * 10000.0), 4) AS ewma_value
+FROM acc a JOIN hourly h
+  ON h.event_type = a.event_type AND h.bucket = a.t_bucket
+""",
+)
+def temporal_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay rolling feature: per event type, an exponentially
+    weighted (half-life 1 h, horizon 6 h) average of the hourly mean
+    value at every observed bucket — the feature-store 'decayed
+    engagement' verb.
+
+    Scale shape: each hourly row EXPLODES into exactly 7 future-bucket
+    contributions (weight 2^(6-Δh)) and re-aggregates by (type, bucket) —
+    bounded 7x fan-out, never the quadratic bucket×bucket band join the
+    naive windowed formulation costs. All weighting runs in exact BIGINT
+    (means fixed-pointed at 4dp, weights are powers of two), so partial
+    aggregation order can't perturb the result on any engine or cluster
+    size; the single final division is the only float op."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.round(F.avg("value") * 10000).cast("bigint").alias("v_scaled"))
+    # F.shiftleft takes only a Python-int bit count; the per-row 2^(6-d)
+    # weight needs the SQL form
+    w = F.expr("cast(shiftleft(1, cast(6 - d as int)) as bigint)")
+    contrib = hourly.select(
+        "event_type",
+        "bucket",
+        "v_scaled",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("d"),
+    ).select(
+        "event_type",
+        F.expr("timestampadd(HOUR, d, bucket)").alias("t_bucket"),
+        (F.col("v_scaled") * w).alias("wv"),
+        w.alias("w"),
+    )
+    acc = contrib.groupBy("event_type", "t_bucket").agg(
+        F.sum("wv").alias("num"), F.sum("w").alias("den")
+    )
+    # explicit aliases: acc derives from hourly, so unaliased column refs
+    # would resolve ambiguously in the self-join
+    h = hourly.select(
+        F.col("event_type").alias("h_type"),
+        F.col("bucket").alias("h_bucket"),
+        "v_scaled",
+    )
+    return acc.join(
+        h,
+        (F.col("h_type") == F.col("event_type"))
+        & (F.col("h_bucket") == F.col("t_bucket")),
+    ).select(
+        "event_type",
+        F.col("t_bucket").alias("bucket"),
+        F.round(F.col("v_scaled") / 10000.0, 4).alias("avg_value"),
+        F.round(F.col("num") * 1.0 / (F.col("den") * 10000.0), 4).alias("ewma_value"),
+    )

@@ -387,3 +387,58 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(3.0 * F.col("t") / F.col("n_wedges"), 6).alias("global_clustering"),
         )
     )
+
+
+@register(
+    "graph_reachability_recursive",
+    tags=("graph", "sql", "recursive"),
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), walk(node, depth) AS (
+  SELECT DISTINCT a, 0 FROM edges WHERE a % 20 = 0
+  UNION ALL
+  SELECT e.b, w.depth + 1
+  FROM walk w JOIN edges e ON e.a = w.node
+  WHERE w.depth < 3
+)
+SELECT node AS doc_id, CAST(min(depth) AS BIGINT) AS hops
+FROM walk GROUP BY node
+""",
+)
+def graph_reachability_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE-NATIVE recursive traversal: the same blast-radius walk as
+    `graph_bfs_depth`, but expressed as a Spark `WITH RECURSIVE` CTE
+    (Spark 4) instead of a Python-driven frontier loop — recursion
+    planned and executed entirely by Catalyst, exactly mirroring the
+    DuckDB oracle's recursive CTE.
+
+    Spark's recursive CTEs support UNION ALL only, so the walk is
+    depth-capped (3 hops) and min-depth is taken in the final aggregate;
+    path multiplicity inside small near-dup clusters is bounded by
+    cluster_size^3. For open-ended traversals at 100 TB, the frontier
+    loop in `bfs_depths` (per-hop dedup, frontier-sized state) remains
+    the scale path — this query is the declarative twin that keeps the
+    whole traversal inside one SQL plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    pairs.createOrReplaceTempView("_rec_pairs")
+    return spark.sql("""
+WITH RECURSIVE edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM _rec_pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM _rec_pairs
+), walk(node, depth) AS (
+  SELECT DISTINCT a, 0 FROM edges WHERE a % 20 = 0
+  UNION ALL
+  SELECT e.b, w.depth + 1
+  FROM walk w JOIN edges e ON e.a = w.node
+  WHERE w.depth < 3
+)
+SELECT node AS doc_id, CAST(min(depth) AS BIGINT) AS hops
+FROM walk GROUP BY node
+""")

@@ -298,3 +298,36 @@ def subquery_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     a null-aware anti join; the same SQL text runs on both engines."""
     register_views(spark, sf_dir)
     return spark.sql(_NOT_IN_SQL)
+
+
+@register(
+    "join_lateral_topk",
+    tags=("join", "sql", "lateral"),
+    oracle="""
+SELECT n.n_name, t.c_name, round(t.c_acctbal, 2) AS acctbal
+FROM nation n, LATERAL (
+  SELECT c_name, c_acctbal
+  FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name
+  LIMIT 2
+) t
+""",
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: for each nation, its top-2 customers
+    by balance — the per-row-subquery surface (Spark 4 LATERAL), planned
+    by Catalyst as a rank-limited join rather than 25 separate scans.
+    Same result as the window-rank formulation in `topk_per_group`; this
+    registers the SQL-shape users port from Postgres/DuckDB verbatim."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+SELECT n.n_name, t.c_name, round(t.c_acctbal, 2) AS acctbal
+FROM nation n, LATERAL (
+  SELECT c_name, c_acctbal
+  FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name
+  LIMIT 2
+) t
+""")

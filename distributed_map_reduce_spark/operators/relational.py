@@ -502,3 +502,36 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(price * disc).alias("sum_disc_price"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "sql_pipe_syntax",
+    tags=("sql",),
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE o_orderdate >= DATE '1995-01-01'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4, `|>`): the linear FROM→WHERE→AGGREGATE
+    dataflow form of the classic grouped aggregate — each stage pipes
+    into the next in reading order, compiling to the identical Catalyst
+    plan as the nested SELECT the oracle runs. Registered so pipe-syntax
+    users have a proven entry point; everything downstream (pushdown,
+    partial aggs, AQE) is unchanged."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+FROM orders
+|> WHERE o_orderdate >= DATE '1995-01-01'
+|> AGGREGATE count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS total
+   GROUP BY o_orderpriority
+|> ORDER BY o_orderpriority
+""")

@@ -237,3 +237,40 @@ def test_decile_gate_stays_jvm(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pipeline_quality_decile_gate")
     assert "EvalPython" not in plan
     assert plan.count("Exchange") <= 2  # one shuffle keyed by source (tree + detail)
+
+
+def test_reservoir_sample_pushes_group_limit(spark, sf_dir):
+    """k-per-group sampling must run as partial+final WindowGroupLimit
+    (k-row heap per group on both sides of the shuffle), never a full
+    per-group sort feeding a filter."""
+    plan = _plan(spark, sf_dir, "sample_reservoir_per_group")
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "EvalPython" not in plan
+
+
+def test_ewma_bounded_fanout_no_band_join(spark, sf_dir):
+    """The decay feature must be the explode/re-aggregate form: generate
+    (7 rows per input) then hash-agg — never a bucket-to-bucket range
+    join (quadratic per event type) and never a window over the raw
+    events."""
+    plan = _plan(spark, sf_dir, "temporal_ewma_decay")
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_quantize_is_narrow_scan(spark, sf_dir):
+    """int8 quantization audit: pure projection over the scan — zero
+    exchanges, zero Python."""
+    plan = _plan(spark, sf_dir, "similarity_quantize_int8")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_lateral_topk_plans_as_rank_join(spark, sf_dir):
+    """LATERAL (ORDER BY ... LIMIT k) must not execute as a per-outer-row
+    rescan or a cartesian product."""
+    plan = _plan(spark, sf_dir, "join_lateral_topk")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

@@ -531,3 +531,69 @@ def pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("actual_share", 6).alias("actual_share"),
         F.round(F.col("raw_w") / F.col("z"), 6).alias("sample_weight"),
     )
+
+
+CHUNK_LEN = 200  # chars per training chunk
+CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
+
+
+@register(
+    "pipeline_chunk_documents",
+    tags=("pipeline", "training"),
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, text, length(text) AS n_chars FROM documents
+), chunks AS (
+  SELECT doc_id, n_chars,
+         CAST(u.k AS BIGINT) AS chunk_idx,
+         substr(text, CAST(u.k * {CHUNK_STRIDE} + 1 AS BIGINT), {CHUNK_LEN}) AS chunk
+  FROM docs,
+       LATERAL (SELECT unnest(generate_series(0,
+                  CAST(greatest(ceil((n_chars - {CHUNK_LEN}) / {CHUNK_STRIDE}.0), 0) AS BIGINT))) AS k) u
+)
+SELECT doc_id, chunk_idx,
+       length(chunk) AS chunk_chars,
+       md5(chunk) AS chunk_hash
+FROM chunks
+WHERE length(chunk) > 0
+""",
+)
+def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (200-char windows, 150-char
+    stride → 50-char overlap): the context-window preparation step that
+    turns long documents into trainable pieces without losing
+    cross-boundary text. Emits (doc_id, chunk_idx, length, content hash)
+    — the hash stands in for the chunk text so the result stays compact.
+
+    Chunk offsets are generated per row with sequence+explode (fan-out =
+    ceil(len/stride), data-derived, no driver loop) and sliced with
+    substring — all JVM exprs. At 100 TB this is a narrow map whose
+    output feeds the pack_sequences stage; no shuffle is introduced
+    here at all."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("n_chars")
+    )
+    n_chunks = F.greatest(
+        F.ceil((F.col("n_chars") - F.lit(CHUNK_LEN)) / F.lit(float(CHUNK_STRIDE))),
+        F.lit(0),
+    ).cast("bigint")
+    chunks = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks)).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.col("text")
+        .substr(
+            (F.col("chunk_idx") * CHUNK_STRIDE + 1).cast("int"),
+            F.lit(CHUNK_LEN),
+        )
+        .alias("chunk"),
+    )
+    return chunks.filter(F.length("chunk") > 0).select(
+        "doc_id",
+        "chunk_idx",
+        F.length("chunk").alias("chunk_chars"),
+        F.md5("chunk").alias("chunk_hash"),
+    )

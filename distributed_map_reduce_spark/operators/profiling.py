@@ -108,3 +108,69 @@ def profile_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(is_out) / F.col("n_events"), 4).alias("outlier_frac"),
         F.round(F.max("abs_z"), 4).alias("max_abs_z"),
     )
+
+
+@register(
+    "profile_anomaly_mad",
+    tags=("profiling", "temporal"),
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         round(sum(value), 4) AS v
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type,
+         quantile_cont(v, 0.5) AS med
+  FROM hourly GROUP BY 1
+), d AS (
+  SELECT h.event_type, h.bucket, h.v, m.med,
+         abs(h.v - m.med) AS dev
+  FROM hourly h JOIN m ON h.event_type = m.event_type
+), mad AS (
+  SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1
+)
+SELECT d.event_type, d.bucket,
+       round(d.v, 4) AS hourly_value,
+       round(d.med, 4) AS median_value,
+       round(mad.mad, 4) AS mad
+FROM d JOIN mad ON d.event_type = mad.event_type
+WHERE d.dev > 5 * mad.mad
+""",
+)
+def profile_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly flags: hourly value-sums more than 5 MADs from
+    their event type's median — the outlier alarm that, unlike the
+    z-score version (`profile_value_outliers`), a burst cannot poison,
+    because median and MAD are themselves robust to the anomalies they
+    hunt.
+
+    Two tiny keyed aggregates over the hours-cardinality frame (median,
+    then MAD of deviations) broadcast back onto it; the raw fact table
+    is touched once by the hourly rollup. Hourly sums round at 4dp
+    BEFORE the medians so both engines interpolate identical doubles.
+    At 100 TB swap the exact medians for approx_percentile — the query
+    shape is unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    med = hourly.groupBy("event_type").agg(
+        F.expr("percentile(v, 0.5)").alias("med")
+    )
+    d = hourly.join(med, "event_type").withColumn(
+        "dev", F.abs(F.col("v") - F.col("med"))
+    )
+    mad = d.groupBy(F.col("event_type").alias("m_type")).agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    return (
+        d.join(mad, d.event_type == mad.m_type)
+        .filter(F.col("dev") > 5 * F.col("mad"))
+        .select(
+            "event_type",
+            "bucket",
+            F.round("v", 4).alias("hourly_value"),
+            F.round("med", 4).alias("median_value"),
+            F.round("mad", 4).alias("mad"),
+        )
+    )

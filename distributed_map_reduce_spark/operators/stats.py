@@ -725,3 +725,107 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(t, 4).alias("t_stat"),
         F.round(df_w, 2).alias("welch_df"),
     )
+
+
+@register(
+    "stats_benford_digits",
+    tags=("stats", "profiling"),
+    oracle="""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INTEGER) AS digit
+  FROM orders WHERE o_totalprice >= 1
+), c AS (
+  SELECT digit, count(*) AS n FROM d GROUP BY digit
+), t AS (SELECT sum(n) AS total FROM c)
+SELECT digit, n,
+       round(n * 1.0 / total, 6) AS observed_freq,
+       round(log10(1.0 + 1.0 / digit), 6) AS benford_freq
+FROM c, t
+ORDER BY digit
+""",
+)
+def stats_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit profile of order totals — the classic
+    fabricated-data / distribution-shift alarm for financial-ish
+    columns: observed first-significant-digit frequencies next to the
+    Benford expectation log10(1 + 1/d). One hash-agg to 9 rows; the
+    total joins back as a 1-row broadcast. Counts stay exact BIGINT,
+    the two frequencies are single divisions of exact integers."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = c.agg(F.sum("n").alias("total"))
+    return (
+        c.crossJoin(t)
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") * 1.0 / F.col("total"), 6).alias("observed_freq"),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_freq"),
+        )
+        .orderBy("digit")
+    )
+
+
+@register(
+    "stats_gini_concentration",
+    tags=("stats",),
+    oracle="""
+WITH pos AS (
+  SELECT c_mktsegment, CAST(c_acctbal AS DECIMAL(18,2)) AS bal, c_custkey
+  FROM customer WHERE c_acctbal > 0
+), ranked AS (
+  SELECT c_mktsegment, bal,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY bal, c_custkey) AS i
+  FROM pos
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(bal), 2) AS total_bal,
+       round(2.0 * sum(i * bal) / (count(*) * sum(bal))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM ranked
+GROUP BY c_mktsegment
+""",
+)
+def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of positive account balances per market segment —
+    the concentration/inequality metric a data-mix dashboard tracks
+    (source-revenue or token-share concentration uses the identical
+    query). Rank-weighted formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n
+    with DECIMAL-exact balances and BIGINT ranks: everything up to the
+    final two divisions is exact arithmetic, so engines agree at 6dp.
+
+    Scale note: the rank window partitions by segment; for a single
+    giant partition at 100 TB the production form ranks within
+    value-histogram bins (the standard mergeable Gini approximation) —
+    this exact form is right whenever the partition key spreads the
+    sort."""
+    from pyspark.sql import Window as W
+
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    pos = c.select(
+        "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+        "c_custkey",
+    )
+    i = F.row_number().over(
+        W.partitionBy("c_mktsegment").orderBy("bal", "c_custkey")
+    )
+    ranked = pos.withColumn("i", i)
+    n = F.count(F.lit(1))
+    return ranked.groupBy("c_mktsegment").agg(
+        n.cast("bigint").alias("n_customers"),
+        F.round(F.sum("bal"), 2).alias("total_bal"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("bal")) / (n * F.sum("bal"))
+            - (n + 1.0) / n,
+            6,
+        ).alias("gini"),
+    )

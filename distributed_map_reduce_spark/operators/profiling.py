@@ -174,3 +174,46 @@ def profile_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mad", 4).alias("mad"),
         )
     )
+
+
+@register(
+    "profile_partition_skew",
+    tags=("profiling", "skew"),
+    oracle="""
+WITH freq AS (
+  SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(c) AS BIGINT) AS max_rows,
+       round(avg(c), 6) AS avg_rows,
+       round(quantile_cont(c, 0.99), 4) AS p99_rows,
+       round(max(c) / avg(c), 4) AS skew_ratio,
+       CAST(min(user_id) FILTER (WHERE c = (SELECT max(c) FROM freq)) AS BIGINT)
+         AS heaviest_key
+FROM freq
+""",
+)
+def profile_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew diagnostic: the per-key row-count
+    distribution for a prospective shuffle key (events.user_id) —
+    max/avg ratio, p99, and the heaviest key. This is the planning probe
+    run BEFORE keying a 100 TB shuffle: ratio near 1 → hash partitioning
+    is safe; a hot ratio → pre-salt (join_salted_skew / agg_salted_skew)
+    or isolate the heavy hitters. One exact count agg to key
+    cardinality, then a single-row summary; nothing touches the fact
+    table twice."""
+    ev = load_table(spark, sf_dir, "events")
+    freq = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    summary = freq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("c").cast("bigint").alias("max_rows"),
+        F.round(F.avg("c"), 6).alias("avg_rows"),
+        F.round(F.expr("percentile(c, 0.99)"), 4).alias("p99_rows"),
+        F.round(F.max("c") / F.avg("c"), 4).alias("skew_ratio"),
+    )
+    mx = freq.agg(F.max("c").alias("mxc"))
+    heavy = (
+        freq.join(mx, freq.c == mx.mxc)
+        .agg(F.min("user_id").cast("bigint").alias("heaviest_key"))
+    )
+    return summary.crossJoin(heavy)

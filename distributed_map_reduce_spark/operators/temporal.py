@@ -678,3 +678,44 @@ def temporal_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("v_scaled") / 10000.0, 4).alias("avg_value"),
         F.round(F.col("num") * 1.0 / (F.col("den") * 10000.0), 4).alias("ewma_value"),
     )
+
+
+@register(
+    "rollup_incremental_caggs",
+    tags=("temporal", "rollup", "incremental"),
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value,
+       round(sum(value) / count(*), 6) AS avg_value
+FROM events
+GROUP BY 1
+""",
+)
+def rollup_incremental_caggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate (hypertable rollup) refresh: the day's answer
+    assembled by MERGING a stored hourly pre-aggregate of old data with
+    a fresh delta aggregate of new data — never re-scanning history.
+    Spark runs the two-phase shape (materialized hourly partials for
+    ts < split, delta partials for ts >= split, then a merge agg to
+    daily); the oracle recomputes daily from raw events directly, so a
+    hash match PROVES merge(partials) == full recompute — the invariant
+    that makes (count, sum)-style states safely mergeable at 100 TB,
+    where the materialized side is read from the rollup store and only
+    the delta touches raw data. avg derives from merged sums, never
+    from averaging averages."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit("2024-01-20").cast("timestamp")
+    hourly = (
+        lambda df: df.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+        )
+    )
+    mat = hourly(ev.filter(F.col("ts") < split))  # the stored rollup
+    delta = hourly(ev.filter(F.col("ts") >= split))  # today's refresh
+    merged = mat.unionByName(delta)
+    return merged.groupBy(F.date_trunc("day", "bucket").alias("day")).agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.round(F.sum("s"), 2).alias("total_value"),
+        F.round(F.sum("s") / F.sum("n"), 6).alias("avg_value"),
+    )

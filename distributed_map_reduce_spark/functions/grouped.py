@@ -107,3 +107,63 @@ def udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 3)
     )
+
+
+@register(
+    "udtf_json_kv",
+    tags=("udf", "semistructured"),
+    oracle="""
+WITH doc AS (
+  SELECT '{"k": ' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR)
+         || ', "type": "' || event_type || '"}' AS j
+  FROM events WHERE event_id <= 2000
+), kv AS (
+  SELECT u.k AS key,
+         CAST(json_extract(doc.j, '$.' || u.k) AS VARCHAR) AS val
+  FROM doc, LATERAL (SELECT unnest(json_keys(doc.j)) AS k) u
+)
+SELECT key, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT val) AS BIGINT) AS n_distinct_vals
+FROM kv GROUP BY key
+""",
+)
+def udtf_json_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-flattening Python UDTF: one JSON object row → one row per
+    (key, value) pair, values re-serialized as JSON text so typed values
+    compare exactly against DuckDB's json_keys/json_extract flattening
+    (numbers bare, strings quoted). The imperative escape hatch for ragged semi-structured
+    blobs whose keys aren't known at plan time — the declarative twin
+    for KNOWN keys is `variant_nested_extract`, which stays JVM-side and
+    is what the 100 TB hot path should use."""
+    import json
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="key string, val string")
+    class JsonKV:
+        def eval(self, j: str):
+            try:
+                obj = json.loads(j)
+            except (TypeError, ValueError):
+                return
+            if isinstance(obj, dict):
+                for k, v in obj.items():
+                    yield k, json.dumps(v)
+
+    spark.udtf.register("json_kv", JsonKV)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
+    doc = ev.select(
+        F.concat(
+            F.lit('{"k": '),
+            F.get_json_object("props", "$.k"),
+            F.lit(', "type": "'),
+            F.col("event_type"),
+            F.lit('"}'),
+        ).alias("j")
+    )
+    doc.createOrReplaceTempView("udtf_json_in")
+    kv = spark.sql("SELECT g.key, g.val FROM udtf_json_in, LATERAL json_kv(j) AS g")
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("val").cast("bigint").alias("n_distinct_vals"),
+    )

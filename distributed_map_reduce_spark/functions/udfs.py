@@ -72,3 +72,48 @@ def udf_runtime_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
         """
     )
+
+
+def _char_entropy(text: pd.Series) -> pd.Series:
+    """Arrow-optimized scalar UDF body: per-string character entropy —
+    genuinely awkward as a SQL expression, cheap as vectorized pandas."""
+    import numpy as np
+
+    def one(s: str) -> float:
+        if not s:
+            return 0.0
+        arr = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
+        _, counts = np.unique(arr, return_counts=True)
+        p = counts / counts.sum()
+        return float(round(-(p * np.log2(p)).sum(), 6))
+
+    return text.map(one)
+
+
+@register(
+    "udf_arrow_optimized",
+    tags=("udf",),
+    doc="Arrow-serialized scalar UDF (useArrow=True) computing per-doc "
+    "byte entropy; rows-only (entropy has no tractable SQL oracle, "
+    "accuracy pinned in tests/test_spark4_surfaces.py).",
+)
+def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's Arrow-optimized Python UDF (`useArrow=True`): scalar
+    Python UDF semantics with Arrow batch transfer instead of pickled
+    rows — the migration path for row-UDF code that can't vectorize to
+    pandas_udf wholesale. Still Python (keep it OFF fact-table hot
+    paths); registered to prove the surface and its batch plumbing."""
+    from ..sources import load_table
+
+    ent = F.udf(
+        lambda s: _char_entropy(pd.Series([s]))[0], "double", useArrow=True
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", ent(F.col("text")).alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("h"), 4).alias("avg_entropy"),
+        )
+    )

@@ -535,3 +535,56 @@ FROM orders
    GROUP BY o_orderpriority
 |> ORDER BY o_orderpriority
 """)
+
+
+@register(
+    "scalar_try_funcs",
+    tags=("scalar", "ansi"),
+    oracle="""
+WITH t AS (
+  SELECT o_orderstatus,
+         o_totalprice / nullif(o_orderkey % 5, 0) AS safe_div,
+         TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN '12x'
+                       ELSE CAST(o_orderkey AS VARCHAR) END AS DOUBLE) AS parsed,
+         CASE WHEN CAST(o_orderkey AS HUGEINT) * 4611686018427387904 >
+                   9223372036854775807
+              THEN NULL ELSE o_orderkey * 4611686018427387904 END AS big_prod
+  FROM orders
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (WHERE safe_div IS NULL) AS BIGINT) AS n_div_by_zero,
+       round(sum(safe_div), 2) AS sum_safe_div,
+       CAST(count(*) FILTER (WHERE parsed IS NULL) AS BIGINT) AS n_unparseable,
+       round(sum(parsed), 1) AS sum_parsed,
+       CAST(count(*) FILTER (WHERE big_prod IS NULL) AS BIGINT) AS n_overflow
+FROM t GROUP BY o_orderstatus
+""",
+)
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe scalar tier (Spark 4 runs ANSI by default, so
+    division-by-zero / overflow / bad casts THROW unless the try_*
+    variants are used): try_divide → NULL on zero, try_cast → NULL on
+    garbage, try_multiply → NULL on BIGINT overflow. The oracle encodes
+    the identical null semantics via nullif/TRY_CAST/HUGEINT-guarded
+    arithmetic. This is the fail-soft contract a 100 TB batch needs —
+    one poisoned row degrades to NULL and an accounting column, instead
+    of killing a 1000-executor stage hours in."""
+    o = load_table(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderstatus",
+        F.try_divide("o_totalprice", F.col("o_orderkey") % 5).alias("safe_div"),
+        F.expr(
+            "try_cast(CASE WHEN o_orderkey % 3 = 0 THEN '12x' "
+            "ELSE CAST(o_orderkey AS STRING) END AS DOUBLE)"
+        ).alias("parsed"),
+        F.try_multiply("o_orderkey", F.lit(4611686018427387904)).alias("big_prod"),
+    )
+    return t.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_if(F.col("safe_div").isNull()).cast("bigint").alias("n_div_by_zero"),
+        F.round(F.sum("safe_div"), 2).alias("sum_safe_div"),
+        F.count_if(F.col("parsed").isNull()).cast("bigint").alias("n_unparseable"),
+        F.round(F.sum("parsed"), 1).alias("sum_parsed"),
+        F.count_if(F.col("big_prod").isNull()).cast("bigint").alias("n_overflow"),
+    )

@@ -103,3 +103,20 @@ def test_stateful_v2_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_arrow_udf_entropy_accuracy(spark, sf_dir):
+    """The Arrow-UDF entropy kernel is exact on known strings, and the
+    registered query runs through the Arrow batch path."""
+    import pandas as pd
+
+    from distributed_map_reduce_spark.functions.udfs import (
+        _char_entropy,
+        udf_arrow_optimized,
+    )
+
+    vals = _char_entropy(pd.Series(["aaaa", "ab", "abcd", ""]))
+    assert list(vals) == [0.0, 1.0, 2.0, 0.0]
+    out = udf_arrow_optimized(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0 and all(r["avg_entropy"] > 0 for r in rows)

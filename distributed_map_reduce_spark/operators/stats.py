@@ -829,3 +829,80 @@ def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "stats_ks_test",
+    tags=("stats",),
+    oracle="""
+WITH s AS (
+  SELECT round(value, 2) AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+  FROM events WHERE event_type IN ('click', 'purchase')
+), binned AS (
+  SELECT v, CAST(sum(is_a) AS BIGINT) AS a_n,
+         CAST(sum(1 - is_a) AS BIGINT) AS b_n
+  FROM s GROUP BY v
+), cum AS (
+  SELECT v,
+         sum(a_n) OVER (ORDER BY v) AS ca,
+         sum(b_n) OVER (ORDER BY v) AS cb
+  FROM binned
+), tot AS (
+  SELECT CAST(sum(a_n) AS BIGINT) AS na, CAST(sum(b_n) AS BIGINT) AS nb
+  FROM binned
+)
+SELECT na, nb,
+       CAST(max(abs(ca * nb - cb * na)) AS BIGINT) AS d_scaled,
+       round(max(abs(ca * nb - cb * na)) * 1.0 / (na * nb), 6) AS d_stat,
+       round(1.36 * sqrt((na + nb) * 1.0 / (na * nb)), 6) AS crit_05
+FROM cum, tot
+GROUP BY na, nb
+""",
+)
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the click and
+    purchase value distributions — the drift detector for feature /
+    data-mix monitoring. ECDFs are compared on 2dp-binned values, which
+    (a) bounds the global sort to bin cardinality (the production form
+    at 100 TB — raw-value KS would single-partition the fact table) and
+    (b) makes every intermediate an exact BIGINT: D is maximized as
+    |ca*nb - cb*na| in integer space and divided by na*nb once at the
+    end, so engines cannot disagree below the rounding. crit_05 is the
+    large-sample 5%% critical value 1.36*sqrt((na+nb)/(na*nb))."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = ev.select(
+        F.round("value", 2).alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
+    )
+    binned = s.groupBy("v").agg(
+        F.sum("is_a").cast("bigint").alias("a_n"),
+        F.sum(1 - F.col("is_a")).cast("bigint").alias("b_n"),
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = binned.select(
+        "v",
+        F.sum("a_n").over(w).alias("ca"),
+        F.sum("b_n").over(w).alias("cb"),
+    )
+    tot = binned.agg(
+        F.sum("a_n").cast("bigint").alias("na"),
+        F.sum("b_n").cast("bigint").alias("nb"),
+    )
+    d = F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+    return (
+        cum.crossJoin(tot)
+        .groupBy("na", "nb")
+        .agg(
+            F.max(d).cast("bigint").alias("d_scaled"),
+            F.round(F.max(d) * 1.0 / (F.col("na") * F.col("nb")), 6).alias("d_stat"),
+            F.round(
+                1.36 * F.sqrt((F.col("na") + F.col("nb")) * 1.0 / (F.col("na") * F.col("nb"))),
+                6,
+            ).alias("crit_05"),
+        )
+    )

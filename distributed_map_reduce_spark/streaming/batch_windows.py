@@ -253,3 +253,62 @@ def events_segment_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "segment_revenue",
         )
     )
+
+
+@register(
+    "events_session_dynamic_gap",
+    tags=("streaming", "window", "sessionization"),
+    oracle="""
+WITH g AS (
+  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN event_type = 'purchase'
+              THEN INTERVAL 60 MINUTE ELSE INTERVAL 15 MINUTE END AS gap
+  FROM events
+), marked AS (
+  SELECT user_id, ts, value, gap,
+         CASE WHEN ts >= max(ts + gap)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_session
+  FROM g
+), sessions AS (
+  SELECT user_id, ts, value, gap,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def events_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows whose inactivity gap is a PER-ROW expression
+    (purchases hold a session open 60 min, everything else 15) —
+    Spark's dynamic-gap `session_window`. Semantics: each event extends
+    its session to ts + gap(event); events merge while they start
+    before the running max of those ends, so the oracle's rewrite marks
+    a boundary when ts >= max(ts+gap) over all PRECEDING rows (running
+    max, not plain lag — a long-gap event can bridge over a short-gap
+    one). Same single user_id exchange as the static form; state in the
+    streaming twin stays watermark-bounded regardless of gap column."""
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("60 minutes")).otherwise(
+        F.lit("15 minutes")
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )

@@ -282,3 +282,76 @@ def test_cdc_tombstone_semantics(spark):
     )
     got = {r["key"]: r["value"] for r in final.collect()}
     assert got == {"b": 3.0, "c": 9.0}
+
+
+def test_ewma_matches_python_replay(spark, sf_dir):
+    """temporal_ewma_decay equals a per-type sequential Python replay of
+    the same fixed-point decay arithmetic."""
+    from collections import defaultdict
+
+    from distributed_map_reduce_spark.operators.temporal import temporal_ewma_decay
+    from distributed_map_reduce_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.round(F.avg("value") * 10000).cast("bigint").alias("v"))
+        .collect()
+    )
+    by_type = defaultdict(dict)
+    for r in hourly:
+        by_type[r["event_type"]][r["bucket"]] = r["v"]
+    want = {}
+    for etype, series in by_type.items():
+        for b, v in series.items():
+            num = den = 0
+            for d in range(7):
+                src = b - __import__("datetime").timedelta(hours=d)
+                if src in series:
+                    w = 1 << (6 - d)
+                    num += series[src] * w
+                    den += w
+            want[(etype, b)] = round(num / (den * 10000.0), 4)
+    got = {
+        (r["event_type"], r["bucket"]): r["ewma_value"]
+        for r in temporal_ewma_decay(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 100
+
+
+def test_chunking_covers_text_with_overlap(spark, sf_dir):
+    """Every chunk is a true substring at its stride offset; consecutive
+    chunks overlap by window-stride chars; total coverage reaches the
+    end of every document."""
+    from distributed_map_reduce_spark.operators.pipeline import (
+        CHUNK_LEN,
+        CHUNK_STRIDE,
+        pipeline_chunk_documents,
+    )
+    from distributed_map_reduce_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").limit(50).collect()
+    }
+    out = (
+        pipeline_chunk_documents(spark, sf_dir)
+        .filter(F.col("doc_id").isin(list(docs)))
+        .collect()
+    )
+    import hashlib
+
+    per_doc = {}
+    for r in out:
+        text = docs[r["doc_id"]]
+        start = r["chunk_idx"] * CHUNK_STRIDE
+        piece = text[start : start + CHUNK_LEN]
+        assert hashlib.md5(piece.encode()).hexdigest() == r["chunk_hash"]
+        assert len(piece) == r["chunk_chars"]
+        per_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], len(piece)))
+    for doc_id, chunks in per_doc.items():
+        chunks.sort()
+        last_idx, last_len = chunks[-1]
+        assert last_idx * CHUNK_STRIDE + last_len == len(docs[doc_id])

@@ -4,6 +4,8 @@ themselves hash-match the DuckDB oracle)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from distributed_map_reduce_spark.registry import all_queries
 from distributed_map_reduce_spark.streaming.jobs import (
     read_events_stream,
@@ -191,3 +193,43 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir):
     got_set = {tuple(r) for r in got.collect()}
     want_set = {tuple(r) for r in want.collect()}
     assert got_set == want_set and len(want_set) > 0
+
+
+def test_foreachbatch_sink_is_replay_idempotent(spark, sf_dir, tmp_path):
+    """Drain the bounded stream through the idempotent foreachBatch sink,
+    then replay the last batch: row count must not change (re-delivery
+    overwrites its own partition), and the sink holds exactly the
+    source rows."""
+    import os
+
+    from distributed_map_reduce_spark.sources import load_table
+    from distributed_map_reduce_spark.streaming.jobs import (
+        idempotent_batch_sink,
+        read_events_stream,
+    )
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    writer = idempotent_batch_sink(out)
+    stream = read_events_stream(spark, sf_dir)
+    q = (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    n_src = load_table(spark, sf_dir, "events").count()
+    first = spark.read.parquet(out)
+    assert first.count() == n_src
+
+    # crash-replay simulation: rerun the highest batch with the same id
+    last_id = max(
+        int(d.split("=")[1])
+        for d in os.listdir(out)
+        if d.startswith("batch_id=")
+    )
+    replay_df = first.filter(F.col("batch_id") == last_id).drop("batch_id")
+    writer(replay_df, last_id)
+    again = spark.read.parquet(out)
+    assert again.count() == n_src  # no duplicates after re-delivery

@@ -222,3 +222,70 @@ def multimodal_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         byte_entropy_batches, schema="doc_id long, n_bytes long, entropy double"
     )
     return out.select("doc_id", "n_bytes", F.round("entropy", 4).alias("entropy"))
+
+
+SHARD_BYTES = 200_000  # target payload bytes per WebDataset-style shard
+
+
+@register(
+    "multimodal_shard_manifest",
+    tags=("multimodal", "serving"),
+    oracle=f"""
+WITH assets AS (
+  SELECT doc_id, source, octet_length(encode(text)) AS n_bytes,
+         md5(CAST(doc_id AS VARCHAR)) AS hh
+  FROM documents
+), placed AS (
+  SELECT source, doc_id, n_bytes,
+         CAST(floor((sum(n_bytes) OVER (PARTITION BY source ORDER BY hh, doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_bytes) / {SHARD_BYTES} ) AS BIGINT) AS shard_idx
+  FROM assets
+)
+SELECT source, shard_idx,
+       CAST(count(*) AS BIGINT) AS n_assets,
+       CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM placed
+GROUP BY source, shard_idx
+""",
+)
+def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard manifest: binary assets stream through each
+    source in deterministic md5 order and fall greedily into
+    ~200 KB-payload shards (shard_idx = floor(preceding-bytes-cumsum /
+    budget) — the byte-budget twin of `pipeline_pack_sequences`). The
+    manifest rows (counts, byte totals, id ranges per shard) are what a
+    training dataloader consumes to schedule shard fetches.
+
+    One window per source partition over metadata only — payloads are
+    never opened, so at 100 TB the manifest pass touches octet lengths,
+    not bytes; the actual shard write is `repartition(shard_key)` +
+    foreachPartition tar-writer against the same assignment."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    assets = docs.select(
+        "doc_id",
+        "source",
+        F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+        F.md5(F.col("doc_id").cast("string")).alias("hh"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("hh", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    placed = assets.withColumn(
+        "shard_idx",
+        F.floor((F.sum("n_bytes").over(w) - F.col("n_bytes")) / SHARD_BYTES).cast(
+            "bigint"
+        ),
+    )
+    return placed.groupBy("source", "shard_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+        F.sum("n_bytes").cast("bigint").alias("shard_bytes"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+    )

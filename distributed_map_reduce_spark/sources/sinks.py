@@ -271,3 +271,67 @@ def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+
+
+# every term fully parenthesized: << vs | precedence differs across engines
+_MORTON16 = """
+  CAST((
+    (((xq >> 0) & 1) << 0) | (((yq >> 0) & 1) << 1) |
+    (((xq >> 1) & 1) << 2) | (((yq >> 1) & 1) << 3) |
+    (((xq >> 2) & 1) << 4) | (((yq >> 2) & 1) << 5) |
+    (((xq >> 3) & 1) << 6) | (((yq >> 3) & 1) << 7)
+  ) AS BIGINT)
+"""
+
+
+@register(
+    "layout_zorder_tiles",
+    tags=("sink", "layout"),
+    oracle=f"""
+WITH q AS (
+  SELECT o_orderkey,
+         CAST(o_custkey % 16 AS BIGINT) AS xq,
+         CAST(dayofyear(o_orderdate) % 16 AS BIGINT) AS yq,
+         o_totalprice
+  FROM orders
+), coded AS (
+  SELECT o_orderkey, xq, yq, {_MORTON16} AS tile, o_totalprice FROM q
+)
+SELECT tile,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(xq) AS BIGINT) AS x_min, CAST(max(xq) AS BIGINT) AS x_max,
+       CAST(min(yq) AS BIGINT) AS y_min, CAST(max(yq) AS BIGINT) AS y_max,
+       round(sum(o_totalprice), 2) AS total
+FROM coded
+GROUP BY tile
+""",
+)
+def layout_zorder_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering codes: interleave the bits of two
+    quantized dimensions (customer bucket × day-of-year bucket) into one
+    tile key. Sorting/range-partitioning a 100 TB table by this code
+    before writing gives every file a TIGHT min/max envelope on BOTH
+    dimensions at once, so two-dimensional predicates prune files that
+    one-dimensional partitioning cannot — the Delta/Iceberg OPTIMIZE
+    ZORDER layout, reproduced with nothing but bit arithmetic that both
+    engines evaluate identically. The per-tile envelope stats emitted
+    here are exactly the file-skipping metadata a reader consults.
+
+    Write path: `df.repartitionByRange(N, "tile").sortWithinPartitions
+    ("tile").write...` — same code at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    q = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 16).cast("bigint").alias("xq"),
+        (F.dayofyear("o_orderdate") % 16).cast("bigint").alias("yq"),
+        "o_totalprice",
+    )
+    coded = q.withColumn("tile", F.expr(_MORTON16))
+    return coded.groupBy("tile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("xq").cast("bigint").alias("x_min"),
+        F.max("xq").cast("bigint").alias("x_max"),
+        F.min("yq").cast("bigint").alias("y_min"),
+        F.max("yq").cast("bigint").alias("y_max"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

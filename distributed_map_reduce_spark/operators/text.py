@@ -732,3 +732,97 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), "pair")
         .limit(BPE_TOP_PAIRS)
     )
+
+
+_RAKE_STOP_RE = r"\b(the|of|and|to|a|in|is|it|was|for)\b"
+
+
+@register(
+    "text_rake_keywords",
+    tags=("text",),
+    oracle=f"""
+WITH norm AS (
+  SELECT regexp_replace(regexp_replace(lower(text), '[.,;:!?()\\[\\]{{}}-]', '|', 'g'),
+                        '{_RAKE_STOP_RE}', '|', 'g') AS t
+  FROM documents WHERE lang = 'en'
+), occurrences AS (
+  SELECT trim(regexp_replace(p, '\\s+', ' ', 'g')) AS phrase
+  FROM norm, LATERAL (SELECT unnest(string_split(t, '|')) AS p) u
+), cand AS (
+  SELECT phrase FROM occurrences
+  WHERE phrase <> '' AND len(string_split(phrase, ' ')) BETWEEN 1 AND 3
+), words AS (
+  SELECT w, len(string_split(phrase, ' ')) AS plen
+  FROM cand, LATERAL (SELECT unnest(string_split(phrase, ' ')) AS w) v
+), wscore AS (
+  SELECT w, CAST(round(CAST(sum(plen) AS BIGINT) * 1000000.0 / count(*)) AS BIGINT) AS s6
+  FROM words GROUP BY w
+), dphrase AS (
+  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ FROM cand GROUP BY phrase
+), pscore AS (
+  SELECT d.phrase, CAST(sum(s.s6) AS BIGINT) AS score6
+  FROM (SELECT phrase, unnest(string_split(phrase, ' ')) AS w FROM dphrase) d
+  JOIN wscore s ON s.w = d.w
+  GROUP BY d.phrase
+)
+SELECT p.phrase, d.n_occ, round(p.score6 / 1000000.0, 4) AS rake_score
+FROM pscore p JOIN dphrase d ON d.phrase = p.phrase
+ORDER BY p.score6 DESC, p.phrase
+LIMIT 25
+""",
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword/punctuation-free word runs; each word scores
+    degree/frequency (degree = total length of phrases it appears in);
+    a phrase scores the sum of its words — favoring multi-word terms
+    that co-occur as units. Top-25 phrases by score.
+
+    Engine-portability: word scores are fixed-pointed to BIGINT
+    micro-units BEFORE the per-phrase sum, so no float accumulation
+    order can flip the ranking, and the ORDER BY key is the exact
+    integer score. All string work is JVM regexp/split/explode; the two
+    aggregations shuffle word- and phrase-cardinality frames only —
+    at 100 TB this is two vocabulary-sized exchanges over ids, the same
+    shape as tf-idf."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    t = F.regexp_replace(
+        F.regexp_replace(F.lower("text"), r"[.,;:!?()\[\]{}-]", "|"),
+        _RAKE_STOP_RE,
+        "|",
+    )
+    occurrences = docs.select(F.explode(F.split(t, r"\|")).alias("p")).select(
+        F.trim(F.regexp_replace("p", r"\s+", " ")).alias("phrase")
+    )
+    cand = occurrences.filter(
+        (F.col("phrase") != "")
+        & (F.size(F.split("phrase", " ")).between(1, 3))
+    )
+    words = cand.select(
+        F.size(F.split("phrase", " ")).alias("plen"),
+        F.explode(F.split("phrase", " ")).alias("w"),
+    )
+    wscore = words.groupBy("w").agg(
+        F.round(F.sum("plen").cast("bigint") * 1000000.0 / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("s6")
+    )
+    dphrase = cand.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ")
+    )
+    pwords = dphrase.select("phrase", F.explode(F.split("phrase", " ")).alias("w"))
+    pscore = (
+        pwords.join(wscore, "w")
+        .groupBy("phrase")
+        .agg(F.sum("s6").cast("bigint").alias("score6"))
+    )
+    return (
+        pscore.join(dphrase, "phrase")
+        .select(
+            "phrase",
+            "n_occ",
+            F.round(F.col("score6") / 1000000.0, 4).alias("rake_score"),
+        )
+        .orderBy(F.col("rake_score").desc(), "phrase")
+        .limit(25)
+    )

@@ -597,3 +597,59 @@ def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("chunk").alias("chunk_chars"),
         F.md5("chunk").alias("chunk_hash"),
     )
+
+
+@register(
+    "pipeline_feature_scaling",
+    tags=("pipeline", "ml"),
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         round(avg(value), 6) AS mu,
+         round(stddev_samp(value), 6) AS sigma,
+         round(min(value), 6) AS lo,
+         round(max(value), 6) AS hi,
+         count(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       round((e.value - g.mu) / g.sigma, 4) AS z_score,
+       round((e.value - g.lo) / (g.hi - g.lo), 4) AS min_max,
+       round((rank() OVER (PARTITION BY e.event_type ORDER BY e.value) - 1.0)
+             / (g.n - 1), 4) AS quantile_rank
+FROM events e JOIN g ON g.event_type = e.event_type
+""",
+)
+def pipeline_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature normalization, the ML-prep triple: z-score
+    ((x-μ)/σ), min-max ((x-lo)/(hi-lo)), and quantile rank
+    ((rank-1)/(n-1), ties sharing the min rank so the result is
+    deterministic without a tiebreak column). Group moments come from
+    ONE hash-agg broadcast back over the scan (never a window for μ/σ —
+    the moment table is group-cardinality); only the quantile rank pays
+    a per-group sort, and it shares the single event_type exchange.
+    Moments round at 6dp before the scaling arithmetic so both engines
+    divide identical doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(F.col("event_type").alias("g_type")).agg(
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_samp("value"), 6).alias("sigma"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rnk = F.rank().over(Window.partitionBy("event_type").orderBy("value"))
+    return (
+        ev.join(g, F.col("event_type") == F.col("g_type"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4).alias(
+                "z_score"
+            ),
+            F.round(
+                (F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")), 4
+            ).alias("min_max"),
+            F.round((rnk - 1.0) / (F.col("n") - 1), 4).alias("quantile_rank"),
+        )
+    )

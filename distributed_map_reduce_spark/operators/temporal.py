@@ -719,3 +719,53 @@ def rollup_incremental_caggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("s"), 2).alias("total_value"),
         F.round(F.sum("s") / F.sum("n"), 6).alias("avg_value"),
     )
+
+
+@register(
+    "temporal_open_interval_count",
+    tags=("temporal", "window"),
+    oracle="""
+WITH bounds AS (
+  SELECT o.o_orderkey, o.o_orderdate AS opened,
+         max(l.l_shipdate) AS closed
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+), deltas AS (
+  SELECT opened AS d, 1 AS delta FROM bounds
+  UNION ALL
+  SELECT closed AS d, -1 AS delta FROM bounds
+), daily AS (
+  SELECT d, CAST(sum(delta) AS BIGINT) AS net FROM deltas GROUP BY d
+)
+SELECT d AS day,
+       CAST(sum(net) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS open_orders
+FROM daily
+""",
+)
+def temporal_open_interval_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-interval counting (orders open = placed but not fully
+    shipped, closing at the last lineitem ship date): the sweep-line
+    rewrite — +1 at each open, -1 at each close, collapse deltas per
+    day, one running sum over the day-cardinality frame. The
+    'how many X were in-flight at time t' verb (sessions online,
+    backlog, concurrent jobs) WITHOUT the interval×timestamp join that
+    costs |intervals|×|days|. The only global window runs over distinct
+    days — thousands of rows at any fact scale."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", F.col("o_orderdate").alias("opened"))
+        .agg(F.max("l_shipdate").alias("closed"))
+    )
+    deltas = bounds.select(F.col("opened").alias("d"), F.lit(1).alias("delta")).unionByName(
+        bounds.select(F.col("closed").alias("d"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("d").agg(F.sum("delta").cast("bigint").alias("net"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.col("d").alias("day"),
+        F.sum("net").over(w).cast("bigint").alias("open_orders"),
+    )

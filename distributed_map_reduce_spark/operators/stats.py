@@ -906,3 +906,109 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("crit_05"),
         )
     )
+
+
+@register(
+    "stats_mutual_information",
+    tags=("stats", "ml"),
+    oracle="""
+WITH joint AS (
+  SELECT event_type AS x,
+         CAST(json_extract(props, '$.k') AS BIGINT) % 4 AS y,
+         count(*) AS nxy
+  FROM events GROUP BY 1, 2
+), mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM joint GROUP BY x),
+   my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM joint GROUP BY y),
+   tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM joint)
+SELECT round(sum((nxy * 1.0 / n) * ln((nxy * 1.0 * n) / (nx * 1.0 * ny))), 6)
+         AS mutual_info_nats,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(min(n) AS BIGINT) AS n_rows
+FROM joint JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+""",
+)
+def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(X;Y) between event type and a derived props
+    bucket — the feature-selection / leakage-detection primitive. All
+    probabilities come from exact BIGINT contingency counts (joint +
+    two marginals + total, each one hash-agg of the same tiny frame);
+    the Σ p log(p n / (nx ny)) reduction is the only float work. With
+    ~20 cells the final sum's addend order cannot move 6dp. At 100 TB
+    the contingency table is |X|×|Y| rows regardless of fact size."""
+    ev = load_table(spark, sf_dir, "events")
+    joint = ev.groupBy(
+        F.col("event_type").alias("x"),
+        (F.get_json_object("props", "$.k").cast("bigint") % 4).alias("y"),
+    ).agg(F.count(F.lit(1)).alias("nxy"))
+    mx = joint.groupBy("x").agg(F.sum("nxy").cast("bigint").alias("nx"))
+    my = joint.groupBy("y").agg(F.sum("nxy").cast("bigint").alias("ny"))
+    tot = joint.agg(F.sum("nxy").cast("bigint").alias("n"))
+    j = joint.join(mx, "x").join(my, "y").crossJoin(tot)
+    term = (F.col("nxy") * 1.0 / F.col("n")) * F.log(
+        (F.col("nxy") * 1.0 * F.col("n")) / (F.col("nx") * 1.0 * F.col("ny"))
+    )
+    return j.agg(
+        F.round(F.sum(term), 6).alias("mutual_info_nats"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.min("n").cast("bigint").alias("n_rows"),
+    )
+
+
+@register(
+    "agg_weighted_median",
+    tags=("agg", "stats"),
+    oracle="""
+WITH w AS (
+  SELECT l_returnflag,
+         round(l_extendedprice, 2) AS price,
+         CAST(l_quantity AS BIGINT) AS wt
+  FROM lineitem
+), cum AS (
+  SELECT l_returnflag, price, wt,
+         sum(wt) OVER (PARTITION BY l_returnflag ORDER BY price
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(wt) OVER (PARTITION BY l_returnflag) AS tw
+  FROM w
+)
+SELECT l_returnflag,
+       CAST(max(tw) AS BIGINT) AS total_weight,
+       round(min(price) FILTER (WHERE 2 * cw >= tw), 2) AS weighted_median_price
+FROM cum
+GROUP BY l_returnflag
+""",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (lower form): the smallest price whose cumulative
+    quantity-weight reaches half the group's total — 'the price at
+    which half the UNITS (not half the rows) trade', robust to a few
+    huge line items in a way the plain median is not. Decision rule
+    2*cw >= tw stays in exact BIGINT, so no engine can disagree at the
+    boundary. One exchange on the group key shared by both windows and
+    the final aggregate; percentile-by-weight at 100 TB runs exactly
+    this shape (or approx_percentile with weights once sketches are
+    acceptable)."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        F.round("l_extendedprice", 2).alias("price"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+    )
+    cum_w = (
+        W.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = w.select(
+        "l_returnflag",
+        "price",
+        F.sum("wt").over(cum_w).alias("cw"),
+        F.sum("wt").over(W.partitionBy("l_returnflag")).alias("tw"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.max("tw").cast("bigint").alias("total_weight"),
+        F.round(
+            F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("price"))), 2
+        ).alias("weighted_median_price"),
+    )

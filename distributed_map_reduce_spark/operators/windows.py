@@ -190,3 +190,79 @@ def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("nat_bal") / F.sum("nat_bal").over(w_region), 6).alias("region_share"),
         F.round(F.col("nat_bal") / F.sum("nat_bal").over(w_all), 6).alias("global_share"),
     )
+
+
+@register(
+    "window_pattern_vshape",
+    tags=("window", "pattern"),
+    oracle="""
+WITH s AS (
+  SELECT user_id, value,
+         lag(value)  OVER w AS prev_v,
+         lead(value) OVER w AS next_v
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), marks AS (
+  SELECT user_id,
+         CASE WHEN prev_v > value AND next_v > value
+                   AND prev_v - value >= 20 AND next_v - value >= 20
+              THEN 1 ELSE 0 END AS is_v,
+         CASE WHEN prev_v > value AND next_v > value
+                   AND prev_v - value >= 20 AND next_v - value >= 20
+              THEN round(least(prev_v - value, next_v - value), 4) END AS depth
+  FROM s
+)
+SELECT user_id,
+       CAST(sum(is_v) AS BIGINT) AS n_vshapes,
+       round(max(depth), 4) AS max_depth
+FROM marks
+GROUP BY user_id
+HAVING sum(is_v) > 0
+""",
+)
+def window_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern detection (the lag/lead form of MATCH_RECOGNIZE's
+    DOWN+ UP+ idiom): flag V-shaped dips in each user's value sequence —
+    a strictly-lower point flanked by neighbors ≥20 higher — and report
+    count and deepest dip per user. Sequence order is pinned by
+    (ts, event_id) so both engines see identical neighbors. One user_id
+    exchange feeds the lag, the lead, and the final aggregate; at
+    100 TB fixed-length patterns stay this single-window shape, and
+    variable-length patterns move to applyInPandasWithState (see
+    streaming/stateful.py) with the same partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_v"),
+        F.lead("value").over(w).alias("next_v"),
+    )
+    is_v = (
+        (F.col("prev_v") > F.col("value"))
+        & (F.col("next_v") > F.col("value"))
+        & (F.col("prev_v") - F.col("value") >= 20)
+        & (F.col("next_v") - F.col("value") >= 20)
+    )
+    marks = s.select(
+        "user_id",
+        F.when(is_v, 1).otherwise(0).alias("is_v"),
+        F.when(
+            is_v,
+            F.round(
+                F.least(
+                    F.col("prev_v") - F.col("value"),
+                    F.col("next_v") - F.col("value"),
+                ),
+                4,
+            ),
+        ).alias("depth"),
+    )
+    return (
+        marks.groupBy("user_id")
+        .agg(
+            F.sum("is_v").cast("bigint").alias("n_vshapes"),
+            F.round(F.max("depth"), 4).alias("max_depth"),
+        )
+        .filter(F.col("n_vshapes") > 0)
+    )

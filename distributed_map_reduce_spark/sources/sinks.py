@@ -335,3 +335,84 @@ def layout_zorder_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("yq").cast("bigint").alias("y_max"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@register(
+    "source_permissive_corrupt",
+    tags=("source", "resilience"),
+    oracle="""
+SELECT source,
+       CAST(count(*) FILTER (WHERE doc_id % 11 <> 0) AS BIGINT) AS n_good,
+       CAST(count(*) FILTER (WHERE doc_id % 11 = 0) AS BIGINT) AS n_corrupt,
+       CAST(sum(n_chars) FILTER (WHERE doc_id % 11 <> 0) AS BIGINT) AS good_chars
+FROM documents
+GROUP BY source
+""",
+)
+def source_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode JSON ingestion over a landing dir where every 11th
+    record is truncated garbage (simulating writer crashes in raw logs):
+    the reader parses what it can and routes unparseable lines to the
+    `_corrupt_record` column instead of failing the job, so per-source
+    good/corrupt accounting falls out of one scan. Same fail-soft
+    contract as `variant_tolerant_ingest`, but at the FILE-FORMAT layer
+    — where a 100 TB raw-log read actually meets bad bytes (the third
+    mode, FAILFAST, is for curated zones; DROPMALFORMED silently loses
+    the accounting)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    line = F.when(
+        F.col("doc_id") % 11 == 0,
+        # truncated mid-string (unterminated JSON): unparseable, but the
+        # source tag is still greppable from the raw line
+        F.concat(
+            F.lit('{"doc_id": '),
+            F.col("doc_id").cast("string"),
+            F.lit(', "source": "'),
+            F.col("source"),
+        ),
+    ).otherwise(F.to_json(F.struct("doc_id", "source", "n_chars")))
+    out = os.path.join(tempfile.mkdtemp(prefix="dmrs_corrupt_"), "landing")
+    try:
+        docs.select(line.alias("value")).write.mode("overwrite").text(out)
+        back = (
+            spark.read.schema(
+                "doc_id long, source string, n_chars long, _corrupt_record string"
+            )
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(out)
+            # Spark refuses plans that project ONLY the internal corrupt
+            # column from a raw scan; materializing severs that lineage
+            # (and the landing dir is deleted below anyway)
+            .localCheckpoint(eager=True)
+        )
+        good = back.filter(F.col("_corrupt_record").isNull()).groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_good"),
+            F.sum("n_chars").cast("bigint").alias("good_chars"),
+        )
+        # corrupt rows lose their parsed columns; recover the source tag
+        # from the raw line to keep per-source accounting
+        bad = (
+            back.filter(F.col("_corrupt_record").isNotNull())
+            .select(
+                F.regexp_extract(
+                    "_corrupt_record", r'"source": "([a-z0-9_]+)', 1
+                ).alias("source")
+            )
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_corrupt"))
+        )
+        return (
+            good.join(bad, "source", "full_outer")
+            .select(
+                "source",
+                F.coalesce("n_good", F.lit(0)).alias("n_good"),
+                F.coalesce("n_corrupt", F.lit(0)).alias("n_corrupt"),
+                F.coalesce("good_chars", F.lit(0)).alias("good_chars"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)

@@ -442,3 +442,99 @@ WITH RECURSIVE edges AS (
 SELECT node AS doc_id, CAST(min(depth) AS BIGINT) AS hops
 FROM walk GROUP BY node
 """)
+
+
+@register(
+    "graph_label_spread",
+    tags=("graph", "ml"),
+    oracle=f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS node FROM edges
+), l0 AS (
+  SELECT n.node, CASE WHEN n.node % 10 = 0 THEN d.lang END AS label
+  FROM nodes n JOIN documents d ON d.doc_id = n.node
+), v1 AS (
+  SELECT e.a AS node, l.label, count(*) AS c
+  FROM edges e JOIN l0 l ON l.node = e.b AND l.label IS NOT NULL
+  GROUP BY 1, 2
+), p1 AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+    FROM v1) WHERE rn = 1
+), l1 AS (
+  SELECT l0.node, coalesce(l0.label, p1.label) AS label
+  FROM l0 LEFT JOIN p1 ON p1.node = l0.node
+), v2 AS (
+  SELECT e.a AS node, l.label, count(*) AS c
+  FROM edges e JOIN l1 l ON l.node = e.b AND l.label IS NOT NULL
+  GROUP BY 1, 2
+), p2 AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+    FROM v2) WHERE rn = 1
+), l2 AS (
+  SELECT l1.node, coalesce(l1.label, p2.label) AS label
+  FROM l1 LEFT JOIN p2 ON p2.node = l1.node
+)
+SELECT node AS doc_id, label,
+       CAST(CASE WHEN node % 10 = 0 THEN 1 ELSE 0 END AS INT) AS is_seed
+FROM l2 WHERE label IS NOT NULL
+""",
+)
+def graph_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation: every 10th document is a
+    labeled seed (its lang); two majority-vote rounds spread labels
+    along near-dup edges — once a node is labeled it freezes, ties
+    break to the lexicographically smallest label so every round is
+    deterministic. The cheap-labels amplifier for curation (license
+    tags, quality flags, topic labels spread through duplicate
+    clusters).
+
+    Scale shape per round: one edges⋈labels join keyed on the node id,
+    a (node, label)-keyed count, and a WindowGroupLimit top-1 — graph-
+    sized, never all-pairs. Rounds unroll in the driver (fixed 2 here);
+    the open-ended variant iterates with localCheckpoint exactly like
+    `connected_components`."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+    nodes = edges.select(F.col("a").alias("node")).distinct()
+    labels = nodes.join(docs, nodes.node == docs.doc_id).select(
+        "node",
+        F.when(F.col("node") % 10 == 0, F.col("lang")).alias("label"),
+    )
+    from pyspark.sql import Window
+
+    for _ in range(2):
+        labeled = labels.filter(F.col("label").isNotNull()).select(
+            F.col("node").alias("l_node"), F.col("label").alias("l_label")
+        )
+        votes = (
+            edges.join(labeled, edges.b == F.col("l_node"))
+            .groupBy(F.col("a").alias("v_node"), F.col("l_label"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        rn = F.row_number().over(
+            Window.partitionBy("v_node").orderBy(F.col("c").desc(), "l_label")
+        )
+        pick = votes.withColumn("rn", rn).filter(F.col("rn") == 1).select(
+            "v_node", F.col("l_label").alias("new_label")
+        )
+        labels = labels.join(pick, labels.node == pick.v_node, "left").select(
+            "node", F.coalesce("label", "new_label").alias("label")
+        )
+    return labels.filter(F.col("label").isNotNull()).select(
+        F.col("node").alias("doc_id"),
+        "label",
+        F.when(F.col("node") % 10 == 0, 1).otherwise(0).cast("int").alias("is_seed"),
+    )

@@ -769,3 +769,48 @@ def temporal_open_interval_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("day"),
         F.sum("net").over(w).cast("bigint").alias("open_orders"),
     )
+
+
+@register(
+    "temporal_week_over_week",
+    tags=("temporal", "window"),
+    oracle="""
+WITH weekly AS (
+  SELECT event_type, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+         CAST(count(*) AS BIGINT) AS n,
+         round(sum(value), 2) AS total
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, week, n, total,
+       lag(n)     OVER w AS prev_n,
+       round((n - lag(n) OVER w) * 100.0 / lag(n) OVER w, 4) AS n_wow_pct,
+       round((total - lag(total) OVER w) * 100.0 / lag(total) OVER w, 4)
+         AS total_wow_pct
+FROM weekly
+WINDOW w AS (PARTITION BY event_type ORDER BY week)
+""",
+)
+def temporal_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth: weekly counts/totals per event type with
+    lag-based percent change — the period-over-period reporting verb.
+    The fact table collapses to the weekly frame in one agg; the lag
+    window runs over weeks-cardinality rows only. First week's deltas
+    are NULL (no fabricated 0% baselines)."""
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type", F.date_trunc("week", "ts").alias("week")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev_n, prev_t = F.lag("n").over(w), F.lag("total").over(w)
+    return weekly.select(
+        "event_type",
+        "week",
+        "n",
+        "total",
+        prev_n.alias("prev_n"),
+        F.round((F.col("n") - prev_n) * 100.0 / prev_n, 4).alias("n_wow_pct"),
+        F.round((F.col("total") - prev_t) * 100.0 / prev_t, 4).alias("total_wow_pct"),
+    )

@@ -74,20 +74,20 @@ def udf_runtime_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _char_entropy(text: pd.Series) -> pd.Series:
-    """Arrow-optimized scalar UDF body: per-string character entropy —
-    genuinely awkward as a SQL expression, cheap as vectorized pandas."""
+def _entropy_one(s: str) -> float:
+    """Byte entropy of one string — the scalar kernel for the Arrow UDF."""
     import numpy as np
 
-    def one(s: str) -> float:
-        if not s:
-            return 0.0
-        arr = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
-        _, counts = np.unique(arr, return_counts=True)
-        p = counts / counts.sum()
-        return float(round(-(p * np.log2(p)).sum(), 6))
+    if not s:
+        return 0.0
+    arr = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
+    _, counts = np.unique(arr, return_counts=True)
+    p = counts / counts.sum()
+    return float(round(-(p * np.log2(p)).sum(), 6))
 
-    return text.map(one)
+
+def _char_entropy(text: pd.Series) -> pd.Series:
+    return text.map(_entropy_one)
 
 
 @register(
@@ -105,9 +105,7 @@ def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths); registered to prove the surface and its batch plumbing."""
     from ..sources import load_table
 
-    ent = F.udf(
-        lambda s: _char_entropy(pd.Series([s]))[0], "double", useArrow=True
-    )
+    ent = F.udf(_entropy_one, "double", useArrow=True)
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select("source", ent(F.col("text")).alias("h"))

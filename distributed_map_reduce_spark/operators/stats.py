@@ -1012,3 +1012,99 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("price"))), 2
         ).alias("weighted_median_price"),
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    tags=("agg", "sketch"),
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+""",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregation (Spark 3.5+
+    bitmap_* functions): each user id sets one bit in a per-bucket
+    bitmap, bitmaps OR together associatively, and popcount gives the
+    exact distinct total — the mergeable EXACT alternative to HLL
+    (`agg_hll_rollup`) when ids are dense integers: partial bitmaps
+    from every partition combine without a global shuffle of raw ids.
+    The oracle is plain count(DISTINCT): a hash match PROVES the bitmap
+    path computes exact distinct, not an estimate."""
+    ev = load_table(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm")
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_users")
+    )
+
+
+@register(
+    "stats_psi_drift",
+    tags=("stats", "ml"),
+    oracle="""
+WITH halves AS (
+  SELECT CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) <
+              (SELECT (epoch_us(CAST(min(ts) AS TIMESTAMP))
+                       + epoch_us(CAST(max(ts) AS TIMESTAMP))) // 2 FROM events)
+              THEN 'expected' ELSE 'actual' END AS half,
+         least(CAST(floor(value / 10) AS BIGINT), 9) AS decile
+  FROM events
+), counts AS (
+  SELECT decile,
+         CAST(count(*) FILTER (WHERE half = 'expected') AS BIGINT) AS ne,
+         CAST(count(*) FILTER (WHERE half = 'actual') AS BIGINT) AS na
+  FROM halves GROUP BY decile
+), tot AS (
+  SELECT CAST(sum(ne) AS BIGINT) AS te, CAST(sum(na) AS BIGINT) AS ta FROM counts
+)
+SELECT CAST(count(*) AS BIGINT) AS n_bins,
+       round(sum((na * 1.0 / ta - ne * 1.0 / te)
+                 * ln((na * 1.0 / ta) / (ne * 1.0 / te))), 6) AS psi
+FROM counts, tot
+WHERE ne > 0 AND na > 0
+""",
+)
+def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the event stream, over fixed value bins — the deployment-monitoring
+    drift score (PSI < 0.1 stable, > 0.25 action). All bin populations
+    are exact BIGINT counts from one pass; the Σ (pa-pe)·ln(pa/pe)
+    reduction over ≤10 bins is the only float work. Pairs with
+    `stats_ks_test` (distribution distance) as the drift-alarm tier."""
+    ev = load_table(spark, sf_dir, "events")
+    # integer epoch-µs midpoint: interval/2 semantics differ across engines
+    bounds = ev.agg(
+        F.min("ts").alias("mn"), F.max("ts").alias("mx")
+    ).select(
+        ((F.unix_micros("mn") + F.unix_micros("mx")) / F.lit(2))
+        .cast("bigint")
+        .alias("split")
+    )
+    halves = ev.crossJoin(bounds).select(
+        F.when(F.unix_micros("ts") < F.col("split"), "expected")
+        .otherwise("actual")
+        .alias("half"),
+        F.least(F.floor(F.col("value") / 10).cast("bigint"), F.lit(9)).alias(
+            "decile"
+        ),
+    )
+    counts = halves.groupBy("decile").agg(
+        F.count_if(F.col("half") == "expected").cast("bigint").alias("ne"),
+        F.count_if(F.col("half") == "actual").cast("bigint").alias("na"),
+    )
+    tot = counts.agg(
+        F.sum("ne").cast("bigint").alias("te"), F.sum("na").cast("bigint").alias("ta")
+    )
+    j = counts.crossJoin(tot).filter((F.col("ne") > 0) & (F.col("na") > 0))
+    pa = F.col("na") * 1.0 / F.col("ta")
+    pe = F.col("ne") * 1.0 / F.col("te")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.round(F.sum((pa - pe) * F.log(pa / pe)), 6).alias("psi"),
+    )

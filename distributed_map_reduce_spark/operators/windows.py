@@ -266,3 +266,64 @@ def window_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_vshapes") > 0)
     )
+
+
+@register(
+    "window_streak_islands",
+    tags=("window", "pattern"),
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events
+), ranked AS (
+  SELECT user_id, day,
+         day - to_days(CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER))
+           AS island
+  FROM days
+), streaks AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS streak_len, min(day) AS streak_start
+  FROM ranked GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(max(streak_len) AS BIGINT) AS longest_streak,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       min(streak_start) FILTER (WHERE streak_len = (
+         SELECT max(s2.streak_len) FROM streaks s2 WHERE s2.user_id = streaks.user_id
+       )) AS best_streak_start
+FROM streaks
+GROUP BY user_id
+""",
+)
+def window_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's consecutive-active-day streaks.
+    The classic rewrite — day minus its per-user row_number is CONSTANT
+    within a consecutive run, so grouping by that difference labels
+    islands with zero self-joins. Reports longest streak, streak count,
+    and the start of the (earliest) longest streak per user. One
+    user_id exchange shared by the distinct, the window, and both
+    aggregates; at 100 TB the presence-pair dedup collapses the fact
+    table before anything else runs."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("day"))
+    ranked = days.select(
+        "user_id",
+        "day",
+        (F.col("day") - F.make_interval(days=rn)).alias("island"),
+    )
+    streaks = ranked.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("bigint").alias("streak_len"),
+        F.min("day").alias("streak_start"),
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_len").cast("bigint").alias("longest_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.min_by(
+            "streak_start",
+            F.struct((-F.col("streak_len")).alias("a"), F.col("streak_start").alias("b")),
+        ).alias("best_streak_start"),
+    )

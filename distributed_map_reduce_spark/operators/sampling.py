@@ -110,3 +110,72 @@ def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("o_totalprice", 2).alias("total"),
         )
     )
+
+
+@register(
+    "sample_variance_quota",
+    tags=("sampling", "stats"),
+    oracle="""
+WITH moments AS (
+  SELECT o_orderpriority,
+         count(*) AS n,
+         round(stddev_samp(o_totalprice), 6) AS sd
+  FROM orders GROUP BY 1
+), alloc AS (
+  SELECT o_orderpriority AS g, n,
+         CAST(greatest(round(200.0 * (n * sd)
+              / (SELECT sum(n * sd) FROM moments)), 1) AS BIGINT) AS quota
+  FROM moments
+), ranked AS (
+  SELECT o.o_orderpriority, o.o_orderkey, round(o.o_totalprice, 2) AS total,
+         row_number() OVER (
+           PARTITION BY o.o_orderpriority
+           ORDER BY md5(CAST(o.o_orderkey AS VARCHAR)), o.o_orderkey
+         ) AS rn
+  FROM orders o
+)
+SELECT r.o_orderpriority, a.quota, r.o_orderkey, r.total
+FROM ranked r JOIN alloc a ON a.g = r.o_orderpriority
+WHERE r.rn <= a.quota
+""",
+)
+def sample_variance_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-style allocation sampling: a 200-row budget splits across
+    strata proportionally to N_h·σ_h (high-variance strata get more
+    rows — the minimum-variance estimator allocation), then each
+    stratum takes its quota deterministically by md5 rank. Two passes:
+    a moment agg (tiny) broadcast into the rank filter. σ rounds at 6dp
+    BEFORE the allocation arithmetic so both engines compute identical
+    quotas; within-stratum selection reuses the reservoir-sample
+    pattern (WindowGroupLimit would apply if quotas were uniform)."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    moments = o.groupBy(F.col("o_orderpriority").alias("g")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.stddev_samp("o_totalprice"), 6).alias("sd"),
+    )
+    tot = moments.agg(F.sum(F.col("n") * F.col("sd")).alias("t"))
+    alloc = moments.crossJoin(tot).select(
+        "g",
+        F.greatest(
+            F.round(200.0 * (F.col("n") * F.col("sd")) / F.col("t")), F.lit(1.0)
+        )
+        .cast("bigint")
+        .alias("quota"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("o_orderpriority").orderBy(
+            F.md5(F.col("o_orderkey").cast("string")), "o_orderkey"
+        )
+    )
+    ranked = o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total"),
+    ).withColumn("rn", rn)
+    return (
+        ranked.join(alloc, ranked.o_orderpriority == alloc.g)
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("o_orderpriority", "quota", "o_orderkey", "total")
+    )

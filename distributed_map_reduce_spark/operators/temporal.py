@@ -814,3 +814,56 @@ def temporal_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("n") - prev_n) * 100.0 / prev_n, 4).alias("n_wow_pct"),
         F.round((F.col("total") - prev_t) * 100.0 / prev_t, 4).alias("total_wow_pct"),
     )
+
+
+@register(
+    "temporal_seasonal_backtest",
+    tags=("temporal", "forecast"),
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+         round(sum(value), 4) AS v
+  FROM events GROUP BY 1, 2
+), joined AS (
+  SELECT cur.event_type, cur.bucket, cur.v,
+         prev.v AS forecast_naive
+  FROM hourly cur JOIN hourly prev
+    ON prev.event_type = cur.event_type
+   AND prev.bucket = cur.bucket - INTERVAL 7 DAY
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_backtest_points,
+       round(avg(abs(v - forecast_naive)), 4) AS mae,
+       round(avg(abs(v - forecast_naive) / abs(v)) * 100, 4) AS mape_pct
+FROM joined
+GROUP BY event_type
+""",
+)
+def temporal_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each hour's value as
+    the same hour one week earlier, score MAE/MAPE per event type — the
+    baseline every real forecasting model must beat, and the shape of
+    any model backtest (equi-join actuals to lagged predictions, score
+    in one agg). The hourly frame joins to itself on an exact
+    (type, bucket-7d) key — no window, no inequality; at 100 TB both
+    sides are rollup-store reads."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    prev = hourly.select(
+        F.col("event_type").alias("p_type"),
+        (F.col("bucket") + F.expr("INTERVAL 7 DAY")).alias("p_bucket"),
+        F.col("v").alias("forecast_naive"),
+    )
+    joined = hourly.join(
+        prev,
+        (F.col("event_type") == F.col("p_type"))
+        & (F.col("bucket") == F.col("p_bucket")),
+    )
+    err = F.abs(F.col("v") - F.col("forecast_naive"))
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_backtest_points"),
+        F.round(F.avg(err), 4).alias("mae"),
+        F.round(F.avg(err / F.abs(F.col("v"))) * 100, 4).alias("mape_pct"),
+    )

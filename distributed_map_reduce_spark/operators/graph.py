@@ -538,3 +538,68 @@ def graph_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.when(F.col("node") % 10 == 0, 1).otherwise(0).cast("int").alias("is_seed"),
     )
+
+
+@register(
+    "graph_jaccard_neighbors",
+    tags=("graph", "similarity"),
+    oracle=f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), deg AS (
+  SELECT a AS node, count(*) AS d FROM edges GROUP BY a
+), common AS (
+  SELECT e1.a AS u, e2.a AS v, count(*) AS cn
+  FROM edges e1 JOIN edges e2
+    ON e1.b = e2.b AND e1.a < e2.a
+  GROUP BY 1, 2
+)
+SELECT c.u, c.v, CAST(c.cn AS BIGINT) AS common_neighbors,
+       round(c.cn * 1.0 / (du.d + dv.d - c.cn), 6) AS jaccard
+FROM common c
+JOIN deg du ON du.node = c.u
+JOIN deg dv ON dv.node = c.v
+WHERE c.cn >= 2
+""",
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the near-dup graph: neighbor-set Jaccard for
+    node pairs sharing ≥2 neighbors — pairs that SHOULD probably be
+    duplicates but lack a direct edge (banding near-misses). The
+    wedge-join shape: edges self-join on the shared endpoint, so cost is
+    Σ deg(b)² over hub nodes — bounded here because `minhash_lsh_pairs`
+    caps band-bucket width upstream; at 100 TB the standard guard
+    drops hubs above a degree cap first (`graph_degree_histogram` is
+    the triage view). Counts exact, one rounded division."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+    deg = edges.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    e1 = edges.select(F.col("a").alias("u"), F.col("b").alias("w1"))
+    e2 = edges.select(F.col("a").alias("v"), F.col("b").alias("w2"))
+    common = (
+        e1.join(e2, (F.col("w1") == F.col("w2")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .filter(F.col("cn") >= 2)
+    )
+    du = deg.select(F.col("node").alias("u_n"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v_n"), F.col("d").alias("dv"))
+    return (
+        common.join(du, common.u == du.u_n)
+        .join(dv, common.v == dv.v_n)
+        .select(
+            "u",
+            "v",
+            F.col("cn").cast("bigint").alias("common_neighbors"),
+            F.round(
+                F.col("cn") * 1.0 / (F.col("du") + F.col("dv") - F.col("cn")), 6
+            ).alias("jaccard"),
+        )
+    )

@@ -826,3 +826,44 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rake_score").desc(), "phrase")
         .limit(25)
     )
+
+
+def _compression_ratio_one(s: str) -> float:
+    """zlib-compressed size over raw size for one document — low ratios
+    mean repetitive/templated text (the Gopher/FineWeb-style quality
+    signal); deterministic for a fixed zlib level."""
+    import zlib
+
+    if not s:
+        return 1.0
+    raw = s.encode("utf-8", "ignore")
+    return float(round(len(zlib.compress(raw, 6)) / len(raw), 6))
+
+
+@register(
+    "text_compression_ratio",
+    tags=("text", "quality"),
+    doc="Per-source zlib compression-ratio quality signal (repetitive "
+    "text compresses suspiciously well); zlib has no SQL oracle — "
+    "rows-only, kernel pinned in tests/test_spark4_surfaces.py.",
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality gate: documents whose bytes compress
+    below ~0.4 are boilerplate/templated with high probability — the
+    cheap information-density filter production corpus cleaning runs
+    alongside `text_repetition_ratio` (explicit n-gram form). Arrow
+    batch transfer (useArrow=True) keeps the Python kernel off the
+    per-row pickle path; at 100 TB this is a narrow scan-speed map —
+    compression cost IS the operator."""
+    ratio = F.udf(_compression_ratio_one, "double", useArrow=True)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", ratio("text").alias("r"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("r"), 4).alias("avg_ratio"),
+            F.round(F.min("r"), 4).alias("min_ratio"),
+            F.count_if(F.col("r") < 0.4).cast("bigint").alias("n_suspect"),
+        )
+    )

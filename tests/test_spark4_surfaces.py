@@ -120,3 +120,21 @@ def test_arrow_udf_entropy_accuracy(spark, sf_dir):
     out = udf_arrow_optimized(spark, sf_dir)
     rows = out.collect()
     assert len(rows) > 0 and all(r["avg_entropy"] > 0 for r in rows)
+
+
+def test_compression_ratio_kernel(spark, sf_dir):
+    """Repetitive text compresses far better than varied text, and the
+    registered query produces sane per-source ratios."""
+    from distributed_map_reduce_spark.operators.text import (
+        _compression_ratio_one,
+        text_compression_ratio,
+    )
+
+    rep = _compression_ratio_one("spam " * 400)
+    varied = _compression_ratio_one(
+        " ".join(f"w{i}x{i * 7 % 113}" for i in range(400))
+    )
+    assert rep < 0.05 < varied
+    rows = text_compression_ratio(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(0 < r["avg_ratio"] <= 1.5 for r in rows)

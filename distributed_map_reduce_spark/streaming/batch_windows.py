@@ -434,3 +434,90 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("purchase_value") / F.col("n_touches"), 4),
         ).alias("credit_per_touch"),
     )
+
+
+@register(
+    "events_conversion_latency",
+    tags=("streaming", "join", "stats"),
+    oracle="""
+WITH c AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS cts
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS pts
+  FROM events WHERE event_type = 'purchase'
+), first_conv AS (
+  SELECT c.event_id,
+         CAST(min(epoch_us(p.pts) - epoch_us(c.cts)) // 1000000 AS BIGINT)
+           AS lag_s
+  FROM c JOIN p
+    ON p.user_id = c.user_id
+   AND p.pts > c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR
+  GROUP BY c.event_id
+)
+, ranked AS (
+  SELECT lag_s,
+         row_number() OVER (ORDER BY lag_s) AS rn,
+         count(*) OVER () AS n
+  FROM first_conv
+)
+SELECT CAST(max(n) AS BIGINT) AS n_converting_clicks,
+       CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN lag_s END) AS BIGINT) AS p50_s,
+       CAST(max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN lag_s END) AS BIGINT) AS p90_s,
+       CAST(max(lag_s) AS BIGINT) AS max_s
+FROM ranked
+""",
+)
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversion-latency distribution: for each click
+    that converts within the hour, the seconds to its FIRST subsequent
+    purchase; p50/p90/max over those lags — the funnel-health metric
+    next to the conversion-rate counts (`events_funnel_conversion`).
+    Lags are exact integer seconds (µs subtraction then floor-divide),
+    and the percentiles are DISCRETE (an actual observed lag, identical
+    on both engines — no interpolation arithmetic to diverge). Interval
+    join is the same watermark-boundable shape as the attribution ops."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "event_id", F.col("user_id").alias("c_user"), F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
+    )
+    conv = (
+        c.join(
+            p,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("pts") > F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("event_id")
+        .agg(
+            F.floor(
+                F.min(F.unix_micros("pts") - F.unix_micros("cts")) / 1000000
+            )
+            .cast("bigint")
+            .alias("lag_s")
+        )
+    )
+    # discrete percentile by explicit rank-pick (ceil(p*n)-th smallest):
+    # percentile_disc/quantile_disc index rules differ across engines
+    from pyspark.sql import Window as W
+
+    ranked = conv.select(
+        "lag_s",
+        F.row_number().over(W.orderBy("lag_s")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    pick = lambda q: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("bigint"),
+            F.col("lag_s"),
+        )
+    ).cast("bigint")
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_converting_clicks"),
+        pick(0.5).alias("p50_s"),
+        pick(0.9).alias("p90_s"),
+        F.max("lag_s").cast("bigint").alias("max_s"),
+    )

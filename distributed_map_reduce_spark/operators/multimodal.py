@@ -289,3 +289,40 @@ def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("first_doc"),
         F.max("doc_id").cast("bigint").alias("last_doc"),
     )
+
+
+def arrow_batch_stats(batches):
+    """mapInArrow kernel: per-row byte stats computed at the RecordBatch
+    level with pyarrow.compute — no pandas materialization at all."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        payload = batch.column("payload")
+        lengths = pc.binary_length(payload)
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("doc_id"), lengths.cast(pa.int64())],
+            names=["doc_id", "n_bytes"],
+        )
+
+
+@register(
+    "multimodal_arrow_batch_stats",
+    tags=("multimodal", "udf"),
+    oracle="""
+SELECT doc_id, octet_length(encode(text)) AS n_bytes
+FROM documents
+""",
+)
+def multimodal_arrow_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LOWEST-level Python batch surface: `mapInArrow` hands the
+    kernel raw Arrow RecordBatches (no pandas conversion), the right
+    tier for binary-payload kernels where pandas object-dtype boxing of
+    bytes dominates runtime — codec libs that accept Arrow buffers
+    (pyarrow.compute here) process payloads zero-copy. Completes the
+    Python ladder: built-ins > pandas_udf > mapInPandas > mapInArrow;
+    hash-matching the plain SQL oracle proves the Arrow path is
+    value-exact, not just fast."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return assets.mapInArrow(arrow_batch_stats, schema="doc_id long, n_bytes long")

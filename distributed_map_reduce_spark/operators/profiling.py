@@ -217,3 +217,44 @@ def profile_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("user_id").cast("bigint").alias("heaviest_key"))
     )
     return summary.crossJoin(heavy)
+
+
+@register(
+    "profile_observed_metrics",
+    tags=("profiling", "observability"),
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(value), 2) AS total_value,
+       CAST(count(*) FILTER (WHERE value < 0) AS BIGINT) AS n_negative,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchases
+FROM events
+""",
+)
+def profile_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight QC metrics via the Observation API: metrics attach to a
+    flowing DataFrame with `df.observe(...)` and are collected as a
+    side-product of the SAME action — at 100 TB this is how a pipeline
+    stage asserts row counts / null rates / value bounds WITHOUT a
+    second scan of the input. Here the observed payload is surfaced as
+    the query result (one driver-built row) so the oracle can verify
+    the observed numbers equal a direct aggregation."""
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation("qc")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.count_if(F.col("value") < 0).cast("bigint").alias("n_negative"),
+        # DISTINCT aggregates are disallowed in observed metrics
+        F.count_if(F.col("event_type") == "purchase")
+        .cast("bigint")
+        .alias("n_purchases"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the real action
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["total_value"], m["n_negative"], m["n_purchases"])],
+        "n_rows bigint, total_value double, n_negative bigint, n_purchases bigint",
+    )

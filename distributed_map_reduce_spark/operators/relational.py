@@ -588,3 +588,66 @@ def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("parsed"), 1).alias("sum_parsed"),
         F.count_if(F.col("big_prod").isNull()).cast("bigint").alias("n_overflow"),
     )
+
+
+@register(
+    "sql_group_by_all",
+    tags=("sql",),
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+""",
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (Spark 3.4+/DuckDB-style sugar): every non-aggregate
+    select item becomes a grouping key automatically — the
+    keeps-queries-in-sync form analysts port from DuckDB/Snowflake.
+    Compiles to the identical aggregate the explicit oracle runs."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ALL
+""")
+
+
+@register(
+    "sql_named_parameters",
+    tags=("sql",),
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders
+WHERE o_totalprice > 150000.0 AND o_orderdate >= DATE '1996-01-01'
+GROUP BY o_orderpriority
+""",
+)
+def sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 3.4+ named-parameter binding): values
+    bind server-side as literals through `spark.sql(text, args=...)` —
+    the injection-safe templating surface for programmatic query
+    services (the reference's query interface is programmatic too:
+    closures over config). The bound plan is identical to inlining the
+    literals, so pushdown still reaches the scan."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders
+WHERE o_totalprice > :min_price AND o_orderdate >= :cutoff
+GROUP BY o_orderpriority
+""",
+        args={"min_price": 150000.0, "cutoff": "1996-01-01"},
+    )

@@ -167,3 +167,53 @@ def udtf_json_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.countDistinct("val").cast("bigint").alias("n_distinct_vals"),
     )
+
+
+@register(
+    "udtf_dynamic_schema",
+    tags=("udf", "polymorphic"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS t
+  FROM documents WHERE doc_id <= 100
+)
+SELECT doc_id,
+       t[1] AS word_0,
+       t[2] AS word_1,
+       t[3] AS word_2,
+       CAST(len(t) AS BIGINT) AS n_total
+FROM toks WHERE len(t) >= 3
+""",
+)
+def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF: the output schema is computed at plan
+    time by a static `analyze()` from a literal argument (here n=3 →
+    columns word_0..word_2) — the Spark-4 mechanism behind
+    variable-arity table functions like a configurable unpivot or
+    feature expander. The engine calls analyze() once during analysis,
+    so downstream operators see ordinary typed columns and pruning /
+    codegen work unchanged."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    class LeadingWords:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(int(n.value)):
+                schema = schema.add(f"word_{i}", StringType())
+            schema = schema.add("n_total", LongType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            toks = [w for w in (text or "").lower().split(" ") if w]
+            if len(toks) >= n:
+                yield (*toks[:n], len(toks))
+
+    spark.udtf.register("leading_words", udtf(LeadingWords))
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
+    docs.createOrReplaceTempView("udtf_dyn_in")
+    return spark.sql(
+        "SELECT doc_id, g.* FROM udtf_dyn_in, LATERAL leading_words(text, 3) AS g"
+    )

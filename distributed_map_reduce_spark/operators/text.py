@@ -867,3 +867,49 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("r") < 0.4).cast("bigint").alias("n_suspect"),
         )
     )
+
+
+@register(
+    "text_sentence_stats",
+    tags=("text",),
+    oracle="""
+WITH sent AS (
+  SELECT doc_id, trim(s) AS s
+  FROM documents,
+       LATERAL (SELECT unnest(string_split_regex(text, '[.!?]+')) AS s) u
+), clean AS (
+  SELECT doc_id,
+         len(list_filter(string_split(s, ' '), w -> trim(w) <> '')) AS n_words
+  FROM sent WHERE trim(s) <> ''
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_sentences,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       round(avg(n_words), 4) AS avg_sentence_len,
+       CAST(max(n_words) AS BIGINT) AS longest_sentence
+FROM clean GROUP BY doc_id
+""",
+)
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats: split on terminal-punctuation runs,
+    count words per sentence, report per-doc sentence count / mean /
+    max — the readability layer of quality scoring (very long or very
+    short mean sentence length flags boilerplate and tables-as-text;
+    pairs with `text_quality_score`'s token heuristics). Regex split +
+    explode + one doc-keyed agg, all codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    sent = docs.select(
+        "doc_id", F.explode(F.split("text", r"[.!?]+")).alias("s")
+    ).select("doc_id", F.trim("s").alias("s"))
+    clean = sent.filter(F.col("s") != "").select(
+        "doc_id",
+        F.size(F.filter(F.split("s", " "), lambda w: F.trim(w) != "")).alias(
+            "n_words"
+        ),
+    )
+    return clean.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sentences"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.round(F.avg("n_words"), 4).alias("avg_sentence_len"),
+        F.max("n_words").cast("bigint").alias("longest_sentence"),
+    )

@@ -653,3 +653,50 @@ def pipeline_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((rnk - 1.0) / (F.col("n") - 1), 4).alias("quantile_rank"),
         )
     )
+
+
+@register(
+    "pipeline_train_val_split",
+    tags=("pipeline", "training"),
+    oracle="""
+WITH assigned AS (
+  SELECT source,
+         CASE WHEN CAST('0x' || substr(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 100 < 98 THEN 'train'
+              WHEN CAST('0x' || substr(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 100 < 99 THEN 'val'
+              ELSE 'test' END AS split,
+         n_chars
+  FROM documents
+)
+SELECT source, split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM assigned GROUP BY source, split
+""",
+)
+def pipeline_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 98/1/1 train/val/test assignment by salted content
+    hash — the split that stays STABLE as the corpus grows (a doc never
+    migrates between splits when new data arrives, unlike
+    randomSplit/modulo-on-position), which is what keeps eval sets
+    uncontaminated across pipeline re-runs. Pure map + one small agg;
+    the same predicate IS the split filter at materialization time."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split-"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    assigned = docs.select(
+        "source",
+        F.when(bucket < 98, "train").when(bucket < 99, "val").otherwise("test").alias("split"),
+        "n_chars",
+    )
+    return assigned.groupBy("source", "split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -284,3 +284,118 @@ def kv_cdc_tombstone_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (F.col("op") != "delete"))
         .select("key", "value")
     )
+
+
+@register(
+    "kv_bloom_membership",
+    tags=("kv", "sketch"),
+    oracle="""
+WITH members AS (
+  SELECT s_suppkey AS k FROM supplier
+), positions AS (
+  SELECT CAST('0x' || substr(md5('bf' || CAST(u.j AS VARCHAR) || '-' || CAST(k AS VARCHAR)), 1, 8)
+              AS BIGINT) % 1024 AS pos
+  FROM members, (SELECT unnest([0, 1, 2]) AS j) u
+), words AS (
+  SELECT CAST(pos // 32 AS BIGINT) AS word,
+         CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS BIGINT) AS bits
+  FROM positions GROUP BY 1
+), probes AS (
+  SELECT c_custkey AS p FROM customer
+), probe_pos AS (
+  SELECT p, u.j,
+         CAST('0x' || substr(md5('bf' || CAST(u.j AS VARCHAR) || '-' || CAST(p AS VARCHAR)), 1, 8)
+              AS BIGINT) % 1024 AS pos
+  FROM probes, (SELECT unnest([0, 1, 2]) AS j) u
+), checked AS (
+  SELECT pp.p,
+         min(CASE WHEN ((coalesce(w.bits, 0) >> CAST(pp.pos % 32 AS INTEGER)) & 1) = 1
+                  THEN 1 ELSE 0 END) AS hit
+  FROM probe_pos pp LEFT JOIN words w ON w.word = pp.pos // 32
+  GROUP BY pp.p
+), truth AS (
+  SELECT c.p, CASE WHEN m.k IS NULL THEN 0 ELSE 1 END AS is_member
+  FROM checked c LEFT JOIN members m ON m.k = c.p
+)
+SELECT CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(sum(c.hit) AS BIGINT) AS n_flagged,
+       CAST(sum(t.is_member) AS BIGINT) AS n_true_members,
+       CAST(sum(CASE WHEN c.hit = 1 AND t.is_member = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_positives,
+       CAST(sum(CASE WHEN c.hit = 0 AND t.is_member = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_negatives
+FROM checked c JOIN truth t ON t.p = c.p
+""",
+)
+def kv_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership, engine-portable end to end: the supplier
+    keyset builds a 1024-bit filter (k=3 md5-derived hash positions,
+    32-bit words OR-folded with bit_or), every customer key probes it,
+    and the summary counts flagged / true / false-positive /
+    false-negative (MUST be 0 — Blooms never miss members; the oracle
+    hash-match proves it). This is the keyset-prefilter a 100 TB join
+    ships to the probe side instead of the keys themselves — 1024 bits
+    stand in for the whole dim keyset, and the same construction is
+    what `spark.sql.optimizer.runtime.bloomFilter` injects
+    automatically for selective joins. Deterministic md5 positions make
+    the filter bit-identical on any engine, rerun, or cluster size —
+    unlike engine-private bloom_filter_agg sketches."""
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("p")
+    )
+    js = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j")
+
+    def pos(key_col):
+        h = F.md5(
+            F.concat(F.lit("bf"), F.col("j").cast("string"), F.lit("-"), key_col.cast("string"))
+        )
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 1024
+
+    positions = sup.select("k", js).select(pos(F.col("k")).alias("pos"))
+    words = positions.groupBy((F.col("pos") / 32).cast("bigint").alias("word")).agg(
+        F.bit_or(F.expr("cast(shiftleft(1, cast(pos % 32 as int)) as bigint)")).alias(
+            "bits"
+        )
+    )
+    probe_pos = cust.select("p", js).select("p", pos(F.col("p")).alias("pos"))
+    checked = (
+        probe_pos.join(
+            F.broadcast(words),
+            (F.col("pos") / 32).cast("bigint") == F.col("word"),
+            "left",
+        )
+        .select(
+            "p",
+            F.when(
+                F.expr(
+                    "((coalesce(bits, 0) >> cast(pos % 32 as int)) & 1) = 1"
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("bit_set"),
+        )
+        .groupBy("p")
+        .agg(F.min("bit_set").alias("hit"))
+    )
+    truth = checked.join(sup, checked.p == sup.k, "left").select(
+        "p", "hit", F.when(F.col("k").isNull(), 0).otherwise(1).alias("is_member")
+    )
+    return truth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum("hit").cast("bigint").alias("n_flagged"),
+        F.sum("is_member").cast("bigint").alias("n_true_members"),
+        F.sum(
+            F.when((F.col("hit") == 1) & (F.col("is_member") == 0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_false_positives"),
+        F.sum(
+            F.when((F.col("hit") == 0) & (F.col("is_member") == 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_false_negatives"),
+    )

@@ -448,3 +448,86 @@ def similarity_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("recon_mae"),
     )
+
+
+@register(
+    "similarity_matryoshka_audit",
+    tags=("similarity", "eval"),
+    oracle="""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+full_topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY round(list_cosine_similarity(qv, v), 6) DESC, e.vec_id) AS rn
+    FROM q CROSS JOIN e WHERE query_id <> e.vec_id
+  ) WHERE rn <= 5
+), trunc_topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY round(list_cosine_similarity(qv[1:16], v[1:16]), 6) DESC,
+                        e.vec_id) AS rn
+    FROM q CROSS JOIN e WHERE query_id <> e.vec_id
+  ) WHERE rn <= 5
+)
+SELECT f.query_id,
+       CAST(count(t.neighbor_id) AS BIGINT) AS n_overlap,
+       round(count(t.neighbor_id) / 5.0, 4) AS recall_at_5
+FROM full_topk f LEFT JOIN trunc_topk t
+  ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+GROUP BY f.query_id
+""",
+)
+def similarity_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka/MRL truncation audit: does top-5 cosine search over the
+    FIRST 16 dims recover the full-64-dim top-5? Per-query recall@5 —
+    the measurement that decides how far a serving tier can truncate
+    embeddings (4x memory and bandwidth back) before ANN quality
+    degrades. Both searches are broadcast-|Q| brute force (8 queries),
+    zero corpus shuffle; ranks tie-break on (rounded cosine, vec_id) so
+    both engines produce identical neighbor sets."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+
+    def topk(sim_col):
+        pairs = q.crossJoin(e).filter(F.col("query_id") != F.col("vec_id"))
+        scored = pairs.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), sim_col.alias("s")
+        )
+        rn = F.row_number().over(
+            W.partitionBy("query_id").orderBy(F.col("s").desc(), "neighbor_id")
+        )
+        return (
+            scored.withColumn("rn", rn)
+            .filter(F.col("rn") <= 5)
+            .select("query_id", "neighbor_id")
+        )
+
+    full = topk(F.round(cosine(F.col("qv"), F.col("v")), 6))
+    trunc = topk(
+        F.round(cosine(F.slice("qv", 1, 16), F.slice("v", 1, 16)), 6)
+    )
+    t = trunc.select(
+        F.col("query_id").alias("t_q"), F.col("neighbor_id").alias("t_n")
+    )
+    return (
+        full.join(
+            t,
+            (F.col("query_id") == F.col("t_q"))
+            & (F.col("neighbor_id") == F.col("t_n")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("t_n").cast("bigint").alias("n_overlap"),
+            F.round(F.count("t_n") / 5.0, 4).alias("recall_at_5"),
+        )
+    )

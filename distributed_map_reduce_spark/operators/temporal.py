@@ -867,3 +867,56 @@ def temporal_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(err), 4).alias("mae"),
         F.round(F.avg(err / F.abs(F.col("v"))) * 100, 4).alias("mape_pct"),
     )
+
+
+@register(
+    "temporal_weekend_lift",
+    tags=("temporal", "stats"),
+    oracle="""
+WITH tagged AS (
+  SELECT event_type,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS is_weekend,
+         value
+  FROM events
+), g AS (
+  SELECT event_type,
+         CAST(count(*) FILTER (WHERE is_weekend = 1) AS BIGINT) AS n_weekend,
+         CAST(count(*) FILTER (WHERE is_weekend = 0) AS BIGINT) AS n_weekday,
+         round(avg(value) FILTER (WHERE is_weekend = 1), 6) AS avg_weekend,
+         round(avg(value) FILTER (WHERE is_weekend = 0), 6) AS avg_weekday
+  FROM tagged GROUP BY event_type
+)
+SELECT event_type, n_weekend, n_weekday, avg_weekend, avg_weekday,
+       round((avg_weekend - avg_weekday) * 100.0 / avg_weekday, 4) AS lift_pct
+FROM g
+""",
+)
+def temporal_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend-vs-weekday behavioral lift per event type — the calendar
+    seasonality decomposition every engagement dashboard starts with.
+    DuckDB's dayofweek is 0=Sunday..6=Saturday while Spark's dayofweek
+    is 1=Sunday..7=Saturday — the predicate maps both to the same
+    weekend set explicitly. One conditional aggregate; lift arithmetic
+    runs on 6dp-pre-rounded arm means."""
+    ev = load_table(spark, sf_dir, "events")
+    # Spark: dayofweek 1=Sunday, 7=Saturday
+    is_weekend = F.dayofweek("ts").isin(1, 7)
+    g = ev.groupBy("event_type").agg(
+        F.count_if(is_weekend).cast("bigint").alias("n_weekend"),
+        F.count_if(~is_weekend).cast("bigint").alias("n_weekday"),
+        F.round(F.avg(F.when(is_weekend, F.col("value"))), 6).alias("avg_weekend"),
+        F.round(F.avg(F.when(~is_weekend, F.col("value"))), 6).alias("avg_weekday"),
+    )
+    return g.select(
+        "event_type",
+        "n_weekend",
+        "n_weekday",
+        "avg_weekend",
+        "avg_weekday",
+        F.round(
+            (F.col("avg_weekend") - F.col("avg_weekday"))
+            * 100.0
+            / F.col("avg_weekday"),
+            4,
+        ).alias("lift_pct"),
+    )

@@ -651,3 +651,33 @@ GROUP BY o_orderpriority
 """,
         args={"min_price": 150000.0, "cutoff": "1996-01-01"},
     )
+
+
+@register(
+    "scalar_bitwise_funcs",
+    tags=("scalar",),
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderkey & 255 AS BIGINT) AS low_byte,
+       CAST(o_orderkey | 4096 AS BIGINT) AS with_flag,
+       CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS key_xor,
+       CAST(bit_count(o_orderkey) AS BIGINT) AS popcount,
+       CAST((o_orderkey >> 4) AS BIGINT) AS shifted
+FROM orders
+WHERE o_orderkey <= 5000
+""",
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface: and/or/xor masks, popcount, shifts — the
+    flag-word and bucket-arithmetic toolbox (the Z-order and Bloom
+    operators build on exactly these). All exact integer ops inside
+    codegen; engine-portable by construction."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    return o.select(
+        "o_orderkey",
+        F.expr("o_orderkey & 255").cast("bigint").alias("low_byte"),
+        F.expr("o_orderkey | 4096").cast("bigint").alias("with_flag"),
+        F.expr("o_orderkey ^ o_custkey").cast("bigint").alias("key_xor"),
+        F.bit_count("o_orderkey").cast("bigint").alias("popcount"),
+        F.expr("shiftright(o_orderkey, 4)").cast("bigint").alias("shifted"),
+    )

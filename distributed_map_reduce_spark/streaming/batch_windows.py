@@ -521,3 +521,34 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.9).alias("p90_s"),
         F.max("lag_s").cast("bigint").alias("max_s"),
     )
+
+
+@register(
+    "events_hourly_heatmap",
+    tags=("streaming", "window", "reshape"),
+    oracle="""
+SELECT CAST(CASE WHEN dayofweek(ts) = 0 THEN 7 ELSE dayofweek(ts) END AS BIGINT)
+         AS iso_dow,
+       CAST(hour(ts) AS BIGINT) AS hour_of_day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity matrix — the engagement
+    heatmap behind every 'when are users active' dashboard. Day
+    numbering is normalized to ISO (Mon=1..Sun=7) explicitly on both
+    engines (Spark dayofweek is 1=Sunday, DuckDB's is 0=Sunday — a
+    classic silent-skew trap). One hash-agg to a fixed 7×24 frame."""
+    ev = load_table(spark, sf_dir, "events")
+    # Spark dayofweek: 1=Sunday..7=Saturday → ISO Mon=1..Sun=7
+    iso_dow = F.when(F.dayofweek("ts") == 1, 7).otherwise(F.dayofweek("ts") - 1)
+    return ev.groupBy(
+        iso_dow.cast("bigint").alias("iso_dow"),
+        F.hour("ts").cast("bigint").alias("hour_of_day"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )

@@ -681,3 +681,37 @@ def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count("o_orderkey").cast("bigint").alias("popcount"),
         F.expr("shiftright(o_orderkey, 4)").cast("bigint").alias("shifted"),
     )
+
+
+@register(
+    "agg_string_concat_groups",
+    tags=("agg", "reshape"),
+    oracle="""
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+       CAST(count(*) AS BIGINT) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+)
+def agg_string_concat_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg): nations per
+    region as one sorted CSV cell — the denormalize-for-export verb.
+    Determinism requires the explicit ORDER BY inside the aggregate;
+    Spark expresses it as concat_ws over sort_array(collect_list(...)),
+    which keeps the collect map-side partial and sorts per group once.
+    Only safe when group fan-in is bounded (25 nations here) — at
+    100 TB an unbounded LISTAGG is a one-row OOM, use explode-side
+    processing instead."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias(
+                "nations_csv"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+        )
+    )

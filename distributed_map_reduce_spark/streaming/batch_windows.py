@@ -552,3 +552,50 @@ def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+@register(
+    "events_inter_arrival",
+    tags=("streaming", "window", "stats"),
+    oracle="""
+WITH gaps AS (
+  SELECT user_id,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP))
+              - epoch_us(lag(CAST(ts AS TIMESTAMP))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id))
+              AS BIGINT) // 1000000 AS gap_s
+  FROM events
+), clean AS (SELECT user_id, gap_s FROM gaps WHERE gap_s IS NOT NULL)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+       CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+       round(avg(gap_s), 4) AS avg_gap_s
+FROM clean GROUP BY user_id
+""",
+)
+def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap statistics per user (seconds between
+    consecutive events) — the burstiness profile that calibrates
+    session-gap thresholds (`events_session_window`'s 30 min) and
+    watermark horizons from data instead of folklore. One lag window
+    and one agg on the same user_id exchange; gaps floor to exact
+    integer seconds (the DuckDB-CAST-rounds trap again)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        F.floor(
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) / 1000000
+        )
+        .cast("bigint")
+        .alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.min("gap_s").cast("bigint").alias("min_gap_s"),
+        F.max("gap_s").cast("bigint").alias("max_gap_s"),
+        F.round(F.avg("gap_s"), 4).alias("avg_gap_s"),
+    )

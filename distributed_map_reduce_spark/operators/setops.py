@@ -148,3 +148,52 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stack(2, 'retailprice', p_retailprice, 'size', CAST(p_size AS DOUBLE)) AS (attr, raw_val)"
         ),
     ).select("p_partkey", "attr", F.round("raw_val", 2).alias("val"))
+
+
+@register(
+    "set_intersect_all",
+    tags=("setops",),
+    oracle="""
+SELECT CAST(l_suppkey AS BIGINT) AS k FROM lineitem WHERE l_quantity >= 25
+INTERSECT ALL
+SELECT CAST(l_suppkey AS BIGINT) AS k FROM lineitem WHERE l_discount >= 0.05
+""",
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics: a supplier key appearing 3× in the
+    high-quantity stream and 2× in the discounted stream survives
+    exactly min(3,2)=2 times. The multiset algebra matters whenever
+    rows carry multiplicity weight (joins against it reproduce counts);
+    Spark plans it as a counted hash join, no dedup pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 25).select(
+        F.col("l_suppkey").cast("bigint").alias("k")
+    )
+    b = li.filter(F.col("l_discount") >= 0.05).select(
+        F.col("l_suppkey").cast("bigint").alias("k")
+    )
+    return a.intersectAll(b)
+
+
+@register(
+    "set_except_all",
+    tags=("setops",),
+    oracle="""
+SELECT CAST(l_suppkey AS BIGINT) AS k FROM lineitem WHERE l_quantity >= 25
+EXCEPT ALL
+SELECT CAST(l_suppkey AS BIGINT) AS k FROM lineitem WHERE l_discount >= 0.05
+""",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference: each occurrence on the right
+    cancels ONE occurrence on the left (count 5 minus count 2 leaves
+    3 rows), completing the bag-semantics tier next to the distinct
+    set ops."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 25).select(
+        F.col("l_suppkey").cast("bigint").alias("k")
+    )
+    b = li.filter(F.col("l_discount") >= 0.05).select(
+        F.col("l_suppkey").cast("bigint").alias("k")
+    )
+    return a.exceptAll(b)

@@ -715,3 +715,51 @@ def agg_string_concat_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_nations"),
         )
     )
+
+
+@register(
+    "agg_aging_buckets",
+    tags=("agg", "reporting"),
+    oracle="""
+WITH open_orders AS (
+  SELECT o_orderstatus, o_orderdate, o_totalprice
+  FROM orders WHERE o_orderstatus <> 'F'
+), report_date AS (SELECT max(o_orderdate) AS today FROM open_orders),
+aged AS (
+  SELECT o_orderstatus,
+         CASE WHEN date_diff('day', o_orderdate, today) <= 30 THEN '0-30'
+              WHEN date_diff('day', o_orderdate, today) <= 60 THEN '31-60'
+              WHEN date_diff('day', o_orderdate, today) <= 90 THEN '61-90'
+              ELSE '90+' END AS age_bucket,
+         o_totalprice
+  FROM open_orders, report_date
+)
+SELECT o_orderstatus, age_bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS outstanding
+FROM aged GROUP BY o_orderstatus, age_bucket
+""",
+)
+def agg_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aging report (receivables-style): open orders bucketed by days
+    outstanding relative to the dataset's as-of date — the 30/60/90
+    operational report. The as-of scalar comes from one max() agg
+    broadcast into the bucketing CASE; day arithmetic is exact integer
+    datediff on both engines."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    asof = o.agg(F.max("o_orderdate").alias("today"))
+    aged = o.crossJoin(F.broadcast(asof)).select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.datediff("today", "o_orderdate").alias("age_days"),
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 30, "0-30")
+        .when(F.col("age_days") <= 60, "31-60")
+        .when(F.col("age_days") <= 90, "61-90")
+        .otherwise("90+")
+    )
+    return aged.groupBy("o_orderstatus", bucket.alias("age_bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("outstanding"),
+    )

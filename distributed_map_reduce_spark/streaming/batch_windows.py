@@ -599,3 +599,45 @@ def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_s").cast("bigint").alias("max_gap_s"),
         F.round(F.avg("gap_s"), 4).alias("avg_gap_s"),
     )
+
+
+@register(
+    "events_cumulative_users",
+    tags=("streaming", "window", "growth"),
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, CAST(min(date_trunc('day', ts)) AS TIMESTAMP) AS day
+  FROM events GROUP BY user_id
+), daily_new AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM first_seen GROUP BY day
+)
+SELECT day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM daily_new
+""",
+)
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: daily new users and the cumulative
+    users-ever-seen curve. The scalable exact form — NOT a running
+    count(DISTINCT) window (not frame-decomposable): each user reduces
+    to a first-seen day, new-user counts aggregate per day, and ONE
+    running sum over the day-cardinality frame yields the cumulative
+    curve. Same collapse-then-window discipline as the sliding-DAU and
+    streak operators."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("day")
+    )
+    daily_new = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily_new.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )

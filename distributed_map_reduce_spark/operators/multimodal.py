@@ -63,7 +63,7 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     oracle="""
 SELECT source,
        count(*)                               AS n_assets,
-       sum(octet_length(encode(text)))        AS total_bytes,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        round(avg(octet_length(encode(text))), 4) AS avg_bytes,
        max(octet_length(encode(text)))        AS max_bytes
 FROM documents

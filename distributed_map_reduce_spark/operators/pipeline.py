@@ -40,7 +40,7 @@ WITH scored AS (
 )
 SELECT lang,
        count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        round(avg(n_tokens), 4) AS avg_tokens
 FROM canonical WHERE rn = 1
 GROUP BY lang

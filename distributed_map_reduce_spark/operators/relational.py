@@ -474,9 +474,10 @@ def sql_interface_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "types"),
     oracle="""
 SELECT l_returnflag,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))
-           * CAST(1 - l_discount AS DECIMAL(18,2))) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_price,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))
+            AS VARCHAR) AS sum_disc_price,
        CAST(count(*) AS BIGINT) AS n
 FROM lineitem
 GROUP BY l_returnflag
@@ -486,9 +487,12 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Money-exact aggregation: DECIMAL(18,2) sums that are bit-identical
     across engines and association orders — the float-free accounting
     path (doubles drift in the 13th digit across differently-ordered
-    partial sums; decimals cannot). The hash gate compares the decimal
-    strings UNROUNDED: this query proves the engine offers an exact-
-    arithmetic tier, not just rounded-double parity.
+    partial sums; decimals cannot). The comparable form is the
+    fixed-scale decimal STRING: pandas converts a wide DuckDB DECIMAL to
+    float64 (dropping the exact digits this query exists to prove),
+    while Spark ships Decimal objects — so both engines CAST the exact
+    result to a scale-pinned string and the hash compares those
+    unrounded digit sequences.
 
     Spark's decimal sum widens precision (never overflows silently) and
     stays inside Tungsten's fixed-point codegen — same one-exchange
@@ -498,8 +502,8 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
     return li.groupBy("l_returnflag").agg(
-        F.sum(price).alias("sum_price"),
-        F.sum(price * disc).alias("sum_disc_price"),
+        F.sum(price).cast("string").alias("sum_price"),
+        F.sum(price * disc).cast("decimal(38,4)").cast("string").alias("sum_disc_price"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -94,16 +94,19 @@ def variant_tolerant_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = F.when(F.col("event_id") % 7 == 0, F.lit("{truncated")).otherwise(
         F.col("props")
     )
-    v = F.try_parse_json(j)
     return (
         ev.select(
             "event_type",
-            v.alias("v"),
+            j.alias("j"),
+            F.try_parse_json(j).alias("v"),
         )
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.count_if(F.col("v").isNull()).alias("n_corrupt"),
+            # NULL input is absent data, not corruption: the oracle's
+            # `NOT json_valid(j)` is NULL (not counted) for NULL j, so the
+            # corrupt count must likewise require j IS NOT NULL.
+            F.count_if(F.col("j").isNotNull() & F.col("v").isNull()).alias("n_corrupt"),
             F.sum(F.variant_get("v", "$.k", "bigint")).alias("sum_valid_k"),
         )
     )

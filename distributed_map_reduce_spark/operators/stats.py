@@ -23,8 +23,9 @@ from ..sources import load_table
     oracle="""
 SELECT l_returnflag,
        round(median(l_extendedprice), 4)                       AS median_price,
-       list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.95]),
-                      x -> round(x, 4))                        AS price_quantiles
+       round(quantile_cont(l_extendedprice, 0.25), 4)          AS p25_price,
+       round(quantile_cont(l_extendedprice, 0.50), 4)          AS p50_price,
+       round(quantile_cont(l_extendedprice, 0.95), 4)          AS p95_price
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -32,13 +33,15 @@ GROUP BY l_returnflag
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (linear interpolation — matches quantile_cont).
     At 100 TB use the approx twin below; exact percentile shuffles whole
-    groups to sort."""
+    groups to sort. Quantiles are emitted as scalar columns, not an
+    array — the driver canonicalizer sorts pandas cells and cannot hash
+    ndarray values (CORRECTNESS_r02 `unhashable type` crash)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
-        F.expr(
-            "transform(percentile(l_extendedprice, array(0.25D, 0.5D, 0.95D)), x -> round(x, 4))"
-        ).alias("price_quantiles"),
+        F.round(F.expr("percentile(l_extendedprice, 0.25D)"), 4).alias("p25_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.50D)"), 4).alias("p50_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95D)"), 4).alias("p95_price"),
     )
 
 
@@ -49,12 +52,13 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(single pass, no sort); estimates are engine-specific, rows-only check.",
 )
 def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scalar estimate columns, not an array: even rows-only queries go
+    # through the driver canonicalizer, which cannot hash ndarray cells.
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_percentile("l_extendedprice", 0.5, 10000).alias("median_est"),
-        F.approx_percentile(
-            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.95)), 10000
-        ).alias("quantile_est"),
+        F.approx_percentile("l_extendedprice", 0.25, 10000).alias("p25_est"),
+        F.approx_percentile("l_extendedprice", 0.95, 10000).alias("p95_est"),
     )
 
 
@@ -290,7 +294,7 @@ WITH rev AS (
   FROM rev
 )
 SELECT l_partkey,
-       rev_dec AS revenue,
+       CAST(CAST(rev_dec AS DECIMAL(38,4)) AS VARCHAR) AS revenue,
        round(CAST(cum_dec AS DOUBLE) / CAST(total_dec AS DOUBLE), 6) AS cum_share,
        CASE WHEN CAST(cum_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) <= 0.8 THEN 'A'
             WHEN CAST(cum_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) <= 0.95 THEN 'B'
@@ -330,9 +334,12 @@ def stats_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev_dec").over(w_all).alias("total_dec"),
     )
     share = F.col("cum_dec").cast("double") / F.col("total_dec").cast("double")
+    # revenue ships as a scale-pinned decimal STRING: pandas turns DuckDB's
+    # wide DECIMAL into float64 while Spark ships Decimal objects — strings
+    # keep the exact digits comparable (same trick as agg_decimal_exact).
     return ranked.select(
         "l_partkey",
-        F.col("rev_dec").alias("revenue"),
+        F.col("rev_dec").cast("decimal(38,4)").cast("string").alias("revenue"),
         F.round(share, 6).alias("cum_share"),
         F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias("abc_class"),
     )
@@ -787,7 +794,7 @@ WITH pos AS (
 )
 SELECT c_mktsegment,
        CAST(count(*) AS BIGINT) AS n_customers,
-       round(sum(bal), 2) AS total_bal,
+       CAST(round(sum(bal), 2) AS DOUBLE) AS total_bal,
        round(2.0 * sum(i * bal) / (count(*) * sum(bal))
              - (count(*) + 1.0) / count(*), 6) AS gini
 FROM ranked
@@ -822,7 +829,7 @@ def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count(F.lit(1))
     return ranked.groupBy("c_mktsegment").agg(
         n.cast("bigint").alias("n_customers"),
-        F.round(F.sum("bal"), 2).alias("total_bal"),
+        F.round(F.sum("bal"), 2).cast("double").alias("total_bal"),
         F.round(
             2.0 * F.sum(F.col("i") * F.col("bal")) / (n * F.sum("bal"))
             - (n + 1.0) / n,

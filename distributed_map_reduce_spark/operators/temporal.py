@@ -114,33 +114,38 @@ def asof_purchase_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH hourly AS (
   SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_start,
-         event_type, count(*) AS n, round(sum(value), 2) AS total_value
+         event_type, count(*) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
   FROM events GROUP BY 1, 2
 )
-SELECT 'hour' AS grain, bucket_start, event_type, n, total_value FROM hourly
+SELECT 'hour' AS grain, bucket_start, event_type, n, total_cents FROM hourly
 UNION ALL
 SELECT 'day' AS grain, date_trunc('day', bucket_start) AS bucket_start, event_type,
-       sum(n) AS n, round(sum(total_value), 2) AS total_value
+       CAST(sum(n) AS BIGINT) AS n, CAST(sum(total_cents) AS BIGINT) AS total_cents
 FROM hourly GROUP BY 2, 3
 """,
 )
 def rollup_hourly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style hierarchical rollup: the daily grain re-aggregates
     the hourly grain (not the raw events) — the continuous-aggregate
-    pattern that keeps 100 TB rollups incremental."""
+    pattern that keeps 100 TB rollups incremental. Money is integer cents
+    (events.value is 2-dp); the oracle CASTs every re-aggregated sum to
+    BIGINT because DuckDB promotes summed BIGINT to HUGEINT, which pandas
+    renders float64 and the dtype-sensitive driver hash rejects."""
     ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
     hourly = (
         ev.groupBy(
             F.date_trunc("hour", "ts").alias("bucket_start"),
             "event_type",
         )
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("total_cents"))
     )
     daily = (
         hourly.groupBy(
             F.date_trunc("day", "bucket_start").alias("bucket_start"), "event_type"
         )
-        .agg(F.sum("n").alias("n"), F.round(F.sum("total_value"), 2).alias("total_value"))
+        .agg(F.sum("n").alias("n"), F.sum("total_cents").alias("total_cents"))
     )
     return hourly.select(F.lit("hour").alias("grain"), "*").unionByName(
         daily.select(F.lit("day").alias("grain"), "*")
@@ -380,8 +385,8 @@ WITH ev AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sessed AS (
   SELECT user_id, ts, event_id,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_idx
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
   FROM marked
 )
 SELECT user_id, session_idx,

@@ -161,8 +161,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT source,
        count(*)                                               AS n_docs,
-       sum(len(list_filter(string_split(text, ' '), w -> trim(w) <> ''))) AS ws_tokens,
-       sum(len(regexp_extract_all(text, '{_BPE_ISH_RE}')))    AS bpeish_tokens,
+       CAST(sum(len(list_filter(string_split(text, ' '), w -> trim(w) <> ''))) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '{_BPE_ISH_RE}'))) AS BIGINT) AS bpeish_tokens,
        round(avg(length(text)), 4)                            AS avg_chars
 FROM documents
 GROUP BY source
@@ -282,7 +282,7 @@ WITH lex(w, score) AS (
   FROM documents
 )
 SELECT doc_id,
-       coalesce(sum(score), 0) AS sentiment,
+       CAST(coalesce(sum(score), 0) AS BIGINT) AS sentiment,
        count(score)            AS n_hits
 FROM tok LEFT JOIN lex USING (w)
 GROUP BY doc_id
@@ -818,13 +818,13 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pscore.join(dphrase, "phrase")
+        .orderBy(F.col("score6").desc(), "phrase")
+        .limit(25)
         .select(
             "phrase",
             "n_occ",
             F.round(F.col("score6") / 1000000.0, 4).alias("rake_score"),
         )
-        .orderBy(F.col("rake_score").desc(), "phrase")
-        .limit(25)
     )
 
 

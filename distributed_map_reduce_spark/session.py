@@ -28,8 +28,10 @@ _RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Arrow for every pandas-UDF / toPandas boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    # rejects; read as epoch-nanos long and normalize in sources.catalog.
+    # Tolerate a TIMESTAMP(NANOS) events.parquet (some writer versions emit
+    # it; Spark's reader rejects it otherwise): surface nanos as epoch-long,
+    # normalized to µs in sources.catalog.load_table / streaming.jobs.
+    # Current testdata writes TIMESTAMP(µs) — this is drift insurance.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 

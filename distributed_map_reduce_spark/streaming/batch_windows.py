@@ -265,7 +265,7 @@ WITH g AS (
               THEN INTERVAL 60 MINUTE ELSE INTERVAL 15 MINUTE END AS gap
   FROM events
 ), marked AS (
-  SELECT user_id, ts, value, gap,
+  SELECT user_id, event_id, ts, value, gap,
          CASE WHEN ts >= max(ts + gap)
                 OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -273,7 +273,7 @@ WITH g AS (
   FROM g
 ), sessions AS (
   SELECT user_id, ts, value, gap,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS session_id
   FROM marked

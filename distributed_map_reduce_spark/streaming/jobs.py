@@ -23,6 +23,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Nominal events schema (documentation/tests). The stream reader below does
+# NOT trust this: it derives the real schema from a batch read of the same
+# file and applies catalog.load_table's ts normalization, so a regenerated
+# events.parquet with nanos-long or tz-adjusted timestamps cannot silently
+# diverge batch vs streaming (ADVICE r2).
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -47,13 +52,22 @@ def events_stream_dir(sf_dir: str) -> str:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet, ts normalized to µs."""
+    """File-source stream over the events parquet, ts normalized to a
+    session-TZ µs timestamp exactly like sources.catalog.load_table —
+    one normalization policy for batch and streaming."""
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(events_stream_dir(sf_dir))
     )
-    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # nanosAsLong path: integer div keeps µs precision
+        return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if not isinstance(ts_type, T.TimestampType):
+        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def tumbling_counts(events: DataFrame) -> DataFrame:

@@ -1,7 +1,20 @@
 """Local differential harness: run every registered query on Spark AND its
 DuckDB oracle on the same parquet views; compare row count, column names,
-and order-insensitive value hash — a local replica of the driver's
+and an order-insensitive value hash — a local replica of the driver's
 correctness gate so failures surface before a round ends.
+
+Round-3 rewrite: the round-2 version fetched DuckDB rows via
+``fetchall()`` (HUGEINT → Python int) while the driver canonicalizes
+through pandas (HUGEINT → float64), so six real driver hash-fails passed
+the local "247/247" gate (VERDICT r2 "What's wrong" §2-3). This version
+replays the driver's path exactly:
+
+- both sides become pandas DataFrames (``sdf.toPandas()`` / duckdb
+  ``.df()``), so dtype promotion (HUGEINT→float64, nullable-int→float64)
+  happens identically to the driver;
+- cells render per their pandas dtype (float64 1.0 ≠ int64 1);
+- array/list/dict cells raise, mirroring the driver canonicalizer's
+  ``unhashable type: 'numpy.ndarray'`` crash (CORRECTNESS_r02).
 
 Usage: python tools/check_oracle.py [--sf /root/testdata/sf0.01] [name ...]
 """
@@ -10,7 +23,6 @@ from __future__ import annotations
 
 import argparse
 import hashlib
-import math
 import os
 import sys
 import time
@@ -19,38 +31,56 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
 
 from distributed_map_reduce_spark import registry  # noqa: E402
 from distributed_map_reduce_spark.session import get_spark  # noqa: E402
 from distributed_map_reduce_spark.sources import TABLES  # noqa: E402
 
 
-def _norm_cell(v):
-    if v is None:
-        return "∅"
-    if isinstance(v, bool):
-        return str(v).lower()
-    if isinstance(v, float):
-        # Keep the float/int distinction: the driver's canonicalizer works on
-        # pandas dtypes, so a BIGINT 1 and a DOUBLE 1.0 hash differently there.
-        # Collapsing them here (as round 1 did) hides type mismatches that the
-        # driver then flags (scalar_math_funcs, CORRECTNESS_r01).
-        if math.isnan(v):
-            return "nan"
-        return repr(round(v, 9))
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
-    if isinstance(v, bytes):
-        return v.hex()
-    if hasattr(v, "isoformat"):
-        s = v.isoformat()
-        return s
-    return str(v)
+def driver_canon(pdf: pd.DataFrame) -> list[str]:
+    """Columns sorted by name, cells rendered with COLUMN-LEVEL
+    ``astype(str)``, rows sorted — order-insensitive, dtype-sensitive,
+    matching the driver's observed pandas canonicalizer:
+
+    - float64 1.0 → '1.0' vs int64 1 → '1' (the r2 HUGEINT failures);
+    - a datetime64 column renders '1997-10-31' when EVERY value is
+      midnight, else '1997-10-31 00:00:00' — which is why Spark DATE
+      columns hash equal to DuckDB midnight TIMESTAMPs in the driver
+      (scalar_date_funcs/window_analytic green in r1); per-cell str()
+      would always print the time and miscall those;
+    - NULLs normalize to one token whatever their physical carrier
+      (object None vs float64 nan vs datetime64 NaT): Spark DATE+NULL is
+      an object column of None while DuckDB's is datetime64 NaT, and the
+      driver hashed those equal in r1 (window_analytic) — so null
+      identity must not depend on the column dtype;
+    - array/list cells raise, mirroring the driver's
+      ``unhashable type: 'numpy.ndarray'`` crash."""
+    cols = sorted(pdf.columns)
+    rendered = []
+    for c in cols:
+        col = pdf[c]
+        if col.dtype == object:
+            if col.map(
+                lambda v: isinstance(v, (np.ndarray, list, dict, set, tuple))
+            ).any():
+                raise TypeError(
+                    f"column {c!r} holds array/map cells — the driver "
+                    "canonicalizer crashes on these (unhashable type); emit "
+                    "scalars or array_join/to_json instead"
+                )
+            vals = col.map(str).tolist()
+        else:
+            vals = col.astype(str).tolist()
+        mask = pd.isna(col).tolist()
+        rendered.append(["∅" if m else v for v, m in zip(vals, mask)])
+    lines = ["|".join(t) for t in zip(*rendered)] if cols else []
+    lines.sort()
+    return lines
 
 
-def value_hash(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(_norm_cell(r[i]) for i in order) for r in rows)
+def value_hash(lines: list[str]) -> str:
     h = hashlib.sha256()
     for ln in lines:
         h.update(ln.encode())
@@ -65,7 +95,7 @@ def main() -> int:
     args = ap.parse_args()
 
     qs = registry.all_queries()
-    names = args.names or sorted(qs)
+    names = args.names or list(qs)
     spark = get_spark("check_oracle")
 
     con = duckdb.connect()
@@ -78,44 +108,54 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = q.fn(spark, args.sf)
-            srows = [tuple(r) for r in sdf.collect()]
-            scols = list(sdf.columns)
+            spdf = sdf.toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             failures.append(name)
             continue
         if q.oracle is None:
-            print(f"ok   {name}: rows={len(srows)} (no oracle) [{time.time()-t0:.1f}s]")
+            # rows-only queries still pass through the driver canonicalizer —
+            # an array-typed column is a driver crash even without an oracle.
+            try:
+                driver_canon(spdf)
+                print(f"ok   {name}: rows={len(spdf)} (no oracle) [{time.time()-t0:.1f}s]")
+            except TypeError as e:
+                print(f"FAIL {name}: canonicalizer would crash: {e}")
+                failures.append(name)
             continue
         try:
-            res = con.execute(q.oracle)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            opdf = con.execute(q.oracle).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
             failures.append(name)
             continue
         problems = []
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"cols spark={sorted(scols)} duck={sorted(ocols)}")
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
+        if sorted(spdf.columns) != sorted(opdf.columns):
+            problems.append(
+                f"cols spark={sorted(spdf.columns)} duck={sorted(opdf.columns)}"
+            )
+        if len(spdf) != len(opdf):
+            problems.append(f"rowcount spark={len(spdf)} duck={len(opdf)}")
         if not problems:
-            hs, ho = value_hash(srows, scols), value_hash(orows, ocols)
+            try:
+                slines, olines = driver_canon(spdf), driver_canon(opdf)
+            except TypeError as e:
+                print(f"FAIL {name}: canonicalizer would crash: {e}")
+                failures.append(name)
+                continue
+            hs, ho = value_hash(slines), value_hash(olines)
             if hs != ho:
                 problems.append(f"hash spark={hs} duck={ho}")
-                # print a few differing lines to debug
-                sset = {"|".join(_norm_cell(r[i]) for i in sorted(range(len(scols)), key=lambda i: scols[i])) for r in srows}
-                oset = {"|".join(_norm_cell(r[i]) for i in sorted(range(len(ocols)), key=lambda i: ocols[i])) for r in orows}
-                for ln in list(sset - oset)[:3]:
+                sset, oset = set(slines), set(olines)
+                for ln in sorted(sset - oset)[:3]:
                     print(f"       spark-only: {ln[:220]}")
-                for ln in list(oset - sset)[:3]:
+                for ln in sorted(oset - sset)[:3]:
                     print(f"       duck-only:  {ln[:220]}")
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             failures.append(name)
         else:
-            print(f"ok   {name}: rows={len(srows)} hash match [{time.time()-t0:.1f}s]")
+            print(f"ok   {name}: rows={len(spdf)} hash match [{time.time()-t0:.1f}s]")
 
     print(f"\n{len(names) - len(failures)}/{len(names)} passed")
     return 1 if failures else 0

@@ -335,3 +335,57 @@ FROM nation n, LATERAL (
   LIMIT 2
 ) t
 """)
+
+
+@register(
+    "cdc_incremental_join_agg",
+    tags=("join", "cdc", "incremental"),
+    oracle="""
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+""",
+)
+def cdc_incremental_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a join-aggregate: the standing
+    result over the base batch merges with the DELTA batch's
+    contribution — Δ(R ⋈ S → agg) = agg(merge(agg(R_base ⋈ S),
+    agg(ΔR ⋈ S))) — without re-scanning the base fact. Orders with
+    o_orderkey % 7 == 0 play the newly-arrived CDC batch; the oracle
+    recomputes the join from scratch, so the hash match PROVES the
+    delta-maintenance algebra equals full recomputation.
+
+    The merge works because count/sum are commutative monoids over the
+    group key; at 100 TB the base aggregate is a materialized table and
+    only |Δ| rows join + shuffle per refresh (the continuous-aggregate /
+    foreachBatch pattern in streaming/jobs.py uses the same algebra).
+    Money is integer cents so base+delta addition is exact."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        (F.col("o_orderkey") % 7 == 0).alias("is_delta"),
+    )
+
+    def part_agg(df: DataFrame) -> DataFrame:
+        return (
+            df.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("cents").alias("total_cents"),
+            )
+        )
+
+    base = part_agg(o.filter(~F.col("is_delta")))
+    delta = part_agg(o.filter(F.col("is_delta")))
+    return (
+        base.unionByName(delta)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_cents").alias("total_cents"),
+        )
+    )

@@ -531,3 +531,98 @@ def similarity_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("t_n") / 5.0, 4).alias("recall_at_5"),
         )
     )
+
+
+@register(
+    "similarity_semdedup_prune",
+    tags=("similarity", "dedup", "pipeline"),
+    oracle="""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dims AS (SELECT label, unnest(range(1, 65)) AS dim, v FROM e),
+cvals AS (SELECT label, dim, avg(v[dim]) AS c FROM dims GROUP BY label, dim),
+cent AS (SELECT label AS c_label, array_agg(c ORDER BY dim) AS cv FROM cvals GROUP BY label),
+assigned AS (
+  SELECT vec_id, v, c_label,
+         row_number() OVER (PARTITION BY vec_id ORDER BY list_distance(v, cv), c_label) AS rn
+  FROM e CROSS JOIN cent
+), mem AS (
+  SELECT vec_id, v, c_label AS cluster FROM assigned WHERE rn = 1
+), pairs AS (
+  SELECT a.cluster, a.vec_id AS keep_id, b.vec_id AS prune_id,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+  FROM mem a JOIN mem b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+), chosen AS (
+  SELECT cluster, prune_id, keep_id, cos_sim,
+         row_number() OVER (PARTITION BY prune_id ORDER BY cos_sim DESC, keep_id) AS rn
+  FROM pairs
+)
+SELECT cluster, prune_id, keep_id AS dup_of, cos_sim
+FROM chosen WHERE rn = 1
+""",
+)
+def similarity_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+    2303.09540): cluster the embedding space with k-means centroids, then
+    compare vectors ONLY within their assigned cluster; a vector whose
+    cosine to an earlier cluster-mate clears the threshold is pruned,
+    recording which kept vector it duplicates (best-match, ties to the
+    lowest keeper id).
+
+    This is the scale answer to all-pairs semantic dedup: the quadratic
+    verify is confined to cluster-sized blocks (the paper uses ~11k
+    clusters for LAION so each block is corpus/11k), and the assignment
+    itself is the same broadcast E-step as `ann_kmeans_assign` — no
+    corpus-sized shuffle beyond one exchange on the cluster key.
+    Threshold 0.3 fits the synthetic embeddings' cosine range (real
+    SemDeDup runs ~0.95+ on normalized text embeddings)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    cvals = (
+        e.select("label", F.posexplode("v").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.avg("val").alias("c"))
+    )
+    cent = cvals.groupBy(F.col("label").alias("c_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(F.col("d"), F.col("c_label"))
+    )
+    mem = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("d", dist)
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("c_label").alias("cluster"))
+    )
+    a = mem.select(
+        "cluster", F.col("vec_id").alias("keep_id"), F.col("v").alias("v_a")
+    )
+    b = mem.select(
+        "cluster", F.col("vec_id").alias("prune_id"), F.col("v").alias("v_b")
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("keep_id") < F.col("prune_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
+        .filter(F.col("cos_sim") >= 0.3)
+    )
+    best = F.row_number().over(
+        W.partitionBy("prune_id").orderBy(F.col("cos_sim").desc(), "keep_id")
+    )
+    return (
+        pairs.withColumn("brn", best)
+        .filter(F.col("brn") == 1)
+        .select("cluster", "prune_id", F.col("keep_id").alias("dup_of"), "cos_sim")
+    )

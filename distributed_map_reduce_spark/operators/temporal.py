@@ -925,3 +925,59 @@ def temporal_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("lift_pct"),
     )
+
+
+@register(
+    "temporal_pit_feature_join",
+    tags=("temporal", "window", "pipeline"),
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), feat AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(count(*) OVER w AS BIGINT) AS prior_orders,
+         CAST(coalesce(sum(cents) OVER w, 0) AS BIGINT) AS prior_spend_cents
+  FROM o
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT o_orderkey, o_custkey, prior_orders, prior_spend_cents
+FROM feat WHERE o_orderkey <= 5000
+""",
+)
+def temporal_pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature generation (the feature-store
+    "as-of" discipline): each order is enriched with its customer's
+    order count and lifetime spend STRICTLY BEFORE that order's date —
+    the leakage-free construction a training pipeline must use, since
+    joining present-day aggregates onto past examples leaks the future
+    into the features.
+
+    One shuffle on the entity key feeds a 1-PRECEDING rows frame; both
+    features come from the same window pass (no self-join, no per-row
+    rescan). Money is integer cents per the repo float discipline; the
+    empty frame (first order) yields count 0 / sum 0 on both engines."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.count(F.lit(1)).over(w).alias("prior_orders"),
+            F.coalesce(F.sum("cents").over(w), F.lit(0).cast("bigint")).alias(
+                "prior_spend_cents"
+            ),
+        )
+        .filter(F.col("o_orderkey") <= 5000)
+    )

@@ -16,7 +16,7 @@ DuckDB's NS→TIMESTAMP cast.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -640,4 +640,66 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )
+
+
+@register(
+    "events_late_data_audit",
+    tags=("streaming", "window", "watermark"),
+    oracle="""
+WITH arr AS (
+  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+         max(CAST(ts AS TIMESTAMP)) OVER (
+           PARTITION BY event_type ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS high_wm
+  FROM events
+)
+SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (WHERE ts < high_wm - INTERVAL 10 MINUTE) AS BIGINT)
+         AS n_late
+FROM arr
+GROUP BY 1, 2
+""",
+)
+def events_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data accounting, batch-replayable: treating
+    event_id as arrival order (the Kafka-offset analogue), an event is
+    LATE when its event time trails the running max event time seen so
+    far (the high watermark) by more than the 10-minute allowed
+    lateness — exactly the rows a `withWatermark("ts", "10 minutes")`
+    streaming aggregation would drop. Reported per 15-minute window per
+    type, this is the audit that sizes a production watermark: n_late/
+    n_events is the fraction of data a given bound sacrifices.
+
+    The running max partitions by event_type (per-source watermarks, the
+    per-partition watermark model), so no global single-partition window
+    exists at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = ev.select(
+        "event_type",
+        "ts",
+        (
+            F.col("ts")
+            < F.max("ts").over(w) - F.expr("INTERVAL 10 MINUTES")
+        ).alias("is_late"),
+    )
+    return (
+        flagged.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_if(F.col("is_late")).alias("n_late"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_late",
+        )
     )

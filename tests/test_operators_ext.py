@@ -391,3 +391,98 @@ def test_single_row_and_tie_determinism(spark):
     a = sample_reservoir_per_group(spark, "/root/testdata/sf0.001").collect()
     b = sample_reservoir_per_group(spark, "/root/testdata/sf0.001").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and len(a) > 0
+
+
+def test_pit_features_are_leakage_free(spark, sf_dir):
+    """Point-in-time features must be STRICTLY prior: every customer's
+    earliest order carries zero prior_orders/spend, and prior_orders
+    along a customer's date-ordered history is non-decreasing."""
+    from distributed_map_reduce_spark.operators.temporal import (
+        temporal_pit_feature_join,
+    )
+
+    rows = temporal_pit_feature_join(spark, sf_dir).collect()
+    assert rows
+    by_cust = {}
+    for r in rows:
+        by_cust.setdefault(r["o_custkey"], []).append(r)
+    firsts_seen_zero = 0
+    for hist in by_cust.values():
+        ns = sorted(h["prior_orders"] for h in hist)
+        if ns[0] == 0:
+            firsts_seen_zero += 1
+        for h in hist:
+            assert (h["prior_orders"] == 0) == (h["prior_spend_cents"] == 0)
+    # the o_orderkey<=5000 slice keeps most customers' true first order
+    assert firsts_seen_zero > 0
+
+
+def test_cdc_incremental_equals_full_recompute(spark, sf_dir):
+    """The delta-maintenance algebra must be exactly the full join-agg."""
+    from pyspark.sql import functions as F
+
+    from distributed_map_reduce_spark.operators.joins import (
+        cdc_incremental_join_agg,
+    )
+    from distributed_map_reduce_spark.sources import load_table
+
+    inc = {
+        r["c_nationkey"]: (r["n_orders"], r["total_cents"])
+        for r in cdc_incremental_join_agg(spark, sf_dir).collect()
+    }
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    full = (
+        load_table(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("c"),
+        )
+        .collect()
+    )
+    assert inc == {r["c_nationkey"]: (r["n"], r["c"]) for r in full}
+
+
+def test_prefix_filter_join_matches_bruteforce(spark):
+    """Prefix filtering is exact-recall: candidates it generates must
+    contain EVERY pair with Jaccard >= tau (checked brute-force at the
+    smallest SF)."""
+    from itertools import combinations
+
+    from distributed_map_reduce_spark.operators.dedup import (
+        dedup_prefix_filter_join,
+    )
+    from distributed_map_reduce_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_prefix_filter_join(spark, sf).collect()
+    }
+    docs = {
+        r["doc_id"]: set(w for w in r["text"].lower().split(" ") if w)
+        for r in load_table(spark, sf, "documents").select("doc_id", "text").collect()
+    }
+    want = {}
+    for a, b in combinations(sorted(docs), 2):
+        inter = len(docs[a] & docs[b])
+        union = len(docs[a] | docs[b])
+        if union and inter / union >= 0.6:
+            want[(a, b)] = round(inter / union, 6)
+    assert got == want and len(want) > 0
+
+
+def test_semdedup_prunes_within_cluster_only(spark, sf_dir):
+    """Every pruned vector's keeper must sit in the same cluster, with
+    keeper id < pruned id (keep-first discipline)."""
+    from distributed_map_reduce_spark.operators.similarity import (
+        similarity_semdedup_prune,
+    )
+
+    rows = similarity_semdedup_prune(spark, sf_dir).collect()
+    assert rows
+    assert all(r["dup_of"] < r["prune_id"] for r in rows)
+    # one row per pruned vector (best-match selection is deterministic)
+    pruned = [r["prune_id"] for r in rows]
+    assert len(pruned) == len(set(pruned))

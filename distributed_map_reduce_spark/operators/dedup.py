@@ -615,7 +615,7 @@ WITH tok AS (
          count(*) OVER (PARTITION BY t.doc_id) AS n
   FROM tok t JOIN freq f USING (w)
 ), prefix AS (
-  SELECT doc_id, w FROM ranked WHERE idx <= n - ((3 * n + 4) // 5) + 1
+  SELECT doc_id, w FROM ranked WHERE idx <= n - ((9 * n + 9) // 10) + 1
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM prefix a JOIN prefix b ON a.w = b.w AND a.doc_id < b.doc_id
@@ -629,11 +629,23 @@ WITH tok AS (
   FROM cand
   JOIN sets sa ON sa.doc_id = doc_a
   JOIN sets sb ON sb.doc_id = doc_b
+), pairs AS (
+  SELECT doc_a, doc_b, round(n_common * 1.0 / n_union, 6) AS jaccard
+  FROM scored WHERE n_common * 1.0 / n_union >= 0.9
+), sym AS (
+  SELECT doc_a AS doc_id, doc_b AS other, jaccard FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_id, doc_a AS other, jaccard FROM pairs
+), best AS (
+  SELECT doc_id, other, jaccard,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY jaccard DESC, other) AS rn,
+         count(*) OVER (PARTITION BY doc_id) AS n_near_dups
+  FROM sym
 )
-SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
-       round(n_common * 1.0 / n_union, 6) AS jaccard
-FROM scored
-WHERE n_common * 1.0 / n_union >= 0.6
+SELECT doc_id, CAST(n_near_dups AS BIGINT) AS n_near_dups,
+       other AS best_match, jaccard AS best_jaccard
+FROM best WHERE rn = 1
 """,
 )
 def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -641,14 +653,18 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     2008): order each document's distinct tokens globally-rarest-first;
     two token sets can reach Jaccard ≥ τ only if they share a token in
     their first n - ⌈τ·n⌉ + 1 tokens, so ONLY those prefix tokens join.
-    Candidates then verify exact Jaccard on the full sets.
+    Candidates then verify exact Jaccard on the full sets; the report is
+    per-document (near-dup degree + best match), so output is bounded by
+    the doc count even though the synthetic corpus is heavily templated
+    (at sf0.1 ~60% of all doc pairs clear Jaccard 0.6 — pair-level
+    output would be millions of rows of redundant information).
 
     Scale shape vs MinHash: this is the EXACT-recall candidate generator
     (no LSH false-negative band math) whose cost is bounded by prefix
     token df, not corpus²; rare-first ordering makes prefix tokens the
     least frequent, so the equi-join fan-out per token is small by
-    construction. ⌈3n/5⌉ is computed as (3n+4) div 5 — pure integer
-    arithmetic, identical on both engines (τ = 0.6)."""
+    construction. ⌈9n/10⌉ is computed as (9n+9) div 10 — pure integer
+    arithmetic, identical on both engines (τ = 0.9)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tok = docs.select(
         "doc_id",
@@ -666,7 +682,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n", F.count(F.lit(1)).over(wdoc))
     )
     prefix = ranked.filter(
-        F.col("idx") <= F.col("n") - F.expr("(3 * n + 4) div 5") + 1
+        F.col("idx") <= F.col("n") - F.expr("(9 * n + 9) div 10") + 1
     ).select("doc_id", "w")
     cand = (
         prefix.alias("a")
@@ -694,7 +710,29 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_common"))
     )
     jacc = F.col("n_common") / F.col("n_union")
-    return (
-        scored.filter(jacc >= 0.6)
-        .select("doc_a", "doc_b", "n_common", F.round(jacc, 6).alias("jaccard"))
+    pairs = scored.filter(jacc >= 0.9).select(
+        "doc_a", "doc_b", F.round(jacc, 6).alias("jaccard")
+    )
+    sym = pairs.select(
+        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("other"), "jaccard"
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("other"), "jaccard"
+        )
+    )
+    wd = Window.partitionBy("doc_id")
+    best = sym.select(
+        "doc_id",
+        "other",
+        "jaccard",
+        F.row_number()
+        .over(wd.orderBy(F.col("jaccard").desc(), "other"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wd).cast("bigint").alias("n_near_dups"),
+    )
+    return best.filter(F.col("rn") == 1).select(
+        "doc_id",
+        "n_near_dups",
+        F.col("other").alias("best_match"),
+        F.col("jaccard").alias("best_jaccard"),
     )

@@ -327,3 +327,75 @@ def window_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct((-F.col("streak_len")).alias("a"), F.col("streak_start").alias("b")),
         ).alias("best_streak_start"),
     )
+
+
+@register(
+    "window_cumsum_scalable",
+    tags=("window", "scale"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS day_cents
+  FROM orders GROUP BY 1
+)
+SELECT day, day_cents,
+       CAST(sum(day_cents) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+FROM daily
+""",
+)
+def window_cumsum_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global running total WITHOUT a single-partition window — the
+    100 TB form of `sum() OVER (ORDER BY ...)`.
+
+    A bare global ORDER BY window collapses the frame into one task
+    (Spark's "No Partition Defined for Window" warning — fine on the
+    deliberately-reduced frames elsewhere in this repo, fatal on a
+    billion-row frame). This operator shows the scalable rewrite:
+
+      1. `repartitionByRange` on the order key — rows are globally
+         ordered ACROSS partitions, each partition sorts locally;
+      2. per-partition running sum (window partitioned by
+         `spark_partition_id()` — parallel, no collapse);
+      3. per-partition totals (a partitions-cardinality frame) turn
+         into prefix offsets via a tiny cumulative window;
+      4. broadcast the offsets back and add.
+
+    The result is identical to the one-task window for any partition
+    count — partition boundaries cancel out of prefix-sum algebra — and
+    the oracle (plain global window, fine at DuckDB's scale) proves it.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "day_cents"
+            )
+        )
+    )
+    ranged = daily.repartitionByRange(8, "day").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local_w = (
+        W.partitionBy("_pid")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = ranged.withColumn("local_cum", F.sum("day_cents").over(local_w))
+    totals = ranged.groupBy("_pid").agg(F.sum("day_cents").alias("part_total"))
+    offset_w = (
+        W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    )  # partitions-cardinality frame: tiny by construction
+    offsets = totals.select(
+        "_pid",
+        F.coalesce(F.sum("part_total").over(offset_w), F.lit(0)).alias("offset"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .select(
+            "day",
+            "day_cents",
+            (F.col("local_cum") + F.col("offset")).alias("cum_cents"),
+        )
+    )

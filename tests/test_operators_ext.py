@@ -457,19 +457,26 @@ def test_prefix_filter_join_matches_bruteforce(spark):
 
     sf = "/root/testdata/sf0.001"
     got = {
-        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        r["doc_id"]: (r["n_near_dups"], r["best_match"], r["best_jaccard"])
         for r in dedup_prefix_filter_join(spark, sf).collect()
     }
     docs = {
         r["doc_id"]: set(w for w in r["text"].lower().split(" ") if w)
         for r in load_table(spark, sf, "documents").select("doc_id", "text").collect()
     }
-    want = {}
+    sym = {}
     for a, b in combinations(sorted(docs), 2):
         inter = len(docs[a] & docs[b])
         union = len(docs[a] | docs[b])
-        if union and inter / union >= 0.6:
-            want[(a, b)] = round(inter / union, 6)
+        if union and inter / union >= 0.9:
+            j = round(inter / union, 6)
+            sym.setdefault(a, []).append((j, b))
+            sym.setdefault(b, []).append((j, a))
+    want = {}
+    for d, lst in sym.items():
+        best_j = max(j for j, _ in lst)
+        best_o = min(o for j, o in lst if j == best_j)
+        want[d] = (len(lst), best_o, best_j)
     assert got == want and len(want) > 0
 
 

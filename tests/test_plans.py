@@ -311,3 +311,13 @@ def test_lateral_topk_plans_as_rank_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "join_lateral_topk")
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_scalable_cumsum_avoids_single_partition_data_window(spark, sf_dir):
+    """The data-sized running sum must ride a rangepartitioning exchange
+    and a partition-local window; only the partitions-cardinality offset
+    frame may be a global window."""
+    plan = _plan(spark, sf_dir, "window_cumsum_scalable")
+    assert "rangepartitioning" in plan
+    assert "_pid" in plan  # data window keyed by partition id
+    assert "EvalPython" not in plan

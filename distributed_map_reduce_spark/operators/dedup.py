@@ -61,8 +61,13 @@ def shingles_from_tokens(toks: Column, k: int = SHINGLE_K) -> Column:
     ``toks`` MUST be a plain column reference in hot paths: the k
     element_at calls inside the lambda re-evaluate whatever expression
     ``toks`` is per element, so an inlined split() turns O(n) into
-    O(n·k·|text|). 1-based `element_at` mirrors DuckDB."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
+    O(n·k·|text|). 1-based `element_at` mirrors DuckDB. Inputs shorter
+    than k produce an EMPTY shingle set — the guard is explicit because
+    Spark's sequence(1, 0) DESCENDS ([1, 0]) and element_at(toks, 0)
+    throws."""
+    idx = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
         F.transform(
             idx,
@@ -103,7 +108,11 @@ def shingle_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("toks")
     )
     k = SHINGLE_K
-    idx = F.sequence(F.lit(1), F.greatest(F.size("toks") - (k - 1), F.lit(0)))
+    # sequence(1, 0) descends in Spark — short docs need an explicit
+    # empty index array (same guard as shingles_from_tokens)
+    idx = F.when(
+        F.size("toks") >= k, F.sequence(F.lit(1), F.size("toks") - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
     shingle = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at("toks", i + j) for j in range(k)])
     )

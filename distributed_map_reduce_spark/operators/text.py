@@ -913,3 +913,88 @@ def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_words"), 4).alias("avg_sentence_len"),
         F.max("n_words").cast("bigint").alias("longest_sentence"),
     )
+
+
+BPE_TRAIN_ROUNDS = 5
+
+
+def bpe_train_merges(docs: DataFrame, rounds: int = BPE_TRAIN_ROUNDS) -> DataFrame:
+    """Train `rounds` BPE merges over the word-frequency table of a corpus
+    (Sennrich et al. 2016): each round counts adjacent symbol pairs
+    weighted by word frequency, adopts the most frequent pair (ties:
+    lexicographically smallest) as a merge, and rewrites every word's
+    symbol sequence left-to-right. Returns (merge_rank, pair, pair_count).
+
+    Iterative-algorithm shape (like PageRank / Lloyd here): the corpus
+    reduces to a VOCABULARY-frequency frame once — all rounds iterate on
+    that vocabulary-cardinality DataFrame, never re-reading the corpus.
+    Per round: one pair-count aggregate (map-side combinable) + a 1-row
+    driver pick (the merge decision — bytes, not data) + a vectorized
+    left-fold rewrite. At 100 TB vocabulary ~ millions of rows: every
+    stage stays distributed; only the chosen pair ever reaches the
+    driver."""
+    spark = docs.sparkSession
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.split("word", "").alias("syms"), "freq")
+    )
+    merges = []
+    for rank in range(1, rounds + 1):
+        # guard: sequence(1, 0) DESCENDS in Spark, so 1-symbol words need
+        # an explicit empty index array
+        pair_idx = F.when(
+            F.size("syms") > 1, F.sequence(F.lit(1), F.size("syms") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = words.select(
+            F.explode(
+                F.transform(
+                    pair_idx,
+                    lambda i: F.concat_ws(
+                        "␟", F.element_at("syms", i), F.element_at("syms", i + 1)
+                    ),
+                )
+            ).alias("pair"),
+            "freq",
+        ).groupBy("pair").agg(F.sum("freq").alias("n"))
+        top = pairs.orderBy(F.col("n").desc(), "pair").limit(1).collect()
+        if not top:
+            break
+        pair, n = top[0]["pair"], top[0]["n"]
+        a, b = pair.split("␟")
+        merges.append((rank, f"{a}+{b}", int(n)))
+        merged = F.concat(F.lit(a), F.lit(b))
+        # left-to-right fold: (acc, x) -> acc[:-1] + [a||b] when the tail
+        # is `a` and x is `b`, else acc + [x] — the reference BPE rewrite
+        fold = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == a)
+                & (x == b),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        words = words.select(fold.alias("syms"), "freq")
+    return spark.createDataFrame(
+        merges, "merge_rank int, pair string, pair_count bigint"
+    )
+
+
+@register(
+    "text_bpe_train_merges",
+    tags=("text", "iterative"),
+    doc="Iterative BPE merge training (5 rounds) over the corpus "
+    "word-frequency table — genuinely iterative (each round depends on "
+    "the last merge), so no SQL oracle; exact parity with a pure-Python "
+    "reference BPE is pinned by tests/test_operators_ext.py.",
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train_merges(docs)

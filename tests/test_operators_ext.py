@@ -493,3 +493,52 @@ def test_semdedup_prunes_within_cluster_only(spark, sf_dir):
     # one row per pruned vector (best-match selection is deterministic)
     pruned = [r["prune_id"] for r in rows]
     assert len(pruned) == len(set(pruned))
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """The distributed BPE trainer must reproduce a pure-Python BPE
+    (Sennrich-style: most frequent adjacent pair, lexicographic ties,
+    left-to-right rewrite) exactly, round for round."""
+    from collections import Counter
+
+    from distributed_map_reduce_spark.operators.text import bpe_train_merges
+    from distributed_map_reduce_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    got = [
+        (r["merge_rank"], r["pair"], r["pair_count"])
+        for r in sorted(bpe_train_merges(docs).collect(), key=lambda r: r[0])
+    ]
+
+    freq = Counter()
+    for r in docs.select("text").collect():
+        for w in r["text"].lower().split():
+            if w:
+                freq[w] += 1
+    vocab = {tuple(w): n for w, n in freq.items()}
+    want = []
+    for rank in range(1, 6):
+        pairs = Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        if not pairs:
+            break
+        # max count, then lexicographically smallest pair (the Spark side
+        # orders by n desc, pair asc on the joined "a␟b" string)
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        want.append((rank, f"{a}+{b}", n))
+        new_vocab = {}
+        for syms, cnt in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + cnt
+        vocab = new_vocab
+    assert got == want and len(got) == 5

@@ -339,6 +339,7 @@ FROM nation n, LATERAL (
 
 @register(
     "cdc_incremental_join_agg",
+    bench=True,
     tags=("join", "cdc", "incremental"),
     oracle="""
 SELECT c_nationkey,

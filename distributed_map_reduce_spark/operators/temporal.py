@@ -929,6 +929,7 @@ def temporal_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "temporal_pit_feature_join",
+    bench=True,
     tags=("temporal", "window", "pipeline"),
     oracle="""
 WITH o AS (
@@ -980,4 +981,76 @@ def temporal_pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("o_orderkey") <= 5000)
+    )
+
+
+@register(
+    "temporal_time_weighted_avg",
+    tags=("temporal", "window"),
+    oracle="""
+WITH seg AS (
+  SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts,
+         lead(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY event_type
+                                           ORDER BY ts, event_id) AS nxt
+  FROM events
+), weighted AS (
+  SELECT event_type,
+         date_trunc('hour', ts) AS hour,
+         value,
+         CAST(date_diff('microsecond', ts, nxt) AS BIGINT) AS dur_us
+  FROM seg
+  WHERE nxt IS NOT NULL AND date_trunc('hour', ts) = date_trunc('hour', nxt)
+)
+SELECT event_type, hour,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       round(sum(value * dur_us) / sum(dur_us), 6) AS twap
+FROM weighted
+GROUP BY event_type, hour
+HAVING sum(dur_us) > 0
+""",
+)
+def temporal_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP — TimescaleDB `time_weight`-style):
+    each observation holds its value until the next one, so the hourly
+    mean weights every value by how long it was current (LOCF
+    integration), not by sample count — the correct aggregate for
+    irregularly-sampled series where burst sampling would otherwise
+    dominate a plain avg. Segments that straddle an hour boundary are
+    dropped rather than split (both engines agree on the simpler
+    semantics; splitting adds a second explode pass if needed).
+
+    One exchange on event_type feeds the lead() window; the weighted agg
+    is map-side combinable. Durations are integer microseconds so the
+    weighted sum is double×int — identical accumulation on both engines
+    at 6dp."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seg = ev.select(
+        "event_type",
+        "value",
+        "ts",
+        F.lead("ts").over(w).alias("nxt"),
+    )
+    weighted = seg.filter(
+        F.col("nxt").isNotNull()
+        & (F.date_trunc("hour", "ts") == F.date_trunc("hour", "nxt"))
+    ).select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour"),
+        "value",
+        (
+            F.unix_micros(F.col("nxt")) - F.unix_micros(F.col("ts"))
+        ).alias("dur_us"),
+    )
+    return (
+        weighted.groupBy("event_type", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.round(
+                F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 6
+            ).alias("twap"),
+            F.sum("dur_us").alias("_tot"),
+        )
+        .filter(F.col("_tot") > 0)
+        .drop("_tot")
     )

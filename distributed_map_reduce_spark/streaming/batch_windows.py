@@ -645,6 +645,7 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_late_data_audit",
+    bench=True,
     tags=("streaming", "window", "watermark"),
     oracle="""
 WITH arr AS (

@@ -321,3 +321,49 @@ def test_scalable_cumsum_avoids_single_partition_data_window(spark, sf_dir):
     assert "rangepartitioning" in plan
     assert "_pid" in plan  # data window keyed by partition id
     assert "EvalPython" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """The 100 TB lever behind selective fact⋈fact joins: Spark injects a
+    runtime bloom filter (might_contain over a bloom_filter_agg of the
+    selective side) into the big side's scan, pruning shuffle input. At
+    test SF the filtered side is so small AQE would broadcast instead —
+    so this test pins the MECHANISM by forcing the shuffle-join path
+    with session confs, restoring them afterwards."""
+    import pyspark.sql.functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtimeFilter.number.threshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB"
+        )
+        # production default: big side must scan >= 10GB — scale down to
+        # the test fixture so the injection rule can fire
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.optimizer.runtimeFilter.number.threshold", "10")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_totalprice") > 350000
+        )
+        j = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().toString()
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

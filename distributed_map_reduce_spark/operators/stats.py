@@ -1115,3 +1115,49 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_bins"),
         F.round(F.sum((pa - pe) * F.log(pa / pe)), 6).alias("psi"),
     )
+
+
+@register(
+    "agg_heavy_hitters",
+    tags=("agg", "stats", "text"),
+    oracle="""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS w
+  FROM documents
+), tot AS (SELECT count(*) AS n_total FROM tok)
+SELECT w,
+       CAST(count(*) AS BIGINT) AS n,
+       round(count(*) * 1.0 / n_total, 6) AS support
+FROM tok CROSS JOIN tot
+GROUP BY w, n_total
+HAVING count(*) * 100 > n_total
+""",
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters over a Zipfian stream: tokens whose support
+    exceeds 1% of all token occurrences — the exact tier of the
+    frequency ladder (`agg_bitmap_distinct` mergeable-exact distinct,
+    `agg_hll_rollup` approximate). One map-side-combinable aggregate
+    plus a broadcast scalar total; at 100 TB the count table is
+    vocabulary-cardinality and the support filter cuts it to the heavy
+    tail before anything downstream reads it. A Misra-Gries sketch only
+    becomes necessary when even the vocabulary won't fit a shuffle.
+    (Tokens, not TPC-H keys: the synthetic fact tables are uniform, so
+    no key clears a meaningful support threshold — word frequency is
+    the data's one genuinely heavy-tailed distribution.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+        ).alias("w")
+    )
+    total = tok.count()  # scalar action; the only driver-side value
+    counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.filter(F.col("n") * 100 > total)
+        .select(
+            "w",
+            "n",
+            F.round(F.col("n") / F.lit(total), 6).alias("support"),
+        )
+    )

@@ -188,3 +188,35 @@ def test_sessionize_matches_python_replay(spark, evs):
             prev = t
         want_set.add((u, sid, n, base + datetime.timedelta(seconds=start)))
     assert got_set == want_set
+
+
+def test_portable_samplers_deterministic_and_calibrated(spark):
+    """The md5-pick samplers must be (a) identical across reruns — the
+    property seeded RNG cannot give across engines/partitionings — and
+    (b) within sampling-error of their nominal fractions."""
+    from distributed_map_reduce_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    qs = all_queries()
+    b1 = sorted(r["o_orderkey"] for r in qs["sample_bernoulli"].fn(spark, sf).collect())
+    b2 = sorted(r["o_orderkey"] for r in qs["sample_bernoulli"].fn(spark, sf).collect())
+    assert b1 == b2 and len(b1) > 0
+    n_orders = spark.read.parquet(f"{sf}/orders.parquet").count()
+    frac = len(b1) / n_orders
+    assert 0.07 <= frac <= 0.13, frac  # nominal 0.10
+
+    strat = qs["sample_stratified"].fn(spark, sf).collect()
+    by_status = {}
+    for r in strat:
+        by_status[r["o_orderstatus"]] = by_status.get(r["o_orderstatus"], 0) + 1
+    base = dict(
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .groupBy("o_orderstatus")
+        .count()
+        .collect()
+    )
+    nominal = {"O": 0.05, "F": 0.5, "P": 1.0}
+    for st, f in nominal.items():
+        if st in base and base[st] >= 50:
+            got = by_status.get(st, 0) / base[st]
+            assert abs(got - f) <= 0.05 + 2 / (base[st] ** 0.5), (st, got, f)

@@ -1054,3 +1054,89 @@ def temporal_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_tot") > 0)
         .drop("_tot")
     )
+
+
+@register(
+    "events_user_ltv_cohort",
+    tags=("temporal", "events"),
+    oracle="""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), firsts AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM ev GROUP BY user_id
+), cohort_size AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users
+  FROM firsts GROUP BY cohort_week
+), weekly_rev AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('day', f.cohort_week,
+              CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS BIGINT) AS week_offset,
+         CAST(sum(e.cents) AS BIGINT) AS cents
+  FROM ev e JOIN firsts f USING (user_id)
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+), cum AS (
+  SELECT cohort_week, week_offset,
+         CAST(sum(cents) OVER (PARTITION BY cohort_week ORDER BY week_offset
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_cents
+  FROM weekly_rev
+)
+SELECT c.cohort_week, c.week_offset, s.n_users,
+       round(c.cum_cents * 1.0 / (100 * s.n_users), 4) AS ltv_per_user
+FROM cum c JOIN cohort_size s USING (cohort_week)
+""",
+)
+def events_user_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-seen week;
+    cumulative purchase revenue per cohort through each week offset,
+    normalized per cohort user — the LTV triangle every growth dashboard
+    plots next to the retention triangle (`events_retention_cohorts`,
+    same cohort keys so the two join).
+
+    Shape: one user_id-keyed aggregate for cohorts, one
+    (cohort, offset)-keyed revenue aggregate, then a cumulative window
+    over the WEEK-cardinality frame (tiny by construction). Money is
+    integer cents until the final per-user division."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    cohort_size = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    weekly_rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = weekly_rev.withColumn("cum_cents", F.sum("cents").over(w))
+    return cum.join(F.broadcast(cohort_size), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        F.round(F.col("cum_cents") / (100 * F.col("n_users")), 4).alias(
+            "ltv_per_user"
+        ),
+    )

@@ -399,3 +399,52 @@ def kv_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_false_negatives"),
     )
+
+
+@register(
+    "kv_secondary_index",
+    tags=("kv",),
+    oracle="""
+WITH live AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, event_type AS value
+  FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM events
+  )
+  WHERE rn = 1
+)
+SELECT value,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       min(key) AS min_key,
+       array_to_string(list_sort(list(key)), ',') AS keys_csv
+FROM live
+GROUP BY value
+""",
+)
+def kv_secondary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary index over the LWW-resolved store: value → sorted key
+    list (plus cardinality), derived from the SAME resolve pass as
+    `kv_lww_upsert` so index and primary can never disagree — the
+    look-up-by-value capability the reference's key-only store lacks
+    (`local/store.js` can only `get(key)`; SURVEY §2.1 D10-D13).
+
+    Scale: the index build is one exchange on `value` after the keyed
+    resolve; at 100 TB the posting lists are stored bucketed by value
+    (sources/bucketing.py), so index probes are partition-pruned scans.
+    The CSV posting list is bounded here (≤150 users per value); wide
+    postings stay exploded as (value, key) rows."""
+    ev = load_table(spark, sf_dir, "events")
+    kv = KVTable(
+        ev.select(
+            F.col("user_id").cast("string").alias("key"),
+            F.col("event_type").alias("value"),
+            F.col("event_id").alias("seq"),
+        )
+    )
+    live = kv.resolve().select("key", "value")
+    return live.groupBy("value").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.min("key").alias("min_key"),
+        F.array_join(F.array_sort(F.collect_list("key")), ",").alias("keys_csv"),
+    )

@@ -367,3 +367,26 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """The second runtime-filter lever at 100 TB: joining a
+    lang-partitioned fact against a filtered dimension must plan a
+    dynamicpruning subquery on the fact's partition column, so only the
+    dimension-selected partitions are scanned — file pruning decided at
+    runtime, not by a static literal."""
+    import pyspark.sql.functions as F
+
+    from distributed_map_reduce_spark.sources import load_table
+    from distributed_map_reduce_spark.sources.sinks import write_partitioned_parquet
+
+    out = str(tmp_path / "docs_by_lang")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    write_partitioned_parquet(docs, out, ["lang"])
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("en", "keep"), ("de", "keep")], "lang string, tag string"
+    ).filter(F.col("tag") == "keep")
+    j = fact.join(dim, "lang").groupBy("lang").count()
+    plan = j._jdf.queryExecution().toString()
+    assert "dynamicpruning" in plan.lower(), "no DPP subquery planned"

@@ -258,3 +258,90 @@ def profile_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["total_value"], m["n_negative"], m["n_purchases"])],
         "n_rows bigint, total_value double, n_negative bigint, n_purchases bigint",
     )
+
+
+@register(
+    "profile_expectations",
+    tags=("profiling", "quality"),
+    oracle="""
+SELECT 'orders_fk_customer' AS check_name,
+       CAST(count(*) AS BIGINT) AS n_checked,
+       CAST(count(*) FILTER (WHERE c_custkey IS NULL) AS BIGINT) AS n_violations
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+UNION ALL
+SELECT 'lineitem_qty_range',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'customer_key_unique',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+FROM customer
+UNION ALL
+SELECT 'events_value_nonnegative',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE value < 0) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'documents_text_nonempty',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE text IS NULL OR length(text) = 0) AS BIGINT)
+FROM documents
+""",
+)
+def profile_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite (the Great-Expectations
+    / dbt-test shape): referential integrity, range, uniqueness,
+    non-negativity, and non-emptiness checks, each reported as
+    (check_name, n_checked, n_violations) in ONE result so a pipeline
+    gate reads a single small frame.
+
+    Scale shape: each check is a scan-local aggregate (the FK check is
+    one left join that AQE broadcasts while customer fits, shuffles
+    after); the union is of 1-row frames, so cost = sum of the
+    individual scans with no cross-check shuffle. At 100 TB you run
+    this as `df.observe` metrics on the write path instead
+    (`profile_observed_metrics`) — this form is the retrospective
+    audit."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+
+    fk = (
+        orders.join(
+            cust.select("c_custkey"), orders.o_custkey == cust.c_custkey, "left"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            F.count_if(F.col("c_custkey").isNull()).alias("n_violations"),
+        )
+        .select(F.lit("orders_fk_customer").alias("check_name"), "n_checked", "n_violations")
+    )
+    qty = li.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.count_if((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias(
+            "n_violations"
+        ),
+    ).select(F.lit("lineitem_qty_range").alias("check_name"), "n_checked", "n_violations")
+    uniq = cust.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey")).alias("n_violations"),
+    ).select(F.lit("customer_key_unique").alias("check_name"), "n_checked", "n_violations")
+    nonneg = ev.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.count_if(F.col("value") < 0).alias("n_violations"),
+    ).select(
+        F.lit("events_value_nonnegative").alias("check_name"), "n_checked", "n_violations"
+    )
+    nonempty = docs.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.count_if(F.col("text").isNull() | (F.length("text") == 0)).alias(
+            "n_violations"
+        ),
+    ).select(
+        F.lit("documents_text_nonempty").alias("check_name"), "n_checked", "n_violations"
+    )
+    return fk.unionByName(qty).unionByName(uniq).unionByName(nonneg).unionByName(nonempty)

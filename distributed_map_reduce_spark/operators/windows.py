@@ -399,3 +399,49 @@ def window_cumsum_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("local_cum") + F.col("offset")).alias("cum_cents"),
         )
     )
+
+
+@register(
+    "window_time_range_frame",
+    tags=("window", "temporal"),
+    oracle="""
+WITH ev AS (
+  SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(floor(date_part('epoch', CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, event_type, ts,
+       CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+       CAST(sum(cents) OVER w AS BIGINT) AS cents_last_hour
+FROM ev
+WINDOW w AS (PARTITION BY event_type ORDER BY sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""",
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per event type, the trailing-one-hour
+    event count and revenue at every event — the rolling-window feature
+    a rules engine evaluates per record ("more than N purchases in the
+    last hour"). RANGE (not ROWS) over epoch seconds, so all rows with
+    equal timestamps share one frame regardless of tie order — the
+    semantics ROWS frames cannot give; epoch-second ordering keeps the
+    frame arithmetic identical on both engines.
+
+    One exchange on event_type; each partition evaluates the frame with
+    a sliding two-pointer pass over its sort — no self-join, no explode,
+    state bounded by the hour's event count."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.unix_seconds(F.col("ts")))
+        .rangeBetween(-3600, 0)
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(cents).over(w).alias("cents_last_hour"),
+    )

@@ -704,3 +704,88 @@ def events_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_late",
         )
     )
+
+
+@register(
+    "events_funnel_time_bound",
+    tags=("streaming", "funnel", "interval"),
+    oracle="""
+WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'view'),
+     c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'purchase'),
+     s1 AS (SELECT DISTINCT user_id FROM v),
+     s2 AS (
+       SELECT DISTINCT v.user_id
+       FROM v JOIN c ON c.user_id = v.user_id
+         AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+     ),
+     s3 AS (
+       SELECT DISTINCT v.user_id
+       FROM v
+       JOIN c ON c.user_id = v.user_id
+         AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+       JOIN p ON p.user_id = v.user_id
+         AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+     )
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS step1_view_users,
+       (SELECT CAST(count(*) AS BIGINT) FROM s2) AS step2_click_1h_users,
+       (SELECT CAST(count(*) AS BIGINT) FROM s3) AS step3_purchase_1h_users,
+       round((SELECT count(*) FROM s3) * 1.0
+             / greatest((SELECT count(*) FROM s1), 1), 6) AS full_chain_rate
+""",
+)
+def events_funnel_time_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained funnel: users completing view→click→purchase
+    where EACH step follows the previous within one hour (the
+    `events_funnel_conversion` twin with per-step deadlines — unbounded
+    funnels overcount casual sequences by matching across days).
+
+    Exists-semantics per user (any qualifying chain counts once), so
+    every stage is a user-keyed interval join immediately collapsed by
+    DISTINCT — pair fan-out is bounded by the per-user event rate inside
+    the window, the same state bound the streaming interval join
+    carries. Three tiny scalar aggregates union into one 1-row report."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def typed(t: str, prefix: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == t).select(
+            F.col("user_id").alias(f"{prefix}_uid"), F.col("ts").alias(f"{prefix}_ts")
+        )
+
+    v, c, p = typed("view", "v"), typed("click", "c"), typed("purchase", "p")
+    hour = F.expr("INTERVAL 1 HOUR")
+    s1 = v.select(F.col("v_uid").alias("user_id")).distinct()
+    vc = v.join(
+        c,
+        (F.col("c_uid") == F.col("v_uid"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + hour),
+    )
+    s2 = vc.select(F.col("v_uid").alias("user_id")).distinct()
+    s3 = (
+        vc.join(
+            p,
+            (F.col("p_uid") == F.col("v_uid"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + hour),
+        )
+        .select(F.col("v_uid").alias("user_id"))
+        .distinct()
+    )
+    a1 = s1.agg(F.count(F.lit(1)).alias("step1_view_users"))
+    a2 = s2.agg(F.count(F.lit(1)).alias("step2_click_1h_users"))
+    a3 = s3.agg(F.count(F.lit(1)).alias("step3_purchase_1h_users"))
+    return (
+        a1.crossJoin(a2)
+        .crossJoin(a3)
+        .select(
+            "step1_view_users",
+            "step2_click_1h_users",
+            "step3_purchase_1h_users",
+            F.round(
+                F.col("step3_purchase_1h_users")
+                / F.greatest(F.col("step1_view_users"), F.lit(1)),
+                6,
+            ).alias("full_chain_rate"),
+        )
+    )

@@ -603,3 +603,88 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+KCORE_K = 3
+KCORE_ROUNDS = 8
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peeling rounds: each round drops nodes whose degree in
+    the surviving subgraph is < k, then re-derives edges. The Spark side
+    raises if the fixpoint needs more than KCORE_ROUNDS rounds, so the
+    unroll depth is proven sufficient whenever the pair passes."""
+    k, r = KCORE_K, KCORE_ROUNDS
+    parts = [
+        # MATERIALIZED: DuckDB inlines plain CTEs, so an 8-round unroll
+        # would re-evaluate the MinHash subquery exponentially many times
+        # (observed as "Too many open files" at round depth 8)
+        f"WITH pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})),",
+        "e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs"
+        " UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs)",
+    ]
+    for i in range(1, r + 1):
+        prev = f"e{i-1}"
+        parts.append(
+            f", d{i} AS MATERIALIZED (SELECT a, count(*) AS d FROM {prev} GROUP BY a)"
+            f", e{i} AS MATERIALIZED (SELECT e.a, e.b FROM {prev} e"
+            f" JOIN d{i} da ON da.a = e.a AND da.d >= {k}"
+            f" JOIN d{i} db ON db.a = e.b AND db.d >= {k})"
+        )
+    parts.append(
+        f"SELECT a AS node, CAST(count(*) AS BIGINT) AS core_degree"
+        f" FROM e{r} GROUP BY a HAVING count(*) >= {k}"
+    )
+    return "\n".join(parts)
+
+
+def kcore(edges: DataFrame, k: int = KCORE_K, src: str = "src", dst: str = "dst",
+          max_rounds: int = KCORE_ROUNDS) -> DataFrame:
+    """k-core decomposition by iterative peeling: drop nodes with degree
+    < k, re-derive the induced subgraph, repeat to fixpoint. Returns
+    (node, core_degree) for the surviving subgraph.
+
+    One shuffle per round (a degree aggregate + two semi-joins); the
+    surviving edge list is checkpointed per round so lineage stays O(1)
+    and the convergence check reads a cached frame. Rounds are bounded
+    by the peeling depth, which for near-dup graphs is shallow — the
+    loop RAISES past ``max_rounds`` rather than silently returning a
+    non-core (the same convergence discipline as connected_components)."""
+    both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    cur = both.localCheckpoint(eager=True)
+    n_edges = cur.count()
+    for _ in range(max_rounds):
+        deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("a")
+        nxt = (
+            cur.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_next = nxt.count()
+        if n_next == n_edges:
+            deg_final = cur.groupBy(F.col("a").alias("node")).agg(
+                F.count(F.lit(1)).alias("core_degree")
+            )
+            return deg_final.filter(F.col("core_degree") >= k)
+        cur, n_edges = nxt, n_next
+    raise RuntimeError(f"k-core did not converge in {max_rounds} rounds")
+
+
+@register(
+    "graph_kcore",
+    tags=("graph", "dedup", "iterative"),
+    oracle=_kcore_oracle(),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the near-duplicate graph: the dense template families
+    that survive after repeatedly peeling weakly-connected documents —
+    the subgraph a dedup run treats as boilerplate clusters (vs the
+    degree histogram's static view, this is the iteratively-refined
+    one). Oracle = peeling rounds unrolled to the depth the Spark loop
+    proves sufficient by raising on non-convergence."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    return kcore(pairs, src="doc_a", dst="doc_b")

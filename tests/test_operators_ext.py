@@ -542,3 +542,19 @@ def test_bpe_train_matches_python_reference(spark):
             new_vocab[key] = new_vocab.get(key, 0) + cnt
         vocab = new_vocab
     assert got == want and len(got) == 5
+
+
+def test_kcore_peels_tails_keeps_clique(spark):
+    """Planted graph: a K4 clique with a pendant chain — the 3-core is
+    exactly the clique (every chain node peels, including the clique
+    member's pendant edge not affecting its in-core degree)."""
+    from distributed_map_reduce_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame(
+        # K4 on {0,1,2,3} + chain 3-10-11-12
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+         (3, 10), (10, 11), (11, 12)],
+        "src int, dst int",
+    )
+    got = {r["node"]: r["core_degree"] for r in kcore(edges, k=3).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}

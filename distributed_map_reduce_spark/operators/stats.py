@@ -1161,3 +1161,100 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") / F.lit(total), 6).alias("support"),
         )
     )
+
+
+@register(
+    "stats_equidepth_bins",
+    tags=("stats", "window"),
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderpriority,
+         o_totalprice,
+         ntile(10) OVER (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT o_orderpriority, decile,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM ranked
+GROUP BY o_orderpriority, decile
+""",
+)
+def stats_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (equal row count per bin, data-driven edges)
+    per group — the optimizer-statistics twin of the fixed-width
+    `agg_histogram`: bin edges adapt to the distribution, so skewed
+    values don't pile into one bucket. ntile ties break on the unique
+    order key, making bin assignment deterministic on both engines.
+
+    One exchange on the group key; at 100 TB per-group frames sort once
+    inside their partition (the same shape as pipeline_quality_decile_gate);
+    for a single giant group the mergeable approx_percentile edges
+    replace the exact ntile."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    decile = F.ntile(10).over(
+        W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    )
+    return (
+        o.withColumn("decile", decile)
+        .groupBy("o_orderpriority", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "stats_rate_anomaly_poisson",
+    tags=("stats", "temporal", "profiling"),
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), expected AS (
+  SELECT event_type, round(avg(n), 6) AS expected_n FROM hourly GROUP BY 1
+)
+SELECT h.event_type, h.hour, CAST(h.n AS BIGINT) AS n, e.expected_n,
+       round((h.n - e.expected_n) / sqrt(e.expected_n), 4) AS poisson_z
+FROM hourly h JOIN expected e USING (event_type)
+WHERE abs((h.n - e.expected_n) / sqrt(e.expected_n)) > 3
+""",
+)
+def stats_rate_anomaly_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly detection under a Poisson model: hours whose
+    count deviates from the per-type mean by more than 3 standardized
+    units ((n-λ)/√λ — variance equals the mean for a Poisson arrival
+    process, so no second moment pass is needed, unlike the MAD/σ
+    detectors in profiling). The monitoring alarm for ingest-rate spikes
+    and droughts.
+
+    Two aggregates over the hour-cardinality frame; the per-type
+    expectation is a broadcast-sized table joined back. The mean is
+    rounded to 6dp BEFORE the z arithmetic so both engines standardize
+    against the identical λ."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    expected = hourly.groupBy("event_type").agg(
+        F.round(F.avg("n"), 6).alias("expected_n")
+    )
+    z = (F.col("n") - F.col("expected_n")) / F.sqrt(F.col("expected_n"))
+    return (
+        hourly.join(F.broadcast(expected), "event_type")
+        .filter(F.abs(z) > 3)
+        .select(
+            "event_type",
+            "hour",
+            F.col("n").cast("bigint").alias("n"),
+            "expected_n",
+            F.round(z, 4).alias("poisson_z"),
+        )
+    )

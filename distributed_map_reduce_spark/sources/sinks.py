@@ -416,3 +416,49 @@ def source_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+
+
+@register(
+    "source_xml_roundtrip",
+    tags=("sink", "source"),
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+WHERE o_orderkey <= 2000
+GROUP BY o_orderpriority
+""",
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink → XML source (Spark 4 built-in spark-xml): rowTag-framed
+    records with an explicit read-back schema — the document-interchange
+    path (feeds, legacy enterprise exports). Money re-aggregates in
+    integer cents so the roundtrip is hash-exact."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="dmrs_xml_"), "orders_staged")
+    try:
+        o.write.format("xml").option("rootTag", "orders").option(
+            "rowTag", "order"
+        ).save(out)
+        back = (
+            spark.read.format("xml")
+            .option("rowTag", "order")
+            .schema("o_orderkey bigint, o_orderpriority string, o_totalprice double")
+            .load(out)
+        )
+        return (
+            back.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                    "total_cents"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)

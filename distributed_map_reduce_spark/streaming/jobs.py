@@ -185,3 +185,24 @@ def idempotent_batch_sink(path: str):
         )
 
     return write
+
+
+def session_values(events: DataFrame) -> DataFrame:
+    """Streaming session windows (30-minute gap) per user with a
+    10-minute watermark — identical aggregation to
+    batch_windows.events_session_window; state is merged session ranges
+    per user, GC'd as the watermark passes each session's close."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )

@@ -233,3 +233,25 @@ def test_foreachbatch_sink_is_replay_idempotent(spark, sf_dir, tmp_path):
     writer(replay_df, last_id)
     again = spark.read.parquet(out)
     assert again.count() == n_src  # no duplicates after re-delivery
+
+
+def test_streaming_session_windows_match_batch(spark, sf_dir):
+    """The streaming session_window aggregation (30-min gap, watermark)
+    must converge to the batch twin — same merged sessions, counts, and
+    values — on a drained bounded stream."""
+    from distributed_map_reduce_spark.streaming.jobs import session_values
+
+    stream = read_events_stream(spark, sf_dir)
+    result = run_to_completion(
+        spark, session_values(stream), "t_sessions", mode="complete"
+    )
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["session_value"])
+        for r in result.collect()
+    }
+    batch = all_queries()["events_session_window"].fn(spark, sf_dir)
+    want = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["session_value"])
+        for r in batch.collect()
+    }
+    assert got == want and len(want) > 0

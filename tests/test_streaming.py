@@ -255,3 +255,37 @@ def test_streaming_session_windows_match_batch(spark, sf_dir):
         for r in batch.collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_incremental_view_matches_full_aggregate(spark, sf_dir, tmp_path):
+    """The foreachBatch-maintained materialized view must equal the
+    one-shot batch aggregate after the stream drains — merge(deltas) ==
+    recompute, the streaming form of cdc_incremental_join_agg."""
+    from distributed_map_reduce_spark.streaming.jobs import incremental_view_sink
+
+    view = str(tmp_path / "user_totals_view")
+    stream = read_events_stream(spark, sf_dir)
+    q = (
+        stream.writeStream.foreachBatch(incremental_view_sink(view))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["user_id"]: (r["n_events"], r["cents"])
+        for r in spark.read.parquet(view).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = {
+        r["user_id"]: (r["n"], r["c"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("c"),
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0

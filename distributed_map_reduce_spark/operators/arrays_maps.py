@@ -255,3 +255,52 @@ def explode_inline_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("items")
     )
     return t.select("l_orderkey", F.inline("items"))
+
+
+@register(
+    "scalar_url_funcs",
+    tags=("scalar", "string", "text"),
+    oracle="""
+WITH urls AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/docs/' || lang
+         || '?id=' || CAST(doc_id AS VARCHAR) || '&ref=corpus#sec' AS url
+  FROM documents WHERE doc_id <= 500
+)
+SELECT doc_id,
+       regexp_extract(url, '^([a-z]+)://', 1)             AS proto,
+       regexp_extract(url, '://([^/?#]+)', 1)             AS host,
+       regexp_extract(url, '://[^/?#]+([^?#]*)', 1)       AS path,
+       regexp_extract(url, '[?&]id=([^&#]*)', 1)          AS id_param,
+       CAST(length(url) AS INT)                           AS url_len
+FROM urls
+""",
+)
+def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing — the normalization kernel of every web-corpus
+    pipeline (host-level dedup, domain mixing, tracking-param
+    stripping). URLs are synthesized from document metadata (the
+    fixtures carry no URL column), then decomposed with Spark's
+    dedicated `parse_url` (JVM, codegen) — protocol, host, path, and a
+    single query parameter; the oracle decomposes identically with
+    anchored regexes, which is also the portable fallback for engines
+    without parse_url. At 100 TB this is a zero-shuffle narrow map."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 500)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("lang"),
+        F.lit("?id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&ref=corpus#sec"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("id")).alias("id_param"),
+        F.length("url").alias("url_len"),
+    )

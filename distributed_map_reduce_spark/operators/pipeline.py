@@ -700,3 +700,72 @@ def pipeline_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+def _dedup_report_oracle() -> str:
+    from .dedup import _MINHASH_ORACLE
+
+    return f"""
+WITH pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})),
+fp AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+           ORDER BY doc_id) AS rn
+  FROM documents
+),
+near_pruned AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_exact_dups,
+       CAST(count(*) FILTER (WHERE rn = 1 AND doc_id IN (SELECT doc_id FROM near_pruned))
+            AS BIGINT) AS n_near_dups,
+       CAST(count(*) FILTER (WHERE rn = 1 AND doc_id NOT IN (SELECT doc_id FROM near_pruned))
+            AS BIGINT) AS n_survivors
+FROM fp
+GROUP BY source
+"""
+
+
+@register(
+    "pipeline_dedup_report",
+    tags=("pipeline", "dedup", "profiling"),
+    oracle=_dedup_report_oracle(),
+)
+def pipeline_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup funnel report per source: exact duplicates (non-canonical
+    fingerprint rows) → near-duplicates among the exact survivors
+    (higher-id member of any MinHash-LSH pair) → survivors. The
+    before/after accounting a corpus-cleaning run publishes, composed
+    from the same fingerprint and LSH primitives the cleaning pass
+    itself uses — report and pipeline cannot disagree.
+
+    Shapes reused wholesale: one fingerprint window, the shared banded
+    candidate derivation (ids-only), one anti-join-style membership
+    flag, one source-cardinality aggregate."""
+    from .dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    fingerprint = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    fp = docs.select("doc_id", "source", fingerprint.alias("fingerprint"))
+    rn = F.row_number().over(
+        Window.partitionBy("fingerprint").orderBy("doc_id")
+    )
+    ranked = fp.withColumn("rn", rn)
+    near = (
+        minhash_lsh_pairs(docs)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near", F.lit(1))
+    )
+    flagged = ranked.join(near, "doc_id", "left")
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("rn") > 1).alias("n_exact_dups"),
+        F.count_if((F.col("rn") == 1) & F.col("is_near").isNotNull()).alias(
+            "n_near_dups"
+        ),
+        F.count_if((F.col("rn") == 1) & F.col("is_near").isNull()).alias(
+            "n_survivors"
+        ),
+    )

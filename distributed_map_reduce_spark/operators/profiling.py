@@ -11,7 +11,7 @@ never a window over an unbounded partition.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -345,3 +345,72 @@ def profile_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("documents_text_nonempty").alias("check_name"), "n_checked", "n_violations"
     )
     return fk.unionByName(qty).unionByName(uniq).unionByName(nonneg).unionByName(nonempty)
+
+
+@register(
+    "profile_bot_detection",
+    tags=("profiling", "events", "quality"),
+    oracle="""
+WITH gaps AS (
+  SELECT user_id,
+         CAST(date_diff('microsecond',
+              lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id),
+              CAST(ts AS TIMESTAMP)) // 1000 AS BIGINT) AS gap_ms
+  FROM events
+), stats AS (
+  SELECT user_id,
+         CAST(count(*) + 1 AS BIGINT) AS n_events,
+         CAST(floor(median(gap_ms)) AS BIGINT) AS median_gap_ms,
+         CAST(min(gap_ms) AS BIGINT) AS min_gap_ms
+  FROM gaps WHERE gap_ms IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, n_events, median_gap_ms, min_gap_ms,
+       CASE WHEN median_gap_ms < 60000 AND n_events >= 50 THEN 1 ELSE 0 END
+         AS bot_flag
+FROM stats
+""",
+)
+def profile_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automation/bot heuristic over event cadence: per user, the median
+    and minimum inter-arrival gap; accounts firing faster than one event
+    per minute at volume get flagged — the traffic-cleaning gate a
+    training pipeline runs before user-generated text enters the corpus
+    (bots produce exactly the templated near-dup mass the dedup tier
+    then has to pay for).
+
+    One exchange on user_id feeds the lag window; the per-user stats
+    frame is user-cardinality. The median over gaps is exact per user —
+    fine while per-user event counts fit a partition (true by
+    definition of a per-user stream); the approx twin swaps in
+    percentile_approx unchanged. Gap is integer MILLISECONDS via
+    floor(µs-diff / 1000) on BOTH engines — DuckDB's
+    date_diff('millisecond') counts boundary CROSSINGS (floor(t2/1000) −
+    floor(t1/1000) ≠ floor((t2−t1)/1000)) and its double→BIGINT cast
+    ROUNDS where Spark truncates, so both the gap and the interpolated
+    .5 median go through explicit floor."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = F.floor(
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))) / 1000
+    )
+    gaps = ev.select("user_id", gap_ms.alias("gap_ms")).filter(
+        F.col("gap_ms").isNotNull()
+    )
+    stats = gaps.groupBy("user_id").agg(
+        (F.count(F.lit(1)) + 1).alias("n_events"),
+        F.floor(F.expr("median(gap_ms)")).alias("median_gap_ms"),
+        F.min("gap_ms").alias("min_gap_ms"),
+    )
+    return stats.select(
+        "user_id",
+        "n_events",
+        "median_gap_ms",
+        "min_gap_ms",
+        F.when(
+            (F.col("median_gap_ms") < 60000) & (F.col("n_events") >= 50), 1
+        )
+        .otherwise(0)
+        .alias("bot_flag"),
+    )

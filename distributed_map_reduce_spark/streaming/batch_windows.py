@@ -789,3 +789,67 @@ def events_funnel_time_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("full_chain_rate"),
         )
     )
+
+
+@register(
+    "events_dau_wau_stickiness",
+    tags=("streaming", "window", "distinct"),
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+         user_id
+  FROM events
+), days AS (
+  SELECT DISTINCT day FROM pairs
+), wau_contrib AS (
+  SELECT p.user_id, d.day
+  FROM pairs p JOIN days d
+    ON d.day >= p.day AND d.day < p.day + INTERVAL 7 DAY
+), dau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM pairs GROUP BY day
+), wau AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+  FROM wau_contrib GROUP BY day
+)
+SELECT d.day, d.dau, w.wau,
+       round(d.dau * 1.0 / w.wau, 6) AS stickiness
+FROM dau d JOIN wau w USING (day)
+""",
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness ratio per day — the
+    engagement KPI trio. WAU reuses the bounded-explode trick from
+    `events_sliding_distinct_users` (each (user, day) presence pair
+    contributes to ≤7 trailing days — shuffle is 7× the presence pairs,
+    independent of raw event volume); DAU is the plain per-day distinct;
+    stickiness = DAU/WAU (DAU ⊆ WAU ⇒ ≤ 1 by construction)."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = pairs.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("d_off"),
+        "day",
+    ).select(
+        "user_id", (F.col("day") + F.make_dt_interval(F.col("d_off"))).alias("day")
+    )
+    days = pairs.select("day").distinct()
+    wau = (
+        contrib.join(days, "day", "left_semi")
+        .distinct()
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )

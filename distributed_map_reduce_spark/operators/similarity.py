@@ -183,7 +183,7 @@ def ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH e AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), dims AS (
-  SELECT label, unnest(range(1, 65)) AS dim, v FROM e
+  SELECT label, unnest(range(1, len(v) + 1)) AS dim, v FROM e
 )
 SELECT label, dim, round(avg(v[dim]), 6) AS centroid_val, count(*) AS n_vectors
 FROM dims
@@ -213,7 +213,7 @@ def ann_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "iterative"),
     oracle="""
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-dims AS (SELECT label, unnest(range(1, 65)) AS dim, v FROM e),
+dims AS (SELECT label, unnest(range(1, len(v) + 1)) AS dim, v FROM e),
 cvals AS (SELECT label, dim, avg(v[dim]) AS c FROM dims GROUP BY label, dim),
 cent AS (SELECT label AS c_label, array_agg(c ORDER BY dim) AS cv FROM cvals GROUP BY label),
 scored AS (
@@ -562,7 +562,7 @@ def similarity_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "dedup", "pipeline"),
     oracle="""
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-dims AS (SELECT label, unnest(range(1, 65)) AS dim, v FROM e),
+dims AS (SELECT label, unnest(range(1, len(v) + 1)) AS dim, v FROM e),
 cvals AS (SELECT label, dim, avg(v[dim]) AS c FROM dims GROUP BY label, dim),
 cent AS (SELECT label AS c_label, array_agg(c ORDER BY dim) AS cv FROM cvals GROUP BY label),
 assigned AS (
@@ -631,10 +631,12 @@ def similarity_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "v", F.col("c_label").alias("cluster"))
     )
     # Per-vector norms are precomputed ONCE (N rows) instead of inside the
-    # per-pair cosine (N²/clusters pairs × 3 dot products) — the division
-    # dot(a,b)/(|a|·|b|) is the same floating-point expression either way,
-    # so results stay bit-identical to list_cosine_similarity at 6dp while
-    # pair cost drops 3× (bench: 4.5s → ~2s at sf0.1).
+    # per-pair cosine (N²/clusters pairs × 3 dot products). dot(a,b)/(|a|·|b|)
+    # vs DuckDB's list_cosine_similarity can differ in the last ulp
+    # (sqrt(x)*sqrt(y) vs sqrt(x*y), accumulation order); the repo's usual
+    # float discipline applies — the 6dp rounding agrees on these fixtures,
+    # not by bit-exactness guarantee. Pair cost drops 3× (bench: 4.5s → ~2s
+    # at sf0.1).
     from ..functions.vectors import norm
 
     memn = mem.withColumn("nrm", norm(F.col("v")))

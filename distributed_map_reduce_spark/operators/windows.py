@@ -353,17 +353,25 @@ def window_cumsum_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberately-reduced frames elsewhere in this repo, fatal on a
     billion-row frame). This operator shows the scalable rewrite:
 
-      1. `repartitionByRange` on the order key — rows are globally
-         ordered ACROSS partitions, each partition sorts locally;
-      2. per-partition running sum (window partitioned by
-         `spark_partition_id()` — parallel, no collapse);
-      3. per-partition totals (a partitions-cardinality frame) turn
-         into prefix offsets via a tiny cumulative window;
+      1. bucket rows by a key derived DETERMINISTICALLY from the order
+         key itself — `floor(unix_date(day) / 90)`, monotone in `day`,
+         so bucket i's rows all precede bucket i+1's (an earlier
+         version tagged `spark_partition_id()` after
+         `repartitionByRange`, which was only correct while Catalyst
+         deduplicated the two scans into one reused exchange — ADVICE
+         r03; a data-derived bucket is correct however the plan
+         shakes out);
+      2. per-bucket running sum (window partitioned by `_pid` —
+         parallel, no collapse);
+      3. per-bucket totals (a buckets-cardinality frame) turn into
+         prefix offsets via a tiny cumulative window;
       4. broadcast the offsets back and add.
 
-    The result is identical to the one-task window for any partition
-    count — partition boundaries cancel out of prefix-sum algebra — and
+    The result is identical to the one-task window for any bucket
+    width — bucket boundaries cancel out of prefix-sum algebra — and
     the oracle (plain global window, fine at DuckDB's scale) proves it.
+    At 100 TB, pick the width so each bucket's rows fit one task
+    (here 90 days ≈ 28 buckets over TPC-H's 7-year span).
     """
     daily = (
         load_table(spark, sf_dir, "orders")
@@ -374,16 +382,16 @@ def window_cumsum_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    ranged = daily.repartitionByRange(8, "day").withColumn(
-        "_pid", F.spark_partition_id()
+    bucketed = daily.withColumn(
+        "_pid", F.floor(F.unix_date(F.col("day")) / F.lit(90))
     )
     local_w = (
         W.partitionBy("_pid")
         .orderBy("day")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    local = ranged.withColumn("local_cum", F.sum("day_cents").over(local_w))
-    totals = ranged.groupBy("_pid").agg(F.sum("day_cents").alias("part_total"))
+    local = bucketed.withColumn("local_cum", F.sum("day_cents").over(local_w))
+    totals = bucketed.groupBy("_pid").agg(F.sum("day_cents").alias("part_total"))
     offset_w = (
         W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
     )  # partitions-cardinality frame: tiny by construction

@@ -104,79 +104,82 @@ def _load_all() -> None:
 # (c) queries whose semantics changed this round (ADVICE fixes), then
 # (d) never-checked families in user-impact order.
 #
-# ROUND-4 ROTATION PLAN: rotate out whatever CORRECTNESS_r03 proves green;
-# rotate in the remaining ~110 never-checked (diff all_queries() keys
-# against the union of r01+r02+r03 green rows): the stats family
-# (moments/KS/PSI/Benford/Gini/MI/weighted-median/chi-square/market-
-# basket/RFM/Pareto), the pipeline serving ops (shuffle-shard, pack,
-# domain-mix, line/incremental dedup, train-val split, chunking,
-# feature-scaling, mixture weights), graph (pagerank/bfs/triangles/label-
-# spread/jaccard), the remaining TPC-H tail (q2/q8/q11/q13-q17/q19-q22),
-# source/sink roundtrips + schema evolution + permissive-corrupt, layout
-# zorder, profiling, privacy (PII redaction, DP counts), remaining
-# events_* and stream_stateful, explode/bitwise/decimal scalar surface,
-# sql_interface/group-by-all/named-params, kv_bloom, bucketed join.
+# ROUND 4 = 49 never-driver-tested oracle-bearing queries + 1 justified
+# repeat (events_session_window: its oracle's session_id cumsum tie order
+# was pinned to (ts, event_id) this round per VERDICT r03 #1 — semantics
+# changed, so it needs a fresh row). Per VERDICT r03 #6, NO no_oracle
+# registrations occupy window slots (agg_approx_distinct,
+# text_compression_ratio, text_bpe_train_merges, agg_hll_rollup,
+# udf_arrow_optimized stay on the local rows-only check). Priority order:
+# the flagship LLM-pipeline components the judge named (#5), then the
+# bench headliners that never had a driver row, then whole never-checked
+# families (graph, similarity/dedup tail, TPC-H tail, sources/sinks,
+# pipeline serving, scale-window ops touched by this round's ADVICE
+# fixes). ~82 oracle-bearing queries remain for rounds 5-6 (stats family,
+# profiling, remaining events_*, scalar surface, sampling tail).
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # --- round-2 red rows, fixed this round — need fresh driver rows ---
-    # (array outputs scalarized/stringified; HUGEINT oracles CAST to
-    # BIGINT; money to integer cents; RNG sampling → portable md5 pick)
-    "agg_percentiles",
-    "agg_approx_percentiles",
-    "scalar_array_funcs",
-    "scalar_array_higher_order",
-    "text_token_stats",
-    "text_sentiment_lexicon",
-    "multimodal_metadata",
-    "rollup_hourly_daily",
-    "pipeline_curate_corpus",
-    "sample_bernoulli",
-    "sample_stratified",
-    # --- bench headliners that have never had a driver row ---
-    "similarity_knn_join",
-    "privacy_contamination_check",
-    "temporal_scd2_history",
-    "kv_cdc_tombstone_apply",
-    "text_unigram_surprisal",
-    "events_tumbling_window",
-    # --- changed this round (ADVICE fixes) — verify the fix ---
-    "text_rake_keywords",
-    "variant_tolerant_ingest",
-    "events_session_dynamic_gap",
-    # --- never-checked: joins / windows / set-ops / skew ---
-    "join_lateral_topk",
-    "join_salted_skew",
-    "agg_salted_skew",
-    "window_distribution",
-    "window_share_of_total",
-    "window_pattern_vshape",
-    "window_streak_islands",
-    "set_intersect_all",
-    "set_except_all",
-    # --- never-checked: temporal family ---
-    "temporal_ohlc_downsample",
-    "temporal_gap_fill",
-    "temporal_ewma_decay",
-    "temporal_week_over_week",
-    # --- never-checked: events family ---
-    "events_sliding_window",
-    "events_dedup_first",
-    "events_json_props",
-    "events_click_to_purchase",
-    "events_sliding_distinct_users",
-    "events_funnel_conversion",
-    # --- never-checked: round-2 flagship Spark-4 surfaces ---
-    "variant_nested_extract",
-    "graph_reachability_recursive",
-    "source_python_datasource",
-    "sql_pipe_syntax",
-    "scalar_try_funcs",
-    "udtf_json_kv",
-    # --- never-checked: TPC-H tail ---
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q9_product_profit",
-    "q12_ship_lag_priority",
-    "sample_hash_deterministic",
+    # --- semantics changed this round (tie-order pin) — re-verify ---
+    "events_session_window",
+    # --- flagship LLM components never driver-tested (VERDICT #5) ---
+    "similarity_semdedup_prune",
+    "similarity_recall_eval",
+    "dedup_prefix_filter_join",
+    "graph_kcore",
+    "graph_label_spread",
+    # --- bench headliners without a driver row ---
+    "cdc_incremental_join_agg",
+    "events_late_data_audit",
+    "temporal_pit_feature_join",
+    # --- graph family (recursive-CTE oracles) ---
+    "graph_pagerank",
+    "graph_bfs_depth",
+    "graph_triangle_count",
+    "graph_jaccard_neighbors",
+    "graph_degree_histogram",
+    # --- similarity / dedup tail (incl. oracles reworked this round:
+    #     dim bound now derived from data, ADVICE r03) ---
+    "ann_kmeans_assign",
+    "similarity_quantize_int8",
+    "similarity_matryoshka_audit",
+    "dedup_containment",
+    "dedup_minhash_estimate_audit",
+    # --- scale-window / join ops (window_cumsum_scalable reworked this
+    #     round: deterministic date bucket replaces spark_partition_id) ---
+    "window_cumsum_scalable",
+    "window_time_range_frame",
+    "join_interval_bucketed",
+    "bucketed_join_colocated",
+    # --- TPC-H tail: full remaining coverage ---
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q20_excess_stock_suppliers",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
+    # --- sources / sinks / layout ---
+    "sink_parquet_roundtrip",
+    "source_json_roundtrip",
+    "source_csv_roundtrip",
+    "source_schema_evolution",
+    "source_permissive_corrupt",
+    "sink_partition_prune",
+    "layout_zorder_tiles",
+    # --- pipeline serving ops ---
+    "pipeline_shuffle_shard",
+    "pipeline_pack_sequences",
+    "pipeline_train_val_split",
+    "pipeline_line_dedup",
+    # --- privacy / kv / stats / streaming flagships ---
+    "privacy_pii_redaction",
+    "kv_bloom_membership",
+    "stats_psi_drift",
+    "stream_stateful_user_totals",
 )
 
 

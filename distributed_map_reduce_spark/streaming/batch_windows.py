@@ -77,14 +77,14 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "window", "sessionization"),
     oracle="""
 WITH ordered AS (
-  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
          CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
                    OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_session
   FROM events
 ), sessions AS (
   SELECT user_id, ts, value,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM ordered
 )
@@ -98,7 +98,9 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same merge semantics streaming state uses; the oracle builds
     sessions with the classic lag/gap/cumsum rewrite. Spark's session end
     is EXCLUSIVE (a gap of exactly 30 min starts a NEW session), so the
-    oracle's gap predicate is `>=`, not `>` (ADVICE r01)."""
+    oracle's gap predicate is `>=`, not `>` (ADVICE r01). Both oracle
+    windows order by (ts, event_id) so tied timestamps can't flip a
+    boundary row's session between runs (VERDICT r03 #1)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))

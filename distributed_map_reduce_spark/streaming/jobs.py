@@ -17,6 +17,7 @@ sinks.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -227,7 +228,11 @@ def incremental_view_sink(path: str):
                 F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
             )
         )
-        try:
+        # First batch only: the view doesn't exist yet. Any OTHER read
+        # failure (transient IO, partial file) must propagate — a bare
+        # fallback here would silently reset the view to one batch's
+        # delta and lose all accumulated history (ADVICE r03).
+        if os.path.isdir(path):
             old = spark.read.parquet(path)
             merged = (
                 old.unionByName(delta)
@@ -237,9 +242,19 @@ def incremental_view_sink(path: str):
                     F.sum("cents").alias("cents"),
                 )
             )
-        except Exception:
+        else:
             merged = delta
-        # localCheckpoint: materialize BEFORE overwriting the input path
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+        # Never overwrite the path we just read in place: write the new
+        # view generation to a temp dir, then swap via rename. A crash
+        # between the renames leaves either the old or the new complete
+        # view, never a torn one. (On object stores this step becomes a
+        # Delta/Iceberg commit; rename is the local-FS equivalent.)
+        tmp = f"{path}.__tmp_b{batch_id}"
+        retired = f"{path}.__old_b{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(path):
+            os.rename(path, retired)
+        os.rename(tmp, path)
+        shutil.rmtree(retired, ignore_errors=True)
 
     return write

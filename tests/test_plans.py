@@ -314,12 +314,15 @@ def test_lateral_topk_plans_as_rank_join(spark, sf_dir):
 
 
 def test_scalable_cumsum_avoids_single_partition_data_window(spark, sf_dir):
-    """The data-sized running sum must ride a rangepartitioning exchange
-    and a partition-local window; only the partitions-cardinality offset
-    frame may be a global window."""
+    """The data-sized running sum must ride a parallel bucket-keyed
+    window (hash exchange on the deterministic `_pid` date bucket); only
+    the buckets-cardinality offset frame may be a global window. The
+    bucket must come from the data (floor(unix_date/width)), NOT from
+    spark_partition_id(), whose cross-branch consistency relied on
+    exchange reuse (ADVICE r03)."""
     plan = _plan(spark, sf_dir, "window_cumsum_scalable")
-    assert "rangepartitioning" in plan
-    assert "_pid" in plan  # data window keyed by partition id
+    assert "hashpartitioning(_pid" in plan  # parallel data window
+    assert "spark_partition_id" not in plan  # bucket derived from data
     assert "EvalPython" not in plan
 
 

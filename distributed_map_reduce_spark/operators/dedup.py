@@ -745,3 +745,90 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("other").alias("best_match"),
         F.col("jaccard").alias("best_jaccard"),
     )
+
+
+SPAN_K = 8  # word n-gram width for duplicated-span measurement
+
+
+@register(
+    "dedup_duplicate_ngram_spans",
+    tags=("dedup", "text", "quality"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - {SPAN_K - 2}),
+                i -> CAST('0x' || substr(md5(array_to_string(t[i:i+{SPAN_K - 1}], ' ')), 1, 15) AS BIGINT))) AS g
+  FROM toks WHERE len(t) >= {SPAN_K}
+), df AS (
+  SELECT g, count(DISTINCT doc_id) AS n_docs FROM grams GROUP BY g
+), marked AS (
+  SELECT grams.doc_id,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans
+  FROM grams JOIN df ON grams.g = df.g
+  GROUP BY grams.doc_id
+)
+SELECT doc_id, n_spans, dup_spans,
+       round(dup_spans * 1.0 / n_spans, 6) AS dup_fraction,
+       CASE WHEN dup_spans * 1.0 / n_spans >= 0.5 THEN 1 ELSE 0 END AS flag_heavy_dup
+FROM marked
+""",
+)
+def dedup_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication signal (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", adapted from suffix-array
+    substrings to word 8-gram spans, the form Gopher/RefinedWeb use):
+    for each document, the fraction of its 8-gram POSITIONS whose gram
+    also appears in another document. Unlike the distinct-shingle
+    families above (dedup_ngram_jaccard measures set overlap), this
+    keeps every position, so a doc that repeats one boilerplate
+    paragraph ten times is scored 10x — the quantity the filtering
+    threshold (flag at >= 50% duplicated span coverage) acts on.
+
+    Scale: grams shuffle as 60-bit md5 ints, never as text (constant
+    8-byte keys regardless of gram width), one groupBy for df, one
+    gram->df join that re-uses the grams exchange, one per-doc agg.
+    No all-pairs structure anywhere; output is one row per document."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    base = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= SPAN_K)
+    idx = F.sequence(F.lit(1), F.size("t") - (SPAN_K - 1))
+    gram = F.transform(
+        idx,
+        lambda i: F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ", *[F.element_at("t", i + j) for j in range(SPAN_K)]
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    grams = base.select("doc_id", F.explode(gram).alias("g"))
+    df_ = grams.groupBy("g").agg(F.countDistinct("doc_id").alias("n_docs"))
+    marked = (
+        grams.join(df_, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("dup_spans"),
+        )
+    )
+    frac = F.col("dup_spans") / F.col("n_spans")
+    return marked.select(
+        "doc_id",
+        "n_spans",
+        "dup_spans",
+        F.round(frac, 6).alias("dup_fraction"),
+        F.when(frac >= 0.5, 1).otherwise(0).alias("flag_heavy_dup"),
+    )

@@ -671,3 +671,115 @@ def similarity_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("brn") == 1)
         .select("cluster", "prune_id", F.col("keep_id").alias("dup_of"), "cos_sim")
     )
+
+
+RP_DIM = 8  # Johnson-Lindenstrauss target dimensionality
+
+
+def _rp_plane(j: int, dim: int = DIM) -> list[int]:
+    """Deterministic ±1 projection row j (salt distinct from the LSH
+    hyperplanes so the two operators stay independent)."""
+    return [
+        1 if int(hashlib.md5(f"rp-{j}-{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+        for i in range(dim)
+    ]
+
+
+def _rp_plane_lit(j: int):
+    return F.array(*[F.lit(float(w)) for w in _rp_plane(j)])
+
+
+def _rp_plane_sql(j: int) -> str:
+    return "[" + ", ".join(f"{w}.0" for w in _rp_plane(j)) + "]"
+
+
+@register(
+    "similarity_random_projection_audit",
+    tags=("similarity",),
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+proj AS (
+  SELECT vec_id,
+         [{", ".join(f"list_dot_product(v, {_rp_plane_sql(j)}) / sqrt({RP_DIM})" for j in range(RP_DIM))}] AS p
+  FROM e
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_distance(ea.v, eb.v) AS dist_orig,
+         list_distance(pa.p, pb.p) AS dist_proj
+  FROM e a
+  JOIN e b  ON b.vec_id = a.vec_id + 1
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  JOIN proj pa ON pa.vec_id = a.vec_id
+  JOIN proj pb ON pb.vec_id = b.vec_id
+  WHERE a.vec_id < 100
+)
+SELECT id_a, id_b,
+       round(dist_orig, 6) AS dist_orig,
+       round(dist_proj, 6) AS dist_proj,
+       round(dist_proj / dist_orig, 4) AS distortion
+FROM pairs
+WHERE dist_orig > 1e-9
+ORDER BY id_a
+""",
+)
+def similarity_random_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (Achlioptas 2003 ±1
+    variant): project 64-dim embeddings to {RP_DIM} dims with a fixed
+    ±1/sqrt(k) matrix derived from md5 parity (portable, so DuckDB
+    builds the identical matrix from the same literals), then audit
+    distance preservation on consecutive-id pairs — the distortion
+    column is what JL bounds. This is the cheap-preprocessing path for
+    the ANN tier: at 100 TB you project once (narrow map, zero shuffle,
+    8 fused dot products per row inside whole-stage codegen) and run
+    bucketing/k-NN in the 8-dim space at 1/8 the bandwidth.
+
+    The audit pairs are formed by a self-join on vec_id+1 over a
+    100-row slice — bounded work regardless of corpus size (the
+    projection itself touches every row; the audit is a sample)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    proj = e.select(
+        "vec_id",
+        F.array(
+            *[dot(F.col("v"), _rp_plane_lit(j)) / F.lit(float(RP_DIM)) ** 0.5
+              for j in range(RP_DIM)]
+        ).alias("p"),
+    )
+    l2 = lambda a, b: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    ea = e.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
+    eb = e.select((F.col("vec_id") - 1).alias("id_a"), F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pa = proj.select(F.col("vec_id").alias("id_a"), F.col("p").alias("pa"))
+    pb = proj.select(F.col("vec_id").alias("id_b"), F.col("p").alias("pb"))
+    pairs = (
+        ea.join(eb, "id_a")
+        .join(pa, "id_a")
+        .join(pb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            l2(F.col("va"), F.col("vb")).alias("dist_orig"),
+            l2(F.col("pa"), F.col("pb")).alias("dist_proj"),
+        )
+    )
+    return (
+        pairs.filter(F.col("dist_orig") > 1e-9)
+        .select(
+            "id_a",
+            "id_b",
+            F.round("dist_orig", 6).alias("dist_orig"),
+            F.round("dist_proj", 6).alias("dist_proj"),
+            F.round(F.col("dist_proj") / F.col("dist_orig"), 4).alias("distortion"),
+        )
+        .orderBy("id_a")
+    )

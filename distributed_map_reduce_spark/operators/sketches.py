@@ -1,0 +1,223 @@
+"""Sketch operators with PORTABLE hashes — oracle-checkable by design.
+
+The reference's aggregation surface is exact (max/min/count,
+``/root/reference/test/mr.test.js:100-243``); sketches are part of this
+repo's large-scale extension tier. The usual objection to sketches in a
+differential-testing harness is that their estimates are engine-specific
+(Spark's ``approx_count_distinct`` HLL++ and DuckDB's ``approx_distinct``
+produce different numbers, which is why ``agg_approx_distinct`` /
+``agg_hll_rollup`` are rows-only registrations). This module removes the
+objection the same way the samplers did (``sampling.py``): derive every
+hash from md5 of the value, computed identically in Spark and DuckDB, so
+the SKETCH ITSELF is deterministic and the oracle checks the estimate
+bit-for-bit — not just the row count.
+
+- **KMV (K-Minimum Values)** distinct-count estimator (Bar-Yossef et al.
+  2002): keep the k smallest normalized hash values of the distinct
+  items; estimate D = (k-1)/u_(k). One narrow pass + a global bottom-k
+  (Spark plans ``TakeOrderedAndProject``: per-partition top-k, then a
+  k-row merge at the driver side of the exchange — no full sort, no
+  full shuffle). This is exactly the mergeable-summary shape used at
+  100 TB: each executor ships ≤ k values.
+- **Count-Min Sketch** (Cormode & Muthukrishnan 2005): d×w bucket-count
+  matrix via d independent hash rows; point estimate = min over rows.
+  The full sketch is d*w rows (4×1024 here) regardless of input size —
+  the whole matrix fits in one broadcast at any corpus scale, and the
+  estimate join is a broadcast hash join against it.
+
+Both carry the exact value alongside the estimate so the oracle also
+pins the error envelope (CMS estimate >= true count, always).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+# 60-bit integer from the first 15 hex chars of md5 — same reduction the
+# MinHash family uses (dedup.py); DuckDB twin: CAST('0x'||substr(md5(x),1,15) AS BIGINT)
+HASH_BITS = 60
+HASH_SPACE = float(1 << HASH_BITS)
+
+
+def md5_int60(col: Column) -> Column:
+    """Portable 60-bit hash of a string column (Spark side)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def _md5_int60_sql(expr: str) -> str:
+    """DuckDB twin of :func:`md5_int60`."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    """(token) rows, repo-standard tokenization: lower + split(' ') + drop ''."""
+    t = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    return docs.select(F.explode(t).alias("w"))
+
+
+_TOKENS_SQL = """
+  SELECT unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS w
+  FROM documents
+"""
+
+
+KMV_K = 256
+
+
+@register(
+    "sketch_kmv_distinct",
+    tags=("sketch", "agg"),
+    oracle=f"""
+WITH hashes AS (
+  SELECT DISTINCT {_md5_int60_sql('w')} AS h
+  FROM ({_TOKENS_SQL})
+), bottomk AS (
+  SELECT h FROM hashes ORDER BY h LIMIT {KMV_K}
+), kth AS (
+  SELECT max(h) AS hk, CAST(count(*) AS BIGINT) AS k_seen FROM bottomk
+), est AS (
+  SELECT k_seen,
+         CASE WHEN k_seen < {KMV_K} THEN k_seen * 1.0
+              ELSE ({KMV_K} - 1) * {HASH_SPACE:.1f} / hk END AS e
+  FROM kth
+)
+SELECT k_seen,
+       round(e, 4) AS est_distinct,
+       (SELECT CAST(count(*) AS BIGINT) FROM hashes) AS true_distinct,
+       round(abs(e - (SELECT count(*) FROM hashes))
+             / (SELECT count(*) FROM hashes), 4)     AS rel_err
+FROM est
+""",
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count estimate of the corpus vocabulary, checked
+    bit-for-bit against DuckDB because the hash is portable md5 (unlike
+    the engine-native HLLs, which only get rows-only checks). Estimate
+    D = (k-1)/u_(k) with u the hash normalized to [0,1) — here kept in
+    integer space: D = (k-1) * 2^60 / h_(k).
+
+    Scale: one scan → distinct hash (map-side partial) → global
+    bottom-k. Spark plans the bottom-k as TakeOrderedAndProject — each
+    partition forwards at most k longs — so the cross-partition traffic
+    is k*8 bytes per partition no matter the corpus size. The true
+    count is computed alongside for the error column (itself a one-pass
+    distinct count; at real scale you'd drop it — it is the quantity
+    being estimated). When the stream has fewer than k distinct values
+    the sketch holds ALL of them, so the estimate is the exact seen
+    count, not the order-statistic formula (which is undefined there)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = _tokens(docs).select(md5_int60(F.col("w")).alias("h")).distinct()
+    bottomk = hashes.orderBy("h").limit(KMV_K)
+    kth = bottomk.agg(
+        F.max("h").alias("hk"), F.count("*").cast("bigint").alias("k_seen")
+    )
+    true_d = hashes.agg(F.count("*").cast("bigint").alias("true_distinct"))
+    est = F.when(
+        F.col("k_seen") < KMV_K, F.col("k_seen").cast("double")
+    ).otherwise((KMV_K - 1) * F.lit(HASH_SPACE) / F.col("hk"))
+    return kth.crossJoin(true_d).select(
+        "k_seen",
+        F.round(est, 4).alias("est_distinct"),
+        "true_distinct",
+        F.round(F.abs(est - F.col("true_distinct")) / F.col("true_distinct"), 4).alias(
+            "rel_err"
+        ),
+    )
+
+
+CMS_D = 4  # hash rows
+CMS_W = 1024  # buckets per row
+CMS_TOPN = 20  # report the true top-N tokens with their CMS estimates
+
+
+@register(
+    "sketch_countmin_heavy_hitters",
+    tags=("sketch", "agg", "text"),
+    oracle=f"""
+WITH toks AS ({_TOKENS_SQL}),
+rows_ AS (SELECT unnest(range({CMS_D})) AS j),
+cells AS (
+  SELECT j, {_md5_int60_sql("j || ':' || w")} % {CMS_W} AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM toks, rows_
+  GROUP BY j, bucket
+),
+truth AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS true_count
+  FROM toks GROUP BY w
+  ORDER BY true_count DESC, w LIMIT {CMS_TOPN}
+),
+est AS (
+  SELECT t.w, t.true_count, min(c.c) AS cms_estimate
+  FROM truth t
+  JOIN rows_ r ON TRUE
+  JOIN cells c
+    ON c.j = r.j AND c.bucket = {_md5_int60_sql("r.j || ':' || t.w")} % {CMS_W}
+  GROUP BY t.w, t.true_count
+)
+SELECT w AS token, true_count, cms_estimate,
+       cms_estimate - true_count AS overcount
+FROM est
+ORDER BY true_count DESC, token
+""",
+)
+def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch over the token stream, reporting the true top-20
+    tokens with their CMS point estimates. The d={CMS_D} hash rows use
+    md5(j||':'||token), so Spark and DuckDB build the IDENTICAL d×w
+    matrix and the estimates match exactly; CMS guarantees
+    estimate >= truth (the `overcount` column is the collision noise,
+    never negative — the oracle pins that too).
+
+    Scale: the token stream collapses to d*w = {CMS_D * CMS_W} cells via
+    one partial-aggregated shuffle (explode by j multiplies rows d×, but
+    map-side combine collapses each partition to ≤ d*w cells before the
+    exchange). The estimate lookup joins the tiny candidate set against
+    the 4096-cell matrix — broadcast territory at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    j = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("j")
+    keyed = toks.select("w", j).select(
+        "j",
+        (
+            md5_int60(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("w")))
+            % CMS_W
+        ).alias("bucket"),
+    )
+    cells = keyed.groupBy("j", "bucket").agg(F.count("*").cast("bigint").alias("c"))
+
+    truth = (
+        toks.groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("true_count"))
+        .orderBy(F.desc("true_count"), "w")
+        .limit(CMS_TOPN)
+    )
+    cand = truth.select(
+        "w",
+        "true_count",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("j"),
+    ).select(
+        "w",
+        "true_count",
+        "j",
+        (
+            md5_int60(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("w")))
+            % CMS_W
+        ).alias("bucket"),
+    )
+    est = (
+        F.broadcast(cand)
+        .join(cells, ["j", "bucket"])
+        .groupBy("w", "true_count")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return est.select(
+        F.col("w").alias("token"),
+        "true_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("true_count")).alias("overcount"),
+    ).orderBy(F.desc("true_count"), "token")

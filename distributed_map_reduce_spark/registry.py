@@ -79,6 +79,7 @@ def _load_all() -> None:
         arrays_maps,
         skew,
         sampling,
+        sketches,
         pipeline,
         graph,
         privacy,

@@ -221,3 +221,58 @@ def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
         "cms_estimate",
         (F.col("cms_estimate") - F.col("true_count")).alias("overcount"),
     ).orderBy(F.desc("true_count"), "token")
+
+
+LC_M = 4096  # linear-counting bitmap width
+
+
+@register(
+    "sketch_linear_counting",
+    tags=("sketch", "agg"),
+    oracle=f"""
+WITH toks AS ({_TOKENS_SQL}),
+occupied AS (
+  SELECT CAST(count(DISTINCT {_md5_int60_sql('w')} % {LC_M}) AS BIGINT) AS filled
+  FROM toks
+),
+truth AS (
+  SELECT CAST(count(DISTINCT w) AS BIGINT) AS true_distinct FROM toks
+)
+SELECT filled,
+       round(-{LC_M} * ln(1.0 - filled * 1.0 / {LC_M}), 4) AS est_distinct,
+       true_distinct,
+       round(abs(-{LC_M} * ln(1.0 - filled * 1.0 / {LC_M}) - true_distinct)
+             / true_distinct, 4) AS rel_err
+FROM occupied, truth
+""",
+)
+def sketch_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear counting (Whang et al. 1990): hash each value into an
+    m-bit bitmap; estimate D = -m*ln(1 - filled/m) from the occupancy.
+    Same portable-md5 discipline as KMV, so the estimate hash-matches
+    DuckDB exactly. Valid while D < m*ln(m) — the low-cardinality
+    regime where linear counting beats HLL on both accuracy and cost.
+
+    Scale: the bitmap IS a distinct-count over bucket ids — one
+    map-side-combined exchange of at most m={LC_M} ids per partition,
+    constant regardless of input size; the filled count is a single
+    integer per partition after that. (At 100 TB you would fold the
+    bitmap per partition and OR them — Spark's partial distinct agg is
+    exactly that with ids instead of bits.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    occupied = toks.agg(
+        F.countDistinct(md5_int60(F.col("w")) % LC_M).cast("bigint").alias("filled")
+    )
+    truth = toks.agg(
+        F.countDistinct("w").cast("bigint").alias("true_distinct")
+    )
+    est = -LC_M * F.log(1.0 - F.col("filled") / F.lit(float(LC_M)))
+    return occupied.crossJoin(truth).select(
+        "filled",
+        F.round(est, 4).alias("est_distinct"),
+        "true_distinct",
+        F.round(F.abs(est - F.col("true_distinct")) / F.col("true_distinct"), 4).alias(
+            "rel_err"
+        ),
+    )

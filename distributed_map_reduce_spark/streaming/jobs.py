@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..registry import register
+
 # Nominal events schema (documentation/tests). The stream reader below does
 # NOT trust this: it derives the real schema from a batch read of the same
 # file and applies catalog.load_table's ts normalization, so a regenerated
@@ -258,3 +260,57 @@ def incremental_view_sink(path: str):
         shutil.rmtree(retired, ignore_errors=True)
 
     return write
+
+
+def _replayed_events(events: DataFrame) -> DataFrame:
+    """Simulate at-least-once delivery: every third event is delivered
+    twice (a second copy unioned in). Both copies are identical rows —
+    exactly what a retried producer or a replayed Kafka offset emits."""
+    return events.unionByName(events.filter(F.col("event_id") % 3 == 0))
+
+
+def dedup_within_watermark(events: DataFrame) -> DataFrame:
+    """dropDuplicatesWithinWatermark on event_id over the replayed
+    stream: exactly-once restoration from at-least-once delivery. Unlike
+    plain dropDuplicates (streaming_dedup above), the WithinWatermark
+    variant GC's each key's state once the watermark passes it, so state
+    is bounded by the dup-arrival horizon, not the stream's lifetime key
+    cardinality — the form that survives an unbounded deployment."""
+    return (
+        _replayed_events(events)
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+
+
+@register(
+    "stream_dedup_replay_exactly_once",
+    tags=("streaming", "dedup"),
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       CAST(count(*) + sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_delivered
+FROM events
+GROUP BY event_type
+""",
+)
+def stream_dedup_replay_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once from at-least-once: replay every third event (dup
+    delivery), dedupe with dropDuplicatesWithinWatermark(event_id), and
+    count per event_type. Post-dedup counts must equal the clean batch
+    group-by — the oracle also pins the delivered (with-dup) volume the
+    dedup had to absorb, computed arithmetically from the replay rule.
+
+    The dedup emits in append mode (each event exactly once across all
+    micro-batches); counts aggregate the completed memory-sink table as
+    a batch, so the returned DataFrame is a stable 5-row summary."""
+    events = read_events_stream(spark, sf_dir)
+    deduped = run_to_completion(
+        spark, dedup_within_watermark(events), "dedup_replay_eo", mode="append"
+    )
+    delivered = F.when(F.col("event_id") % 3 == 0, 2).otherwise(1)
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+        F.sum(delivered).cast("bigint").alias("n_delivered"),
+    )

@@ -151,3 +151,16 @@ def test_rp_distortion_near_one(spark, sf_dir):
     ds = sorted(r["distortion"] for r in rows)
     median = ds[len(ds) // 2]
     assert 0.5 < median < 1.5
+
+
+def test_linear_counting_regimes(spark, sf_dir):
+    """Occupancy estimate: exact when every value lands in its own
+    bucket is not guaranteed, but est must be >= filled and within the
+    published envelope for D << m*ln(m)."""
+    from distributed_map_reduce_spark.registry import all_queries
+
+    row = all_queries()["sketch_linear_counting"].fn(spark, sf_dir).collect()[0]
+    assert 0 < row["filled"] <= row["true_distinct"]
+    assert row["est_distinct"] >= row["filled"]
+    # sf fixtures sit far below m*ln(m) ~ 34k: expect a tight estimate
+    assert row["rel_err"] < 0.1

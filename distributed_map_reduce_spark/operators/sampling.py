@@ -228,3 +228,59 @@ def sample_variance_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("quota"))
         .select("o_orderpriority", "quota", "o_orderkey", "total")
     )
+
+
+PRIORITY_K = 100  # weighted-sample size
+
+
+@register(
+    "sample_weighted_priority",
+    tags=("sampling", "pipeline"),
+    oracle=f"""
+SELECT doc_id, n_chars,
+       round(priority, 6) AS priority
+FROM (
+  SELECT doc_id, n_chars,
+         CAST('0x' || substr(md5('pri:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) * 1.0
+           / n_chars AS priority,
+         row_number() OVER (
+           ORDER BY CAST('0x' || substr(md5('pri:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) * 1.0
+                    / n_chars,
+                    doc_id
+         ) AS rn
+  FROM documents
+  WHERE n_chars > 0
+)
+WHERE rn <= {PRIORITY_K}
+""",
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling without replacement via PRIORITY
+    SAMPLING (Duffield, Lund & Thorup 2007): give each row priority
+    u_i / w_i with u_i a uniform hash and w_i its weight, keep the k
+    smallest — inclusion probability is ~proportional to weight, the
+    way a quality- or length-weighted corpus subsample is drawn. The
+    classic Efraimidis-Spirakis key u^(1/w) needs ln/pow, whose last
+    ulp is libm-implementation-specific and could flip a rank between
+    engines; priority sampling needs ONE DIVISION, which IEEE 754
+    specifies exactly — so the sample is bit-identical on Spark and
+    DuckDB and the oracle checks membership, not just counts.
+
+    Scale: TakeOrderedAndProject again — each partition forwards its
+    local k best priorities; no global sort, no RNG state, and the
+    sample is reproducible across reruns, engines, and cluster sizes."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("pri:"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    pri = u.cast("double") / F.col("n_chars")
+    return (
+        d.select("doc_id", "n_chars", pri.alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(PRIORITY_K)
+        .select("doc_id", "n_chars", F.round("priority", 6).alias("priority"))
+    )

@@ -276,3 +276,110 @@ def sketch_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_err"
         ),
     )
+
+
+def _lang_hashes_sql(lang: str) -> str:
+    return f"""
+  SELECT DISTINCT {_md5_int60_sql('w')} AS h
+  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS w
+        FROM documents WHERE lang = '{lang}')
+"""
+
+
+@register(
+    "sketch_kmv_set_ops",
+    tags=("sketch", "agg", "setops"),
+    oracle=f"""
+WITH ha AS ({_lang_hashes_sql('en')}),
+hb AS ({_lang_hashes_sql('es')}),
+ka AS (SELECT h FROM ha ORDER BY h LIMIT {KMV_K}),
+kb AS (SELECT h FROM hb ORDER BY h LIMIT {KMV_K}),
+ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT {KMV_K}),
+stats AS (
+  SELECT (SELECT max(h) FROM ku)                             AS hk,
+         (SELECT CAST(count(*) AS BIGINT) FROM ku)           AS k_seen,
+         (SELECT CAST(count(*) AS BIGINT) FROM ku
+            WHERE h IN (SELECT h FROM ka)
+              AND h IN (SELECT h FROM kb))                   AS k_both
+),
+est AS (
+  SELECT k_seen, k_both,
+         CASE WHEN k_seen < {KMV_K} THEN k_seen * 1.0
+              ELSE ({KMV_K} - 1) * {HASH_SPACE:.1f} / hk END AS d_union
+  FROM stats
+)
+SELECT k_seen, k_both,
+       round(d_union, 4)                          AS est_union,
+       round(k_both * 1.0 / k_seen, 6)            AS est_jaccard,
+       round(k_both * d_union / k_seen, 4)        AS est_intersection,
+       (SELECT CAST(count(*) AS BIGINT)
+          FROM ha WHERE h IN (SELECT h FROM hb))  AS true_intersection,
+       round((SELECT count(*) FROM ha WHERE h IN (SELECT h FROM hb)) * 1.0
+             / (SELECT count(*) FROM (SELECT h FROM ha UNION SELECT h FROM hb)), 6)
+                                                  AS true_jaccard
+FROM est
+""",
+)
+def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketches are MERGEABLE summaries supporting set operations
+    (Beyer et al. 2007): union two sketches by taking the bottom-k of
+    their combined hash sets; estimate Jaccard as the fraction of the
+    union sketch's members present in BOTH input sketches; intersection
+    size = jaccard x union estimate. Here: how much vocabulary do the
+    'en' and 'es' slices of the corpus share? True values computed
+    alongside for the audit.
+
+    This is the sketch pattern that matters at 100 TB: each corpus
+    shard ships a k-long summary (k=256 longs = 2 KB), and UNION /
+    INTERSECT / JACCARD between any two shards — or between today's
+    crawl and last month's — is computed from summaries alone, never
+    re-touching the data. Portable md5 hashing makes Spark's and
+    DuckDB's sketches (and therefore every derived estimate) identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+
+    def lang_hashes(lang: str) -> DataFrame:
+        return (
+            docs.filter(F.col("lang") == lang)
+            .select(F.explode(t).alias("w"))
+            .select(md5_int60(F.col("w")).alias("h"))
+            .distinct()
+        )
+
+    ha, hb = lang_hashes("en"), lang_hashes("es")
+    ka = ha.orderBy("h").limit(KMV_K)
+    kb = hb.orderBy("h").limit(KMV_K)
+    ku = ka.unionByName(kb).distinct().orderBy("h").limit(KMV_K)
+    both = ka.intersect(kb)  # hashes present in both sketches
+    stats = ku.agg(
+        F.max("h").alias("hk"), F.count("*").cast("bigint").alias("k_seen")
+    ).crossJoin(
+        ku.join(both, "h", "left_semi")
+        .agg(F.count("*").cast("bigint").alias("k_both"))
+    )
+    true_i = ha.join(hb, "h", "left_semi").agg(
+        F.count("*").cast("bigint").alias("true_intersection")
+    )
+    true_u = ha.unionByName(hb).distinct().agg(
+        F.count("*").alias("n_union")
+    )
+    d_union = F.when(
+        F.col("k_seen") < KMV_K, F.col("k_seen").cast("double")
+    ).otherwise((KMV_K - 1) * F.lit(HASH_SPACE) / F.col("hk"))
+    return (
+        stats.crossJoin(true_i)
+        .crossJoin(true_u)
+        .select(
+            "k_seen",
+            "k_both",
+            F.round(d_union, 4).alias("est_union"),
+            F.round(F.col("k_both") / F.col("k_seen"), 6).alias("est_jaccard"),
+            F.round(F.col("k_both") * d_union / F.col("k_seen"), 4).alias(
+                "est_intersection"
+            ),
+            "true_intersection",
+            F.round(F.col("true_intersection") / F.col("n_union"), 6).alias(
+                "true_jaccard"
+            ),
+        )
+    )

@@ -164,3 +164,33 @@ def test_linear_counting_regimes(spark, sf_dir):
     assert row["est_distinct"] >= row["filled"]
     # sf fixtures sit far below m*ln(m) ~ 34k: expect a tight estimate
     assert row["rel_err"] < 0.1
+
+
+def test_kmv_set_ops_estimates_vs_truth(spark, sf_dir):
+    from distributed_map_reduce_spark.registry import all_queries
+
+    row = all_queries()["sketch_kmv_set_ops"].fn(spark, sf_dir).collect()[0]
+    assert 0 <= row["est_jaccard"] <= 1
+    assert row["k_both"] <= row["k_seen"]
+    # exact regime (small fixture vocab): estimates collapse to truth
+    if row["k_seen"] < KMV_K:
+        assert row["est_jaccard"] == row["true_jaccard"]
+        assert row["est_intersection"] == row["true_intersection"]
+
+
+def test_weighted_priority_prefers_heavy_docs(spark, sf_dir):
+    """Inclusion probability must rise with weight: the sampled docs'
+    mean n_chars should exceed the corpus mean (length-weighted draw)."""
+    from distributed_map_reduce_spark.registry import all_queries
+    from distributed_map_reduce_spark.sources import load_table
+    from pyspark.sql import functions as F2
+
+    sample = all_queries()["sample_weighted_priority"].fn(spark, sf_dir)
+    samp_mean = sample.agg(F2.avg("n_chars")).collect()[0][0]
+    corp_mean = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F2.col("n_chars") > 0)
+        .agg(F2.avg("n_chars"))
+        .collect()[0][0]
+    )
+    assert samp_mean > corp_mean

@@ -14,7 +14,7 @@ a one-liner at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -237,12 +237,9 @@ PRIORITY_K = 100  # weighted-sample size
     "sample_weighted_priority",
     tags=("sampling", "pipeline"),
     oracle=f"""
-SELECT doc_id, n_chars,
-       round(priority, 6) AS priority
+SELECT rn AS pick, doc_id, n_chars
 FROM (
   SELECT doc_id, n_chars,
-         CAST('0x' || substr(md5('pri:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) * 1.0
-           / n_chars AS priority,
          row_number() OVER (
            ORDER BY CAST('0x' || substr(md5('pri:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) * 1.0
                     / n_chars,
@@ -266,6 +263,12 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     specifies exactly — so the sample is bit-identical on Spark and
     DuckDB and the oracle checks membership, not just counts.
 
+    The output carries the integer pick rank, not the raw priority:
+    the ~1e14-magnitude priority doubles are bit-identical across
+    engines (division is IEEE-exact) but round(x, 6) at that magnitude
+    renders differently, so ranks — which encode the full sample order
+    losslessly — are the portable surface.
+
     Scale: TakeOrderedAndProject again — each partition forwards its
     local k best priorities; no global sort, no RNG state, and the
     sample is reproducible across reruns, engines, and cluster sizes."""
@@ -278,9 +281,15 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
     ).cast("bigint")
     pri = u.cast("double") / F.col("n_chars")
-    return (
-        d.select("doc_id", "n_chars", pri.alias("priority"))
-        .orderBy("priority", "doc_id")
+    # bottom-k FIRST (TakeOrderedAndProject — k rows/partition forwarded),
+    # then rank the k survivors; a global row_number window over the full
+    # table would funnel every row through one partition.
+    topk = (
+        d.select("doc_id", "n_chars", pri.alias("_pri"))
+        .orderBy(F.col("_pri").asc(), F.col("doc_id").asc())
         .limit(PRIORITY_K)
-        .select("doc_id", "n_chars", F.round("priority", 6).alias("priority"))
+    )
+    w = Window.orderBy(F.col("_pri").asc(), F.col("doc_id").asc())
+    return topk.select(
+        F.row_number().over(w).alias("pick"), "doc_id", "n_chars"
     )

@@ -411,9 +411,12 @@ def events_sessionize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     lag_ts = F.lag("ts").over(w)
+    # unix_micros, not cast("long"): the cast truncates sub-second parts,
+    # so a true gap of 1800.4s could compare as 1800 on Spark while the
+    # oracle's full-precision INTERVAL comparison sees > 30 min.
     is_new = F.when(
         lag_ts.isNull()
-        | (F.col("ts").cast("long") - lag_ts.cast("long") > 1800),
+        | (F.unix_micros("ts") - F.unix_micros(lag_ts) > 1800 * 1_000_000),
         1,
     ).otherwise(0)
     run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(

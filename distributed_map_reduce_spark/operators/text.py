@@ -998,3 +998,58 @@ def bpe_train_merges(docs: DataFrame, rounds: int = BPE_TRAIN_ROUNDS) -> DataFra
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return bpe_train_merges(docs)
+
+
+FH_DIM = 16  # feature-hashing target dimensionality
+
+
+@register(
+    "text_feature_hashing",
+    tags=("text", "similarity"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS w
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CAST('0x' || substr(md5('fh:' || w), 1, 15) AS BIGINT) % {FH_DIM} AS BIGINT) AS dim,
+       CAST(sum(CASE WHEN CAST('0x' || substr(md5('fhs:' || w), 1, 15) AS BIGINT) % 2 = 0
+                     THEN 1 ELSE -1 END) AS BIGINT) AS weight
+FROM toks
+GROUP BY doc_id, dim
+HAVING sum(CASE WHEN CAST('0x' || substr(md5('fhs:' || w), 1, 15) AS BIGINT) % 2 = 0
+                THEN 1 ELSE -1 END) <> 0
+""",
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): embed each document
+    as a {FH_DIM}-dim signed bag-of-words — token t adds ±1 (sign from
+    an independent hash) to dimension md5(t) mod {FH_DIM}. No vocabulary
+    pass, no dictionary broadcast, integer arithmetic end to end, which
+    is why it is the standard cheap featurizer before clustering /
+    near-dup blocking at corpus scale. Long-form output (doc, dim,
+    weight), zero rows suppressed, matching a sparse-vector encoding.
+
+    Scale: explode + one hash-agg keyed (doc_id, dim) — map-side
+    combine collapses each doc's tokens locally (≤ {FH_DIM} cells per
+    doc); the exchange carries one row per nonzero cell. Exact integer
+    output ⇒ bit-identical across engines, no float discipline needed."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    toks = docs.select("doc_id", F.explode(t).alias("w"))
+    dim = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("fh:"), F.col("w"))), 1, 15), 16, 10)
+        .cast("bigint") % FH_DIM
+    ).cast("bigint")
+    sign = F.when(
+        F.conv(F.substring(F.md5(F.concat(F.lit("fhs:"), F.col("w"))), 1, 15), 16, 10)
+        .cast("bigint") % 2
+        == 0,
+        1,
+    ).otherwise(-1)
+    return (
+        toks.select("doc_id", dim.alias("dim"), sign.alias("s"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("s").cast("bigint").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )

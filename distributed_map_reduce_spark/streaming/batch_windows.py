@@ -855,3 +855,92 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
         )
     )
+
+
+PATH_GAP_MIN = 30  # session gap, minutes
+PATH_TOPN = 20
+
+
+@register(
+    "events_top_paths",
+    tags=("events", "stats"),
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL {PATH_GAP_MIN} MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM ordered
+), paths AS (
+  SELECT user_id, session_idx,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sessions
+  GROUP BY user_id, session_idx
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT {PATH_TOPN}
+""",
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: sessionize (gap > {PATH_GAP_MIN} min),
+    concatenate each session's event types in (ts, event_id) order into
+    a path string, and report the {PATH_TOPN} most common paths — the
+    query behind "what do users actually do" dashboards and behavioral
+    bot signatures. Tie order is pinned by event_id everywhere (the r3
+    session-window lesson).
+
+    Scale: both windows and the path agg share ONE user_id exchange
+    (same partitioning key), paths collapse to ≤ one row per session,
+    and the final top-N is a TakeOrderedAndProject over the
+    distinct-path counts."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (
+            F.unix_micros("ts") - F.unix_micros(prev_ts)
+            > PATH_GAP_MIN * 60 * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    sessions = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(new_session)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_idx"),
+    )
+    paths = (
+        sessions.groupBy("user_id", "session_idx")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(PATH_TOPN)
+    )

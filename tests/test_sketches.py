@@ -194,3 +194,53 @@ def test_weighted_priority_prefers_heavy_docs(spark, sf_dir):
         .collect()[0][0]
     )
     assert samp_mean > corp_mean
+
+
+def test_feature_hashing_exact_integer_embedding(spark):
+    """Known tokens: weight of a dim = sum of signs of tokens hashed
+    there; two copies of the same token always land together, so a doc
+    of one repeated token has exactly one nonzero cell of |weight| 2."""
+    from distributed_map_reduce_spark.registry import all_queries
+    import os
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [(1, "zebra zebra"), (2, "")], "doc_id long, text string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        rows = all_queries()["text_feature_hashing"].fn(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["doc_id"] == 1 and abs(r["weight"]) == 2
+    assert 0 <= r["dim"] < 16
+
+
+def test_top_paths_orders_within_session(spark):
+    """One user, two sessions split by a >30min gap; paths must respect
+    (ts, event_id) order inside each session."""
+    from distributed_map_reduce_spark.registry import all_queries
+    import datetime as dt
+    import os
+    import tempfile
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 7, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 7, "click", 1.0, "{}"),
+        # same ts as event 2 -> event_id breaks the tie
+        (3, t0 + dt.timedelta(minutes=1), 7, "purchase", 1.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=45), 7, "view", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            r["path"]: r["n_sessions"]
+            for r in all_queries()["events_top_paths"].fn(spark, d).collect()
+        }
+    assert got == {"view>click>purchase": 1, "view": 1}

@@ -1,0 +1,312 @@
+"""Append-mode Structured Streaming queries driven to a FINAL answer by
+watermark flushing — the production "close the books" pattern.
+
+The existing streaming twins (`streaming.jobs`) prove convergence in
+tests using complete/update sinks; these queries instead run the
+APPEND-mode topologies a real deployment uses (bounded state, emit-once
+per finalized window) and still produce a deterministic, oracle-checkable
+batch answer. The trick is the flush sentinel: after the real events
+file, the file source delivers two tiny sentinel files whose event time
+sits far in the future. Processing sentinel #1 advances the watermark
+past every real window; the batch that processes sentinel #2 therefore
+EMITS every real window (append mode emits a window only in a batch
+*after* the watermark passes its end). Sentinel rows themselves are
+filtered out of the result — their own windows never close, which is
+exactly the append-mode contract.
+
+This mirrors operational practice: Kafka pipelines emit broker-side
+heartbeats / idle-timeout punctuations so watermarks advance past the
+last business event and the tail windows drain. Here the "heartbeat" is
+a second parquet file in the landing directory.
+
+Scale posture: identical to the production topology — state is bounded
+by the watermark delay, every aggregation is partial (map-side) before
+the keyed state store, the static dim join is a broadcast that adds no
+state, and nothing ever holds the unbounded stream. The sentinel costs
+two 1-row files regardless of data scale.
+
+Reference parity: the reference engine has no streaming surface at all
+(SURVEY §2.3); this extends the repo's streaming tier, whose batch twins
+(`streaming/batch_windows.py`) the driver already hash-verified.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from .jobs import events_stream_dir, run_to_completion
+
+FLUSH_TYPE = "__flush__"
+
+
+def flushed_events_dir(
+    spark: SparkSession, sf_dir: str, sentinel_type: str = FLUSH_TYPE
+) -> tuple[str, object]:
+    """A file-stream landing dir containing the real events parquet plus
+    two 1-row sentinel parquet files 10 and 20 days after max(ts).
+
+    Returns (dir, schema). Sentinel mtimes are pinned AFTER the real
+    file's so the source (oldest-first listing order) processes
+    real → s1 → s2; a sentinel processed before the real data would
+    instantly advance the watermark and drop every real event as late,
+    so the ordering is asserted, not assumed.
+    """
+    d = events_stream_dir(sf_dir)
+    real = os.path.join(d, "events.parquet")
+    batch = spark.read.parquet(real)
+    schema = batch.schema
+    max_ts = batch.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    real_mtime = os.stat(real).st_mtime  # stat follows the symlink
+    base = max(time.time(), real_mtime + 60.0)
+    for i, days in enumerate((10, 20), start=1):
+        sent = (
+            batch.limit(1)
+            .select(
+                F.lit(-i).cast("bigint").alias("event_id"),
+                (F.lit(max_ts) + F.expr(f"INTERVAL {days} DAYS")).cast(
+                    schema["ts"].dataType.simpleString()
+                ).alias("ts"),
+                F.lit(-1).cast("bigint").alias("user_id"),
+                F.lit(sentinel_type).alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit(None).cast("string").alias("props"),
+            )
+        )
+        tmp = tempfile.mkdtemp(prefix="dmrs_sentinel_")
+        sent.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = os.path.join(d, f"zz_sentinel_{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, times=(base + i, base + i))
+        assert os.stat(dst).st_mtime > real_mtime, "sentinel must list after real file"
+    return d, schema
+
+
+def read_flushed_events(
+    spark: SparkSession, sf_dir: str, sentinel_type: str = FLUSH_TYPE
+) -> DataFrame:
+    """Streaming read over real events + flush sentinels, one file per
+    micro-batch (real data, then each sentinel — three epochs)."""
+    d, schema = flushed_events_dir(spark, sf_dir, sentinel_type)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    # Watermarks require session-TZ TIMESTAMP; the parquet carries
+    # TIMESTAMP_NTZ(µs) — same normalization policy as
+    # jobs.read_events_stream / sources.catalog.load_table.
+    from pyspark.sql import types as T
+
+    if not isinstance(schema["ts"].dataType, T.TimestampType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
+@register(
+    "stream_session_flush_final",
+    tags=("streaming", "window", "sessionization"),
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def stream_session_flush_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode streaming session windows (30-min gap, 10-min
+    watermark), drained to a final answer by the flush sentinels; must
+    equal the batch sessionization exactly (same oracle as
+    `events_session_window`, whose lag/cumsum rewrite pins tie order —
+    Spark's session end is exclusive, so a gap of exactly 30 min starts
+    a new session, matching the oracle's `>=`).
+
+    Unlike `streaming.jobs.session_values` (complete-mode test path),
+    append mode emits each session ONCE, after the watermark passes its
+    close — the emit-once contract downstream sinks rely on. The
+    sentinel user (-1) holds the only never-closed sessions and is
+    filtered; every real session is provably final.
+    """
+    events = read_flushed_events(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+    out = run_to_completion(spark, agg, "session_flush_final", mode="append")
+    return out.filter(F.col("user_id") >= 0)
+
+
+@register(
+    "stream_sliding_flush_final",
+    tags=("streaming", "window"),
+    oracle="""
+WITH buckets AS (
+  SELECT unnest([time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)),
+                 time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL 5 MINUTE]) AS window_start,
+         event_type, value
+  FROM events
+)
+SELECT window_start, event_type, count(*) AS n_events, round(avg(value), 4) AS avg_value
+FROM buckets
+GROUP BY 1, 2
+""",
+)
+def stream_sliding_flush_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode sliding windows (10-min length, 5-min slide) over the
+    event stream, drained by the flush sentinels; each (window, type)
+    row is emitted exactly once, after finalization, and the union must
+    equal the batch twin `events_sliding_window` (same oracle). Sentinel
+    rows aggregate under their own event_type and are filtered out."""
+    events = read_flushed_events(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+    out = run_to_completion(spark, agg, "sliding_flush_final", mode="append")
+    return out.filter(F.col("event_type") != FLUSH_TYPE)
+
+
+@register(
+    "stream_chained_time_windows",
+    tags=("streaming", "window"),
+    oracle="""
+WITH five AS (
+  SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS w5,
+         event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT time_bucket(INTERVAL '1 hour', w5) AS hour_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(max(n) AS BIGINT) AS max_5min_events,
+       CAST(sum(n) AS BIGINT) AS total_events
+FROM five
+GROUP BY 1, 2
+""",
+)
+def stream_chained_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful operators in ONE streaming query (Spark 3.5+/4
+    multiple-stateful-operator support): a 5-minute tumbling count per
+    event type re-aggregated into hourly rollups via `window_time()` —
+    the streaming form of a tiered rollup (raw → 5min → 1h), computed
+    in a single pass with two state stores instead of two jobs.
+
+    Both operators run in append mode; the watermark propagates through
+    the first aggregation (delayed by its window size) so the hourly
+    layer finalizes once the 5-min layer beneath it has. The flush
+    sentinels drain both layers; sentinel rows carry their own
+    event_type and are filtered."""
+    events = read_flushed_events(spark, sf_dir)
+    five = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w5"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hourly = (
+        five.groupBy(
+            F.window(F.window_time("w5"), "1 hour").alias("wh"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("n").alias("max_5min_events"),
+            F.sum("n").alias("total_events"),
+        )
+        .select(
+            F.col("wh.start").alias("hour_start"),
+            "event_type",
+            "n_buckets",
+            "max_5min_events",
+            "total_events",
+        )
+    )
+    out = run_to_completion(spark, hourly, "chained_time_windows", mode="append")
+    return out.filter(F.col("event_type") != FLUSH_TYPE)
+
+
+@register(
+    "stream_segment_enrichment_final",
+    tags=("streaming", "join", "window"),
+    oracle="""
+SELECT time_bucket(INTERVAL '15 minutes', CAST(e.ts AS TIMESTAMP)) AS window_start,
+       c.c_mktsegment AS segment,
+       count(*) AS n_purchases,
+       round(sum(e.value), 2) AS segment_revenue
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase'
+GROUP BY 1, 2
+""",
+)
+def stream_segment_enrichment_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode stream-static enrichment drained to a final answer:
+    purchases joined to the broadcast customer dim (no streaming state
+    added by the join), aggregated per (segment, 15-min window), flushed
+    by the sentinels. Must equal the batch twin
+    `events_segment_enrichment` (same oracle).
+
+    The sentinels are typed 'purchase' with user_id=-1 so they pass the
+    pre-watermark filter (a row dropped before the watermark operator
+    would never advance it) and are then discarded by the inner dim
+    join — the watermark advances on rows the aggregate never sees."""
+    from ..sources import load_table
+
+    events = read_flushed_events(spark, sf_dir, sentinel_type="purchase")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    agg = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "30 minutes")
+        .join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("segment_revenue"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "segment",
+            "n_purchases",
+            "segment_revenue",
+        )
+    )
+    out = run_to_completion(spark, agg, "segment_enrichment_final", mode="append")
+    return out

@@ -783,3 +783,181 @@ def similarity_random_projection_audit(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("id_a")
     )
+
+
+def _sq_l2(a, b):
+    """Squared L2 between two double-array columns — zip_with/aggregate,
+    JVM-side, left-to-right accumulation (same order DuckDB uses)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@register(
+    "ann_ivf_multiprobe",
+    tags=("similarity",),
+    oracle="""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dims AS (SELECT label, unnest(range(1, len(v) + 1)) AS dim, v FROM e),
+cvals AS (SELECT label, dim, avg(v[dim]) AS c FROM dims GROUP BY label, dim),
+cent AS (SELECT label AS c_label, array_agg(c ORDER BY dim) AS cv FROM cvals GROUP BY label),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+pr AS (
+  SELECT query_id, qv, c_label FROM (
+    SELECT query_id, qv, c_label,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY list_distance(qv, cv), c_label) AS crn
+    FROM q CROSS JOIN cent)
+  WHERE crn <= 2
+),
+cand AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(qv, v), 6) AS cos_sim
+  FROM pr JOIN e ON e.label = pr.c_label
+  WHERE pr.query_id <> e.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM cand
+) WHERE rn <= 5
+""",
+)
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with nprobe=2: rank the coarse centroids per query,
+    probe the TWO nearest inverted lists, exact-cosine re-rank to top-5.
+
+    Multi-probe is the standard recall knob for IVF (probe more lists →
+    asymptotically the brute-force answer): a query near a Voronoi
+    boundary recovers the neighbors single-probe search loses to the
+    adjacent cell. Plan shape at 100 TB: the centroid table is
+    O(n_lists) and broadcast twice (once to rank, once to route); the
+    corpus is touched once, filtered to the probed lists by a broadcast
+    semi-join on the list key (partition pruning when the corpus is
+    written partitioned by list, the IVF file layout); only candidates
+    — not the corpus — reach the per-query top-k window. Extends
+    `ann_lsh_probe`/`ann_kmeans_assign` (driver-green r1) to the probed
+    IVF *search* path.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    cvals = (
+        e.select("label", F.posexplode("v").alias("dim0", "val"))
+        .groupBy("label", "dim0")
+        .agg(F.avg("val").alias("c"))
+    )
+    cent = (
+        cvals.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim0", "c"))).alias("s"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform("s", lambda st: st["c"]).alias("cv"),
+        )
+    )
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    crn = W.partitionBy("query_id").orderBy(F.col("cd"), F.col("c_label"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))  # 8 queries x n_lists: tiny
+        .withColumn("cd", F.sqrt(_sq_l2(F.col("qv"), F.col("cv"))))
+        .withColumn("crn", F.row_number().over(crn))
+        .filter(F.col("crn") <= 2)
+        .select("query_id", "qv", F.col("c_label").alias("label"))
+    )
+    cand = (
+        e.join(F.broadcast(probes), "label")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+
+
+@register(
+    "similarity_pq_adc",
+    tags=("similarity", "compression"),
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+seeds AS (SELECT vec_id AS code_id, v AS cv FROM e WHERE vec_id < 4),
+ms AS (SELECT unnest(range(0, 8)) AS m),
+sub AS (
+  SELECT vec_id, m, code_id,
+         list_distance(v[m*8+1 : m*8+8], cv[m*8+1 : m*8+8]) AS d
+  FROM e CROSS JOIN seeds CROSS JOIN ms
+),
+best AS (
+  SELECT vec_id, m, code_id, d*d AS d2,
+         row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code_id) AS rn
+  FROM sub
+)
+SELECT vec_id,
+       string_agg(CAST(code_id AS VARCHAR), '-' ORDER BY m) AS pq_code,
+       round(sum(d2), 5) AS sq_err
+FROM best WHERE rn = 1
+GROUP BY vec_id
+""",
+)
+def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode + reconstruction error (Jégou et al.,
+    TPAMI 2011): split the 64-dim embedding into M=8 contiguous 8-dim
+    subspaces, assign each subvector to its nearest codeword, emit the
+    8-byte PQ code and the total squared reconstruction error (the
+    quantity ADC — asymmetric distance computation — accumulates at
+    query time).
+
+    The codebook here is 4 deterministic seed vectors (lowest vec_ids)
+    so the DuckDB oracle replays the exact assignment; production
+    trains K=256 per-subspace centroids with the same
+    `ann_ivf_centroids` M-step plan, and the encode below is unchanged.
+    Plan shape at 100 TB: the codebook is K*M*subdim floats — broadcast
+    — so encoding is one map-side pass over the corpus (explode M
+    subspaces, argmin over K broadcast codewords, regroup by vec_id);
+    64 dims of float32 compress to 8 code bytes, the 32x shelf-space
+    win that makes billion-scale ANN RAM-resident.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    seeds = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("code_id"), F.col("v").alias("cv")
+    )
+    sub = (
+        e.crossJoin(F.broadcast(seeds))  # corpus x K=4 codewords (broadcast)
+        .select(
+            "vec_id",
+            "code_id",
+            F.explode(F.array(*[F.lit(m) for m in range(8)])).alias("m"),
+            "v",
+            "cv",
+        )
+        .withColumn(
+            "d2",
+            _sq_l2(
+                F.expr("slice(v, m*8+1, 8)"), F.expr("slice(cv, m*8+1, 8)")
+            ),
+        )
+    )
+    rn = W.partitionBy("vec_id", "m").orderBy(F.sqrt(F.col("d2")), F.col("code_id"))
+    best = sub.withColumn("rn", F.row_number().over(rn)).filter(F.col("rn") == 1)
+    return (
+        best.groupBy("vec_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("m", "code_id"))).alias("s"),
+            F.round(F.sum("d2"), 5).alias("sq_err"),
+        )
+        .select(
+            "vec_id",
+            F.array_join(
+                F.transform("s", lambda st: st["code_id"].cast("string")), "-"
+            ).alias("pq_code"),
+            "sq_err",
+        )
+    )

@@ -326,3 +326,118 @@ def multimodal_arrow_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     assets = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return assets.mapInArrow(arrow_batch_stats, schema="doc_id long, n_bytes long")
+
+
+_NIB_MULT = 512  # quantizer gain: floor(512 * count / len), capped …
+_NIB_CAP = 127  # … at 7 bits per nibble count
+_NIB_BASE = _NIB_CAP + 1
+_L1_MAX = 15  # verify threshold on the 16-dim quantized histogram
+
+
+def _nibble_sig(h):
+    """16-dim quantized nibble histogram of a hex string column —
+    pure JVM built-ins (length/replace), no Python."""
+    ln = F.length(h)
+    vals = []
+    for c in "0123456789ABCDEF":
+        cnt = ln - F.length(F.expr(f"replace(_h, '{c}', '')"))
+        vals.append(
+            F.least(
+                F.lit(_NIB_CAP),
+                F.floor(F.lit(float(_NIB_MULT)) * cnt / ln).cast("bigint"),
+            )
+        )
+    return F.array(*vals)
+
+
+@register(
+    "multimodal_signature_neardup",
+    tags=("multimodal", "dedup"),
+    oracle=f"""
+WITH h AS (SELECT doc_id, upper(hex(encode(text))) AS h FROM documents),
+nib AS (SELECT doc_id, {", ".join(
+    f"least({_NIB_CAP}, CAST(floor({_NIB_MULT}.0 * (length(h) - length(replace(h, '{c}', ''))) / length(h)) AS BIGINT)) AS n_{c}"
+    for c in "0123456789ABCDEF")} FROM h),
+sig AS (SELECT doc_id, [n_0,n_1,n_2,n_3,n_4,n_5,n_6,n_7,n_8,n_9,n_A,n_B,n_C,n_D,n_E,n_F] AS s FROM nib),
+bands AS (
+  SELECT doc_id, b,
+         s[b*4+1]*{_NIB_BASE**3} + s[b*4+2]*{_NIB_BASE**2} + s[b*4+3]*{_NIB_BASE} + s[b*4+4] AS bv
+  FROM sig CROSS JOIN (SELECT unnest(range(0,4)) AS b)
+),
+cand AS (
+  SELECT a.doc_id AS id_a, c.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared_bands
+  FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_shared_bands,
+       CAST(list_sum(list_transform(list_zip(sa.s, sb.s), p -> abs(p[1] - p[2]))) AS BIGINT) AS l1_dist
+FROM cand
+JOIN sig sa ON sa.doc_id = cand.id_a
+JOIN sig sb ON sb.doc_id = cand.id_b
+WHERE list_sum(list_transform(list_zip(sa.s, sb.s), p -> abs(p[1] - p[2]))) <= {_L1_MAX}
+""",
+)
+def multimodal_signature_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset-level near-duplicate detection over opaque binary payloads
+    via a banded perceptual-style signature — the multimodal twin of
+    MinHash-LSH (`operators/dedup.py`), operating on BYTES, not tokens.
+
+    Signature: the 16-bin nibble histogram of the payload's hex
+    rendering, quantized to 7 bits per bin (a content-distribution
+    sketch computable with pure JVM string built-ins; a real pHash /
+    chromaprint drops into this step unchanged — the container ships no
+    codecs, SURVEY §2.3). Banding: 4 bands of 4 bins packed into one
+    integer; any shared band makes a candidate pair (equi-join — the
+    all-pairs comparison never materializes). Verify: L1 distance over
+    the full 16-dim signature <= {_L1_MAX}.
+
+    Plan shape at 100 TB: signatures are one map-side pass over the
+    payload bytes (16 ints per asset — the payloads themselves never
+    shuffle); the band self-join shuffles 4 small (band, bucket, id)
+    rows per asset; verification joins signatures — not payloads — back
+    by id. Same candidate-generation algebra the driver verified for
+    dedup_minhash_lsh (r1) and dedup_prefix_filter_join (window r4).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig = (
+        docs.select(
+            "doc_id", F.upper(F.hex(F.encode("text", "UTF-8"))).alias("_h")
+        )
+        .select("doc_id", _nibble_sig(F.col("_h")).alias("s"))
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("b"),
+        "s",
+    ).select(
+        "doc_id",
+        "b",
+        (
+            F.element_at("s", F.col("b") * 4 + 1) * _NIB_BASE**3
+            + F.element_at("s", F.col("b") * 4 + 2) * _NIB_BASE**2
+            + F.element_at("s", F.col("b") * 4 + 3) * _NIB_BASE
+            + F.element_at("s", F.col("b") * 4 + 4)
+        ).alias("bv"),
+    )
+    a = bands.select(F.col("doc_id").alias("id_a"), "b", "bv")
+    c = bands.select(F.col("doc_id").alias("id_b"), "b", "bv")
+    cand = (
+        a.join(c, ["b", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_bands"))
+    )
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    l1 = F.aggregate(
+        F.zip_with("sa", "sb", lambda x, y: F.abs(x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("l1_dist", l1)
+        .filter(F.col("l1_dist") <= _L1_MAX)
+        .select("id_a", "id_b", "n_shared_bands", "l1_dist")
+    )

@@ -248,3 +248,51 @@ def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_exact") + noise, 4).alias("n_noisy"),
         )
     )
+
+
+@register(
+    "privacy_k_anonymity",
+    tags=("privacy", "governance"),
+    oracle="""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         CAST(count(*) AS BIGINT) AS class_size
+  FROM customer
+  GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, c_mktsegment, bal_band, class_size,
+       CASE WHEN class_size < 5 THEN 1 ELSE 0 END AS violates_k,
+       round(1.0 / class_size, 6) AS reident_risk
+FROM classes
+""",
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over the quasi-identifier tuple
+    (nation, market segment, account-balance band): every equivalence
+    class with its size, a k<5 violation flag, and the worst-case
+    re-identification risk 1/|class| — the pre-release gate a dataset
+    passes before rows with these attributes ship in a training corpus
+    (violating classes get suppressed or the bands widened).
+
+    One hash aggregation over the quasi-identifier key; output
+    cardinality is the QI domain (nations x segments x bands), bounded
+    and small regardless of row count — the audit costs one map-side
+    partial agg at 100 TB."""
+    cust = load_table(spark, sf_dir, "customer")
+    classes = (
+        cust.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("class_size"))
+    )
+    return classes.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "bal_band",
+        "class_size",
+        F.when(F.col("class_size") < 5, 1).otherwise(0).alias("violates_k"),
+        F.round(1.0 / F.col("class_size"), 6).alias("reident_risk"),
+    )

@@ -1258,3 +1258,78 @@ def stats_rate_anomaly_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("poisson_z"),
         )
     )
+
+
+@register(
+    "stats_cusum_changepoint",
+    tags=("stats", "temporal", "anomaly"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS day_cents
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT day, day_cents,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         CAST(sum(day_cents) OVER () AS BIGINT) AS total
+  FROM daily
+), s AS (
+  SELECT day, day_cents, n * day_cents - total AS dev_scaled,
+         sum(n * day_cents - total) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+  FROM t
+)
+SELECT day, day_cents, CAST(dev_scaled AS BIGINT) AS dev_scaled,
+       CAST(cs - min(cs) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cusum_pos,
+       CAST(max(cs) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cs AS BIGINT) AS cusum_neg
+FROM s
+""",
+)
+def stats_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point statistics (Page 1954) over the daily revenue
+    series, in EXACT integer arithmetic: the textbook recursion
+    C+_t = max(0, C+_{t-1} + (x_t - mean)) is not window-expressible,
+    but its closed form C+_t = S_t - min_{i<=t} S_i (running sum minus
+    its running minimum) is — two stacked window passes, no recursion.
+    Deviations are scaled by N (dev = N*x_t - total) so the mean never
+    becomes a fractional number: every value both engines compare is a
+    BIGINT, immune to float drift. A monitoring job alarms when
+    cusum_pos/(N*sigma) crosses its h threshold; this query emits the
+    full statistic series (argmax day = the change-point estimate).
+
+    Scale: the windows order the DAY-cardinality aggregate (bounded,
+    thousands of rows), not the raw fact table — the global frame is
+    deliberately reduced, per this repo's scalable-cumsum discipline
+    (`window_cumsum_scalable` shows the bucketed form when the frame
+    itself is data-sized)."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("day_cents")
+        )
+    )
+    whole = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    run = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    t = daily.select(
+        "day",
+        "day_cents",
+        (
+            F.count(F.lit(1)).over(whole) * F.col("day_cents")
+            - F.sum("day_cents").over(whole)
+        ).alias("dev_scaled"),
+    )
+    s = t.withColumn("cs", F.sum("dev_scaled").over(run))
+    return s.select(
+        "day",
+        "day_cents",
+        F.col("dev_scaled").cast("bigint").alias("dev_scaled"),
+        (F.col("cs") - F.min("cs").over(run)).cast("bigint").alias("cusum_pos"),
+        (F.max("cs").over(run) - F.col("cs")).cast("bigint").alias("cusum_neg"),
+    )

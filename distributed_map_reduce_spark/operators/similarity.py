@@ -961,3 +961,90 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sq_err",
         )
     )
+
+
+@register(
+    "ann_kmeans_lloyd2",
+    tags=("similarity", "iterative"),
+    oracle="""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+d0 AS (SELECT label, unnest(range(1, len(v) + 1)) AS dim, v FROM e),
+cv0 AS (SELECT label, dim, avg(v[dim]) AS c FROM d0 GROUP BY label, dim),
+c0 AS (SELECT label AS cl, array_agg(c ORDER BY dim) AS cv FROM cv0 GROUP BY label),
+a1 AS (
+  SELECT vec_id, v, cl AS c1 FROM (
+    SELECT e.vec_id, e.v, c0.cl,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.v, c0.cv), c0.cl) AS rn
+    FROM e CROSS JOIN c0) WHERE rn = 1
+),
+d1 AS (SELECT c1, unnest(range(1, len(v) + 1)) AS dim, v FROM a1),
+cv1 AS (SELECT c1, dim, avg(v[dim]) AS c FROM d1 GROUP BY c1, dim),
+c1t AS (SELECT c1 AS cl, array_agg(c ORDER BY dim) AS cv FROM cv1 GROUP BY c1),
+a2 AS (
+  SELECT vec_id, c1, cl AS c2, d FROM (
+    SELECT a1.vec_id, a1.c1, c1t.cl, list_distance(a1.v, c1t.cv) AS d,
+           row_number() OVER (PARTITION BY a1.vec_id
+                              ORDER BY list_distance(a1.v, c1t.cv), c1t.cl) AS rn
+    FROM a1 CROSS JOIN c1t) WHERE rn = 1
+)
+SELECT vec_id, c1 AS iter1_label, c2 AS iter2_label, round(d, 6) AS dist,
+       CASE WHEN c1 <> c2 THEN 1 ELSE 0 END AS moved
+FROM a2
+""",
+)
+def ann_kmeans_lloyd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled Lloyd iterations of k-means — the iterative-algorithm
+    pattern on Spark: each round is ONE broadcast of the k centroid rows
+    (E-step: assign by argmin distance) plus ONE aggregation (M-step:
+    per-dimension mean of the newly-assigned clusters). Nothing iterates
+    on the driver; the loop body is a static two-round plan here so the
+    DuckDB oracle can replay it CTE-for-CTE, and a production run simply
+    repeats the same two-stage body to convergence (each iteration's
+    shuffle carries k x dim doubles, independent of corpus size).
+
+    Extends `ann_kmeans_assign` (one E-step, driver-green r1) with the
+    M-step feedback loop; init = per-label means, the same coarse
+    quantizer `ann_ivf_centroids` builds.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+
+    def m_step(df: DataFrame, label_col: str) -> DataFrame:
+        cvals = (
+            df.select(label_col, F.posexplode("v").alias("dim0", "val"))
+            .groupBy(label_col, "dim0")
+            .agg(F.avg("val").alias("c"))
+        )
+        return (
+            cvals.groupBy(label_col)
+            .agg(F.array_sort(F.collect_list(F.struct("dim0", "c"))).alias("s"))
+            .select(
+                F.col(label_col).alias("cl"),
+                F.transform("s", lambda st: st["c"]).alias("cv"),
+            )
+        )
+
+    def e_step(df: DataFrame, cent: DataFrame, out_col: str) -> DataFrame:
+        rn = W.partitionBy("vec_id").orderBy(F.col("d"), F.col("cl"))
+        return (
+            df.crossJoin(F.broadcast(cent))  # corpus x k centroids (broadcast)
+            .withColumn("d", F.sqrt(_sq_l2(F.col("v"), F.col("cv"))))
+            .withColumn("rn", F.row_number().over(rn))
+            .filter(F.col("rn") == 1)
+            .drop("rn", "cv")
+            .withColumnRenamed("cl", out_col)
+        )
+
+    c0 = m_step(e, "label")
+    a1 = e_step(e.select("vec_id", "v"), c0, "c1")
+    c1 = m_step(a1.select(F.col("c1"), "v"), "c1")
+    a2 = e_step(a1.select("vec_id", "c1", "v"), c1, "c2")
+    return a2.select(
+        "vec_id",
+        F.col("c1").alias("iter1_label"),
+        F.col("c2").alias("iter2_label"),
+        F.round("d", 6).alias("dist"),
+        F.when(F.col("c1") != F.col("c2"), 1).otherwise(0).alias("moved"),
+    )

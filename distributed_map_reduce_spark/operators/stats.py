@@ -1333,3 +1333,114 @@ def stats_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cs") - F.min("cs").over(run)).cast("bigint").alias("cusum_pos"),
         (F.max("cs").over(run) - F.col("cs")).cast("bigint").alias("cusum_neg"),
     )
+
+
+# Cumulative Poisson(1) CDF scaled to 1e6, as integer thresholds — the
+# same literals on both engines, so the bootstrap weights are portable.
+_POIS1_CUM = (367879, 735759, 919699, 981012, 996340, 999406)
+
+
+def _poisson_weight_sql(m: str) -> str:
+    cases = " ".join(
+        f"WHEN {m} < {t} THEN {k}" for k, t in enumerate(_POIS1_CUM)
+    )
+    return f"CASE {cases} ELSE {len(_POIS1_CUM)} END"
+
+
+@register(
+    "stats_bootstrap_poisson",
+    tags=("stats", "resampling"),
+    oracle=f"""
+WITH w AS (
+  SELECT rep,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         {_poisson_weight_sql("CAST('0x' || substr(md5('boot:' || CAST(rep AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 1000000")} AS wt
+  FROM orders CROSS JOIN (SELECT unnest(range(0, 100)) AS rep)
+),
+rmeans AS (
+  SELECT rep, CAST(sum(wt * cents) AS BIGINT) AS wc, CAST(sum(wt) AS BIGINT) AS ws
+  FROM w GROUP BY rep
+),
+ranked AS (
+  SELECT wc / (100.0 * ws) AS rmean, row_number() OVER (ORDER BY wc / (100.0 * ws)) AS rn
+  FROM rmeans
+)
+SELECT CAST(100 AS BIGINT) AS n_reps,
+       (SELECT round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / (100.0 * count(*)), 4)
+        FROM orders) AS mean_est,
+       round((SELECT rmean FROM ranked WHERE rn = 5), 4) AS ci_lo,
+       round((SELECT rmean FROM ranked WHERE rn = 96), 4) AS ci_hi
+""",
+)
+def stats_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al., Google 2012) 90% CI for the
+    mean order value — THE resampling scheme for distributed data:
+    classical bootstrap needs global n to multinomially resample, but
+    Poisson(1) replicate weights are independent per row, so all B=100
+    replicates materialize in one map-side pass (row x rep -> weight)
+    with no coordination; one aggregation per rep finishes the job.
+
+    Every stochastic choice is a portable md5 coin (same literals both
+    engines, like sample_bernoulli) and every accumulation is exact
+    BIGINT cents; each replicate mean is one double division of the
+    same two integers on both engines, so even the CI bounds compare
+    exactly. CI = 5th/96th order statistics of the replicate means
+    (percentile method, no interpolation).
+
+    Scale: 100x row inflation happens inside the scan-project stage
+    (never shuffled wide); the shuffle carries B partial (sum, count)
+    pairs per partition. At 100 TB, B tunes against scan bandwidth.
+    """
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    w = (
+        o.select(
+            "o_orderkey",
+            "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(99))).alias("rep"),
+        )
+        .withColumn(
+            "m",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "",
+                            F.lit("boot:"),
+                            F.col("rep").cast("string"),
+                            F.lit(":"),
+                            F.col("o_orderkey").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1000000,
+        )
+        .withColumn("wt", F.expr(_poisson_weight_sql("m")))
+    )
+    rmeans = w.groupBy("rep").agg(
+        F.sum(F.col("wt") * F.col("cents")).cast("bigint").alias("wc"),
+        F.sum("wt").cast("bigint").alias("ws"),
+    )
+    ranked = rmeans.select(
+        (F.col("wc") / (100.0 * F.col("ws"))).alias("rmean")
+    ).withColumn("rn", F.row_number().over(W.orderBy("rmean")))
+    est = o.agg(
+        F.round(F.sum("cents") / (100.0 * F.count(F.lit(1))), 4).alias("mean_est")
+    )
+    lo = ranked.filter(F.col("rn") == 5).select(F.round("rmean", 4).alias("ci_lo"))
+    hi = ranked.filter(F.col("rn") == 96).select(F.round("rmean", 4).alias("ci_hi"))
+    return (
+        est.crossJoin(lo)
+        .crossJoin(hi)
+        .select(
+            F.lit(100).cast("bigint").alias("n_reps"), "mean_est", "ci_lo", "ci_hi"
+        )
+    )

@@ -767,3 +767,84 @@ def agg_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("outstanding"),
     )
+
+
+@register(
+    "sql_execute_immediate",
+    tags=("sql",),
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE o_orderdate >= CAST('1995-01-01' AS DATE)
+  AND o_orderdate <  CAST('1996-01-01' AS DATE)
+GROUP BY o_orderpriority
+""",
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic SQL via EXECUTE IMMEDIATE + session variable + named bind
+    parameters (Spark 4 SQL scripting surface): the query TEXT lives in
+    a session variable and the date range arrives as USING parameters —
+    the stored-procedure-style indirection BI layers and migration
+    tools emit. Parameter binding goes through the analyzer (typed,
+    injection-safe), not string interpolation; the plan compiled is
+    identical to the static oracle."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE dmrs_q STRING")
+    spark.sql(
+        """SET VAR dmrs_q =
+        'SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                round(sum(o_totalprice), 2) AS total
+         FROM orders
+         WHERE o_orderdate >= CAST(:lo AS DATE)
+           AND o_orderdate <  CAST(:hi AS DATE)
+         GROUP BY o_orderpriority'"""
+    )
+    return spark.sql(
+        "EXECUTE IMMEDIATE dmrs_q USING '1995-01-01' AS lo, '1996-01-01' AS hi"
+    )
+
+
+@register(
+    "scalar_collation_compare",
+    tags=("sql", "scalar"),
+    oracle="""
+WITH t AS (
+  SELECT o_orderstatus,
+         CASE WHEN o_orderkey % 2 = 0 THEN lower(o_orderpriority)
+              ELSE upper(o_orderpriority) END AS pri
+  FROM orders
+)
+SELECT o_orderstatus,
+       CAST(count(DISTINCT pri) AS BIGINT) AS n_distinct_binary,
+       CAST(count(DISTINCT lower(pri)) AS BIGINT) AS n_distinct_ci,
+       CAST(count(*) FILTER (WHERE lower(pri) = '1-urgent') AS BIGINT) AS n_urgent_ci
+FROM t
+GROUP BY o_orderstatus
+""",
+)
+def scalar_collation_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4): the same distinct/filter under
+    binary vs UTF8_LCASE collation. `collate(s, 'UTF8_LCASE')` changes
+    comparison semantics INSIDE the engine — hash aggregation, joins,
+    and equality all honor it without materializing lower(s), and a
+    collated Parquet column keeps its statistics usable for pruning.
+    The oracle replays the case-insensitive semantics with explicit
+    lower() (DuckDB's collation-free equivalent); a mixed-case priority
+    column is synthesized so binary and CI distinct counts differ."""
+    o = load_table(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 2 == 0, F.lower("o_orderpriority"))
+        .otherwise(F.upper("o_orderpriority"))
+        .alias("pri"),
+    )
+    ci = F.collate(F.col("pri"), "UTF8_LCASE")
+    return t.groupBy("o_orderstatus").agg(
+        F.count_distinct(F.col("pri")).cast("bigint").alias("n_distinct_binary"),
+        F.count_distinct(ci).cast("bigint").alias("n_distinct_ci"),
+        F.count_if(ci == F.lit("1-URGENT")).cast("bigint").alias("n_urgent_ci"),
+    )

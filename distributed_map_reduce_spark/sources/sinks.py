@@ -462,3 +462,45 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+
+
+@register(
+    "source_binaryfile_manifest",
+    tags=("source", "multimodal"),
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) + 1 AS BIGINT) AS n_bytes,
+       md5(text || chr(10)) AS content_md5
+FROM documents
+""",
+)
+def source_binaryfile_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` source — Spark's entry point for raw asset shards
+    (images, audio, model checkpoints): stage every document as its own
+    file (a distributed partitionBy text write — no driver loop), then
+    read the directory back with format('binaryFile') and emit an
+    integrity manifest (asset id from the path, byte length, md5 of the
+    raw bytes). The oracle recomputes both from the source table (the
+    text sink appends one newline per row, hence the +1).
+
+    Scale posture: binaryFile never decodes — each task maps whole
+    files to (path, length, content) rows, so the manifest is one
+    embarrassingly-parallel pass; the checksum join back to metadata is
+    by doc_id. pathGlobFilter prunes non-data files at listing time,
+    before any read."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = os.path.join(tempfile.mkdtemp(prefix="dmrs_binassets_"), "assets")
+    docs.write.partitionBy("doc_id").mode("overwrite").text(out)
+    assets = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "part-*")
+        .option("recursiveFileLookup", "true")
+        .load(out)
+    )
+    return assets.select(
+        F.regexp_extract(F.col("path"), r"doc_id=(\d+)", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )

@@ -688,3 +688,81 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
     return kcore(pairs, src="doc_a", dst="doc_b")
+
+
+@register(
+    "dedup_cluster_keeper",
+    tags=("dedup", "graph", "iterative"),
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS node FROM edges
+), reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+), cc AS (
+  SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
+), ranked AS (
+  SELECT cc.doc_id, cc.component, d.n_chars,
+         row_number() OVER (PARTITION BY cc.component
+                            ORDER BY d.n_chars DESC, cc.doc_id) AS rn
+  FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+)
+SELECT r.doc_id, r.component, r.n_chars,
+       CASE WHEN r.rn = 1 THEN 1 ELSE 0 END AS keep,
+       k.doc_id AS keeper_id
+FROM ranked r
+JOIN ranked k ON k.component = r.component AND k.rn = 1
+""",
+)
+def dedup_cluster_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION: near-dup clusters (MinHash-LSH pairs →
+    connected components) resolved to one canonical keeper per cluster
+    — keep the longest document (ties → lowest doc_id), mark the rest
+    for drop, and record which keeper supersedes each dropped doc (the
+    provenance line a curation pipeline writes back).
+
+    This is the missing last step between `dedup_cc_clusters` (labels
+    only) and `pipeline_curate_corpus` (corpus-level gates): the
+    keep/drop verdict actually applied at scale. Plan: components from
+    bounded label propagation (one shuffle per round, driver holds a
+    counter), one broadcast-eligible join to the metadata columns
+    (n_chars — never the text), one per-component window, one self-join
+    on the component key to attach the keeper id. Everything after pair
+    generation carries ids + small ints only."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    from pyspark.sql import Window
+
+    ranked = (
+        cc.select(F.col("node").alias("doc_id"), "component")
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("component").orderBy(
+                    F.col("n_chars").desc(), F.col("doc_id")
+                )
+            ),
+        )
+    )
+    keepers = ranked.filter(F.col("rn") == 1).select(
+        "component", F.col("doc_id").alias("keeper_id")
+    )
+    return (
+        ranked.join(keepers, "component")
+        .select(
+            "doc_id",
+            "component",
+            "n_chars",
+            F.when(F.col("rn") == 1, 1).otherwise(0).alias("keep"),
+            "keeper_id",
+        )
+    )

@@ -1444,3 +1444,100 @@ def stats_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(100).cast("bigint").alias("n_reps"), "mean_est", "ci_lo", "ci_hi"
         )
     )
+
+
+@register(
+    "agg_exact_median_scalable",
+    tags=("stats", "agg", "scale"),
+    oracle="""
+WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+ks AS (SELECT unnest([(n + 1) // 2, (n + 2) // 2]) AS k FROM t),
+bands AS (SELECT cents // 10000 AS band, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY 1),
+cum AS (SELECT band, cnt, CAST(sum(cnt) OVER (ORDER BY band
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM bands),
+targets AS (
+  SELECT ks.k, cum.band, cum.cum - cum.cnt AS prev
+  FROM ks JOIN cum ON cum.cum >= ks.k AND cum.cum - cum.cnt < ks.k
+),
+ranked AS (
+  SELECT cents, cents // 10000 AS band,
+         row_number() OVER (PARTITION BY cents // 10000 ORDER BY cents) AS rn
+  FROM c WHERE cents // 10000 IN (SELECT band FROM targets)
+),
+vals AS (
+  SELECT t2.k, r.cents FROM targets t2
+  JOIN ranked r ON r.band = t2.band AND r.rn = t2.k - t2.prev
+)
+SELECT (SELECT n FROM t) AS n_rows, round(avg(cents) / 100.0, 4) AS median
+FROM vals
+""",
+)
+def agg_exact_median_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median without a global sort — the selection-by-histogram
+    plan that survives 100 TB where `ORDER BY ... LIMIT k` (single-task
+    final sort) and `percentile` (per-group value buffering) do not:
+
+      1. one pass bins values into $100 bands (map-side combine, band
+         cardinality ~ price range / 100);
+      2. a band-cardinality cumulative sum locates which band holds
+         each target order statistic (k1, k2 for even/odd n);
+      3. a second pass ranks ONLY the 1-2 target bands (each holding
+         ~n/bands rows) and picks the exact values by offset.
+
+    The full dataset is never sorted and never shuffled wide — only
+    target-band rows reach a window, and every count/offset is BIGINT
+    so both engines agree exactly. Median = mean of the two middle
+    order statistics (ANSI percentile_cont semantics at q=0.5).
+    Generalizes to any quantile set by adding ks rows, and to grouped
+    medians by keying every step. Iterating step 2 (re-bin inside the
+    target band) gives exact selection on pathological skew; one round
+    suffices for price-like domains."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents")
+    )
+    t = li.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ks = t.select(
+        "n",
+        F.explode(
+            F.array(
+                F.expr("(n + 1) div 2").cast("bigint"),
+                F.expr("(n + 2) div 2").cast("bigint"),
+            )
+        ).alias("k"),
+    ).select("k")
+    bands = (
+        li.groupBy(F.expr("cents div 10000").alias("band"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    cum = bands.withColumn(
+        "cum",
+        F.sum("cnt")
+        .over(W.orderBy("band").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint"),
+    )
+    targets = (
+        F.broadcast(ks)
+        .join(
+            cum,
+            (F.col("cum") >= F.col("k")) & (F.col("cum") - F.col("cnt") < F.col("k")),
+        )
+        .select("k", "band", (F.col("cum") - F.col("cnt")).alias("prev"))
+    )
+    ranked = (
+        li.withColumn("band", F.expr("cents div 10000"))
+        .join(F.broadcast(targets.select("band").distinct()), "band")
+        .withColumn(
+            "rn", F.row_number().over(W.partitionBy("band").orderBy("cents"))
+        )
+    )
+    vals = ranked.join(
+        F.broadcast(targets),
+        (ranked["band"] == targets["band"])
+        & (F.col("rn") == F.col("k") - F.col("prev")),
+    ).select("cents")
+    return vals.crossJoin(F.broadcast(t)).groupBy("n").agg(
+        F.round(F.avg("cents") / 100.0, 4).alias("median")
+    ).select(F.col("n").alias("n_rows"), "median")

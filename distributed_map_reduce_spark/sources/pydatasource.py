@@ -23,7 +23,12 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from ..registry import register
 
@@ -114,3 +119,102 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_score"
         ),
     )
+
+
+class HashRangeStreamReader(SimpleDataSourceStreamReader):
+    """Offset-based micro-batch reader over the same deterministic
+    md5 row generator: each poll serves the next `batch_rows` ids until
+    `rows` is exhausted, then reports no-new-data (offset stops
+    advancing) so a bounded drain terminates. The offset is a plain
+    row counter — the replayable progress marker Spark checkpoints;
+    re-reading any [start, end) span yields identical rows, which is
+    the exactly-once replay contract a real connector (Kafka offsets,
+    Kinesis sequence numbers, REST cursors) must honor."""
+
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 1_000))
+        self.batch_rows = int(options.get("batchRows", 250))
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def read(self, start):
+        lo = int(start["next"])
+        hi = min(lo + self.batch_rows, self.rows)
+        return (iter(self._gen(lo, hi)), {"next": hi})
+
+    def readBetweenOffsets(self, start, end):
+        # Replay path after restart: regenerate the exact span.
+        return iter(self._gen(int(start["next"]), int(end["next"])))
+
+    @staticmethod
+    def _gen(lo: int, hi: int):
+        # A list iterator, not a generator: Spark's simple-reader
+        # prefetch cache both next()s and copy.copy()s what read()
+        # returns, and generators are not copyable.
+        return [
+            (i, int(h[8:10], 16) % 16, int(h[:8], 16))
+            for i in range(lo, hi)
+            for h in (hashlib.md5(str(i).encode()).hexdigest(),)
+        ]
+
+
+class HashRangeStreamSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "hash_range_stream"
+
+    def schema(self) -> str:
+        return "id bigint, bucket int, score_raw bigint"
+
+    def simpleStreamReader(self, schema):
+        return HashRangeStreamReader(self.options)
+
+
+@register(
+    "stream_python_datasource",
+    tags=("source", "connector", "streaming"),
+    oracle=f"""
+WITH src AS (
+  SELECT i AS id,
+         CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 9, 2) AS BIGINT) % 16
+              AS INTEGER) AS bucket,
+         CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 8) AS BIGINT) AS score_raw
+  FROM generate_series(0, 999) AS t(i)
+)
+SELECT bucket,
+       count(*) AS n,
+       min(id) AS min_id,
+       max(id) AS max_id,
+       round(sum(score_raw) / {_U32!r} / count(*), 6) AS avg_score
+FROM src
+GROUP BY bucket
+""",
+)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Python data source (Spark 4
+    `SimpleDataSourceStreamReader`): the custom connector surface for
+    systems that are feeds, not files. The same deterministic md5
+    generator as `source_python_datasource` arrives as four offset-run
+    micro-batches (250 rows each); a complete-mode aggregation over the
+    drained bounded stream must equal the one-shot batch read — which
+    is exactly the replayability property (read = f(offsets), no
+    hidden state) the API's checkpoint/commit cycle assumes."""
+    from ..streaming.jobs import run_to_completion
+
+    spark.dataSource.register(HashRangeStreamSource)
+    df = (
+        spark.readStream.format("hash_range_stream")
+        .option("rows", 1_000)
+        .option("batchRows", 250)
+        .load()
+    )
+    agg = df.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+        F.round(F.sum("score_raw") / F.lit(_U32) / F.count(F.lit(1)), 6).alias(
+            "avg_score"
+        ),
+    )
+    return run_to_completion(spark, agg, "python_stream_src", mode="complete")

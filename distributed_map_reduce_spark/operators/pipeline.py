@@ -769,3 +769,100 @@ def pipeline_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_survivors"
         ),
     )
+
+
+@register(
+    "pipeline_mixture_materialize",
+    tags=("pipeline", "sampling"),
+    oracle="""
+WITH per_src AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT)
+             AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_src
+  FROM per_src
+), r AS (
+  SELECT source, n_docs,
+         pow((1.0 / n_src) / (n_tokens * 1.0 / total), 0.5) AS rep
+  FROM per_src CROSS JOIN tot
+), perdoc AS (
+  SELECT d.doc_id, d.source,
+         CAST(floor(r.rep) AS BIGINT)
+         + CASE WHEN CAST('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) % 1000000
+                     < CAST(floor((r.rep - floor(r.rep)) * 1000000) AS BIGINT)
+                THEN 1 ELSE 0 END AS copies
+  FROM documents d JOIN r ON r.source = d.source
+)
+SELECT p.source, r.n_docs, round(r.rep, 6) AS repeat_factor,
+       CAST(sum(p.copies) AS BIGINT) AS n_materialized
+FROM perdoc p JOIN r ON r.source = p.source
+GROUP BY p.source, r.n_docs, round(r.rep, 6)
+""",
+)
+def pipeline_mixture_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch materialization of a dataset mixture: turn the τ=0.5
+    temperature rebalance (`pipeline_mixture_weights`) into actual
+    per-document repeat counts — every doc of source s appears
+    floor(r_s) times plus one more with probability frac(r_s), where
+    r_s = sqrt(uniform_share / actual_token_share) up-samples rare
+    sources toward parity. The fractional coin is a portable md5 draw
+    per doc (integer-thousandths threshold), so the materialized counts
+    are reproducible across engines, reruns, and cluster sizes — the
+    property an epoch manifest must have for resumable training.
+
+    r_s deliberately avoids any cross-source float accumulation (no
+    normalizing sum): each source's factor is sqrt of a ratio of exact
+    integers, so both engines derive bit-identical thresholds. Plan:
+    sources-cardinality stats broadcast back over the doc scan; the
+    epoch expansion is arithmetic, not data movement — at 100 TB the
+    manifest (doc_id, copies) streams straight to the shuffle-shard
+    writer (`pipeline_shuffle_shard`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(n_tok).cast("bigint").alias("n_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_src"),
+    )
+    r = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.pow(
+            (1.0 / F.col("n_src")) / (F.col("n_tokens") * 1.0 / F.col("total")), 0.5
+        ).alias("rep"),
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    )
+    thresh = F.floor((F.col("rep") - F.floor("rep")) * 1000000).cast("bigint")
+    perdoc = (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(r), "source")
+        .select(
+            "source",
+            "n_docs",
+            F.round("rep", 6).alias("repeat_factor"),
+            (
+                F.floor("rep").cast("bigint")
+                + F.when(coin < thresh, 1).otherwise(0)
+            ).alias("copies"),
+        )
+    )
+    return perdoc.groupBy("source", "n_docs", "repeat_factor").agg(
+        F.sum("copies").cast("bigint").alias("n_materialized")
+    )

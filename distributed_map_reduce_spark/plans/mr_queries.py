@@ -11,6 +11,7 @@ showing the same engine path on real input.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import load_table
@@ -249,4 +250,118 @@ def mr_wordcount_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exec_mr_df(
         spark, _ncdc_df(spark, DLIB_EXTRA_PAIRS), wc_map, wc_reduce,
         num_partitions=3, schema="word string, n bigint",
+    )
+
+
+@register(
+    "mr_secondary_sort",
+    tags=("mapreduce", "pattern"),
+    oracle="""
+WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+o AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM e
+)
+SELECT user_id,
+       max(CASE WHEN rn_a = 1 THEN event_id END) AS first_event_id,
+       max(CASE WHEN rn_d = 1 THEN event_id END) AS last_event_id,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM o GROUP BY user_id
+""",
+)
+def mr_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical MapReduce SECONDARY SORT (Hadoop: The Definitive
+    Guide ch.9; the reference's shuffle delivers per-key value BAGS with
+    no intra-key order, `/root/reference/test/mr.test.js:78-96` compares
+    bags) — Spark-native form: `repartition(key)` co-locates each key,
+    `sortWithinPartitions(key, ts, id)` makes every key's run
+    contiguous AND time-ordered, and an Arrow-batched streaming reducer
+    reads each partition in order, carrying state across batch
+    boundaries — it never sorts or buffers a key's values itself (the
+    whole point of the pattern: ordering rides the shuffle's sort, the
+    reducer is O(1) memory per key).
+
+    Output per user: first/last event id by (ts, event_id) and count,
+    which the oracle derives with windows — parity proves the
+    partition-sorted stream really was ordered.
+    """
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    arranged = ev.repartition("user_id").sortWithinPartitions(
+        "user_id", "ts", "event_id"
+    )
+
+    def reduce_stream(batches):
+        state: dict[int, list] = {}  # key -> [first, last, n] (keys/partition bounded)
+        for pdf in batches:
+            for uid, eid in zip(pdf["user_id"], pdf["event_id"]):
+                s = state.get(uid)
+                if s is None:
+                    state[uid] = [eid, eid, 1]
+                else:
+                    s[1] = eid  # stream is sorted: latest seen = last
+                    s[2] += 1
+        if state:
+            yield pd.DataFrame(
+                {
+                    "user_id": list(state.keys()),
+                    "first_event_id": [s[0] for s in state.values()],
+                    "last_event_id": [s[1] for s in state.values()],
+                    "n_events": [s[2] for s in state.values()],
+                }
+            )
+
+    return arranged.mapInPandas(
+        reduce_stream,
+        schema="user_id bigint, first_event_id bigint, last_event_id bigint, n_events bigint",
+    )
+
+
+@register(
+    "mr_reduce_side_join",
+    tags=("mapreduce", "pattern", "join"),
+    oracle="""
+SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment,
+       CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0) AS BIGINT)
+           AS total_cents
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+""",
+)
+def mr_reduce_side_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical MapReduce REDUCE-SIDE JOIN, Spark-native: tag the
+    dimension and fact rows, UNION them on the join key, and let ONE
+    grouped aggregation both join and aggregate — the reducer sees each
+    key's dim row and its facts together. Where a join + group-by plan
+    shuffles twice (join exchange, then agg exchange), the tagged-union
+    form shuffles ONCE, because the aggregation key IS the join key —
+    the join-aggregate fusion worth reaching for at 100 TB whenever the
+    dim attributes fold into aggregates (here: max() lifts the single
+    dim value per key; facts contribute count/sum).
+
+    Mirrors the reference's only join-shaped capability (per-key value
+    bags merged in shuffledSave, SURVEY §2.1 D7) as a declarative plan.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(None).cast("bigint").alias("cents"),
+    )
+    fact = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.lit(None).cast("string").alias("seg"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        cust.unionByName(fact)
+        .groupBy("custkey")
+        .agg(
+            F.max("seg").alias("segment"),
+            F.count("cents").cast("bigint").alias("n_orders"),
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias("total_cents"),
+        )
     )

@@ -460,3 +460,59 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_value",
         )
     )
+
+
+@register(
+    "join_dynamic_partition_prune",
+    tags=("join", "scale", "layout"),
+    oracle="""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+WHERE year(o_orderdate) % 3 = 0
+GROUP BY 1
+""",
+)
+def join_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP): the fact table is staged
+    partitioned-by-year; the dimension side's predicate (year % 3 = 0)
+    is only knowable after scanning the dim, yet Catalyst injects the
+    dim's surviving keys as a runtime partition filter on the fact scan
+    — untouched year directories are never read. This is the mechanism
+    that makes star-schema joins over partitioned 100 TB fact tables
+    feasible: I/O scales with the dim selectivity, not the fact size
+    (`explain()` shows `dynamicpruning#...` in PartitionFilters;
+    pinned by tests/test_round4_ops.py).
+
+    The staging write itself is the standard layout prescription —
+    partition the fact by the hot join/filter key. The dim here is
+    derived from the raw table (years + a non-foldable predicate) so
+    the prune really is dynamic, not constant-folded static pruning."""
+    import os
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    staged = os.path.join(tempfile.mkdtemp(prefix="dmrs_dpp_"), "orders_by_year")
+    (
+        orders.withColumn("o_year", F.year("o_orderdate").cast("bigint"))
+        .write.partitionBy("o_year")
+        .mode("overwrite")
+        .parquet(staged)
+    )
+    fact = spark.read.parquet(staged)
+    dim = (
+        orders.select(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .distinct()
+        .filter(F.col("o_year") % 3 == 0)
+    )
+    return (
+        fact.join(F.broadcast(dim), "o_year")
+        .groupBy(F.col("o_year").cast("bigint").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )

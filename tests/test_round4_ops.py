@@ -97,3 +97,16 @@ def test_mixture_materialize_upsamples_rare(spark, sf_dir):
         # expected copies within 1 of n_docs * repeat_factor (one coin/doc)
         expect = r["n_docs"] * r["repeat_factor"]
         assert abs(r["n_materialized"] - expect) <= max(3.0, 0.35 * r["n_docs"])
+
+
+def test_dpp_appears_in_plan(spark, sf_dir):
+    """join_dynamic_partition_prune must plan a runtime partition filter
+    (dynamicpruning expression) on the staged fact scan."""
+    import contextlib
+    import io
+
+    df = all_queries()["join_dynamic_partition_prune"].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "dynamicpruning" in buf.getvalue().lower()

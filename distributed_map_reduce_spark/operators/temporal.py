@@ -1143,3 +1143,60 @@ def events_user_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ltv_per_user"
         ),
     )
+
+
+@register(
+    "temporal_m4_downsample",
+    tags=("temporal", "downsample"),
+    oracle="""
+WITH e AS (
+  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket
+  FROM events
+), o AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, bucket ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, bucket ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM e
+)
+SELECT event_type, bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       max(CASE WHEN rn_a = 1 THEN cents END) AS v_first,
+       max(CASE WHEN rn_d = 1 THEN cents END) AS v_last,
+       min(cents) AS v_min,
+       max(cents) AS v_max
+FROM o GROUP BY event_type, bucket
+""",
+)
+def temporal_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014): per series pixel-bucket
+    keep exactly the four value-defining points — first, last, min, max
+    — the provably error-free reduction for line-chart rendering (any
+    other point cannot change a pixel). The dashboard query over a
+    100 TB series store: one exchange on (series, bucket), map-side
+    partial aggregation, output cardinality = pixels, not points.
+
+    first/last are pinned by (ts, event_id) so tied timestamps are
+    deterministic on both engines; values are exact integer cents."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+    )
+    w_a = Window.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    w_d = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    o = ev.withColumn("rn_a", F.row_number().over(w_a)).withColumn(
+        "rn_d", F.row_number().over(w_d)
+    )
+    return o.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max(F.when(F.col("rn_a") == 1, F.col("cents"))).alias("v_first"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("cents"))).alias("v_last"),
+        F.min("cents").alias("v_min"),
+        F.max("cents").alias("v_max"),
+    )

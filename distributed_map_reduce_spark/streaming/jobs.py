@@ -314,3 +314,42 @@ def stream_dedup_replay_exactly_once(spark: SparkSession, sf_dir: str) -> DataFr
         F.count(F.lit(1)).cast("bigint").alias("n_unique"),
         F.sum(delivered).cast("bigint").alias("n_delivered"),
     )
+
+
+@register(
+    "stream_incremental_view_maintenance",
+    tags=("streaming", "ivm", "sink"),
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+GROUP BY user_id
+""",
+)
+def stream_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-view maintenance, end to end and
+    oracle-checked: the event stream drives `incremental_view_sink`
+    (foreachBatch partial-agg merge with atomic temp-dir swap) to
+    completion, and the FINAL standing view must equal the one-shot
+    batch group-by — proving the per-epoch merge algebra
+    (count/sum-monoid union + re-aggregate) loses nothing across
+    micro-batch boundaries. Refresh cost per epoch is |batch| + |view|,
+    never history; the swap leaves old-or-new complete, never torn."""
+    view_dir = tempfile.mkdtemp(prefix="dmrs_ivm_")
+    view = os.path.join(view_dir, "user_totals_view")
+    stream = read_events_stream(spark, sf_dir)
+    q = (
+        stream.writeStream.foreachBatch(incremental_view_sink(view))
+        .option("checkpointLocation", os.path.join(view_dir, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(view).select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("cents").cast("bigint").alias("cents"),
+    )

@@ -116,8 +116,13 @@ def _load_all() -> None:
 # bench headliners that never had a driver row, then whole never-checked
 # families (graph, similarity/dedup tail, TPC-H tail, sources/sinks,
 # pipeline serving, scale-window ops touched by this round's ADVICE
-# fixes). ~82 oracle-bearing queries remain for rounds 5-6 (stats family,
-# profiling, remaining events_*, scalar surface, sampling tail).
+# fixes). ~105 oracle-bearing queries remain for rounds 5-6 (stats
+# family, profiling, remaining events_*, scalar surface, sampling tail,
+# plus the late-r4 additions: watermark-flush streaming, IVF/PQ/Lloyd,
+# signature near-dup, MR patterns, DPP, exact-median/CUSUM/Theil-Sen/
+# bootstrap, k-anonymity, vocab coverage, mixture materialization,
+# streaming IVM + Python stream source, EXECUTE IMMEDIATE/collation,
+# binaryFile manifest, M4).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # --- semantics changed this round (tie-order pin) — re-verify ---
     "events_session_window",

@@ -832,3 +832,50 @@ def dedup_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(frac, 6).alias("dup_fraction"),
         F.when(frac >= 0.5, 1).otherwise(0).alias("flag_heavy_dup"),
     )
+
+
+@register(
+    "dedup_mllib_minhash_join",
+    tags=("dedup", "similarity", "mllib"),
+    # No SQL oracle: MLlib's MinHashLSH hash family is seeded inside the
+    # JVM model — deterministic for Spark but not replayable in DuckDB.
+    # Correctness is pinned instead by tests/test_round4_ops.py: perfect
+    # recall of the exact-Jaccard >= 0.5 pairs (LSH can only add false
+    # candidates before the distance filter, never lose true ones at
+    # this threshold/row budget) and agreement of the reported distance
+    # with exact Jaccard.
+)
+def dedup_mllib_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `pyspark.ml` route to near-dup joins (SURVEY §7.4 names
+    `MinHashLSH`/`approxSimilarityJoin` explicitly): shingle sets →
+    HashingTF sparse vectors → MinHashLSH model → approxSimilarityJoin
+    at Jaccard distance <= 0.5. This is the library twin of the
+    hand-built banded pipeline (`dedup_minhash_lsh`) — same
+    candidates-then-verify algebra, with the banding/OR-amplification
+    hidden inside the fitted model. Kept alongside the custom form
+    because the custom one is oracle-checkable and tunable (bands/rows
+    are explicit); the MLlib form is what a user migrating Spark code
+    brings with them.
+
+    Scale posture: identical to the custom tier — signatures shuffle,
+    documents don't; `numHashTables` trades recall for candidate volume.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shingled = docs.select(
+        "doc_id", shingles_col(F.col("text")).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(shingled)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+    )

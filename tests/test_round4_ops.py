@@ -110,3 +110,38 @@ def test_dpp_appears_in_plan(spark, sf_dir):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     assert "dynamicpruning" in buf.getvalue().lower()
+
+
+def test_mllib_minhash_join_recall_and_distance(spark, sf_dir):
+    """approxSimilarityJoin at distance<=0.5 must (a) report distances
+    equal to exact Jaccard distance on the same shingle sets, and (b)
+    recover every exact-Jaccard>=0.5 pair (LSH OR-amplification adds
+    candidates; the final distance filter is exact, so only hash-bucket
+    misses could lose pairs — with 8 tables at this threshold none may
+    be lost on the fixture)."""
+    from pyspark.sql import functions as F
+
+    from distributed_map_reduce_spark.operators.dedup import jaccard, shingles_col
+    from distributed_map_reduce_spark.sources import load_table
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_dist"]
+        for r in all_queries()["dedup_mllib_minhash_join"].fn(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", shingles_col(F.col("text")).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["j"]
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", jaccard(F.col("sa"), F.col("sb")).alias("j"))
+        .filter(F.col("j") >= 0.5)
+        .collect()
+    }
+    for pair, j in exact.items():
+        assert pair in got, f"true near-dup pair {pair} lost by LSH"
+        assert abs(got[pair] - (1.0 - j)) < 1e-4
+    for pair, d in got.items():
+        assert d <= 0.5 + 1e-9

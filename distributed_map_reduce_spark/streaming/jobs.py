@@ -353,3 +353,37 @@ def stream_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> Dat
         F.col("n_events").cast("bigint").alias("n_events"),
         F.col("cents").cast("bigint").alias("cents"),
     )
+
+
+@register(
+    "stream_trigger_available_now",
+    tags=("streaming",),
+    oracle="""
+SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_trigger_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigger.AvailableNow (Spark 3.3+): the production way to drain a
+    bounded backlog — the query plans ALL currently-available input
+    into rate-limited micro-batches, then STOPS ON ITS OWN (unlike
+    processAllAvailable, which is a test-harness wait on a running
+    query, and unlike the deprecated Trigger.Once, which ignored rate
+    limits). The scheduled nightly catch-up job over a file/Kafka
+    backlog is exactly this form. Complete-mode tumbling counts over
+    the drained stream must equal the batch group-by (the oracle)."""
+    events = read_events_stream(spark, sf_dir)
+    agg = tumbling_counts(events)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("avail_now_drain")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()  # self-terminates once the backlog is drained
+    return spark.table("avail_now_drain")

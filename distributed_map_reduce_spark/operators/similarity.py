@@ -1048,3 +1048,91 @@ def ann_kmeans_lloyd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("d", 6).alias("dist"),
         F.when(F.col("c1") != F.col("c2"), 1).otherwise(0).alias("moved"),
     )
+
+
+@register(
+    "similarity_user_trajectory",
+    tags=("similarity", "sequence"),
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         substr(event_type, 1, 1) AS letter
+  FROM events
+), traj AS (
+  SELECT user_id,
+         substr(string_agg(letter, '' ORDER BY ts, event_id), 1, 50) AS t
+  FROM e GROUP BY user_id
+), blocked AS (
+  SELECT user_id, t, len(t) // 10 AS lb, substr(t, 1, 1) AS hb FROM traj
+), pairs AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b,
+         CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist
+  FROM blocked a JOIN blocked b ON a.lb = b.lb AND a.hb = b.hb
+  WHERE a.user_id <> b.user_id
+)
+SELECT user_a, user_b, edit_dist, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_a
+                               ORDER BY edit_dist, user_b) AS rn
+  FROM pairs
+) WHERE rn <= 3
+""",
+)
+def similarity_user_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory similarity search (REPOSE, ICDE 2021 — PAPERS.md):
+    each user's behavior is a SEQUENCE (event-type letters in
+    (ts, event_id) order, capped at 50 steps to bound the O(n^2) edit
+    kernel), and the query finds each user's top-3 nearest neighbors by
+    Levenshtein distance — behavioral-cohort lookup for
+    recommendations, fraud twins, and bot-farm detection.
+
+    The all-pairs edit-distance join is quadratic, so candidates are
+    BLOCKED the way REPOSE routes trajectories to reference-point
+    tries: only users in the same (length-bucket, first-step) block
+    compare — a pair whose prefix or length differs grossly cannot be a
+    near neighbor at these distances. Blocking keys are equi-join
+    columns (one shuffle on (len//10, head)); edit distance runs only
+    inside blocks; a per-user window keeps top-3. Both engines share
+    unit-cost levenshtein semantics, so parity is exact. At 100 TB the
+    trajectory table is user-cardinality (tiny vs events); finer blocks
+    (length//5, 2-step head) hold per-block population flat as users
+    grow."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("letter")
+    )
+    traj = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "letter"))).alias(
+                "s"
+            )
+        )
+        .select(
+            "user_id",
+            F.substring(
+                F.array_join(F.transform("s", lambda st: st["letter"]), ""), 1, 50
+            ).alias("t"),
+        )
+    )
+    blocked = traj.select(
+        "user_id",
+        "t",
+        F.expr("length(t) div 10").alias("lb"),
+        F.substring("t", 1, 1).alias("hb"),
+    )
+    a = blocked.select(
+        F.col("user_id").alias("user_a"), F.col("t").alias("ta"), "lb", "hb"
+    )
+    b = blocked.select(
+        F.col("user_id").alias("user_b"), F.col("t").alias("tb"), "lb", "hb"
+    )
+    pairs = (
+        a.join(b, ["lb", "hb"])
+        .filter(F.col("user_a") != F.col("user_b"))
+        .select(
+            "user_a",
+            "user_b",
+            F.levenshtein("ta", "tb").cast("bigint").alias("edit_dist"),
+        )
+    )
+    w = W.partitionBy("user_a").orderBy("edit_dist", "user_b")
+    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)

@@ -453,3 +453,55 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
         F.sum(cents).over(w).alias("cents_last_hour"),
     )
+
+
+@register(
+    "topk_incremental_maintenance",
+    tags=("window", "ivm", "topk"),
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY round(o_totalprice * 100) DESC, o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_orderpriority, o_orderkey, cents, rn
+FROM ranked WHERE rn <= 5
+""",
+)
+def topk_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental top-k maintenance (EDBT 2020's interactive-session
+    top-k, PAPERS.md): a standing per-group top-5 is refreshed by a
+    delta batch WITHOUT rescanning history — merge(standing top-k,
+    delta) re-ranked is provably the full-recompute top-k under
+    insert-only deltas, because rows outside the standing top-k can
+    never re-enter (top-k over a growing set is monotone-shrinking per
+    element). The oracle IS the full recompute over all orders, so the
+    hash match proves the merge algebra, the same differential
+    discipline as `cdc_incremental_join_agg`.
+
+    Plan: the standing side is k*groups rows (tiny); the refresh ranks
+    standing ∪ delta — cost scales with |delta| + k*|groups|, never
+    |history|. Deletions need the k+buffer or a recompute trigger;
+    documented, out of scope for the insert-only contract here."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    history = o.filter(F.col("o_orderkey") % 10 != 0)
+    delta = o.filter(F.col("o_orderkey") % 10 == 0)
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("cents").desc(), F.col("o_orderkey")
+    )
+    standing = (
+        history.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+    return (
+        standing.unionByName(delta)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )

@@ -1280,10 +1280,10 @@ WITH daily AS (
   FROM t
 )
 SELECT day, day_cents, CAST(dev_scaled AS BIGINT) AS dev_scaled,
-       CAST(cs - min(cs) OVER (ORDER BY day
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cusum_pos,
-       CAST(max(cs) OVER (ORDER BY day
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cs AS BIGINT) AS cusum_neg
+       CAST(cs - least(0, min(cs) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT) AS cusum_pos,
+       CAST(greatest(0, max(cs) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - cs AS BIGINT) AS cusum_neg
 FROM s
 """,
 )
@@ -1291,8 +1291,11 @@ def stats_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM change-point statistics (Page 1954) over the daily revenue
     series, in EXACT integer arithmetic: the textbook recursion
     C+_t = max(0, C+_{t-1} + (x_t - mean)) is not window-expressible,
-    but its closed form C+_t = S_t - min_{i<=t} S_i (running sum minus
-    its running minimum) is — two stacked window passes, no recursion.
+    but its closed form C+_t = S_t - min_{0<=i<=t} S_i is (running sum
+    minus its running minimum ANCHORED AT S_0 = 0 — the least(0, …)
+    guard; without the empty-prefix anchor the statistic understates
+    runs that start positive) — two stacked window passes, no
+    recursion.
     Deviations are scaled by N (dev = N*x_t - total) so the mean never
     becomes a fractional number: every value both engines compare is a
     BIGINT, immune to float drift. A monitoring job alarms when
@@ -1330,8 +1333,12 @@ def stats_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "day_cents",
         F.col("dev_scaled").cast("bigint").alias("dev_scaled"),
-        (F.col("cs") - F.min("cs").over(run)).cast("bigint").alias("cusum_pos"),
-        (F.max("cs").over(run) - F.col("cs")).cast("bigint").alias("cusum_neg"),
+        (F.col("cs") - F.least(F.lit(0), F.min("cs").over(run)))
+        .cast("bigint")
+        .alias("cusum_pos"),
+        (F.greatest(F.lit(0), F.max("cs").over(run)) - F.col("cs"))
+        .cast("bigint")
+        .alias("cusum_neg"),
     )
 
 

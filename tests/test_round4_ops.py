@@ -145,3 +145,27 @@ def test_mllib_minhash_join_recall_and_distance(spark, sf_dir):
         assert abs(got[pair] - (1.0 - j)) < 1e-4
     for pair, d in got.items():
         assert d <= 0.5 + 1e-9
+
+
+def test_cusum_closed_form_equals_recursion():
+    """The window rewrite the CUSUM query uses — C+_t = S_t -
+    min(0, min_{i<=t} S_i), C-_t = max(0, max_{i<=t} S_i) - S_t — must
+    equal Page's recursion max(0, C_{t-1} +/- d_t) on arbitrary integer
+    series (the S_0 = 0 anchor is what makes runs that start positive
+    count from step one)."""
+    from hypothesis import given, strategies as st
+
+    @given(st.lists(st.integers(min_value=-10**6, max_value=10**6), max_size=200))
+    def check(devs):
+        cp = cn = s = 0
+        mins = maxs = 0  # min/max of prefix sums INCLUDING S_0 = 0
+        for d in devs:
+            cp = max(0, cp + d)
+            cn = max(0, cn - d)
+            s += d
+            mins = min(mins, s)
+            maxs = max(maxs, s)
+            assert cp == s - mins
+            assert cn == maxs - s
+
+    check()

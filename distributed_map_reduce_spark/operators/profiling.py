@@ -414,3 +414,167 @@ def profile_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("bot_flag"),
     )
+
+
+@register(
+    "repair_median_impute",
+    tags=("profiling", "repair"),
+    oracle="""
+WITH dirty AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+              ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents
+  FROM orders
+), med AS (
+  SELECT o_orderpriority,
+         CAST(floor(median(cents)) AS BIGINT) AS med_cents
+  FROM dirty WHERE cents IS NOT NULL GROUP BY o_orderpriority
+)
+SELECT d.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE d.cents IS NULL) AS BIGINT) AS n_imputed,
+       m.med_cents AS imputed_value,
+       CAST(sum(coalesce(d.cents, m.med_cents)) AS BIGINT) AS total_after_impute
+FROM dirty d JOIN med m ON m.o_orderpriority = d.o_orderpriority
+GROUP BY d.o_orderpriority, m.med_cents
+""",
+)
+def repair_median_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data repair by grouped-median imputation: nulls (injected
+    deterministically — every 7th order loses its price, simulating an
+    upstream extractor fault) are filled with their GROUP's median, the
+    robust choice when distributions differ per segment (a global mean
+    would bleed '1-URGENT' prices into '5-LOW' rows). The imputed value
+    is floored to integer cents so both engines agree exactly, and the
+    report carries the audit columns a repair pass must ship: how many
+    rows were touched, with what value, and the post-repair total.
+
+    Plan: one grouped median over the non-null rows (group-cardinality
+    output, broadcast back over the scan) + one aggregation — the
+    moment-table-join shape `pipeline_feature_scaling` uses, never a
+    per-row window. At 100 TB the imputation itself is a map-side
+    coalesce against the broadcast medians."""
+    o = load_table(spark, sf_dir, "orders")
+    dirty = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("cents"),
+    )
+    med = (
+        dirty.filter(F.col("cents").isNotNull())
+        .groupBy("o_orderpriority")
+        .agg(
+            F.floor(F.expr("percentile(cents, 0.5)")).cast("bigint").alias("med_cents")
+        )
+    )
+    return (
+        dirty.join(F.broadcast(med), "o_orderpriority")
+        .groupBy("o_orderpriority", "med_cents")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count_if(F.col("cents").isNull()).cast("bigint").alias("n_imputed"),
+            F.sum(F.coalesce(F.col("cents"), F.col("med_cents")))
+            .cast("bigint")
+            .alias("total_after_impute"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_rows",
+            "n_imputed",
+            F.col("med_cents").alias("imputed_value"),
+            "total_after_impute",
+        )
+    )
+
+
+@register(
+    "er_record_linkage",
+    tags=("profiling", "dedup", "linkage"),
+    oracle="""
+WITH clean AS (
+  SELECT c_custkey, c_nationkey, upper(c_name) AS name FROM customer
+), dirty AS (
+  SELECT c_custkey AS d_key, c_nationkey AS d_nat,
+         CASE WHEN c_custkey % 4 = 0
+              THEN substr(upper(c_name), 1, length(c_name) - 1) || 'X'
+              ELSE upper(c_name) END AS d_name
+  FROM customer
+), cand AS (
+  SELECT c.c_custkey, d.d_key,
+         CAST(levenshtein(c.name, d.d_name) AS BIGINT) AS dist
+  FROM clean c JOIN dirty d
+    ON c.c_nationkey = d.d_nat
+   AND substr(c.name, 1, 9) = substr(d.d_name, 1, 9)
+  WHERE levenshtein(c.name, d.d_name) <= 2
+), best AS (
+  SELECT c_custkey, d_key, dist,
+         row_number() OVER (PARTITION BY d_key ORDER BY dist, c_custkey) AS rn
+  FROM cand
+)
+SELECT CAST(count(*) AS BIGINT) AS n_linked,
+       CAST(count(*) FILTER (WHERE c_custkey = d_key) AS BIGINT) AS n_correct,
+       CAST(count(*) FILTER (WHERE dist > 0) AS BIGINT) AS n_fuzzy,
+       CAST((SELECT count(*) FROM dirty) AS BIGINT) AS n_records
+FROM best WHERE rn = 1
+""",
+)
+def er_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution / record linkage across sources: a 'dirty'
+    registry copy (every 4th name's last character corrupted —
+    deterministic, so ground truth is the key itself) is linked back to
+    the clean registry by BLOCKING on (nation, 9-char name prefix) and
+    verifying with Levenshtein <= 2, best match per dirty record
+    (lowest distance, tie -> lowest key). The output is the linkage
+    audit: how many records linked, how many to the RIGHT entity, and
+    how many needed fuzzy (dist>0) matching.
+
+    This is dedup's cross-SOURCE sibling (Fellegi-Sunter blocking +
+    edit-distance comparison): the all-pairs comparison never runs —
+    blocking keys equi-join (one shuffle), the quadratic kernel touches
+    only within-block pairs, exactly the `similarity_user_trajectory` /
+    LSH discipline. At 100 TB blocks refine (soundex/qgrams) to hold
+    per-block population flat."""
+    cust = load_table(spark, sf_dir, "customer")
+    clean = cust.select(
+        "c_custkey", "c_nationkey", F.upper("c_name").alias("name")
+    )
+    dirty = cust.select(
+        F.col("c_custkey").alias("d_key"),
+        F.col("c_nationkey").alias("d_nat"),
+        F.when(
+            F.col("c_custkey") % 4 == 0,
+            F.concat(
+                F.expr("substr(upper(c_name), 1, length(c_name) - 1)"), F.lit("X")
+            ),
+        )
+        .otherwise(F.upper("c_name"))
+        .alias("d_name"),
+    )
+    cand = (
+        clean.join(
+            dirty,
+            (F.col("c_nationkey") == F.col("d_nat"))
+            & (F.substring("name", 1, 9) == F.substring("d_name", 1, 9)),
+        )
+        .withColumn("dist", F.levenshtein("name", "d_name").cast("bigint"))
+        .filter(F.col("dist") <= 2)
+    )
+    best = cand.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("d_key").orderBy("dist", "c_custkey")
+        ),
+    ).filter(F.col("rn") == 1)
+    n_records = dirty.agg(F.count(F.lit(1)).cast("bigint").alias("n_records"))
+    return (
+        best.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_linked"),
+            F.count_if(F.col("c_custkey") == F.col("d_key"))
+            .cast("bigint")
+            .alias("n_correct"),
+            F.count_if(F.col("dist") > 0).cast("bigint").alias("n_fuzzy"),
+        )
+        .crossJoin(F.broadcast(n_records))
+    )

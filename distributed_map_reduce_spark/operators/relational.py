@@ -848,3 +848,58 @@ def scalar_collation_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(ci).cast("bigint").alias("n_distinct_ci"),
         F.count_if(ci == F.lit("1-URGENT")).cast("bigint").alias("n_urgent_ci"),
     )
+
+
+@register(
+    "analytics_skyline_pareto",
+    tags=("analytics", "window"),
+    oracle="""
+WITH pts AS (
+  SELECT p_partkey,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+), ranked AS (
+  SELECT *,
+         max(size) OVER (ORDER BY price_cents, size DESC, p_partkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS best_size_cheaper
+  FROM pts
+)
+SELECT p_partkey, price_cents, size
+FROM ranked
+WHERE best_size_cheaper IS NULL OR size > best_size_cheaper
+""",
+)
+def analytics_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier operator (Börzsönyi et al., ICDE 2001):
+    parts not dominated on (price↓, size↑) — no other part is both
+    cheaper-or-equal and strictly larger. The O(n²) dominance test
+    collapses to ONE sorted window pass: order by (price asc, size
+    desc), keep a row iff its size exceeds the best size seen at
+    strictly better-or-equal price (running max over the preceding
+    frame). Ties are pinned (size desc, partkey) so equal-price groups
+    resolve identically on both engines; all values are exact BIGINTs.
+
+    Scale: the sort-based rewrite is the textbook distributed skyline —
+    at 100 TB, pre-filter per partition (a point dominated locally is
+    dominated globally), then run this window over the union of
+    partition-local skylines, which is orders of magnitude smaller
+    than the input. The global window here orders the already-small
+    candidate set (the repo's reduced-frame discipline)."""
+    from pyspark.sql import Window as W
+
+    pts = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    w = (
+        W.orderBy(F.col("price_cents"), F.col("size").desc(), F.col("p_partkey"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = pts.withColumn("best_size_cheaper", F.max("size").over(w))
+    return ranked.filter(
+        F.col("best_size_cheaper").isNull()
+        | (F.col("size") > F.col("best_size_cheaper"))
+    ).select("p_partkey", "price_cents", "size")

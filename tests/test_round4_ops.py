@@ -169,3 +169,79 @@ def test_cusum_closed_form_equals_recursion():
             assert cn == maxs - s
 
     check()
+
+
+def test_skyline_is_exact_pareto_frontier(spark, sf_dir):
+    """Window-pass skyline == brute-force dominance at fixture scale:
+    no output point dominated; every excluded point dominated by some
+    output point (minimize price, maximize size)."""
+    pts = [
+        (r["p_partkey"], r["price_cents"], r["size"])
+        for r in all_queries()["analytics_skyline_pareto"].fn(spark, sf_dir).collect()
+    ]
+    allp = [
+        (r[0], int(round(r[1] * 100)), r[2])
+        for r in spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    ]
+
+    def dominated(p, q):  # q dominates p
+        return q[1] <= p[1] and q[2] >= p[2] and (q[1] < p[1] or q[2] > p[2])
+
+    sky = set(k for k, _, _ in pts)
+    for p in allp:
+        dom = any(dominated(p, q) for q in allp if q[0] != p[0])
+        if p[0] in sky:
+            assert not dom, f"skyline point {p} is dominated"
+        else:
+            assert dom, f"excluded point {p} is not dominated"
+
+
+def test_m4_invariants(spark, sf_dir):
+    for r in all_queries()["temporal_m4_downsample"].fn(spark, sf_dir).collect():
+        assert r["v_min"] <= r["v_first"] <= r["v_max"]
+        assert r["v_min"] <= r["v_last"] <= r["v_max"]
+        assert r["n"] >= 1
+
+
+def test_record_linkage_audit_bounds(spark, sf_dir):
+    row = all_queries()["er_record_linkage"].fn(spark, sf_dir).collect()[0]
+    assert row["n_correct"] <= row["n_linked"] <= row["n_records"]
+    assert row["n_fuzzy"] <= row["n_linked"]
+    # blocking must not lose the clean-name majority: all uncorrupted
+    # records match themselves at dist 0
+    assert row["n_correct"] >= (row["n_records"] * 3) // 4
+
+
+def test_theil_sen_matches_bruteforce(spark, sf_dir):
+    """Spark median pair slope == pure-Python brute force on the same
+    daily aggregate."""
+    import math
+
+    row = all_queries()["stats_theil_sen_trend"].fn(spark, sf_dir).collect()[0]
+    daily = sorted(
+        (r["d"], r["c"])
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr(
+            "CAST(unix_date(CAST(o_orderdate AS DATE)) AS BIGINT) AS d",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS c",
+        )
+        .groupBy("d")
+        .sum("c")
+        .withColumnRenamed("sum(c)", "c")
+        .collect()
+    )
+    slopes = sorted(
+        math.floor(1_000_000.0 * (cb - ca) / (db - da))
+        for i, (da, ca) in enumerate(daily)
+        for db, cb in daily[i + 1 :]
+    )
+    n = len(slopes)
+    med = (
+        slopes[(n - 1) // 2]
+        if n % 2
+        else (slopes[n // 2 - 1] + slopes[n // 2]) / 2
+    )
+    assert row["n_pairs"] == n
+    assert abs(row["slope_cents_per_day"] - round(med / 1_000_000.0, 4)) < 1e-9

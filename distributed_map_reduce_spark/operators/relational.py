@@ -903,3 +903,138 @@ def analytics_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best_size_cheaper").isNull()
         | (F.col("size") > F.col("best_size_cheaper"))
     ).select("p_partkey", "price_cents", "size")
+
+
+@register(
+    "hierarchy_subtree_rollup",
+    tags=("sql", "recursive", "analytics"),
+    oracle="""
+WITH RECURSIVE walk(root, node) AS (
+  SELECT c_custkey, c_custkey FROM customer WHERE c_custkey < 3
+  UNION ALL
+  SELECT w.root, c.c_custkey
+  FROM walk w JOIN customer c
+    ON c.c_custkey // 7 = w.node AND c.c_custkey <> w.node
+)
+SELECT w.root,
+       CAST(count(*) - 1 AS BIGINT) AS n_descendants,
+       CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS subtree_cents
+FROM walk w JOIN customer c ON c.c_custkey = w.node
+GROUP BY w.root
+""",
+)
+def hierarchy_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtree rollup (BOM-explosion / org-chart shape): a
+    synthetic tree over customers (parent(k) = k div 7 — every node one
+    parent, the root 0 self-parented and excluded from descent) walked
+    with an ENGINE-NATIVE recursive CTE from three roots, then rolled
+    up to per-root descendant counts and subtree balances. The classic
+    workload relational engines historically punted to app code;
+    Spark 4's WITH RECURSIVE keeps the whole explosion in one Catalyst
+    plan, mirrored exactly by the DuckDB oracle.
+
+    Each recursion step is one equi-join (child div 7 = node) — at
+    100 TB the per-level frontier is partition-parallel, and tree depth
+    (log_7 n) bounds the step count. Multiplicity-safe because a tree
+    gives each node exactly one derivation path."""
+    cust = load_table(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("_hier_customer")
+    return spark.sql("""
+WITH RECURSIVE walk(root, node) AS (
+  SELECT c_custkey, c_custkey FROM _hier_customer WHERE c_custkey < 3
+  UNION ALL
+  SELECT w.root, c.c_custkey
+  FROM walk w JOIN _hier_customer c
+    ON c.c_custkey div 7 = w.node AND c.c_custkey <> w.node
+)
+SELECT w.root,
+       CAST(count(*) - 1 AS BIGINT) AS n_descendants,
+       CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS subtree_cents
+FROM walk w JOIN _hier_customer c ON c.c_custkey = w.node
+GROUP BY w.root
+""")
+
+
+@register(
+    "snapshot_diff_audit",
+    tags=("analytics", "cdc"),
+    oracle="""
+WITH v1 AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), v2 AS (
+  SELECT k,
+         CASE WHEN k % 13 = 0 THEN cents + 1111 ELSE cents END AS cents
+  FROM v1 WHERE k % 97 <> 0
+  UNION ALL
+  SELECT k + 10000000 AS k, cents FROM v1 WHERE k % 101 = 0
+), d AS (
+  SELECT coalesce(v1.k, v2.k) AS k, v1.cents AS c1, v2.cents AS c2
+  FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+)
+SELECT CASE WHEN c1 IS NULL THEN 'added'
+            WHEN c2 IS NULL THEN 'removed'
+            WHEN c1 <> c2 THEN 'changed'
+            ELSE 'unchanged' END AS change_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(coalesce(sum(abs(c2 - c1)), 0) AS BIGINT) AS total_cents_delta
+FROM d GROUP BY 1
+""",
+)
+def snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table snapshot diff — the audit run between two versions of a
+    dataset (yesterday's load vs today's): a FULL OUTER join on the key
+    classifies every row as added / removed / changed / unchanged and
+    totals the value drift on changes. Version 2 is derived
+    deterministically (drop every 97th key, perturb every 13th price,
+    append new keys from every 101st row) so both engines build the
+    identical pair of snapshots.
+
+    This is the reconciliation primitive beneath data-diff tooling and
+    Delta/Iceberg snapshot compare: one co-partitioned join on the key
+    (both sides shuffle once on k; with bucketed or snapshot-partitioned
+    storage the exchange disappears), counts per class, no row-level
+    materialization beyond the join itself."""
+    v1 = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    v2 = (
+        v1.filter(F.col("k") % 97 != 0)
+        .select(
+            "k",
+            F.when(F.col("k") % 13 == 0, F.col("cents") + 1111)
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+        )
+        .unionByName(
+            v1.filter(F.col("k") % 101 == 0).select(
+                (F.col("k") + 10000000).alias("k"), "cents"
+            )
+        )
+    )
+    d = v1.select(
+        F.col("k").alias("k1"), F.col("cents").alias("c1")
+    ).join(
+        v2.select(F.col("k").alias("k2"), F.col("cents").alias("c2")),
+        F.col("k1") == F.col("k2"),
+        "full_outer",
+    )
+    change = (
+        F.when(F.col("c1").isNull(), "added")
+        .when(F.col("c2").isNull(), "removed")
+        .when(F.col("c1") != F.col("c2"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        d.select(change.alias("change_type"), "c1", "c2")
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.coalesce(F.sum(F.abs(F.col("c2") - F.col("c1"))), F.lit(0))
+            .cast("bigint")
+            .alias("total_cents_delta"),
+        )
+    )

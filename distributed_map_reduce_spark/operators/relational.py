@@ -1038,3 +1038,70 @@ def snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_cents_delta"),
         )
     )
+
+
+@register(
+    "audit_merkle_ranges",
+    tags=("analytics", "kv", "integrity"),
+    oracle="""
+WITH rows_ AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), digests AS (
+  SELECT k // 1000 AS bucket,
+         CAST('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || CAST(cents AS VARCHAR)), 1, 12)
+              AS BIGINT) AS digest
+  FROM rows_
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(digest) AS BIGINT) AS range_checksum
+FROM digests
+GROUP BY bucket
+""",
+)
+def audit_merkle_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication-integrity range checksums — the Merkle-tree level a
+    KV store anti-entropy pass exchanges (Dynamo/Cassandra repair; the
+    reference's control plane gossips node state, SURVEY §2.1 D24 —
+    this is the data-plane audit that detects replica divergence):
+    every row folds to a portable content digest (md5 over its
+    canonical key:value rendering, 48-bit prefix so a BIGINT sum of
+    any row count cannot overflow), and each 1000-key range publishes
+    (row count, digest sum). Two replicas compare these tiny summaries
+    and ship only mismatched ranges.
+
+    The checksum is an order-independent commutative monoid (sum), so
+    it is map-side combinable, mergeable across partitions and levels
+    (summing range checksums gives the parent node), and immune to row
+    order — one pass, one bucket-cardinality aggregate at any scale."""
+    rows_ = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    digests = rows_.select(
+        F.expr("k div 1000").alias("bucket"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "",
+                        F.col("k").cast("string"),
+                        F.lit(":"),
+                        F.col("cents").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("digest"),
+    )
+    return digests.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("digest").cast("bigint").alias("range_checksum"),
+    )

@@ -50,7 +50,10 @@ def flushed_events_dir(
     spark: SparkSession, sf_dir: str, sentinel_type: str = FLUSH_TYPE
 ) -> tuple[str, object]:
     """A file-stream landing dir containing the real events parquet plus
-    two 1-row sentinel parquet files 10 and 20 days after max(ts).
+    two sentinel parquet files 10 and 20 days after max(ts) — one row
+    per entry of ``sentinel_type`` (pass a tuple when several filtered
+    branches of the same source must each see their watermark advance,
+    e.g. both sides of a stream-stream join).
 
     Returns (dir, schema). Sentinel mtimes are pinned AFTER the real
     file's so the source (oldest-first listing order) processes
@@ -65,20 +68,24 @@ def flushed_events_dir(
     max_ts = batch.agg(F.max("ts").alias("m")).collect()[0]["m"]
     real_mtime = os.stat(real).st_mtime  # stat follows the symlink
     base = max(time.time(), real_mtime + 60.0)
+    types = (
+        [sentinel_type] if isinstance(sentinel_type, str) else list(sentinel_type)
+    )
     for i, days in enumerate((10, 20), start=1):
-        sent = (
-            batch.limit(1)
-            .select(
-                F.lit(-i).cast("bigint").alias("event_id"),
+        one = batch.limit(1)
+        sent = None
+        for j, typ in enumerate(types):
+            row = one.select(
+                F.lit(-(i * len(types) + j)).cast("bigint").alias("event_id"),
                 (F.lit(max_ts) + F.expr(f"INTERVAL {days} DAYS")).cast(
                     schema["ts"].dataType.simpleString()
                 ).alias("ts"),
                 F.lit(-1).cast("bigint").alias("user_id"),
-                F.lit(sentinel_type).alias("event_type"),
+                F.lit(typ).alias("event_type"),
                 F.lit(0.0).alias("value"),
                 F.lit(None).cast("string").alias("props"),
             )
-        )
+            sent = row if sent is None else sent.unionByName(row)
         tmp = tempfile.mkdtemp(prefix="dmrs_sentinel_")
         sent.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
@@ -310,3 +317,78 @@ def stream_segment_enrichment_final(spark: SparkSession, sf_dir: str) -> DataFra
     )
     out = run_to_completion(spark, agg, "segment_enrichment_final", mode="append")
     return out
+
+
+@register(
+    "stream_interval_left_join_flush",
+    tags=("streaming", "join"),
+    oracle="""
+WITH c AS (
+  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
+         round(value, 2) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.click_id, c.user_id, c.click_ts,
+       p.purchase_id, p.purchase_ts, p.purchase_value
+FROM c LEFT JOIN p
+  ON p.user_id = c.user_id
+ AND p.purchase_ts > c.click_ts
+ AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+""",
+)
+def stream_interval_left_join_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join drained to a final
+    answer: clicks joined to same-user purchases in the following hour,
+    where an UNMATCHED click emits its null-padded row only once the
+    watermark proves no matching purchase can still arrive (click_ts +
+    1h + watermark delay) — the semantics that make outer streaming
+    joins fundamentally harder than inner ones (the engine must decide
+    'never' under late data). The flush sentinels advance BOTH inputs'
+    watermarks (one sentinel row per side, user -1) so every real
+    click's fate — matched rows and null-padded no-sale rows alike —
+    is finalized; the result equals the batch LEFT JOIN exactly.
+
+    State bound: each side holds rows for (1h band + 2h watermark);
+    the inner-join twin `events_click_to_purchase` was driver-green r2,
+    this adds the outer-emission path."""
+    events = read_flushed_events(
+        spark, sf_dir, sentinel_type=("click", "purchase")
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.round("value", 2).alias("purchase_value"),
+        )
+    )
+    joined = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+    out = run_to_completion(spark, joined, "interval_left_join_flush", mode="append")
+    return out.filter(F.col("user_id") >= 0)

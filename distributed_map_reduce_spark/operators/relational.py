@@ -1105,3 +1105,63 @@ def audit_merkle_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("digest").cast("bigint").alias("range_checksum"),
     )
+
+
+@register(
+    "sql_scripting_compound",
+    tags=("sql", "scripting"),
+    oracle="""
+WITH RECURSIVE th(k, thr) AS (
+  SELECT 0, CAST(5000000 AS BIGINT)
+  UNION ALL
+  SELECT k + 1, thr // 2 FROM th WHERE k < 20
+), counts AS (
+  SELECT k, thr,
+         (SELECT count(*) FROM orders
+          WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= th.thr) AS n
+  FROM th
+), sel AS (
+  SELECT thr FROM counts WHERE n >= 1000 ORDER BY k LIMIT 1
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       (SELECT thr FROM sel) AS threshold_cents
+FROM orders
+WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= (SELECT thr FROM sel)
+GROUP BY o_orderpriority
+""",
+)
+def sql_scripting_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4.0 compound statements): a BEGIN…END block
+    with DECLAREd variables and a data-driven WHILE loop — halve a
+    price threshold until at least 1000 orders qualify, then report the
+    qualifying orders per priority at the found threshold. This is the
+    stored-procedure control flow migrations bring from warehouse
+    dialects, running entirely inside Spark's SQL layer (each loop
+    iteration is one aggregate; the loop variable lives in the session,
+    not in a driver-side Python loop). The oracle replays the fixpoint
+    declaratively: a recursive CTE generates the halving sequence and
+    picks the first threshold whose count clears the bar — loop and
+    CTE provably agree because the threshold sequence is identical
+    integer halving."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_script_orders")
+    return spark.sql("""
+BEGIN
+  DECLARE thr BIGINT DEFAULT 5000000;
+  DECLARE n BIGINT DEFAULT 0;
+  SET n = (SELECT count(*) FROM _script_orders
+           WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= thr);
+  WHILE n < 1000 DO
+    SET thr = thr DIV 2;
+    SET n = (SELECT count(*) FROM _script_orders
+             WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= thr);
+  END WHILE;
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         thr AS threshold_cents
+  FROM _script_orders
+  WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= thr
+  GROUP BY o_orderpriority;
+END
+""")

@@ -1625,3 +1625,84 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_cents_per_day"
         ),
     )
+
+
+@register(
+    "agg_bitmap_hierarchical_rollup",
+    tags=("agg", "sketch", "rollup"),
+    oracle="""
+WITH co AS (
+  SELECT c.c_custkey, n.n_nationkey, n.n_regionkey
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN orders o ON o.o_custkey = c.c_custkey
+)
+SELECT 'nation' AS level, CAST(n_nationkey AS BIGINT) AS key,
+       CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_buyers
+FROM co GROUP BY n_nationkey
+UNION ALL
+SELECT 'region' AS level, CAST(n_regionkey AS BIGINT) AS key,
+       CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_buyers
+FROM co GROUP BY n_regionkey
+UNION ALL
+SELECT 'total' AS level, CAST(-1 AS BIGINT) AS key,
+       CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_buyers
+FROM co
+""",
+)
+def agg_bitmap_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical DISTINCT rollup without recounting: per-nation
+    buyer bitmaps OR-merge into region bitmaps, which OR-merge into the
+    grand total — raw customer ids are scanned ONCE (at the nation
+    grain); every higher level re-aggregates kilobyte bitmap summaries,
+    not data. The oracle recomputes each level with plain
+    count(DISTINCT) from the raw join, so the hash match PROVES
+    merge(child bitmaps) == recompute at every level — the property
+    that makes exact-distinct dashboards (daily -> weekly -> monthly
+    actives) affordable at 100 TB, where three separate count(DISTINCT)
+    passes would each reshuffle the fact table.
+
+    Extends `agg_bitmap_distinct` (flat, driver-green r1) with the
+    re-aggregation ladder."""
+    co = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_regionkey"
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                F.col("o_custkey").alias("c_custkey")
+            ),
+            "c_custkey",
+        )
+    )
+    nation_bm = co.groupBy(
+        "n_nationkey",
+        "n_regionkey",
+        F.expr("bitmap_bucket_number(c_custkey)").alias("bucket"),
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(c_custkey))").alias("bm"))
+    nation = nation_bm.groupBy(
+        F.col("n_nationkey").cast("bigint").alias("key")
+    ).agg(F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_buyers"))
+    region_bm = nation_bm.groupBy("n_regionkey", "bucket").agg(
+        F.expr("bitmap_or_agg(bm)").alias("bm")
+    )
+    region = region_bm.groupBy(
+        F.col("n_regionkey").cast("bigint").alias("key")
+    ).agg(F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_buyers"))
+    total = (
+        region_bm.groupBy("bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .agg(F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_buyers"))
+        .select(F.lit(-1).cast("bigint").alias("key"), "n_buyers")
+    )
+    return (
+        nation.select(F.lit("nation").alias("level"), "key", "n_buyers")
+        .unionByName(region.select(F.lit("region").alias("level"), "key", "n_buyers"))
+        .unionByName(total.select(F.lit("total").alias("level"), "key", "n_buyers"))
+    )

@@ -505,3 +505,64 @@ def topk_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
     )
+
+
+@register(
+    "window_pattern_regex_funnel",
+    tags=("window", "pattern", "events"),
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         substr(event_type, 1, 1) AS letter
+  FROM events
+), traj AS (
+  SELECT user_id, string_agg(letter, '' ORDER BY ts, event_id) AS t
+  FROM e GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(t) AS BIGINT) AS n_events,
+       CASE WHEN regexp_matches(t, 'v.*c.*p') THEN 1 ELSE 0 END AS funnel_vcp,
+       CASE WHEN regexp_matches(t, 'e{2}') THEN 1 ELSE 0 END AS double_error,
+       CASE WHEN regexp_matches(t, '^s') THEN 1 ELSE 0 END AS signup_first
+FROM traj
+""",
+)
+def window_pattern_regex_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern detection as REGEX over the ordered event
+    string — the MATCH_RECOGNIZE idiom without MATCH_RECOGNIZE: each
+    user's history collapses to a letter sequence (v/c/p/s/e, ordered
+    by (ts, event_id)), and behavioral predicates become regexes —
+    ordered funnel completion `v.*c.*p`, consecutive errors `e{2}`,
+    signup-first `^s`. Arbitrarily complex order-sensitive patterns
+    (alternation, bounded gaps via `.{0,k}`, anchors) cost one regex
+    scan over a user-cardinality table instead of k-way self-joins —
+    the same rewrite `similarity_user_trajectory` exploits for edit
+    distance.
+
+    One exchange builds the trajectories (collect_list + array_sort —
+    per-user histories are session-sized); the regex stage is a
+    zero-shuffle narrow map. Java and RE2 agree on this regex subset
+    (no backrefs/lookaround, repo privacy-regex discipline)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("letter")
+    )
+    traj = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "letter"))
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            F.array_join(F.transform("s", lambda st: st["letter"]), "").alias("t"),
+        )
+    )
+    flag = lambda pat: F.when(F.col("t").rlike(pat), 1).otherwise(0)  # noqa: E731
+    return traj.select(
+        "user_id",
+        F.length("t").cast("bigint").alias("n_events"),
+        flag("v.*c.*p").alias("funnel_vcp"),
+        flag("e{2}").alias("double_error"),
+        flag("^s").alias("signup_first"),
+    )

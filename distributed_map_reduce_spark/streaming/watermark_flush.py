@@ -392,3 +392,73 @@ def stream_interval_left_join_flush(spark: SparkSession, sf_dir: str) -> DataFra
     )
     out = run_to_completion(spark, joined, "interval_left_join_flush", mode="append")
     return out.filter(F.col("user_id") >= 0)
+
+
+@register(
+    "stream_interval_full_join_flush",
+    tags=("streaming", "join"),
+    oracle="""
+WITH c AS (
+  SELECT event_id AS click_id, user_id AS c_uid, CAST(ts AS TIMESTAMP) AS click_ts
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT event_id AS purchase_id, user_id AS p_uid, CAST(ts AS TIMESTAMP) AS purchase_ts,
+         round(value, 2) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.click_id, coalesce(c.c_uid, p.p_uid) AS user_id, c.click_ts,
+       p.purchase_id, p.purchase_ts, p.purchase_value
+FROM c FULL OUTER JOIN p
+  ON p.p_uid = c.c_uid
+ AND p.purchase_ts > c.click_ts
+ AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+""",
+)
+def stream_interval_full_join_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join drained to a final
+    answer — BOTH no-sale clicks (null purchase side) and organic
+    purchases with no preceding click (null click side) must emit, each
+    only after the watermark proves its window of possible partners is
+    closed. This completes the streaming join triple (inner r2, left
+    outer above): full outer is the attribution-complete form — every
+    touchpoint AND every conversion appears exactly once, matched where
+    the interval allows. Dual-side sentinels close both state stores;
+    result equals the batch FULL OUTER JOIN."""
+    events = read_flushed_events(
+        spark, sf_dir, sentinel_type=("click", "purchase")
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_uid"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_uid"),
+            F.col("ts").alias("purchase_ts"),
+            F.round("value", 2).alias("purchase_value"),
+        )
+    )
+    joined = c.join(
+        p,
+        (F.col("c_uid") == F.col("p_uid"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "full_outer",
+    ).select(
+        "click_id",
+        F.coalesce(F.col("c_uid"), F.col("p_uid")).alias("user_id"),
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+    out = run_to_completion(spark, joined, "interval_full_join_flush", mode="append")
+    return out.filter(F.col("user_id") >= 0)

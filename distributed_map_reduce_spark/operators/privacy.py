@@ -296,3 +296,59 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("class_size") < 5, 1).otherwise(0).alias("violates_k"),
         F.round(1.0 / F.col("class_size"), 6).alias("reident_risk"),
     )
+
+
+@register(
+    "privacy_l_diversity",
+    tags=("privacy", "governance"),
+    oracle="""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         CAST(count(*) AS BIGINT) AS class_size,
+         CAST(count(DISTINCT c_orderpriority_proxy) AS BIGINT) AS l_distinct
+  FROM (
+    SELECT c_nationkey, c_mktsegment, c_acctbal,
+           c_custkey % 5 AS c_orderpriority_proxy
+    FROM customer
+  )
+  GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, c_mktsegment, bal_band, class_size, l_distinct,
+       CASE WHEN l_distinct < 3 THEN 1 ELSE 0 END AS violates_l
+FROM classes
+""",
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al., ICDE 2006) — the
+    stronger guarantee k-anonymity misses: a class of k identical
+    quasi-identifiers still leaks if every member shares ONE sensitive
+    value (the homogeneity attack). Each equivalence class from
+    `privacy_k_anonymity`'s QI tuple reports its count of DISTINCT
+    sensitive values (a deterministic 5-way proxy attribute, since the
+    fixture carries no genuinely sensitive column) and flags l < 3.
+
+    Same single hash aggregation as the k-audit plus one
+    count-distinct — still one pass at QI-domain output cardinality."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        "c_acctbal",
+        (F.col("c_custkey") % 5).alias("sensitive"),
+    )
+    classes = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_size"),
+        F.count_distinct("sensitive").cast("bigint").alias("l_distinct"),
+    )
+    return classes.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "bal_band",
+        "class_size",
+        "l_distinct",
+        F.when(F.col("l_distinct") < 3, 1).otherwise(0).alias("violates_l"),
+    )

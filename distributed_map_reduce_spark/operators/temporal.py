@@ -1200,3 +1200,84 @@ def temporal_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").alias("v_min"),
         F.max("cents").alias("v_max"),
     )
+
+
+@register(
+    "temporal_interval_coalesce",
+    tags=("temporal", "window"),
+    oracle="""
+WITH iv AS (
+  SELECT user_id,
+         CAST(floor(date_part('epoch', CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+         CAST(floor(date_part('epoch', CAST(ts AS TIMESTAMP))) AS BIGINT) + 1800 AS e,
+         event_id
+  FROM events
+), marked AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              OR max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              THEN 1 ELSE 0 END AS new_island,
+         event_id
+  FROM iv
+), islands AS (
+  SELECT user_id, s, e,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+), merged AS (
+  SELECT user_id, island, min(s) AS ms, max(e) AS me
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(me - ms) AS BIGINT) AS covered_seconds
+FROM merged GROUP BY user_id
+""",
+)
+def temporal_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing — the union-of-intervals measure: each event
+    opens a 30-minute activity interval; overlapping intervals merge
+    into maximal islands, and each user reports how many disjoint
+    activity spans they have and the total covered time (which plain
+    sum-of-durations OVERCOUNTS wherever intervals overlap — the error
+    this operator exists to avoid; billing, SLA uptime, and
+    machine-utilization math all need the union measure).
+
+    The classic O(n log n) sweep: sort by start, a new island begins
+    where start exceeds the running max of all previous ends (ROWS …
+    1 PRECEDING — the same islands rewrite as `window_streak_islands`
+    but over RANGES, where intervals can swallow their successors).
+    Exact integer epoch seconds; ties pinned by event_id. One exchange
+    per user feeds both windows and the rollup."""
+    iv = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").cast("bigint").alias("s"),
+        (F.unix_timestamp("ts").cast("bigint") + 1800).alias("e"),
+    )
+    prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = iv.withColumn("prev_max_e", F.max("e").over(prev)).withColumn(
+        "new_island",
+        F.when(
+            F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")), 1
+        ).otherwise(0),
+    )
+    islands = marked.withColumn("island", F.sum("new_island").over(run))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum(F.col("me") - F.col("ms")).cast("bigint").alias("covered_seconds"),
+    )

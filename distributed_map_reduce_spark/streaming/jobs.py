@@ -387,3 +387,46 @@ def stream_trigger_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()  # self-terminates once the backlog is drained
     return spark.table("avail_now_drain")
+
+
+@register(
+    "stream_trending_topk",
+    tags=("streaming", "topk"),
+    oracle="""
+WITH counts AS (
+  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+         event_type, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n_events, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY window_start
+                               ORDER BY n_events DESC, event_type) AS rnk
+  FROM counts
+) WHERE rnk <= 3
+""",
+)
+def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trending-items leaderboard: hourly windowed counts per
+    event type maintained by the streaming engine (complete-mode state),
+    ranked to a per-window top-3 AFTER the drain — the composition a
+    trending dashboard runs every refresh (rank over the live
+    aggregation state, not inside it: ranking is not an incremental
+    streaming operator, so production puts it in the read path /
+    foreachBatch, exactly as modeled here). The drained leaderboard must
+    equal the batch rank over the same counts."""
+    from pyspark.sql import Window
+
+    events = read_events_stream(spark, sf_dir)
+    counts = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    drained = run_to_completion(spark, counts, "trending_counts", mode="complete")
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        drained.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
+    )

@@ -1165,3 +1165,58 @@ BEGIN
   GROUP BY o_orderpriority;
 END
 """)
+
+
+@register(
+    "sql_udf_declared",
+    tags=("sql", "udf"),
+    oracle="""
+WITH t AS (
+  SELECT o_orderpriority,
+         o_totalprice * (1 - CASE WHEN o_orderkey % 3 = 0 THEN 0.10 ELSE 0.02 END)
+             AS discounted,
+         CASE WHEN o_totalprice >= 200000 THEN 'large'
+              WHEN o_totalprice >= 50000 THEN 'medium'
+              ELSE 'small' END AS size_class
+  FROM orders
+)
+SELECT o_orderpriority, size_class,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(discounted), 2) AS total_discounted
+FROM t GROUP BY o_orderpriority, size_class
+""",
+)
+def sql_udf_declared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-declared UDFs (Spark 4 `CREATE FUNCTION … RETURN expr`): the
+    function body is a SQL expression the analyzer INLINES into the
+    calling plan — whole-stage codegen, no serialization boundary, no
+    Python worker — which is why a SQL UDF is the first rung of this
+    repo's API ladder (built-in > SQL UDF > Arrow pandas_udf >
+    mapInPandas). Two functions (a conditional discount and a
+    CASE-ladder classifier) drive a grouped rollup; the oracle applies
+    the same expressions inline, and the hash match proves inlining
+    preserves semantics exactly."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql("""
+CREATE OR REPLACE TEMPORARY FUNCTION dmrs_discount(price DOUBLE, k BIGINT)
+RETURNS DOUBLE
+RETURN price * (1 - CASE WHEN k % 3 = 0 THEN 0.10 ELSE 0.02 END)
+""")
+    spark.sql("""
+CREATE OR REPLACE TEMPORARY FUNCTION dmrs_size_class(price DOUBLE)
+RETURNS STRING
+RETURN CASE WHEN price >= 200000 THEN 'large'
+            WHEN price >= 50000 THEN 'medium'
+            ELSE 'small' END
+""")
+    return spark.sql("""
+SELECT o_orderpriority,
+       dmrs_size_class(o_totalprice) AS size_class,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(dmrs_discount(o_totalprice, o_orderkey)), 2)
+           AS total_discounted
+FROM orders
+GROUP BY o_orderpriority, dmrs_size_class(o_totalprice)
+""")

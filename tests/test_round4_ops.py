@@ -245,3 +245,64 @@ def test_theil_sen_matches_bruteforce(spark, sf_dir):
     )
     assert row["n_pairs"] == n
     assert abs(row["slope_cents_per_day"] - round(med / 1_000_000.0, 4)) < 1e-9
+
+
+def test_bitmap_hierarchy_levels_consistent(spark, sf_dir):
+    """Region counts can never exceed the sum of their nations' counts
+    (distinct merges), and the total can never exceed the region sum."""
+    rows = all_queries()["agg_bitmap_hierarchical_rollup"].fn(spark, sf_dir).collect()
+    by_level: dict[str, list] = {}
+    for r in rows:
+        by_level.setdefault(r["level"], []).append(r)
+    nation_sum = sum(r["n_buyers"] for r in by_level["nation"])
+    region_sum = sum(r["n_buyers"] for r in by_level["region"])
+    total = by_level["total"][0]["n_buyers"]
+    assert total <= region_sum <= nation_sum
+    assert max(r["n_buyers"] for r in by_level["region"]) <= total
+
+
+def test_interval_coalesce_bounds(spark, sf_dir):
+    """Union measure is bounded by [max single interval, naive sum]."""
+    rows = all_queries()["temporal_interval_coalesce"].fn(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_by_user = {r["user_id"]: r["n"] for r in ev.groupBy("user_id").count().withColumnRenamed("count", "n").collect()}
+    for r in rows:
+        assert r["n_intervals"] >= 1
+        assert 1800 <= r["covered_seconds"] <= n_by_user[r["user_id"]] * 1800
+
+
+def test_hierarchy_rollup_nesting(spark, sf_dir):
+    """Every div-7 parent chain terminates at key 0, so subtree(0) is
+    the WHOLE tree (n_descendants + 1 == all customers) and subtrees
+    1 and 2 are proper nested subsets of it."""
+    rows = {r["root"]: r for r in all_queries()["hierarchy_subtree_rollup"].fn(spark, sf_dir).collect()}
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert rows[0]["n_descendants"] + 1 == n_cust
+    for root in (1, 2):
+        assert rows[root]["n_descendants"] + 1 < n_cust
+        assert rows[root]["subtree_cents"] != rows[0]["subtree_cents"]
+
+
+def test_regex_funnel_consistency(spark, sf_dir):
+    """funnel_vcp implies the user has >= 3 events; flags are 0/1."""
+    for r in all_queries()["window_pattern_regex_funnel"].fn(spark, sf_dir).collect():
+        assert r["funnel_vcp"] in (0, 1)
+        if r["funnel_vcp"]:
+            assert r["n_events"] >= 3
+
+
+def test_sql_scripting_threshold_is_fixpoint(spark, sf_dir):
+    """The WHILE loop's threshold must satisfy: count at thr >= 1000 (or
+    thr is the initial value with count >= 1000 never reached at a
+    higher threshold)."""
+    from pyspark.sql import functions as F
+
+    rows = all_queries()["sql_scripting_compound"].fn(spark, sf_dir).collect()
+    thr = rows[0]["threshold_cents"]
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    n_at = o.filter(cents >= thr).count()
+    assert n_at >= 1000 or thr == 5000000
+    if thr < 5000000:
+        n_above = o.filter(cents >= thr * 2).count()
+        assert n_above < 1000  # loop stopped at the FIRST qualifying threshold

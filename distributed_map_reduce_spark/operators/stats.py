@@ -1706,3 +1706,68 @@ def agg_bitmap_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFram
         .unionByName(region.select(F.lit("region").alias("level"), "key", "n_buyers"))
         .unionByName(total.select(F.lit("total").alias("level"), "key", "n_buyers"))
     )
+
+
+@register(
+    "stats_mann_whitney_u",
+    tags=("stats", "testing"),
+    oracle="""
+WITH s AS (
+  SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), ranked AS (
+  SELECT arm, cents,
+         avg(rn) OVER (PARTITION BY cents) AS tie_avg_rank
+  FROM (SELECT arm, cents, row_number() OVER (ORDER BY cents, arm) * 1.0 AS rn FROM s)
+), agg AS (
+  SELECT CAST(count(*) FILTER (WHERE arm = 'A') AS BIGINT) AS n_a,
+         CAST(count(*) FILTER (WHERE arm = 'B') AS BIGINT) AS n_b,
+         sum(tie_avg_rank) FILTER (WHERE arm = 'A') AS r_a
+  FROM ranked
+)
+SELECT n_a, n_b,
+       round(r_a - n_a * (n_a + 1) / 2.0, 1) AS u_a,
+       round((r_a - n_a * (n_a + 1) / 2.0) / (n_a * n_b), 6) AS auc
+FROM agg
+""",
+)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test statistic — the NONPARAMETRIC A/B
+    comparison (`stats_welch_ttest`'s distribution-free sibling): ranks
+    replace values, so outliers and skew cannot dominate, and U/(n_a*n_b)
+    IS the AUC — P(random A beats random B) — the effect size reported
+    alongside any ranking-model eval. Tied values get the average of
+    their rank run (one extra window partitioned by the value), which
+    keeps the statistic exact in 0.5 steps; the deterministic
+    (value, arm) rank order makes raw row_number ties identical on both
+    engines BEFORE averaging, so U matches exactly.
+
+    The global rank window orders the full sample — fine here (the
+    reduced-frame discipline does not apply to a deliberately global
+    test statistic at fixture scale); at 100 TB, rank via the
+    two-phase scalable form (`window_cumsum_scalable`'s bucket offsets)
+    or the band histogram (`agg_exact_median_scalable`) — both
+    documented rewrites of the same global order."""
+    from pyspark.sql import Window as W
+
+    s = load_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 2 == 0, "A").otherwise("B").alias("arm"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    rn = F.row_number().over(W.orderBy("cents", "arm")) * 1.0
+    ranked = s.withColumn("rn", rn).withColumn(
+        "tie_avg_rank", F.avg("rn").over(W.partitionBy("cents"))
+    )
+    agg = ranked.agg(
+        F.count_if(F.col("arm") == "A").cast("bigint").alias("n_a"),
+        F.count_if(F.col("arm") == "B").cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("arm") == "A", F.col("tie_avg_rank"))).alias("r_a"),
+    )
+    u_a = F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / 2.0
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(u_a, 1).alias("u_a"),
+        F.round(u_a / (F.col("n_a") * F.col("n_b")), 6).alias("auc"),
+    )

@@ -1281,3 +1281,92 @@ def temporal_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
         F.sum(F.col("me") - F.col("ms")).cast("bigint").alias("covered_seconds"),
     )
+
+
+@register(
+    "asof_nearest_tolerance",
+    tags=("temporal", "asof", "join"),
+    oracle="""
+WITH c AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts,
+         CAST(floor(date_part('epoch', CAST(ts AS TIMESTAMP))) AS BIGINT) AS cs
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
+         CAST(floor(date_part('epoch', CAST(ts AS TIMESTAMP))) AS BIGINT) AS ps
+  FROM events WHERE event_type = 'purchase'
+), cand AS (
+  SELECT p.event_id, p.user_id, p.purchase_ts, c.click_ts,
+         p.ps - c.cs AS gap_seconds, abs(p.ps - c.cs) AS adist
+  FROM p JOIN c ON c.user_id = p.user_id AND abs(p.ps - c.cs) <= 1800
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY event_id
+                               ORDER BY adist, click_ts) AS rn
+  FROM cand
+)
+SELECT p.event_id, p.user_id, p.purchase_ts,
+       b.click_ts AS nearest_click_ts,
+       b.gap_seconds
+FROM p LEFT JOIN best b ON b.event_id = p.event_id AND b.rn = 1
+""",
+)
+def asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST direction with tolerance (pandas
+    `merge_asof(direction='nearest', tolerance=30min)` semantics —
+    the variant `asof_purchase_to_click`'s backward-only match cannot
+    express): each purchase takes the closest click within +/-30
+    minutes, whichever side it falls on (ties -> earlier click),
+    NULL-padded when no click is near enough. Attribution uses this
+    when instrumentation skew can put the click AFTER the recorded
+    purchase.
+
+    Scale shape: the tolerance bounds the candidate band, so the join
+    blocks on 30-minute time buckets — each purchase probes its own
+    and both adjacent buckets (3-way explode on ids+seconds only, the
+    1-D form of `geo_grid_knn_join`'s grid) — and the exact |gap|
+    test + per-purchase argmin run on within-block candidates. Exact
+    integer epoch seconds end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_uid"),
+        F.col("ts").alias("click_ts"),
+        F.unix_timestamp("ts").cast("bigint").alias("cs"),
+    ).withColumn("cb", F.expr("cs div 1800"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.unix_timestamp("ts").cast("bigint").alias("ps"),
+    )
+    probes = p.select(
+        "event_id",
+        "user_id",
+        "ps",
+        F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("off"),
+    ).select(
+        "event_id", "user_id", "ps", (F.expr("ps div 1800") + F.col("off")).alias("pb")
+    )
+    cand = (
+        probes.join(
+            c,
+            (F.col("user_id") == F.col("c_uid")) & (F.col("pb") == F.col("cb")),
+        )
+        .withColumn("gap_seconds", F.col("ps") - F.col("cs"))
+        .withColumn("adist", F.abs(F.col("gap_seconds")))
+        .filter(F.col("adist") <= 1800)
+    )
+    best = cand.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_id").orderBy("adist", "click_ts")
+        ),
+    ).filter(F.col("rn") == 1).select(
+        F.col("event_id").alias("b_eid"), "click_ts", "gap_seconds"
+    )
+    return p.join(best, p["event_id"] == F.col("b_eid"), "left").select(
+        "event_id",
+        "user_id",
+        "purchase_ts",
+        F.col("click_ts").alias("nearest_click_ts"),
+        "gap_seconds",
+    )

@@ -1771,3 +1771,82 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u_a, 1).alias("u_a"),
         F.round(u_a / (F.col("n_a") * F.col("n_b")), 6).alias("auc"),
     )
+
+
+@register(
+    "stats_runs_test",
+    tags=("stats", "testing"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), med AS (
+  SELECT CAST(floor(median(cents)) AS BIGINT) AS m FROM daily
+), signs AS (
+  SELECT day, CASE WHEN cents > (SELECT m FROM med) THEN 1 ELSE 0 END AS above
+  FROM daily
+), runs AS (
+  SELECT above,
+         CASE WHEN lag(above) OVER (ORDER BY day) IS NULL
+              OR lag(above) OVER (ORDER BY day) <> above THEN 1 ELSE 0 END AS new_run
+  FROM signs
+)
+SELECT CAST(sum(new_run) AS BIGINT) AS n_runs,
+       CAST(count(*) FILTER (WHERE above = 1) AS BIGINT) AS n_above,
+       CAST(count(*) FILTER (WHERE above = 0) AS BIGINT) AS n_below,
+       round(1 + 2.0 * sum(CASE WHEN above = 1 THEN 1 ELSE 0 END)
+                 * sum(CASE WHEN above = 0 THEN 1 ELSE 0 END)
+                 / count(*), 4) AS expected_runs
+FROM runs
+""",
+)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test statistic over the daily revenue
+    series: dichotomize each day against the series median, count the
+    maximal runs of consecutive same-side days, and report the
+    null-hypothesis expectation E[R] = 1 + 2*n1*n0/n. Far fewer runs
+    than expected = positive autocorrelation / regime persistence (the
+    same signal `stats_cusum_changepoint` localizes, here as one
+    randomness summary); far more = oscillation. Run boundaries are
+    the lag != current idiom (`window_streak_islands`); every compared
+    quantity is an exact integer, and E[R] is one division of exact
+    integers rounded at 4dp — cross-engine exact.
+
+    Day-cardinality frame only; the fact scan reduces to days in one
+    aggregate pass."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    med = daily.agg(
+        F.floor(F.expr("percentile(cents, 0.5)")).cast("bigint").alias("m")
+    )
+    signs = daily.crossJoin(F.broadcast(med)).select(
+        "day", F.when(F.col("cents") > F.col("m"), 1).otherwise(0).alias("above")
+    )
+    lag = F.lag("above").over(W.orderBy("day"))
+    runs = signs.withColumn(
+        "new_run",
+        F.when(lag.isNull() | (lag != F.col("above")), 1).otherwise(0),
+    )
+    return runs.agg(
+        F.sum("new_run").cast("bigint").alias("n_runs"),
+        F.count_if(F.col("above") == 1).cast("bigint").alias("n_above"),
+        F.count_if(F.col("above") == 0).cast("bigint").alias("n_below"),
+        F.round(
+            1
+            + 2.0
+            * F.count_if(F.col("above") == 1)
+            * F.count_if(F.col("above") == 0)
+            / F.count(F.lit(1)),
+            4,
+        ).alias("expected_runs"),
+    )

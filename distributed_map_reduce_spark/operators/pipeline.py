@@ -866,3 +866,68 @@ def pipeline_mixture_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perdoc.groupBy("source", "n_docs", "repeat_factor").agg(
         F.sum("copies").cast("bigint").alias("n_materialized")
     )
+
+
+@register(
+    "pipeline_quality_rejection_sample",
+    tags=("pipeline", "sampling"),
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, source,
+         least(CAST(n_chars AS BIGINT), 900) + CASE WHEN lang = 'en' THEN 100 ELSE 0 END
+             AS quality_millis
+  FROM documents
+), drawn AS (
+  SELECT source, quality_millis,
+         CASE WHEN CAST('0x' || substr(md5('accept:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 1000 < quality_millis THEN 1 ELSE 0 END AS accepted
+  FROM scored
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(accepted) AS BIGINT) AS n_accepted,
+       CAST(sum(quality_millis) AS BIGINT) AS expected_millis
+FROM drawn GROUP BY source
+""",
+)
+def pipeline_quality_rejection_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional acceptance sampling (the DCLM/FineWeb-style
+    soft gate: rather than a hard quality threshold, each document
+    survives with probability proportional to its quality score, so
+    borderline text is down-weighted, not cliff-dropped). The score is
+    an integer millis scale (length capped at 0.9 + an English bonus —
+    a stand-in for a model-based quality head), and the accept coin is
+    the portable md5 draw against that integer threshold — no float
+    comparison anywhere, so the sampled set is bit-identical across
+    engines, reruns, and cluster sizes. The report carries realized vs
+    expected acceptance mass per source (sum of quality_millis IS the
+    expected accept count x1000), the calibration check a soft gate
+    ships with.
+
+    Zero shuffles beyond the source-cardinality rollup: score and coin
+    are scan-local codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    quality = (
+        F.least(F.col("n_chars").cast("bigint"), F.lit(900))
+        + F.when(F.col("lang") == "en", 100).otherwise(0)
+    ).alias("quality_millis")
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("accept:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    drawn = docs.select(
+        "source",
+        quality,
+        F.when(coin < F.col("quality_millis"), 1).otherwise(0).alias("accepted"),
+    )
+    return drawn.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("accepted").cast("bigint").alias("n_accepted"),
+        F.sum("quality_millis").cast("bigint").alias("expected_millis"),
+    )

@@ -931,3 +931,60 @@ def pipeline_quality_rejection_sample(spark: SparkSession, sf_dir: str) -> DataF
         F.sum("accepted").cast("bigint").alias("n_accepted"),
         F.sum("quality_millis").cast("bigint").alias("expected_millis"),
     )
+
+
+@register(
+    "pipeline_target_encoding",
+    tags=("pipeline", "feature"),
+    oracle="""
+WITH joined AS (
+  SELECT c.c_mktsegment AS segment, o.o_totalprice AS target
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+),
+g AS (SELECT avg(target) AS global_mean FROM joined)
+SELECT segment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(avg(target), 6) AS raw_mean,
+       round((sum(target) + 100.0 * (SELECT global_mean FROM g))
+             / (count(*) + 100.0), 6) AS encoded
+FROM joined
+GROUP BY segment
+""",
+)
+def pipeline_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of a categorical feature (m=100
+    pseudo-observations toward the global mean) — the standard
+    leakage-controlled way to turn a high-cardinality category into a
+    numeric training feature: encoded = (sum + m*global) / (n + m).
+
+    Scale shape: the fact table collapses to category cardinality in ONE
+    hash agg (sums+counts, partial map-side), the global mean is a 1-row
+    broadcast, and the encode step is arithmetic over the tiny category
+    frame. Applying the encoding back to 100 TB of rows is then a
+    broadcast map-join of that frame — never a shuffle of the facts.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    joined = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_totalprice").alias("target"),
+    )
+    g = joined.agg(F.avg("target").alias("global_mean"))
+    per_cat = joined.groupBy("segment").agg(
+        F.count("*").alias("n_orders"),
+        F.avg("target").alias("raw_mean"),
+        F.sum("target").alias("s"),
+    )
+    return (
+        per_cat.crossJoin(F.broadcast(g))
+        .select(
+            "segment",
+            "n_orders",
+            F.round("raw_mean", 6).alias("raw_mean"),
+            F.round(
+                (F.col("s") + 100.0 * F.col("global_mean"))
+                / (F.col("n_orders") + 100.0),
+                6,
+            ).alias("encoded"),
+        )
+    )

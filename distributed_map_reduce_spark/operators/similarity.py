@@ -1136,3 +1136,114 @@ def similarity_user_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("user_a").orderBy("edit_dist", "user_b")
     return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+@register(
+    "ann_lsh_adaptive_planes",
+    bench=True,
+    tags=("similarity", "scale"),
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     dims AS (SELECT len(v) AS dim FROM e LIMIT 1),
+     np AS (SELECT GREATEST(4, CAST(ceil(log2(count(*) / 64.0)) AS INT)) AS n_planes
+            FROM e),
+     planes AS (
+       SELECT p,
+              list(CAST(CASE WHEN substr(md5('plane-' || p || '-' || i), 1, 1)
+                              IN ('0','2','4','6','8','a','c','e')
+                         THEN 1.0 ELSE -1.0 END AS DOUBLE) ORDER BY i) AS w
+       FROM (SELECT unnest(range(0, (SELECT n_planes FROM np))) AS p),
+            (SELECT unnest(range(0, (SELECT dim FROM dims))) AS i)
+       GROUP BY p
+     ),
+     sigs AS (
+       SELECT e.vec_id,
+              CAST(sum(CASE WHEN list_dot_product(e.v, pl.w) >= 0
+                            THEN CAST(power(2, pl.p) AS BIGINT) ELSE 0 END)
+                   AS BIGINT) AS bucket
+       FROM e CROSS JOIN planes pl
+       GROUP BY e.vec_id
+     ),
+     b AS (SELECT e.vec_id, e.v, s.bucket FROM e JOIN sigs s USING (vec_id)),
+     pairs AS (
+       SELECT a.vec_id AS vec_a, n.vec_id AS vec_b,
+              round(list_cosine_similarity(a.v, n.v), 6) AS cos_sim
+       FROM b a JOIN b n ON a.bucket = n.bucket AND a.vec_id <> n.vec_id
+     ),
+     ranked AS (
+       SELECT vec_a, vec_b, cos_sim,
+              row_number() OVER (PARTITION BY vec_a
+                                 ORDER BY cos_sim DESC, vec_b) AS rnk
+       FROM pairs
+     )
+SELECT vec_a, vec_b, cos_sim, rnk,
+       CAST((SELECT n_planes FROM np) AS INT) AS n_planes
+FROM ranked WHERE rnk <= 3
+""",
+)
+def ann_lsh_adaptive_planes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN self-join under a DATA-ADAPTIVE hyperplane count — the scale
+    path for the whole LSH similarity family (BENCH_NOTES sf1 finding:
+    with planes static the within-bucket pair count grows quadratically
+    in corpus growth).
+
+    ``n_planes = max(4, ceil(log2(N / 64)))`` holds the EXPECTED bucket
+    population at ~64 whatever the corpus size: every doubling of N adds
+    one plane, doubling the bucket count, so per-bucket pair work — the
+    quadratic term — stays constant and total work scales ~linearly. At
+    sf0.01 (500 vecs) this resolves to 4 planes, sf0.1 → 7, sf1 → 10:
+    the formula is genuinely exercised at every test scale, not just in
+    the docstring. The corpus count is read once up front (the same
+    statistics lookup AQE performs between stages); the DuckDB oracle
+    derives the identical count, dim, and md5-parity planes from the
+    data, so the differential check covers the adaptivity itself.
+    """
+    from ..functions.vectors import norm
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    first = e.select(F.size("v").alias("dim")).first()
+    dim = int(first["dim"])
+    n = e.count()
+    import math
+
+    n_planes = max(4, math.ceil(math.log2(n / 64.0))) if n > 0 else 4
+
+    bits = [
+        F.when(dot(F.col("v"), F.array(*[F.lit(float(w)) for w in hyperplane(p, dim)])) >= 0,
+               F.lit(1)).otherwise(F.lit(0)) * (2 ** p)
+        for p in range(n_planes)
+    ]
+    bucket = bits[0]
+    for bb in bits[1:]:
+        bucket = bucket + bb
+
+    b = e.withColumn("bucket", bucket.cast("bigint")).withColumn(
+        "nrm", norm(F.col("v"))
+    )
+    a = b.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"),
+        F.col("nrm").alias("n_a"), "bucket",
+    )
+    nn = b.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"),
+        F.col("nrm").alias("n_b"), "bucket",
+    )
+    pairs = (
+        a.join(nn, "bucket")
+        .filter(F.col("vec_a") != F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b",
+            F.round(
+                dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("vec_a").orderBy(F.col("cos_sim").desc(), "vec_b")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("vec_a", "vec_b", "cos_sim", "rnk")
+        .withColumn("n_planes", F.lit(n_planes).cast("int"))
+    )

@@ -1850,3 +1850,62 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("expected_runs"),
     )
+
+
+@register(
+    "stats_autocorrelation",
+    tags=("stats", "temporal"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1
+),
+lagged AS (
+  SELECT rev,
+         lag(rev, 1) OVER (ORDER BY d) AS l1,
+         lag(rev, 2) OVER (ORDER BY d) AS l2,
+         lag(rev, 3) OVER (ORDER BY d) AS l3,
+         lag(rev, 7) OVER (ORDER BY d) AS l7
+  FROM daily
+)
+SELECT round(corr(rev, l1), 6) AS acf_1,
+       round(corr(rev, l2), 6) AS acf_2,
+       round(corr(rev, l3), 6) AS acf_3,
+       round(corr(rev, l7), 6) AS acf_7,
+       CAST(count(*) AS BIGINT) AS n_days
+FROM lagged
+""",
+)
+def stats_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation (k = 1,2,3,7) of the daily revenue series —
+    the seasonality probe run before choosing a rollup grain or a
+    forecasting backtest window (a strong acf_7 means weekly cycle).
+
+    The fact table collapses to date cardinality in one agg; the lag
+    window over the tiny daily series and the final corr() are
+    negligible. corr pairs are (x_t, x_{t-k}) with NULL lags excluded by
+    corr's own NULL discipline on both engines.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    # unpartitioned window is safe here: the frame is the DAILY series
+    # (date cardinality), not the fact table — one task sorts ~2.5k rows
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "rev",
+        F.lag("rev", 1).over(w).alias("l1"),
+        F.lag("rev", 2).over(w).alias("l2"),
+        F.lag("rev", 3).over(w).alias("l3"),
+        F.lag("rev", 7).over(w).alias("l7"),
+    )
+    return lagged.agg(
+        F.round(F.corr("rev", "l1"), 6).alias("acf_1"),
+        F.round(F.corr("rev", "l2"), 6).alias("acf_2"),
+        F.round(F.corr("rev", "l3"), 6).alias("acf_3"),
+        F.round(F.corr("rev", "l7"), 6).alias("acf_7"),
+        F.count("*").alias("n_days"),
+    )

@@ -566,3 +566,48 @@ def window_pattern_regex_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag("e{2}").alias("double_error"),
         flag("^s").alias("signup_first"),
     )
+
+
+@register(
+    "window_rolling_median",
+    tags=("window", "temporal"),
+    oracle="""
+SELECT event_id, user_id,
+       round(median(value) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+             6) AS med7
+FROM events
+""",
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rolling median of each user's last 7 event values — the
+    robust-smoothing twin of the EWMA query (outlier-immune where a
+    rolling mean is not).
+
+    Spark has no exact `median` window aggregate over a bounded frame,
+    but the frame is small and bounded (k=7), so the right plan is
+    collect_list over the ROWS frame -> array_sort -> middle element:
+    O(k log k) per row of pure JVM array work inside the one exchange
+    the window already pays, and state is capped at k values per row
+    regardless of corpus size (this is NOT the unbounded-frame
+    collect_list anti-pattern — the frame bound is what makes it scale).
+    Ties in ts are pinned by event_id on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, W.currentRow)
+    )
+    arr = F.array_sort(F.collect_list(F.col("value")).over(w))
+    n = F.size(arr)
+    odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    even = (
+        F.element_at(arr, (n / 2).cast("int"))
+        + F.element_at(arr, (n / 2 + 1).cast("int"))
+    ) / 2
+    med = F.when(n % 2 == 1, odd).otherwise(even)
+    return ev.select(
+        "event_id", "user_id", F.round(med, 6).alias("med7")
+    )

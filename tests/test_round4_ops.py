@@ -306,3 +306,64 @@ def test_sql_scripting_threshold_is_fixpoint(spark, sf_dir):
     if thr < 5000000:
         n_above = o.filter(cents >= thr * 2).count()
         assert n_above < 1000  # loop stopped at the FIRST qualifying threshold
+
+
+def test_rolling_median_is_frame_median(spark, sf_dir):
+    """med7 equals the sorted-middle of that row's trailing-7 frame,
+    recomputed independently in Python for one user."""
+    out = all_queries()["window_rolling_median"].fn(spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    uid = ev.groupBy("user_id").count().orderBy("count", "user_id").collect()[-1][
+        "user_id"
+    ]
+    rows = sorted(
+        ev.filter(ev.user_id == uid).select("ts", "event_id", "value").collect(),
+        key=lambda r: (r["ts"], r["event_id"]),
+    )
+    got = {
+        r["event_id"]: r["med7"]
+        for r in out.filter(out.user_id == uid).collect()
+    }
+    for i, r in enumerate(rows):
+        frame = sorted(x["value"] for x in rows[max(0, i - 6): i + 1])
+        n = len(frame)
+        med = frame[n // 2] if n % 2 == 1 else (frame[n // 2 - 1] + frame[n // 2]) / 2
+        assert abs(got[r["event_id"]] - round(med, 6)) < 1e-9
+
+
+def test_target_encoding_shrinks_toward_global(spark, sf_dir):
+    """Smoothing must place every encoded value strictly between the
+    segment's raw mean and the global mean (or equal when they agree)."""
+    rows = all_queries()["pipeline_target_encoding"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    total_n = sum(r["n_orders"] for r in rows)
+    global_mean = sum(r["raw_mean"] * r["n_orders"] for r in rows) / total_n
+    for r in rows:
+        lo, hi = sorted((r["raw_mean"], global_mean))
+        assert lo - 1e-4 <= r["encoded"] <= hi + 1e-4
+
+
+def test_autocorrelation_in_unit_range(spark, sf_dir):
+    row = all_queries()["stats_autocorrelation"].fn(spark, sf_dir).collect()[0]
+    for k in (1, 2, 3, 7):
+        v = row[f"acf_{k}"]
+        assert v is None or -1.0 <= v <= 1.0
+    assert row["n_days"] > 0
+
+
+def test_adaptive_planes_formula_and_topk(spark, sf_dir):
+    """n_planes follows max(4, ceil(log2(N/64))) for the actual corpus
+    and every vector emits at most 3 ranked neighbors."""
+    import math
+
+    out = all_queries()["ann_lsh_adaptive_planes"].fn(spark, sf_dir).collect()
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    want = max(4, math.ceil(math.log2(n / 64.0)))
+    assert out
+    assert all(r["n_planes"] == want for r in out)
+    per = {}
+    for r in out:
+        per.setdefault(r["vec_a"], []).append(r["rnk"])
+    for ranks in per.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3

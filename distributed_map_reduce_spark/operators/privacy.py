@@ -352,3 +352,65 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_distinct",
         F.when(F.col("l_distinct") < 3, 1).otherwise(0).alias("violates_l"),
     )
+
+
+@register(
+    "privacy_pseudonymize_consistent",
+    tags=("privacy",),
+    oracle="""
+WITH pc AS (
+  SELECT substr(sha256('salt-v1:' || CAST(c_custkey AS VARCHAR)), 1, 16)
+           AS pseudo_id,
+         c_mktsegment
+  FROM customer
+),
+po AS (
+  SELECT substr(sha256('salt-v1:' || CAST(o_custkey AS VARCHAR)), 1, 16)
+           AS pseudo_id,
+         o_totalprice
+  FROM orders
+)
+SELECT pc.c_mktsegment AS segment,
+       CAST(count(DISTINCT pc.pseudo_id) AS BIGINT) AS n_customers,
+       CAST(count(po.o_totalprice) AS BIGINT) AS n_orders,
+       round(sum(coalesce(po.o_totalprice, 0)), 4) AS total
+FROM pc LEFT JOIN po USING (pseudo_id)
+GROUP BY 1
+""",
+)
+def privacy_pseudonymize_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keyed pseudonymization (salted SHA-256, truncated)
+    applied independently to both sides of a foreign key — the
+    governance pattern for sharing analytics data without raw ids. The
+    query proves REFERENTIAL CONSISTENCY survives: joining customers to
+    orders on pseudo_id alone reproduces the per-segment order counts
+    and revenue the raw key join would give.
+
+    Scale shape: pseudonymization is a pure map stage (sha2 in codegen,
+    no shuffle); the join behaves exactly like the raw-key join because
+    the hash is injective in practice (64-bit truncation, collision
+    probability ~n^2/2^65). Salt rotation = new literal, full re-map.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        F.substring(
+            F.sha2(F.concat(F.lit("salt-v1:"), F.col("c_custkey").cast("string")), 256),
+            1, 16,
+        ).alias("pseudo_id"),
+        "c_mktsegment",
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.substring(
+            F.sha2(F.concat(F.lit("salt-v1:"), F.col("o_custkey").cast("string")), 256),
+            1, 16,
+        ).alias("pseudo_id"),
+        "o_totalprice",
+    )
+    return (
+        c.join(o, "pseudo_id", "left")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.countDistinct("pseudo_id").alias("n_customers"),
+            F.count("o_totalprice").alias("n_orders"),
+            F.round(F.sum(F.coalesce("o_totalprice", F.lit(0.0))), 4).alias("total"),
+        )
+    )

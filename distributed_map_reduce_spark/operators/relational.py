@@ -1220,3 +1220,99 @@ SELECT o_orderpriority,
 FROM orders
 GROUP BY o_orderpriority, dmrs_size_class(o_totalprice)
 """)
+
+
+@register(
+    "merge_into_upsert",
+    tags=("relational", "cdc"),
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+s AS (
+  SELECT CASE WHEN o_orderkey % 3 = 2 THEN o_orderkey + 30000000
+              ELSE o_orderkey END AS k,
+         CASE o_orderkey % 3 WHEN 0 THEN 'U' WHEN 1 THEN 'D'
+              ELSE 'I' END AS op,
+         CAST(round(o_totalprice * 110) AS BIGINT) AS new_cents
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+merged AS (
+  SELECT CASE
+           WHEN s.k IS NULL THEN 'kept'
+           WHEN t.k IS NULL THEN 'inserted'
+           WHEN s.op = 'U' THEN 'updated'
+           WHEN s.op = 'D' THEN 'deleted'
+           ELSE 'kept'
+         END AS action,
+         CASE
+           WHEN s.k IS NULL THEN t.cents
+           WHEN t.k IS NULL THEN s.new_cents
+           WHEN s.op = 'U' THEN s.new_cents
+           WHEN s.op = 'D' THEN NULL
+           ELSE t.cents
+         END AS cents
+  FROM t FULL OUTER JOIN s ON t.k = s.k
+)
+SELECT action,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(coalesce(cents, 0)) AS BIGINT) AS sum_cents
+FROM merged
+GROUP BY action
+""",
+)
+def merge_into_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (WHEN MATCHED UPDATE / WHEN MATCHED DELETE /
+    WHEN NOT MATCHED INSERT) expressed as a single full-outer join — the
+    Spark-first equivalent of a Delta/Iceberg row-level MERGE when no
+    transactional table format is mounted. The changes feed is derived
+    deterministically from the snapshot (1/7 of keys: op cycles
+    update/delete/insert-at-new-key), and the result audits each action
+    class by row count and an exact integer-cents checksum.
+
+    Scale shape: one shuffle on the merge key for both sides (AQE picks
+    broadcast when the change batch is small — the common case); action
+    classification is a map-stage CASE; the audit agg is partial. On a
+    real lakehouse this plan IS what MERGE compiles to, minus the
+    file-rewrite commit.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    t = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    s = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.when(F.col("o_orderkey") % 3 == 2, F.col("o_orderkey") + 30000000)
+        .otherwise(F.col("o_orderkey"))
+        .alias("k"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("U"))
+        .when(F.col("o_orderkey") % 3 == 1, F.lit("D"))
+        .otherwise(F.lit("I"))
+        .alias("op"),
+        F.round(F.col("o_totalprice") * 110).cast("bigint").alias("new_cents"),
+    )
+    m = t.join(s, "k", "full_outer")
+    action = (
+        F.when(F.col("op").isNull(), F.lit("kept"))
+        .when(F.col("cents").isNull(), F.lit("inserted"))
+        .when(F.col("op") == "U", F.lit("updated"))
+        .when(F.col("op") == "D", F.lit("deleted"))
+        .otherwise(F.lit("kept"))
+    )
+    cents = (
+        F.when(F.col("op").isNull(), F.col("cents"))
+        .when(F.col("cents").isNull(), F.col("new_cents"))
+        .when(F.col("op") == "U", F.col("new_cents"))
+        .when(F.col("op") == "D", F.lit(None).cast("bigint"))
+        .otherwise(F.col("cents"))
+    )
+    return (
+        m.select(action.alias("action"), cents.alias("c"))
+        .groupBy("action")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.coalesce("c", F.lit(0))).cast("bigint").alias("sum_cents"),
+        )
+    )

@@ -1909,3 +1909,49 @@ def stats_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("rev", "l7"), 6).alias("acf_7"),
         F.count("*").alias("n_days"),
     )
+
+
+@register(
+    "agg_multi_distinct_scalable",
+    tags=("agg", "scale"),
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_part,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nd_supp,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nd_order
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_multi_distinct_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three exact COUNT(DISTINCT) columns per group WITHOUT the Expand
+    blow-up. Naive multi-distinct makes Catalyst insert an Expand that
+    replicates every input row once per distinct column (3x the scan on
+    the shuffle wire — ruinous at 100 TB). Instead: unpivot the three
+    key columns into (flag, which, val) — same row multiplication but
+    immediately collapsed by a map-side-partial DISTINCT before the
+    exchange — then count per (flag, which) and pivot the 3 known
+    columns back. The shuffle carries only the distinct key sets.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_partkey", "l_suppkey", "l_orderkey"
+    )
+    triple = li.select(
+        "l_returnflag",
+        F.explode(
+            F.create_map(
+                F.lit("nd_part"), F.col("l_partkey"),
+                F.lit("nd_supp"), F.col("l_suppkey"),
+                F.lit("nd_order"), F.col("l_orderkey"),
+            )
+        ).alias("which", "val"),
+    ).distinct()
+    counts = triple.groupBy("l_returnflag", "which").agg(
+        F.count("*").alias("nd")
+    )
+    return (
+        counts.groupBy("l_returnflag")
+        .pivot("which", ["nd_part", "nd_supp", "nd_order"])
+        .agg(F.first("nd"))
+        .select("l_returnflag", "nd_part", "nd_supp", "nd_order")
+    )

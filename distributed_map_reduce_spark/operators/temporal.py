@@ -1370,3 +1370,84 @@ def asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("click_ts").alias("nearest_click_ts"),
         "gap_seconds",
     )
+
+
+@register(
+    "temporal_seasonal_decompose",
+    tags=("temporal", "stats"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, round(sum(o_totalprice), 6) AS rev
+  FROM orders GROUP BY 1
+),
+tr AS (
+  SELECT d, rev,
+         CASE WHEN count(*) OVER w = 7
+              THEN avg(rev) OVER w END AS trend
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+  SELECT d, rev, trend,
+         CAST(CAST(d - DATE '1970-01-01' AS INT) % 7 AS INT) AS dow,
+         rev - trend AS detr
+  FROM tr
+),
+seas AS (
+  SELECT dow, avg(detr) AS seasonal FROM det
+  WHERE detr IS NOT NULL GROUP BY dow
+)
+SELECT det.d, det.rev,
+       round(det.trend, 6) AS trend,
+       round(seas.seasonal, 6) AS seasonal,
+       round(det.detr - seas.seasonal, 6) AS resid
+FROM det JOIN seas USING (dow)
+""",
+)
+def temporal_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily revenue
+    series: trend = centered 7-day moving average (full windows only),
+    seasonal = day-of-week mean of the detrended series, residual = the
+    rest — the STL-lite pass run before anomaly thresholds or forecast
+    backtests so the weekly cycle doesn't masquerade as signal.
+
+    Scale shape: the fact table collapses to date cardinality in one
+    agg; every subsequent step (centered window, dow means, residual
+    join) runs over the ~2.4k-row daily frame. Day-of-week is computed
+    as (epoch_days % 7) on both engines — no locale/weekstart trap.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.round(F.sum("o_totalprice"), 6).alias("rev")
+    )
+    # unpartitioned centered window over the daily series (tiny frame)
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "rev",
+        F.when(F.count("*").over(w) == 7, F.avg("rev").over(w)).alias("trend"),
+    )
+    det = tr.select(
+        "d",
+        "rev",
+        "trend",
+        (F.datediff("d", F.lit("1970-01-01")) % 7).cast("int").alias("dow"),
+        (F.col("rev") - F.col("trend")).alias("detr"),
+    )
+    seas = (
+        det.filter(F.col("detr").isNotNull())
+        .groupBy("dow")
+        .agg(F.avg("detr").alias("seasonal"))
+    )
+    return (
+        det.join(F.broadcast(seas), "dow")
+        .select(
+            "d",
+            "rev",
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round(F.col("detr") - F.col("seasonal"), 6).alias("resid"),
+        )
+    )

@@ -367,3 +367,85 @@ def test_adaptive_planes_formula_and_topk(spark, sf_dir):
     for ranks in per.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 3
+
+
+def test_seasonal_decompose_identity(spark, sf_dir):
+    """rev == trend + seasonal + resid wherever trend is defined, and
+    seasonal components sum to ~0 across the 7 dows (mean-centered by
+    construction up to dow imbalance)."""
+    rows = all_queries()["temporal_seasonal_decompose"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["trend"] is not None:
+            recon = r["trend"] + r["seasonal"] + r["resid"]
+            assert abs(recon - r["rev"]) < 1e-3
+
+
+def test_pseudonymize_matches_raw_key_join(spark, sf_dir):
+    """The pseudo-key join must reproduce the raw-key per-segment order
+    counts exactly (referential consistency)."""
+    got = {
+        r["segment"]: (r["n_customers"], r["n_orders"])
+        for r in all_queries()["privacy_pseudonymize_consistent"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    from pyspark.sql import functions as F
+
+    raw = {
+        r["c_mktsegment"]: (r["nc"], r["no"])
+        for r in c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("nc"),
+            F.count("o_orderkey").alias("no"),
+        )
+        .collect()
+    }
+    assert got == raw
+
+
+def test_multi_distinct_no_expand_in_plan(spark, sf_dir):
+    """The whole point: the physical plan must NOT contain Catalyst's
+    Expand operator (the naive multi-distinct rewrite)."""
+    df = all_queries()["agg_multi_distinct_scalable"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    # and values must equal the naive computation
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    from pyspark.sql import functions as F
+
+    naive = {
+        r["l_returnflag"]: (r["a"], r["b"], r["c"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("a"),
+            F.countDistinct("l_suppkey").alias("b"),
+            F.countDistinct("l_orderkey").alias("c"),
+        )
+        .collect()
+    }
+    got = {
+        r["l_returnflag"]: (r["nd_part"], r["nd_supp"], r["nd_order"])
+        for r in df.collect()
+    }
+    assert got == naive
+
+
+def test_merge_actions_partition_the_keyspace(spark, sf_dir):
+    rows = {
+        r["action"]: r["n_rows"]
+        for r in all_queries()["merge_into_upsert"].fn(spark, sf_dir).collect()
+    }
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = o.count()
+    n_changes = o.filter((o.o_orderkey % 7) == 0).count()
+    # every target row lands in exactly one of kept/updated/deleted;
+    # inserts add new keys on top
+    assert rows.get("kept", 0) + rows.get("updated", 0) + rows.get("deleted", 0) == n
+    assert (
+        rows.get("updated", 0) + rows.get("deleted", 0) + rows.get("inserted", 0)
+        == n_changes
+    )

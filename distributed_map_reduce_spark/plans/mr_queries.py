@@ -365,3 +365,49 @@ def mr_reduce_side_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias("total_cents"),
         )
     )
+
+
+def grep_map(key, value):
+    """Emit (source, 1) when the document body matches the pattern —
+    the Dean & Ghemawat distributed-grep example (MapReduce §2.1,
+    'Distributed Grep'), keyed by corpus source instead of file."""
+    import re
+
+    source, text = value
+    if re.search(r"\bthe\b", text, re.IGNORECASE):
+        return [{source: 1}]
+    return []
+
+
+def grep_reduce(key, values):
+    return (key, sum(values))
+
+
+@register(
+    "mr_grep_pattern",
+    tags=("mapreduce", "parity"),
+    oracle="""
+SELECT source,
+       CAST(count(*) FILTER (regexp_matches(text, '\\bthe\\b', 'i'))
+            AS BIGINT) AS n
+FROM documents
+GROUP BY source
+HAVING count(*) FILTER (regexp_matches(text, '\\bthe\\b', 'i')) > 0
+""",
+)
+def mr_grep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed grep — the canonical MapReduce example the reference
+    engine's mr.exec was built to express (map emits matches, reduce
+    counts per group; MapReduce paper §2.1). Runs through the same
+    exec_mr_df path as the parity suite: the map closure ships via
+    cloudpickle, partial sums combine map-side, and the reduced RDD
+    comes back typed without touching the driver. Python's re and
+    DuckDB's RE2 agree on this pattern class (word-boundary, case
+    fold) — verified in the oracle gate.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.struct("source", "text").alias("value")
+    )
+    return exec_mr_df(
+        spark, docs, grep_map, grep_reduce, schema="source string, n bigint",
+    )

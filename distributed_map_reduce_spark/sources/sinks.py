@@ -16,7 +16,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -503,4 +503,67 @@ def source_binaryfile_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("doc_id"),
         F.col("length").cast("bigint").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
+@register(
+    "layout_compaction_bins",
+    tags=("layout", "maintenance"),
+    oracle="""
+WITH files AS (
+  SELECT source, doc_id, n_chars,
+         coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS prefix_bytes
+  FROM documents
+),
+binned AS (
+  SELECT source, doc_id, n_chars,
+         CAST(floor(prefix_bytes / 12000.0) AS BIGINT) AS bin
+  FROM files
+)
+SELECT source, bin,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n_chars) AS BIGINT) AS bin_bytes,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM binned
+GROUP BY source, bin
+""",
+)
+def layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the lakehouse maintenance pass
+    that turns a manifest of tiny files into target-sized rewrite
+    groups (Delta OPTIMIZE / Iceberg rewrite_data_files' planning
+    stage). Files pack in id order into ~12 KB stripes (sized so sf0.01 already produces multiple bins per source) via
+    floor(prefix_bytes / target): a streaming one-pass assignment that
+    needs only a prefix sum, not the sequential first-fit recursion —
+    each bin overshoots by at most one file, which compaction tolerates
+    by design (bins are rewrite batches, not hard quotas).
+
+    Scale shape: one window exchange keyed by the table/partition
+    (source), then a hash agg; the plan never materializes file contents
+    — it runs over the manifest (at 100 TB the manifest is ~10^6 rows,
+    driver-free). The documents table stands in for the manifest with
+    n_chars as the size column.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    binned = docs.withColumn(
+        "bin",
+        F.floor(
+            F.coalesce(F.sum("n_chars").over(w), F.lit(0)) / F.lit(12000.0)
+        ).cast("bigint"),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count("*").alias("n_files"),
+        F.sum("n_chars").cast("bigint").alias("bin_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
     )

@@ -449,3 +449,47 @@ def test_merge_actions_partition_the_keyspace(spark, sf_dir):
         rows.get("updated", 0) + rows.get("deleted", 0) + rows.get("inserted", 0)
         == n_changes
     )
+
+
+def test_compaction_bins_cover_all_files(spark, sf_dir):
+    """Bin stats must partition the manifest: per-source file counts and
+    bytes sum to the table totals, bins are contiguous from 0, and no
+    bin (except possibly a source's last) is grossly undersized."""
+    rows = all_queries()["layout_compaction_bins"].fn(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    totals = {
+        r["source"]: (r["n"], r["b"])
+        for r in docs.groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("b"))
+        .collect()
+    }
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == set(totals)
+    for src, bins in by_src.items():
+        assert sum(b["n_files"] for b in bins) == totals[src][0]
+        assert sum(b["bin_bytes"] for b in bins) == totals[src][1]
+        idxs = sorted(b["bin"] for b in bins)
+        assert idxs == list(range(len(idxs)))
+
+
+def test_mr_grep_matches_declarative(spark, sf_dir):
+    """The exec_mr grep must agree with the declarative rlike filter."""
+    out = {
+        r["source"]: r["n"]
+        for r in all_queries()["mr_grep_pattern"].fn(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    decl = {
+        r["source"]: r["n"]
+        for r in docs.filter(F.col("text").rlike("(?i)\\bthe\\b"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert out == decl

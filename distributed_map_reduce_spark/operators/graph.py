@@ -390,6 +390,95 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_clustering_coefficient",
+    tags=("graph",),
+    oracle=f"""
+WITH hi AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= {TRI_QTY_MIN}
+), edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM hi a JOIN hi b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges) GROUP BY node
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+), tri_per_node AS (
+  SELECT node, count(*) AS nt
+  FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+  GROUP BY node
+)
+SELECT d.node, CAST(d.d AS BIGINT) AS degree,
+       CAST(coalesce(t.nt, 0) AS BIGINT) AS n_triangles,
+       round(coalesce(t.nt, 0) * 2.0 / (d.d * (d.d - 1)), 6) AS local_cc
+FROM deg d LEFT JOIN tri_per_node t ON t.node = d.node
+WHERE d.d >= 2
+""",
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the co-purchase graph:
+    cc(v) = closed wedges at v / possible wedges = 2·Δ(v) / d(v)(d(v)−1)
+    — the node-level companion to `graph_triangle_count`'s global
+    number (Watts–Strogatz '98). Each triangle is enumerated ONCE by
+    the oriented a<b<c join, then credited to all three corners with a
+    3-way unionAll — so triangle work is identical to the global count
+    and the per-node step is one extra ids-only aggregate. Nodes with
+    degree < 2 have no defined coefficient and are excluded rather than
+    emitted as NULL/0 (they'd dominate the output at scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hi = (
+        li.filter(F.col("l_quantity") >= TRI_QTY_MIN)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = hi.alias("a")
+    b = hi.alias("b")
+    edges = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .select(
+            F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
+        )
+    )
+    tri_per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("nt"))
+    )
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(tri_per_node, "node", "left")
+        .select(
+            "node",
+            F.col("d").cast("bigint").alias("degree"),
+            F.coalesce(F.col("nt"), F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.round(
+                F.coalesce(F.col("nt"), F.lit(0)) * 2.0 / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("local_cc"),
+        )
+    )
+
+
+@register(
     "graph_reachability_recursive",
     tags=("graph", "sql", "recursive"),
     oracle=f"""
@@ -563,13 +652,15 @@ SELECT c.u, c.v, CAST(c.cn AS BIGINT) AS common_neighbors,
 FROM common c
 JOIN deg du ON du.node = c.u
 JOIN deg dv ON dv.node = c.v
-WHERE c.cn >= 2
+WHERE c.cn >= 1
 """,
 )
 def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link prediction over the near-dup graph: neighbor-set Jaccard for
-    node pairs sharing ≥2 neighbors — pairs that SHOULD probably be
-    duplicates but lack a direct edge (banding near-misses). The
+    node pairs sharing ≥1 neighbor — pairs that SHOULD probably be
+    duplicates but lack a direct edge (banding near-misses). Threshold 1
+    (not 2) so the fixture-scale graph — 25 LSH edges at sf0.01 —
+    produces wedges; at corpus scale raise it with graph density. The
     wedge-join shape: edges self-join on the shared endpoint, so cost is
     Σ deg(b)² over hub nodes — bounded here because `minhash_lsh_pairs`
     caps band-bucket width upstream; at 100 TB the standard guard
@@ -587,7 +678,7 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         e1.join(e2, (F.col("w1") == F.col("w2")) & (F.col("u") < F.col("v")))
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("cn"))
-        .filter(F.col("cn") >= 2)
+        .filter(F.col("cn") >= 1)
     )
     du = deg.select(F.col("node").alias("u_n"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v_n"), F.col("d").alias("dv"))

@@ -441,3 +441,106 @@ def multimodal_signature_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l1_dist") <= _L1_MAX)
         .select("id_a", "id_b", "n_shared_bands", "l1_dist")
     )
+
+
+# Aspect-ratio bucketing (SDXL-style): train-batch groups must share a
+# resolution, so each asset maps to the nearest canonical aspect bucket.
+# Dims are derived deterministically from md5 coins (no decoders in the
+# container — same portable-hash contract as the shard manifest).
+ASPECT_BUCKETS = (
+    (1, 512, 512),
+    (2, 576, 448),
+    (3, 448, 576),
+    (4, 640, 384),
+    (5, 384, 640),
+    (6, 704, 320),
+    (7, 320, 704),
+)
+
+_BUCKET_VALUES = ", ".join(f"({i}, {w}, {h})" for i, w, h in ASPECT_BUCKETS)
+
+
+@register(
+    "multimodal_aspect_bucket",
+    tags=("multimodal", "pipeline"),
+    oracle=f"""
+WITH dims AS (
+  SELECT doc_id,
+         64 * (4 + CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) % 13) AS w,
+         64 * (4 + CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 2) AS BIGINT) % 13) AS h
+  FROM documents
+), buckets(bucket_id, bucket_w, bucket_h) AS (
+  VALUES {_BUCKET_VALUES}
+), scored AS (
+  SELECT d.doc_id, d.w, d.h, b.bucket_id, b.bucket_w, b.bucket_h,
+         abs(d.w * 1.0 / d.h - b.bucket_w * 1.0 / b.bucket_h) AS dist,
+         row_number() OVER (
+           PARTITION BY d.doc_id
+           ORDER BY abs(d.w * 1.0 / d.h - b.bucket_w * 1.0 / b.bucket_h), b.bucket_id
+         ) AS rn
+  FROM dims d CROSS JOIN buckets b
+)
+SELECT bucket_id, CAST(bucket_w AS INT) AS bucket_w, CAST(bucket_h AS INT) AS bucket_h,
+       CAST(count(*) AS BIGINT) AS n_assets,
+       CAST(sum(w) AS BIGINT) AS sum_w,
+       CAST(sum(h) AS BIGINT) AS sum_h,
+       round(min(w * 1.0 / h), 6) AS min_ratio,
+       round(max(w * 1.0 / h), 6) AS max_ratio
+FROM scored WHERE rn = 1
+GROUP BY bucket_id, bucket_w, bucket_h
+""",
+)
+def multimodal_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing for multimodal training batches (the SDXL
+    / NovelAI bucketing step): every asset joins the canonical bucket
+    whose aspect ratio is nearest its own, so batch groups share a
+    target resolution and crops stay minimal. Asset dims come from md5
+    coins (the container has no decoders; in production this column is
+    written by the metadata extractor — `multimodal_metadata`'s probe).
+
+    Plan shape: the bucket list is a 7-element array LITERAL, so the
+    nearest-bucket argmin is `array_min` over (dist, bucket_id, w, h)
+    structs — struct comparison is lexicographic, giving the distance
+    order with the bucket_id tie-break — one whole-stage-codegen
+    projection with NO join and NO per-asset shuffle (the oracle's
+    cross-join+row_number spells the same argmin relationally). The
+    only exchange in the plan is the final 7-group agg. Float
+    discipline: w/h with 64-multiple ints is one correctly-rounded
+    IEEE division on both engines; dist compare is exact ops on those
+    doubles; ties break on bucket_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    hh = F.md5(F.col("doc_id").cast("string"))
+    dims = docs.select(
+        "doc_id",
+        (64 * (4 + F.conv(F.substring(hh, 1, 2), 16, 10).cast("bigint") % 13)).alias("w"),
+        (64 * (4 + F.conv(F.substring(hh, 3, 2), 16, 10).cast("bigint") % 13)).alias("h"),
+    )
+    r = F.col("w") * 1.0 / F.col("h")
+    candidates = F.array(
+        *[
+            F.struct(
+                F.abs(r - F.lit(bw / bh)).alias("dist"),
+                F.lit(i).alias("bucket_id"),
+                F.lit(bw).alias("bucket_w"),
+                F.lit(bh).alias("bucket_h"),
+            )
+            for i, bw, bh in ASPECT_BUCKETS
+        ]
+    )
+    assigned = dims.withColumn("best", F.array_min(candidates)).select(
+        "w",
+        "h",
+        F.col("best.bucket_id").alias("bucket_id"),
+        F.col("best.bucket_w").alias("bucket_w"),
+        F.col("best.bucket_h").alias("bucket_h"),
+    )
+    return (
+        assigned.groupBy("bucket_id", "bucket_w", "bucket_h")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+            F.sum("w").cast("bigint").alias("sum_w"),
+            F.sum("h").cast("bigint").alias("sum_h"),
+            F.round(F.min(r), 6).alias("min_ratio"),
+            F.round(F.max(r), 6).alias("max_ratio"),
+        )
+    )

@@ -1955,3 +1955,58 @@ def agg_multi_distinct_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.first("nd"))
         .select("l_returnflag", "nd_part", "nd_supp", "nd_order")
     )
+
+
+@register(
+    "stats_shannon_entropy",
+    tags=("stats", "profiling"),
+    oracle="""
+WITH c AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT day, sum(n) AS nd, count(*) AS k FROM c GROUP BY day
+)
+SELECT c.day,
+       CAST(t.nd AS BIGINT) AS n_events,
+       CAST(t.k AS BIGINT) AS n_types,
+       round(-sum((c.n * 1.0 / t.nd) * ln(c.n * 1.0 / t.nd)), 6) AS entropy_nats,
+       round(-sum((c.n * 1.0 / t.nd) * ln(c.n * 1.0 / t.nd)) / ln(t.k), 6)
+           AS entropy_norm
+FROM c JOIN tot t ON t.day = c.day
+GROUP BY c.day, t.nd, t.k
+""",
+)
+def stats_shannon_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the daily event-type mix, plus the normalized
+    form H/ln(k) in [0,1] — the behavioral-diversity drift signal a mix
+    monitor alerts on (a day collapsing to one event type → H→0; the
+    categorical cousin of `stats_psi_drift`'s binned-numeric view).
+    Two hash aggregates on (day, type) then day — counts stay exact
+    integers until the final p·ln p projection, so the shuffle carries
+    day-type cardinality, never events. Float discipline: p = n/nd is a
+    correctly-rounded IEEE division of exact integers on both engines;
+    the ln/sum tail agrees at 6dp on these fixtures (same posture as
+    the regression aggregates)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.select(F.col("ts").cast("date").alias("day"), "event_type")
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = c.groupBy("day").agg(
+        F.sum("n").alias("nd"), F.count(F.lit(1)).alias("k")
+    )
+    p = F.col("n") * 1.0 / F.col("nd")
+    return (
+        c.join(tot, "day")
+        .groupBy("day", "nd", "k")
+        .agg(F.sum(-p * F.log(p)).alias("h"))
+        .select(
+            "day",
+            F.col("nd").cast("bigint").alias("n_events"),
+            F.col("k").cast("bigint").alias("n_types"),
+            F.round("h", 6).alias("entropy_nats"),
+            F.round(F.col("h") / F.log(F.col("k")), 6).alias("entropy_norm"),
+        )
+    )

@@ -1123,3 +1123,72 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+@register(
+    "text_heaps_law",
+    tags=("text", "profiling"),
+    oracle="""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS w
+  FROM documents
+), per_tok AS (
+  SELECT source, w, count(*) AS c FROM toks GROUP BY 1, 2
+), per_src AS (
+  SELECT source,
+         sum(c) AS n_tokens,
+         count(*) AS v_types,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax_types
+  FROM per_tok GROUP BY source
+), fit AS (
+  SELECT regr_slope(ln(v_types), ln(n_tokens)) AS beta,
+         regr_intercept(ln(v_types), ln(n_tokens)) AS logk
+  FROM per_src
+)
+SELECT p.source,
+       CAST(p.n_tokens AS BIGINT) AS n_tokens,
+       CAST(p.v_types AS BIGINT) AS v_types,
+       CAST(p.hapax_types AS BIGINT) AS hapax_types,
+       round(p.v_types * 1.0 / p.n_tokens, 6) AS ttr,
+       round(f.beta, 4) AS heaps_beta,
+       round(f.logk, 4) AS heaps_logk
+FROM per_src p CROSS JOIN fit f
+""",
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary audit: per source, token mass vs distinct
+    vocabulary vs hapax legomena (once-only types), with the corpus-wide
+    Heaps fit V = K·n^β estimated by OLS on the 20 (ln n, ln V) source
+    points (Heaps '78; β≈0.5 for natural text — a source whose point
+    sits far off the fitted line is synthetic/templated/cross-pasted).
+    One explode → (source, token) count agg → source rollup: the
+    shuffle carries per-source token vocabularies (the same ids-style
+    shape as `text_vocab_coverage`), and the regression runs over
+    source-cardinality rows — 20 here, maybe thousands at 100 TB, never
+    data-sized. The β/K fit is a broadcastable 1-row frame joined back
+    onto every source row. Float discipline: regression over ln of
+    exact integers, rounded at 4dp (the `agg_regression_funcs` posture);
+    per-source columns are exact integers + one exact division."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    toks = docs.select("source", F.explode(t).alias("w"))
+    per_tok = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    per_src = per_tok.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("v_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("hapax_types"),
+    )
+    fit = per_src.agg(
+        F.regr_slope(F.log("v_types"), F.log("n_tokens")).alias("beta"),
+        F.regr_intercept(F.log("v_types"), F.log("n_tokens")).alias("logk"),
+    )
+    return per_src.crossJoin(F.broadcast(fit)).select(
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("v_types").cast("bigint").alias("v_types"),
+        F.col("hapax_types").cast("bigint").alias("hapax_types"),
+        F.round(F.col("v_types") * 1.0 / F.col("n_tokens"), 6).alias("ttr"),
+        F.round("beta", 4).alias("heaps_beta"),
+        F.round("logk", 4).alias("heaps_logk"),
+    )

@@ -493,3 +493,75 @@ def test_mr_grep_matches_declarative(spark, sf_dir):
         .collect()
     }
     assert out == decl
+
+
+def test_clustering_coefficient_bounds_and_triangle_consistency(spark, sf_dir):
+    """Local cc is in [0,1]; summing per-node triangle credits must give
+    exactly 3x the global triangle count (each triangle has 3 corners)."""
+    out = all_queries()["graph_clustering_coefficient"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r["degree"] >= 2
+        assert 0.0 <= r["local_cc"] <= 1.0
+        # cc formula consistency: cc == 2*nt / (d*(d-1)) at 6dp
+        want = round(2.0 * r["n_triangles"] / (r["degree"] * (r["degree"] - 1)), 6)
+        assert abs(r["local_cc"] - want) < 1e-9
+    glob = all_queries()["graph_triangle_count"].fn(spark, sf_dir).collect()[0]
+    assert sum(r["n_triangles"] for r in out) == 3 * glob["n_triangles"]
+
+
+def test_shannon_entropy_bounds(spark, sf_dir):
+    """0 <= H <= ln(k); normalized form in [0,1]; counts cover all events."""
+    import math
+
+    out = all_queries()["stats_shannon_entropy"].fn(spark, sf_dir).collect()
+    assert out
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert sum(r["n_events"] for r in out) == ev.count()
+    for r in out:
+        assert 0.0 <= r["entropy_nats"] <= math.log(r["n_types"]) + 1e-9
+        assert 0.0 <= r["entropy_norm"] <= 1.0 + 1e-9
+
+
+def test_heaps_law_invariants(spark, sf_dir):
+    """Vocab never exceeds token mass; hapax never exceeds vocab; the
+    corpus-wide fit is shared by every row and beta is sub-linear."""
+    out = all_queries()["text_heaps_law"].fn(spark, sf_dir).collect()
+    assert out
+    betas = {r["heaps_beta"] for r in out}
+    assert len(betas) == 1
+    assert 0.0 < betas.pop() < 1.0  # Heaps: vocabulary grows sub-linearly
+    for r in out:
+        assert r["hapax_types"] <= r["v_types"] <= r["n_tokens"]
+        assert abs(r["ttr"] - round(r["v_types"] / r["n_tokens"], 6)) < 1e-9
+
+
+def test_aspect_bucket_partition_and_nearest(spark, sf_dir):
+    """Every asset lands in exactly one bucket, and a hand-computed
+    nearest-bucket assignment for each (w,h) pair agrees."""
+    from distributed_map_reduce_spark.operators.multimodal import ASPECT_BUCKETS
+
+    out = all_queries()["multimodal_aspect_bucket"].fn(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r["n_assets"] for r in out) == docs.count()
+    for r in out:
+        # min/max ratios must be nearest to THIS bucket among all buckets —
+        # up to exact-distance ties (e.g. 512x576 = 8/9 is equidistant from
+        # 1.0 and 7/9 in rational arithmetic; the operator breaks such ties
+        # at the last ulp of the exact doubles, which the 6dp-rounded
+        # ratios here can't reproduce). Accept any bucket whose distance
+        # ties the winner's within rounding noise.
+        for ratio in (r["min_ratio"], r["max_ratio"]):
+            dists = sorted(abs(ratio - b[1] / b[2]) for b in ASPECT_BUCKETS)
+            mine = abs(ratio - r["bucket_w"] / r["bucket_h"])
+            assert mine <= dists[0] + 2e-6
+
+
+def test_jaccard_neighbors_nonempty_and_bounded(spark, sf_dir):
+    """Post-threshold-change: the sf0.01 graph must produce wedge pairs,
+    and Jaccard stays in (0, 1]."""
+    out = all_queries()["graph_jaccard_neighbors"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r["common_neighbors"] >= 1
+        assert 0.0 < r["jaccard"] <= 1.0

@@ -578,3 +578,48 @@ def er_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(n_records))
     )
+
+
+@register(
+    "profile_freshness_audit",
+    tags=("profiling", "ops"),
+    oracle="""
+WITH g AS (
+  SELECT max(ts) AS gmax FROM events
+), per AS (
+  SELECT event_type,
+         max(ts) AS last_ts,
+         count(*) AS n_events
+  FROM events GROUP BY event_type
+)
+SELECT p.event_type,
+       CAST(p.n_events AS BIGINT) AS n_events,
+       p.last_ts,
+       CAST(epoch_us(g.gmax) - epoch_us(p.last_ts) AS BIGINT) AS lag_us,
+       CASE WHEN epoch_us(g.gmax) - epoch_us(p.last_ts) > 86400000000
+            THEN 1 ELSE 0 END AS stale
+FROM per p CROSS JOIN g
+""",
+)
+def profile_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness audit: each event type's latest arrival vs
+    the global high-water mark, exact µs lag, and a >1-day staleness
+    flag — the first page of any ingestion-health dashboard (a feed
+    that silently stopped shows up as monotonically growing lag, not as
+    an error). Two tiny aggregates: per-type max is a hash agg whose
+    reduce side is type-cardinality; the global max is the 1-row
+    broadcast joined back. Lags are integer microsecond arithmetic
+    (`unix_micros` / `epoch_us`) — no float time math anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.agg(F.max("ts").alias("gmax"))
+    per = ev.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"), F.count(F.lit(1)).alias("n_events")
+    )
+    lag = F.unix_micros("gmax") - F.unix_micros("last_ts")
+    return per.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "last_ts",
+        lag.cast("bigint").alias("lag_us"),
+        F.when(lag > 86_400_000_000, 1).otherwise(0).alias("stale"),
+    )

@@ -1316,3 +1316,72 @@ def merge_into_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("c", F.lit(0))).cast("bigint").alias("sum_cents"),
         )
     )
+
+
+@register(
+    "sql_identifier_dynamic",
+    tags=("sql",),
+    oracle="""
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(c_acctbal), 4) AS avg_bal
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def sql_identifier_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic object names via the IDENTIFIER() clause (Spark 4): the
+    table AND the grouping column arrive as bind parameters, resolved by
+    the analyzer into ordinary catalog references — the injection-safe
+    form of the string-built SQL that multi-tenant report generators
+    emit (`EXECUTE IMMEDIATE` covers dynamic STATEMENTS; this covers
+    dynamic NAMES inside a static statement). The compiled plan is
+    byte-identical to writing the names literally, so optimization is
+    unaffected."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """SELECT IDENTIFIER(:col) AS c_mktsegment,
+                  CAST(count(*) AS BIGINT) AS n,
+                  round(avg(IDENTIFIER(:balcol)), 4) AS avg_bal
+           FROM IDENTIFIER(:tbl)
+           GROUP BY IDENTIFIER(:col)""",
+        args={"col": "c_mktsegment", "balcol": "c_acctbal", "tbl": "customer"},
+    )
+
+
+@register(
+    "agg_listagg_within_group",
+    tags=("agg", "sql"),
+    oracle="""
+SELECT p_size,
+       string_agg(p_brand, '|' ORDER BY p_brand) AS brands,
+       CAST(count(*) AS BIGINT) AS n_brands
+FROM (SELECT DISTINCT p_size, p_brand FROM part)
+GROUP BY p_size
+""",
+)
+def agg_listagg_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG(DISTINCT …) WITHIN GROUP (ORDER BY …) — the ISO
+    SQL:2016 ordered string aggregate added natively in Spark 4 (the
+    engine-level twin of `agg_string_concat_groups`' concat_ws ∘
+    sort_array ∘ collect_list spelling). The distinct set is
+    built by a pre-aggregated subquery rather than LISTAGG(DISTINCT …):
+    mixing a DISTINCT ListAgg with any other distinct aggregate trips a
+    ClassCastException in Spark 4.1's RewriteDistinctAggregates
+    (ListAgg.withNewChildrenInternal expects SortOrder children), and
+    the pre-distinct form is also the scalable plan — the dedup runs
+    map-side-partial before the string sort. Safe exactly because the
+    per-group set is bounded (≤25 brands per size; an unbounded
+    LISTAGG is a one-row OOM at 100 TB)."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """SELECT p_size,
+                  listagg(p_brand, '|') WITHIN GROUP (ORDER BY p_brand) AS brands,
+                  CAST(count(*) AS BIGINT) AS n_brands
+           FROM (SELECT DISTINCT p_size, p_brand FROM part)
+           GROUP BY p_size"""
+    )

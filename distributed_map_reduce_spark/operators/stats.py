@@ -2010,3 +2010,82 @@ def stats_shannon_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("h") / F.log(F.col("k")), 6).alias("entropy_norm"),
         )
     )
+
+
+@register(
+    "stats_two_proportion_ztest",
+    tags=("stats", "experiment"),
+    oracle="""
+WITH u AS (
+  SELECT user_id, user_id % 2 AS arm,
+         max(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+), arms AS (
+  SELECT arm, count(*) AS n, CAST(sum(conv) AS BIGINT) AS c FROM u GROUP BY arm
+), w AS (
+  SELECT max(CASE WHEN arm = 0 THEN n END) AS n_a,
+         max(CASE WHEN arm = 0 THEN c END) AS c_a,
+         max(CASE WHEN arm = 1 THEN n END) AS n_b,
+         max(CASE WHEN arm = 1 THEN c END) AS c_b
+  FROM arms
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS conv_a,
+       CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS conv_b,
+       round(c_a * 1.0 / n_a, 6) AS p_a,
+       round(c_b * 1.0 / n_b, 6) AS p_b,
+       round((c_a * 1.0 / n_a - c_b * 1.0 / n_b)
+             / sqrt(((c_a + c_b) * 1.0 / (n_a + n_b))
+                    * (1.0 - (c_a + c_b) * 1.0 / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 4) AS z_score,
+       CASE WHEN abs((c_a * 1.0 / n_a - c_b * 1.0 / n_b)
+             / sqrt(((c_a + c_b) * 1.0 / (n_a + n_b))
+                    * (1.0 - (c_a + c_b) * 1.0 / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b))) >= 1.96 THEN 1 ELSE 0 END
+           AS significant
+FROM w
+""",
+)
+def stats_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on user conversion (≥1 high-value
+    purchase — plain purchase saturates at 100% and zeroes the pooled
+    variance), arms
+    assigned by user_id parity — the A/B-test primitive for binary
+    outcomes (`stats_welch_ttest` is the means twin). Per-user dedup →
+    two-row arm aggregate → a 1-row pooled-variance projection; at
+    100 TB the only real work is the per-user max, a hash agg on
+    user_id. Float discipline: both engines evaluate the SAME
+    expression tree of correctly-rounded IEEE ops (divisions of exact
+    integers, one sqrt), so z agrees bitwise; the 1.96 significance
+    cut inherits that determinism."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") >= 150), 1)
+            .otherwise(0)
+        ).alias("conv")
+    ).withColumn("arm", F.col("user_id") % 2)
+    arms = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c")
+    )
+    w = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("c"))).alias("c_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("c"))).alias("c_b"),
+    )
+    p_a = F.col("c_a") * 1.0 / F.col("n_a")
+    p_b = F.col("c_b") * 1.0 / F.col("n_b")
+    p_pool = (F.col("c_a") + F.col("c_b")) * 1.0 / (F.col("n_a") + F.col("n_b"))
+    z = (p_a - p_b) / F.sqrt(
+        p_pool * (1.0 - p_pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return w.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("c_a").cast("bigint").alias("conv_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("c_b").cast("bigint").alias("conv_b"),
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.round(z, 4).alias("z_score"),
+        F.when(F.abs(z) >= 1.96, 1).otherwise(0).alias("significant"),
+    )

@@ -142,6 +142,17 @@ class KVTable:
         """`get(null)` key scan (D10)."""
         return self.resolve().select("key")
 
+    def scan_prefix(self, prefix: str) -> DataFrame:
+        """Prefix range scan — the ordered-keyspace read between
+        `get(key)` and `get(null)`. `startswith` compiles to a
+        StringStartsWith pushed filter at the parquet reader, the
+        columnar analog of an LSM/B-tree range seek."""
+        return (
+            self.resolve()
+            .filter(F.col("key").startswith(prefix))
+            .select("key", "value")
+        )
+
     def delete(self, keys: list[str] | DataFrame) -> "KVTable":
         """Delete keys (D13) — planned as a broadcast anti-join, the
         distributed form of per-key file unlink."""

@@ -101,6 +101,25 @@ def kv_key_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kv_prefix_scan",
+    tags=("kv",),
+    oracle="""
+SELECT CAST(c_custkey AS VARCHAR) AS key, c_name AS value
+FROM customer
+WHERE CAST(c_custkey AS VARCHAR) LIKE '42%'
+""",
+)
+def kv_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix range scan: the keyspace read BETWEEN the reference's two
+    verbs — narrower than `get(null)` (`all/store.js:150-164`), wider
+    than point `get` — every real KV store's third primitive (LSM /
+    B-tree range seek). Columnar form: `startswith` becomes a pushed
+    StringStartsWith filter, so the scan touches only row groups whose
+    key-range statistics intersect the prefix."""
+    return _customer_kv(spark, sf_dir).scan_prefix("42")
+
+
+@register(
     "kv_del_antijoin",
     tags=("kv",),
     oracle="""

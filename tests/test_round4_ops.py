@@ -565,3 +565,63 @@ def test_jaccard_neighbors_nonempty_and_bounded(spark, sf_dir):
     for r in out:
         assert r["common_neighbors"] >= 1
         assert 0.0 < r["jaccard"] <= 1.0
+
+
+def test_kv_prefix_scan_is_prefix_subset(spark, sf_dir):
+    out = all_queries()["kv_prefix_scan"].fn(spark, sf_dir).collect()
+    assert out
+    allk = {r["key"] for r in all_queries()["kv_key_scan"].fn(spark, sf_dir).collect()}
+    for r in out:
+        assert r["key"].startswith("42")
+        assert r["key"] in allk
+    # nothing with the prefix was missed
+    assert len(out) == sum(1 for k in allk if k.startswith("42"))
+
+
+def test_identifier_dynamic_matches_literal(spark, sf_dir):
+    from distributed_map_reduce_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    dyn = {
+        r["c_mktsegment"]: (r["n"], r["avg_bal"])
+        for r in all_queries()["sql_identifier_dynamic"].fn(spark, sf_dir).collect()
+    }
+    lit = {
+        r["c_mktsegment"]: (r["n"], r["avg_bal"])
+        for r in spark.sql(
+            """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+                      round(avg(c_acctbal), 4) AS avg_bal
+               FROM customer GROUP BY c_mktsegment"""
+        ).collect()
+    }
+    assert dyn == lit
+
+
+def test_listagg_sorted_and_counted(spark, sf_dir):
+    out = all_queries()["agg_listagg_within_group"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        brands = r["brands"].split("|")
+        assert brands == sorted(brands)
+        assert len(brands) == len(set(brands)) == r["n_brands"]
+
+
+def test_two_proportion_ztest_consistency(spark, sf_dir):
+    r = all_queries()["stats_two_proportion_ztest"].fn(spark, sf_dir).collect()[0]
+    assert 0 < r["conv_a"] < r["n_a"] or 0 < r["conv_b"] < r["n_b"]
+    # z sign agrees with the proportion difference
+    if r["p_a"] > r["p_b"]:
+        assert r["z_score"] > 0
+    elif r["p_a"] < r["p_b"]:
+        assert r["z_score"] < 0
+    assert r["significant"] == (1 if abs(r["z_score"]) >= 1.96 else 0)
+
+
+def test_freshness_lags_nonnegative_and_one_zero(spark, sf_dir):
+    out = all_queries()["profile_freshness_audit"].fn(spark, sf_dir).collect()
+    assert out
+    lags = [r["lag_us"] for r in out]
+    assert all(l >= 0 for l in lags)
+    assert min(lags) == 0  # the type holding the global max has zero lag
+    for r in out:
+        assert r["stale"] == (1 if r["lag_us"] > 86_400_000_000 else 0)

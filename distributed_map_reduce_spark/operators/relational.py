@@ -1385,3 +1385,44 @@ def agg_listagg_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM (SELECT DISTINCT p_size, p_brand FROM part)
            GROUP BY p_size"""
     )
+
+
+@register(
+    "sql_transpose_frame",
+    tags=("sql", "reporting"),
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_price
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT 'sum_qty' AS key,
+       max(CASE WHEN l_returnflag = 'A' THEN sum_qty END) AS A,
+       max(CASE WHEN l_returnflag = 'N' THEN sum_qty END) AS N,
+       max(CASE WHEN l_returnflag = 'R' THEN sum_qty END) AS R
+FROM s
+UNION ALL
+SELECT 'sum_price',
+       max(CASE WHEN l_returnflag = 'A' THEN sum_price END),
+       max(CASE WHEN l_returnflag = 'N' THEN sum_price END),
+       max(CASE WHEN l_returnflag = 'R' THEN sum_price END)
+FROM s
+""",
+)
+def sql_transpose_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`DataFrame.transpose()` (Spark 4.0): flip a small summary frame
+    so metrics become rows and group values become columns — the
+    report-layout verb spreadsheets call TRANSPOSE and pandas calls
+    `.T` (the oracle spells it as the manual conditional-aggregation
+    pivot it desugars to). Only valid on driver-small frames: transpose
+    must read the index column's values to MAKE them column names (one
+    collect of a 3-row aggregate here). The heavy lifting — the
+    groupBy feeding it — stays fully distributed; never transpose a
+    data-sized frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+    return s.transpose()

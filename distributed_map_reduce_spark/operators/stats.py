@@ -2089,3 +2089,107 @@ def stats_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z_score"),
         F.when(F.abs(z) >= 1.96, 1).otherwise(0).alias("significant"),
     )
+
+
+@register(
+    "stats_correlation_matrix",
+    tags=("stats",),
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(corr(l_quantity, l_discount), 4) AS corr_qty_disc,
+       round(corr(l_quantity, l_tax), 4) AS corr_qty_tax,
+       round(corr(l_extendedprice, l_discount), 4) AS corr_price_disc,
+       round(corr(l_extendedprice, l_tax), 4) AS corr_price_tax,
+       round(corr(l_discount, l_tax), 4) AS corr_disc_tax
+FROM lineitem
+""",
+)
+def stats_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation over the four lineitem measures in
+    ONE aggregate pass — the feature-redundancy triage a feature-store
+    audit runs before training (|r|→1 pairs are candidates to drop).
+    All six co-moment accumulators ride the same partial-aggregation
+    tree, so the cost at 100 TB is one scan + one 1-row reduce, not six
+    jobs. Rounded at 4dp (the `agg_regression_funcs` float posture:
+    co-moment accumulation order differs across engines below that)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.corr("l_quantity", "l_discount"), 4).alias("corr_qty_disc"),
+        F.round(F.corr("l_quantity", "l_tax"), 4).alias("corr_qty_tax"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 4).alias("corr_price_disc"),
+        F.round(F.corr("l_extendedprice", "l_tax"), 4).alias("corr_price_tax"),
+        F.round(F.corr("l_discount", "l_tax"), 4).alias("corr_disc_tax"),
+    )
+
+
+@register(
+    "agg_weighted_percentile",
+    tags=("agg", "stats"),
+    oracle="""
+WITH base AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS wt
+  FROM lineitem
+), agg AS (
+  SELECT flag, cents, CAST(sum(wt) AS BIGINT) AS w FROM base GROUP BY 1, 2
+), cum AS (
+  SELECT flag, cents,
+         CAST(sum(w) OVER (PARTITION BY flag ORDER BY cents) AS BIGINT) AS cw,
+         CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+  FROM agg
+)
+SELECT flag AS l_returnflag,
+       CAST(max(tw) AS BIGINT) AS total_weight,
+       round(min(CASE WHEN cw * 100 >= 50 * tw THEN cents END) / 100.0, 2) AS p50_w,
+       round(min(CASE WHEN cw * 100 >= 90 * tw THEN cents END) / 100.0, 2) AS p90_w,
+       round(min(CASE WHEN cw * 100 >= 99 * tw THEN cents END) / 100.0, 2) AS p99_w
+FROM cum
+GROUP BY flag
+""",
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted price percentiles per return flag — the
+    generalization of `agg_weighted_median` to arbitrary p (each unit
+    of quantity is one sample of its line's price; p50/p90/p99 are read
+    off the cumulative weight curve). Integer discipline end-to-end:
+    prices become cents, weights and cumulative sums stay BIGINT, and
+    the percentile cut is the integer comparison cw·100 ≥ p·tw — no
+    float thresholds to disagree across engines. Scale shape: the
+    (flag, cents) pre-aggregate collapses duplicate price points before
+    the window, so the per-flag ordered scan runs over distinct prices,
+    not raw rows."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+    )
+    agg = base.groupBy("flag", "cents").agg(F.sum("wt").alias("w"))
+    wcum = Window.partitionBy("flag").orderBy("cents")
+    wall = Window.partitionBy("flag")
+    cum = agg.select(
+        "flag",
+        "cents",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wall).alias("tw"),
+    )
+
+    def cut(p: int):
+        return F.min(
+            F.when(F.col("cw") * 100 >= p * F.col("tw"), F.col("cents"))
+        )
+
+    return cum.groupBy("flag").agg(
+        F.max("tw").cast("bigint").alias("total_weight"),
+        F.round(cut(50) / 100.0, 2).alias("p50_w"),
+        F.round(cut(90) / 100.0, 2).alias("p90_w"),
+        F.round(cut(99) / 100.0, 2).alias("p99_w"),
+    ).select(
+        F.col("flag").alias("l_returnflag"), "total_weight", "p50_w", "p90_w", "p99_w"
+    )

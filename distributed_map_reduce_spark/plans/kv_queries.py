@@ -113,9 +113,13 @@ def kv_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix range scan: the keyspace read BETWEEN the reference's two
     verbs — narrower than `get(null)` (`all/store.js:150-164`), wider
     than point `get` — every real KV store's third primitive (LSM /
-    B-tree range seek). Columnar form: `startswith` becomes a pushed
-    StringStartsWith filter, so the scan touches only row groups whose
-    key-range statistics intersect the prefix."""
+    B-tree range seek). Columnar form: on a MATERIALIZED store (string
+    key column on disk) `startswith` pushes down as StringStartsWith and
+    prunes row groups by key-range statistics (tests/test_plans.py
+    proves that on a written-out copy); on this fixture the key is
+    derived by a cast, so the predicate can't reach the reader — it
+    still runs scan-side, before any exchange, filtering ~99% of rows
+    in the first stage."""
     return _customer_kv(spark, sf_dir).scan_prefix("42")
 
 

@@ -393,3 +393,40 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     j = fact.join(dim, "lang").groupBy("lang").count()
     plan = j._jdf.queryExecution().toString()
     assert "dynamicpruning" in plan.lower(), "no DPP subquery planned"
+
+
+def test_prefix_scan_pushes_startswith(spark, sf_dir, tmp_path):
+    """kv_prefix_scan on the fixture keys (cast from bigint) must apply
+    StartsWith scan-side before any exchange; on a MATERIALIZED store
+    (string key column on disk) the same verb must push StringStartsWith
+    into the parquet reader — the columnar range-seek."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    plan = _plan(spark, sf_dir, "kv_prefix_scan")
+    # derived key: filter runs, but before any shuffle (no Exchange
+    # between scan and filter — the plan has no Exchange at all)
+    assert "StartsWith" in plan
+    assert "Exchange" not in plan.split("StartsWith")[0].rsplit("Scan parquet", 1)[-1]
+    # materialized store: predicate reaches the reader
+    from distributed_map_reduce_spark.plans.kv_queries import _customer_kv
+
+    path = str(tmp_path / "kv_store")
+    _customer_kv(spark, sf_dir).resolve().write.parquet(path)
+    back = spark.read.parquet(path).filter(F.col("key").startswith("42"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    mat = buf.getvalue()
+    assert "StartsWith" in mat.split("PushedFilters:")[1].splitlines()[0]
+
+
+def test_aspect_bucket_single_exchange_no_join(spark, sf_dir):
+    """The nearest-bucket argmin is a pure projection (array_min over
+    struct literals): no join anywhere, and the only exchange is the
+    final 7-group aggregate."""
+    plan = _plan(spark, sf_dir, "multimodal_aspect_bucket")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # formatted output: tree + detail

@@ -625,3 +625,48 @@ def test_freshness_lags_nonnegative_and_one_zero(spark, sf_dir):
     assert min(lags) == 0  # the type holding the global max has zero lag
     for r in out:
         assert r["stale"] == (1 if r["lag_us"] > 86_400_000_000 else 0)
+
+
+def test_weighted_percentiles_monotone_and_bracket(spark, sf_dir):
+    out = all_queries()["agg_weighted_percentile"].fn(spark, sf_dir).collect()
+    assert len(out) == 3
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    from pyspark.sql import functions as F
+
+    w = {
+        r["l_returnflag"]: r[1]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")))
+        .collect()
+    }
+    for r in out:
+        assert r["p50_w"] <= r["p90_w"] <= r["p99_w"]
+        assert r["total_weight"] == w[r["l_returnflag"]]
+
+
+def test_correlation_matrix_in_range(spark, sf_dir):
+    r = all_queries()["stats_correlation_matrix"].fn(spark, sf_dir).collect()[0]
+    for c in r.asDict():
+        if c.startswith("corr_"):
+            assert -1.0 <= r[c] <= 1.0
+    assert r["n_rows"] > 0
+
+
+def test_transpose_matches_groupby(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    out = {r["key"]: r for r in all_queries()["sql_transpose_frame"].fn(spark, sf_dir).collect()}
+    assert set(out) == {"sum_qty", "sum_price"}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("q"),
+            F.round(F.sum("l_extendedprice"), 2).alias("p"),
+        )
+        .collect()
+    }
+    for flag in ("A", "N", "R"):
+        assert out["sum_qty"][flag] == s[flag]["q"]
+        assert out["sum_price"][flag] == s[flag]["p"]

@@ -857,3 +857,130 @@ def dedup_cluster_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keeper_id",
         )
     )
+
+
+RW_STEPS = 3
+RW_SEED_MOD = 10  # every 10th node seeds one walk
+
+
+def _rw_oracle() -> str:
+    """Unrolled deterministic random walk: each step picks neighbor
+    rank = md5-coin(current, step) mod degree — the same arithmetic the
+    Spark side runs, so paths match node-for-node."""
+    parts = [
+        f"""
+WITH hi AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= {TRI_QTY_MIN}
+), pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM hi a JOIN hi b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), edges AS (
+  SELECT u AS node, v AS nxt FROM pairs UNION ALL SELECT v, u FROM pairs
+), nbr AS (
+  SELECT node, nxt,
+         row_number() OVER (PARTITION BY node ORDER BY nxt) AS rnk,
+         count(*) OVER (PARTITION BY node) AS deg
+  FROM edges
+), s0 AS (
+  SELECT node AS seed, node AS cur FROM (SELECT DISTINCT node FROM nbr)
+  WHERE node % {RW_SEED_MOD} = 0
+)"""
+    ]
+    for s in range(1, RW_STEPS + 1):
+        parts.append(
+            f""", s{s} AS (
+  SELECT p.seed, n.nxt AS cur
+  FROM s{s-1} p JOIN nbr n
+    ON n.node = p.cur
+   AND n.rnk = 1 + CAST('0x' || substr(md5('rw:' || CAST(p.cur AS VARCHAR) || ':' || CAST({s} AS VARCHAR)), 1, 8) AS BIGINT) % n.deg
+)"""
+        )
+    hops = ", ".join(
+        f"CAST(s{s}.cur AS BIGINT) AS n{s}" for s in range(1, RW_STEPS + 1)
+    )
+    joins = " ".join(f"JOIN s{s} ON s{s}.seed = s0.seed" for s in range(1, RW_STEPS + 1))
+    return "".join(parts) + f"""
+SELECT s0.seed, {hops}
+FROM s0 {joins}
+"""
+
+
+@register(
+    "graph_random_walk_sampling",
+    tags=("graph", "similarity"),
+    oracle=_rw_oracle(),
+)
+def graph_random_walk_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk corpus over the co-purchase graph —
+    the DeepWalk/node2vec sampling stage (Perozzi KDD'14) that turns a
+    graph into walk 'sentences' for embedding training. Each step moves
+    to the neighbor whose sorted rank equals md5-coin(current, step)
+    mod degree: a portable-hash walk, so every engine and every rerun
+    emits identical paths, and two walks meeting at a node at the same
+    step continue identically (coins key on position, not walk — the
+    price of replayability; salt the coin with the seed for iid walks).
+    Scale shape: the ranked-neighbor table is built once (one window
+    over the edge list), then each step is ONE equi-join on
+    (node, rank) — walk length bounds the job at L joins, walk count
+    rides the join fan-out, and nothing ever collects."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hi = (
+        li.filter(F.col("l_quantity") >= TRI_QTY_MIN)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = hi.alias("a"), hi.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    edges = pairs.select(F.col("u").alias("node"), F.col("v").alias("nxt")).unionAll(
+        pairs.select(F.col("v").alias("node"), F.col("u").alias("nxt"))
+    )
+    from pyspark.sql import Window
+
+    nbr = edges.select(
+        "node",
+        "nxt",
+        F.row_number().over(Window.partitionBy("node").orderBy("nxt")).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy("node")).alias("deg"),
+    )
+    state = (
+        nbr.select("node").distinct()
+        .filter(F.col("node") % RW_SEED_MOD == 0)
+        .select(F.col("node").alias("seed"), F.col("node").alias("cur"))
+    )
+    hops = []
+    for s in range(1, RW_STEPS + 1):
+        coin = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("rw:"),
+                            F.col("cur").cast("string"),
+                            F.lit(":"),
+                            F.lit(s).cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.col("deg")
+        )
+        step = (
+            state.join(nbr, nbr.node == state.cur)
+            .filter(F.col("rnk") == 1 + coin)
+            .select("seed", F.col("nxt").alias("cur"))
+        )
+        hops.append(step.select("seed", F.col("cur").cast("bigint").alias(f"n{s}")))
+        state = step
+    out = hops[0]
+    for s in range(2, RW_STEPS + 1):
+        out = out.join(hops[s - 1], "seed")
+    return out

@@ -544,3 +544,64 @@ def multimodal_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(r), 6).alias("max_ratio"),
         )
     )
+
+
+# Deterministic modality assignment for balance auditing: image 60%,
+# audio 30%, video 10% (md5 coin on doc_id — same portable-hash rule as
+# the shard manifest; in production this column comes from the ingest
+# MIME sniffer).
+MODALITY_SHARDS = 8
+
+
+@register(
+    "multimodal_modality_balance",
+    tags=("multimodal", "profiling"),
+    oracle=f"""
+WITH assigned AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 6) AS BIGINT) % {MODALITY_SHARDS} AS shard,
+         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 11, 2) AS BIGINT) % 10 < 6 THEN 'image'
+              WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 11, 2) AS BIGINT) % 10 < 9 THEN 'audio'
+              ELSE 'video' END AS modality
+  FROM documents
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_assets,
+       CAST(count(*) FILTER (WHERE modality = 'image') AS BIGINT) AS n_image,
+       CAST(count(*) FILTER (WHERE modality = 'audio') AS BIGINT) AS n_audio,
+       CAST(count(*) FILTER (WHERE modality = 'video') AS BIGINT) AS n_video,
+       round(greatest(count(*) FILTER (WHERE modality = 'image'),
+                      count(*) FILTER (WHERE modality = 'audio'),
+                      count(*) FILTER (WHERE modality = 'video')) * 1.0 / count(*), 4)
+           AS majority_share
+FROM assigned
+GROUP BY shard
+""",
+)
+def multimodal_modality_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard modality-mix audit for a multimodal training corpus:
+    each serving shard should hold roughly the global image/audio/video
+    mix — a shard whose majority_share spikes starves the other
+    modalities in every batch drawn from it (the dataloader-level twin
+    of `pipeline_domain_mix`). Assignment is a conditional projection +
+    one hash agg on shard; at 100 TB the audit cost is the metadata
+    scan, payloads untouched."""
+    docs = load_table(spark, sf_dir, "documents")
+    hh = F.md5(F.col("doc_id").cast("string"))
+    shard = F.conv(F.substring(hh, 5, 6), 16, 10).cast("bigint") % MODALITY_SHARDS
+    mcoin = F.conv(F.substring(hh, 11, 2), 16, 10).cast("bigint") % 10
+    modality = (
+        F.when(mcoin < 6, "image").when(mcoin < 9, "audio").otherwise("video")
+    )
+    assigned = docs.select(shard.alias("shard"), modality.alias("modality"))
+    cnt = lambda m: F.count(F.when(F.col("modality") == m, 1))
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+        cnt("image").cast("bigint").alias("n_image"),
+        cnt("audio").cast("bigint").alias("n_audio"),
+        cnt("video").cast("bigint").alias("n_video"),
+        F.round(
+            F.greatest(cnt("image"), cnt("audio"), cnt("video")) * 1.0 / F.count(F.lit(1)),
+            4,
+        ).alias("majority_share"),
+    )

@@ -988,3 +988,73 @@ def pipeline_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("encoded"),
         )
     )
+
+
+MLM_RATE_PCT = 15  # BERT masking rate, as an integer percent (coin < 15/100)
+
+
+@register(
+    "pipeline_mlm_masking",
+    tags=("pipeline", "training"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), w -> w <> '') AS t
+  FROM documents
+), coins AS (
+  SELECT doc_id, t,
+         list_transform(range(1, len(t) + 1),
+           i -> CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 4) AS BIGINT) % 100
+                < {MLM_RATE_PCT}) AS m
+  FROM toks
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(range(1, len(t) + 1), i -> m[i])) AS BIGINT) AS n_masked,
+       round(len(list_filter(range(1, len(t) + 1), i -> m[i])) * 1.0 / len(t), 4) AS mask_rate,
+       coalesce(array_to_string(list_filter(range(1, len(t) + 1), i -> m[i]), ','), '') AS masked_pos_csv,
+       coalesce(array_to_string(list_transform(list_filter(range(1, len(t) + 1), i -> m[i]), i -> t[i]), ','), '') AS masked_tokens_csv
+FROM coins
+WHERE len(t) > 0
+""",
+)
+def pipeline_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Masked-language-model example construction (BERT-style iid
+    masking): every token position flips an md5 coin at {MLM_RATE_PCT}%,
+    masked positions become the prediction targets. Coins key on
+    (doc_id, position) — the portable-hash contract — so the SAME
+    example set materializes on every engine, every rerun, every
+    epoch-shard worker: reproducible pretraining data without shipping
+    an RNG state. Pure array expressions in one codegen'd projection
+    (transform over sequence + filter); zero shuffle, zero Python —
+    the 100 TB cost is the scan itself. (Span corruption à la T5 needs
+    sequential greedy span selection; iid masking is the
+    order-free form that parallelizes trivially.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    base = docs.select("doc_id", t.alias("t")).filter(F.size("t") > 0)
+    idx = F.sequence(F.lit(1), F.size("t"))
+    coin = lambda i: (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), i.cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+        < MLM_RATE_PCT
+    )
+    masked_pos = F.filter(idx, lambda i: coin(i))
+    return base.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        F.size(masked_pos).cast("bigint").alias("n_masked"),
+        F.round(F.size(masked_pos) * 1.0 / F.size("t"), 4).alias("mask_rate"),
+        F.array_join(masked_pos, ",").alias("masked_pos_csv"),
+        F.array_join(
+            F.transform(masked_pos, lambda i: F.element_at("t", i)), ","
+        ).alias("masked_tokens_csv"),
+    )

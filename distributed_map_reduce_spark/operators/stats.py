@@ -2193,3 +2193,55 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("flag").alias("l_returnflag"), "total_weight", "p50_w", "p90_w", "p99_w"
     )
+
+
+@register(
+    "stats_srm_guardrail",
+    tags=("stats", "experiment"),
+    oracle="""
+WITH u AS (
+  SELECT DISTINCT user_id, user_id % 2 AS arm FROM events
+), arms AS (
+  SELECT arm, count(*) AS n FROM u GROUP BY arm
+), w AS (
+  SELECT CAST(max(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_a,
+         CAST(max(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_b
+  FROM arms
+)
+SELECT n_a, n_b,
+       round((n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0) / ((n_a + n_b) / 2.0)
+             + (n_b - (n_a + n_b) / 2.0) * (n_b - (n_a + n_b) / 2.0) / ((n_a + n_b) / 2.0), 6)
+           AS chi2_stat,
+       CASE WHEN (n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0) / ((n_a + n_b) / 2.0)
+               + (n_b - (n_a + n_b) / 2.0) * (n_b - (n_a + n_b) / 2.0) / ((n_a + n_b) / 2.0)
+               > 3.841 THEN 1 ELSE 0 END AS srm_detected
+FROM w
+""",
+)
+def stats_srm_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail: before reading ANY experiment
+    metric, check that the 50/50 arm split actually materialized —
+    a chi-square goodness-of-fit of arm counts against equal expected
+    counts (df=1; 3.841 = α 0.05 cut). SRM is the highest-yield A/B
+    validity check in production (assignment bugs, bot filtering, and
+    logging loss all surface here first — Fabijan et al., KDD'19).
+    Distinct-user dedup then a two-row aggregate; the chi-square is a
+    1-row projection of exact-integer-derived doubles, identical ops on
+    both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct().withColumn("arm", F.col("user_id") % 2)
+    arms = u.groupBy("arm").agg(F.count(F.lit(1)).alias("n"))
+    w = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).cast("bigint").alias("n_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).cast("bigint").alias("n_b"),
+    )
+    exp = (F.col("n_a") + F.col("n_b")) / 2.0
+    chi2 = (F.col("n_a") - exp) * (F.col("n_a") - exp) / exp + (
+        F.col("n_b") - exp
+    ) * (F.col("n_b") - exp) / exp
+    return w.select(
+        "n_a",
+        "n_b",
+        F.round(chi2, 6).alias("chi2_stat"),
+        F.when(chi2 > 3.841, 1).otherwise(0).alias("srm_detected"),
+    )

@@ -670,3 +670,70 @@ def test_transpose_matches_groupby(spark, sf_dir):
     for flag in ("A", "N", "R"):
         assert out["sum_qty"][flag] == s[flag]["q"]
         assert out["sum_price"][flag] == s[flag]["p"]
+
+
+def test_mlm_masking_deterministic_and_rate(spark, sf_dir):
+    out = all_queries()["pipeline_mlm_masking"].fn(spark, sf_dir).collect()
+    assert out
+    total = sum(r["n_tokens"] for r in out)
+    masked = sum(r["n_masked"] for r in out)
+    # corpus-level mask rate within 3 points of the 15% target
+    assert abs(masked / total - 0.15) < 0.03
+    for r in out:
+        if r["n_masked"]:
+            pos = [int(p) for p in r["masked_pos_csv"].split(",")]
+            assert len(pos) == r["n_masked"]
+            assert pos == sorted(pos)
+            assert all(1 <= p <= r["n_tokens"] for p in pos)
+            assert len(r["masked_tokens_csv"].split(",")) == r["n_masked"]
+        else:
+            assert r["masked_pos_csv"] == "" and r["masked_tokens_csv"] == ""
+    # coins are position-keyed: a second run is identical
+    again = all_queries()["pipeline_mlm_masking"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_random_walks_follow_edges(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from distributed_map_reduce_spark.operators.graph import TRI_QTY_MIN
+    from distributed_map_reduce_spark.sources import load_table
+
+    out = all_queries()["graph_random_walk_sampling"].fn(spark, sf_dir).collect()
+    assert out
+    li = load_table(spark, sf_dir, "lineitem")
+    hi = li.filter(F.col("l_quantity") >= TRI_QTY_MIN).select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a, b = hi.alias("a"), hi.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")).distinct()
+    edge_set = {(r["u"], r["v"]) for r in pairs.collect()}
+
+    def connected(x, y):
+        return (x, y) in edge_set or (y, x) in edge_set
+
+    for r in out:
+        assert connected(r["seed"], r["n1"])
+        assert connected(r["n1"], r["n2"])
+        assert connected(r["n2"], r["n3"])
+
+
+def test_modality_balance_partitions(spark, sf_dir):
+    out = all_queries()["multimodal_modality_balance"].fn(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r["n_assets"] for r in out) == docs.count()
+    for r in out:
+        assert r["n_image"] + r["n_audio"] + r["n_video"] == r["n_assets"]
+        assert 1 / 3 <= r["majority_share"] <= 1.0
+
+
+def test_srm_chi2_consistent(spark, sf_dir):
+    r = all_queries()["stats_srm_guardrail"].fn(spark, sf_dir).collect()[0]
+    exp = (r["n_a"] + r["n_b"]) / 2.0
+    want = (r["n_a"] - exp) ** 2 / exp + (r["n_b"] - exp) ** 2 / exp
+    assert abs(r["chi2_stat"] - round(want, 6)) < 1e-9
+    assert r["srm_detected"] == (1 if want > 3.841 else 0)

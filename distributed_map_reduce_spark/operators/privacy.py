@@ -414,3 +414,66 @@ def privacy_pseudonymize_consistent(spark: SparkSession, sf_dir: str) -> DataFra
             F.round(F.sum(F.coalesce("o_totalprice", F.lit(0.0))), 4).alias("total"),
         )
     )
+
+
+ERASURE_MOD = 199  # deterministic deletion-request list: custkey % 199 == 0
+
+
+@register(
+    "privacy_erasure_cascade",
+    tags=("privacy", "governance"),
+    oracle=f"""
+WITH del_c AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % {ERASURE_MOD} = 0
+), del_o AS (
+  SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM del_c)
+)
+SELECT 'customer' AS table_name,
+       CAST((SELECT count(*) FROM del_c) AS BIGINT) AS n_purged,
+       CAST((SELECT count(*) FROM customer) - (SELECT count(*) FROM del_c) AS BIGINT) AS n_left
+UNION ALL
+SELECT 'orders',
+       CAST((SELECT count(*) FROM del_o) AS BIGINT),
+       CAST((SELECT count(*) FROM orders) - (SELECT count(*) FROM del_o) AS BIGINT)
+UNION ALL
+SELECT 'lineitem',
+       CAST((SELECT count(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM del_o)) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem)
+            - (SELECT count(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM del_o)) AS BIGINT)
+""",
+)
+def privacy_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure cascade (GDPR Art. 17): a deletion-request list
+    of customers propagates through the foreign-key graph — their
+    orders, then those orders' line items — and the audit reports
+    purged/remaining per table, the receipt a DPO files. Plan shape:
+    each hop is a (broadcastable) semi-join against the previous hop's
+    KEY SET — ids only, never row payloads — then anti-join counts;
+    at 100 TB the request list is KB-sized and every cascade level
+    stays a broadcast semi-join (the actual rewrite then runs as
+    `MERGE ... DELETE`, `merge_into_upsert`'s machinery)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    del_c = c.filter(F.col("c_custkey") % ERASURE_MOD == 0).select("c_custkey")
+    del_o = o.join(
+        F.broadcast(del_c), o.o_custkey == del_c.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    del_l = li.join(
+        F.broadcast(del_o), li.l_orderkey == del_o.o_orderkey, "left_semi"
+    )
+
+    def audit(name, purged_df, total_df):
+        purged = purged_df.agg(F.count(F.lit(1)).alias("n_purged"))
+        total = total_df.agg(F.count(F.lit(1)).alias("n_total"))
+        return purged.crossJoin(total).select(
+            F.lit(name).alias("table_name"),
+            F.col("n_purged").cast("bigint").alias("n_purged"),
+            (F.col("n_total") - F.col("n_purged")).cast("bigint").alias("n_left"),
+        )
+
+    return (
+        audit("customer", del_c, c)
+        .unionByName(audit("orders", del_o, o))
+        .unionByName(audit("lineitem", del_l, li))
+    )

@@ -471,3 +471,53 @@ def kv_secondary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("key").alias("min_key"),
         F.array_join(F.array_sort(F.collect_list("key")), ",").alias("keys_csv"),
     )
+
+
+TTL_DAYS = 7
+
+
+@register(
+    "kv_ttl_expiry",
+    tags=("kv",),
+    oracle=f"""
+WITH kv AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+), live AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, event_type AS value, ts FROM kv WHERE rn = 1
+), hw AS (SELECT max(ts) AS gmax FROM events)
+SELECT l.key, l.value,
+       CAST(epoch_us(h.gmax) - epoch_us(l.ts) AS BIGINT) AS age_us,
+       CASE WHEN epoch_us(h.gmax) - epoch_us(l.ts) > {TTL_DAYS} * 86400000000 THEN 1 ELSE 0 END AS expired
+FROM live l CROSS JOIN hw h
+""",
+)
+def kv_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL sweep over the LWW store: every key's age against the
+    ingestion high-water mark, with keys idle past {TTL_DAYS} days
+    marked expired — the compaction-time garbage collection every KV
+    store with TTL runs (Redis EXPIRE / RocksDB TTL compaction filter;
+    the reference's store keeps values forever, `local/store.js` —
+    this is the retention verb it lacks). The LWW resolve IS the
+    existing `kv_lww_upsert` window; TTL adds one broadcast of the
+    1-row high-water mark and an integer-µs age projection — an
+    expiring store costs nothing extra at 100 TB until the delete."""
+    ev = load_table(spark, sf_dir, "events")
+    kv = KVTable(
+        ev.select(
+            F.col("user_id").cast("string").alias("key"),
+            F.col("event_type").alias("value"),
+            F.col("event_id").alias("seq"),
+            "ts",
+        ).select("key", "value", "seq", "ts")
+    )
+    live = kv.resolve().select("key", "value", "ts")
+    hw = ev.agg(F.max("ts").alias("gmax"))
+    age = F.unix_micros("gmax") - F.unix_micros("ts")
+    return live.crossJoin(F.broadcast(hw)).select(
+        "key",
+        "value",
+        age.cast("bigint").alias("age_us"),
+        F.when(age > TTL_DAYS * 86_400_000_000, 1).otherwise(0).alias("expired"),
+    )

@@ -567,3 +567,54 @@ def layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+ZONEMAP_PRICE_CUT = 400000.0  # audit predicate: o_totalprice > cut
+
+
+@register(
+    "layout_zonemap_skipping",
+    tags=("layout", "sources"),
+    oracle=f"""
+WITH filed AS (
+  SELECT CAST(year(o_orderdate) * 12 + (month(o_orderdate) - 1) AS BIGINT) AS file_id,
+         o_totalprice
+  FROM orders
+), zm AS (
+  SELECT file_id, count(*) AS n_rows,
+         min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+  FROM filed GROUP BY file_id
+)
+SELECT file_id,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       round(min_price, 2) AS min_price,
+       round(max_price, 2) AS max_price,
+       CASE WHEN max_price > {ZONEMAP_PRICE_CUT} THEN 0 ELSE 1 END AS skippable
+FROM zm
+""",
+)
+def layout_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max statistics) file-skipping audit: orders cluster
+    naturally into monthly files (the partition layout
+    `join_dynamic_partition_prune` stages physically); each file's
+    min/max price is its zone map, and a `price > {ZONEMAP_PRICE_CUT}`
+    probe can SKIP every file whose max falls below the cut — the
+    mechanism behind parquet row-group pruning, Delta/Iceberg data
+    skipping, and ClickHouse sparse indexes. The audit quantifies
+    skip-rate BEFORE paying for a re-layout (compare: a value-clustered
+    Z-order of the same rows concentrates qualifying rows in few files
+    → higher skip rate; `layout_zorder_tiles` builds that layout). One
+    hash agg on file_id; output is file-cardinality."""
+    o = load_table(spark, sf_dir, "orders")
+    filed = o.select(
+        (F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1))
+        .cast("bigint")
+        .alias("file_id"),
+        "o_totalprice",
+    )
+    return filed.groupBy("file_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.when(F.max("o_totalprice") > ZONEMAP_PRICE_CUT, 0).otherwise(1).alias("skippable"),
+    )

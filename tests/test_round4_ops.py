@@ -737,3 +737,100 @@ def test_srm_chi2_consistent(spark, sf_dir):
     want = (r["n_a"] - exp) ** 2 / exp + (r["n_b"] - exp) ** 2 / exp
     assert abs(r["chi2_stat"] - round(want, 6)) < 1e-9
     assert r["srm_detected"] == (1 if want > 3.841 else 0)
+
+
+def test_business_day_lag_closed_form(spark, sf_dir):
+    """The Monday-anchored closed form must equal a literal weekday count
+    over a sample of (order, ship) pairs."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    out = all_queries()["temporal_business_day_lag"].fn(spark, sf_dir).collect()
+    assert len(out) >= 3
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    f = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("ship"))
+    sample = (
+        o.join(f, o.o_orderkey == f.l_orderkey)
+        .select("o_orderdate", "ship")
+        .limit(200)
+        .collect()
+    )
+
+    def brute(a, b):
+        n, d = 0, a
+        while d < b:
+            if d.weekday() < 5:
+                n += 1
+            d += datetime.timedelta(days=1)
+        return n
+
+    def closed(a, b):
+        def H(dt):
+            e = (dt - datetime.date(1970, 1, 1)).days
+            return 5 * ((e + 3) // 7) + min((e + 3) % 7, 5)
+
+        return H(b) - H(a)
+
+    def as_date(v):
+        return v.date() if isinstance(v, datetime.datetime) else v
+
+    for r in sample:
+        a, b = as_date(r["o_orderdate"]), as_date(r["ship"])
+        if a <= b:
+            assert closed(a, b) == brute(a, b), (a, b)
+
+
+def test_erasure_cascade_counts_consistent(spark, sf_dir):
+    out = {r["table_name"]: r for r in all_queries()["privacy_erasure_cascade"].fn(spark, sf_dir).collect()}
+    assert set(out) == {"customer", "orders", "lineitem"}
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    for name, df in (("customer", c), ("orders", o), ("lineitem", li)):
+        assert out[name]["n_purged"] + out[name]["n_left"] == df.count()
+    # cascade direction: purging customers purges ALL their orders
+    from pyspark.sql import functions as F
+
+    doomed = c.filter(F.col("c_custkey") % 199 == 0).select("c_custkey")
+    n_orders = o.join(doomed, o.o_custkey == doomed.c_custkey, "left_semi").count()
+    assert out["orders"]["n_purged"] == n_orders
+
+
+def test_ttl_expiry_flags(spark, sf_dir):
+    out = all_queries()["kv_ttl_expiry"].fn(spark, sf_dir).collect()
+    assert out
+    lww = {r["key"]: r["value"] for r in all_queries()["kv_lww_upsert"].fn(spark, sf_dir).collect()}
+    assert {r["key"] for r in out} == set(lww)
+    for r in out:
+        assert r["value"] == lww[r["key"]]
+        assert r["age_us"] >= 0
+        assert r["expired"] == (1 if r["age_us"] > 7 * 86_400_000_000 else 0)
+
+
+def test_zonemap_skip_correctness(spark, sf_dir):
+    """A skippable file must contain NO qualifying row; non-skippable
+    files must each contain at least one (max > cut implies a witness)."""
+    from distributed_map_reduce_spark.sources.sinks import ZONEMAP_PRICE_CUT
+
+    out = all_queries()["layout_zonemap_skipping"].fn(spark, sf_dir).collect()
+    assert out
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        (F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1)).cast("bigint").alias("file_id"),
+        "o_totalprice",
+    )
+    hot = {
+        r["file_id"]: r["n"]
+        for r in o.filter(F.col("o_totalprice") > ZONEMAP_PRICE_CUT)
+        .groupBy("file_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in out:
+        if r["skippable"]:
+            assert r["file_id"] not in hot
+        else:
+            assert hot.get(r["file_id"], 0) >= 1

@@ -2245,3 +2245,69 @@ def stats_srm_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2_stat"),
         F.when(chi2 > 3.841, 1).otherwise(0).alias("srm_detected"),
     )
+
+
+@register(
+    "stats_experiment_power",
+    tags=("stats", "experiment"),
+    oracle="""
+WITH u AS (
+  SELECT user_id, user_id % 2 AS arm,
+         max(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+), arms AS (
+  SELECT arm, count(*) AS n, CAST(sum(conv) AS BIGINT) AS c FROM u GROUP BY arm
+), w AS (
+  SELECT CAST(max(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_a,
+         CAST(max(CASE WHEN arm = 0 THEN c END) AS BIGINT) AS c_a,
+         CAST(max(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_b,
+         CAST(max(CASE WHEN arm = 1 THEN c END) AS BIGINT) AS c_b
+  FROM arms
+)
+SELECT n_a, n_b,
+       round((c_a + c_b) * 1.0 / (n_a + n_b), 6) AS p_pool,
+       round(2.8 * sqrt(2.0 * ((c_a + c_b) * 1.0 / (n_a + n_b))
+                        * (1.0 - (c_a + c_b) * 1.0 / (n_a + n_b))
+                        / least(n_a, n_b)), 6) AS mde_abs,
+       CASE WHEN abs(c_a * 1.0 / n_a - c_b * 1.0 / n_b)
+              >= 2.8 * sqrt(2.0 * ((c_a + c_b) * 1.0 / (n_a + n_b))
+                            * (1.0 - (c_a + c_b) * 1.0 / (n_a + n_b))
+                            / least(n_a, n_b)) THEN 1 ELSE 0 END AS observed_ge_mde
+FROM w
+""",
+)
+def stats_experiment_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect for the conversion A/B at its ACTUAL
+    sample size: MDE ≈ (z_{α/2}+z_β)·√(2p(1-p)/n) with 1.96+0.84 = 2.8
+    (80% power, two-sided 5%) — the pre-readout sanity check that stops
+    teams from 'significance fishing' an underpowered test
+    (`stats_two_proportion_ztest` answers IS it significant; this
+    answers COULD it have been). Same per-user hash agg as the z-test;
+    the power math is a 1-row projection of exact-integer-derived
+    doubles — identical expression tree on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") >= 150), 1)
+            .otherwise(0)
+        ).alias("conv")
+    ).withColumn("arm", F.col("user_id") % 2)
+    arms = u.groupBy("arm").agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c"))
+    w = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).cast("bigint").alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("c"))).cast("bigint").alias("c_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).cast("bigint").alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("c"))).cast("bigint").alias("c_b"),
+    )
+    p_pool = (F.col("c_a") + F.col("c_b")) * 1.0 / (F.col("n_a") + F.col("n_b"))
+    mde = 2.8 * F.sqrt(
+        2.0 * p_pool * (1.0 - p_pool) / F.least(F.col("n_a"), F.col("n_b"))
+    )
+    diff = F.abs(F.col("c_a") * 1.0 / F.col("n_a") - F.col("c_b") * 1.0 / F.col("n_b"))
+    return w.select(
+        "n_a",
+        "n_b",
+        F.round(p_pool, 6).alias("p_pool"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.when(diff >= mde, 1).otherwise(0).alias("observed_ge_mde"),
+    )

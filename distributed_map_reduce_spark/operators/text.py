@@ -1192,3 +1192,64 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("beta", 4).alias("heaps_beta"),
         F.round("logk", 4).alias("heaps_logk"),
     )
+
+
+KWIC_TERM = "spark"
+KWIC_CTX = 2  # tokens of context each side
+
+
+@register(
+    "text_concordance_kwic",
+    tags=("text", "search"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS t
+  FROM documents
+), hits AS (
+  SELECT doc_id, t, unnest(list_filter(range(1, len(t) + 1), i -> t[i] = '{KWIC_TERM}')) AS p
+  FROM toks
+)
+SELECT doc_id,
+       CAST(p AS BIGINT) AS pos,
+       coalesce(array_to_string(t[greatest(1, p - {KWIC_CTX}):p - 1], ' '), '') AS left_ctx,
+       coalesce(array_to_string(t[p + 1:least(len(t), p + {KWIC_CTX})], ' '), '') AS right_ctx
+FROM hits
+""",
+)
+def text_concordance_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context concordance: every occurrence of the query
+    term with ±{KWIC_CTX} tokens of context — the corpus-inspection
+    view (search snippets, lexicography, eval-time contamination
+    eyeballing) built on the same positions the inverted index stores
+    (`text_inverted_index` answers WHICH docs; KWIC shows HOW the term
+    is used). One filtered posexplode over positions + two array
+    slices; `slice(t, start, len)` with len=0 handles the
+    document-edge windows that an unguarded `sequence(lo, hi)` would
+    corrupt (Spark sequences run DESCENDING when lo > hi). Scan-local
+    at any corpus size; output is hit-cardinality."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    base = docs.select("doc_id", t.alias("t"))
+    hits = base.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.filter(
+                F.sequence(F.lit(1), F.size("t")),
+                lambda i: F.element_at("t", i) == KWIC_TERM,
+            )
+        ).alias("p"),
+    )
+    g = F.greatest(F.lit(1), F.col("p") - KWIC_CTX)
+    left = F.slice(F.col("t"), g, F.col("p") - g)
+    right = F.slice(
+        F.col("t"),
+        F.col("p") + 1,
+        F.least(F.size("t"), F.col("p") + KWIC_CTX) - F.col("p"),
+    )
+    return hits.select(
+        "doc_id",
+        F.col("p").cast("bigint").alias("pos"),
+        F.array_join(left, " ").alias("left_ctx"),
+        F.array_join(right, " ").alias("right_ctx"),
+    )

@@ -411,3 +411,52 @@ def mr_grep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exec_mr_df(
         spark, docs, grep_map, grep_reduce, schema="source string, n bigint",
     )
+
+
+MATMUL_ORDER_MOD = 997  # row sample of A: every 997th order
+
+
+@register(
+    "mr_matrix_multiply",
+    tags=("mr", "parity"),
+    oracle=f"""
+WITH a AS (
+  SELECT l_orderkey AS i, l_partkey AS k, CAST(sum(l_quantity) AS BIGINT) AS v
+  FROM lineitem WHERE l_orderkey % {MATMUL_ORDER_MOD} = 0 GROUP BY 1, 2
+), b AS (
+  SELECT l_partkey AS k, l_suppkey AS j, CAST(count(*) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT a.i, b.j, CAST(sum(a.v * b.w) AS BIGINT) AS c
+FROM a JOIN b ON a.k = b.k
+GROUP BY a.i, b.j
+""",
+)
+def mr_matrix_multiply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse matrix multiplication — the canonical two-phase MapReduce
+    the reference's shuffle machinery textbook-targets (Leskovec MMDS
+    §2.3.9) and the one classic pattern the mr_* family still lacked:
+    map emits A-cells keyed by k and B-cells keyed by k, the first
+    reduce joins them into partial products, the second reduce sums per
+    output cell (i,j). In Spark that IS join-on-k + groupBy(i,j) — two
+    exchanges, both on ids+ints, with map-side partial aggregation on
+    the second. A = order×part quantity (row-sampled every
+    {MATMUL_ORDER_MOD}th order to keep C driver-comparable), B =
+    part×supplier lineitem counts; C[i,j] = order-supplier affinity
+    through shared parts. At 100 TB the standard refinement is
+    block-partitioning both operands on k (bucketed tables co-locate
+    the join and delete exchange #1 — `bucketed_join_colocated`)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = (
+        li.filter(F.col("l_orderkey") % MATMUL_ORDER_MOD == 0)
+        .groupBy(F.col("l_orderkey").alias("i"), F.col("l_partkey").alias("k"))
+        .agg(F.sum("l_quantity").cast("bigint").alias("v"))
+    )
+    b = li.groupBy(
+        F.col("l_partkey").alias("k"), F.col("l_suppkey").alias("j")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    return (
+        a.join(b, "k")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("v") * F.col("w")).cast("bigint").alias("c"))
+    )

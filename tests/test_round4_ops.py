@@ -834,3 +834,62 @@ def test_zonemap_skip_correctness(spark, sf_dir):
             assert r["file_id"] not in hot
         else:
             assert hot.get(r["file_id"], 0) >= 1
+
+
+def test_matrix_multiply_spot_cells(spark, sf_dir):
+    """C[i,j] must equal the literal sum over shared parts for a few
+    hand-joined cells, and every (i,j) pair must share >= 1 part."""
+    from pyspark.sql import functions as F
+
+    out = all_queries()["mr_matrix_multiply"].fn(spark, sf_dir).collect()
+    assert out
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sample = sorted(out, key=lambda r: (r["i"], r["j"]))[:5]
+    for r in sample:
+        a = {
+            row["l_partkey"]: row["v"]
+            for row in li.filter(F.col("l_orderkey") == r["i"])
+            .groupBy("l_partkey")
+            .agg(F.sum("l_quantity").cast("bigint").alias("v"))
+            .collect()
+        }
+        b = {
+            row["l_partkey"]: row["w"]
+            for row in li.filter(F.col("l_suppkey") == r["j"])
+            .groupBy("l_partkey")
+            .agg(F.count(F.lit(1)).alias("w"))
+            .collect()
+        }
+        want = sum(v * b[k] for k, v in a.items() if k in b)
+        assert want == r["c"] and want > 0
+
+
+def test_kwic_windows_well_formed(spark, sf_dir):
+    out = all_queries()["text_concordance_kwic"].fn(spark, sf_dir).collect()
+    assert out
+    docs = {
+        r["doc_id"]: [w for w in r["text"].lower().split(" ") if w]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    for r in out:
+        t = docs[r["doc_id"]]
+        p = r["pos"]
+        assert t[p - 1] == "spark"
+        lo = max(1, p - 2)
+        assert r["left_ctx"] == " ".join(t[lo - 1 : p - 1])
+        hi = min(len(t), p + 2)
+        assert r["right_ctx"] == " ".join(t[p:hi])
+    # completeness: every 'spark' occurrence is a hit
+    want = sum(t.count("spark") for t in docs.values())
+    assert len(out) == want
+
+
+def test_power_consistent_with_ztest(spark, sf_dir):
+    pw = all_queries()["stats_experiment_power"].fn(spark, sf_dir).collect()[0]
+    zt = all_queries()["stats_two_proportion_ztest"].fn(spark, sf_dir).collect()[0]
+    assert (pw["n_a"], pw["n_b"]) == (zt["n_a"], zt["n_b"])
+    assert pw["mde_abs"] > 0
+    # observed_ge_mde implies |diff| cleared an ~80%-power bar, which is
+    # stricter than bare significance: it must imply significance.
+    if pw["observed_ge_mde"]:
+        assert zt["significant"] == 1

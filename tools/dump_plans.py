@@ -123,6 +123,26 @@ EXTRA = [
     "profile_expectations",
     "events_user_ltv_cohort",
     "kv_secondary_index",
+    # round-4 session-2 additions
+    "graph_clustering_coefficient",
+    "graph_random_walk_sampling",
+    "text_heaps_law",
+    "multimodal_aspect_bucket",
+    "pipeline_mlm_masking",
+    "agg_weighted_percentile",
+    "stats_shannon_entropy",
+    "stats_two_proportion_ztest",
+    "stats_srm_guardrail",
+    "mr_matrix_multiply",
+    "text_concordance_kwic",
+    "temporal_business_day_lag",
+    "privacy_erasure_cascade",
+    "kv_ttl_expiry",
+    "layout_zonemap_skipping",
+    "multimodal_modality_balance",
+    "profile_freshness_audit",
+    "agg_listagg_within_group",
+    "stats_correlation_matrix",
 ]
 
 

@@ -941,12 +941,17 @@ def graph_random_walk_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # Materialize the ranked-neighbor table ONCE: every step joins it,
+    # and the final path assembly joins every step — without this the
+    # lineage re-derives the whole edge pipeline per hop (observed: ~100
+    # duplicated scan/window nodes for a 3-step walk). Same pattern as
+    # connected_components/pagerank above.
     nbr = edges.select(
         "node",
         "nxt",
         F.row_number().over(Window.partitionBy("node").orderBy("nxt")).alias("rnk"),
         F.count(F.lit(1)).over(Window.partitionBy("node")).alias("deg"),
-    )
+    ).localCheckpoint(eager=True)
     state = (
         nbr.select("node").distinct()
         .filter(F.col("node") % RW_SEED_MOD == 0)

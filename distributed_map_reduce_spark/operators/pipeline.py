@@ -1058,3 +1058,132 @@ def pipeline_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(masked_pos, lambda i: F.element_at("t", i)), ","
         ).alias("masked_tokens_csv"),
     )
+
+
+RLHF_TOP_DECILE = 9  # chosen from deciles >= 9, rejected from <= 2
+
+
+@register(
+    "pipeline_rlhf_pair_construction",
+    tags=("pipeline", "training"),
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         ntile(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS decile,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rtop,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rbot
+  FROM documents
+), chosen AS (
+  SELECT source, doc_id AS chosen_id, n_chars AS chosen_score, rtop AS pair_rank
+  FROM ranked WHERE decile >= {RLHF_TOP_DECILE}
+), rejected AS (
+  SELECT source, doc_id AS rejected_id, n_chars AS rejected_score, rbot AS pair_rank
+  FROM ranked WHERE decile <= 10 - {RLHF_TOP_DECILE} + 1
+)
+SELECT c.source, c.chosen_id, r.rejected_id,
+       CAST(c.chosen_score AS BIGINT) AS chosen_score,
+       CAST(r.rejected_score AS BIGINT) AS rejected_score,
+       CAST(c.chosen_score - r.rejected_score AS BIGINT) AS margin
+FROM chosen c JOIN rejected r
+  ON r.source = c.source AND r.pair_rank = c.pair_rank
+WHERE c.chosen_score > r.rejected_score
+""",
+)
+def pipeline_rlhf_pair_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for DPO/RLHF-style training: within
+    each source, the k-th best document (top decile, by the quality
+    proxy) pairs with the k-th worst (bottom decile), and only pairs
+    with a strictly positive score margin survive — the
+    max-margin-per-pair matching that makes preference data
+    informative instead of noisy near-ties (Ouyang et al. '22 pair
+    labeling, automated by ranking). Two windows over the SAME
+    (source, score) sort — one exchange, both ranks computed in one
+    pass — then a (source, rank) equi-join of two thin id+score
+    projections. At 100 TB chosen/rejected are decile-sized id lists;
+    the pairing join never touches text."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wd = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.ntile(10).over(w).alias("decile"),
+        F.row_number().over(wd).alias("rtop"),
+        F.row_number().over(w).alias("rbot"),
+    )
+    chosen = ranked.filter(F.col("decile") >= RLHF_TOP_DECILE).select(
+        "source",
+        F.col("doc_id").alias("chosen_id"),
+        F.col("n_chars").alias("chosen_score"),
+        F.col("rtop").alias("pair_rank"),
+    )
+    rejected = ranked.filter(F.col("decile") <= 10 - RLHF_TOP_DECILE + 1).select(
+        "source",
+        F.col("doc_id").alias("rejected_id"),
+        F.col("n_chars").alias("rejected_score"),
+        F.col("rbot").alias("pair_rank"),
+    )
+    return (
+        chosen.join(rejected, ["source", "pair_rank"])
+        .filter(F.col("chosen_score") > F.col("rejected_score"))
+        .select(
+            "source",
+            "chosen_id",
+            "rejected_id",
+            F.col("chosen_score").cast("bigint").alias("chosen_score"),
+            F.col("rejected_score").cast("bigint").alias("rejected_score"),
+            (F.col("chosen_score") - F.col("rejected_score")).cast("bigint").alias("margin"),
+        )
+    )
+
+
+CTX_SIZES = (512, 2048, 8192)  # context windows audited, in tokens
+
+
+@register(
+    "pipeline_context_window_report",
+    tags=("pipeline", "training"),
+    oracle=f"""
+WITH toks AS (
+  SELECT source,
+         len(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS n_tok
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(max(n_tok) AS BIGINT) AS max_tokens,
+       {", ".join(
+         f"CAST(count(*) FILTER (WHERE n_tok <= {c}) AS BIGINT) AS fit_{c}, "
+         f"CAST(sum(CASE WHEN n_tok > {c} THEN n_tok - {c} ELSE 0 END) AS BIGINT) AS trunc_loss_{c}"
+         for c in CTX_SIZES)}
+FROM toks GROUP BY source
+""",
+)
+def pipeline_context_window_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window fit audit: per source, how many documents fit each
+    candidate training context ({', '.join(map(str, CTX_SIZES))} tokens)
+    and how many tokens a hard truncation at that length would discard —
+    the capacity-planning table read before choosing sequence length /
+    packing strategy (`pipeline_pack_sequences` then implements the
+    chosen one). One tokenize projection + one hash agg; conditional
+    aggregates share the single pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split(F.lower("text"), " "), lambda w: w != ""))
+    base = docs.select("source", n_tok.alias("n_tok"))
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.max("n_tok").cast("bigint").alias("max_tokens"),
+    ]
+    for c in CTX_SIZES:
+        aggs.append(
+            F.count(F.when(F.col("n_tok") <= c, 1)).cast("bigint").alias(f"fit_{c}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(F.col("n_tok") > c, F.col("n_tok") - c).otherwise(0)
+            ).cast("bigint").alias(f"trunc_loss_{c}")
+        )
+    return base.groupBy("source").agg(*aggs)

@@ -2311,3 +2311,64 @@ def stats_experiment_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mde, 6).alias("mde_abs"),
         F.when(diff >= mde, 1).otherwise(0).alias("observed_ge_mde"),
     )
+
+
+CUPED_SPLIT = "2024-01-16"  # pre-period: days before; post-period: from here on
+
+
+@register(
+    "stats_cuped_adjustment",
+    tags=("stats", "experiment"),
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id, user_id % 2 AS arm,
+         sum(CASE WHEN ts <  CAST('{CUPED_SPLIT}' AS TIMESTAMP) THEN value ELSE 0 END) AS x,
+         sum(CASE WHEN ts >= CAST('{CUPED_SPLIT}' AS TIMESTAMP) THEN value ELSE 0 END) AS y
+  FROM events GROUP BY user_id
+), theta AS (
+  SELECT covar_samp(x, y) / var_samp(x) AS th, avg(x) AS xbar FROM per_user
+), adj AS (
+  SELECT p.arm, p.y, p.y - t.th * (p.x - t.xbar) AS y_cuped
+  FROM per_user p CROSS JOIN theta t
+)
+SELECT arm,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(avg(y), 4) AS mean_y,
+       round(avg(y_cuped), 4) AS mean_y_cuped,
+       round(1.0 - var_samp(y_cuped) / var_samp(y), 4) AS var_reduction
+FROM adj GROUP BY arm
+""",
+)
+def stats_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13): adjust each
+    user's experiment-period metric by their PRE-period covariate,
+    y' = y − θ(x − x̄) with θ = cov(x,y)/var(x) — the industry-standard
+    trick that cuts A/B variance 30-50% without touching the estimand
+    (E[y'] = E[y] because the x-term is mean-zero, which the oracle's
+    per-arm means exhibit). Plan: one per-user hash agg builds (x, y),
+    a 1-row θ/x̄ aggregate broadcasts back over the users, then a
+    per-arm summary — two exchanges total, θ never leaves the plan.
+    Float posture: covariance accumulation order differs across
+    engines below ~1e-12 relative; all outputs round at 4dp
+    (`agg_regression_funcs` discipline)."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(CUPED_SPLIT).cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, F.col("value")).otherwise(0.0)).alias("x"),
+        F.sum(F.when(F.col("ts") >= split, F.col("value")).otherwise(0.0)).alias("y"),
+    ).withColumn("arm", F.col("user_id") % 2)
+    theta = per_user.agg(
+        (F.covar_samp("x", "y") / F.var_samp("x")).alias("th"),
+        F.avg("x").alias("xbar"),
+    )
+    adj = per_user.crossJoin(F.broadcast(theta)).select(
+        "arm",
+        "y",
+        (F.col("y") - F.col("th") * (F.col("x") - F.col("xbar"))).alias("y_cuped"),
+    )
+    return adj.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(F.avg("y"), 4).alias("mean_y"),
+        F.round(F.avg("y_cuped"), 4).alias("mean_y_cuped"),
+        F.round(1.0 - F.var_samp("y_cuped") / F.var_samp("y"), 4).alias("var_reduction"),
+    )

@@ -893,3 +893,36 @@ def test_power_consistent_with_ztest(spark, sf_dir):
     # stricter than bare significance: it must imply significance.
     if pw["observed_ge_mde"]:
         assert zt["significant"] == 1
+
+
+def test_rlhf_pairs_margin_positive_and_unique(spark, sf_dir):
+    out = all_queries()["pipeline_rlhf_pair_construction"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r["margin"] == r["chosen_score"] - r["rejected_score"] > 0
+        assert r["chosen_id"] != r["rejected_id"]
+    # a doc appears at most once on each side within a source
+    for side in ("chosen_id", "rejected_id"):
+        seen = [(r["source"], r[side]) for r in out]
+        assert len(seen) == len(set(seen))
+
+
+def test_context_window_report_monotone(spark, sf_dir):
+    out = all_queries()["pipeline_context_window_report"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        # bigger windows fit more docs and lose fewer tokens
+        assert r["fit_512"] <= r["fit_2048"] <= r["fit_8192"] <= r["n_docs"]
+        assert r["trunc_loss_512"] >= r["trunc_loss_2048"] >= r["trunc_loss_8192"] >= 0
+        assert r["max_tokens"] <= r["total_tokens"]
+
+
+def test_cuped_preserves_means_reduces_variance(spark, sf_dir):
+    out = all_queries()["stats_cuped_adjustment"].fn(spark, sf_dir).collect()
+    assert len(out) == 2
+    for r in out:
+        # unbiasedness: per-arm mean shift is small relative to the mean
+        # (exact zero only holds pooled; arms inherit a bounded shift)
+        assert abs(r["mean_y_cuped"] - r["mean_y"]) <= 0.25 * abs(r["mean_y"]) + 1e-6
+        # the point of CUPED: variance must not increase materially
+        assert r["var_reduction"] >= -0.05

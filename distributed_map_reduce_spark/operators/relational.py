@@ -1426,3 +1426,37 @@ def sql_transpose_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
     )
     return s.transpose()
+
+
+@register(
+    "sql_lateral_column_alias",
+    tags=("sql",),
+    oracle="""
+SELECT o_orderpriority,
+       round(sum(o_totalprice), 2) AS total,
+       round(round(sum(o_totalprice), 2) * 0.1, 2) AS fee,
+       round(round(round(sum(o_totalprice), 2) * 0.1, 2) / count(*), 4) AS fee_per_order
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (Spark 3.4+): later SELECT items reference
+    EARLIER aliases in the same list (`fee` builds on `total`,
+    `fee_per_order` on `fee`) — the spreadsheet-style derived-column
+    chain that otherwise forces nested subqueries or repeated
+    expressions. The analyzer inlines the chain, so the optimized plan
+    is identical to writing each expression in full (the oracle spells
+    that desugared form; DuckDB resolves the same aliases natively).
+    One hash aggregate; the alias chain is pure projection."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """SELECT o_orderpriority,
+                  round(sum(o_totalprice), 2) AS total,
+                  round(total * 0.1, 2) AS fee,
+                  round(fee / count(*), 4) AS fee_per_order
+           FROM orders
+           GROUP BY o_orderpriority"""
+    )

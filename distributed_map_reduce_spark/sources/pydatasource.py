@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
@@ -218,3 +219,121 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return run_to_completion(spark, agg, "python_stream_src", mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource WRITER (the sink half of the API): JSON-lines files
+# with the real two-phase commit protocol — executors write staging
+# files and return commit messages; the driver's commit() promotes them
+# and stamps _SUCCESS, abort() discards. This is the contract that makes
+# a custom sink exactly-once under task retries: a re-run task writes a
+# NEW staging file and only the committed attempt is promoted.
+# ---------------------------------------------------------------------------
+
+import json
+import os
+
+from pyspark.sql.datasource import WriterCommitMessage
+
+
+class _JsonlCommit(WriterCommitMessage):
+    """WriterCommitMessage payload: staging path + row count."""
+
+    def __init__(self, staged: str, count: int):
+        self.staged = staged
+        self.count = count
+
+
+class JsonlWriter(DataSourceWriter):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_sink requires option 'path'")
+
+    def write(self, iterator):
+        # Runs ON EXECUTORS, one call per partition. TaskContext gives a
+        # stable partition id; the attempt-unique staging name keeps
+        # retries from clobbering each other.
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
+        os.makedirs(self.path, exist_ok=True)
+        staged = os.path.join(self.path, f"_staged-{pid}-{attempt}.jsonl")
+        n = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(staged, n)
+
+    def commit(self, messages):
+        # Driver-side promotion: staging -> final, then _SUCCESS.
+        total = 0
+        for m in messages:
+            final = m.staged.replace("_staged-", "part-")
+            os.replace(m.staged, final)
+            total += m.count
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write(str(total))
+
+    def abort(self, messages):
+        for m in messages:
+            try:
+                os.remove(m.staged)
+            except FileNotFoundError:
+                pass
+
+
+class JsonlSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def schema(self) -> str:
+        return "key string, value double"
+
+    def writer(self, schema, overwrite: bool):
+        return JsonlWriter(self.options)
+
+
+@register(
+    "sink_python_datasource_writer",
+    tags=("sink", "connector"),
+    oracle="""
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def sink_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom SINK via the Python DataSource writer API (Spark 4): the
+    customer table streams through executor-side JSON-lines writers
+    with two-phase commit (staging files -> driver commit() promotion
+    -> _SUCCESS), then reads BACK through spark.read.json and
+    aggregates — the round trip proves the writer loses/duplicates
+    nothing (counts and balances hash-match the table that never left
+    parquet). Python repr floats round-trip JSON exactly, so no
+    tolerance is needed. The write path parallelism = input partitions;
+    the driver handles only commit messages (paths + counts), never
+    rows — the same protocol shape FileFormatWriter uses."""
+    import shutil
+    import tempfile
+
+    from ..sources import load_table
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    out = os.path.join(tempfile.gettempdir(), "dmrs_jsonl_sink")
+    shutil.rmtree(out, ignore_errors=True)
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("key"), F.col("c_acctbal").alias("value")
+    )
+    c.write.format("jsonl_sink").option("path", out).mode("append").save()
+    back = spark.read.json(os.path.join(out, "part-*.jsonl"))
+    return back.groupBy(F.col("key").alias("c_mktsegment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_bal"),
+    )

@@ -430,3 +430,103 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         drained.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
     )
+
+
+def cdc_apply_sink(path: str):
+    """foreachBatch CDC applier: each micro-batch reduces to its latest
+    op per key, then merges into the standing state by max-seq — an
+    ORDER-INSENSITIVE merge (max is commutative/associative), so any
+    micro-batch arrival order yields the same state. Tombstones are
+    KEPT in state rather than dropped: a delete must keep shadowing
+    earlier puts that might arrive in later (replayed/out-of-order)
+    batches — dropping it would resurrect the key. The read path
+    filters them. Same atomic temp-dir swap as incremental_view_sink."""
+
+    def write(batch_df, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch_df.sparkSession
+        w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if os.path.isdir(path):
+            old = spark.read.parquet(path)
+            merged = (
+                old.unionByName(latest)
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            merged = latest
+        tmp = f"{path}.__tmp_b{batch_id}"
+        retired = f"{path}.__old_b{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(path):
+            os.rename(path, retired)
+        os.rename(tmp, path)
+        shutil.rmtree(retired, ignore_errors=True)
+
+    return write
+
+
+@register(
+    "stream_cdc_apply_changes",
+    tags=("streaming", "cdc", "kv"),
+    oracle="""
+WITH ops AS (
+  SELECT CAST(user_id AS VARCHAR) AS key,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'put' END AS op,
+         round(value, 4) AS value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+)
+SELECT key, value FROM ops WHERE rn = 1 AND op <> 'delete'
+""",
+)
+def stream_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply — the micro-batch twin of the batch
+    `kv_cdc_tombstone_apply`: the change feed (put/delete per key,
+    seq-ordered) is staged as FOUR range files so the file source
+    genuinely delivers four epochs, `cdc_apply_sink` folds each into
+    the standing store state by commutative max-seq merge (tombstones
+    retained in-state so later batches cannot resurrect deleted keys),
+    and the final live view must hash-match the one-shot batch window.
+    Per-epoch cost is |batch| + |state| — the Delta `APPLY CHANGES` /
+    Debezium-sink shape; at 100 TB the swap becomes a keyed MERGE
+    commit with identical algebra."""
+    from ..sources import load_table
+
+    work = tempfile.mkdtemp(prefix="dmrs_cdc_")
+    landing = os.path.join(work, "landing")
+    state = os.path.join(work, "state")
+    ev = load_table(spark, sf_dir, "events")
+    ops = ev.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.when(F.col("event_type") == "error", "delete").otherwise("put").alias("op"),
+        F.round("value", 4).alias("value"),
+        F.col("event_id").alias("seq"),
+    )
+    ops.repartitionByRange(4, "seq").write.parquet(landing)
+    stream = (
+        spark.readStream.schema("key string, op string, value double, seq bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = (
+        stream.writeStream.foreachBatch(cdc_apply_sink(state))
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.parquet(state)
+        .filter(F.col("op") != "delete")
+        .select("key", "value")
+    )

@@ -926,3 +926,58 @@ def test_cuped_preserves_means_reduces_variance(spark, sf_dir):
         assert abs(r["mean_y_cuped"] - r["mean_y"]) <= 0.25 * abs(r["mean_y"]) + 1e-6
         # the point of CUPED: variance must not increase materially
         assert r["var_reduction"] >= -0.05
+
+
+def test_python_writer_two_phase_commit_artifacts(spark, sf_dir):
+    """After the sink runs: only part-* files and _SUCCESS exist (no
+    _staged leftovers), and _SUCCESS carries the exact row count."""
+    import glob
+    import os
+    import tempfile
+
+    out_dir = os.path.join(tempfile.gettempdir(), "dmrs_jsonl_sink")
+    res = all_queries()["sink_python_datasource_writer"].fn(spark, sf_dir).collect()
+    assert res
+    assert not glob.glob(os.path.join(out_dir, "_staged-*"))
+    parts = glob.glob(os.path.join(out_dir, "part-*.jsonl"))
+    assert parts
+    with open(os.path.join(out_dir, "_SUCCESS")) as f:
+        committed = int(f.read())
+    n_lines = sum(sum(1 for _ in open(p)) for p in parts)
+    assert committed == n_lines == sum(r["n"] for r in res)
+
+
+def test_lateral_alias_chain_values(spark, sf_dir):
+    out = all_queries()["sql_lateral_column_alias"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r["fee"] == round(round(r["total"], 2) * 0.1, 2)
+
+
+def test_stream_cdc_equals_batch_apply(spark, sf_dir):
+    got = {
+        r["key"]: r["value"]
+        for r in all_queries()["stream_cdc_apply_changes"].fn(spark, sf_dir).collect()
+    }
+    want = {
+        r["key"]: r["value"]
+        for r in all_queries()["kv_cdc_tombstone_apply"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    # tombstoned keys are genuinely absent
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    last = (
+        ev.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+            ),
+        )
+        .filter((F.col("rn") == 1) & (F.col("event_type") == "error"))
+        .collect()
+    )
+    for r in last:
+        assert str(r["user_id"]) not in got

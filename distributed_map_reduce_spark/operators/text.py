@@ -1253,3 +1253,93 @@ def text_concordance_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(left, " ").alias("left_ctx"),
         F.array_join(right, " ").alias("right_ctx"),
     )
+
+
+PMI_MIN_COUNT = 5  # collocation support floor
+
+
+@register(
+    "text_pmi_collocations",
+    tags=("text",),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS t
+  FROM documents
+), uni AS (
+  SELECT unnest(t) AS w FROM toks
+), ucnt AS (
+  SELECT w, count(*) AS c FROM uni GROUP BY w
+), utot AS (SELECT sum(c) AS n FROM ucnt),
+bi AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM toks WHERE len(t) >= 2
+), bcnt AS (
+  SELECT bg, count(*) AS c FROM bi GROUP BY bg
+), btot AS (SELECT sum(c) AS n FROM bcnt)
+SELECT b.bg AS bigram,
+       CAST(b.c AS BIGINT) AS n_bigram,
+       CAST(u1.c AS BIGINT) AS n_left,
+       CAST(u2.c AS BIGINT) AS n_right,
+       round(ln((b.c * 1.0 / bt.n) / ((u1.c * 1.0 / ut.n) * (u2.c * 1.0 / ut.n))), 4) + 0.0 AS pmi
+FROM bcnt b
+JOIN ucnt u1 ON u1.w = string_split(b.bg, ' ')[1]
+JOIN ucnt u2 ON u2.w = string_split(b.bg, ' ')[2]
+CROSS JOIN btot bt CROSS JOIN utot ut
+WHERE b.c >= {PMI_MIN_COUNT}
+""",
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information (Church &
+    Hanks '90): bigrams whose joint probability beats the independence
+    product — the classic phrase detector (word2vec's phrase pass and
+    tokenizer-merge candidates both start here; RAKE ranks within-doc,
+    PMI ranks corpus-wide). Two count aggregates (unigrams, bigrams)
+    joined on the bigram's parts with the 1-row totals broadcast; the
+    support floor ({PMI_MIN_COUNT}) kills the noisy hapax pairs BEFORE
+    the join, which is also the scale lever — the joined set is
+    frequent-bigram-sized, not corpus-sized. PMI itself is exact
+    integer ratios through one ln, rounded 4dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    toks = docs.select(t.alias("t"))
+    uni = toks.select(F.explode("t").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    utot = ucnt.agg(F.sum("c").alias("un"))
+    bi = toks.filter(F.size("t") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("t", i), F.element_at("t", i + 1)
+                ),
+            )
+        ).alias("bg")
+    )
+    bcnt = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") >= PMI_MIN_COUNT
+    )
+    btot = bi.agg(F.count(F.lit(1)).alias("bn"))
+    u1 = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    parts = F.split(F.col("bg"), " ")
+    joined = (
+        bcnt.withColumn("w1", parts.getItem(0))
+        .withColumn("w2", parts.getItem(1))
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(btot))
+        .crossJoin(F.broadcast(utot))
+    )
+    pmi = F.log(
+        (F.col("c") * 1.0 / F.col("bn"))
+        / ((F.col("c1") * 1.0 / F.col("un")) * (F.col("c2") * 1.0 / F.col("un")))
+    )
+    return joined.select(
+        F.col("bg").alias("bigram"),
+        F.col("c").cast("bigint").alias("n_bigram"),
+        F.col("c1").cast("bigint").alias("n_left"),
+        F.col("c2").cast("bigint").alias("n_right"),
+        # + 0.0 normalizes IEEE negative zero: round() can land on
+        # -0.0 on one engine and 0.0 on the other (-0.0 + 0.0 == +0.0)
+        (F.round(pmi, 4) + 0.0).alias("pmi"),
+    )

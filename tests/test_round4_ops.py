@@ -981,3 +981,23 @@ def test_stream_cdc_equals_batch_apply(spark, sf_dir):
     )
     for r in last:
         assert str(r["user_id"]) not in got
+
+
+def test_pmi_symmetry_and_support(spark, sf_dir):
+    out = all_queries()["text_pmi_collocations"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r["n_bigram"] >= 5
+        assert r["n_bigram"] <= min(r["n_left"], r["n_right"])
+        l, rr = r["bigram"].split(" ")
+        assert l and rr
+
+
+def test_padding_waste_sorted_never_worse(spark, sf_dir):
+    out = {r["strategy"]: r for r in all_queries()["pipeline_padding_waste_audit"].fn(spark, sf_dir).collect()}
+    assert set(out) == {"length_sorted", "arrival_order"}
+    # the whole point: sorting by length cannot pad more than arrival order
+    assert out["length_sorted"]["pad_tokens"] <= out["arrival_order"]["pad_tokens"]
+    for r in out.values():
+        assert 0.0 <= r["waste_pct"] < 1.0
+        assert r["pad_tokens"] < r["batch_cells"]

@@ -1264,3 +1264,110 @@ def pipeline_padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return waste([F.col("n_tok"), F.col("doc_id")], "length_sorted").unionByName(
         waste([F.col("doc_id")], "arrival_order")
     )
+
+
+EVAL_DROP_PCT = 20  # prediction corruption: drop tokens whose coin < 20%
+
+
+@register(
+    "eval_em_f1_scoring",
+    tags=("pipeline", "eval"),
+    oracle=f"""
+WITH gold AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS g
+  FROM documents
+), pred AS (
+  SELECT doc_id, g,
+         list_transform(
+           list_filter(range(1, len(g) + 1),
+             i -> CAST('0x' || substr(md5('ev:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 4) AS BIGINT) % 100
+                  >= {EVAL_DROP_PCT}),
+           i -> g[i]) AS p
+  FROM gold
+), gtok AS (
+  SELECT doc_id, w, count(*) AS cg
+  FROM (SELECT doc_id, unnest(g) AS w FROM pred) GROUP BY doc_id, w
+), ptok AS (
+  SELECT doc_id, w, count(*) AS cp
+  FROM (SELECT doc_id, unnest(p) AS w FROM pred) GROUP BY doc_id, w
+), overlap AS (
+  SELECT g.doc_id, CAST(sum(least(g.cg, p.cp)) AS BIGINT) AS ov
+  FROM gtok g JOIN ptok p ON p.doc_id = g.doc_id AND p.w = g.w
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.g) AS BIGINT) AS n_gold,
+       CAST(len(d.p) AS BIGINT) AS n_pred,
+       CASE WHEN d.g = d.p THEN 1 ELSE 0 END AS exact_match,
+       round(2.0 * coalesce(o.ov, 0) / (len(d.g) + len(d.p)), 4) AS token_f1
+FROM pred d LEFT JOIN overlap o ON o.doc_id = d.doc_id
+WHERE len(d.g) > 0
+""",
+)
+def eval_em_f1_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-harness answer scoring: exact match + token-level F1 between
+    gold and predicted token sequences — the SQuAD metric pair every
+    QA/extraction eval reports, computed corpus-parallel (predictions
+    here are deterministic md5-corrupted copies of gold — ~{EVAL_DROP_PCT}%
+    token drops — standing in for the model-output column a real run
+    joins in). Token F1 uses the MULTISET overlap (Σ min of per-token
+    counts), which the explode → per-(doc,token) count → join-min-sum
+    pipeline computes exactly; when prediction ⊆ gold (drops only),
+    precision is 1 and F1 reduces to 2|p|/(|g|+|p|). EM is a direct
+    array equality. All shuffles carry (doc_id, token) counts — the
+    ids-shape again; per-doc rows join back to corpus slices for the
+    aggregate report."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    gold = docs.select("doc_id", g.alias("g")).filter(F.size("g") > 0)
+    keep = lambda i: (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("ev:"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        i.cast("string"),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+        >= EVAL_DROP_PCT
+    )
+    pred = gold.withColumn(
+        "p",
+        F.transform(
+            F.filter(F.sequence(F.lit(1), F.size("g")), keep),
+            lambda i: F.element_at("g", i),
+        ),
+    )
+    gtok = pred.select("doc_id", F.explode("g").alias("w")).groupBy(
+        "doc_id", "w"
+    ).agg(F.count(F.lit(1)).alias("cg"))
+    ptok = pred.select("doc_id", F.explode("p").alias("w")).groupBy(
+        "doc_id", "w"
+    ).agg(F.count(F.lit(1)).alias("cp"))
+    overlap = (
+        gtok.join(ptok, ["doc_id", "w"])
+        .groupBy("doc_id")
+        .agg(F.sum(F.least("cg", "cp")).cast("bigint").alias("ov"))
+    )
+    return (
+        pred.join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("g").cast("bigint").alias("n_gold"),
+            F.size("p").cast("bigint").alias("n_pred"),
+            F.when(F.col("g") == F.col("p"), 1).otherwise(0).alias("exact_match"),
+            F.round(
+                2.0 * F.coalesce(F.col("ov"), F.lit(0)) / (F.size("g") + F.size("p")),
+                4,
+            ).alias("token_f1"),
+        )
+    )

@@ -2372,3 +2372,86 @@ def stats_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("y_cuped"), 4).alias("mean_y_cuped"),
         F.round(1.0 - F.var_samp("y_cuped") / F.var_samp("y"), 4).alias("var_reduction"),
     )
+
+
+# SPRT design: H0 p=0.40 vs H1 p=0.50, alpha=beta=0.05 →
+# accept-H1 bound ln((1-beta)/alpha) = ln(19), accept-H0 ln(beta/(1-alpha)) = ln(1/19)
+SPRT_P0 = 0.40
+SPRT_P1 = 0.50
+
+
+@register(
+    "stats_sprt_sequential",
+    tags=("stats", "experiment"),
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+), seq AS (
+  SELECT user_id, conv,
+         row_number() OVER (ORDER BY md5(CAST(user_id AS VARCHAR))) AS t,
+         sum(conv) OVER (ORDER BY md5(CAST(user_id AS VARCHAR))) AS c
+  FROM u
+), llr AS (
+  SELECT t, c,
+         c * ln({SPRT_P1} / {SPRT_P0}) + (t - c) * ln((1.0 - {SPRT_P1}) / (1.0 - {SPRT_P0})) AS l
+  FROM seq
+)
+SELECT CAST(t AS BIGINT) AS n_seen,
+       CAST(c AS BIGINT) AS n_conv,
+       round(l, 6) AS llr,
+       CASE WHEN l >= ln(19.0) THEN 'accept_h1'
+            WHEN l <= ln(1.0 / 19.0) THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM llr
+WHERE t % 10 = 0 OR l >= ln(19.0) OR l <= ln(1.0 / 19.0)
+""",
+)
+def stats_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test over the conversion
+    stream (H0 p={SPRT_P0} vs H1 p={SPRT_P1}, α=β=0.05): users arrive
+    in a deterministic md5-shuffled order, the Bernoulli log-likelihood
+    ratio accumulates, and the test DECIDES the moment the LLR exits
+    the ln(19) corridor — the always-valid early-stopping design that
+    fixed-horizon tests (`stats_two_proportion_ztest`) can't offer
+    without peeking penalties (Wald '45). The cumulative sums are one
+    ordered window over user-cardinality rows; emitted rows are every
+    10th step plus every boundary crossing, so the output traces the
+    decision path without materializing every step. The md5 arrival
+    order makes the whole trajectory replayable on both engines."""
+    from pyspark.sql import Window
+
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") >= 150), 1)
+            .otherwise(0)
+        ).alias("conv")
+    )
+    order = F.md5(F.col("user_id").cast("string"))
+    w = Window.orderBy(order)
+    seq = u.select(
+        "conv",
+        F.row_number().over(w).alias("t"),
+        F.sum("conv").over(w).alias("c"),
+    )
+    l = F.col("c") * math.log(SPRT_P1 / SPRT_P0) + (F.col("t") - F.col("c")) * math.log(
+        (1.0 - SPRT_P1) / (1.0 - SPRT_P0)
+    )
+    hi, lo = math.log(19.0), math.log(1.0 / 19.0)
+    llr = seq.select(
+        F.col("t").cast("bigint").alias("n_seen"),
+        F.col("c").cast("bigint").alias("n_conv"),
+        F.round(l, 6).alias("llr"),
+        F.when(l >= hi, "accept_h1")
+        .when(l <= lo, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )
+    return llr.filter(
+        (F.col("n_seen") % 10 == 0)
+        | (F.col("decision") != "continue")
+    )

@@ -122,7 +122,14 @@ def _load_all() -> None:
 # signature near-dup, MR patterns, DPP, exact-median/CUSUM/Theil-Sen/
 # bootstrap, k-anonymity, vocab coverage, mixture materialization,
 # streaming IVM + Python stream source, EXECUTE IMMEDIATE/collation,
-# binaryFile manifest, M4).
+# binaryFile manifest, M4, and the session-2 batch: clustering
+# coefficient / random walks / Heaps' law / aspect+modality bucketing /
+# MLM masking / weighted percentiles / correlation matrix / z-test +
+# SRM + power + CUPED / KV prefix+TTL / erasure cascade / zonemap
+# skipping / business-day lag / matrix multiply / KWIC / RLHF pairs /
+# context-window + padding audits / PMI collocations / transpose +
+# LISTAGG + IDENTIFIER + lateral aliases / Python writer sink /
+# streaming CDC apply — all local-gate green, none driver-tested yet).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # --- semantics changed this round (tie-order pin) — re-verify ---
     "events_session_window",

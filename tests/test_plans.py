@@ -430,3 +430,19 @@ def test_aspect_bucket_single_exchange_no_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "multimodal_aspect_bucket")
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2  # formatted output: tree + detail
+
+
+def test_mlm_masking_zero_exchange(spark, sf_dir):
+    """MLM masking is a pure projection: no Exchange anywhere in the
+    plan — the scan cost IS the operator."""
+    plan = _plan(spark, sf_dir, "pipeline_mlm_masking")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_matrix_multiply_partial_agg(spark, sf_dir):
+    """The (i,j) sum must run map-side partial aggregation (two
+    HashAggregate passes around the final exchange)."""
+    plan = _plan(spark, sf_dir, "mr_matrix_multiply")
+    assert plan.count("HashAggregate") >= 4  # partial+final for A-build and C-sum
+    assert "CartesianProduct" not in plan

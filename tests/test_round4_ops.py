@@ -1001,3 +1001,45 @@ def test_padding_waste_sorted_never_worse(spark, sf_dir):
     for r in out.values():
         assert 0.0 <= r["waste_pct"] < 1.0
         assert r["pad_tokens"] < r["batch_cells"]
+
+
+def test_em_f1_drops_only_semantics(spark, sf_dir):
+    out = all_queries()["eval_em_f1_scoring"].fn(spark, sf_dir).collect()
+    assert out
+    import math
+
+    for r in out:
+        assert r["n_pred"] <= r["n_gold"]
+        if r["exact_match"]:
+            assert r["n_pred"] == r["n_gold"]
+            assert r["token_f1"] == 1.0
+        # drops-only ⇒ precision 1 ⇒ F1 == 2|p|/(|g|+|p|). Compare
+        # unrounded with half-ulp-of-4dp tolerance: Python round() is
+        # half-even while Spark/DuckDB round half-up (0.78125 → .7812
+        # vs .7813), so recomputing the rounding here would flap.
+        want = 2.0 * r["n_pred"] / (r["n_gold"] + r["n_pred"])
+        assert abs(r["token_f1"] - want) <= 5.0e-5
+    em_rate = sum(r["exact_match"] for r in out) / len(out)
+    assert em_rate < 0.5  # 20% drops make exact matches rare
+
+
+def test_sprt_llr_recurrence_and_decision(spark, sf_dir):
+    import math
+
+    out = sorted(
+        all_queries()["stats_sprt_sequential"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["n_seen"],
+    )
+    assert out
+    for r in out:
+        want = r["n_conv"] * math.log(0.5 / 0.4) + (
+            r["n_seen"] - r["n_conv"]
+        ) * math.log(0.5 / 0.6)
+        assert abs(r["llr"] - round(want, 6)) < 1e-6
+        if r["decision"] == "accept_h1":
+            assert r["llr"] >= math.log(19.0) - 1e-9
+        elif r["decision"] == "accept_h0":
+            assert r["llr"] <= math.log(1 / 19.0) + 1e-9
+    # counts are monotone along the arrival order
+    for a, b in zip(out, out[1:]):
+        assert a["n_conv"] <= b["n_conv"] <= a["n_conv"] + (b["n_seen"] - a["n_seen"])

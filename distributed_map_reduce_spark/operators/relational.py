@@ -1460,3 +1460,42 @@ def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM orders
            GROUP BY o_orderpriority"""
     )
+
+
+@register(
+    "agg_ordered_set_aggs",
+    tags=("agg", "sql"),
+    oracle="""
+SELECT l_returnflag,
+       CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.5) AS DOUBLE) AS p50_disc,
+       round(quantile_cont(CAST(l_quantity AS BIGINT), 0.5), 4) AS p50_cont,
+       CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.9) AS DOUBLE) AS p90_disc,
+       CAST(mode(CAST(l_quantity AS BIGINT)) AS BIGINT) AS modal_qty,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_ordered_set_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO ordered-set aggregates (SQL:2008 surface, native in Spark
+    3.4+): PERCENTILE_DISC — the p-th value ACTUALLY PRESENT in the
+    data (disc never interpolates, so it stays meaningful for discrete
+    domains like latencies-in-ms or quantities) — beside
+    PERCENTILE_CONT and MODE() WITHIN GROUP. Disc picks an exact data
+    value on both engines, so no float interpolation can disagree;
+    mode is hash-checkable here because each flag's modal quantity is
+    UNIQUE in the fixture (`agg_mode_per_group` is the tie-broken form
+    for general data). One sort-based aggregate pass per group."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """SELECT l_returnflag,
+                  percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS p50_disc,
+                  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)), 4) AS p50_cont,
+                  percentile_disc(0.9) WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS p90_disc,
+                  CAST(mode() WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS BIGINT) AS modal_qty,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM lineitem
+           GROUP BY l_returnflag"""
+    )

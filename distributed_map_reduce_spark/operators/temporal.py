@@ -1508,3 +1508,90 @@ def temporal_business_day_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("bd").cast("bigint").alias("max_lag_bd"),
         F.min("bd").cast("bigint").alias("min_lag_bd"),
     )
+
+
+# Allen's interval algebra (Allen, CACM 1983): the 13 basic relations.
+PROMO_LO = "2024-01-10 06:00:00"
+PROMO_HI = "2024-01-10 18:00:00"
+
+
+@register(
+    "temporal_allen_relations",
+    tags=("temporal",),
+    oracle=f"""
+WITH spans AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         epoch_us(min(ts)) AS lo,
+         epoch_us(max(ts)) AS hi
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+  HAVING min(ts) < max(ts)
+), promo AS (
+  SELECT epoch_us(CAST('{PROMO_LO}' AS TIMESTAMP)) AS plo,
+         epoch_us(CAST('{PROMO_HI}' AS TIMESTAMP)) AS phi
+), rel AS (
+  SELECT s.user_id,
+         CASE
+           WHEN s.hi < p.plo THEN 'precedes'
+           WHEN s.hi = p.plo THEN 'meets'
+           WHEN s.lo < p.plo AND s.hi > p.plo AND s.hi < p.phi THEN 'overlaps'
+           WHEN s.lo = p.plo AND s.hi < p.phi THEN 'starts'
+           WHEN s.lo > p.plo AND s.hi < p.phi THEN 'during'
+           WHEN s.lo > p.plo AND s.lo < p.phi AND s.hi = p.phi THEN 'finishes'
+           WHEN s.lo = p.plo AND s.hi = p.phi THEN 'equals'
+           WHEN s.lo < p.plo AND s.hi = p.phi THEN 'finished_by'
+           WHEN s.lo = p.plo AND s.hi > p.phi THEN 'started_by'
+           WHEN s.lo < p.plo AND s.hi > p.phi THEN 'contains'
+           WHEN s.lo > p.plo AND s.lo < p.phi AND s.hi > p.phi THEN 'overlapped_by'
+           WHEN s.lo = p.phi THEN 'met_by'
+           ELSE 'preceded_by'
+         END AS relation
+  FROM spans s CROSS JOIN promo p
+)
+SELECT relation, CAST(count(*) AS BIGINT) AS n_spans
+FROM rel GROUP BY relation
+""",
+)
+def temporal_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval algebra (CACM '83): classify every user-DAY
+    activity span against an intraday promo window into the 13 relations
+    — the vocabulary temporal joins are built from (an interval join's
+    ON clause is a disjunction of these; naming them makes audits like
+    'who was active STRICTLY inside the promo' exact instead of
+    hand-rolled boundary juggling). The CASE ladder tests boundaries in
+    an order that makes the 13 cases mutually exclusive and exhaustive;
+    all comparisons are integer microseconds. One per-user min/max agg
+    + a broadcast 1-row window + a relation rollup. (Spans are
+    per-user-per-day: whole-corpus spans all 'contain' any sub-window —
+    day granularity is what makes every relation reachable.)"""
+    ev = load_table(spark, sf_dir, "events")
+    spans = (
+        ev.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.unix_micros(F.min("ts")).alias("lo"),
+            F.unix_micros(F.max("ts")).alias("hi"),
+        )
+        .filter(F.col("lo") < F.col("hi"))
+    )
+    plo = F.unix_micros(F.lit(PROMO_LO).cast("timestamp"))
+    phi = F.unix_micros(F.lit(PROMO_HI).cast("timestamp"))
+    lo, hi = F.col("lo"), F.col("hi")
+    relation = (
+        F.when(hi < plo, "precedes")
+        .when(hi == plo, "meets")
+        .when((lo < plo) & (hi > plo) & (hi < phi), "overlaps")
+        .when((lo == plo) & (hi < phi), "starts")
+        .when((lo > plo) & (hi < phi), "during")
+        .when((lo > plo) & (lo < phi) & (hi == phi), "finishes")
+        .when((lo == plo) & (hi == phi), "equals")
+        .when((lo < plo) & (hi == phi), "finished_by")
+        .when((lo == plo) & (hi > phi), "started_by")
+        .when((lo < plo) & (hi > phi), "contains")
+        .when((lo > plo) & (lo < phi) & (hi > phi), "overlapped_by")
+        .when(lo == phi, "met_by")
+        .otherwise("preceded_by")
+    )
+    return (
+        spans.select(relation.alias("relation"))
+        .groupBy("relation")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_spans"))
+    )

@@ -482,3 +482,78 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+RF_KEY_OFFSET = 1_000_000_000  # re-key for RF1 inserts, beyond any real key
+RF1_MOD = 1000  # every 1000th order is (re-keyed and) inserted
+RF2_MOD = 777   # every 777th order is deleted
+
+
+@register(
+    "tpch_refresh_functions",
+    tags=("tpch", "cdc"),
+    oracle=f"""
+WITH rf1_o AS (
+  SELECT o_orderkey + {RF_KEY_OFFSET} AS o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % {RF1_MOD} = 0
+), rf1_l AS (
+  SELECT l_orderkey + {RF_KEY_OFFSET} AS l_orderkey, l_quantity, l_extendedprice
+  FROM lineitem WHERE l_orderkey % {RF1_MOD} = 0
+), o2 AS (
+  SELECT * FROM (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                        o_orderdate, o_orderpriority FROM orders
+                 UNION ALL SELECT * FROM rf1_o)
+  WHERE o_orderkey % {RF2_MOD} <> 0
+), l2 AS (
+  SELECT * FROM (SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem
+                 UNION ALL SELECT * FROM rf1_l)
+  WHERE l_orderkey % {RF2_MOD} <> 0
+)
+SELECT o.o_orderstatus,
+       CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS orders_total,
+       CAST(sum(ln.nl) AS BIGINT) AS n_lineitems
+FROM o2 o
+LEFT JOIN (SELECT l_orderkey, count(*) AS nl FROM l2 GROUP BY 1) ln
+  ON ln.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+""",
+)
+def tpch_refresh_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H refresh functions RF1/RF2 (spec §2.27-2.28) — the
+    insert/delete maintenance half of the benchmark that query-only
+    suites skip: RF1 inserts a re-keyed batch of new orders + their
+    lineitems, RF2 deletes a disjoint keyed slice from both tables, and
+    the audit aggregates the post-refresh state per order status. Both
+    refreshes are pure relational algebra — RF1 is unionByName, RF2 an
+    anti-predicate (at 100 TB: a MERGE DELETE keyed exactly like
+    `merge_into_upsert`) — so ACID-free parquet still replays them
+    deterministically. Referential integrity is preserved by keying
+    lineitems with the same offset/modulus as their orders."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    o = o.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    rf1_o = o.filter(F.col("o_orderkey") % RF1_MOD == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + RF_KEY_OFFSET
+    )
+    rf1_l = li.filter(F.col("l_orderkey") % RF1_MOD == 0).withColumn(
+        "l_orderkey", F.col("l_orderkey") + RF_KEY_OFFSET
+    )
+    o2 = o.unionByName(rf1_o).filter(F.col("o_orderkey") % RF2_MOD != 0)
+    l2 = li.unionByName(rf1_l).filter(F.col("l_orderkey") % RF2_MOD != 0)
+    per_order = l2.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("nl"))
+    return (
+        o2.join(per_order, o2.o_orderkey == per_order.l_orderkey, "left")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count_distinct(F.col("o_orderkey")).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("orders_total"),
+            F.sum("nl").cast("bigint").alias("n_lineitems"),
+        )
+    )

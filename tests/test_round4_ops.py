@@ -1043,3 +1043,68 @@ def test_sprt_llr_recurrence_and_decision(spark, sf_dir):
     # counts are monotone along the arrival order
     for a, b in zip(out, out[1:]):
         assert a["n_conv"] <= b["n_conv"] <= a["n_conv"] + (b["n_seen"] - a["n_seen"])
+
+
+def test_ordered_set_aggs_disc_is_data_value(spark, sf_dir):
+    out = all_queries()["agg_ordered_set_aggs"].fn(spark, sf_dir).collect()
+    assert len(out) == 3
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    from pyspark.sql import functions as F
+
+    per_flag = {
+        flag: {
+            r[0]
+            for r in li.filter(F.col("l_returnflag") == flag)
+            .select(F.col("l_quantity").cast("bigint"))
+            .distinct()
+            .collect()
+        }
+        for flag in ("A", "N", "R")
+    }
+    for r in out:
+        dom = per_flag[r["l_returnflag"]]
+        # disc percentiles are actual data values; cont may interpolate
+        assert int(r["p50_disc"]) in dom and r["p50_disc"] == int(r["p50_disc"])
+        assert int(r["p90_disc"]) in dom
+        assert r["p50_disc"] <= r["p90_disc"]
+        assert r["modal_qty"] in dom
+
+
+def test_allen_relations_partition_spans(spark, sf_dir):
+    out = all_queries()["temporal_allen_relations"].fn(spark, sf_dir).collect()
+    rels = {r["relation"] for r in out}
+    legal = {
+        "precedes", "meets", "overlaps", "starts", "during", "finishes",
+        "equals", "finished_by", "started_by", "contains", "overlapped_by",
+        "met_by", "preceded_by",
+    }
+    assert rels <= legal
+    assert len(rels) >= 4  # day-granular spans hit a diverse relation mix
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_spans = (
+        ev.groupBy("user_id", F.col("ts").cast("date"))
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .filter(F.col("lo") < F.col("hi"))
+        .count()
+    )
+    assert sum(r["n_spans"] for r in out) == n_spans  # exhaustive partition
+
+
+def test_refresh_functions_counts(spark, sf_dir):
+    out = all_queries()["tpch_refresh_functions"].fn(spark, sf_dir).collect()
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = o.count()
+    rf1 = o.filter(F.col("o_orderkey") % 1000 == 0).count()
+    # post-refresh order count = base + inserts - deletes (deletes hit
+    # both original and the re-keyed inserts via the same modulus)
+    o2 = base + rf1
+    deleted = (
+        o.filter(F.col("o_orderkey") % 777 == 0).count()
+        + o.filter((F.col("o_orderkey") % 1000 == 0)
+                   & ((F.col("o_orderkey") + 1_000_000_000) % 777 == 0)).count()
+    )
+    assert sum(r["n_orders"] for r in out) == o2 - deleted

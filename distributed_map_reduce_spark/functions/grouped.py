@@ -217,3 +217,75 @@ def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT doc_id, g.* FROM udtf_dyn_in, LATERAL leading_words(text, 3) AS g"
     )
+
+
+@register(
+    "udtf_table_argument",
+    tags=("udf", "sql"),
+    oracle="""
+WITH seg AS (
+  SELECT c_mktsegment,
+         count(*) AS n,
+         CAST(round(sum(c_acctbal) * 100) AS BIGINT) AS bal_cents,
+         CAST(min(c_custkey) AS BIGINT) AS first_key,
+         CAST(max(c_custkey) AS BIGINT) AS last_key
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
+       round(bal_cents / 100.0, 2) AS total_bal,
+       first_key, last_key
+FROM seg
+""",
+)
+def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a TABLE(...) argument (Spark 4): the function
+    consumes a whole relation, re-partitioned by `PARTITION BY
+    c_mktsegment ORDER BY c_custkey`, and its terminate() emits one
+    summary row per partition — the table-function form of a custom
+    aggregate, with the engine (not the UDTF) doing the shuffle and
+    the in-partition sort. State is O(1) per partition (count, cent
+    sum, first/last key), accumulated streamingly over the Arrow rows
+    — the shape that survives a 100 TB partition. Balances accumulate
+    as exact integer cents so no float-order question arises; the
+    ORDER BY makes first/last deterministic."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=(
+        "c_mktsegment string, n bigint, total_bal double, "
+        "first_key bigint, last_key bigint"
+    ))
+    class SegmentSummary:
+        def __init__(self):
+            self.seg = None
+            self.n = 0
+            self.cents = 0
+            self.first = None
+            self.last = None
+
+        def eval(self, row):
+            self.seg = row["c_mktsegment"]
+            self.n += 1
+            self.cents += round(row["c_acctbal"] * 100)
+            if self.first is None:
+                self.first = row["c_custkey"]
+            self.last = row["c_custkey"]
+
+        def terminate(self):
+            if self.n:
+                yield (
+                    self.seg,
+                    self.n,
+                    self.cents / 100.0,
+                    self.first,
+                    self.last,
+                )
+
+    spark.udtf.register("segment_summary", SegmentSummary)
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """SELECT * FROM segment_summary(
+             TABLE(SELECT c_mktsegment, c_custkey, c_acctbal FROM customer)
+             PARTITION BY c_mktsegment ORDER BY c_custkey)"""
+    )

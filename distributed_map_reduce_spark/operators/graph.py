@@ -989,3 +989,63 @@ def graph_random_walk_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in range(2, RW_STEPS + 1):
         out = out.join(hops[s - 1], "seed")
     return out
+
+
+@register(
+    "graph_adamic_adar",
+    tags=("graph", "similarity"),
+    oracle=f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), deg AS (
+  SELECT a AS node, count(*) AS d FROM edges GROUP BY a
+), wedge AS (
+  SELECT e1.a AS u, e2.a AS v, e1.b AS z
+  FROM edges e1 JOIN edges e2 ON e1.b = e2.b AND e1.a < e2.a
+)
+SELECT w.u, w.v,
+       CAST(count(*) AS BIGINT) AS common_neighbors,
+       round(sum(1.0 / ln(dz.d)) , 6) AS adamic_adar
+FROM wedge w JOIN deg dz ON dz.node = w.z
+WHERE dz.d >= 2
+GROUP BY w.u, w.v
+""",
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the near-dup graph: candidate
+    pair score = Σ_z 1/ln(deg(z)) over common neighbors z — rare shared
+    neighbors count MORE than hub neighbors, which is exactly the
+    refinement plain common-neighbor counting (`graph_jaccard_neighbors`)
+    lacks (Adamic & Adar '03; the LSH reading: a shared low-degree
+    neighbor is a discriminative band collision, a shared hub is a
+    template family). Same wedge join as the Jaccard variant plus one
+    broadcastable degree lookup on the WEDGE CENTER; degree-1 centers
+    are excluded (ln 1 = 0 would divide by zero — and a leaf can't be
+    a common neighbor anyway). Float posture: each term is 1/ln of an
+    exact integer, summed per pair then rounded 6dp — term counts per
+    pair are tiny, both engines sum the same few doubles."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+    deg = edges.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    e1 = edges.select(F.col("a").alias("u"), F.col("b").alias("z1"))
+    e2 = edges.select(F.col("a").alias("v"), F.col("b").alias("z2"))
+    wedge = e1.join(e2, (F.col("z1") == F.col("z2")) & (F.col("u") < F.col("v"))).select(
+        "u", "v", F.col("z1").alias("z")
+    )
+    dz = deg.select(F.col("node").alias("z"), F.col("d").alias("dz"))
+    return (
+        wedge.join(dz, "z")
+        .filter(F.col("dz") >= 2)
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+            F.round(F.sum(1.0 / F.log(F.col("dz"))), 6).alias("adamic_adar"),
+        )
+    )

@@ -1499,3 +1499,83 @@ def agg_ordered_set_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM lineitem
            GROUP BY l_returnflag"""
     )
+
+
+@register(
+    "analytics_mrr_movements",
+    tags=("analytics", "reporting"),
+    oracle="""
+WITH monthly AS (
+  SELECT o_custkey AS cust,
+         CAST(year(o_orderdate) * 12 + (month(o_orderdate) - 1) AS BIGINT) AS m,
+         CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+), months AS (
+  SELECT DISTINCT m FROM monthly
+), custs AS (
+  SELECT DISTINCT cust FROM monthly
+), grid AS (
+  SELECT c.cust, mo.m, coalesce(x.cents, 0) AS cents
+  FROM custs c CROSS JOIN months mo
+  LEFT JOIN monthly x ON x.cust = c.cust AND x.m = mo.m
+), moved AS (
+  SELECT cust, m, cents,
+         lag(cents) OVER (PARTITION BY cust ORDER BY m) AS prev
+  FROM grid
+)
+SELECT m AS month_idx,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND prev = 0 AND cents > 0 THEN cents ELSE 0 END) AS BIGINT) AS new_cents,
+       CAST(sum(CASE WHEN prev > 0 AND cents > prev THEN cents - prev ELSE 0 END) AS BIGINT) AS expansion_cents,
+       CAST(sum(CASE WHEN prev > 0 AND cents > 0 AND cents < prev THEN prev - cents ELSE 0 END) AS BIGINT) AS contraction_cents,
+       CAST(sum(CASE WHEN prev > 0 AND cents = 0 THEN prev ELSE 0 END) AS BIGINT) AS churned_cents,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(count(*) FILTER (WHERE cents > 0) AS BIGINT) AS active_custs
+FROM moved
+WHERE prev IS NOT NULL
+GROUP BY m
+""",
+)
+def analytics_mrr_movements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recurring-revenue movement waterfall: per month, how much revenue
+    was NEW (customer inactive → active), EXPANSION (spend up), 
+    CONTRACTION (down), CHURNED (active → zero) — the SaaS board slide,
+    which needs DENSE calendarization first (a churned month has no
+    order row, so the customer×month grid is cross-joined in and
+    zero-filled before the lag compare; without the grid, churn is
+    systematically invisible). Money stays integer cents. Scale shape:
+    the grid is |customers|×|months| — months is a tiny broadcast spine,
+    so the grid join is a broadcast nested loop over the customer list,
+    then one (cust) window and one month rollup."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_custkey").alias("cust"),
+        (F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1))
+        .cast("bigint")
+        .alias("m"),
+    ).agg(F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("cents"))
+    months = monthly.select("m").distinct()
+    custs = monthly.select("cust").distinct()
+    grid = (
+        custs.crossJoin(F.broadcast(months))
+        .join(monthly, ["cust", "m"], "left")
+        .withColumn("cents", F.coalesce(F.col("cents"), F.lit(0)))
+    )
+    w = Window.partitionBy("cust").orderBy("m")
+    moved = grid.withColumn("prev", F.lag("cents").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    cents, prev = F.col("cents"), F.col("prev")
+    return moved.groupBy(F.col("m").alias("month_idx")).agg(
+        F.sum(F.when((prev == 0) & (cents > 0), cents).otherwise(0))
+        .cast("bigint").alias("new_cents"),
+        F.sum(F.when((prev > 0) & (cents > prev), cents - prev).otherwise(0))
+        .cast("bigint").alias("expansion_cents"),
+        F.sum(F.when((prev > 0) & (cents > 0) & (cents < prev), prev - cents).otherwise(0))
+        .cast("bigint").alias("contraction_cents"),
+        F.sum(F.when((prev > 0) & (cents == 0), prev).otherwise(0))
+        .cast("bigint").alias("churned_cents"),
+        F.sum(cents).cast("bigint").alias("total_cents"),
+        F.count(F.when(cents > 0, 1)).cast("bigint").alias("active_custs"),
+    )

@@ -2455,3 +2455,76 @@ def stats_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_seen") % 10 == 0)
         | (F.col("decision") != "continue")
     )
+
+
+@register(
+    "stats_mann_kendall",
+    tags=("stats", "temporal"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(round(sum(value) * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), pairs AS (
+  SELECT CASE WHEN b.cents > a.cents THEN 1
+              WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sgn
+  FROM daily a JOIN daily b ON b.day > a.day
+), agg AS (
+  SELECT CAST(sum(sgn) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n
+  FROM pairs
+)
+SELECT s, n_pairs, n,
+       round((n * (n - 1.0) * (2.0 * n + 5.0)) / 18.0, 4) AS var_s,
+       round(CASE WHEN s > 0 THEN (s - 1) / sqrt((n * (n - 1.0) * (2.0 * n + 5.0)) / 18.0)
+                  WHEN s < 0 THEN (s + 1) / sqrt((n * (n - 1.0) * (2.0 * n + 5.0)) / 18.0)
+                  ELSE 0.0 END, 4) AS z_mk
+FROM agg
+""",
+)
+def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on daily purchase revenue: S = Σ
+    sign(x_j − x_i) over all ordered day pairs, normal-approximated
+    with the continuity correction — the NONPARAMETRIC companion to
+    `stats_theil_sen_trend` (Theil-Sen estimates the slope; MK tests
+    whether a monotone trend exists at all, immune to outliers and
+    any monotone transform of the series — Mann '45, Kendall '75;
+    no-ties variance since integer-cents daily sums collide with
+    probability ~0, and the fixture has none). The pair join runs over
+    DAY-cardinality rows — 30 days = 435 pairs — never events; signs
+    are exact integer comparisons, and only the final z touches
+    floats (identical expression tree both engines, 4dp)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.round(F.sum("value") * 100).cast("bigint").alias("cents"))
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("cents").alias("ca"))
+    b = daily.select(F.col("day").alias("db"), F.col("cents").alias("cb"))
+    sgn = (
+        F.when(F.col("cb") > F.col("ca"), 1)
+        .when(F.col("cb") < F.col("ca"), -1)
+        .otherwise(0)
+    )
+    pairs = a.join(b, F.col("db") > F.col("da")).select(sgn.alias("sgn"))
+    n_days = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    agg = pairs.agg(
+        F.sum("sgn").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    ).crossJoin(F.broadcast(n_days))
+    n = F.col("n")
+    var_s = (n * (n - 1.0) * (2.0 * n + 5.0)) / 18.0
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var_s))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var_s))
+        .otherwise(0.0)
+    )
+    return agg.select(
+        "s",
+        "n_pairs",
+        "n",
+        F.round(var_s, 4).alias("var_s"),
+        F.round(z, 4).alias("z_mk"),
+    )

@@ -611,3 +611,48 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", F.round(med, 6).alias("med7")
     )
+
+
+@register(
+    "window_rolling_regression",
+    tags=("window", "stats", "temporal"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(epoch(CAST(ts AS DATE)) AS BIGINT) // 86400 AS x,
+         CAST(round(sum(value) * 100) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT day,
+       CAST(cents AS BIGINT) AS cents,
+       CAST(count(*) OVER w AS BIGINT) AS n_window,
+       round(regr_slope(cents, x) OVER w, 4) AS slope_7d,
+       round(regr_r2(cents, x) OVER w, 4) AS r2_7d
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+)
+def window_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day OLS over the daily revenue series: regression
+    AGGREGATES AS WINDOW FUNCTIONS (regr_slope/regr_r2 OVER a ROWS
+    frame) — the trend-of-the-moment view a monitoring dashboard draws,
+    where `stats_theil_sen_trend` fits once globally. x is integer
+    epoch-days and y integer cents, so each 7-point fit consumes exact
+    integers; both engines accumulate the same ≤7 values per frame
+    (4dp rounding absorbs summation-order ulps). Day-cardinality
+    input: the unpartitioned ORDER BY is a single-partition frame over
+    ~30 rows here and ~thousands at any horizon — the series length,
+    never the event count (at billions of days you'd partition by
+    series id, which is the `window_cumsum_scalable` rewrite)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.round(F.sum("value") * 100).cast("bigint").alias("cents")
+    ).withColumn("x", F.unix_date(F.col("day")).cast("bigint"))
+    w = W.orderBy("day").rowsBetween(-6, W.currentRow)
+    return daily.select(
+        "day",
+        F.col("cents").cast("bigint").alias("cents"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_window"),
+        F.round(F.regr_slope("cents", "x").over(w), 4).alias("slope_7d"),
+        F.round(F.regr_r2("cents", "x").over(w), 4).alias("r2_7d"),
+    )

@@ -1156,3 +1156,64 @@ def test_session_cap_bounds_duration(spark, sf_dir):
         if r["sub_session"] > 0:
             split_sessions.add((r["user_id"], r["session_id"]))
     assert split_sessions  # the cap path genuinely triggers on the fixture
+
+
+def test_mrr_waterfall_reconciles(spark, sf_dir):
+    """Month-over-month identity: total(m) = total(m-1) + new +
+    expansion - contraction - churned, for every consecutive pair."""
+    from pyspark.sql import functions as F
+
+    out = sorted(
+        all_queries()["analytics_mrr_movements"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["month_idx"],
+    )
+    assert out
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    monthly_total = {
+        r["m"]: r["c"]
+        for r in o.groupBy(
+            (F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1)).alias("m")
+        )
+        .agg(F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("c"))
+        .collect()
+    }
+    for r in out:
+        assert r["total_cents"] == monthly_total.get(r["month_idx"], 0)
+        prev_total = monthly_total.get(r["month_idx"] - 1, 0)
+        delta = r["new_cents"] + r["expansion_cents"] - r["contraction_cents"] - r["churned_cents"]
+        assert r["total_cents"] == prev_total + delta
+
+
+def test_mann_kendall_agrees_with_brute(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    r = all_queries()["stats_mann_kendall"].fn(spark, sf_dir).collect()[0]
+    daily = sorted(
+        (x["day"], x["c"])
+        for x in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.round(F.sum("value") * 100).cast("bigint").alias("c"))
+        .collect()
+    )
+    vals = [c for _, c in daily]
+    s = sum(
+        (1 if b > a else -1 if b < a else 0)
+        for i, a in enumerate(vals)
+        for b in vals[i + 1:]
+    )
+    assert r["s"] == s
+    assert r["n"] == len(vals)
+    assert r["n_pairs"] == len(vals) * (len(vals) - 1) // 2
+
+
+def test_rolling_regression_window_sizes(spark, sf_dir):
+    out = sorted(
+        all_queries()["window_rolling_regression"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert out
+    for i, r in enumerate(out):
+        assert r["n_window"] == min(i + 1, 7)
+        if r["r2_7d"] is not None:
+            assert -1e-9 <= r["r2_7d"] <= 1.0 + 1e-9

@@ -605,3 +605,73 @@ def multimodal_modality_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("majority_share"),
     )
+
+
+# Caption-pair curation thresholds: tokens-per-megapixel band (LAION-
+# style image-text filtering, decoders stubbed — dims from md5 coins).
+CAPTION_MIN_TOK_PER_MPX = 8.0
+CAPTION_MAX_TOK = 4096
+
+
+@register(
+    "multimodal_caption_filter",
+    tags=("multimodal", "pipeline", "quality"),
+    oracle=f"""
+WITH pairs AS (
+  SELECT doc_id,
+         64 * (4 + CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) % 13) AS w,
+         64 * (4 + CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 2) AS BIGINT) % 13) AS h,
+         len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS n_tok
+  FROM documents
+), scored AS (
+  SELECT doc_id, w, h, n_tok,
+         n_tok * 1000000.0 / (w * h) AS tok_per_mpx,
+         CASE WHEN n_tok * 1000000.0 / (w * h) >= {CAPTION_MIN_TOK_PER_MPX}
+               AND n_tok <= {CAPTION_MAX_TOK} THEN 1 ELSE 0 END AS keep
+  FROM pairs
+)
+SELECT CAST(w * h AS BIGINT) AS area_px,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(keep) AS BIGINT) AS n_kept,
+       round(sum(keep) * 1.0 / count(*), 4) AS kept_rate,
+       round(min(tok_per_mpx), 4) AS min_density,
+       round(max(tok_per_mpx), 4) AS max_density
+FROM scored
+GROUP BY w * h
+""",
+)
+def multimodal_caption_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text pair curation (the LAION/DataComp caption filter
+    family, sans CLIP): keep pairs whose caption DENSITY — tokens per
+    megapixel — clears a floor, dropping big images with threadbare
+    alt-text (the dominant web-crawl failure mode) and absurdly long
+    captions. Dims come from the md5-coin metadata (no decoders in the
+    container; production reads the extractor's width/height columns),
+    captions are the documents' text. Pure projection + one hash agg
+    keyed by area; density is one exact division of exact integers per
+    row. Reports per-area keep rates so the threshold's bite is
+    inspectable before committing the filter corpus-wide."""
+    docs = load_table(spark, sf_dir, "documents")
+    hh = F.md5(F.col("doc_id").cast("string"))
+    w = 64 * (4 + F.conv(F.substring(hh, 1, 2), 16, 10).cast("bigint") % 13)
+    h = 64 * (4 + F.conv(F.substring(hh, 3, 2), 16, 10).cast("bigint") % 13)
+    n_tok = F.size(F.filter(F.split(F.lower("text"), " "), lambda t: t != ""))
+    scored = docs.select(
+        (w * h).cast("bigint").alias("area_px"),
+        n_tok.alias("n_tok"),
+        (n_tok * 1_000_000.0 / (w * h)).alias("tok_per_mpx"),
+    ).withColumn(
+        "keep",
+        F.when(
+            (F.col("tok_per_mpx") >= CAPTION_MIN_TOK_PER_MPX)
+            & (F.col("n_tok") <= CAPTION_MAX_TOK),
+            1,
+        ).otherwise(0),
+    )
+    return scored.groupBy("area_px").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("keep").cast("bigint").alias("n_kept"),
+        F.round(F.sum("keep") * 1.0 / F.count(F.lit(1)), 4).alias("kept_rate"),
+        F.round(F.min("tok_per_mpx"), 4).alias("min_density"),
+        F.round(F.max("tok_per_mpx"), 4).alias("max_density"),
+    )

@@ -623,3 +623,55 @@ def profile_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag.cast("bigint").alias("lag_us"),
         F.when(lag > 86_400_000_000, 1).otherwise(0).alias("stale"),
     )
+
+
+@register(
+    "profile_join_fanout",
+    tags=("profiling", "joins"),
+    oracle="""
+WITH o_side AS (
+  SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1
+), l_side AS (
+  SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1
+)
+SELECT 'customer->orders' AS fk_edge,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(c) AS BIGINT) AS max_fanout,
+       round(avg(c), 4) AS avg_fanout,
+       CAST(sum(CASE WHEN c > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_keys
+FROM o_side
+UNION ALL
+SELECT 'orders->lineitem',
+       CAST(count(*) AS BIGINT),
+       CAST(max(c) AS BIGINT),
+       round(avg(c), 4),
+       CAST(sum(CASE WHEN c > 50 THEN 1 ELSE 0 END) AS BIGINT)
+FROM l_side
+""",
+)
+def profile_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join fan-out triage: per FK edge, the key-multiplicity profile
+    (max / avg fan-out, hot-key count) that predicts row explosion and
+    shuffle skew BEFORE a join runs — the number a planner's ndv stats
+    approximate and an engineer checks when a join output is 100x its
+    inputs. max_fanout bounds the worst key's output contribution;
+    n_hot_keys > 0 is the cue to salt (`join_salted_skew`) or AQE-skew
+    the join. One count aggregate per edge over ids."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def edge(df, key, name):
+        side = df.groupBy(F.col(key).alias("k")).agg(F.count(F.lit(1)).alias("c"))
+        return side.agg(
+            F.lit(name).alias("fk_edge"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.max("c").cast("bigint").alias("max_fanout"),
+            F.round(F.avg("c"), 4).alias("avg_fanout"),
+            F.sum(F.when(F.col("c") > 50, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hot_keys"),
+        )
+
+    return edge(o, "o_custkey", "customer->orders").unionByName(
+        edge(li, "l_orderkey", "orders->lineitem")
+    )

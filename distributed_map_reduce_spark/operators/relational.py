@@ -1579,3 +1579,45 @@ def analytics_mrr_movements(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).cast("bigint").alias("total_cents"),
         F.count(F.when(cents > 0, 1)).cast("bigint").alias("active_custs"),
     )
+
+
+@register(
+    "agg_grouping_id",
+    tags=("agg", "sql"),
+    oracle="""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING()/grouping-id disambiguation for ROLLUP levels: a NULL
+    in a rollup row is ambiguous (is it the subtotal level, or a NULL
+    data value?) — GROUPING() answers authoritatively, and the packed
+    gid = g(status)·2 + g(priority) names the level (0=leaf,
+    1=status subtotal, 3=grand total). The COALESCE relabeling is safe
+    here exactly BECAUSE gid is also emitted — consumers group on gid,
+    not on the sentinel string. Same single-pass Expand as plain
+    rollup; one extra virtual column."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
+            .cast("bigint")
+            .alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n",
+            "total",
+        )
+    )

@@ -1217,3 +1217,41 @@ def test_rolling_regression_window_sizes(spark, sf_dir):
         assert r["n_window"] == min(i + 1, 7)
         if r["r2_7d"] is not None:
             assert -1e-9 <= r["r2_7d"] <= 1.0 + 1e-9
+
+
+def test_grouping_id_levels(spark, sf_dir):
+    out = all_queries()["agg_grouping_id"].fn(spark, sf_dir).collect()
+    by_gid = {}
+    for r in out:
+        by_gid.setdefault(r["gid"], []).append(r)
+    assert set(by_gid) == {0, 1, 3}
+    assert len(by_gid[3]) == 1  # grand total
+    total = by_gid[3][0]["n"]
+    assert sum(r["n"] for r in by_gid[1]) == total
+    assert sum(r["n"] for r in by_gid[0]) == total
+    for r in by_gid[1]:
+        assert r["priority"] == "ALL" and r["status"] != "ALL"
+
+
+def test_caption_filter_partitions_and_density(spark, sf_dir):
+    out = all_queries()["multimodal_caption_filter"].fn(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r["n_pairs"] for r in out) == docs.count()
+    for r in out:
+        assert 0 <= r["n_kept"] <= r["n_pairs"]
+        assert r["min_density"] <= r["max_density"]
+        # kept_rate must be consistent with the density bounds: if even
+        # the max density is below the floor, nothing can be kept
+        if r["max_density"] < 8.0:
+            assert r["n_kept"] == 0
+
+
+def test_join_fanout_matches_direct_counts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    out = {r["fk_edge"]: r for r in all_queries()["profile_join_fanout"].fn(spark, sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    per_order = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("c"))
+    mx = per_order.agg(F.max("c")).collect()[0][0]
+    assert out["orders->lineitem"]["max_fanout"] == mx
+    assert out["orders->lineitem"]["n_keys"] == per_order.count()

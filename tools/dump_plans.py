@@ -143,6 +143,27 @@ EXTRA = [
     "profile_freshness_audit",
     "agg_listagg_within_group",
     "stats_correlation_matrix",
+    "sink_python_datasource_writer",
+    "stream_cdc_apply_changes",
+    "udtf_table_argument",
+    "eval_em_f1_scoring",
+    "stats_cuped_adjustment",
+    "stats_sprt_sequential",
+    "pipeline_rlhf_pair_construction",
+    "pipeline_padding_waste_audit",
+    "text_pmi_collocations",
+    "temporal_allen_relations",
+    "events_session_capped",
+    "graph_adamic_adar",
+    "analytics_mrr_movements",
+    "stats_mann_kendall",
+    "window_rolling_regression",
+    "agg_grouping_id",
+    "multimodal_caption_filter",
+    "profile_join_fanout",
+    "tpch_refresh_functions",
+    "agg_ordered_set_aggs",
+    "sql_lateral_column_alias",
 ]
 
 

@@ -1247,3 +1247,149 @@ def ann_lsh_adaptive_planes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", "cos_sim", "rnk")
         .withColumn("n_planes", F.lit(n_planes).cast("int"))
     )
+
+
+DISAGREE_COS = 0.30  # similarity floor for a pair to count as "near"
+
+
+@register(
+    "pipeline_label_disagreement",
+    tags=("similarity", "pipeline", "quality"),
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     b AS (SELECT vec_id, label, v, {_bucket_sql('v')} AS bucket FROM e),
+     pairs AS (
+       SELECT a.vec_id AS vec_a, a.label AS label_a,
+              n.vec_id AS vec_b, n.label AS label_b,
+              round(list_cosine_similarity(a.v, n.v), 6) AS cos_sim
+       FROM b a JOIN b n ON a.bucket = n.bucket AND a.vec_id < n.vec_id
+     )
+SELECT label_a, label_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(*) FILTER (WHERE cos_sim >= {DISAGREE_COS}) AS BIGINT) AS n_near,
+       CAST(count(*) FILTER (WHERE cos_sim >= {DISAGREE_COS} AND label_a <> label_b) AS BIGINT)
+           AS n_disagree
+FROM pairs
+GROUP BY label_a, label_b
+""",
+)
+def pipeline_label_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise triage (the Confident-Learning / cleanlab intuition,
+    geometry-only form): embedding pairs that are NEAR each other but
+    carry DIFFERENT labels are each other's noise candidates — a high
+    n_disagree cell between two labels means their boundary is mislabeled
+    or genuinely ambiguous, and those examples are the first ones a
+    relabeling pass should read. Candidate pairs come from the same
+    hyperplane-LSH buckets as `similarity_knn_join` (never all-pairs);
+    the output is a label×label contingency of near-pair disagreement.
+    At 100 TB the pair stream stays ids+labels+one double."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    from ..functions.vectors import norm
+
+    b = e.withColumn("bucket", lsh_bucket(F.col("v"))).withColumn(
+        "nrm", norm(F.col("v"))
+    )
+    a = b.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"),
+        F.col("v").alias("v_a"), F.col("nrm").alias("n_a"), "bucket",
+    )
+    n = b.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
+        F.col("v").alias("v_b"), F.col("nrm").alias("n_b"), "bucket",
+    )
+    pairs = (
+        a.join(n, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    near = F.col("cos_sim") >= DISAGREE_COS
+    return pairs.groupBy("label_a", "label_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.count(F.when(near, 1)).cast("bigint").alias("n_near"),
+        F.count(F.when(near & (F.col("label_a") != F.col("label_b")), 1))
+        .cast("bigint")
+        .alias("n_disagree"),
+    )
+
+
+@register(
+    "similarity_nearest_centroid_eval",
+    tags=("similarity", "eval"),
+    oracle="""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     train AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+     test AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+     cdims AS (
+       SELECT label AS c_label, dim, avg(v[dim]) AS c
+       FROM train, unnest(range(1, len(v) + 1)) AS t(dim)
+       GROUP BY label, dim
+     ),
+     cents AS (
+       SELECT c_label, list(c ORDER BY dim) AS cv FROM cdims GROUP BY c_label
+     ),
+     scored AS (
+       SELECT t.vec_id, t.label AS true_label, c.c_label AS pred_label,
+              row_number() OVER (
+                PARTITION BY t.vec_id
+                ORDER BY round(list_distance(t.v, c.cv), 6), c.c_label
+              ) AS rn
+       FROM test t CROSS JOIN cents c
+     )
+SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n
+FROM scored WHERE rn = 1
+GROUP BY true_label, pred_label
+""",
+)
+def similarity_nearest_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification eval on a parity
+    train/test split: per-label centroids from the even vectors, every
+    odd vector classified to its nearest centroid, confusion matrix
+    out — the 5-minute baseline any embedding-quality audit runs before
+    training a real probe. The centroid build is the `ann_ivf_centroids`
+    posexplode aggregate on the train half; scoring is a broadcast
+    cross-join against 10 centroid rows with the distance rounded to
+    6dp BEFORE the argmin rank (same float posture as
+    `ann_kmeans_assign` — the rounding makes the comparison key
+    identical across engines; label breaks residual ties)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    train = e.filter(F.col("vec_id") % 2 == 0)
+    test = e.filter(F.col("vec_id") % 2 == 1)
+    cdims = (
+        train.select("label", F.posexplode("v").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.avg("val").alias("c"))
+    )
+    cents = cdims.groupBy(F.col("label").alias("c_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    d = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        6,
+    )
+    w = W.partitionBy("vec_id").orderBy(d.asc(), F.col("c_label"))
+    scored = (
+        test.crossJoin(F.broadcast(cents))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return scored.groupBy(
+        F.col("label").alias("true_label"), F.col("c_label").alias("pred_label")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))

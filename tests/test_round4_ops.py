@@ -1255,3 +1255,26 @@ def test_join_fanout_matches_direct_counts(spark, sf_dir):
     mx = per_order.agg(F.max("c")).collect()[0][0]
     assert out["orders->lineitem"]["max_fanout"] == mx
     assert out["orders->lineitem"]["n_keys"] == per_order.count()
+
+
+def test_label_disagreement_contingency(spark, sf_dir):
+    out = all_queries()["pipeline_label_disagreement"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert 0 <= r["n_near"] <= r["n_pairs"]
+        assert 0 <= r["n_disagree"] <= r["n_near"]
+        if r["label_a"] == r["label_b"]:
+            assert r["n_disagree"] == 0  # same-label cells cannot disagree
+    assert any(r["n_disagree"] > 0 for r in out)  # fixture has noisy neighbors
+
+
+def test_nearest_centroid_confusion_covers_test_set(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    out = all_queries()["similarity_nearest_centroid_eval"].fn(spark, sf_dir).collect()
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_test = e.filter(F.col("vec_id") % 2 == 1).count()
+    assert sum(r["n"] for r in out) == n_test  # every test vector classified once
+    # diagonal mass exists: the classifier beats chance on clustered data
+    diag = sum(r["n"] for r in out if r["true_label"] == r["pred_label"])
+    assert diag / n_test > 1.0 / 10

@@ -1371,3 +1371,59 @@ def eval_em_f1_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token_f1"),
         )
     )
+
+
+CONV_MAX_TURNS = 16  # SFT context cap, in turns
+
+
+@register(
+    "pipeline_conversation_assembly",
+    tags=("pipeline", "training"),
+    oracle=f"""
+WITH turns AS (
+  SELECT user_id,
+         list(event_type ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(seq) AS BIGINT) AS n_turns_raw,
+       CAST(least(len(seq), {CONV_MAX_TURNS}) AS BIGINT) AS n_turns_kept,
+       CASE WHEN len(seq) > {CONV_MAX_TURNS} THEN 1 ELSE 0 END AS truncated,
+       array_to_string(seq[1:{CONV_MAX_TURNS}], '>') AS dialog,
+       seq[1] AS first_turn,
+       seq[least(len(seq), {CONV_MAX_TURNS})] AS last_kept_turn
+FROM turns
+""",
+)
+def pipeline_conversation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation assembly for SFT-style training data: each user's
+    event stream becomes one ordered dialog record, truncated at
+    {CONV_MAX_TURNS} turns with the truncation flagged (the per-example
+    form chat fine-tuning datasets ship in — here event types stand in
+    for utterances; the shape, ordering and truncation mechanics are
+    the real pipeline). Ordering rides `sort_array` over (ts, event_id,
+    turn) structs — deterministic under the pinned tie rule, computed
+    inside the aggregate without a separate window pass — and the
+    per-user collect is bounded by the turn cap at the OUTPUT (state
+    during the aggregate is the user's event count; a production run
+    pre-truncates with a windowed rank when single users can exceed
+    memory). One hash agg keyed by user."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = F.transform(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", F.col("event_type").alias("t")))
+        ),
+        lambda s: s["t"],
+    )
+    turns = ev.groupBy("user_id").agg(seq.alias("seq"))
+    n = F.size("seq")
+    kept = F.least(n, F.lit(CONV_MAX_TURNS))
+    return turns.select(
+        "user_id",
+        n.cast("bigint").alias("n_turns_raw"),
+        kept.cast("bigint").alias("n_turns_kept"),
+        F.when(n > CONV_MAX_TURNS, 1).otherwise(0).alias("truncated"),
+        F.array_join(F.slice("seq", 1, CONV_MAX_TURNS), ">").alias("dialog"),
+        F.element_at("seq", 1).alias("first_turn"),
+        F.element_at("seq", kept).alias("last_kept_turn"),
+    )

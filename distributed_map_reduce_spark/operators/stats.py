@@ -2528,3 +2528,70 @@ def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var_s, 4).alias("var_s"),
         F.round(z, 4).alias("z_mk"),
     )
+
+
+RFM_SPLIT_DATE = "1995-01-01"  # period 1 strictly before, period 2 from here
+
+
+@register(
+    "stats_rfm_migration",
+    tags=("stats", "analytics"),
+    oracle=f"""
+WITH p1 AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS m
+  FROM orders WHERE o_orderdate < CAST('{RFM_SPLIT_DATE}' AS DATE) GROUP BY 1
+), p2 AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS m
+  FROM orders WHERE o_orderdate >= CAST('{RFM_SPLIT_DATE}' AS DATE) GROUP BY 1
+), s1 AS (
+  SELECT o_custkey, ntile(5) OVER (ORDER BY m, o_custkey) AS q FROM p1
+), s2 AS (
+  SELECT o_custkey, ntile(5) OVER (ORDER BY m, o_custkey) AS q FROM p2
+), joined AS (
+  SELECT coalesce(s1.o_custkey, s2.o_custkey) AS cust,
+         coalesce(s1.q, 0) AS q1, coalesce(s2.q, 0) AS q2
+  FROM s1 FULL OUTER JOIN s2 ON s2.o_custkey = s1.o_custkey
+)
+SELECT CAST(q1 AS INT) AS m_before, CAST(q2 AS INT) AS m_after,
+       CAST(count(*) AS BIGINT) AS n_custs
+FROM joined GROUP BY q1, q2
+""",
+)
+def stats_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-segment migration matrix: each customer's monetary quintile
+    BEFORE vs AFTER the split date (0 = absent that period), counted per
+    transition cell — the CRM view that turns static RFM
+    (`stats_rfm_segmentation`) into a flow: mass above the diagonal is
+    upgrades, below is decay, row 0 is acquisition and column 0 is
+    churn. Two customer-cardinality aggregates + per-period ntile
+    (tie-broken by custkey) + one full-outer join on customer; the
+    matrix is ≤36 cells whatever the corpus size."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    split = F.lit(RFM_SPLIT_DATE).cast("date")
+
+    def scored(df, cond):
+        per = (
+            df.filter(cond)
+            .groupBy("o_custkey")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("m"))
+        )
+        return per.select(
+            "o_custkey",
+            F.ntile(5).over(Window.orderBy("m", "o_custkey")).alias("q"),
+        )
+
+    s1 = scored(o, F.col("o_orderdate") < split).select(
+        F.col("o_custkey").alias("c1"), F.col("q").alias("q1")
+    )
+    s2 = scored(o, F.col("o_orderdate") >= split).select(
+        F.col("o_custkey").alias("c2"), F.col("q").alias("q2")
+    )
+    joined = s1.join(s2, s1.c1 == s2.c2, "full_outer").select(
+        F.coalesce(F.col("q1"), F.lit(0)).cast("int").alias("m_before"),
+        F.coalesce(F.col("q2"), F.lit(0)).cast("int").alias("m_after"),
+    )
+    return joined.groupBy("m_before", "m_after").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_custs")
+    )

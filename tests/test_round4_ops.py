@@ -1284,3 +1284,36 @@ def test_nearest_centroid_confusion_covers_test_set(spark, sf_dir):
     # geometrically clustered (sf0.001 diagonal is ~7%, near the 10%
     # chance line), and the operator's contract is the confusion matrix,
     # not a quality bar.
+
+
+def test_conversation_assembly_order_and_truncation(spark, sf_dir):
+    out = all_queries()["pipeline_conversation_assembly"].fn(spark, sf_dir).collect()
+    assert out
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append((r["ts"], r["event_id"], r["event_type"]))
+    for r in out:
+        seq = [t for _, _, t in sorted(by_user[r["user_id"]])]
+        assert r["n_turns_raw"] == len(seq)
+        assert r["dialog"] == ">".join(seq[:16])
+        assert r["truncated"] == (1 if len(seq) > 16 else 0)
+        assert r["first_turn"] == seq[0]
+        assert r["last_kept_turn"] == seq[: 16][-1]
+
+
+def test_rfm_migration_mass_conserved(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    out = all_queries()["stats_rfm_migration"].fn(spark, sf_dir).collect()
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    all_custs = o.select("o_custkey").distinct().count()
+    assert sum(r["n_custs"] for r in out) == all_custs
+    # quintiles are near-equal in each period among active customers
+    p1_active = (
+        o.filter(F.col("o_orderdate") < F.lit("1995-01-01").cast("date"))
+        .select("o_custkey").distinct().count()
+    )
+    p1_cells = [r for r in out if r["m_before"] > 0]
+    assert sum(r["n_custs"] for r in p1_cells) == p1_active
+    assert all(0 <= r["m_before"] <= 5 and 0 <= r["m_after"] <= 5 for r in out)

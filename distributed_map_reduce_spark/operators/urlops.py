@@ -1,0 +1,127 @@
+"""URL canonicalization — the first dedup pass of a web-corpus pipeline
+(strip tracking params / fragments, lowercase host) run BEFORE any
+content hashing. The fixtures carry no URL column, so crawl-style
+variants are synthesized per page identity; the pass provably collapses
+them back. Pure regexp scan → one hash agg on the canonical string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+@register(
+    "pipeline_url_canonical_dedup",
+    tags=("pipeline", "dedup", "text"),
+    oracle=r"""
+WITH urls AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'https://' || source || '.Example.COM/docs/' || lang
+                       || '?utm_source=feed&id=' || CAST(doc_id // 4 AS VARCHAR)
+           WHEN 1 THEN 'https://' || source || '.example.com/docs/' || lang
+                       || '/?id=' || CAST(doc_id // 4 AS VARCHAR) || '#frag'
+           WHEN 2 THEN 'https://' || source || '.example.com/docs/' || lang
+                       || '?id=' || CAST(doc_id // 4 AS VARCHAR) || '&utm_campaign=x&fbclid=abc'
+           ELSE        'https://' || source || '.example.com/docs/' || lang
+                       || '?id=' || CAST(doc_id // 4 AS VARCHAR)
+         END AS url
+  FROM documents
+), c1 AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(url, '#.*$', ''),
+                 '[?&](utm_[a-z]+|fbclid|gclid)=[^&]*', '', 'g'),
+               '\?&', '?'),
+             '[?&]$', ''),
+           '/\?', '?') AS u1
+  FROM urls
+), c2 AS (
+  SELECT doc_id, u1,
+         regexp_extract(u1, '^(https?://)', 1) AS scheme,
+         regexp_extract(u1, '^https?://([^/?#]+)', 1) AS host_raw
+  FROM c1
+), canon AS (
+  SELECT doc_id,
+         scheme || lower(host_raw)
+                || substr(u1, length(scheme) + length(host_raw) + 1) AS canonical
+  FROM c2
+)
+SELECT canonical,
+       CAST(count(*) AS BIGINT) AS n_raw_urls,
+       CAST(min(doc_id) AS BIGINT) AS keeper_doc
+FROM canon
+GROUP BY canonical
+HAVING count(*) > 1
+""",
+)
+def pipeline_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the first dedup pass every web
+    corpus runs, BEFORE any content hashing: strip fragments and
+    tracking parameters (utm_*, fbclid, gclid), lowercase the host,
+    normalize the trailing-slash-before-query form, then group by the
+    canonical URL (keeper = min doc_id). Four crawl-style raw variants
+    are synthesized per page identity (doc_id // 4 — the fixtures carry
+    no URL column), so the pass provably collapses them 4:1. Zero
+    shuffle before the final hash agg on the canonical string; at
+    100 TB the canonical column is what the crawl frontier and content
+    store both key on. Regexes are RE2-and-Java-safe (character classes
+    and anchors only); the host splice is substring arithmetic, not a
+    backreference, so both engines rebuild the identical string."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = F.concat(F.col("source"), F.lit(".example.com/docs/"), F.col("lang"))
+    idp = F.floor(F.col("doc_id") / 4).cast("bigint").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("https://"), F.col("source"),
+                     F.lit(".Example.COM/docs/"), F.col("lang"),
+                     F.lit("?utm_source=feed&id="), idp),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("https://"), base, F.lit("/?id="), idp, F.lit("#frag")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://"), base, F.lit("?id="), idp,
+                     F.lit("&utm_campaign=x&fbclid=abc")),
+        )
+        .otherwise(F.concat(F.lit("https://"), base, F.lit("?id="), idp))
+    )
+    u1 = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(url, r"#.*$", ""),
+                    r"[?&](utm_[a-z]+|fbclid|gclid)=[^&]*", ""),
+                r"\?&", "?"),
+            r"[?&]$", ""),
+        r"/\?", "?")
+    c2 = docs.select(
+        "doc_id",
+        u1.alias("u1"),
+        F.regexp_extract(u1, r"^(https?://)", 1).alias("scheme"),
+        F.regexp_extract(u1, r"^https?://([^/?#]+)", 1).alias("host_raw"),
+    )
+    canonical = F.concat(
+        F.col("scheme"),
+        F.lower(F.col("host_raw")),
+        F.expr("substring(u1, length(scheme) + length(host_raw) + 1)"),
+    )
+    return (
+        c2.select("doc_id", canonical.alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_raw_urls"),
+            F.min("doc_id").cast("bigint").alias("keeper_doc"),
+        )
+        .filter(F.col("n_raw_urls") > 1)
+    )

@@ -85,6 +85,7 @@ def _load_all() -> None:
         privacy,
         profiling,
         semistructured,
+        urlops,
     )
     from .functions import grouped, udfs  # noqa: F401
     from .plans import kv_queries, mr_queries  # noqa: F401

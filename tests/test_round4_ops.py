@@ -1317,3 +1317,20 @@ def test_rfm_migration_mass_conserved(spark, sf_dir):
     p1_cells = [r for r in out if r["m_before"] > 0]
     assert sum(r["n_custs"] for r in p1_cells) == p1_active
     assert all(0 <= r["m_before"] <= 5 and 0 <= r["m_after"] <= 5 for r in out)
+
+
+def test_url_canonical_collapses_variants(spark, sf_dir):
+    out = all_queries()["pipeline_url_canonical_dedup"].fn(spark, sf_dir).collect()
+    assert out
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    for r in out:
+        url = r["canonical"]
+        # canonical invariants: no fragments, no tracking params, host lowered
+        assert "#" not in url
+        assert "utm_" not in url and "fbclid" not in url and "gclid" not in url
+        host = url.split("://")[1].split("/")[0]
+        assert host == host.lower()
+        assert 2 <= r["n_raw_urls"] <= 4
+    # most page identities had >= 2 surviving variants collapse
+    assert sum(r["n_raw_urls"] for r in out) > 0.5 * n_docs

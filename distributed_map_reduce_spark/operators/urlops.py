@@ -19,18 +19,25 @@ from ..sources import load_table
     tags=("pipeline", "dedup", "text"),
     oracle=r"""
 WITH urls AS (
+  -- page identity derives ONLY from doc_id // 4, so each group of four
+  -- consecutive doc_ids is four raw spellings of one page
+  SELECT doc_id,
+         'site' || CAST((doc_id // 4) % 7 AS VARCHAR) AS sub,
+         'p' || CAST(doc_id // 4 AS VARCHAR) AS page
+  FROM documents
+), raw AS (
   SELECT doc_id,
          CASE doc_id % 4
-           WHEN 0 THEN 'https://' || source || '.Example.COM/docs/' || lang
-                       || '?utm_source=feed&id=' || CAST(doc_id // 4 AS VARCHAR)
-           WHEN 1 THEN 'https://' || source || '.example.com/docs/' || lang
-                       || '/?id=' || CAST(doc_id // 4 AS VARCHAR) || '#frag'
-           WHEN 2 THEN 'https://' || source || '.example.com/docs/' || lang
-                       || '?id=' || CAST(doc_id // 4 AS VARCHAR) || '&utm_campaign=x&fbclid=abc'
-           ELSE        'https://' || source || '.example.com/docs/' || lang
-                       || '?id=' || CAST(doc_id // 4 AS VARCHAR)
+           WHEN 0 THEN 'https://' || sub || '.Example.COM/docs/' || page
+                       || '?utm_source=feed&id=' || page
+           WHEN 1 THEN 'https://' || sub || '.example.com/docs/' || page
+                       || '/?id=' || page || '#frag'
+           WHEN 2 THEN 'https://' || sub || '.example.com/docs/' || page
+                       || '?id=' || page || '&utm_campaign=x&fbclid=abc'
+           ELSE        'https://' || sub || '.example.com/docs/' || page
+                       || '?id=' || page
          END AS url
-  FROM documents
+  FROM urls
 ), c1 AS (
   SELECT doc_id,
          regexp_replace(
@@ -42,7 +49,7 @@ WITH urls AS (
                '\?&', '?'),
              '[?&]$', ''),
            '/\?', '?') AS u1
-  FROM urls
+  FROM raw
 ), c2 AS (
   SELECT doc_id, u1,
          regexp_extract(u1, '^(https?://)', 1) AS scheme,
@@ -76,13 +83,17 @@ def pipeline_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and anchors only); the host splice is substring arithmetic, not a
     backreference, so both engines rebuild the identical string."""
     docs = load_table(spark, sf_dir, "documents")
-    base = F.concat(F.col("source"), F.lit(".example.com/docs/"), F.col("lang"))
-    idp = F.floor(F.col("doc_id") / 4).cast("bigint").cast("string")
+    page = F.concat(F.lit("p"), F.floor(F.col("doc_id") / 4).cast("bigint").cast("string"))
+    sub = F.concat(
+        F.lit("site"), (F.floor(F.col("doc_id") / 4) % 7).cast("bigint").cast("string")
+    )
+    base = F.concat(sub, F.lit(".example.com/docs/"), page)
+    idp = page
     url = (
         F.when(
             F.col("doc_id") % 4 == 0,
-            F.concat(F.lit("https://"), F.col("source"),
-                     F.lit(".Example.COM/docs/"), F.col("lang"),
+            F.concat(F.lit("https://"), sub,
+                     F.lit(".Example.COM/docs/"), page,
                      F.lit("?utm_source=feed&id="), idp),
         )
         .when(

@@ -1049,3 +1049,92 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(1.0 / F.log(F.col("dz"))), 6).alias("adamic_adar"),
         )
     )
+
+
+HITS_QTY_MIN = 45  # same co-purchase sparsifier as the triangle family
+
+
+@register(
+    "graph_hits_bipartite",
+    tags=("graph", "iterative"),
+    oracle=f"""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS hub, l.l_suppkey AS auth
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_quantity >= {HITS_QTY_MIN}
+), a1 AS (
+  SELECT auth, CAST(count(*) AS DOUBLE) AS s FROM edges GROUP BY auth
+), a1n AS (
+  SELECT auth, s / (SELECT sum(s) FROM a1) AS a FROM a1
+), h1 AS (
+  SELECT e.hub, sum(a.a) AS s FROM edges e JOIN a1n a ON a.auth = e.auth GROUP BY e.hub
+), h1n AS (
+  SELECT hub, s / (SELECT sum(s) FROM h1) AS h FROM h1
+), a2 AS (
+  SELECT e.auth, sum(h.h) AS s FROM edges e JOIN h1n h ON h.hub = e.hub GROUP BY e.auth
+), a2n AS (
+  SELECT auth, s / (SELECT sum(s) FROM a2) AS a FROM a2
+), h2 AS (
+  SELECT e.hub, sum(a.a) AS s FROM edges e JOIN a2n a ON a.auth = e.auth GROUP BY e.hub
+), h2n AS (
+  SELECT hub, s / (SELECT sum(s) FROM h2) AS h FROM h2
+)
+SELECT 'hub' AS side, CAST(hub AS BIGINT) AS node, round(h, 9) AS score FROM h2n
+UNION ALL
+SELECT 'authority', CAST(auth AS BIGINT), round(a, 9) FROM a2n
+""",
+)
+def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg '99), two L1-normalized iterations over the
+    customer→supplier co-purchase bipartite graph: authorities are
+    suppliers bought by well-connected customers, hubs are customers
+    buying from authoritative suppliers — the mutual-reinforcement
+    ranking PageRank's single score can't express on a bipartite
+    structure. Each half-step is one edge join + sum aggregate; the L1
+    normalizations are 1-row broadcast divisors (no driver math). The
+    oracle unrolls identical stages; 9dp rounding sits far above the
+    ~1e-15 sum-order drift (the `graph_pagerank` float posture)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_quantity") >= HITS_QTY_MIN)
+        .select(F.col("o_custkey").alias("hub"), F.col("l_suppkey").alias("auth"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def l1_normalize(df, key, col):
+        tot = df.agg(F.sum(col).alias("_t"))
+        return df.crossJoin(F.broadcast(tot)).select(
+            key, (F.col(col) / F.col("_t")).alias(col)
+        )
+
+    # Staged exactly like the oracle's CTE unroll: a1 → h1 → a2 → h2.
+    a1 = l1_normalize(
+        edges.groupBy("auth").agg(F.count(F.lit(1)).cast("double").alias("s")),
+        "auth", "s",
+    ).withColumnRenamed("s", "a")
+    h1 = l1_normalize(
+        edges.join(a1, "auth").groupBy("hub").agg(F.sum("a").alias("s")),
+        "hub", "s",
+    ).withColumnRenamed("s", "h")
+    a2 = l1_normalize(
+        edges.join(h1, "hub").groupBy("auth").agg(F.sum("h").alias("s")),
+        "auth", "s",
+    ).withColumnRenamed("s", "a")
+    h2 = l1_normalize(
+        edges.join(a2, "auth").groupBy("hub").agg(F.sum("a").alias("s")),
+        "hub", "s",
+    ).withColumnRenamed("s", "h")
+    hubs = h2.select(
+        F.lit("hub").alias("side"),
+        F.col("hub").cast("bigint").alias("node"),
+        F.round("h", 9).alias("score"),
+    )
+    auths = a2.select(
+        F.lit("authority").alias("side"),
+        F.col("auth").cast("bigint").alias("node"),
+        F.round("a", 9).alias("score"),
+    )
+    return hubs.unionByName(auths)

@@ -2595,3 +2595,110 @@ def stats_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("m_before", "m_after").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_custs")
     )
+
+
+@register(
+    "stats_kaplan_meier",
+    tags=("stats", "temporal"),
+    oracle="""
+WITH purchases AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id
+  FROM events WHERE event_type = 'purchase'
+), seq AS (
+  SELECT user_id, day,
+         lead(day) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM purchases
+), horizon AS (
+  SELECT max(day) AS h FROM purchases
+), subjects AS (
+  SELECT CASE WHEN nxt IS NOT NULL THEN date_diff('day', day, nxt) + 1
+              ELSE date_diff('day', day, (SELECT h FROM horizon)) + 1 END AS t,
+         CASE WHEN nxt IS NOT NULL THEN 0 ELSE 1 END AS censored
+  FROM seq
+), at_t AS (
+  SELECT t,
+         CAST(count(*) AS BIGINT) AS n_ending,
+         CAST(sum(1 - censored) AS BIGINT) AS d
+  FROM subjects GROUP BY t
+), risk AS (
+  SELECT t, d, n_ending,
+         CAST((SELECT count(*) FROM subjects) AS BIGINT)
+           - CAST(coalesce(sum(n_ending) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS n_risk
+  FROM at_t
+)
+SELECT CAST(t AS BIGINT) AS t_days,
+       n_risk,
+       d AS n_deaths,
+       CASE WHEN min(1.0 - d * 1.0 / n_risk)
+                 OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 0
+            THEN 0.0
+            ELSE round(exp(sum(ln(CASE WHEN d < n_risk THEN 1.0 - d * 1.0 / n_risk ELSE 1.0 END))
+                           OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6) END AS survival
+FROM risk
+WHERE d > 0
+""",
+)
+def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival on purchase-to-repurchase time WITH
+    right-censoring: each purchase is a subject whose event is the
+    user's NEXT purchase; a user's final purchase has no successor
+    inside the observation window, so it is censored at the horizon —
+    and ignoring that is the classic repurchase-curve bias (censored
+    subjects leave the risk set without counting as deaths; Kaplan &
+    Meier '58; subjects are gaps, not users, because the synthetic
+    users never churn — every lifetime reaches the horizon). S(t) =
+    Π (1 − dᵢ/nᵢ) over event times, computed as exp(Σ ln(·)) with the
+    SAME formula text on both engines (neither has a product aggregate
+    the other matches; the exp∘sum∘ln spelling gives both the identical
+    float path, 6dp). Risk sets come from one cumulative window over
+    DURATION-cardinality rows — days, not events."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("date").alias("day"), "ts", "event_id"
+    )
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = purchases.withColumn("nxt", F.lead("day").over(wseq))
+    horizon = purchases.agg(F.max("day").alias("h"))
+    subjects = seq.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("nxt").isNotNull(), F.datediff("nxt", "day") + 1
+        ).otherwise(F.datediff("h", "day") + 1).alias("t"),
+        F.when(F.col("nxt").isNotNull(), 0).otherwise(1).alias("censored"),
+    )
+    at_t = subjects.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ending"),
+        F.sum(1 - F.col("censored")).cast("bigint").alias("d"),
+    )
+    total = subjects.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        at_t.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("_n") - F.coalesce(F.sum("n_ending").over(wcum), F.lit(0)),
+        )
+    )
+    wsurv = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    factor = 1.0 - F.col("d") * 1.0 / F.col("n_risk")
+    # guard the S(t)=0 tail (d == n_risk): ln(0) is an error in DuckDB
+    # and -inf in Spark — both sides special-case it to an exact 0.0
+    safe_ln = F.log(F.when(F.col("d") < F.col("n_risk"), factor).otherwise(F.lit(1.0)))
+    return (
+        risk.withColumn(
+            "survival",
+            F.when(F.min(factor).over(wsurv) == 0, F.lit(0.0)).otherwise(
+                F.round(F.exp(F.sum(safe_ln).over(wsurv)), 6)
+            ),
+        )
+        .filter(F.col("d") > 0)
+        .select(
+            F.col("t").cast("bigint").alias("t_days"),
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            F.col("d").alias("n_deaths"),
+            "survival",
+        )
+    )

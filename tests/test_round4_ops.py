@@ -1334,3 +1334,29 @@ def test_url_canonical_collapses_variants(spark, sf_dir):
         assert 2 <= r["n_raw_urls"] <= 4
     # most page identities had >= 2 surviving variants collapse
     assert sum(r["n_raw_urls"] for r in out) > 0.5 * n_docs
+
+
+def test_hits_scores_normalized_and_positive(spark, sf_dir):
+    out = all_queries()["graph_hits_bipartite"].fn(spark, sf_dir).collect()
+    hubs = [r for r in out if r["side"] == "hub"]
+    auths = [r for r in out if r["side"] == "authority"]
+    assert hubs and auths
+    for rows in (hubs, auths):
+        assert all(r["score"] > 0 for r in rows)
+        assert abs(sum(r["score"] for r in rows) - 1.0) < 1e-4  # L1 normalized
+
+
+def test_kaplan_meier_monotone_and_bounded(spark, sf_dir):
+    out = sorted(
+        all_queries()["stats_kaplan_meier"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["t_days"],
+    )
+    assert out
+    prev_s, prev_risk = 1.0 + 1e-12, None
+    for r in out:
+        assert 0.0 <= r["survival"] <= 1.0
+        assert r["survival"] <= prev_s + 1e-9  # S(t) non-increasing
+        assert 1 <= r["n_deaths"] <= r["n_risk"]
+        if prev_risk is not None:
+            assert r["n_risk"] <= prev_risk  # risk set shrinks over time
+        prev_s, prev_risk = r["survival"], r["n_risk"]

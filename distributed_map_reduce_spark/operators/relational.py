@@ -1621,3 +1621,40 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
+
+
+@register(
+    "sql_row_level_security",
+    tags=("sql", "privacy"),
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2) AS total
+FROM orders
+WHERE o_custkey % 10 = 3
+""",
+)
+def sql_row_level_security(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level security via a session variable + secured view: the
+    tenant claim lives in a SQL session variable, the VIEW bakes the
+    predicate `o_custkey % 10 = current tenant`, and consumers query
+    only the view — the RLS pattern warehouses (and Spark's
+    fine-grained-access layers) implement, expressed in pure engine
+    surfaces (DECLARE VARIABLE + CREATE TEMPORARY VIEW). The predicate
+    reaches the scan through the view, so tenant isolation is also
+    partition/row-group pruning when data is laid out by tenant — RLS
+    and I/O pruning are the same mechanism here. The oracle is the
+    statically-filtered query the view must be indistinguishable
+    from."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE dmrs_tenant INT")
+    spark.sql("SET VAR dmrs_tenant = 3")
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW orders_rls AS
+           SELECT * FROM orders WHERE o_custkey % 10 = dmrs_tenant"""
+    )
+    return spark.sql(
+        """SELECT o_orderkey, o_custkey, o_orderstatus,
+                  round(o_totalprice, 2) AS total
+           FROM orders_rls"""
+    )

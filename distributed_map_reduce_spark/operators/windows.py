@@ -656,3 +656,57 @@ def window_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope("cents", "x").over(w), 4).alias("slope_7d"),
         F.round(F.regr_r2("cents", "x").over(w), 4).alias("r2_7d"),
     )
+
+
+@register(
+    "window_bollinger_bands",
+    tags=("window", "temporal", "stats"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(round(sum(value) * 100) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+)
+SELECT day, cents,
+       CAST(count(*) OVER w AS BIGINT) AS n_window,
+       round(avg(cents) OVER w, 4) AS sma,
+       round(avg(cents) OVER w + 2.0 * coalesce(stddev_samp(cents) OVER w, 0.0), 4) AS band_hi,
+       round(avg(cents) OVER w - 2.0 * coalesce(stddev_samp(cents) OVER w, 0.0), 4) AS band_lo,
+       CASE WHEN cents > avg(cents) OVER w + 2.0 * coalesce(stddev_samp(cents) OVER w, 0.0)
+            THEN 1
+            WHEN cents < avg(cents) OVER w - 2.0 * coalesce(stddev_samp(cents) OVER w, 0.0)
+            THEN -1 ELSE 0 END AS breakout
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+)
+def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands on daily revenue: trailing-7 moving average ±2
+    sample standard deviations, with a breakout flag when the day
+    escapes its own band — the classic volatility-aware alerting rule
+    (a fixed threshold alerts constantly on seasonal series; the band
+    adapts). Same frame as `window_rolling_regression`; the stddev over
+    ≤7 exact-integer cents is the only float, both engines accumulate
+    identical values, 4dp. Day-one's stddev is NULL (n=1) — coalesced
+    to 0 so the band collapses to the point, the same convention
+    monitoring systems use for cold starts."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.round(F.sum("value") * 100).cast("bigint").alias("cents")
+    )
+    w = W.orderBy("day").rowsBetween(-6, W.currentRow)
+    sd = F.coalesce(F.stddev_samp("cents").over(w), F.lit(0.0))
+    sma = F.avg("cents").over(w)
+    hi, lo = sma + 2.0 * sd, sma - 2.0 * sd
+    return daily.select(
+        "day",
+        "cents",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_window"),
+        F.round(sma, 4).alias("sma"),
+        F.round(hi, 4).alias("band_hi"),
+        F.round(lo, 4).alias("band_lo"),
+        F.when(F.col("cents") > hi, 1)
+        .when(F.col("cents") < lo, -1)
+        .otherwise(0)
+        .alias("breakout"),
+    )

@@ -1360,3 +1360,26 @@ def test_kaplan_meier_monotone_and_bounded(spark, sf_dir):
         if prev_risk is not None:
             assert r["n_risk"] <= prev_risk  # risk set shrinks over time
         prev_s, prev_risk = r["survival"], r["n_risk"]
+
+
+def test_bollinger_band_geometry(spark, sf_dir):
+    out = all_queries()["window_bollinger_bands"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r["band_lo"] <= r["sma"] <= r["band_hi"]
+        if r["breakout"] == 1:
+            assert r["cents"] > r["band_hi"]
+        elif r["breakout"] == -1:
+            assert r["cents"] < r["band_lo"]
+        else:
+            assert r["band_lo"] <= r["cents"] <= r["band_hi"]
+
+
+def test_rls_view_isolates_tenant(spark, sf_dir):
+    out = all_queries()["sql_row_level_security"].fn(spark, sf_dir).collect()
+    assert out
+    assert all(r["o_custkey"] % 10 == 3 for r in out)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    from pyspark.sql import functions as F
+
+    assert len(out) == o.filter(F.col("o_custkey") % 10 == 3).count()

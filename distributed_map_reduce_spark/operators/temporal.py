@@ -1595,3 +1595,128 @@ def temporal_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("relation")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_spans"))
     )
+
+
+# Bitemporal knowledge times: what did the warehouse believe on K1 vs K2?
+BT_K1 = "1997-06-01"
+BT_K2 = "2002-01-01"
+BT_CORR_MOD = 50  # every 50th order receives a later price correction
+
+
+@register(
+    "temporal_bitemporal_asof",
+    tags=("temporal", "cdc"),
+    oracle=f"""
+WITH versions AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         o_orderdate AS recorded_at, 0 AS is_corr
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus,
+         ((CAST(round(o_totalprice * 100) AS BIGINT) * 9) // 10) / 100.0,
+         CAST('1998-06-15' AS DATE), 1
+  FROM orders WHERE o_orderkey % {BT_CORR_MOD} = 0
+), known_k1 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderkey
+                            ORDER BY recorded_at DESC, is_corr DESC) AS rn
+  FROM versions WHERE recorded_at <= CAST('{BT_K1}' AS DATE)
+), known_k2 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderkey
+                            ORDER BY recorded_at DESC, is_corr DESC) AS rn
+  FROM versions WHERE recorded_at <= CAST('{BT_K2}' AS DATE)
+)
+SELECT k2.o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders_k2,
+       round(CAST(sum(CAST(round(k2.o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
+           AS total_as_known_k2,
+       round(CAST(sum(CAST(round(coalesce(k1.o_totalprice, 0) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
+           AS total_as_known_k1,
+       CAST(count(*) FILTER (WHERE k1.o_totalprice IS NOT NULL
+                               AND k1.o_totalprice <> k2.o_totalprice) AS BIGINT)
+           AS n_restated
+FROM known_k2 k2
+LEFT JOIN known_k1 k1 ON k1.o_orderkey = k2.o_orderkey AND k1.rn = 1
+WHERE k2.rn = 1
+GROUP BY k2.o_orderstatus
+""",
+)
+def temporal_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of reporting: the same aggregate 'as known at' two
+    knowledge times — every 50th order receives a later −10% price
+    correction (recorded 1998-06-15), so the K2 view restates what the
+    K1 view reported, and the audit quantifies the restatement per
+    status. This is the system-time half of bitemporality that SCD2
+    (`temporal_scd2_history` — valid time) doesn't cover: finance
+    closes books at K1, restates at K2, and must reproduce BOTH
+    (Snodgrass; Kimball's late-arriving-fact pattern). Each knowledge
+    view is one window over the versions union filtered by
+    recorded_at ≤ K — at 100 TB that filter prunes version partitions
+    before the window runs. Ties (same recorded day) break toward the
+    correction via is_corr. The -10% correction itself is integer-cent
+    arithmetic ((cents*9)//10) — round(x*0.9, 2) differed by one cent
+    on one order across engines — and money sums ride integer cents
+    too: the ~3000
+    doubles per status group landed exactly on a cent rounding boundary
+    across engines otherwise."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.col("o_orderdate").alias("recorded_at"), F.lit(0).alias("is_corr"),
+    )
+    corr = (
+        o.filter(F.col("o_orderkey") % BT_CORR_MOD == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            (
+                F.floor(F.round(F.col("o_totalprice") * 100).cast("bigint") * 9 / 10)
+                .cast("bigint")
+                / 100.0
+            ).alias("o_totalprice"),
+            F.lit("1998-06-15").cast("date").alias("recorded_at"),
+            F.lit(1).alias("is_corr"),
+        )
+    )
+    versions = base.unionByName(corr)
+
+    def known(k):
+        w = Window.partitionBy("o_orderkey").orderBy(
+            F.col("recorded_at").desc(), F.col("is_corr").desc()
+        )
+        return (
+            versions.filter(F.col("recorded_at") <= F.lit(k).cast("date"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+
+    k1 = known(BT_K1).select(
+        F.col("o_orderkey").alias("k1_key"), F.col("o_totalprice").alias("k1_total")
+    )
+    k2 = known(BT_K2)
+    joined = k2.join(k1, k2.o_orderkey == k1.k1_key, "left")
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders_k2"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint")
+            / 100.0,
+            2,
+        ).alias("total_as_known_k2"),
+        F.round(
+            F.sum(
+                F.round(F.coalesce(F.col("k1_total"), F.lit(0)) * 100).cast("bigint")
+            ).cast("bigint")
+            / 100.0,
+            2,
+        ).alias("total_as_known_k1"),
+        F.count(
+            F.when(
+                F.col("k1_total").isNotNull()
+                & (F.col("k1_total") != F.col("o_totalprice")),
+                1,
+            )
+        ).cast("bigint").alias("n_restated"),
+    )

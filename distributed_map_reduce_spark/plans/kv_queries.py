@@ -521,3 +521,73 @@ def kv_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
         age.cast("bigint").alias("age_us"),
         F.when(age > TTL_DAYS * 86_400_000_000, 1).otherwise(0).alias("expired"),
     )
+
+
+@register(
+    "kv_cas_conditional_update",
+    tags=("kv", "cdc"),
+    oracle="""
+WITH live AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, event_type AS value
+  FROM (SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events)
+  WHERE rn = 1
+), attempts AS (
+  -- even users: expected == live value (CAS succeeds);
+  -- odd users: expected is a stale guess (CAS conflicts)
+  SELECT l.key,
+         CASE WHEN CAST(l.key AS BIGINT) % 2 = 0 THEN l.value ELSE 'view' END AS expected,
+         'upgraded' AS new_value,
+         l.value AS current_value
+  FROM live l
+), outcome AS (
+  SELECT key,
+         CASE WHEN expected = current_value THEN new_value ELSE current_value END AS value,
+         CASE WHEN expected = current_value THEN 'applied' ELSE 'conflict' END AS cas
+  FROM attempts
+)
+SELECT cas, CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(count(DISTINCT value) AS BIGINT) AS n_distinct_values
+FROM outcome GROUP BY cas
+""",
+)
+def kv_cas_conditional_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compare-and-swap over the LWW store: each attempt carries
+    (key, expected, new); the write applies ONLY where expected equals
+    the live value, otherwise the attempt reports a conflict and the
+    row is untouched — optimistic concurrency, the fourth KV verb after
+    get/put/del (etcd/DynamoDB conditional writes; the reference's
+    unconditional overwrite, `local/store.js:117-133`, cannot express
+    it). Batch-relational form: resolve → join attempts on key → one
+    conditional projection; conflicts cost nothing extra because the
+    decision IS the join output. Even-keyed attempts expect the true
+    value (apply), odd-keyed expect a stale one (conflict), so both
+    paths are exercised deterministically."""
+    ev = load_table(spark, sf_dir, "events")
+    kv = KVTable(
+        ev.select(
+            F.col("user_id").cast("string").alias("key"),
+            F.col("event_type").alias("value"),
+            F.col("event_id").alias("seq"),
+        )
+    )
+    live = kv.resolve().select("key", F.col("value").alias("current_value"))
+    attempts = live.select(
+        "key",
+        F.when(F.col("key").cast("bigint") % 2 == 0, F.col("current_value"))
+        .otherwise(F.lit("view"))
+        .alias("expected"),
+        F.lit("upgraded").alias("new_value"),
+        "current_value",
+    )
+    applied = F.col("expected") == F.col("current_value")
+    outcome = attempts.select(
+        "key",
+        F.when(applied, F.col("new_value")).otherwise(F.col("current_value")).alias("value"),
+        F.when(applied, "applied").otherwise("conflict").alias("cas"),
+    )
+    return outcome.groupBy("cas").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.count_distinct(F.col("value")).cast("bigint").alias("n_distinct_values"),
+    )

@@ -1383,3 +1383,38 @@ def test_rls_view_isolates_tenant(spark, sf_dir):
     from pyspark.sql import functions as F
 
     assert len(out) == o.filter(F.col("o_custkey") % 10 == 3).count()
+
+
+def test_cas_partitions_and_conflicts(spark, sf_dir):
+    out = {r["cas"]: r for r in all_queries()["kv_cas_conditional_update"].fn(spark, sf_dir).collect()}
+    assert set(out) == {"applied", "conflict"}
+    lww = all_queries()["kv_lww_upsert"].fn(spark, sf_dir).collect()
+    evens = sum(1 for r in lww if int(r["key"]) % 2 == 0)
+    odds = len(lww) - evens
+    # every even key applies; odd keys conflict except those whose live
+    # value happens to equal the stale guess 'view'
+    odd_views = sum(1 for r in lww if int(r["key"]) % 2 == 1 and r["value"] == "view")
+    assert out["applied"]["n_keys"] == evens + odd_views
+    assert out["conflict"]["n_keys"] == odds - odd_views
+
+
+def test_bitemporal_restatement_consistency(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    out = all_queries()["temporal_bitemporal_asof"].fn(spark, sf_dir).collect()
+    assert out
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert sum(r["n_orders_k2"] for r in out) == o.count()
+    # restated orders: corrected (key % 50 == 0) AND visible at K1
+    want = o.filter(
+        (F.col("o_orderkey") % 50 == 0)
+        & (F.col("o_orderdate") <= F.lit("1997-06-01").cast("date"))
+    ).count()
+    assert sum(r["n_restated"] for r in out) == want
+    # K2 totals reflect the -10% corrections: strictly less than raw sums
+    raw = {
+        r["o_orderstatus"]: r["t"]
+        for r in o.groupBy("o_orderstatus").agg(F.round(F.sum("o_totalprice"), 2).alias("t")).collect()
+    }
+    for r in out:
+        assert r["total_as_known_k2"] < raw[r["o_orderstatus"]]

@@ -675,3 +675,73 @@ def profile_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edge(o, "o_custkey", "customer->orders").unionByName(
         edge(li, "l_orderkey", "orders->lineitem")
     )
+
+
+@register(
+    "profile_clock_skew_audit",
+    tags=("profiling", "ops", "temporal"),
+    oracle="""
+WITH ingest AS (
+  -- simulated arrival order: md5 jitter shifts each event a few slots
+  -- (buffered producers interleave), so the audit has real inversions
+  SELECT user_id, ts, event_id,
+         event_id * 8 + CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 2) AS BIGINT) % 40
+           AS ingest_seq
+  FROM events
+), seq AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ingest_seq, event_id) AS prev_ts
+  FROM ingest
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (WHERE prev_ts IS NOT NULL AND ts < prev_ts) AS BIGINT)
+           AS n_inversions,
+       CAST(coalesce(max(CASE WHEN prev_ts IS NOT NULL AND ts < prev_ts
+                              THEN epoch_us(prev_ts) - epoch_us(ts) END), 0) AS BIGINT)
+           AS max_skew_us
+FROM seq
+GROUP BY user_id
+HAVING count(*) FILTER (WHERE prev_ts IS NOT NULL AND ts < prev_ts) > 0
+""",
+)
+def profile_clock_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clock-skew / out-of-order telemetry audit: events whose ingestion
+    order (event_id) runs FORWARD while their event time runs BACKWARD
+    are clock drift, retry reordering, or buffered batch flushes — the
+    pathology that silently corrupts every event-time window and
+    sessionization downstream (`events_late_data_audit` measures
+    lateness vs watermark; this measures internal per-producer
+    inversions). The fixture's event_id order IS its ts order, so the
+    arrival sequence is md5-jittered a few slots (buffered producers
+    interleave) — the perturbation every real feed exhibits and the
+    audit exists to catch. One lag window per user ordered by the
+    arrival key, integer-µs skew magnitudes; only offending users emit
+    rows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    jitter = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 2), 16, 10)
+        .cast("bigint") % 40
+    )
+    ingest = ev.withColumn("ingest_seq", F.col("event_id") * 8 + jitter)
+    w = Window.partitionBy("user_id").orderBy("ingest_seq", "event_id")
+    seq = ingest.withColumn("prev_ts", F.lag("ts").over(w))
+    inv = F.col("prev_ts").isNotNull() & (F.col("ts") < F.col("prev_ts"))
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count(F.when(inv, 1)).cast("bigint").alias("n_inversions"),
+            F.coalesce(
+                F.max(
+                    F.when(
+                        inv, F.unix_micros("prev_ts") - F.unix_micros("ts")
+                    )
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("max_skew_us"),
+        )
+        .filter(F.col("n_inversions") > 0)
+    )

@@ -1393,3 +1393,58 @@ def similarity_nearest_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFr
     return scored.groupBy(
         F.col("label").alias("true_label"), F.col("c_label").alias("pred_label")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+@register(
+    "similarity_gram_matrix",
+    tags=("similarity", "stats"),
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     cells AS (
+       SELECT i.dim AS dim_i, j.dim AS dim_j, sum(v[i.dim] * v[j.dim]) AS g
+       FROM e,
+            unnest(range(1, len(v) + 1)) AS i(dim),
+            unnest(range(1, len(v) + 1)) AS j(dim)
+       WHERE i.dim <= j.dim
+       GROUP BY i.dim, j.dim
+)
+SELECT CAST(dim_i AS INT) AS dim_i, CAST(dim_j AS INT) AS dim_j,
+       round(g, 4) AS gram
+FROM cells
+""",
+)
+def similarity_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram matrix XᵀX over the embedding corpus (upper triangle,
+    d(d+1)/2 = 2080 cells at d=64) — the sufficient statistic for exact
+    PCA / linear probing / whitening at any corpus size: the data-sized
+    pass reduces N×d vectors to a d×d summary, and everything
+    downstream (eigendecomposition, probe fit) runs on KB of numbers
+    (the classic 'normal equations' trick). Spark side: posexplode once
+    and self-join per vector? No — one projection builds all d(d+1)/2
+    products per row as an array and explodes it, so the shuffle
+    carries (cell, partial-sum) pairs with map-side combine. Float
+    posture: products summed in engine order, rounded 4dp — drift is
+    ~1e-12 relative on these magnitudes (the regression-agg posture)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        as_double(F.col("embedding")).alias("v")
+    )
+    d = F.size("v")
+    idx = F.sequence(F.lit(1), d)
+    cells = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.sequence(i, d),
+                lambda j: F.struct(
+                    i.cast("int").alias("dim_i"),
+                    j.cast("int").alias("dim_j"),
+                    (F.element_at("v", i) * F.element_at("v", j)).alias("p"),
+                ),
+            ),
+        )
+    )
+    return (
+        e.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.dim_i").alias("dim_i"), F.col("c.dim_j").alias("dim_j"))
+        .agg(F.round(F.sum("c.p"), 4).alias("gram"))
+    )

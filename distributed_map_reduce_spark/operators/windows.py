@@ -710,3 +710,55 @@ def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("breakout"),
     )
+
+
+@register(
+    "window_max_drawdown",
+    tags=("window", "temporal", "analytics"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(round(sum(value) * 100) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+), cum AS (
+  SELECT day, cents,
+         CAST(sum(cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS equity
+  FROM daily
+), dd AS (
+  SELECT day, equity,
+         CAST(max(equity) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak
+  FROM cum
+)
+SELECT day,
+       equity,
+       peak,
+       CAST(peak - equity AS BIGINT) AS drawdown_cents,
+       round((peak - equity) * 1.0 / peak, 6) AS drawdown_frac
+FROM dd
+""",
+)
+def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drawdown curve over cumulative daily revenue: running peak minus
+    current equity, absolute and fractional — THE risk summary for any
+    cumulative series (finance calls it max drawdown; an SLO dashboard
+    calls it worst-burn-since-best). Two stacked cumulative windows
+    (running sum, then running max of it) over day-cardinality rows,
+    all integer cents until the final fraction; the same prefix-scan
+    shape as `window_cumsum_scalable`, whose partitioned rewrite is
+    the 100 TB path if the series ever outgrows one partition."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.round(F.sum("value") * 100).cast("bigint").alias("cents")
+    )
+    wc = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = daily.withColumn("equity", F.sum("cents").over(wc).cast("bigint"))
+    dd = cum.withColumn("peak", F.max("equity").over(wc).cast("bigint"))
+    return dd.select(
+        "day",
+        "equity",
+        "peak",
+        (F.col("peak") - F.col("equity")).cast("bigint").alias("drawdown_cents"),
+        F.round((F.col("peak") - F.col("equity")) * 1.0 / F.col("peak"), 6).alias(
+            "drawdown_frac"
+        ),
+    )

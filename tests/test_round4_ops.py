@@ -1418,3 +1418,45 @@ def test_bitemporal_restatement_consistency(spark, sf_dir):
     }
     for r in out:
         assert r["total_as_known_k2"] < raw[r["o_orderstatus"]]
+
+
+def test_gram_matrix_diagonal_positive_symmetric_source(spark, sf_dir):
+    out = all_queries()["similarity_gram_matrix"].fn(spark, sf_dir).collect()
+    by_cell = {(r["dim_i"], r["dim_j"]): r["gram"] for r in out}
+    dims = {r["dim_i"] for r in out} | {r["dim_j"] for r in out}
+    d = max(dims)
+    assert len(out) == d * (d + 1) // 2  # full upper triangle
+    for i in range(1, d + 1):
+        assert by_cell[(i, i)] >= 0  # diagonal = sum of squares
+    # spot-check one cell against a direct computation
+    import numpy as np
+
+    vecs = np.array(
+        [r["embedding"] for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()],
+        dtype=np.float64,
+    )
+    want = float((vecs[:, 0] * vecs[:, 1]).sum())
+    assert abs(by_cell[(1, 2)] - round(want, 4)) < 1e-2
+
+
+def test_clock_skew_audit_flags_real_inversions(spark, sf_dir):
+    out = all_queries()["profile_clock_skew_audit"].fn(spark, sf_dir).collect()
+    assert out  # the jittered arrival order must produce inversions
+    for r in out:
+        assert r["n_inversions"] >= 1
+        assert r["max_skew_us"] > 0
+        assert r["n_inversions"] < r["n_events"]
+
+
+def test_drawdown_invariants(spark, sf_dir):
+    out = sorted(
+        all_queries()["window_max_drawdown"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert out
+    peak = None
+    for r in out:
+        peak = r["equity"] if peak is None else max(peak, r["equity"])
+        assert r["peak"] == peak
+        assert r["drawdown_cents"] == peak - r["equity"] >= 0
+        assert 0.0 <= r["drawdown_frac"] < 1.0

@@ -130,7 +130,12 @@ def _load_all() -> None:
 # skipping / business-day lag / matrix multiply / KWIC / RLHF pairs /
 # context-window + padding audits / PMI collocations / transpose +
 # LISTAGG + IDENTIFIER + lateral aliases / Python writer sink /
-# streaming CDC apply — all local-gate green, none driver-tested yet).
+# streaming CDC apply — all local-gate green, none driver-tested yet;
+# plus the late session-2 wave: MRR waterfall, Mann-Kendall, rolling
+# regression/Bollinger/drawdown windows, grouping-id, caption filter,
+# join fan-out, label disagreement, nearest-centroid eval, conversation
+# assembly, RFM migration, URL canonical dedup, HITS, Kaplan-Meier,
+# RLS view, CAS verb, bitemporal as-of, Gram matrix, clock-skew audit).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # --- semantics changed this round (tie-order pin) — re-verify ---
     "events_session_window",

@@ -164,6 +164,20 @@ EXTRA = [
     "tpch_refresh_functions",
     "agg_ordered_set_aggs",
     "sql_lateral_column_alias",
+    "pipeline_label_disagreement",
+    "similarity_nearest_centroid_eval",
+    "pipeline_conversation_assembly",
+    "stats_rfm_migration",
+    "pipeline_url_canonical_dedup",
+    "graph_hits_bipartite",
+    "stats_kaplan_meier",
+    "window_bollinger_bands",
+    "sql_row_level_security",
+    "kv_cas_conditional_update",
+    "temporal_bitemporal_asof",
+    "similarity_gram_matrix",
+    "profile_clock_skew_audit",
+    "window_max_drawdown",
 ]
 
 

@@ -2702,3 +2702,69 @@ def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "survival",
         )
     )
+
+
+@register(
+    "stats_cohens_kappa",
+    tags=("stats", "eval"),
+    oracle="""
+WITH scored AS (
+  SELECT doc_id,
+         CASE WHEN n_chars > 500 THEN 1 ELSE 0 END AS rater_a,
+         CASE WHEN len(list_filter(string_split(lower(text), ' '), w -> w <> '')) > 90
+              THEN 1 ELSE 0 END AS rater_b
+  FROM documents
+), cells AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (WHERE rater_a = 1 AND rater_b = 1) AS BIGINT) AS n11,
+         CAST(count(*) FILTER (WHERE rater_a = 1 AND rater_b = 0) AS BIGINT) AS n10,
+         CAST(count(*) FILTER (WHERE rater_a = 0 AND rater_b = 1) AS BIGINT) AS n01,
+         CAST(count(*) FILTER (WHERE rater_a = 0 AND rater_b = 0) AS BIGINT) AS n00
+  FROM scored
+)
+SELECT n, n11, n10, n01, n00,
+       round((n11 + n00) * 1.0 / n, 6) AS p_observed,
+       round(((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+             + ((n01 + n00) * 1.0 / n) * ((n10 + n00) * 1.0 / n), 6) AS p_expected,
+       round(((n11 + n00) * 1.0 / n
+              - (((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+                 + ((n01 + n00) * 1.0 / n) * ((n10 + n00) * 1.0 / n)))
+             / (1.0 - (((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+                       + ((n01 + n00) * 1.0 / n) * ((n10 + n00) * 1.0 / n))), 6) AS kappa
+FROM cells
+""",
+)
+def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two document 'annotators' — a char-length
+    rule and a token-count rule labeling quality — chance-corrected
+    agreement, the metric every labeling/eval pipeline reports instead
+    of raw accuracy (two raters who both say 'good' 90% of the time
+    agree 82% by pure chance; kappa subtracts that floor — Cohen '60).
+    One scan builds the 2×2 contingency as conditional counts, then
+    kappa is a 1-row projection of exact-integer ratios — identical
+    expression tree both engines, 6dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    rater_a = F.when(F.col("n_chars") > 500, 1).otherwise(0)
+    n_tok = F.size(F.filter(F.split(F.lower("text"), " "), lambda w: w != ""))
+    rater_b = F.when(n_tok > 90, 1).otherwise(0)
+    scored = docs.select(rater_a.alias("a"), rater_b.alias("b"))
+    cells = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.when((F.col("a") == 1) & (F.col("b") == 1), 1)).cast("bigint").alias("n11"),
+        F.count(F.when((F.col("a") == 1) & (F.col("b") == 0), 1)).cast("bigint").alias("n10"),
+        F.count(F.when((F.col("a") == 0) & (F.col("b") == 1), 1)).cast("bigint").alias("n01"),
+        F.count(F.when((F.col("a") == 0) & (F.col("b") == 0), 1)).cast("bigint").alias("n00"),
+    )
+    n = F.col("n")
+    po = (F.col("n11") + F.col("n00")) * 1.0 / n
+    pe = ((F.col("n11") + F.col("n10")) * 1.0 / n) * (
+        (F.col("n11") + F.col("n01")) * 1.0 / n
+    ) + ((F.col("n01") + F.col("n00")) * 1.0 / n) * (
+        (F.col("n10") + F.col("n00")) * 1.0 / n
+    )
+    return cells.select(
+        "n", "n11", "n10", "n01", "n00",
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
+    )

@@ -1720,3 +1720,72 @@ def temporal_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("bigint").alias("n_restated"),
     )
+
+
+@register(
+    "temporal_accumulating_snapshot",
+    tags=("temporal", "reporting"),
+    oracle="""
+WITH milestones AS (
+  SELECT o.o_orderkey, o.o_orderstatus, o.o_orderdate,
+         min(l.l_shipdate) AS first_ship,
+         max(l.l_shipdate) AS last_ship,
+         count(l.l_orderkey) AS n_lines
+  FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderstatus, o.o_orderdate
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(*) FILTER (WHERE first_ship IS NULL) AS BIGINT) AS n_unshipped,
+       CAST(sum(CASE WHEN first_ship IS NOT NULL
+                     THEN date_diff('day', CAST(o_orderdate AS DATE), CAST(first_ship AS DATE))
+                     ELSE 0 END) AS BIGINT) AS total_order_to_first_ship_days,
+       CAST(sum(CASE WHEN first_ship IS NOT NULL
+                     THEN date_diff('day', CAST(first_ship AS DATE), CAST(last_ship AS DATE))
+                     ELSE 0 END) AS BIGINT) AS total_ship_span_days,
+       CAST(max(n_lines) AS BIGINT) AS max_lines
+FROM milestones
+GROUP BY o_orderstatus
+""",
+)
+def temporal_accumulating_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulating-snapshot fact (Kimball): one row per order carrying
+    every milestone date it has reached — placed, first shipment, last
+    shipment — plus the lags between them; unreached milestones stay
+    NULL (n_unshipped counts them). This is the third fact-table style
+    next to transaction facts (lineitem itself) and periodic snapshots
+    (`rollup_*`): the pattern for pipeline/fulfillment tracking where
+    each entity's row is UPDATED as milestones land — here derived in
+    one pass as LEFT JOIN + per-order min/max, which is also exactly
+    the backfill that rebuilds the snapshot at 100 TB (the incremental
+    maintenance is `merge_into_upsert` keyed on orderkey). Lag sums in
+    integer days."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ms = (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey", "o_orderstatus", "o_orderdate")
+        .agg(
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+            F.count("l_orderkey").alias("n_lines"),
+        )
+    )
+    shipped = F.col("first_ship").isNotNull()
+    return ms.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.count(F.when(~shipped, 1)).cast("bigint").alias("n_unshipped"),
+        F.sum(
+            F.when(
+                shipped,
+                F.datediff(F.col("first_ship").cast("date"), F.col("o_orderdate").cast("date")),
+            ).otherwise(0)
+        ).cast("bigint").alias("total_order_to_first_ship_days"),
+        F.sum(
+            F.when(
+                shipped,
+                F.datediff(F.col("last_ship").cast("date"), F.col("first_ship").cast("date")),
+            ).otherwise(0)
+        ).cast("bigint").alias("total_ship_span_days"),
+        F.max("n_lines").cast("bigint").alias("max_lines"),
+    )

@@ -1460,3 +1460,25 @@ def test_drawdown_invariants(spark, sf_dir):
         assert r["peak"] == peak
         assert r["drawdown_cents"] == peak - r["equity"] >= 0
         assert 0.0 <= r["drawdown_frac"] < 1.0
+
+
+def test_accumulating_snapshot_lags_nonneg(spark, sf_dir):
+    out = all_queries()["temporal_accumulating_snapshot"].fn(spark, sf_dir).collect()
+    assert out
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert sum(r["n_orders"] for r in out) == o.count()
+    for r in out:
+        assert r["total_ship_span_days"] >= 0
+        assert 0 <= r["n_unshipped"] <= r["n_orders"]
+        assert r["max_lines"] >= 0
+
+
+def test_cohens_kappa_identity(spark, sf_dir):
+    r = all_queries()["stats_cohens_kappa"].fn(spark, sf_dir).collect()[0]
+    assert r["n"] == r["n11"] + r["n10"] + r["n01"] + r["n00"]
+    assert 0.0 <= r["p_observed"] <= 1.0
+    assert 0.0 < r["p_expected"] < 1.0
+    # kappa <= 1 always; equals 1 iff perfect agreement
+    assert r["kappa"] <= 1.0 + 1e-9
+    want = (r["p_observed"] - r["p_expected"]) / (1.0 - r["p_expected"])
+    assert abs(r["kappa"] - want) < 5e-6

@@ -696,7 +696,7 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-KCORE_K = 3
+KCORE_K = 2
 KCORE_ROUNDS = 8
 
 

@@ -143,13 +143,18 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join",),
     oracle="""
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
 """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI (NOT EXISTS): customers with no orders at all."""
+    """LEFT ANTI (NOT EXISTS): customers who never placed an URGENT
+    order (every fixture customer has SOME order, so the unrestricted
+    form returns zero rows — a trivially-green check)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 

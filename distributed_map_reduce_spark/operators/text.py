@@ -426,7 +426,7 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BOILERPLATE_K = 8  # n-gram width for cross-document boilerplate detection
-BOILERPLATE_MIN_DOCS = 5
+BOILERPLATE_MIN_DOCS = 3
 
 
 @register(

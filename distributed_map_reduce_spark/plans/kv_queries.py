@@ -129,15 +129,19 @@ def kv_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(c_custkey AS VARCHAR) AS key, c_name AS value
 FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
 """,
 )
 def kv_del_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """del(keys): distributed delete = broadcast anti-join; here every
-    customer key that appears in orders is deleted."""
+    """del(keys): distributed delete = broadcast anti-join; every
+    customer who placed an URGENT order is deleted (the unrestricted
+    key set deletes ALL fixture customers — a zero-row store proves
+    nothing)."""
     kv = _customer_kv(spark, sf_dir)
     doomed = (
         load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_custkey").cast("string").alias("key"))
         .distinct()
     )

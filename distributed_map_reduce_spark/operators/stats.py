@@ -2768,3 +2768,59 @@ def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 6).alias("p_expected"),
         F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
     )
+
+
+@register(
+    "stats_wilson_interval",
+    tags=("stats", "experiment"),
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+), c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS k FROM u
+)
+SELECT n, k,
+       round(k * 1.0 / n, 6) AS p_hat,
+       round((k * 1.0 / n + 1.9208 / n
+              - 1.96 * sqrt((k * 1.0 / n) * (1.0 - k * 1.0 / n) / n + 0.9604 / (n * n)))
+             / (1.0 + 3.8416 / n), 6) AS wilson_lo,
+       round((k * 1.0 / n + 1.9208 / n
+              + 1.96 * sqrt((k * 1.0 / n) * (1.0 - k * 1.0 / n) / n + 0.9604 / (n * n)))
+             / (1.0 + 3.8416 / n), 6) AS wilson_hi
+FROM c
+""",
+)
+def stats_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval for the conversion proportion (z=1.96;
+    z²=3.8416, z²/2=1.9208, z²/4=0.9604 written as literals so both
+    engines evaluate the identical constants): the CI that stays inside
+    [0,1] and behaves at small n / extreme p, where the naive Wald
+    interval collapses or escapes the unit range — the correct
+    error-bar for every conversion metric this suite reports (Wilson
+    1927; Brown-Cai-DasGupta '01 recommend it outright). One per-user
+    dedup agg then a 1-row closed-form projection of exact-integer
+    ratios — same determinism class as the z-test."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") >= 150), 1)
+            .otherwise(0)
+        ).alias("conv")
+    )
+    c = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("k"),
+    )
+    n, k = F.col("n"), F.col("k")
+    p = k * 1.0 / n
+    half = 1.96 * F.sqrt(p * (1.0 - p) / n + 0.9604 / (n * n))
+    denom = 1.0 + 3.8416 / n
+    return c.select(
+        "n",
+        "k",
+        F.round(p, 6).alias("p_hat"),
+        F.round((p + 1.9208 / n - half) / denom, 6).alias("wilson_lo"),
+        F.round((p + 1.9208 / n + half) / denom, 6).alias("wilson_hi"),
+    )

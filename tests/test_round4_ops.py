@@ -1482,3 +1482,11 @@ def test_cohens_kappa_identity(spark, sf_dir):
     assert r["kappa"] <= 1.0 + 1e-9
     want = (r["p_observed"] - r["p_expected"]) / (1.0 - r["p_expected"])
     assert abs(r["kappa"] - want) < 5e-6
+
+
+def test_wilson_interval_brackets_and_bounded(spark, sf_dir):
+    r = all_queries()["stats_wilson_interval"].fn(spark, sf_dir).collect()[0]
+    assert 0.0 <= r["wilson_lo"] <= r["p_hat"] <= r["wilson_hi"] <= 1.0
+    # Wilson never collapses to a point for 0 < k < n
+    if 0 < r["k"] < r["n"]:
+        assert r["wilson_lo"] < r["wilson_hi"]

@@ -1490,3 +1490,19 @@ def test_wilson_interval_brackets_and_bounded(spark, sf_dir):
     # Wilson never collapses to a point for 0 < k < n
     if 0 < r["k"] < r["n"]:
         assert r["wilson_lo"] < r["wilson_hi"]
+
+
+def test_gram_arrow_equals_declarative(spark, sf_dir):
+    """Two implementations, one contract: the numpy mapInArrow kernel
+    must reproduce the declarative explode-aggregate cell for cell."""
+    a = {
+        (r["dim_i"], r["dim_j"]): r["gram"]
+        for r in all_queries()["similarity_gram_matrix"].fn(spark, sf_dir).collect()
+    }
+    b = {
+        (r["dim_i"], r["dim_j"]): r["gram"]
+        for r in all_queries()["similarity_gram_matrix_arrow"].fn(spark, sf_dir).collect()
+    }
+    assert set(a) == set(b)
+    for cell in a:
+        assert abs(a[cell] - b[cell]) < 2e-4, cell

@@ -197,3 +197,48 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey").cast("bigint").alias("k")
     )
     return a.exceptAll(b)
+
+
+@register(
+    "setops_union_missing_columns",
+    tags=("set", "source"),
+    oracle="""
+WITH v1 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, NULL AS o_orderpriority
+  FROM orders WHERE o_orderkey % 3 = 0
+), v2 AS (
+  SELECT o_orderkey, o_orderstatus, NULL AS o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 3 = 1
+), unioned AS (
+  SELECT * FROM v1 UNION ALL SELECT * FROM v2
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(o_totalprice) AS BIGINT) AS with_price,
+       CAST(count(o_orderpriority) AS BIGINT) AS with_priority
+FROM unioned
+GROUP BY o_orderstatus
+""",
+)
+def setops_union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True): stitching two feed
+    generations whose schemas DIVERGED — v1 carries price but predates
+    the priority column, v2 dropped price and added priority — into one
+    frame with NULLs where a side lacks the column (the schema-drift
+    union every multi-vintage ingestion needs; positional UNION would
+    silently misalign the columns instead). The audit counts per-column
+    coverage so the drift is visible. Name resolution is analyzer-time;
+    the plan is a plain union of two pruned scans."""
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v2 = o.filter(F.col("o_orderkey") % 3 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return u.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count("o_totalprice").cast("bigint").alias("with_price"),
+        F.count("o_orderpriority").cast("bigint").alias("with_priority"),
+    )

@@ -1971,8 +1971,9 @@ SELECT c.day,
        CAST(t.nd AS BIGINT) AS n_events,
        CAST(t.k AS BIGINT) AS n_types,
        round(-sum((c.n * 1.0 / t.nd) * ln(c.n * 1.0 / t.nd)), 6) AS entropy_nats,
-       round(-sum((c.n * 1.0 / t.nd) * ln(c.n * 1.0 / t.nd)) / ln(t.k), 6)
-           AS entropy_norm
+       CASE WHEN t.k > 1
+            THEN round(-sum((c.n * 1.0 / t.nd) * ln(c.n * 1.0 / t.nd)) / ln(t.k), 6)
+            ELSE 0.0 END AS entropy_norm
 FROM c JOIN tot t ON t.day = c.day
 GROUP BY c.day, t.nd, t.k
 """,
@@ -2007,7 +2008,9 @@ def stats_shannon_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nd").cast("bigint").alias("n_events"),
             F.col("k").cast("bigint").alias("n_types"),
             F.round("h", 6).alias("entropy_nats"),
-            F.round(F.col("h") / F.log(F.col("k")), 6).alias("entropy_norm"),
+            F.when(
+                F.col("k") > 1, F.round(F.col("h") / F.log(F.col("k")), 6)
+            ).otherwise(0.0).alias("entropy_norm"),
         )
     )
 
@@ -2033,11 +2036,13 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS conv_a,
        CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS conv_b,
        round(c_a * 1.0 / n_a, 6) AS p_a,
        round(c_b * 1.0 / n_b, 6) AS p_b,
+       CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN 0.0 ELSE
        round((c_a * 1.0 / n_a - c_b * 1.0 / n_b)
              / sqrt(((c_a + c_b) * 1.0 / (n_a + n_b))
                     * (1.0 - (c_a + c_b) * 1.0 / (n_a + n_b))
-                    * (1.0 / n_a + 1.0 / n_b)), 4) AS z_score,
-       CASE WHEN abs((c_a * 1.0 / n_a - c_b * 1.0 / n_b)
+                    * (1.0 / n_a + 1.0 / n_b)), 4) END AS z_score,
+       CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN 0
+            WHEN abs((c_a * 1.0 / n_a - c_b * 1.0 / n_b)
              / sqrt(((c_a + c_b) * 1.0 / (n_a + n_b))
                     * (1.0 - (c_a + c_b) * 1.0 / (n_a + n_b))
                     * (1.0 / n_a + 1.0 / n_b))) >= 1.96 THEN 1 ELSE 0 END
@@ -2075,7 +2080,13 @@ def stats_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p_a = F.col("c_a") * 1.0 / F.col("n_a")
     p_b = F.col("c_b") * 1.0 / F.col("n_b")
-    p_pool = (F.col("c_a") + F.col("c_b")) * 1.0 / (F.col("n_a") + F.col("n_b"))
+    c_tot = F.col("c_a") + F.col("c_b")
+    n_tot = F.col("n_a") + F.col("n_b")
+    # degenerate pools (all or none convert) have zero variance: the
+    # z statistic is undefined and ANSI double division would throw —
+    # both engines short-circuit to 0.0 / not-significant instead
+    degenerate = (c_tot == 0) | (c_tot == n_tot)
+    p_pool = c_tot * 1.0 / n_tot
     z = (p_a - p_b) / F.sqrt(
         p_pool * (1.0 - p_pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
     )
@@ -2086,8 +2097,11 @@ def stats_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_b").cast("bigint").alias("conv_b"),
         F.round(p_a, 6).alias("p_a"),
         F.round(p_b, 6).alias("p_b"),
-        F.round(z, 4).alias("z_score"),
-        F.when(F.abs(z) >= 1.96, 1).otherwise(0).alias("significant"),
+        F.when(degenerate, 0.0).otherwise(F.round(z, 4)).alias("z_score"),
+        F.when(degenerate, 0)
+        .when(F.abs(z) >= 1.96, 1)
+        .otherwise(0)
+        .alias("significant"),
     )
 
 
@@ -2326,7 +2340,10 @@ WITH per_user AS (
          sum(CASE WHEN ts >= CAST('{CUPED_SPLIT}' AS TIMESTAMP) THEN value ELSE 0 END) AS y
   FROM events GROUP BY user_id
 ), theta AS (
-  SELECT covar_samp(x, y) / var_samp(x) AS th, avg(x) AS xbar FROM per_user
+  SELECT CASE WHEN var_samp(x) > 0 THEN covar_samp(x, y) / var_samp(x)
+              ELSE 0.0 END AS th,
+         avg(x) AS xbar
+  FROM per_user
 ), adj AS (
   SELECT p.arm, p.y, p.y - t.th * (p.x - t.xbar) AS y_cuped
   FROM per_user p CROSS JOIN theta t
@@ -2335,7 +2352,9 @@ SELECT arm,
        CAST(count(*) AS BIGINT) AS n_users,
        round(avg(y), 4) AS mean_y,
        round(avg(y_cuped), 4) AS mean_y_cuped,
-       round(1.0 - var_samp(y_cuped) / var_samp(y), 4) AS var_reduction
+       CASE WHEN var_samp(y) > 0
+            THEN round(1.0 - var_samp(y_cuped) / var_samp(y), 4)
+            ELSE 0.0 END AS var_reduction
 FROM adj GROUP BY arm
 """,
 )
@@ -2358,7 +2377,11 @@ def stats_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("ts") >= split, F.col("value")).otherwise(0.0)).alias("y"),
     ).withColumn("arm", F.col("user_id") % 2)
     theta = per_user.agg(
-        (F.covar_samp("x", "y") / F.var_samp("x")).alias("th"),
+        # a constant covariate has zero variance: CUPED degrades to the
+        # unadjusted metric (theta 0) instead of an ANSI divide-by-zero
+        F.when(
+            F.var_samp("x") > 0, F.covar_samp("x", "y") / F.var_samp("x")
+        ).otherwise(0.0).alias("th"),
         F.avg("x").alias("xbar"),
     )
     adj = per_user.crossJoin(F.broadcast(theta)).select(
@@ -2370,7 +2393,10 @@ def stats_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.round(F.avg("y"), 4).alias("mean_y"),
         F.round(F.avg("y_cuped"), 4).alias("mean_y_cuped"),
-        F.round(1.0 - F.var_samp("y_cuped") / F.var_samp("y"), 4).alias("var_reduction"),
+        F.when(
+            F.var_samp("y") > 0,
+            F.round(1.0 - F.var_samp("y_cuped") / F.var_samp("y"), 4),
+        ).otherwise(0.0).alias("var_reduction"),
     )
 
 

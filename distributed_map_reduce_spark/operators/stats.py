@@ -2036,12 +2036,14 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS conv_a,
        CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS conv_b,
        round(c_a * 1.0 / n_a, 6) AS p_a,
        round(c_b * 1.0 / n_b, 6) AS p_b,
-       CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN 0.0 ELSE
+       CASE WHEN n_a IS NULL OR n_b IS NULL
+              OR c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN 0.0 ELSE
        round((c_a * 1.0 / n_a - c_b * 1.0 / n_b)
              / sqrt(((c_a + c_b) * 1.0 / (n_a + n_b))
                     * (1.0 - (c_a + c_b) * 1.0 / (n_a + n_b))
                     * (1.0 / n_a + 1.0 / n_b)), 4) END AS z_score,
-       CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN 0
+       CASE WHEN n_a IS NULL OR n_b IS NULL
+              OR c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN 0
             WHEN abs((c_a * 1.0 / n_a - c_b * 1.0 / n_b)
              / sqrt(((c_a + c_b) * 1.0 / (n_a + n_b))
                     * (1.0 - (c_a + c_b) * 1.0 / (n_a + n_b))
@@ -2082,10 +2084,14 @@ def stats_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_b = F.col("c_b") * 1.0 / F.col("n_b")
     c_tot = F.col("c_a") + F.col("c_b")
     n_tot = F.col("n_a") + F.col("n_b")
-    # degenerate pools (all or none convert) have zero variance: the
-    # z statistic is undefined and ANSI double division would throw —
-    # both engines short-circuit to 0.0 / not-significant instead
-    degenerate = (c_tot == 0) | (c_tot == n_tot)
+    # degenerate pools (all or none convert) have zero variance, and a
+    # MISSING ARM (every user hashed to one parity → the conditional max
+    # is NULL) has no statistic at all: both collapse to 0.0 /
+    # not-significant instead of NULL-propagating or throwing under ANSI
+    degenerate = (
+        F.col("n_a").isNull() | F.col("n_b").isNull()
+        | (c_tot == 0) | (c_tot == n_tot)
+    )
     p_pool = c_tot * 1.0 / n_tot
     z = (p_a - p_b) / F.sqrt(
         p_pool * (1.0 - p_pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
@@ -2218,15 +2224,17 @@ WITH u AS (
 ), arms AS (
   SELECT arm, count(*) AS n FROM u GROUP BY arm
 ), w AS (
-  SELECT CAST(max(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_a,
-         CAST(max(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_b
+  SELECT CAST(coalesce(max(CASE WHEN arm = 0 THEN n END), 0) AS BIGINT) AS n_a,
+         CAST(coalesce(max(CASE WHEN arm = 1 THEN n END), 0) AS BIGINT) AS n_b
   FROM arms
 )
 SELECT n_a, n_b,
+       CASE WHEN n_a + n_b = 0 THEN 0.0 ELSE
        round((n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0) / ((n_a + n_b) / 2.0)
              + (n_b - (n_a + n_b) / 2.0) * (n_b - (n_a + n_b) / 2.0) / ((n_a + n_b) / 2.0), 6)
-           AS chi2_stat,
-       CASE WHEN (n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0) / ((n_a + n_b) / 2.0)
+           END AS chi2_stat,
+       CASE WHEN n_a + n_b = 0 THEN 0
+            WHEN (n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0) / ((n_a + n_b) / 2.0)
                + (n_b - (n_a + n_b) / 2.0) * (n_b - (n_a + n_b) / 2.0) / ((n_a + n_b) / 2.0)
                > 3.841 THEN 1 ELSE 0 END AS srm_detected
 FROM w
@@ -2245,19 +2253,25 @@ def stats_srm_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     u = ev.select("user_id").distinct().withColumn("arm", F.col("user_id") % 2)
     arms = u.groupBy("arm").agg(F.count(F.lit(1)).alias("n"))
+    # a missing arm is counted as n=0 (the worst possible mismatch), not
+    # NULL-propagated — chi2 then equals n_total and SRM fires, instead of
+    # the statistic silently going NULL (same latent class as the z-test)
     w = arms.agg(
-        F.max(F.when(F.col("arm") == 0, F.col("n"))).cast("bigint").alias("n_a"),
-        F.max(F.when(F.col("arm") == 1, F.col("n"))).cast("bigint").alias("n_b"),
+        F.coalesce(F.max(F.when(F.col("arm") == 0, F.col("n"))), F.lit(0))
+        .cast("bigint").alias("n_a"),
+        F.coalesce(F.max(F.when(F.col("arm") == 1, F.col("n"))), F.lit(0))
+        .cast("bigint").alias("n_b"),
     )
     exp = (F.col("n_a") + F.col("n_b")) / 2.0
     chi2 = (F.col("n_a") - exp) * (F.col("n_a") - exp) / exp + (
         F.col("n_b") - exp
     ) * (F.col("n_b") - exp) / exp
+    empty = F.col("n_a") + F.col("n_b") == 0
     return w.select(
         "n_a",
         "n_b",
-        F.round(chi2, 6).alias("chi2_stat"),
-        F.when(chi2 > 3.841, 1).otherwise(0).alias("srm_detected"),
+        F.when(empty, 0.0).otherwise(F.round(chi2, 6)).alias("chi2_stat"),
+        F.when(empty, 0).when(chi2 > 3.841, 1).otherwise(0).alias("srm_detected"),
     )
 
 
@@ -2279,11 +2293,14 @@ WITH u AS (
   FROM arms
 )
 SELECT n_a, n_b,
-       round((c_a + c_b) * 1.0 / (n_a + n_b), 6) AS p_pool,
+       CASE WHEN n_a IS NULL OR n_b IS NULL THEN 0.0 ELSE
+       round((c_a + c_b) * 1.0 / (n_a + n_b), 6) END AS p_pool,
+       CASE WHEN n_a IS NULL OR n_b IS NULL THEN 0.0 ELSE
        round(2.8 * sqrt(2.0 * ((c_a + c_b) * 1.0 / (n_a + n_b))
                         * (1.0 - (c_a + c_b) * 1.0 / (n_a + n_b))
-                        / least(n_a, n_b)), 6) AS mde_abs,
-       CASE WHEN abs(c_a * 1.0 / n_a - c_b * 1.0 / n_b)
+                        / least(n_a, n_b)), 6) END AS mde_abs,
+       CASE WHEN n_a IS NULL OR n_b IS NULL THEN 0
+            WHEN abs(c_a * 1.0 / n_a - c_b * 1.0 / n_b)
               >= 2.8 * sqrt(2.0 * ((c_a + c_b) * 1.0 / (n_a + n_b))
                             * (1.0 - (c_a + c_b) * 1.0 / (n_a + n_b))
                             / least(n_a, n_b)) THEN 1 ELSE 0 END AS observed_ge_mde
@@ -2318,12 +2335,18 @@ def stats_experiment_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         2.0 * p_pool * (1.0 - p_pool) / F.least(F.col("n_a"), F.col("n_b"))
     )
     diff = F.abs(F.col("c_a") * 1.0 / F.col("n_a") - F.col("c_b") * 1.0 / F.col("n_b"))
+    # missing arm (every user on one parity): MDE is undefined — emit a
+    # defined degenerate row instead of NULL-propagating (z-test twin)
+    missing = F.col("n_a").isNull() | F.col("n_b").isNull()
     return w.select(
         "n_a",
         "n_b",
-        F.round(p_pool, 6).alias("p_pool"),
-        F.round(mde, 6).alias("mde_abs"),
-        F.when(diff >= mde, 1).otherwise(0).alias("observed_ge_mde"),
+        F.when(missing, 0.0).otherwise(F.round(p_pool, 6)).alias("p_pool"),
+        F.when(missing, 0.0).otherwise(F.round(mde, 6)).alias("mde_abs"),
+        F.when(missing, 0)
+        .when(diff >= mde, 1)
+        .otherwise(0)
+        .alias("observed_ge_mde"),
     )
 
 

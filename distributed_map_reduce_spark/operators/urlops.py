@@ -44,8 +44,10 @@ WITH urls AS (
            regexp_replace(
              regexp_replace(
                regexp_replace(
-                 regexp_replace(url, '#.*$', ''),
-                 '[?&](utm_[a-z]+|fbclid|gclid)=[^&]*', '', 'g'),
+                 regexp_replace(
+                   regexp_replace(url, '#.*$', ''),
+                   '[?&](utm_[a-z]+|fbclid|gclid)=[^&]*', '', 'g'),
+                 '^([^?&]*)&', '\1?'),
                '\?&', '?'),
              '[?&]$', ''),
            '/\?', '?') AS u1
@@ -74,7 +76,11 @@ def pipeline_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus runs, BEFORE any content hashing: strip fragments and
     tracking parameters (utm_*, fbclid, gclid), lowercase the host,
     normalize the trailing-slash-before-query form, then group by the
-    canonical URL (keeper = min doc_id). Four crawl-style raw variants
+    canonical URL (keeper = min doc_id). Stripping a FIRST-position
+    tracking param consumes the '?' and leaves a dangling '&'
+    ('...?utm_source=feed&id=p' -> '...p&id=p'), so a dedicated step
+    promotes the first '&' of a query-less string back to '?'
+    ('^([^?&]*)&' -> '$1?'). Four crawl-style raw variants
     are synthesized per page identity (doc_id // 4 — the fixtures carry
     no URL column), so the pass provably collapses them 4:1. Zero
     shuffle before the final hash agg on the canonical string; at
@@ -111,8 +117,10 @@ def pipeline_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(
             F.regexp_replace(
                 F.regexp_replace(
-                    F.regexp_replace(url, r"#.*$", ""),
-                    r"[?&](utm_[a-z]+|fbclid|gclid)=[^&]*", ""),
+                    F.regexp_replace(
+                        F.regexp_replace(url, r"#.*$", ""),
+                        r"[?&](utm_[a-z]+|fbclid|gclid)=[^&]*", ""),
+                    r"^([^?&]*)&", "$1?"),
                 r"\?&", "?"),
             r"[?&]$", ""),
         r"/\?", "?")

@@ -733,7 +733,8 @@ SELECT day,
        equity,
        peak,
        CAST(peak - equity AS BIGINT) AS drawdown_cents,
-       round((peak - equity) * 1.0 / peak, 6) AS drawdown_frac
+       CASE WHEN peak > 0 THEN round((peak - equity) * 1.0 / peak, 6)
+            ELSE 0.0 END AS drawdown_frac
 FROM dd
 """,
 )
@@ -758,7 +759,13 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "equity",
         "peak",
         (F.col("peak") - F.col("equity")).cast("bigint").alias("drawdown_cents"),
-        F.round((F.col("peak") - F.col("equity")) * 1.0 / F.col("peak"), 6).alias(
-            "drawdown_frac"
-        ),
+        # peak == 0 iff the series opens at-or-below zero (first day nets
+        # nothing): the fraction is undefined — emit 0.0 on both engines
+        # (ANSI Spark NULLs, DuckDB errors; same guard as entropy/CUPED).
+        F.when(
+            F.col("peak") > 0,
+            F.round((F.col("peak") - F.col("equity")) * 1.0 / F.col("peak"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("drawdown_frac"),
     )

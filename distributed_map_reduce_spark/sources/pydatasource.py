@@ -228,6 +228,15 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and stamps _SUCCESS, abort() discards. This is the contract that makes
 # a custom sink exactly-once under task retries: a re-run task writes a
 # NEW staging file and only the committed attempt is promoted.
+#
+# SCOPE: the promote step uses os.replace() on the driver against paths
+# the executors wrote, so it requires a filesystem SHARED between driver
+# and executors — true in local mode (this harness) and on NFS-backed
+# clusters, NOT on plain HDFS/S3. The cluster-grade spelling of the same
+# protocol routes staging + promotion through one filesystem client
+# (fsspec / Hadoop FileSystem, or an S3 multipart-upload id carried in
+# the commit message and completed in commit()); the two-phase shape —
+# attempt-unique staging, promote only committed attempts — is unchanged.
 # ---------------------------------------------------------------------------
 
 import json

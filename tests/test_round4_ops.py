@@ -1331,9 +1331,14 @@ def test_url_canonical_collapses_variants(spark, sf_dir):
         assert "utm_" not in url and "fbclid" not in url and "gclid" not in url
         host = url.split("://")[1].split("/")[0]
         assert host == host.lower()
-        assert 2 <= r["n_raw_urls"] <= 4
-    # most page identities had >= 2 surviving variants collapse
-    assert sum(r["n_raw_urls"] for r in out) > 0.5 * n_docs
+        # no dangling separator left behind by tracking-param stripping
+        assert "&id=" not in url.split("?")[0]
+        # ALL four raw spellings of a page collapse to one canonical URL,
+        # and the keeper is the group min (doc_id % 4 == 0 row)
+        assert r["n_raw_urls"] == 4
+        assert r["keeper_doc"] % 4 == 0
+    # every doc_id belongs to exactly one collapsed group
+    assert sum(r["n_raw_urls"] for r in out) == n_docs
 
 
 def test_hits_scores_normalized_and_positive(spark, sf_dir):

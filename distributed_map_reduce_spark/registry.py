@@ -136,69 +136,84 @@ def _load_all() -> None:
 # join fan-out, label disagreement, nearest-centroid eval, conversation
 # assembly, RFM migration, URL canonical dedup, HITS, Kaplan-Meier,
 # RLS view, CAS verb, bitemporal as-of, Gram matrix, clock-skew audit).
+#
+# ROUND 5 = 50 never-driver-tested oracle-bearing queries (r4 went 50/50
+# green, cumulative 183 distinct driver-green, ~215 oracled queries still
+# waiting). Priority: (a) the 5 queries whose semantics changed this
+# round (ADVICE r4 fixes: URL canonical dangling-'&', drawdown/z-test/
+# SRM/power degenerate guards), (b) the one bench headliner without a
+# driver row plus the Arrow Gram kernel flagship, (c) the streaming
+# flush/IVM/CDC family (largest never-tested family with real streaming
+# twins), then (d) one-to-three flagships from every remaining family so
+# each family has at least one fresh hard signal (stats tests, scalable
+# agg rewrites, temporal/as-of, SQL-surface verbs, text/ANN/multimodal/
+# privacy/pipeline/profiling/kv/mr/graph). No no_oracle rows (VERDICT r3
+# #6). ~165 oracled queries remain for rounds 6-8.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # --- semantics changed this round (tie-order pin) — re-verify ---
-    "events_session_window",
-    # --- flagship LLM components never driver-tested (VERDICT #5) ---
-    "similarity_semdedup_prune",
-    "similarity_recall_eval",
-    "dedup_prefix_filter_join",
-    "graph_kcore",
-    "graph_label_spread",
-    # --- bench headliners without a driver row ---
-    "cdc_incremental_join_agg",
-    "events_late_data_audit",
-    "temporal_pit_feature_join",
-    # --- graph family (recursive-CTE oracles) ---
-    "graph_pagerank",
-    "graph_bfs_depth",
-    "graph_triangle_count",
-    "graph_jaccard_neighbors",
-    "graph_degree_histogram",
-    # --- similarity / dedup tail (incl. oracles reworked this round:
-    #     dim bound now derived from data, ADVICE r03) ---
-    "ann_kmeans_assign",
-    "similarity_quantize_int8",
-    "similarity_matryoshka_audit",
-    "dedup_containment",
-    "dedup_minhash_estimate_audit",
-    # --- scale-window / join ops (window_cumsum_scalable reworked this
-    #     round: deterministic date bucket replaces spark_partition_id) ---
-    "window_cumsum_scalable",
-    "window_time_range_frame",
-    "join_interval_bucketed",
-    "bucketed_join_colocated",
-    # --- TPC-H tail: full remaining coverage ---
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_revenue",
-    "q20_excess_stock_suppliers",
-    "q21_waiting_supplier",
-    "q22_dormant_customers",
-    # --- sources / sinks / layout ---
-    "sink_parquet_roundtrip",
-    "source_json_roundtrip",
-    "source_csv_roundtrip",
-    "source_schema_evolution",
-    "source_permissive_corrupt",
-    "sink_partition_prune",
-    "layout_zorder_tiles",
-    # --- pipeline serving ops ---
-    "pipeline_shuffle_shard",
-    "pipeline_pack_sequences",
-    "pipeline_train_val_split",
-    "pipeline_line_dedup",
-    # --- privacy / kv / stats / streaming flagships ---
-    "privacy_pii_redaction",
-    "kv_bloom_membership",
-    "stats_psi_drift",
-    "stream_stateful_user_totals",
+    # --- semantics changed this round (ADVICE r4 fixes) — need rows ---
+    "pipeline_url_canonical_dedup",
+    "window_max_drawdown",
+    "stats_two_proportion_ztest",
+    "stats_srm_guardrail",
+    "stats_experiment_power",
+    # --- bench headliner + Arrow kernel flagship ---
+    "ann_lsh_adaptive_planes",
+    "similarity_gram_matrix_arrow",
+    # --- streaming: IVM / CDC / exactly-once / flush-final family ---
+    "stream_incremental_view_maintenance",
+    "stream_cdc_apply_changes",
+    "stream_dedup_replay_exactly_once",
+    "stream_trending_topk",
+    "stream_session_flush_final",
+    "stream_interval_left_join_flush",
+    "stream_python_datasource",
+    # --- experiment / hypothesis-test family ---
+    "stats_cuped_adjustment",
+    "stats_welch_ttest",
+    "stats_ks_test",
+    "stats_chi_square",
+    "stats_mann_whitney_u",
+    "stats_theil_sen_trend",
+    "stats_cusum_changepoint",
+    # --- scalable aggregate rewrites ---
+    "agg_exact_median_scalable",
+    "agg_multi_distinct_scalable",
+    "agg_weighted_percentile",
+    "agg_heavy_hitters",
+    # --- temporal / as-of ---
+    "temporal_bitemporal_asof",
+    "asof_nearest_tolerance",
+    "temporal_time_weighted_avg",
+    "rollup_incremental_caggs",
+    # --- SQL surface verbs ---
+    "sql_execute_immediate",
+    "sql_row_level_security",
+    "merge_into_upsert",
+    # --- text analysis ---
+    "text_inverted_index",
+    "text_vocab_coverage",
+    "text_pmi_collocations",
+    # --- ANN variants ---
+    "ann_ivf_multiprobe",
+    "similarity_pq_adc",
+    # --- multimodal ---
+    "multimodal_signature_neardup",
+    "multimodal_caption_filter",
+    # --- privacy ---
+    "privacy_k_anonymity",
+    "privacy_dp_noisy_counts",
+    # --- training-data pipeline ---
+    "pipeline_mlm_masking",
+    "pipeline_rlhf_pair_construction",
+    "pipeline_label_disagreement",
+    # --- profiling / data quality ---
+    "profile_expectations",
+    "er_record_linkage",
+    # --- kv / mapreduce / graph / analytics flagships ---
+    "kv_cas_conditional_update",
+    "mr_matrix_multiply",
+    "graph_hits_bipartite",
+    "analytics_mrr_movements",
 )
 
 

@@ -477,3 +477,57 @@ def privacy_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit("orders", del_o, o))
         .unionByName(audit("lineitem", del_l, li))
     )
+
+
+@register(
+    "privacy_contribution_capping",
+    tags=("privacy", "stats"),
+    oracle="""
+WITH per_user AS (
+  SELECT user_id, event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(n) AS BIGINT) AS raw_events,
+       CAST(sum(least(n, 5)) AS BIGINT) AS capped_events,
+       CAST(sum(cents) AS BIGINT) AS raw_cents,
+       CAST(sum(least(cents, 50000)) AS BIGINT) AS capped_cents,
+       CAST(sum(CASE WHEN n > 5 OR cents > 50000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_users,
+       round(sum(CASE WHEN n > 5 OR cents > 50000 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS clipped_frac
+FROM per_user
+GROUP BY event_type
+""",
+)
+def privacy_contribution_capping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user contribution bounding — the sensitivity-control step
+    BEFORE any differentially-private release (and the companion to
+    [[privacy_dp_noisy_counts]], whose Laplace scale assumes exactly
+    this bounded sensitivity): cap each user's per-metric contribution
+    at 5 events / 50000 cents, then aggregate, reporting raw vs capped
+    totals and the clipped-user fraction (the bias-vs-privacy dial;
+    too-high clip rate means the cap is distorting the metric —
+    Amin et al. '19 bounded-contribution analysis). Two hash aggs:
+    user-level (the only heavy shuffle, keyed by user like every
+    per-user dedup in this repo) then metric-level on its
+    event_type-partial output. All integers end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("cents"),
+    )
+    clipped = F.when((F.col("n") > 5) | (F.col("cents") > 50000), 1).otherwise(0)
+    return per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("n").cast("bigint").alias("raw_events"),
+        F.sum(F.least(F.col("n"), F.lit(5))).cast("bigint").alias("capped_events"),
+        F.sum("cents").cast("bigint").alias("raw_cents"),
+        F.sum(F.least(F.col("cents"), F.lit(50000))).cast("bigint").alias("capped_cents"),
+        F.sum(clipped).cast("bigint").alias("n_clipped_users"),
+        F.round(F.sum(clipped) * 1.0 / F.count(F.lit(1)), 6).alias("clipped_frac"),
+    )

@@ -2873,3 +2873,415 @@ def stats_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((p + 1.9208 / n - half) / denom, 6).alias("wilson_lo"),
         F.round((p + 1.9208 / n + half) / denom, 6).alias("wilson_hi"),
     )
+
+
+@register(
+    "stats_anova_oneway",
+    tags=("stats", "experiment"),
+    oracle="""
+WITH g AS (
+  SELECT o_orderpriority AS grp,
+         count(*) AS n_g,
+         sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)) AS s_g,
+         sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+             * CAST(round(o_totalprice * 100) AS BIGINT)) AS ss_g
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n_g) AS BIGINT) AS n,
+         CAST(sum(s_g) AS DOUBLE) AS s,
+         CAST(sum(ss_g) AS DOUBLE) AS ss,
+         sum((CAST(s_g AS DOUBLE) / n_g) * (CAST(s_g AS DOUBLE) / n_g) * n_g)
+           AS sum_n_meansq
+  FROM g
+)
+SELECT k AS n_groups,
+       n AS n_rows,
+       round((sum_n_meansq - s * s / n) / (k - 1)
+             / ((ss - sum_n_meansq) / (n - k)), 4) AS f_stat,
+       round((sum_n_meansq - s * s / n) / (ss - s * s / n), 6) AS eta_sq,
+       CASE WHEN (sum_n_meansq - s * s / n) / (k - 1)
+               / ((ss - sum_n_meansq) / (n - k)) > 2.372 THEN 1 ELSE 0 END
+         AS significant
+FROM tot
+""",
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across the five order-priority groups on order
+    value: F = MS_between / MS_within plus eta-squared effect size —
+    the k-group generalization of `stats_welch_ttest` (does ANY group
+    differ before pairwise digging; the pairwise follow-up with FDR
+    control is `stats_benjamini_hochberg`). Exactness discipline:
+    prices become integer cents, per-group sum/sum-of-squares
+    accumulate as DECIMAL (Spark) / HUGEINT (DuckDB) — exact integers
+    on both engines — so the F projection is one deterministic double
+    expression, not an order-sensitive float reduction. Significance
+    uses the fixed F(4, inf) 5% critical value 2.372 (df2 ~ 15k).
+    Scale: one scan -> 5-row partial agg -> 1-row projection; the
+    partial aggregation tree does all the work at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    g = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum(cents.cast("decimal(18,0)")).alias("s_g"),
+        F.sum(cents.cast("decimal(18,0)") * cents).alias("ss_g"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("double").alias("s"),
+        F.sum("ss_g").cast("double").alias("ss"),
+        F.sum(
+            (F.col("s_g").cast("double") / F.col("n_g"))
+            * (F.col("s_g").cast("double") / F.col("n_g"))
+            * F.col("n_g")
+        ).alias("sum_n_meansq"),
+    )
+    ssb = F.col("sum_n_meansq") - F.col("s") * F.col("s") / F.col("n")
+    ssw = F.col("ss") - F.col("sum_n_meansq")
+    sst = F.col("ss") - F.col("s") * F.col("s") / F.col("n")
+    f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    return tot.select(
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_rows"),
+        F.round(f_stat, 4).alias("f_stat"),
+        F.round(ssb / sst, 6).alias("eta_sq"),
+        F.when(f_stat > 2.372, 1).otherwise(0).alias("significant"),
+    )
+
+
+@register(
+    "stats_benjamini_hochberg",
+    tags=("stats", "experiment"),
+    oracle="""
+WITH nat AS (
+  SELECT n.n_name AS nation,
+         count(*) AS n_orders,
+         sum(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1
+), g_tot AS (
+  SELECT CAST(sum(n_orders) AS BIGINT) AS n_tot,
+         CAST(sum(n_urgent) AS BIGINT) AS k_tot
+  FROM nat
+), z AS (
+  SELECT nation, n_orders, n_urgent,
+         (n_urgent * 1.0 / n_orders - k_tot * 1.0 / n_tot)
+           / sqrt((k_tot * 1.0 / n_tot) * (1.0 - k_tot * 1.0 / n_tot) / n_orders)
+           AS zv
+  FROM nat, g_tot
+), p AS (
+  SELECT nation, n_orders, n_urgent, zv,
+         2.0 * (exp(-zv * zv / 2.0) / sqrt(2.0 * pi()))
+             * (0.319381530 * (1.0 / (1.0 + 0.2316419 * abs(zv)))
+                - 0.356563782 * pow(1.0 / (1.0 + 0.2316419 * abs(zv)), 2)
+                + 1.781477937 * pow(1.0 / (1.0 + 0.2316419 * abs(zv)), 3)
+                - 1.821255978 * pow(1.0 / (1.0 + 0.2316419 * abs(zv)), 4)
+                + 1.330274429 * pow(1.0 / (1.0 + 0.2316419 * abs(zv)), 5)) AS pv
+  FROM z
+), ranked AS (
+  SELECT nation, n_orders, n_urgent, zv, pv,
+         row_number() OVER (ORDER BY pv, nation) AS bh_rank,
+         count(*) OVER () AS m
+  FROM p
+), cut AS (
+  SELECT *,
+         max(CASE WHEN pv <= bh_rank * 0.05 / m THEN bh_rank ELSE 0 END)
+           OVER () AS k_star
+  FROM ranked
+)
+SELECT nation,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(n_urgent AS BIGINT) AS n_urgent,
+       round(zv, 4) AS z_score,
+       round(pv, 6) AS p_value,
+       CAST(bh_rank AS BIGINT) AS bh_rank,
+       CASE WHEN bh_rank <= k_star THEN 1 ELSE 0 END AS rejected
+FROM cut
+""",
+)
+def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over 25 parallel hypotheses (is
+    each nation's URGENT-order share off the global share?) — THE
+    multiple-testing correction for metric readouts fanned across
+    segments (BH '95): sort p ascending, reject ranks <= k* where
+    k* = max{i : p_(i) <= i*alpha/m}. Two-sided p comes from the
+    Abramowitz-Stegun 26.2.17 polynomial normal CDF — plain
+    exp/sqrt/pow arithmetic spelled identically on both engines
+    (no erf dependency). All counts are exact integers; the z and p
+    projections are deterministic doubles. Scale: the heavy work is the
+    orders-customer join and 25-group agg; the BH window runs over m=25
+    rows (one per hypothesis — segment cardinality, not data size), so
+    the unpartitioned rank/max windows are metadata-sized by
+    construction."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    nat = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("n_urgent"),
+        )
+    )
+    glob = nat.agg(
+        F.sum("n_orders").cast("bigint").alias("n_tot"),
+        F.sum("n_urgent").cast("bigint").alias("k_tot"),
+    )
+    z = nat.crossJoin(F.broadcast(glob)).withColumn(
+        "zv",
+        (F.col("n_urgent") * 1.0 / F.col("n_orders")
+         - F.col("k_tot") * 1.0 / F.col("n_tot"))
+        / F.sqrt(
+            (F.col("k_tot") * 1.0 / F.col("n_tot"))
+            * (1.0 - F.col("k_tot") * 1.0 / F.col("n_tot"))
+            / F.col("n_orders")
+        ),
+    )
+    t = 1.0 / (1.0 + 0.2316419 * F.abs(F.col("zv")))
+    phi = F.exp(-F.col("zv") * F.col("zv") / 2.0) / F.sqrt(F.lit(2.0) * 3.141592653589793)
+    pv = 2.0 * phi * (
+        0.319381530 * t
+        - 0.356563782 * F.pow(t, 2)
+        + 1.781477937 * F.pow(t, 3)
+        - 1.821255978 * F.pow(t, 4)
+        + 1.330274429 * F.pow(t, 5)
+    )
+    p = z.withColumn("pv", pv)
+    from pyspark.sql import Window
+
+    wr = Window.orderBy("pv", "nation")
+    wall = Window.partitionBy()
+    ranked = p.withColumn("bh_rank", F.row_number().over(wr)).withColumn(
+        "m", F.count(F.lit(1)).over(wall)
+    )
+    cut = ranked.withColumn(
+        "k_star",
+        F.max(
+            F.when(F.col("pv") <= F.col("bh_rank") * 0.05 / F.col("m"),
+                   F.col("bh_rank")).otherwise(0)
+        ).over(wall),
+    )
+    return cut.select(
+        "nation",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("n_urgent").cast("bigint").alias("n_urgent"),
+        F.round("zv", 4).alias("z_score"),
+        F.round("pv", 6).alias("p_value"),
+        F.col("bh_rank").cast("bigint").alias("bh_rank"),
+        F.when(F.col("bh_rank") <= F.col("k_star"), 1).otherwise(0).alias("rejected"),
+    )
+
+
+@register(
+    "stats_permutation_test",
+    tags=("stats", "experiment"),
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+), obs AS (
+  SELECT sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) * 1.0
+           / sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+         - sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) * 1.0
+           / sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS diff_obs,
+         CAST(count(*) AS BIGINT) AS n_users
+  FROM u
+), reps AS (
+  SELECT t.b,
+         ((u.user_id * 2654435761 + t.b * 40503) % 4294967296) // 65536 % 2 AS arm,
+         u.conv
+  FROM u CROSS JOIN generate_series(1, 199) AS t(b)
+), per_b AS (
+  SELECT b,
+         count(*) AS n,
+         sum(arm) AS n1,
+         sum(arm * conv) AS c1,
+         sum(conv) AS c
+  FROM reps GROUP BY b
+), diffs AS (
+  SELECT b,
+         CASE WHEN n1 = 0 OR n1 = n THEN 0.0
+              ELSE c1 * 1.0 / n1 - (c - c1) * 1.0 / (n - n1) END AS diff_b
+  FROM per_b
+)
+SELECT o.n_users,
+       round(o.diff_obs, 6) AS diff_obs,
+       CAST(sum(CASE WHEN abs(d.diff_b) >= abs(o.diff_obs) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_extreme,
+       round((1.0 + sum(CASE WHEN abs(d.diff_b) >= abs(o.diff_obs) THEN 1 ELSE 0 END))
+             / 200.0, 6) AS p_value
+FROM diffs d, obs o
+GROUP BY o.n_users, o.diff_obs
+""",
+)
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test for the conversion A/B diff: 199 deterministic
+    pseudo-permutations reassign each user's arm via a multiplicative
+    integer hash of (user_id, b) — pure BIGINT arithmetic spelled
+    identically on both engines, no engine RNG — and the p-value is the
+    add-one-smoothed fraction of permuted |diffs| at least as extreme
+    as observed (Monte-Carlo permutation inference; B+1 denominator per
+    Phipson-Smyth '10). This is the assumption-free twin of
+    `stats_two_proportion_ztest` (no normality, exact under the null)
+    and the resampling pattern `stats_bootstrap_poisson` uses, with
+    replicate-id replication instead of Poisson weights. Scale: users
+    replicate x199 into one hash agg keyed by replicate id — map-side
+    combine collapses each partition to <=199 partials, so the shuffle
+    carries B rows per partition regardless of corpus size; B is the
+    cost knob. Degenerate replicates (all users one arm) emit diff 0.0
+    — at real cardinalities the hash makes that a non-event, but the
+    guard keeps ANSI division defined (missing-arm class, ADVICE r4)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") >= 150), 1)
+            .otherwise(0)
+        ).alias("conv")
+    )
+    obs = u.agg(
+        (
+            F.sum(F.when(F.col("user_id") % 2 == 1, F.col("conv")).otherwise(0)) * 1.0
+            / F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+            - F.sum(F.when(F.col("user_id") % 2 == 0, F.col("conv")).otherwise(0)) * 1.0
+            / F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        ).alias("diff_obs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    )
+    reps = u.withColumn(
+        "b", F.explode(F.sequence(F.lit(1), F.lit(199)))
+    ).select(
+        "b",
+        (
+            (
+                ((F.col("user_id") * F.lit(2654435761) + F.col("b") * 40503)
+                 % F.lit(4294967296))
+                .cast("bigint")
+                / F.lit(65536)
+            ).cast("bigint")
+            % 2
+        ).alias("arm"),
+        "conv",
+    )
+    per_b = reps.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("arm").alias("n1"),
+        F.sum(F.col("arm") * F.col("conv")).alias("c1"),
+        F.sum("conv").alias("c"),
+    )
+    diffs = per_b.select(
+        "b",
+        F.when((F.col("n1") == 0) | (F.col("n1") == F.col("n")), 0.0)
+        .otherwise(
+            F.col("c1") * 1.0 / F.col("n1")
+            - (F.col("c") - F.col("c1")) * 1.0 / (F.col("n") - F.col("n1"))
+        )
+        .alias("diff_b"),
+    )
+    extreme = F.sum(
+        F.when(F.abs(F.col("diff_b")) >= F.abs(F.col("diff_obs")), 1).otherwise(0)
+    )
+    return (
+        diffs.crossJoin(F.broadcast(obs))
+        .groupBy("n_users", "diff_obs")
+        .agg(
+            extreme.cast("bigint").alias("n_extreme"),
+            F.round((1.0 + extreme) / 200.0, 6).alias("p_value"),
+        )
+        .select(
+            "n_users",
+            F.round("diff_obs", 6).alias("diff_obs"),
+            "n_extreme",
+            "p_value",
+        )
+    )
+
+
+@register(
+    "stats_jensen_shannon",
+    tags=("stats", "text", "pipeline"),
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents
+), s_cnt AS (
+  SELECT source, w, count(*) AS c_s FROM tok GROUP BY 1, 2
+), s_tot AS (
+  SELECT source, CAST(sum(c_s) AS BIGINT) AS t_s FROM s_cnt GROUP BY 1
+), g_cnt AS (
+  SELECT w, CAST(sum(c_s) AS BIGINT) AS c_g FROM s_cnt GROUP BY 1
+), g_tot AS (
+  SELECT CAST(sum(c_g) AS BIGINT) AS t_g FROM g_cnt
+), grid AS (
+  SELECT st.source, st.t_s, g.w, g.c_g, gt.t_g,
+         coalesce(sc.c_s, 0) AS c_s
+  FROM s_tot st
+  CROSS JOIN g_cnt g
+  CROSS JOIN g_tot gt
+  LEFT JOIN s_cnt sc ON sc.source = st.source AND sc.w = g.w
+), terms AS (
+  SELECT source, t_s,
+         c_s * 1.0 / t_s AS p,
+         (c_g - c_s) * 1.0 / (t_g - t_s) AS q
+  FROM grid
+)
+SELECT source,
+       t_s AS n_tokens,
+       round(sum(CASE WHEN p > 0 THEN 0.5 * p * log2(p / ((p + q) / 2.0)) ELSE 0.0 END)
+             + sum(CASE WHEN q > 0 THEN 0.5 * q * log2(q / ((p + q) / 2.0)) ELSE 0.0 END),
+             6) AS jsd_bits
+FROM terms
+GROUP BY source, t_s
+""",
+)
+def stats_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (bits) between each source's token
+    distribution and the REST of the corpus — the symmetric, bounded
+    [0,1] drift measure a data-mixing pipeline uses to rank how
+    distinctive each domain is before setting mixture weights
+    (`stats_psi_drift` is the binned twin for scalar metrics; JSD works
+    on the full discrete vocabulary). P = source unigram dist, Q =
+    rest-of-corpus dist (global minus source — no double counting),
+    JSD = 0.5*KL(P||M) + 0.5*KL(Q||M), zero-count terms contribute 0.
+    Shape: one tokenize scan -> (source, word) counts -> the
+    sources x vocab grid via cross join with the global vocab (each
+    side carries ONLY counts — ids not text — so the grid is
+    |sources| * |vocab| counter rows, the exact materialization a
+    language-ID drift monitor keeps anyway); left join fills absent
+    words with 0. The double log-sum is well-conditioned (terms
+    <= 0.5*p, vocab-sized count), so 6dp rounding absorbs engine
+    summation-order noise."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    s_cnt = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c_s"))
+    s_tot = s_cnt.groupBy("source").agg(F.sum("c_s").cast("bigint").alias("t_s"))
+    g_cnt = s_cnt.groupBy("w").agg(F.sum("c_s").cast("bigint").alias("c_g"))
+    g_tot = g_cnt.agg(F.sum("c_g").cast("bigint").alias("t_g"))
+    grid = (
+        s_tot.crossJoin(g_cnt)
+        .crossJoin(F.broadcast(g_tot))
+        .join(s_cnt, ["source", "w"], "left")
+        .withColumn("c_s", F.coalesce(F.col("c_s"), F.lit(0)))
+    )
+    p = F.col("c_s") * 1.0 / F.col("t_s")
+    q = (F.col("c_g") - F.col("c_s")) * 1.0 / (F.col("t_g") - F.col("t_s"))
+    m = (p + q) / 2.0
+    terms = grid.select(
+        "source",
+        "t_s",
+        F.when(p > 0, 0.5 * p * F.log2(p / m)).otherwise(0.0).alias("term_p"),
+        F.when(q > 0, 0.5 * q * F.log2(q / m)).otherwise(0.0).alias("term_q"),
+    )
+    return (
+        terms.groupBy("source", F.col("t_s").alias("n_tokens"))
+        .agg(F.round(F.sum("term_p") + F.sum("term_q"), 6).alias("jsd_bits"))
+    )

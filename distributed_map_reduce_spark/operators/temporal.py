@@ -1789,3 +1789,82 @@ def temporal_accumulating_snapshot(spark: SparkSession, sf_dir: str) -> DataFram
         ).cast("bigint").alias("total_ship_span_days"),
         F.max("n_lines").cast("bigint").alias("max_lines"),
     )
+
+
+@register(
+    "temporal_calendar_proration",
+    tags=("temporal", "analytics"),
+    oracle="""
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_shipdate,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(10 + l_partkey % 50 AS BIGINT) AS span_days
+  FROM lineitem
+), days AS (
+  SELECT l_orderkey, l_linenumber, cents, span_days,
+         unnest(generate_series(0, CAST(span_days - 1 AS INTEGER))) AS idx,
+         l_shipdate
+  FROM li
+), alloc AS (
+  SELECT date_trunc('month', CAST(l_shipdate AS DATE) + CAST(idx AS INTEGER)) AS month,
+         cents // span_days + CASE WHEN idx < cents % span_days THEN 1 ELSE 0 END
+           AS day_cents,
+         l_orderkey, l_linenumber
+  FROM days
+)
+SELECT CAST(month AS DATE) AS month,
+       CAST(sum(day_cents) AS BIGINT) AS recognized_cents,
+       CAST(count(DISTINCT l_orderkey || '-' || l_linenumber) AS BIGINT)
+         AS n_open_lines
+FROM alloc
+GROUP BY 1
+""",
+)
+def temporal_calendar_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar proration / daily revenue recognition: each line's
+    revenue is recognized evenly across its service window (shipdate +
+    10..59 days, span derived deterministically from l_partkey since
+    the fixture carries no receipt date), then rolled up to calendar
+    months — the deferred-revenue schedule every finance close and
+    every SLA-credit accrual computes. Exactness is the point: instead
+    of float shares (sum-order nondeterminism) or decimal division
+    (engine rounding modes differ), each day gets the integer
+    largest-remainder allocation cents//span + (idx < cents%span), so
+    per-line allocations sum EXACTLY to the line's cents and every
+    engine agrees bitwise. Shape: row -> span-day explode (bounded x59
+    fan-out, a width knob not a join) -> hash agg by month; at 100 TB
+    the explode stays pipelined inside the scan stage and the shuffle
+    carries only month-keyed partials. The distinct line count per
+    month audits how many lines are 'open' in each period."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        (10 + F.col("l_partkey") % 50).cast("bigint").alias("span_days"),
+    )
+    days = base.select(
+        "l_orderkey",
+        "l_linenumber",
+        "cents",
+        "span_days",
+        "l_shipdate",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("span_days") - 1).cast("int"))
+        ).alias("idx"),
+    )
+    alloc = days.select(
+        F.date_trunc("month", F.date_add(F.col("l_shipdate"), F.col("idx")))
+        .cast("date")
+        .alias("month"),
+        (
+            F.floor(F.col("cents") / F.col("span_days"))
+            + F.when(F.col("idx") < F.col("cents") % F.col("span_days"), 1).otherwise(0)
+        ).alias("day_cents"),
+        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("line_id"),
+    )
+    return alloc.groupBy("month").agg(
+        F.sum("day_cents").cast("bigint").alias("recognized_cents"),
+        F.countDistinct("line_id").cast("bigint").alias("n_open_lines"),
+    )

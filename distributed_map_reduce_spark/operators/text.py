@@ -1343,3 +1343,79 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         # -0.0 on one engine and 0.0 on the other (-0.0 + 0.0 == +0.0)
         (F.round(pmi, 4) + 0.0).alias("pmi"),
     )
+
+
+@register(
+    "text_self_bleu_diversity",
+    tags=("text", "pipeline"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS t
+  FROM documents
+), big AS (
+  SELECT DISTINCT doc_id, source,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM toks
+), df AS (
+  SELECT source, bg, count(*) AS n_docs_with FROM big GROUP BY 1, 2
+), per_doc AS (
+  SELECT b.doc_id, b.source,
+         count(*) AS n_bigrams,
+         sum(CASE WHEN d.n_docs_with >= 2 THEN 1 ELSE 0 END) AS n_shared
+  FROM big b JOIN df d ON b.source = d.source AND b.bg = d.bg
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bigrams) AS BIGINT) AS n_distinct_bigrams,
+       round(avg(n_shared * 1.0 / n_bigrams), 6) AS avg_self_bleu2
+FROM per_doc
+GROUP BY source
+""",
+)
+def text_self_bleu_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-BLEU (bigram) per source: for each document, the fraction
+    of its DISTINCT bigrams that also occur in at least one OTHER
+    document of the same source, averaged per source — the standard
+    corpus-diversity probe (Zhu et al. '18 Texygen): high self-BLEU =
+    template-heavy / low-diversity source, a mixture-weighting input
+    right next to [[stats_jensen_shannon]]'s distinctiveness rank.
+    Clipped-precision semantics come from distinct-per-doc bigrams
+    joined against per-source document frequency (appears-in->=2-docs
+    = shared with another doc), so no pairwise doc x doc comparison
+    ever materializes — the same frequency-join shape as the LSH
+    verify stage, linear in corpus bigrams, shuffle keyed by
+    (source, bigram). Per-doc ratios are exact int/int doubles; the
+    25-element per-source mean is well-conditioned at 6dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    big = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(lower(text), ' ')) - 1),"
+                    " i -> concat(element_at(split(lower(text), ' '), i), ' ',"
+                    " element_at(split(lower(text), ' '), i + 1)))"
+                )
+            ).alias("bg"),
+        )
+        .distinct()
+    )
+    df_ = big.groupBy("source", "bg").agg(F.count(F.lit(1)).alias("n_docs_with"))
+    per_doc = (
+        big.join(df_, ["source", "bg"])
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("n_docs_with") >= 2, 1).otherwise(0)).alias("n_shared"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_bigrams").cast("bigint").alias("n_distinct_bigrams"),
+        F.round(F.avg(F.col("n_shared") * 1.0 / F.col("n_bigrams")), 6).alias(
+            "avg_self_bleu2"
+        ),
+    )

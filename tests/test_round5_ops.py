@@ -1,0 +1,84 @@
+"""Property tests for the round-5 operator wave (the oracle gate proves
+engine parity; these pin the semantic invariants parity can't)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_map_reduce_spark.registry import all_queries
+from distributed_map_reduce_spark.sources import load_table
+
+
+def test_anova_f_and_eta_bounds(spark, sf_dir):
+    out = all_queries()["stats_anova_oneway"].fn(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_groups"] == 5
+    assert r["f_stat"] >= 0
+    assert 0.0 <= r["eta_sq"] <= 1.0
+    assert r["significant"] in (0, 1)
+
+
+def test_benjamini_hochberg_step_up_property(spark, sf_dir):
+    out = all_queries()["stats_benjamini_hochberg"].fn(spark, sf_dir).collect()
+    assert len(out) == 25
+    by_rank = sorted(out, key=lambda r: r["bh_rank"])
+    assert [r["bh_rank"] for r in by_rank] == list(range(1, 26))
+    # p is non-decreasing in rank; rejection is a prefix of the ranking
+    ps = [r["p_value"] for r in by_rank]
+    assert ps == sorted(ps)
+    rejected = [r["rejected"] for r in by_rank]
+    assert all(x in (0, 1) for x in rejected)
+    if 1 in rejected:
+        last = max(i for i, x in enumerate(rejected) if x == 1)
+        assert all(x == 1 for x in rejected[: last + 1])
+    assert all(0.0 <= p <= 1.0 for p in ps)
+
+
+def test_permutation_test_p_in_range(spark, sf_dir):
+    out = all_queries()["stats_permutation_test"].fn(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert 0 <= r["n_extreme"] <= 199
+    # add-one smoothing bounds: 1/200 <= p <= 1
+    assert 0.005 <= r["p_value"] <= 1.0
+
+
+def test_jensen_shannon_bounded_bits(spark, sf_dir):
+    out = all_queries()["stats_jensen_shannon"].fn(spark, sf_dir).collect()
+    assert out
+    # JSD in bits is bounded by 1 for any two distributions
+    assert all(0.0 <= r["jsd_bits"] <= 1.0 for r in out)
+    assert all(r["n_tokens"] > 0 for r in out)
+
+
+def test_self_bleu_ratio_bounds(spark, sf_dir):
+    out = all_queries()["text_self_bleu_diversity"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert 0.0 <= r["avg_self_bleu2"] <= 1.0
+        assert r["n_distinct_bigrams"] >= r["n_docs"]
+
+
+def test_calendar_proration_conserves_cents_exactly(spark, sf_dir):
+    """The largest-remainder allocation must re-sum to the corpus total
+    to the exact cent — the property float proration cannot give."""
+    out = all_queries()["temporal_calendar_proration"].fn(spark, sf_dir)
+    recognized = out.agg(F.sum("recognized_cents")).collect()[0][0]
+    li = load_table(spark, sf_dir, "lineitem")
+    total = li.agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+    ).collect()[0][0]
+    assert recognized == total
+
+
+def test_contribution_capping_invariants(spark, sf_dir):
+    out = all_queries()["privacy_contribution_capping"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r["capped_events"] <= r["raw_events"]
+        assert r["capped_cents"] <= r["raw_cents"]
+        assert r["capped_events"] <= 5 * r["n_users"]
+        assert r["capped_cents"] <= 50000 * r["n_users"]
+        assert 0.0 <= r["clipped_frac"] <= 1.0
+        assert r["n_clipped_users"] <= r["n_users"]

@@ -675,3 +675,83 @@ def multimodal_caption_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("tok_per_mpx"), 4).alias("min_density"),
         F.round(F.max("tok_per_mpx"), 4).alias("max_density"),
     )
+
+
+@register(
+    "multimodal_interleaved_assembly",
+    tags=("multimodal", "pipeline"),
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(text, ' '), w -> trim(w) <> '')) AS n_text,
+         1 + CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 2) AS BIGINT) % 3
+           AS n_images,
+         64 * (4 + CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) % 13) AS w,
+         64 * (4 + CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 2) AS BIGINT) % 13) AS h
+  FROM documents
+), budget AS (
+  SELECT doc_id, source, n_text, n_images,
+         CAST(ceil(w / 448.0) * ceil(h / 448.0) AS BIGINT) AS tiles,
+         n_text + n_images * (256 * CAST(ceil(w / 448.0) * ceil(h / 448.0) AS BIGINT) + 2)
+           AS total_tokens
+  FROM dims
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_images) AS BIGINT) AS n_images,
+       CAST(sum(total_tokens) AS BIGINT) AS sum_tokens,
+       CAST(sum(CASE WHEN total_tokens <= 8192 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fit_8k,
+       round(avg(total_tokens * 1.0 / 8192), 4) AS avg_context_util,
+       round(sum(n_images * 256.0 * tiles) / sum(total_tokens), 4)
+         AS image_token_share
+FROM budget
+GROUP BY source
+""",
+)
+def multimodal_interleaved_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved text+image sequence budgeting — the VLM training
+    twin of [[pipeline_context_window_report]]: each document carries
+    1-3 images (md5 coin; production reads the real asset manifest),
+    every image costs 256 tokens per 448x448 tile (tile count from the
+    same md5-derived dims as [[multimodal_aspect_bucket]]) plus 2
+    sentinel tokens, and the per-source report says how many assembled
+    sequences fit an 8k context, the mean context utilization, and the
+    image share of the token budget (the knob that decides text:image
+    mixing ratio — Laurencon et al. '23 OBELICS report exactly this).
+    Pure integer arithmetic per row -> source-keyed hash agg; no
+    shuffle wider than the 20-row report at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    coin = lambda pos: F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), pos, 2), 16, 10
+    ).cast("bigint")
+    n_text = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda w: F.trim(w) != "")
+    )
+    n_images = (1 + coin(5) % 3).alias("n_images")
+    w = 64 * (4 + coin(1) % 13)
+    h = 64 * (4 + coin(3) % 13)
+    tiles = (F.ceil(w / 448.0) * F.ceil(h / 448.0)).cast("bigint")
+    budget = docs.select(
+        "source",
+        n_text.alias("n_text"),
+        n_images,
+        tiles.alias("tiles"),
+        (n_text + (1 + coin(5) % 3) * (256 * tiles + 2)).alias("total_tokens"),
+    )
+    return budget.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_images").cast("bigint").alias("n_images"),
+        F.sum("total_tokens").cast("bigint").alias("sum_tokens"),
+        F.sum(F.when(F.col("total_tokens") <= 8192, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fit_8k"),
+        F.round(F.avg(F.col("total_tokens") * 1.0 / 8192), 4).alias(
+            "avg_context_util"
+        ),
+        F.round(
+            F.sum(F.col("n_images") * 256.0 * F.col("tiles"))
+            / F.sum("total_tokens"),
+            4,
+        ).alias("image_token_share"),
+    )

@@ -3285,3 +3285,287 @@ def stats_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
         terms.groupBy("source", F.col("t_s").alias("n_tokens"))
         .agg(F.round(F.sum("term_p") + F.sum("term_q"), 6).alias("jsd_bits"))
     )
+
+
+@register(
+    "stats_ols_two_feature",
+    tags=("stats", "ml"),
+    oracle="""
+WITH li AS (
+  SELECT l_returnflag AS flag,
+         CAST(l_quantity AS BIGINT) AS x1,
+         CAST(round(l_discount * 100) AS BIGINT) AS x2,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+), m AS (
+  SELECT flag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x1 AS HUGEINT)) AS DOUBLE) AS s1,
+         CAST(sum(CAST(x2 AS HUGEINT)) AS DOUBLE) AS s2,
+         CAST(sum(CAST(y  AS HUGEINT)) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x1 AS HUGEINT) * x1) AS DOUBLE) AS s11,
+         CAST(sum(CAST(x2 AS HUGEINT) * x2) AS DOUBLE) AS s22,
+         CAST(sum(CAST(x1 AS HUGEINT) * x2) AS DOUBLE) AS s12,
+         CAST(sum(CAST(x1 AS HUGEINT) * y)  AS DOUBLE) AS s1y,
+         CAST(sum(CAST(x2 AS HUGEINT) * y)  AS DOUBLE) AS s2y,
+         CAST(sum(CAST(y  AS HUGEINT) * y)  AS DOUBLE) AS syy
+  FROM li GROUP BY flag
+), c AS (
+  SELECT flag, n,
+         s11 - s1 * s1 / n AS c11,
+         s22 - s2 * s2 / n AS c22,
+         s12 - s1 * s2 / n AS c12,
+         s1y - s1 * sy / n AS c1y,
+         s2y - s2 * sy / n AS c2y,
+         syy - sy * sy / n AS cyy,
+         s1 / n AS m1, s2 / n AS m2, sy / n AS my
+  FROM m
+), b AS (
+  SELECT flag, n, c1y, c2y, cyy, m1, m2, my,
+         c11 * c22 - c12 * c12 AS det,
+         (c22 * c1y - c12 * c2y) AS num1,
+         (c11 * c2y - c12 * c1y) AS num2
+  FROM c
+)
+SELECT flag, n,
+       CASE WHEN det > 0 THEN round(num1 / det, 4) ELSE 0.0 END AS beta_qty,
+       CASE WHEN det > 0 THEN round(num2 / det, 4) ELSE 0.0 END AS beta_disc,
+       CASE WHEN det > 0
+            THEN round(my - (num1 / det) * m1 - (num2 / det) * m2, 2)
+            ELSE 0.0 END AS intercept,
+       CASE WHEN det > 0 AND cyy > 0
+            THEN round(((num1 / det) * c1y + (num2 / det) * c2y) / cyy, 6)
+            ELSE 0.0 END AS r2
+FROM b
+""",
+)
+def stats_ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature closed-form OLS per return flag: price-cents ~
+    quantity + discount via the 2x2 normal equations (matrix inverse
+    spelled out: det = c11*c22 - c12^2) — the multi-feature step past
+    `udaf_grouped_regression`'s single-x fit, and the biggest OLS that
+    stays a pure aggregate projection (3+ features want the Gram-matrix
+    reduction in [[similarity_gram_matrix_arrow]]). Exactness: all ten
+    co-moment sums accumulate over INTEGER cents/quantities as
+    HUGEINT (DuckDB) / DECIMAL (Spark), so the betas are one
+    deterministic double projection per group — no float-reduction
+    order anywhere. Degenerate det<=0 (collinear features) and cyy=0
+    guards emit 0.0 (ANSI class). One scan, 3-row agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x1 = F.col("l_quantity").cast("bigint")
+    x2 = F.round(F.col("l_discount") * 100).cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    dec = "decimal(28,0)"
+    m = li.select(
+        F.col("l_returnflag").alias("flag"),
+        x1.alias("x1"), x2.alias("x2"), y.alias("y"),
+    ).groupBy("flag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x1").cast(dec)).cast("double").alias("s1"),
+        F.sum(F.col("x2").cast(dec)).cast("double").alias("s2"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum(F.col("x1").cast(dec) * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x2").cast(dec) * F.col("x2")).cast("double").alias("s22"),
+        F.sum(F.col("x1").cast(dec) * F.col("x2")).cast("double").alias("s12"),
+        F.sum(F.col("x1").cast(dec) * F.col("y")).cast("double").alias("s1y"),
+        F.sum(F.col("x2").cast(dec) * F.col("y")).cast("double").alias("s2y"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    c11 = F.col("s11") - F.col("s1") * F.col("s1") / n
+    c22 = F.col("s22") - F.col("s2") * F.col("s2") / n
+    c12 = F.col("s12") - F.col("s1") * F.col("s2") / n
+    c1y = F.col("s1y") - F.col("s1") * F.col("sy") / n
+    c2y = F.col("s2y") - F.col("s2") * F.col("sy") / n
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    det = c11 * c22 - c12 * c12
+    num1 = c22 * c1y - c12 * c2y
+    num2 = c11 * c2y - c12 * c1y
+    m1, m2, my = F.col("s1") / n, F.col("s2") / n, F.col("sy") / n
+    return m.select(
+        "flag",
+        "n",
+        F.when(det > 0, F.round(num1 / det, 4)).otherwise(0.0).alias("beta_qty"),
+        F.when(det > 0, F.round(num2 / det, 4)).otherwise(0.0).alias("beta_disc"),
+        F.when(det > 0, F.round(my - (num1 / det) * m1 - (num2 / det) * m2, 2))
+        .otherwise(0.0)
+        .alias("intercept"),
+        F.when((det > 0) & (cyy > 0),
+               F.round(((num1 / det) * c1y + (num2 / det) * c2y) / cyy, 6))
+        .otherwise(0.0)
+        .alias("r2"),
+    )
+
+
+@register(
+    "stats_retention_decay_fit",
+    tags=("stats", "events", "analytics"),
+    oracle="""
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), first_day AS (
+  SELECT user_id, min(day) AS d0 FROM act GROUP BY user_id
+), horizon AS (
+  SELECT max(day) AS dmax FROM act
+), offsets AS (
+  SELECT a.user_id, datediff('day', f.d0, a.day) AS k
+  FROM act a JOIN first_day f ON a.user_id = f.user_id
+), denom AS (
+  SELECT t.k,
+         (SELECT count(*) FROM first_day f, horizon h
+          WHERE datediff('day', f.d0, h.dmax) >= t.k) AS n_eligible
+  FROM (SELECT DISTINCT k FROM offsets) t
+), curve AS (
+  SELECT o.k,
+         CAST(count(DISTINCT o.user_id) AS BIGINT) AS n_active,
+         CAST(d.n_eligible AS BIGINT) AS n_eligible,
+         count(DISTINCT o.user_id) * 1.0 / d.n_eligible AS retention
+  FROM offsets o JOIN denom d ON o.k = d.k
+  GROUP BY o.k, d.n_eligible
+), fit AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_points,
+         regr_slope(ln(retention), k) AS slope,
+         regr_intercept(ln(retention), k) AS intercept,
+         regr_r2(ln(retention), k) AS r2
+  FROM curve WHERE k >= 1 AND retention > 0
+)
+SELECT n_points,
+       round(slope, 4) AS decay_slope,
+       round(intercept, 4) AS log_intercept,
+       round(r2, 4) AS fit_r2,
+       CASE WHEN slope < 0 THEN round(-ln(2) / slope, 4) ELSE 0.0 END
+         AS half_life_days
+FROM fit
+""",
+)
+def stats_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-decay fit of the DAILY retention curve: pooled
+    day-k retention (distinct users active k days after their first
+    day, over users whose observation window even REACHES k —
+    right-censoring handled via the eligibility denominator, the
+    mistake naive retention queries make), then ln(retention) ~ k by
+    least squares; -ln2/slope is the retention half-life in days.
+    `events_retention_cohorts` reports the raw curve per cohort; this
+    collapses it to the two numbers growth teams actually track
+    (decay rate, half-life). Heavy work is the distinct (user, day)
+    dedup and first-day agg — both user-keyed hash aggs; the curve is
+    ~30 rows (offset cardinality = observation days, not data size),
+    so the regr_* fit runs on a metadata-sized frame. regr_slope /
+    regr_intercept / regr_r2 exist natively on both engines; inputs
+    are exact int ratios, 4dp absorbs accumulation order."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    first_day = act.groupBy("user_id").agg(F.min("day").alias("d0"))
+    dmax = first_day.crossJoin(
+        F.broadcast(act.agg(F.max("day").alias("dmax")))
+    )
+    offsets = (
+        act.join(first_day, "user_id")
+        .select("user_id", F.datediff("day", "d0").alias("k"))
+    )
+    denom = (
+        dmax.select("user_id", F.datediff("dmax", "d0").alias("window_days"))
+        .crossJoin(offsets.select("k").distinct())
+        .filter(F.col("window_days") >= F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_eligible"))
+    )
+    curve = (
+        offsets.groupBy("k")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .join(denom, "k")
+        .select(
+            "k",
+            (F.col("n_active") * 1.0 / F.col("n_eligible")).alias("retention"),
+        )
+    )
+    fit = curve.filter((F.col("k") >= 1) & (F.col("retention") > 0)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.regr_slope(F.log(F.col("retention")), F.col("k")).alias("slope"),
+        F.regr_intercept(F.log(F.col("retention")), F.col("k")).alias("intercept"),
+        F.regr_r2(F.log(F.col("retention")), F.col("k")).alias("r2"),
+    )
+    return fit.select(
+        "n_points",
+        F.round("slope", 4).alias("decay_slope"),
+        F.round("intercept", 4).alias("log_intercept"),
+        F.round("r2", 4).alias("fit_r2"),
+        F.when(F.col("slope") < 0, F.round(-F.log(F.lit(2.0)) / F.col("slope"), 4))
+        .otherwise(0.0)
+        .alias("half_life_days"),
+    )
+
+
+@register(
+    "stats_extreme_value_gumbel",
+    tags=("stats", "analytics"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         max(CAST(round(value * 100) AS BIGINT)) AS mx
+  FROM events GROUP BY 1
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(mx AS HUGEINT)) AS DOUBLE) AS s,
+         CAST(sum(CAST(mx AS HUGEINT) * mx) AS DOUBLE) AS ss,
+         CAST(max(mx) AS DOUBLE) AS hist_max
+  FROM daily
+), p AS (
+  SELECT n, hist_max,
+         s / n AS mean,
+         sqrt((ss - s * s / n) / (n - 1)) AS sd
+  FROM m
+), g AS (
+  SELECT n, hist_max, mean, sd,
+         sd * sqrt(6.0) / pi() AS beta,
+         mean - 0.5772156649015329 * (sd * sqrt(6.0) / pi()) AS mu
+  FROM p
+)
+SELECT n AS n_days,
+       round(mu, 2) AS mu_cents,
+       round(beta, 2) AS beta_cents,
+       round(mu - beta * ln(-ln(1.0 - 1.0 / 20.0)), 2) AS return_level_20d,
+       round(1.0 - exp(-exp(-(hist_max - mu) / beta)), 6) AS p_exceed_hist_max
+FROM g
+""",
+)
+def stats_extreme_value_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel (EV-I) fit on daily maxima by method of moments —
+    beta = s*sqrt(6)/pi, mu = mean - gamma*beta (Fisher-Tippett '28;
+    gamma = Euler-Mascheroni) — answering the capacity question MAD
+    outlier flags can't: 'what daily peak should we expect once in 20
+    days, and how likely is tomorrow to beat the historical max?'.
+    The 20-day return level is mu - beta*ln(-ln(1 - 1/20)); the
+    exceedance probability is the Gumbel CDF complement at the
+    observed record. Block-maxima shape: one day-keyed hash agg (the
+    only shuffle, day-cardinality output), exact HUGEINT/DECIMAL
+    moments over integer cents, then a 1-row closed-form projection
+    — the same determinism discipline as [[stats_anova_oneway]]."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.max(cents).alias("mx")
+    )
+    dec = "decimal(28,0)"
+    m = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("mx").cast(dec)).cast("double").alias("s"),
+        F.sum(F.col("mx").cast(dec) * F.col("mx")).cast("double").alias("ss"),
+        F.max("mx").cast("double").alias("hist_max"),
+    )
+    n = F.col("n")
+    mean = F.col("s") / n
+    sd = F.sqrt((F.col("ss") - F.col("s") * F.col("s") / n) / (n - 1))
+    beta = sd * F.sqrt(F.lit(6.0)) / F.lit(3.141592653589793)
+    mu = mean - 0.5772156649015329 * beta
+    return m.select(
+        n.alias("n_days"),
+        F.round(mu, 2).alias("mu_cents"),
+        F.round(beta, 2).alias("beta_cents"),
+        F.round(mu - beta * F.log(-F.log(F.lit(1.0) - 1.0 / 20.0)), 2).alias(
+            "return_level_20d"
+        ),
+        F.round(
+            1.0 - F.exp(-F.exp(-(F.col("hist_max") - mu) / beta)), 6
+        ).alias("p_exceed_hist_max"),
+    )

@@ -82,3 +82,63 @@ def test_contribution_capping_invariants(spark, sf_dir):
         assert r["capped_cents"] <= 50000 * r["n_users"]
         assert 0.0 <= r["clipped_frac"] <= 1.0
         assert r["n_clipped_users"] <= r["n_users"]
+
+
+def test_ols_matches_numpy_lstsq(spark, sf_dir):
+    """Closed-form 2x2 normal equations must agree with numpy's QR
+    least-squares on the same rows (per return flag, to cents/4dp)."""
+    import numpy as np
+
+    out = {r["flag"]: r for r in
+           all_queries()["stats_ols_two_feature"].fn(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_discount", "l_extendedprice"
+    ).collect()
+    import collections
+    rows = collections.defaultdict(list)
+    for r in li:
+        rows[r["l_returnflag"]].append(
+            (float(r["l_quantity"]), round(r["l_discount"] * 100),
+             round(r["l_extendedprice"] * 100))
+        )
+    for flag, data in rows.items():
+        a = np.array([[1.0, x1, x2] for x1, x2, _ in data])
+        y = np.array([float(y) for *_, y in data])
+        beta = np.linalg.lstsq(a, y, rcond=None)[0]
+        assert abs(out[flag]["beta_qty"] - beta[1]) < 1e-2
+        assert abs(out[flag]["beta_disc"] - beta[2]) < 1e-2
+        assert 0.0 <= out[flag]["r2"] <= 1.0
+
+
+def test_retention_fit_shape(spark, sf_dir):
+    out = all_queries()["stats_retention_decay_fit"].fn(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_points"] >= 3
+    # retention decays: slope negative, half-life positive and finite
+    assert r["decay_slope"] < 0
+    assert r["half_life_days"] > 0
+    assert 0.0 <= r["fit_r2"] <= 1.0
+
+
+def test_gumbel_plausible(spark, sf_dir):
+    out = all_queries()["stats_extreme_value_gumbel"].fn(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["beta_cents"] > 0
+    # the 20-day return level sits above the location parameter
+    assert r["return_level_20d"] > r["mu_cents"]
+    assert 0.0 <= r["p_exceed_hist_max"] <= 1.0
+
+
+def test_interleaved_assembly_budget_arithmetic(spark, sf_dir):
+    out = all_queries()["multimodal_interleaved_assembly"].fn(spark, sf_dir).collect()
+    assert out
+    docs_total = sum(r["n_docs"] for r in out)
+    docs = load_table(spark, sf_dir, "documents")
+    assert docs_total == docs.count()
+    for r in out:
+        # every doc carries 1-3 images
+        assert r["n_docs"] <= r["n_images"] <= 3 * r["n_docs"]
+        assert 0 <= r["n_fit_8k"] <= r["n_docs"]
+        assert 0.0 < r["image_token_share"] < 1.0

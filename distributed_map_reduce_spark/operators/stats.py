@@ -3569,3 +3569,247 @@ def stats_extreme_value_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.exp(-F.exp(-(F.col("hist_max") - mu) / beta)), 6
         ).alias("p_exceed_hist_max"),
     )
+
+
+@register(
+    "stats_bayes_ab_normal_approx",
+    tags=("stats", "experiment"),
+    oracle="""
+WITH u AS (
+  SELECT user_id, user_id % 2 AS arm,
+         max(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+), arms AS (
+  SELECT arm, count(*) AS n, CAST(sum(conv) AS BIGINT) AS c FROM u GROUP BY arm
+), w AS (
+  SELECT max(CASE WHEN arm = 0 THEN n END) AS n_a,
+         max(CASE WHEN arm = 0 THEN c END) AS c_a,
+         max(CASE WHEN arm = 1 THEN n END) AS n_b,
+         max(CASE WHEN arm = 1 THEN c END) AS c_b
+  FROM arms
+), post AS (
+  SELECT n_a, c_a, n_b, c_b,
+         (c_a + 1.0) / (n_a + 2.0) AS m_a,
+         (c_b + 1.0) / (n_b + 2.0) AS m_b,
+         ((c_a + 1.0) / (n_a + 2.0)) * (1.0 - (c_a + 1.0) / (n_a + 2.0)) / (n_a + 3.0)
+           AS v_a,
+         ((c_b + 1.0) / (n_b + 2.0)) * (1.0 - (c_b + 1.0) / (n_b + 2.0)) / (n_b + 3.0)
+           AS v_b
+  FROM w
+), z AS (
+  SELECT n_a, c_a, n_b, c_b, m_a, m_b,
+         (m_b - m_a) / sqrt(v_a + v_b) AS t
+  FROM post
+), q AS (
+  SELECT n_a, c_a, n_b, c_b, m_a, m_b, t,
+         (exp(-t * t / 2.0) / sqrt(2.0 * pi()))
+           * (0.319381530 * (1.0 / (1.0 + 0.2316419 * abs(t)))
+              - 0.356563782 * pow(1.0 / (1.0 + 0.2316419 * abs(t)), 2)
+              + 1.781477937 * pow(1.0 / (1.0 + 0.2316419 * abs(t)), 3)
+              - 1.821255978 * pow(1.0 / (1.0 + 0.2316419 * abs(t)), 4)
+              + 1.330274429 * pow(1.0 / (1.0 + 0.2316419 * abs(t)), 5)) AS tail
+  FROM z
+)
+SELECT CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+       CAST(coalesce(c_a, 0) AS BIGINT) AS conv_a,
+       CAST(coalesce(n_b, 0) AS BIGINT) AS n_b,
+       CAST(coalesce(c_b, 0) AS BIGINT) AS conv_b,
+       CASE WHEN n_a IS NULL OR n_b IS NULL THEN 0.0 ELSE round(m_a, 6) END
+         AS post_mean_a,
+       CASE WHEN n_a IS NULL OR n_b IS NULL THEN 0.0 ELSE round(m_b, 6) END
+         AS post_mean_b,
+       CASE WHEN n_a IS NULL OR n_b IS NULL THEN 0.5
+            WHEN t >= 0 THEN round(1.0 - tail, 6)
+            ELSE round(tail, 6) END AS prob_b_beats_a
+FROM q
+""",
+)
+def stats_bayes_ab_normal_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian A/B readout: Beta(1+c, 1+n-c) posteriors per arm
+    (uniform prior), P(B beats A) via the normal approximation of the
+    posterior difference — the 'probability to be best' number product
+    teams act on, complementing the frequentist trio
+    ([[stats_two_proportion_ztest]] / [[stats_experiment_power]] /
+    [[stats_sprt_sequential]]). Posterior means/variances are exact
+    rational arithmetic; the CDF is the same Abramowitz-Stegun
+    polynomial as [[stats_benjamini_hochberg]] (no erf dependency,
+    bit-identical expression tree both engines). Missing-arm guard
+    emits the prior-indifference 0.5 (ADVICE r4 class). Same per-user
+    hash agg as the z-test; everything after is a 1-row projection."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") >= 150), 1)
+            .otherwise(0)
+        ).alias("conv")
+    ).withColumn("arm", F.col("user_id") % 2)
+    arms = u.groupBy("arm").agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c"))
+    w = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("c"))).alias("c_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("c"))).alias("c_b"),
+    )
+    missing = F.col("n_a").isNull() | F.col("n_b").isNull()
+    m_a = (F.col("c_a") + 1.0) / (F.col("n_a") + 2.0)
+    m_b = (F.col("c_b") + 1.0) / (F.col("n_b") + 2.0)
+    v_a = m_a * (1.0 - m_a) / (F.col("n_a") + 3.0)
+    v_b = m_b * (1.0 - m_b) / (F.col("n_b") + 3.0)
+    t = (m_b - m_a) / F.sqrt(v_a + v_b)
+    uu = 1.0 / (1.0 + 0.2316419 * F.abs(t))
+    tail = (F.exp(-t * t / 2.0) / F.sqrt(F.lit(2.0) * 3.141592653589793)) * (
+        0.319381530 * uu
+        - 0.356563782 * F.pow(uu, 2)
+        + 1.781477937 * F.pow(uu, 3)
+        - 1.821255978 * F.pow(uu, 4)
+        + 1.330274429 * F.pow(uu, 5)
+    )
+    return w.select(
+        F.coalesce(F.col("n_a"), F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce(F.col("c_a"), F.lit(0)).cast("bigint").alias("conv_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).cast("bigint").alias("n_b"),
+        F.coalesce(F.col("c_b"), F.lit(0)).cast("bigint").alias("conv_b"),
+        F.when(missing, 0.0).otherwise(F.round(m_a, 6)).alias("post_mean_a"),
+        F.when(missing, 0.0).otherwise(F.round(m_b, 6)).alias("post_mean_b"),
+        F.when(missing, 0.5)
+        .when(t >= 0, F.round(1.0 - tail, 6))
+        .otherwise(F.round(tail, 6))
+        .alias("prob_b_beats_a"),
+    )
+
+
+@register(
+    "stats_experiment_duration",
+    tags=("stats", "experiment"),
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         min(CAST(ts AS DATE)) AS first_day,
+         max(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+), rate AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(conv) AS BIGINT) AS n_conv,
+         CAST(date_diff('day', min(first_day), max(first_day)) + 1 AS BIGINT)
+           AS n_days
+  FROM u
+)
+SELECT n_users, n_conv, n_days,
+       round(n_users * 1.0 / n_days, 4) AS users_per_day,
+       round(n_conv * 1.0 / n_users, 6) AS p_base,
+       round(2.0 * 7.84 * (n_conv * 1.0 / n_users) * (1.0 - n_conv * 1.0 / n_users)
+             / (0.1 * n_conv * 1.0 / n_users) / (0.1 * n_conv * 1.0 / n_users), 2)
+         AS n_required_per_arm,
+       CAST(ceil(2.0 * (2.0 * 7.84 * (n_conv * 1.0 / n_users)
+                        * (1.0 - n_conv * 1.0 / n_users)
+                        / (0.1 * n_conv * 1.0 / n_users)
+                        / (0.1 * n_conv * 1.0 / n_users))
+                 / (n_users * 1.0 / n_days)) AS BIGINT) AS days_needed
+FROM rate
+""",
+)
+def stats_experiment_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment duration planning: given the OBSERVED new-user arrival
+    rate and base conversion, how many days must a 50/50 test run to
+    detect a 10% relative lift at 80% power / 5% two-sided? n_per_arm =
+    2 (z_a+z_b)^2 p(1-p) / (0.1 p)^2 with (1.96+0.84)^2 = 7.84, then
+    days = 2n / arrival_rate — the capacity-planning inverse of
+    [[stats_experiment_power]] (which scores a FINISHED test's MDE).
+    One per-user hash agg -> 1-row projection of exact-integer-derived
+    doubles; the arrival window is first-seen-day span, so the answer
+    is reproducible from the fixture alone."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day"),
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") >= 150), 1)
+            .otherwise(0)
+        ).alias("conv"),
+    )
+    rate = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("conv").cast("bigint").alias("n_conv"),
+        (F.datediff(F.max("first_day"), F.min("first_day")) + 1)
+        .cast("bigint")
+        .alias("n_days"),
+    )
+    p = F.col("n_conv") * 1.0 / F.col("n_users")
+    n_req = 2.0 * 7.84 * p * (1.0 - p) / (0.1 * p) / (0.1 * p)
+    arrival = F.col("n_users") * 1.0 / F.col("n_days")
+    return rate.select(
+        "n_users",
+        "n_conv",
+        "n_days",
+        F.round(arrival, 4).alias("users_per_day"),
+        F.round(p, 6).alias("p_base"),
+        F.round(n_req, 2).alias("n_required_per_arm"),
+        F.ceil(2.0 * n_req / arrival).cast("bigint").alias("days_needed"),
+    )
+
+
+@register(
+    "stats_capture_recapture",
+    tags=("stats", "profiling"),
+    oracle="""
+WITH h1 AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE CAST(ts AS DATE) <= CAST('2024-01-15' AS DATE)
+), h2 AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE CAST(ts AS DATE) > CAST('2024-01-15' AS DATE)
+), counts AS (
+  SELECT (SELECT count(*) FROM h1) AS n1,
+         (SELECT count(*) FROM h2) AS n2,
+         (SELECT count(*) FROM h1 WHERE user_id IN (SELECT user_id FROM h2)) AS m
+)
+SELECT CAST(n1 AS BIGINT) AS n_first_half,
+       CAST(n2 AS BIGINT) AS n_second_half,
+       CAST(m AS BIGINT) AS n_both,
+       CASE WHEN m > 0
+            THEN CAST(floor((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0) AS BIGINT)
+            ELSE 0 END AS chapman_estimate,
+       CASE WHEN m > 0
+            THEN round((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0
+                       - (SELECT count(*) FROM (SELECT user_id FROM h1
+                                                UNION SELECT user_id FROM h2)), 2)
+            ELSE 0.0 END AS est_unseen_users
+FROM counts
+""",
+)
+def stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture population estimate (Chapman's bias-corrected
+    Lincoln-Petersen): treat the two halves of the observation window
+    as independent 'captures' of the user base; N-hat = (n1+1)(n2+1)/
+    (m+1) - 1 estimates TOTAL population including never-seen users —
+    the coverage question ('how many users/dup-pairs does our
+    telemetry miss?') that raw distinct counts cannot answer, and the
+    same estimator dedup-audit teams use on two independent detectors.
+    Two distinct-scans + one intersection count: every piece is a
+    user-keyed hash agg; m=0 guards to a defined degenerate (ANSI
+    class). est_unseen = N-hat minus observed union."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit("2024-01-15").cast("date")
+    h1 = ev.filter(F.col("ts").cast("date") <= split).select("user_id").distinct()
+    h2 = ev.filter(F.col("ts").cast("date") > split).select("user_id").distinct()
+    counts = (
+        h1.agg(F.count(F.lit(1)).alias("n1"))
+        .crossJoin(h2.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(
+            h1.join(h2, "user_id").agg(F.count(F.lit(1)).alias("m"))
+        )
+        .crossJoin(
+            h1.unionByName(h2).distinct().agg(F.count(F.lit(1)).alias("n_union"))
+        )
+    )
+    nhat = (F.col("n1") + 1.0) * (F.col("n2") + 1.0) / (F.col("m") + 1.0) - 1.0
+    return counts.select(
+        F.col("n1").cast("bigint").alias("n_first_half"),
+        F.col("n2").cast("bigint").alias("n_second_half"),
+        F.col("m").cast("bigint").alias("n_both"),
+        F.when(F.col("m") > 0, F.floor(nhat)).otherwise(0)
+        .cast("bigint")
+        .alias("chapman_estimate"),
+        F.when(F.col("m") > 0, F.round(nhat - F.col("n_union"), 2))
+        .otherwise(0.0)
+        .alias("est_unseen_users"),
+    )

@@ -1868,3 +1868,102 @@ def temporal_calendar_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("day_cents").cast("bigint").alias("recognized_cents"),
         F.countDistinct("line_id").cast("bigint").alias("n_open_lines"),
     )
+
+
+@register(
+    "asof_arrow_grouped",
+    tags=("temporal", "asof", "join", "udf"),
+    oracle="""
+WITH c AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+), p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS purchase_ts, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.purchase_ts,
+       c.click_ts AS asof_click_ts,
+       c.click_value AS asof_click_value,
+       CASE WHEN c.click_ts IS NULL THEN NULL
+            ELSE date_diff('second', c.click_ts, p.purchase_ts) END AS lag_seconds
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
+""",
+)
+def asof_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME as-of attribution as [[asof_purchase_to_click]], executed
+    through the OTHER physical strategy: cogrouped `applyInPandas`
+    running `pandas.merge_asof` per user — one Arrow batch per group,
+    a sort-merge backward search inside the kernel instead of the
+    declarative window/join plan. Registered against the identical
+    DuckDB ASOF JOIN oracle, so the two spellings are pinned equal —
+    the plan-diversity pattern [[similarity_gram_matrix_arrow]] uses
+    for linear algebra, applied to temporal joins. When to prefer it
+    at 100 TB: the declarative plan wins when clicks are huge and
+    Catalyst can sort-merge once; the cogroup kernel wins when per-key
+    series fit memory and downstream wants more per-group pandas logic
+    (feature engineering) fused into the same pass. Shuffle: one
+    exchange per side keyed by user_id — the same cost as the join it
+    replaces."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("value").alias("click_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+
+    schema = (
+        "event_id bigint, user_id bigint, purchase_ts timestamp, "
+        "asof_click_ts timestamp, asof_click_value double, lag_seconds bigint"
+    )
+
+    def asof_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                columns=[
+                    "event_id", "user_id", "purchase_ts",
+                    "asof_click_ts", "asof_click_value", "lag_seconds",
+                ]
+            )
+        left = left.sort_values("purchase_ts")
+        if right.empty:
+            out = left.copy()
+            out["asof_click_ts"] = pd.NaT
+            out["asof_click_value"] = None
+            out["lag_seconds"] = pd.array([None] * len(out), dtype="Int64")
+            return out[
+                ["event_id", "user_id", "purchase_ts",
+                 "asof_click_ts", "asof_click_value", "lag_seconds"]
+            ]
+        right = right.sort_values("click_ts")
+        out = pd.merge_asof(
+            left,
+            right[["click_ts", "click_value"]],
+            left_on="purchase_ts",
+            right_on="click_ts",
+            direction="backward",
+            allow_exact_matches=True,
+        ).rename(
+            columns={"click_ts": "asof_click_ts", "click_value": "asof_click_value"}
+        )
+        # whole-second lag, matching unix_timestamp()/date_diff('second')
+        lag = (
+            out["purchase_ts"].dt.floor("s") - out["asof_click_ts"].dt.floor("s")
+        ).dt.total_seconds()
+        out["lag_seconds"] = pd.array(
+            [None if pd.isna(v) else int(v) for v in lag], dtype="Int64"
+        )
+        return out[
+            ["event_id", "user_id", "purchase_ts",
+             "asof_click_ts", "asof_click_value", "lag_seconds"]
+        ]
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(lambda l, r: asof_group(l, r), schema=schema)
+    )

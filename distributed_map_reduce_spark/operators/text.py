@@ -1419,3 +1419,84 @@ def text_self_bleu_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_self_bleu2"
         ),
     )
+
+
+@register(
+    "text_term_burst",
+    tags=("text", "temporal", "analytics"),
+    oracle="""
+WITH tok AS (
+  SELECT 1 + doc_id % 28 AS day,
+         unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+), td AS (
+  SELECT term, day, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+), per_term AS (
+  SELECT term,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(c) AS BIGINT) AS total,
+         CAST(max(c) AS BIGINT) AS peak,
+         CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) AS ss,
+         CAST(sum(c) AS DOUBLE) AS s
+  FROM td GROUP BY term
+), scored AS (
+  SELECT term, n_days, total, peak,
+         CASE WHEN n_days > 1
+                AND (ss - s * s / n_days) / (n_days - 1) > 0
+              THEN (peak - s / n_days)
+                   / sqrt((ss - s * s / n_days) / (n_days - 1))
+              ELSE 0.0 END AS burst_z
+  FROM per_term
+  WHERE total >= 50
+)
+SELECT term, n_days, total, peak,
+       round(burst_z, 4) AS burst_z,
+       CASE WHEN burst_z > 2.0 THEN 1 ELSE 0 END AS is_burst
+FROM scored
+""",
+)
+def text_term_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-burst detection (Kleinberg-lite): peak daily frequency of
+    each term scored as a z against that term's own daily-count
+    distribution — the trending-topic primitive over a document stream
+    (the fixture has no doc dates, so days derive deterministically
+    from doc_id % 28, the same synthesis discipline as
+    [[pipeline_url_canonical_dedup]]'s URL variants; production uses
+    the crawl date). Only terms with >=50 total occurrences are scored
+    (burst z on rare terms is noise). Shape: tokenize scan ->
+    (term, day) hash agg -> term-level agg with exact HUGEINT/DECIMAL
+    count moments -> deterministic 1-projection z; shuffle keyed by
+    term, output vocabulary-sized. A streaming twin would keep the
+    (term, day) partials in state and re-score on every watermark
+    close."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        (1 + F.col("doc_id") % 28).alias("day"),
+        F.explode(F.split(F.lower("text"), " ")).alias("term"),
+    )
+    td = tok.groupBy("term", "day").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    dec = "decimal(28,0)"
+    per_term = td.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("total"),
+        F.max("c").cast("bigint").alias("peak"),
+        F.sum(F.col("c").cast(dec) * F.col("c")).cast("double").alias("ss"),
+        F.sum("c").cast("double").alias("s"),
+    )
+    n = F.col("n_days")
+    var = (F.col("ss") - F.col("s") * F.col("s") / n) / (n - 1)
+    burst_z = F.when(
+        (n > 1) & (var > 0),
+        (F.col("peak") - F.col("s") / n) / F.sqrt(var),
+    ).otherwise(0.0)
+    return (
+        per_term.filter(F.col("total") >= 50)
+        .select(
+            "term",
+            "n_days",
+            "total",
+            "peak",
+            F.round(burst_z, 4).alias("burst_z"),
+            F.when(burst_z > 2.0, 1).otherwise(0).alias("is_burst"),
+        )
+    )

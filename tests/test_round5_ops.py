@@ -142,3 +142,67 @@ def test_interleaved_assembly_budget_arithmetic(spark, sf_dir):
         assert r["n_docs"] <= r["n_images"] <= 3 * r["n_docs"]
         assert 0 <= r["n_fit_8k"] <= r["n_docs"]
         assert 0.0 < r["image_token_share"] < 1.0
+
+
+def test_asof_arrow_twin_equals_declarative(spark, sf_dir):
+    """The cogrouped pandas merge_asof twin must produce exactly the
+    declarative as-of join's rows (same oracle, different physical
+    strategy — the plan-diversity invariant)."""
+    a = all_queries()["asof_purchase_to_click"].fn(spark, sf_dir)
+    b = all_queries()["asof_arrow_grouped"].fn(spark, sf_dir)
+    cols = ["event_id", "user_id", "purchase_ts",
+            "asof_click_ts", "asof_click_value", "lag_seconds"]
+    ra = sorted([tuple(r[c] for c in cols) for r in a.select(*cols).collect()])
+    rb = sorted([tuple(r[c] for c in cols) for r in b.select(*cols).collect()])
+    assert ra == rb
+
+
+def test_bayes_ab_prob_consistency(spark, sf_dir):
+    out = all_queries()["stats_bayes_ab_normal_approx"].fn(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert 0.0 <= r["prob_b_beats_a"] <= 1.0
+    # direction agrees with the posterior means
+    if r["post_mean_b"] > r["post_mean_a"]:
+        assert r["prob_b_beats_a"] >= 0.5
+    elif r["post_mean_b"] < r["post_mean_a"]:
+        assert r["prob_b_beats_a"] <= 0.5
+
+
+def test_experiment_duration_arithmetic(spark, sf_dir):
+    out = all_queries()["stats_experiment_duration"].fn(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["days_needed"] >= 1
+    assert r["n_required_per_arm"] > 0
+    assert 0.0 < r["p_base"] < 1.0
+    # days = ceil(2n / rate) within rounding
+    import math
+    assert r["days_needed"] == math.ceil(
+        2 * (2.0 * 7.84 * r["p_base"] * (1 - r["p_base"]) / (0.1 * r["p_base"]) ** 2)
+        / (r["n_users"] / r["n_days"])
+    )
+
+
+def test_capture_recapture_bounds(spark, sf_dir):
+    out = all_queries()["stats_capture_recapture"].fn(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    observed_union = (r["n_first_half"] + r["n_second_half"] - r["n_both"])
+    # Chapman estimate can never be below the observed union
+    assert r["chapman_estimate"] >= r["n_both"]
+    assert r["est_unseen_users"] >= -1.0  # floor rounding slack
+    assert r["chapman_estimate"] >= observed_union - 1
+
+
+def test_term_burst_scores(spark, sf_dir):
+    out = all_queries()["text_term_burst"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r["total"] >= 50
+        assert r["peak"] <= r["total"]
+        assert r["is_burst"] in (0, 1)
+        if r["is_burst"]:
+            assert r["burst_z"] > 2.0
+        # peak is at least the daily mean, so z >= 0
+        assert r["burst_z"] >= 0.0

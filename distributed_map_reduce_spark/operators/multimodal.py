@@ -755,3 +755,81 @@ def multimodal_interleaved_assembly(spark: SparkSession, sf_dir: str) -> DataFra
             4,
         ).alias("image_token_share"),
     )
+
+
+@register(
+    "multimodal_audio_framing",
+    tags=("multimodal", "pipeline"),
+    oracle="""
+WITH clips AS (
+  SELECT doc_id, source,
+         500 + CAST('0x' || substr(md5('audio-' || CAST(doc_id AS VARCHAR)), 1, 4)
+                    AS BIGINT) % 60000 AS dur_ms
+  FROM documents
+), framed AS (
+  SELECT doc_id, source, dur_ms,
+         1 + (dur_ms - 25) // 10 AS n_frames,
+         CAST(ceil((1 + (dur_ms - 25) // 10) / 8.0) AS BIGINT) AS audio_tokens
+  FROM clips
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_clips,
+       round(sum(dur_ms) / 1000.0, 1) AS total_seconds,
+       CAST(sum(n_frames) AS BIGINT) AS total_frames,
+       CAST(sum(audio_tokens) AS BIGINT) AS total_audio_tokens,
+       round(avg(audio_tokens), 2) AS avg_tokens_per_clip,
+       CAST(sum(CASE WHEN dur_ms <= 30000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fit_30s,
+       round(sum(CASE WHEN dur_ms <= 30000 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         AS fit_30s_frac
+FROM framed
+GROUP BY source
+""",
+)
+def multimodal_audio_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio framing budget — the Whisper-style preprocessing math for
+    the audio modality: 25 ms windows on a 10 ms hop give
+    n_frames = 1 + (dur-25)//10, an 8x conv stack reduces frames to
+    encoder tokens, and the per-source report totals seconds, frames,
+    tokens, and the 30 s-chunk fit rate (clips over budget need the
+    segmenting pass). Durations derive from an md5 coin over doc_id
+    (same stand-in discipline as [[multimodal_aspect_bucket]] — the
+    container has no audio decoders; production reads the probe's
+    duration field, and [[multimodal_metadata]] shows that plumbing).
+    All integer arithmetic in-scan, one source-keyed hash agg — the
+    audio sibling of [[multimodal_interleaved_assembly]]."""
+    docs = load_table(spark, sf_dir, "documents")
+    dur = (
+        500
+        + F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("audio-"), F.col("doc_id").cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 60000
+    )
+    n_frames = 1 + F.floor((dur - 25) / 10).cast("bigint")
+    audio_tokens = F.ceil(n_frames / 8.0).cast("bigint")
+    framed = docs.select(
+        "source",
+        dur.alias("dur_ms"),
+        n_frames.alias("n_frames"),
+        audio_tokens.alias("audio_tokens"),
+    )
+    return framed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clips"),
+        F.round(F.sum("dur_ms") / 1000.0, 1).alias("total_seconds"),
+        F.sum("n_frames").cast("bigint").alias("total_frames"),
+        F.sum("audio_tokens").cast("bigint").alias("total_audio_tokens"),
+        F.round(F.avg("audio_tokens"), 2).alias("avg_tokens_per_clip"),
+        F.sum(F.when(F.col("dur_ms") <= 30000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fit_30s"),
+        F.round(
+            F.sum(F.when(F.col("dur_ms") <= 30000, 1).otherwise(0)) * 1.0
+            / F.count(F.lit(1)),
+            4,
+        ).alias("fit_30s_frac"),
+    )

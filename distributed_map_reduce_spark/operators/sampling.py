@@ -293,3 +293,73 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select(
         F.row_number().over(w).alias("pick"), "doc_id", "n_chars"
     )
+
+
+@register(
+    "sample_importance_reweight",
+    tags=("sampling", "stats", "eval"),
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS n_s,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sx
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n_s) AS BIGINT) AS n,
+         CAST(sum(sx) AS DOUBLE) AS sx_all,
+         sum(sx * 1.0 / n_s) AS sum_stratum_means,
+         sum(1.0 / n_s) AS sum_inv
+  FROM s
+)
+SELECT k AS n_strata,
+       n AS n_events,
+       round(sx_all / n, 4) AS raw_mean_cents,
+       round(sum_stratum_means / k, 4) AS reweighted_mean_cents,
+       round(k * k / sum_inv, 2) AS ess,
+       round(k * k / sum_inv / n, 6) AS ess_frac
+FROM tot
+""",
+)
+def sample_importance_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance reweighting to a UNIFORM target over (event_type x
+    weekday) strata — the covariate-shift correction applied when an
+    eval sample's mix differs from the deployment mix (Shimodaira '00):
+    per-event weight w = target_share/source_share collapses
+    algebraically to 'mean of stratum means', and the effective sample
+    size ESS = (Sum w)^2 / Sum w^2 = k^2 / Sum(1/n_s) says how much
+    statistical power the reweighting really left (ess_frac near 1 =
+    balanced source; near 0 = a few starved strata dominate the
+    variance — the number to check BEFORE trusting the corrected
+    metric). Everything reduces over per-stratum exact integers: one
+    stratum-keyed hash agg then a k-row projection; no per-event float
+    weights ever materialize, so there is no accumulation-order
+    hazard and no second scan."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy(
+        "event_type",
+        F.dayofweek(F.col("ts").cast("date")).cast("bigint").alias("dow"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("sx"),
+    )
+    tot = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_s").cast("bigint").alias("n"),
+        F.sum("sx").cast("double").alias("sx_all"),
+        F.sum(F.col("sx") * 1.0 / F.col("n_s")).alias("sum_stratum_means"),
+        F.sum(1.0 / F.col("n_s")).alias("sum_inv"),
+    )
+    return tot.select(
+        F.col("k").alias("n_strata"),
+        F.col("n").alias("n_events"),
+        F.round(F.col("sx_all") / F.col("n"), 4).alias("raw_mean_cents"),
+        F.round(F.col("sum_stratum_means") / F.col("k"), 4).alias(
+            "reweighted_mean_cents"
+        ),
+        F.round(F.col("k") * F.col("k") / F.col("sum_inv"), 2).alias("ess"),
+        F.round(F.col("k") * F.col("k") / F.col("sum_inv") / F.col("n"), 6).alias(
+            "ess_frac"
+        ),
+    )

@@ -1510,3 +1510,126 @@ def similarity_gram_matrix_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partials.groupBy("dim_i", "dim_j").agg(
         F.round(F.sum("p"), 4).alias("gram")
     )
+
+
+@register(
+    "similarity_mmr_rerank",
+    tags=("similarity", "pipeline"),
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+cand AS (
+  SELECT vec_id, v,
+         round(list_cosine_similarity(qv, v), 6) AS simq,
+         row_number() OVER (
+           ORDER BY round(list_cosine_similarity(qv, v), 6) DESC, vec_id) AS rn
+  FROM e, q WHERE vec_id <> 0
+), c AS (SELECT vec_id, v, simq FROM cand WHERE rn <= 12),
+p AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         round(list_cosine_similarity(a.v, b.v), 6) AS s
+  FROM c a JOIN c b ON a.vec_id <> b.vec_id
+),
+s1 AS (
+  SELECT vec_id, simq, 0.7 * simq AS mmr FROM c
+  ORDER BY 0.7 * simq DESC, vec_id LIMIT 1
+),
+r2 AS (
+  SELECT c.vec_id, c.simq,
+         0.7 * c.simq - 0.3 * max(p.s) AS mmr
+  FROM c JOIN p ON p.ia = c.vec_id
+  WHERE p.ib IN (SELECT vec_id FROM s1)
+    AND c.vec_id NOT IN (SELECT vec_id FROM s1)
+  GROUP BY c.vec_id, c.simq
+),
+s2 AS (SELECT vec_id, simq, mmr FROM r2 ORDER BY mmr DESC, vec_id LIMIT 1),
+r3 AS (
+  SELECT c.vec_id, c.simq,
+         0.7 * c.simq - 0.3 * max(p.s) AS mmr
+  FROM c JOIN p ON p.ia = c.vec_id
+  WHERE p.ib IN (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2)
+    AND c.vec_id NOT IN (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2)
+  GROUP BY c.vec_id, c.simq
+),
+s3 AS (SELECT vec_id, simq, mmr FROM r3 ORDER BY mmr DESC, vec_id LIMIT 1),
+r4 AS (
+  SELECT c.vec_id, c.simq,
+         0.7 * c.simq - 0.3 * max(p.s) AS mmr
+  FROM c JOIN p ON p.ia = c.vec_id
+  WHERE p.ib IN (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2
+                 UNION ALL SELECT vec_id FROM s3)
+    AND c.vec_id NOT IN (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2
+                         UNION ALL SELECT vec_id FROM s3)
+  GROUP BY c.vec_id, c.simq
+),
+s4 AS (SELECT vec_id, simq, mmr FROM r4 ORDER BY mmr DESC, vec_id LIMIT 1)
+SELECT 1 AS pick_rank, vec_id, simq AS sim_to_query, round(mmr, 6) AS mmr_score FROM s1
+UNION ALL
+SELECT 2, vec_id, simq, round(mmr, 6) FROM s2
+UNION ALL
+SELECT 3, vec_id, simq, round(mmr, 6) FROM s3
+UNION ALL
+SELECT 4, vec_id, simq, round(mmr, 6) FROM s4
+""",
+)
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell-Goldstein '98)
+    — the RAG-retrieval diversity step: from the top-12 cosine
+    candidates for a query, greedily pick 4 maximizing
+    0.7*sim(q,d) - 0.3*max_{s in selected} sim(d,s), so near-duplicate
+    passages don't crowd the context window (the retrieval-time
+    complement of [[similarity_semdedup_prune]]'s index-time dedup).
+    Scale split: the corpus-sized work is the top-12 candidate scan
+    (identical plan to [[ann_bruteforce_topk]]); the greedy loop then
+    runs over a k x k candidate-pair frame that NEVER grows with the
+    corpus, expressed as 4 statically-unrolled argmax steps (orderBy +
+    limit 1 — no driver collect, the whole selection stays one lazy
+    plan). Sims are rounded 6dp BEFORE ranking so tie-breaks (then
+    vec_id) agree across engines."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    scored = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q)).select(
+        "vec_id", "v", F.round(cosine(F.col("qv"), F.col("v")), 6).alias("simq")
+    )
+    wtop = W.orderBy(F.col("simq").desc(), F.col("vec_id"))
+    c = (
+        scored.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 12)
+        .select("vec_id", "v", "simq")
+        .localCheckpoint(eager=False)
+    )
+    a, b = c.alias("a"), c.alias("b")
+    p = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("ia"),
+        F.col("b.vec_id").alias("ib"),
+        F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("s"),
+    )
+    picks = []
+    selected = None
+    for k in range(1, 5):
+        if selected is None:
+            step = c.select(
+                "vec_id", "simq", (0.7 * F.col("simq")).alias("mmr")
+            ).orderBy(F.col("mmr").desc(), F.col("vec_id")).limit(1)
+        else:
+            sel_ids = selected.select("vec_id")
+            step = (
+                c.join(sel_ids, "vec_id", "left_anti")
+                .join(p, F.col("vec_id") == F.col("ia"))
+                .join(sel_ids.withColumnRenamed("vec_id", "ib"), "ib")
+                .groupBy("vec_id", "simq")
+                .agg((0.7 * F.first("simq") - 0.3 * F.max("s")).alias("mmr"))
+                .orderBy(F.col("mmr").desc(), F.col("vec_id"))
+                .limit(1)
+            )
+        picks.append(step.select(F.lit(k).alias("pick_rank"), "vec_id",
+                                 F.col("simq").alias("sim_to_query"),
+                                 F.round("mmr", 6).alias("mmr_score")))
+        sel_step = step.select("vec_id")
+        selected = sel_step if selected is None else selected.unionByName(sel_step)
+    out = picks[0]
+    for df_ in picks[1:]:
+        out = out.unionByName(df_)
+    return out

@@ -206,3 +206,36 @@ def test_term_burst_scores(spark, sf_dir):
             assert r["burst_z"] > 2.0
         # peak is at least the daily mean, so z >= 0
         assert r["burst_z"] >= 0.0
+
+
+def test_mmr_diversity_property(spark, sf_dir):
+    """MMR picks must be distinct, rank-1 must be the max-sim candidate,
+    and every mmr_score <= 0.7*sim (the penalty only subtracts)."""
+    out = all_queries()["similarity_mmr_rerank"].fn(spark, sf_dir).collect()
+    assert len(out) == 4
+    ids = [r["vec_id"] for r in out]
+    assert len(set(ids)) == 4
+    by_rank = sorted(out, key=lambda r: r["pick_rank"])
+    assert abs(by_rank[0]["mmr_score"] - 0.7 * by_rank[0]["sim_to_query"]) < 1e-6
+    for r in by_rank[1:]:
+        assert r["mmr_score"] <= 0.7 * r["sim_to_query"] + 1e-9
+
+
+def test_importance_reweight_ess_bounds(spark, sf_dir):
+    out = all_queries()["sample_importance_reweight"].fn(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    # ESS is at most n (uniform weights) and at least 1
+    assert 1.0 <= r["ess"] <= r["n_events"]
+    assert 0.0 < r["ess_frac"] <= 1.0
+    assert r["reweighted_mean_cents"] > 0
+
+
+def test_audio_framing_arithmetic(spark, sf_dir):
+    out = all_queries()["multimodal_audio_framing"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        # 8x stacking: tokens within [frames/8, frames/8 + 1)
+        assert r["total_audio_tokens"] >= r["total_frames"] / 8.0
+        assert r["total_audio_tokens"] < r["total_frames"] / 8.0 + r["n_clips"]
+        assert 0 <= r["n_fit_30s"] <= r["n_clips"]

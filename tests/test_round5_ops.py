@@ -209,8 +209,9 @@ def test_term_burst_scores(spark, sf_dir):
 
 
 def test_mmr_diversity_property(spark, sf_dir):
-    """MMR picks must be distinct, rank-1 must be the max-sim candidate,
-    and every mmr_score <= 0.7*sim (the penalty only subtracts)."""
+    """MMR picks must be distinct, rank-1 is pure 0.7*sim, and later
+    scores stay within the penalty band 0.7*sim ± 0.3 (pair cosine is
+    in [-1, 1], so the penalty can add as well as subtract)."""
     out = all_queries()["similarity_mmr_rerank"].fn(spark, sf_dir).collect()
     assert len(out) == 4
     ids = [r["vec_id"] for r in out]
@@ -218,7 +219,7 @@ def test_mmr_diversity_property(spark, sf_dir):
     by_rank = sorted(out, key=lambda r: r["pick_rank"])
     assert abs(by_rank[0]["mmr_score"] - 0.7 * by_rank[0]["sim_to_query"]) < 1e-6
     for r in by_rank[1:]:
-        assert r["mmr_score"] <= 0.7 * r["sim_to_query"] + 1e-9
+        assert abs(r["mmr_score"] - 0.7 * r["sim_to_query"]) <= 0.3 + 1e-9
 
 
 def test_importance_reweight_ess_bounds(spark, sf_dir):

@@ -178,6 +178,25 @@ EXTRA = [
     "similarity_gram_matrix",
     "profile_clock_skew_audit",
     "window_max_drawdown",
+    # round-5 additions
+    "stats_anova_oneway",
+    "stats_benjamini_hochberg",
+    "stats_permutation_test",
+    "stats_jensen_shannon",
+    "text_self_bleu_diversity",
+    "temporal_calendar_proration",
+    "privacy_contribution_capping",
+    "stats_ols_two_feature",
+    "stats_retention_decay_fit",
+    "stats_extreme_value_gumbel",
+    "multimodal_interleaved_assembly",
+    "asof_arrow_grouped",
+    "stats_bayes_ab_normal_approx",
+    "stats_capture_recapture",
+    "text_term_burst",
+    "similarity_mmr_rerank",
+    "sample_importance_reweight",
+    "multimodal_audio_framing",
 ]
 
 

@@ -3813,3 +3813,231 @@ def stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0.0)
         .alias("est_unseen_users"),
     )
+
+
+@register(
+    "stats_krippendorff_alpha",
+    tags=("stats", "pipeline", "eval"),
+    oracle="""
+WITH ratings AS (
+  SELECT d.doc_id, a.j,
+         CASE WHEN CAST('0x' || substr(md5('lbl-' || d.doc_id || '-' || a.j), 1, 2)
+                   AS BIGINT) % 10 < 7
+              THEN CAST(d.doc_id % 3 AS BIGINT)
+              ELSE CAST('0x' || substr(md5('alt-' || d.doc_id || '-' || a.j), 1, 2)
+                   AS BIGINT) % 3 END AS cat
+  FROM documents d
+  CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS j) a
+  WHERE CAST('0x' || substr(md5('skip-' || d.doc_id || '-' || a.j), 1, 2)
+             AS BIGINT) % 5 <> 0
+), unit_cat AS (
+  SELECT doc_id, cat, CAST(count(*) AS BIGINT) AS n_uc
+  FROM ratings GROUP BY 1, 2
+), unit AS (
+  SELECT doc_id, CAST(sum(n_uc) AS BIGINT) AS m_u FROM unit_cat GROUP BY 1
+), usable AS (
+  SELECT uc.doc_id, uc.cat, uc.n_uc, u.m_u
+  FROM unit_cat uc JOIN unit u ON uc.doc_id = u.doc_id
+  WHERE u.m_u >= 2
+), do_parts AS (
+  SELECT sum(n_uc * (m_u - n_uc) * 1.0 / (m_u - 1)) AS d_obs_num,
+         CAST(sum(n_uc) AS BIGINT) AS n_tot
+  FROM usable
+), cat_tot AS (
+  SELECT cat, CAST(sum(n_uc) AS BIGINT) AS n_c FROM usable GROUP BY cat
+), de AS (
+  SELECT sum(n_c * (t.n_tot - n_c) * 1.0 / (t.n_tot - 1)) AS d_exp_num,
+         max(t.n_tot) AS n_tot
+  FROM cat_tot, do_parts t
+)
+SELECT CAST(de.n_tot AS BIGINT) AS n_ratings,
+       round(dp.d_obs_num / de.n_tot, 6) AS d_observed,
+       round(de.d_exp_num / de.n_tot, 6) AS d_expected,
+       round(1.0 - (dp.d_obs_num / de.n_tot) / (de.d_exp_num / de.n_tot), 6)
+         AS alpha
+FROM do_parts dp, de
+""",
+)
+def stats_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal) over a 3-annotator labeling pass
+    with missing ratings — the inter-annotator agreement measure that,
+    unlike [[stats_cohens_kappa]], handles ANY number of raters and
+    incomplete coverage (each annotator skips ~20% of docs via an md5
+    coin; labels are 70% a doc-derived 'true' category, 30% noise —
+    production reads the real annotation table). Coincidence-matrix
+    form: D_o = sum_u sum_c n_uc(m_u - n_uc)/(m_u - 1) over units with
+    >=2 ratings; D_e from pooled category totals; alpha = 1 - Do/De
+    (Krippendorff '04). Every term is an exact-integer count ratio; two
+    unit-keyed hash aggs and a 3-row category rollup — annotation QA at
+    corpus scale is exactly this shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    ann = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(1), F.lit(3))).alias("j")
+    )
+    coin = lambda tag: F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(tag + "-"), F.col("doc_id").cast("string"),
+                         F.lit("-"), F.col("j").cast("string"))
+            ),
+            1, 2,
+        ), 16, 10,
+    ).cast("bigint")
+    ratings = (
+        ann.filter(coin("skip") % 5 != 0)
+        .select(
+            "doc_id",
+            "j",
+            F.when(coin("lbl") % 10 < 7, (F.col("doc_id") % 3).cast("bigint"))
+            .otherwise(coin("alt") % 3)
+            .alias("cat"),
+        )
+    )
+    unit_cat = ratings.groupBy("doc_id", "cat").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_uc")
+    )
+    unit = unit_cat.groupBy("doc_id").agg(F.sum("n_uc").cast("bigint").alias("m_u"))
+    usable = unit_cat.join(unit, "doc_id").filter(F.col("m_u") >= 2)
+    do_parts = usable.agg(
+        F.sum(
+            F.col("n_uc") * (F.col("m_u") - F.col("n_uc")) * 1.0
+            / (F.col("m_u") - 1)
+        ).alias("d_obs_num"),
+        F.sum("n_uc").cast("bigint").alias("n_tot"),
+    )
+    cat_tot = usable.groupBy("cat").agg(F.sum("n_uc").cast("bigint").alias("n_c"))
+    de = cat_tot.crossJoin(F.broadcast(do_parts)).agg(
+        F.sum(
+            F.col("n_c") * (F.col("n_tot") - F.col("n_c")) * 1.0
+            / (F.col("n_tot") - 1)
+        ).alias("d_exp_num"),
+        F.max("n_tot").alias("n_tot"),
+    )
+    return do_parts.crossJoin(F.broadcast(de.select("d_exp_num", F.col("n_tot").alias("n_tot2")))).select(
+        F.col("n_tot2").cast("bigint").alias("n_ratings"),
+        F.round(F.col("d_obs_num") / F.col("n_tot2"), 6).alias("d_observed"),
+        F.round(F.col("d_exp_num") / F.col("n_tot2"), 6).alias("d_expected"),
+        F.round(
+            1.0
+            - (F.col("d_obs_num") / F.col("n_tot2"))
+            / (F.col("d_exp_num") / F.col("n_tot2")),
+            6,
+        ).alias("alpha"),
+    )
+
+
+def _markov_oracle(k_steps: int = 8) -> str:
+    """Build the k-step absorption oracle: chained CTEs a1..aK, each one
+    matrix-vector step v -> P.v with the absorbing state pinned at 1."""
+    steps = []
+    prev = "a0"
+    for k in range(1, k_steps + 1):
+        steps.append(f"""
+, x{k} AS (
+  SELECT p.src AS state, sum(p.prob * v.p) AS p
+  FROM p JOIN {prev} v ON p.dst = v.state
+  GROUP BY p.src
+), a{k} AS (
+  SELECT s.state,
+         CASE WHEN s.state = 'purchase' THEN 1.0
+              ELSE coalesce(x.p, 0.0) END AS p
+  FROM states s LEFT JOIN x{k} x ON s.state = x.state
+)""")
+        prev = f"a{k}"
+    return f"""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+), trans AS (
+  SELECT event_type AS src, next_type AS dst, count(*) AS c
+  FROM ordered
+  WHERE next_type IS NOT NULL AND event_type <> 'purchase'
+  GROUP BY 1, 2
+), out_tot AS (
+  SELECT src, CAST(sum(c) AS BIGINT) AS tot FROM trans GROUP BY src
+), p AS (
+  SELECT t.src, t.dst, t.c * 1.0 / o.tot AS prob
+  FROM trans t JOIN out_tot o ON t.src = o.src
+), states AS (
+  SELECT DISTINCT event_type AS state FROM events
+), a0 AS (
+  SELECT state, CASE WHEN state = 'purchase' THEN 1.0 ELSE 0.0 END AS p
+  FROM states
+){''.join(steps)}
+SELECT s.state,
+       CAST(coalesce(o.tot, 0) AS BIGINT) AS n_out_transitions,
+       round(a.p, 6) AS p_convert_8
+FROM states s
+LEFT JOIN out_tot o ON s.state = o.src
+JOIN {prev} a ON s.state = a.state
+"""
+
+
+@register(
+    "stats_markov_absorption",
+    tags=("stats", "events", "analytics"),
+    oracle=_markov_oracle(8),
+)
+def stats_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-step absorption probability of the user-journey Markov chain:
+    from each event-type state, the probability of reaching 'purchase'
+    within the next 8 transitions — the funnel question
+    [[stats_event_transitions]]'s raw matrix can't answer without the
+    chain algebra (and the bounded-horizon form of the classic
+    absorbing-chain solve: v_k = P v_{k-1} with the absorbing state
+    pinned at 1, unrolled 8 matrix-vector steps on BOTH engines, so no
+    convergence tolerance enters the oracle). Transition probabilities
+    are exact count ratios from one lead() window over user-ordered
+    events (ties pinned by event_id — the r3 discipline); each step is
+    a state-cardinality join (|S|^2 rows at most — metadata-sized
+    forever), so at 100 TB the only data-scale work is the window scan
+    and the (src,dst) count agg."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    trans = (
+        ordered.filter(
+            F.col("next_type").isNotNull() & (F.col("event_type") != "purchase")
+        )
+        .groupBy(F.col("event_type").alias("src"), F.col("next_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    out_tot = trans.groupBy("src").agg(F.sum("c").cast("bigint").alias("tot"))
+    p = trans.join(out_tot, "src").select(
+        "src", "dst", (F.col("c") * 1.0 / F.col("tot")).alias("prob")
+    ).localCheckpoint(eager=False)
+    states = ev.select(F.col("event_type").alias("state")).distinct()
+    v = states.select(
+        "state",
+        F.when(F.col("state") == "purchase", 1.0).otherwise(0.0).alias("p"),
+    )
+    for _ in range(8):
+        x = (
+            p.join(v.withColumnRenamed("state", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum(F.col("prob") * F.col("p")).alias("p"))
+            .withColumnRenamed("src", "state")
+        )
+        v = states.join(x, "state", "left").select(
+            "state",
+            F.when(F.col("state") == "purchase", 1.0)
+            .otherwise(F.coalesce(F.col("p"), F.lit(0.0)))
+            .alias("p"),
+        )
+    return (
+        states.join(out_tot.withColumnRenamed("src", "state"), "state", "left")
+        .join(v, "state")
+        .select(
+            "state",
+            F.coalesce(F.col("tot"), F.lit(0)).cast("bigint").alias(
+                "n_out_transitions"
+            ),
+            F.round("p", 6).alias("p_convert_8"),
+        )
+    )

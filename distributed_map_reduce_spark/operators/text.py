@@ -1500,3 +1500,87 @@ def text_term_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(burst_z > 2.0, 1).otherwise(0).alias("is_burst"),
         )
     )
+
+
+@register(
+    "text_suffix_prefix_stitch",
+    tags=("text", "dedup", "pipeline"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), sized AS (
+  SELECT doc_id, t, len(t) AS n, len(t) // 2 AS h
+  FROM toks WHERE len(t) >= 12
+), chunks AS (
+  SELECT doc_id * 2 AS chunk_id, doc_id, t[1 : h + 5] AS c FROM sized
+  UNION ALL
+  SELECT doc_id * 2 + 1 AS chunk_id, doc_id, t[h + 1 : n] AS c FROM sized
+), ends AS (
+  SELECT chunk_id, doc_id,
+         array_to_string(c[1:5], ' ') AS prefix5,
+         array_to_string(c[len(c) - 4 : len(c)], ' ') AS suffix5,
+         CAST(len(c) AS BIGINT) AS n_tokens
+  FROM chunks
+)
+SELECT a.chunk_id AS tail_chunk, b.chunk_id AS head_chunk,
+       a.suffix5 AS shared_gram,
+       a.n_tokens AS tail_tokens,
+       b.n_tokens AS head_tokens,
+       CASE WHEN a.doc_id = b.doc_id THEN 1 ELSE 0 END AS same_doc
+FROM ends a JOIN ends b
+  ON a.suffix5 = b.prefix5 AND a.chunk_id <> b.chunk_id
+""",
+)
+def text_suffix_prefix_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix/prefix stitch detection over an overlapping-chunk corpus:
+    every doc (>=12 tokens) is split inline into two chunks sharing a
+    5-token overlap — exactly what sliding-window chunkers
+    ([[pipeline_chunk_documents]]) and paginated crawls produce — and
+    the detector finds chunk pairs where one's last 5-gram equals
+    another's first 5-gram, the signature a reassembly pass keys on
+    BEFORE training (document-level dedup can't see it: the pieces
+    aren't duplicates of anything). One equi-join on the 5-gram key:
+    each chunk contributes one suffix key and one prefix key — ids +
+    one short string on the shuffle, no pairwise scan. same_doc=0
+    survivors are cross-document accidents (boilerplate frames),
+    themselves a dedup signal. Every in-doc split is provably
+    recovered; the test pins that count."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower("text"), " ")
+    sized = docs.select(
+        "doc_id", t.alias("t"), F.size(t).alias("n"),
+        F.floor(F.size(t) / 2).cast("int").alias("h"),
+    ).filter(F.col("n") >= 12)
+    chunk_a = sized.select(
+        (F.col("doc_id") * 2).alias("chunk_id"),
+        "doc_id",
+        F.slice("t", 1, F.col("h") + 5).alias("c"),
+    )
+    chunk_b = sized.select(
+        (F.col("doc_id") * 2 + 1).alias("chunk_id"),
+        "doc_id",
+        F.slice("t", F.col("h") + 1, F.col("n") - F.col("h")).alias("c"),
+    )
+    chunks = chunk_a.unionByName(chunk_b)
+    ends = chunks.select(
+        "chunk_id",
+        "doc_id",
+        F.array_join(F.slice("c", 1, 5), " ").alias("prefix5"),
+        F.array_join(F.slice("c", -5, 5), " ").alias("suffix5"),
+        F.size("c").cast("bigint").alias("n_tokens"),
+    )
+    a, b = ends.alias("a"), ends.alias("b")
+    return a.join(
+        b,
+        (F.col("a.suffix5") == F.col("b.prefix5"))
+        & (F.col("a.chunk_id") != F.col("b.chunk_id")),
+    ).select(
+        F.col("a.chunk_id").alias("tail_chunk"),
+        F.col("b.chunk_id").alias("head_chunk"),
+        F.col("a.suffix5").alias("shared_gram"),
+        F.col("a.n_tokens").alias("tail_tokens"),
+        F.col("b.n_tokens").alias("head_tokens"),
+        F.when(F.col("a.doc_id") == F.col("b.doc_id"), 1).otherwise(0).alias(
+            "same_doc"
+        ),
+    )

@@ -240,3 +240,36 @@ def test_audio_framing_arithmetic(spark, sf_dir):
         assert r["total_audio_tokens"] >= r["total_frames"] / 8.0
         assert r["total_audio_tokens"] < r["total_frames"] / 8.0 + r["n_clips"]
         assert 0 <= r["n_fit_30s"] <= r["n_clips"]
+
+
+def test_krippendorff_alpha_range(spark, sf_dir):
+    out = all_queries()["stats_krippendorff_alpha"].fn(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    # 70% label fidelity must yield clear above-chance agreement
+    assert 0.1 < r["alpha"] <= 1.0
+    assert r["d_expected"] > r["d_observed"] > 0
+
+
+def test_stitch_recovers_every_split(spark, sf_dir):
+    out = all_queries()["text_suffix_prefix_stitch"].fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_eligible = docs.filter(
+        F.size(F.split(F.lower("text"), " ")) >= 12
+    ).count()
+    same_doc = [r for r in out if r["same_doc"] == 1]
+    # every in-doc split is recovered as (chunk 2d -> chunk 2d+1);
+    # cross-doc accidents (same_doc=0) may pair arbitrary chunks
+    assert sum(1 for r in same_doc
+               if r["head_chunk"] == r["tail_chunk"] + 1) == n_eligible
+
+
+def test_markov_absorption_monotone_and_bounded(spark, sf_dir):
+    out = all_queries()["stats_markov_absorption"].fn(spark, sf_dir).collect()
+    assert out
+    by_state = {r["state"]: r for r in out}
+    assert by_state["purchase"]["p_convert_8"] == 1.0
+    for r in out:
+        assert 0.0 <= r["p_convert_8"] <= 1.0
+        if r["state"] != "purchase":
+            assert r["n_out_transitions"] > 0

@@ -531,3 +531,77 @@ def privacy_contribution_capping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(clipped).cast("bigint").alias("n_clipped_users"),
         F.round(F.sum(clipped) * 1.0 / F.count(F.lit(1)), 6).alias("clipped_frac"),
     )
+
+
+@register(
+    "privacy_subject_access_export",
+    tags=("privacy", "governance"),
+    oracle="""
+WITH subjects AS (
+  SELECT c_custkey AS subject FROM customer WHERE c_custkey % 500 = 7
+), o AS (
+  SELECT s.subject, count(*) AS n, CAST(min(o.o_orderkey) AS BIGINT) AS min_key,
+         CAST(max(o.o_orderkey) AS BIGINT) AS max_key
+  FROM subjects s JOIN orders o ON o.o_custkey = s.subject GROUP BY 1
+), li AS (
+  SELECT s.subject, count(*) AS n, CAST(min(l.l_orderkey) AS BIGINT) AS min_key,
+         CAST(max(l.l_orderkey) AS BIGINT) AS max_key
+  FROM subjects s
+  JOIN orders o ON o.o_custkey = s.subject
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1
+), ev AS (
+  SELECT s.subject, count(*) AS n, CAST(min(e.event_id) AS BIGINT) AS min_key,
+         CAST(max(e.event_id) AS BIGINT) AS max_key
+  FROM subjects s JOIN events e ON e.user_id = s.subject GROUP BY 1
+)
+SELECT subject, 'orders' AS source_table, CAST(n AS BIGINT) AS n_rows,
+       min_key, max_key FROM o
+UNION ALL
+SELECT subject, 'lineitem', CAST(n AS BIGINT), min_key, max_key FROM li
+UNION ALL
+SELECT subject, 'events', CAST(n AS BIGINT), min_key, max_key FROM ev
+""",
+)
+def privacy_subject_access_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subject-access request (GDPR Art. 15 / CCPA) export manifest:
+    for each data subject in the request batch (every 500th customer
+    key — production reads the DSR queue), enumerate their footprint
+    across EVERY table that carries their data — direct rows (orders,
+    events) and rows reachable through FK cascade (lineitem via
+    orders) — with row counts and key ranges, the manifest an export
+    job materializes before serializing the actual rows. The read-side
+    twin of [[privacy_erasure_cascade]] (same subject->FK traversal,
+    access instead of deletion): each hop is a broadcast semi-join of
+    the tiny subject list against a fact table, ids-only on the wire;
+    nothing here scales with anything but the subjects' own data."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    subjects = c.filter(F.col("c_custkey") % 500 == 7).select(
+        F.col("c_custkey").alias("subject")
+    )
+    def footprint(df, key_col, join_expr, label):
+        return (
+            df.join(F.broadcast(subjects), join_expr)
+            .groupBy("subject")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.min(key_col).cast("bigint").alias("min_key"),
+                F.max(key_col).cast("bigint").alias("max_key"),
+            )
+            .select("subject", F.lit(label).alias("source_table"),
+                    "n_rows", "min_key", "max_key")
+        )
+    orders_fp = footprint(o, "o_orderkey", F.col("o_custkey") == F.col("subject"),
+                          "orders")
+    li_join = li.join(
+        o.select("o_orderkey", "o_custkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    lineitem_fp = footprint(li_join, "l_orderkey",
+                            F.col("o_custkey") == F.col("subject"), "lineitem")
+    events_fp = footprint(ev, "event_id", F.col("user_id") == F.col("subject"),
+                          "events")
+    return orders_fp.unionByName(lineitem_fp).unionByName(events_fp)

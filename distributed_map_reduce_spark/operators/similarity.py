@@ -1633,3 +1633,155 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df_ in picks[1:]:
         out = out.unionByName(df_)
     return out
+
+
+def _power_iter_oracle(k_steps: int = 16) -> str:
+    """Unrolled power-iteration oracle over the 4dp-rounded Gram matrix
+    (both engines consume identical rounded cells, so later drift is
+    only 64-term sum order — absorbed by the output rounding).
+
+    Every step CTE is MATERIALIZED: DuckDB inlines CTEs by default and
+    each step references its predecessor through BOTH w_k and n_k, so
+    the un-hinted chain re-expands the Gram scan 2^k times (observed:
+    the 8-step oracle ran >2 min; materialized it runs in ~1 s). The
+    Spark twin needs the same treatment — an eager localCheckpoint per
+    iteration — for the mirrored reason (plan lineage, not re-execution,
+    goes super-linear)."""
+    steps = []
+    prev = "v0"
+    for k in range(1, k_steps + 1):
+        steps.append(f"""
+, w{k} AS MATERIALIZED (
+  SELECT g.dim_i AS dim, sum(g.g * v.val) AS val
+  FROM g JOIN {prev} v ON g.dim_j = v.dim
+  GROUP BY g.dim_i
+), n{k} AS MATERIALIZED (SELECT sqrt(sum(val * val)) AS nrm FROM w{k}),
+v{k} AS MATERIALIZED (SELECT dim, val / nrm AS val FROM w{k}, n{k})""")
+        prev = f"v{k}"
+    return f"""
+WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+upper_cells AS MATERIALIZED (
+  SELECT i.dim AS dim_i, j.dim AS dim_j, round(sum(v[i.dim] * v[j.dim]), 4) AS g
+  FROM e,
+       unnest(range(1, len(v) + 1)) AS i(dim),
+       unnest(range(1, len(v) + 1)) AS j(dim)
+  WHERE i.dim <= j.dim
+  GROUP BY i.dim, j.dim
+), g AS MATERIALIZED (
+  SELECT dim_i, dim_j, g FROM upper_cells
+  UNION ALL
+  SELECT dim_j, dim_i, g FROM upper_cells WHERE dim_i < dim_j
+), dims AS MATERIALIZED (SELECT DISTINCT dim_i AS dim FROM g),
+v0 AS (SELECT dim, 1.0 AS val FROM dims){''.join(steps)}
+, lam AS (
+  SELECT sum(g.g * a.val * b.val) AS lambda1
+  FROM g JOIN {prev} a ON g.dim_i = a.dim JOIN {prev} b ON g.dim_j = b.dim
+), tr AS (SELECT sum(g) AS trace FROM g WHERE dim_i = dim_j),
+top AS (
+  SELECT dim, val,
+         row_number() OVER (ORDER BY abs(val) DESC, dim) AS rn
+  FROM {prev}
+)
+SELECT CAST((SELECT count(*) FROM dims) AS BIGINT) AS dim,
+       round(lam.lambda1, 2) AS lambda1,
+       round(lam.lambda1 / tr.trace, 6) AS explained_frac,
+       CAST((SELECT dim FROM top WHERE rn = 1) AS BIGINT) AS loading_dim1,
+       CAST((SELECT dim FROM top WHERE rn = 2) AS BIGINT) AS loading_dim2,
+       CAST((SELECT dim FROM top WHERE rn = 3) AS BIGINT) AS loading_dim3
+FROM lam, tr
+"""
+
+
+@register(
+    "similarity_power_iteration_pca",
+    tags=("similarity", "stats", "ml"),
+    oracle=_power_iter_oracle(16),
+)
+def similarity_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by POWER
+    ITERATION on the Gram matrix — iterative linear algebra run
+    entirely inside the engine: the data-sized pass is the one XtX
+    reduction ([[similarity_gram_matrix]]'s shape); the 16 unrolled
+    v -> Gv/|Gv| steps then operate on d-cardinality frames (64 rows)
+    that never grow with the corpus, exactly like
+    [[stats_markov_absorption]]'s chain steps. Both engines consume
+    the IDENTICAL 4dp-rounded Gram cells, so the only cross-engine
+    noise is 64-term sum order (~1e-13), absorbed by output rounding.
+    Emits the Rayleigh-quotient top eigenvalue, the explained-variance
+    share lambda1/trace (the 'how collapsed are my embeddings' number
+    an embedding-health audit tracks — high share = rank collapse),
+    and the top-3 loading dimensions."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        as_double(F.col("embedding")).alias("v")
+    )
+    d = F.size("v")
+    idx = F.sequence(F.lit(1), d)
+    cells = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.sequence(i, d),
+                lambda j: F.struct(
+                    i.cast("int").alias("dim_i"),
+                    j.cast("int").alias("dim_j"),
+                    (F.element_at("v", i) * F.element_at("v", j)).alias("p"),
+                ),
+            ),
+        )
+    )
+    upper = (
+        e.select(F.explode(cells).alias("c"))
+        .select("c.dim_i", "c.dim_j", "c.p")
+        .groupBy("dim_i", "dim_j")
+        .agg(F.round(F.sum("p"), 4).alias("g"))
+    )
+    g = upper.unionByName(
+        upper.filter(F.col("dim_i") < F.col("dim_j")).select(
+            F.col("dim_j").alias("dim_i"), F.col("dim_i").alias("dim_j"), "g"
+        )
+    ).localCheckpoint(eager=True)
+    dims = g.select(F.col("dim_i").alias("dim")).distinct()
+    v = dims.select("dim", F.lit(1.0).alias("val"))
+    for _ in range(16):
+        w = (
+            g.join(v.withColumnRenamed("dim", "dim_j"), "dim_j")
+            .groupBy("dim_i")
+            .agg(F.sum(F.col("g") * F.col("val")).alias("val"))
+            .withColumnRenamed("dim_i", "dim")
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm"))
+        # truncate lineage every step: v is d rows (64), so the eager
+        # checkpoint is O(d) while the un-truncated 8-deep join lineage
+        # sends Catalyst planning super-linear (observed: >10 min to plan)
+        v = (
+            w.crossJoin(F.broadcast(nrm))
+            .select("dim", (F.col("val") / F.col("nrm")).alias("val"))
+            .localCheckpoint(eager=True)
+        )
+    lam = (
+        g.join(v.select(F.col("dim").alias("dim_i"), F.col("val").alias("va")), "dim_i")
+        .join(v.select(F.col("dim").alias("dim_j"), F.col("val").alias("vb")), "dim_j")
+        .agg(F.sum(F.col("g") * F.col("va") * F.col("vb")).alias("lambda1"))
+    )
+    tr = g.filter(F.col("dim_i") == F.col("dim_j")).agg(
+        F.sum("g").alias("trace")
+    )
+    from pyspark.sql import Window
+
+    wtop = Window.orderBy(F.abs(F.col("val")).desc(), F.col("dim"))
+    top = v.withColumn("rn", F.row_number().over(wtop)).filter(F.col("rn") <= 3)
+    top_wide = top.groupBy().pivot("rn", [1, 2, 3]).agg(F.first("dim"))
+    n_dims = dims.agg(F.count(F.lit(1)).cast("bigint").alias("dim"))
+    return (
+        lam.crossJoin(tr)
+        .crossJoin(F.broadcast(n_dims))
+        .crossJoin(F.broadcast(top_wide))
+        .select(
+            "dim",
+            F.round("lambda1", 2).alias("lambda1"),
+            F.round(F.col("lambda1") / F.col("trace"), 6).alias("explained_frac"),
+            F.col("1").cast("bigint").alias("loading_dim1"),
+            F.col("2").cast("bigint").alias("loading_dim2"),
+            F.col("3").cast("bigint").alias("loading_dim3"),
+        )
+    )

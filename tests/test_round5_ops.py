@@ -273,3 +273,40 @@ def test_markov_absorption_monotone_and_bounded(spark, sf_dir):
         assert 0.0 <= r["p_convert_8"] <= 1.0
         if r["state"] != "purchase":
             assert r["n_out_transitions"] > 0
+
+
+def test_power_iteration_matches_numpy_eig(spark, sf_dir):
+    """The 16-step power iteration's Rayleigh quotient must land near
+    (and never above) numpy's exact top eigenvalue of the same
+    (4dp-rounded) Gram."""
+    import numpy as np
+
+    out = all_queries()["similarity_power_iteration_pca"].fn(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding").collect()
+    x = np.array([row["embedding"] for row in emb], dtype=np.float64)
+    gram = np.round(x.T @ x, 4)
+    eig = np.linalg.eigvalsh(gram)[-1]
+    assert r["dim"] == x.shape[1]
+    # the k-step Rayleigh quotient is a guaranteed LOWER bound on the
+    # top eigenvalue; with this spectrum's small gap 16 steps land
+    # within ~5% (convergence rate (lambda2/lambda1)^2k)
+    assert 0.9 * eig <= r["lambda1"] <= eig * 1.0000001
+    assert 0.0 < r["explained_frac"] <= 1.0
+
+
+def test_subject_access_cascade_consistent(spark, sf_dir):
+    out = all_queries()["privacy_subject_access_export"].fn(spark, sf_dir).collect()
+    assert out
+    by = {}
+    for r in out:
+        by.setdefault(r["subject"], {})[r["source_table"]] = r
+    for subject, tables in by.items():
+        # lineitem rows only exist through the orders cascade
+        if "lineitem" in tables:
+            assert "orders" in tables
+            assert tables["lineitem"]["n_rows"] >= tables["orders"]["n_rows"]
+        for r in tables.values():
+            assert r["min_key"] <= r["max_key"]
+            assert r["n_rows"] >= 1

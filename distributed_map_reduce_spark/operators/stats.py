@@ -4041,3 +4041,144 @@ def stats_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("p", 6).alias("p_convert_8"),
         )
     )
+
+
+@register(
+    "eval_calibration_brier",
+    tags=("stats", "eval", "ml"),
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END)
+           AS y
+  FROM events GROUP BY user_id
+), scored AS (
+  SELECT user_id, y,
+         least(9.5e-1, greatest(5e-2,
+           1.5e-1 + 5.5e-1 * y
+                + 2.5e-1 * (CAST('0x' || substr(md5('cal-' || user_id), 1, 2)
+                               AS BIGINT) % 256) / 255e0)) AS p_hat
+  FROM u
+), binned AS (
+  SELECT CAST(least(floor(p_hat * 1e1), 9) AS BIGINT) AS bin, y, p_hat
+  FROM scored
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(p_hat), 6) AS mean_predicted,
+       round(avg(y * 1.0), 6) AS observed_rate,
+       round(avg((p_hat - y) * (p_hat - y)), 6) AS brier_contrib
+FROM binned
+GROUP BY bin
+""",
+)
+def eval_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve + per-bin Brier contribution for a scored
+    binary outcome — the reliability diagram every model-eval harness
+    draws (mean predicted vs observed rate per decile bin; a
+    well-calibrated scorer has the two equal per bin, and the Brier
+    decomposition localizes WHERE it miscalibrates). The score column
+    is a deterministic pseudo-model (md5 noise around the true label,
+    so bins exercise both calibrated and biased regions; production
+    reads the model-output column — [[eval_em_f1_scoring]]'s
+    discipline). All inputs are exact integer ratios; the per-user
+    hash agg is the only data-scale work and the report is 10 rows.
+    Mean of (p-y)^2 doubles per bin is well-conditioned at 6dp.
+
+    Oracle hazard pinned here: DuckDB parses plain decimal literals
+    (0.25) as DECIMAL and evaluates the score EXACTLY, which lands
+    boundary users in different floor() bins than Spark's DOUBLE
+    arithmetic — invisible under 6dp rounding, fatal under binning.
+    The oracle spells every literal in e-notation (2.5e-1), which
+    DuckDB types as DOUBLE, making both expression trees IEEE-identical
+    before the floor."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") >= 150), 1)
+            .otherwise(0)
+        ).alias("y")
+    )
+    coin = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("cal-"), F.col("user_id").cast("string"))), 1, 2),
+            16, 10,
+        ).cast("bigint") % 256
+    )
+    p_hat = F.least(
+        F.lit(0.95),
+        F.greatest(F.lit(0.05), 0.15 + 0.55 * F.col("y") + 0.25 * coin / 255.0),
+    )
+    binned = u.select(
+        F.least(F.floor(p_hat * 10), F.lit(9)).cast("bigint").alias("bin"),
+        "y",
+        p_hat.alias("p_hat"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg("p_hat"), 6).alias("mean_predicted"),
+        F.round(F.avg(F.col("y") * 1.0), 6).alias("observed_rate"),
+        F.round(
+            F.avg((F.col("p_hat") - F.col("y")) * (F.col("p_hat") - F.col("y"))), 6
+        ).alias("brier_contrib"),
+    )
+
+
+@register(
+    "stats_negbinom_overdispersion",
+    tags=("stats", "events"),
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(CAST(c AS HUGEINT)) AS DOUBLE) AS s,
+         CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) AS ss
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n_days,
+       round(s / n_days, 4) AS mean_daily,
+       round((ss - s * s / n_days) / (n_days - 1), 4) AS var_daily,
+       round(((ss - s * s / n_days) / (n_days - 1)) / (s / n_days), 4)
+         AS dispersion_index,
+       CASE WHEN (ss - s * s / n_days) / (n_days - 1) > s / n_days
+            THEN round((s / n_days) * (s / n_days)
+                       / ((ss - s * s / n_days) / (n_days - 1) - s / n_days), 4)
+            ELSE 0.0 END AS nb_r_estimate
+FROM m
+""",
+)
+def stats_negbinom_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion triage on daily event counts: the variance/mean
+    dispersion index (=1 under Poisson) and the method-of-moments
+    negative-binomial size r = m^2/(v - m) when overdispersed — the
+    decision input for whether [[stats_rate_anomaly_poisson]]'s
+    Poisson thresholds are honest or need NB quantiles (bursty traffic
+    always overdisperses). Exact HUGEINT/DECIMAL count moments per
+    event type, day-cardinality agg, 5-row projection; the
+    equidispersed guard emits 0.0 (ANSI class)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    dec = "decimal(28,0)"
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.col("c").cast(dec)).cast("double").alias("s"),
+        F.sum(F.col("c").cast(dec) * F.col("c")).cast("double").alias("ss"),
+    )
+    n = F.col("n_days")
+    mean = F.col("s") / n
+    var = (F.col("ss") - F.col("s") * F.col("s") / n) / (n - 1)
+    return m.select(
+        "event_type",
+        "n_days",
+        F.round(mean, 4).alias("mean_daily"),
+        F.round(var, 4).alias("var_daily"),
+        F.round(var / mean, 4).alias("dispersion_index"),
+        F.when(var > mean, F.round(mean * mean / (var - mean), 4))
+        .otherwise(0.0)
+        .alias("nb_r_estimate"),
+    )

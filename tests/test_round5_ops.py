@@ -310,3 +310,31 @@ def test_subject_access_cascade_consistent(spark, sf_dir):
         for r in tables.values():
             assert r["min_key"] <= r["max_key"]
             assert r["n_rows"] >= 1
+
+
+def test_calibration_bins_partition_users(spark, sf_dir):
+    out = all_queries()["eval_calibration_brier"].fn(spark, sf_dir).collect()
+    assert out
+    ev = load_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n"] for r in out) == n_users
+    for r in out:
+        assert 0 <= r["bin"] <= 9
+        assert 0.0 <= r["mean_predicted"] <= 1.0
+        assert 0.0 <= r["observed_rate"] <= 1.0
+        assert 0.0 <= r["brier_contrib"] <= 1.0
+        # bin membership: mean prediction falls inside the decile
+        assert r["bin"] / 10.0 - 1e-9 <= r["mean_predicted"] <= (r["bin"] + 1) / 10.0 + 1e-9
+
+
+def test_overdispersion_index_positive(spark, sf_dir):
+    out = all_queries()["stats_negbinom_overdispersion"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r["mean_daily"] > 0
+        assert r["var_daily"] >= 0
+        assert r["dispersion_index"] >= 0
+        if r["dispersion_index"] > 1:
+            assert r["nb_r_estimate"] > 0
+        else:
+            assert r["nb_r_estimate"] == 0.0

@@ -197,6 +197,14 @@ EXTRA = [
     "similarity_mmr_rerank",
     "sample_importance_reweight",
     "multimodal_audio_framing",
+    "stats_krippendorff_alpha",
+    "text_suffix_prefix_stitch",
+    "stats_markov_absorption",
+    "similarity_power_iteration_pca",
+    "privacy_subject_access_export",
+    "eval_calibration_brier",
+    "stats_negbinom_overdispersion",
+    "stats_experiment_duration",
 ]
 
 

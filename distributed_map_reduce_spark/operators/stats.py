@@ -4182,3 +4182,83 @@ def stats_negbinom_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame
         .otherwise(0.0)
         .alias("nb_r_estimate"),
     )
+
+
+@register(
+    "stats_diff_in_diff",
+    tags=("stats", "experiment"),
+    oracle="""
+WITH cell AS (
+  SELECT user_id % 2 AS treated,
+         CASE WHEN CAST(ts AS DATE) >= CAST('2024-01-16' AS DATE)
+              THEN 1 ELSE 0 END AS post,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), m AS (
+  SELECT treated, post,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE) AS s
+  FROM cell GROUP BY 1, 2
+), w AS (
+  SELECT max(CASE WHEN treated = 1 AND post = 1 THEN s / n END) AS t_post,
+         max(CASE WHEN treated = 1 AND post = 0 THEN s / n END) AS t_pre,
+         max(CASE WHEN treated = 0 AND post = 1 THEN s / n END) AS c_post,
+         max(CASE WHEN treated = 0 AND post = 0 THEN s / n END) AS c_pre,
+         CAST(sum(n) AS BIGINT) AS n_events
+  FROM m
+)
+SELECT n_events,
+       round(t_pre, 4) AS treated_pre,
+       round(t_post, 4) AS treated_post,
+       round(c_pre, 4) AS control_pre,
+       round(c_post, 4) AS control_post,
+       round((t_post - t_pre) - (c_post - c_pre), 4) AS did_estimate,
+       round(t_post - t_pre, 4) AS naive_before_after,
+       round(t_post - c_post, 4) AS naive_cross_section
+FROM w
+""",
+)
+def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on mean event value (cents): treated =
+    odd user ids, post = the second half of the observation window —
+    the quasi-experimental estimator for launches WITHOUT an A/B
+    gate (DiD = (T_post - T_pre) - (C_post - C_pre) nets out both the
+    group level difference and the common time trend; Card-Krueger
+    '94). The two naive estimators are emitted alongside because the
+    gap between them and DiD IS the confounding being removed — the
+    before/after estimate absorbs the time trend, the cross-section
+    absorbs the group gap. One 4-cell hash agg over exact integer
+    cents; the estimator is a 1-row projection. The parallel-trends
+    check this needs at scale is [[temporal_weekend_lift]]'s
+    pre-period slope comparison per group."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit("2024-01-16").cast("date")
+    cell = ev.select(
+        (F.col("user_id") % 2).alias("treated"),
+        F.when(F.col("ts").cast("date") >= split, 1).otherwise(0).alias("post"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    m = cell.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("cents").cast("decimal(28,0)")).cast("double").alias("s"),
+    )
+    mean = F.col("s") / F.col("n")
+    w = m.agg(
+        F.max(F.when((F.col("treated") == 1) & (F.col("post") == 1), mean)).alias("t_post"),
+        F.max(F.when((F.col("treated") == 1) & (F.col("post") == 0), mean)).alias("t_pre"),
+        F.max(F.when((F.col("treated") == 0) & (F.col("post") == 1), mean)).alias("c_post"),
+        F.max(F.when((F.col("treated") == 0) & (F.col("post") == 0), mean)).alias("c_pre"),
+        F.sum("n").cast("bigint").alias("n_events"),
+    )
+    return w.select(
+        "n_events",
+        F.round("t_pre", 4).alias("treated_pre"),
+        F.round("t_post", 4).alias("treated_post"),
+        F.round("c_pre", 4).alias("control_pre"),
+        F.round("c_post", 4).alias("control_post"),
+        F.round(
+            (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre")), 4
+        ).alias("did_estimate"),
+        F.round(F.col("t_post") - F.col("t_pre"), 4).alias("naive_before_after"),
+        F.round(F.col("t_post") - F.col("c_post"), 4).alias("naive_cross_section"),
+    )

@@ -1584,3 +1584,77 @@ def text_suffix_prefix_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "same_doc"
         ),
     )
+
+
+@register(
+    "text_code_detect",
+    tags=("text", "pipeline"),
+    oracle="""
+WITH feat AS (
+  SELECT doc_id, source,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[{}()\\[\\];=<>|&]')) AS n_sym,
+         len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('def','return','import','class','if','else','for',
+                        'while','function','var','const','int','void'))) AS n_kw,
+         len(list_filter(string_split(text, ' '), w -> trim(w) <> '')) AS n_tok
+  FROM documents
+), scored AS (
+  SELECT doc_id, source, n_tok,
+         round(n_sym * 1e2 / greatest(n_chars, 1), 4) AS sym_pct,
+         round(n_kw * 1e2 / greatest(n_tok, 1), 4) AS kw_pct,
+         CASE WHEN n_sym * 1e2 / greatest(n_chars, 1) > 2e0
+                OR n_kw * 1e2 / greatest(n_tok, 1) > 5e0
+              THEN 1 ELSE 0 END AS is_code
+  FROM feat
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(is_code) AS BIGINT) AS n_code_docs,
+       round(avg(sym_pct), 4) AS avg_sym_pct,
+       round(avg(kw_pct), 4) AS avg_kw_pct,
+       round(sum(is_code) * 1e0 / count(*), 4) AS code_frac
+FROM scored
+GROUP BY source
+""",
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection for corpus routing: symbol density
+    (braces/brackets/operators per 100 chars) and programming-keyword
+    rate per 100 tokens, thresholded into an is_code flag and rolled
+    up per source — the curation gate that decides whether a document
+    flows to the code pipeline (different dedup granularity, different
+    quality filters) or the prose pipeline; StarCoder/The-Stack-style
+    corpus builds run exactly this split first. Pure regexp +
+    list_filter codegen in-scan, one source-keyed agg. Oracle literals
+    are e-notation (1e2, 5e0) — the [[eval_calibration_brier]] decimal
+    -literal hazard applies to any thresholded score."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_sym = F.size(F.regexp_extract_all("text", F.lit(r"[{}()\[\];=<>|&]"), 0))
+    kws = ["def", "return", "import", "class", "if", "else", "for",
+           "while", "function", "var", "const", "int", "void"]
+    n_kw = F.size(
+        F.filter(F.split(F.lower("text"), " "), lambda w: w.isin(kws))
+    )
+    n_tok = F.size(F.filter(F.split("text", " "), lambda w: F.trim(w) != ""))
+    sym_pct = F.round(n_sym * 100.0 / F.greatest(n_chars, F.lit(1)), 4)
+    kw_pct = F.round(n_kw * 100.0 / F.greatest(n_tok, F.lit(1)), 4)
+    is_code = F.when(
+        (n_sym * 100.0 / F.greatest(n_chars, F.lit(1)) > 2.0)
+        | (n_kw * 100.0 / F.greatest(n_tok, F.lit(1)) > 5.0),
+        1,
+    ).otherwise(0)
+    scored = docs.select(
+        "source",
+        sym_pct.alias("sym_pct"),
+        kw_pct.alias("kw_pct"),
+        is_code.alias("is_code"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("is_code").cast("bigint").alias("n_code_docs"),
+        F.round(F.avg("sym_pct"), 4).alias("avg_sym_pct"),
+        F.round(F.avg("kw_pct"), 4).alias("avg_kw_pct"),
+        F.round(F.sum("is_code") * 1.0 / F.count(F.lit(1)), 4).alias("code_frac"),
+    )

@@ -338,3 +338,29 @@ def test_overdispersion_index_positive(spark, sf_dir):
             assert r["nb_r_estimate"] > 0
         else:
             assert r["nb_r_estimate"] == 0.0
+
+
+def test_did_identity(spark, sf_dir):
+    """DiD must equal (T_post - T_pre) - (C_post - C_pre) from its own
+    emitted cell means, and differ from both naive estimators by the
+    confound each one absorbs."""
+    out = all_queries()["stats_diff_in_diff"].fn(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    did = (r["treated_post"] - r["treated_pre"]) - (
+        r["control_post"] - r["control_pre"]
+    )
+    assert abs(r["did_estimate"] - did) < 1e-3
+    time_trend = r["control_post"] - r["control_pre"]
+    assert abs(r["naive_before_after"] - r["did_estimate"] - time_trend) < 1e-3
+
+
+def test_code_detect_partitions(spark, sf_dir):
+    out = all_queries()["text_code_detect"].fn(spark, sf_dir).collect()
+    assert out
+    docs = load_table(spark, sf_dir, "documents")
+    assert sum(r["n_docs"] for r in out) == docs.count()
+    for r in out:
+        assert 0 <= r["n_code_docs"] <= r["n_docs"]
+        assert 0.0 <= r["code_frac"] <= 1.0
+        assert r["avg_sym_pct"] >= 0.0

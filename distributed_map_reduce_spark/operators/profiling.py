@@ -745,3 +745,121 @@ def profile_clock_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_inversions") > 0)
     )
+
+
+@register(
+    "profile_key_discovery",
+    tags=("profiling",),
+    oracle="""
+WITH cand AS (
+  SELECT 'orders.o_orderkey' AS col,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+         CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null
+  FROM orders
+  UNION ALL
+  SELECT 'orders.o_custkey', count(*), count(DISTINCT o_custkey),
+         count(*) - count(o_custkey) FROM orders
+  UNION ALL
+  SELECT 'lineitem.l_orderkey', count(*), count(DISTINCT l_orderkey),
+         count(*) - count(l_orderkey) FROM lineitem
+  UNION ALL
+  SELECT 'customer.c_custkey', count(*), count(DISTINCT c_custkey),
+         count(*) - count(c_custkey) FROM customer
+  UNION ALL
+  SELECT 'events.user_id', count(*), count(DISTINCT user_id),
+         count(*) - count(user_id) FROM events
+), fk AS (
+  SELECT 'orders.o_custkey->customer.c_custkey' AS rel,
+         (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders) o
+          WHERE o_custkey IN (SELECT c_custkey FROM customer)) AS n_contained,
+         (SELECT count(DISTINCT o_custkey) FROM orders) AS n_values
+  UNION ALL
+  SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+         (SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem) l
+          WHERE l_orderkey IN (SELECT o_orderkey FROM orders)),
+         (SELECT count(DISTINCT l_orderkey) FROM lineitem)
+)
+SELECT col AS object, 'uniqueness' AS probe,
+       n_rows AS denom,
+       n_distinct AS numer,
+       round(n_distinct * 1e0 / n_rows, 6) AS ratio,
+       CASE WHEN n_distinct = n_rows AND n_null = 0 THEN 1 ELSE 0 END AS verdict
+FROM cand
+UNION ALL
+SELECT rel, 'fk_containment',
+       CAST(n_values AS BIGINT),
+       CAST(n_contained AS BIGINT),
+       round(n_contained * 1e0 / n_values, 6),
+       CASE WHEN n_contained = n_values THEN 1 ELSE 0 END
+FROM fk
+""",
+)
+def profile_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key and foreign-key DISCOVERY — the schema-inference
+    probe a catalog crawler runs on undocumented tables: per candidate
+    column, the uniqueness ratio distinct/rows with a verdict flag
+    (1 = perfect key: fully distinct, no nulls); per candidate
+    relationship, the inclusion-dependency containment |distinct(A) in
+    B| / |distinct(A)| (1 = valid FK). This is how [[profile_join_fanout]]'s
+    join plan gets its keys when nobody wrote them down (Papenbrock's
+    HyFD/inclusion-dependency line of work, reduced to the two probes
+    that matter). Each probe is one distinct-agg or one ids-only
+    left-semi join; nothing carries payload columns. Output is
+    probe-cardinality (7 rows) forever."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+
+    def uniq(df, table, col):
+        return df.agg(
+            F.lit(f"{table}.{col}").alias("object"),
+            F.lit("uniqueness").alias("probe"),
+            F.count(F.lit(1)).cast("bigint").alias("denom"),
+            F.countDistinct(col).cast("bigint").alias("numer"),
+            F.round(F.countDistinct(col) * 1.0 / F.count(F.lit(1)), 6).alias("ratio"),
+            F.when(
+                (F.countDistinct(col) == F.count(F.lit(1)))
+                & (F.count(col) == F.count(F.lit(1))),
+                1,
+            ).otherwise(0).alias("verdict"),
+        )
+
+    def containment(child, child_col, parent, parent_col, rel):
+        vals = child.select(child_col).distinct()
+        contained = vals.join(
+            parent.select(F.col(parent_col).alias(child_col)).distinct(),
+            child_col,
+            "left_semi",
+        )
+        return (
+            vals.agg(F.count(F.lit(1)).cast("bigint").alias("denom"))
+            .crossJoin(contained.agg(F.count(F.lit(1)).cast("bigint").alias("numer")))
+            .select(
+                F.lit(rel).alias("object"),
+                F.lit("fk_containment").alias("probe"),
+                "denom",
+                "numer",
+                F.round(F.col("numer") * 1.0 / F.col("denom"), 6).alias("ratio"),
+                F.when(F.col("numer") == F.col("denom"), 1).otherwise(0).alias(
+                    "verdict"
+                ),
+            )
+        )
+
+    parts = [
+        uniq(o, "orders", "o_orderkey"),
+        uniq(o, "orders", "o_custkey"),
+        uniq(li, "lineitem", "l_orderkey"),
+        uniq(c, "customer", "c_custkey"),
+        uniq(ev, "events", "user_id"),
+        containment(o, "o_custkey", c, "c_custkey",
+                    "orders.o_custkey->customer.c_custkey"),
+        containment(li, "l_orderkey", o, "o_orderkey",
+                    "lineitem.l_orderkey->orders.o_orderkey"),
+    ]
+    out = parts[0]
+    for df_ in parts[1:]:
+        out = out.unionByName(df_)
+    return out

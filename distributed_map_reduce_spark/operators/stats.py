@@ -4262,3 +4262,85 @@ def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("t_post") - F.col("t_pre"), 4).alias("naive_before_after"),
         F.round(F.col("t_post") - F.col("c_post"), 4).alias("naive_cross_section"),
     )
+
+
+@register(
+    "stats_tost_equivalence",
+    tags=("stats", "experiment"),
+    oracle="""
+WITH u AS (
+  SELECT user_id, user_id % 2 AS arm,
+         max(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+), arms AS (
+  SELECT arm, count(*) AS n, CAST(sum(conv) AS BIGINT) AS c FROM u GROUP BY arm
+), w AS (
+  SELECT coalesce(max(CASE WHEN arm = 0 THEN n END), 0) AS n_a,
+         coalesce(max(CASE WHEN arm = 0 THEN c END), 0) AS c_a,
+         coalesce(max(CASE WHEN arm = 1 THEN n END), 0) AS n_b,
+         coalesce(max(CASE WHEN arm = 1 THEN c END), 0) AS c_b
+  FROM arms
+), s AS (
+  SELECT n_a, n_b,
+         c_a * 1e0 / n_a AS p_a,
+         c_b * 1e0 / n_b AS p_b,
+         sqrt((c_a * 1e0 / n_a) * (1e0 - c_a * 1e0 / n_a) / n_a
+              + (c_b * 1e0 / n_b) * (1e0 - c_b * 1e0 / n_b) / n_b) AS se
+  FROM w WHERE n_a > 0 AND n_b > 0
+)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       round(p_b - p_a, 6) AS diff,
+       round(se, 6) AS std_err,
+       CASE WHEN se > 0 THEN round((p_b - p_a + 5e-2) / se, 4) ELSE 0.0 END
+         AS z_lower,
+       CASE WHEN se > 0 THEN round((5e-2 - (p_b - p_a)) / se, 4) ELSE 0.0 END
+         AS z_upper,
+       CASE WHEN se > 0
+              AND (p_b - p_a + 5e-2) / se > 1.645
+              AND (5e-2 - (p_b - p_a)) / se > 1.645
+            THEN 1 ELSE 0 END AS equivalent
+FROM s
+""",
+)
+def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (two one-sided tests, Schuirmann '87) on
+    the conversion A/B with a ±5 pp margin: both z = (d+m)/se and
+    z = (m-d)/se must clear 1.645 (alpha 5% per side) to declare the
+    arms EQUIVALENT — the question a migration/refactor ship gate asks
+    ('prove it did NOT change the metric'), which
+    [[stats_two_proportion_ztest]]'s non-significance cannot answer
+    (absence of evidence != evidence of absence). Unpooled SE per the
+    standard TOST form. Same per-user hash agg as the rest of the
+    experiment ladder; 1-row projection of exact-integer ratios with
+    e-notation literals on the oracle side (decimal-literal hazard)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") >= 150), 1)
+            .otherwise(0)
+        ).alias("conv")
+    ).withColumn("arm", F.col("user_id") % 2)
+    arms = u.groupBy("arm").agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c"))
+    w = arms.agg(
+        F.coalesce(F.max(F.when(F.col("arm") == 0, F.col("n"))), F.lit(0)).alias("n_a"),
+        F.coalesce(F.max(F.when(F.col("arm") == 0, F.col("c"))), F.lit(0)).alias("c_a"),
+        F.coalesce(F.max(F.when(F.col("arm") == 1, F.col("n"))), F.lit(0)).alias("n_b"),
+        F.coalesce(F.max(F.when(F.col("arm") == 1, F.col("c"))), F.lit(0)).alias("c_b"),
+    ).filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    p_a = F.col("c_a") * 1.0 / F.col("n_a")
+    p_b = F.col("c_b") * 1.0 / F.col("n_b")
+    se = F.sqrt(p_a * (1.0 - p_a) / F.col("n_a") + p_b * (1.0 - p_b) / F.col("n_b"))
+    d = p_b - p_a
+    m = 0.05
+    return w.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(d, 6).alias("diff"),
+        F.round(se, 6).alias("std_err"),
+        F.when(se > 0, F.round((d + m) / se, 4)).otherwise(0.0).alias("z_lower"),
+        F.when(se > 0, F.round((m - d) / se, 4)).otherwise(0.0).alias("z_upper"),
+        F.when((se > 0) & ((d + m) / se > 1.645) & ((m - d) / se > 1.645), 1)
+        .otherwise(0)
+        .alias("equivalent"),
+    )

@@ -364,3 +364,28 @@ def test_code_detect_partitions(spark, sf_dir):
         assert 0 <= r["n_code_docs"] <= r["n_docs"]
         assert 0.0 <= r["code_frac"] <= 1.0
         assert r["avg_sym_pct"] >= 0.0
+
+
+def test_tost_directional_consistency(spark, sf_dir):
+    out = all_queries()["stats_tost_equivalence"].fn(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["std_err"] > 0
+    # equivalence requires BOTH one-sided z's over the cut
+    assert r["equivalent"] == int(r["z_lower"] > 1.645 and r["z_upper"] > 1.645)
+    # the margin bounds the detectable diff when equivalent
+    if r["equivalent"]:
+        assert abs(r["diff"]) < 0.05
+
+
+def test_key_discovery_known_schema(spark, sf_dir):
+    out = {(r["object"], r["probe"]): r for r in
+           all_queries()["profile_key_discovery"].fn(spark, sf_dir).collect()}
+    # primary keys verify; FK columns don't
+    assert out[("orders.o_orderkey", "uniqueness")]["verdict"] == 1
+    assert out[("customer.c_custkey", "uniqueness")]["verdict"] == 1
+    assert out[("orders.o_custkey", "uniqueness")]["verdict"] == 0
+    assert out[("lineitem.l_orderkey", "uniqueness")]["verdict"] == 0
+    # referential integrity holds in the fixtures
+    assert out[("orders.o_custkey->customer.c_custkey", "fk_containment")]["verdict"] == 1
+    assert out[("lineitem.l_orderkey->orders.o_orderkey", "fk_containment")]["verdict"] == 1

@@ -1138,3 +1138,56 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("a", 9).alias("score"),
     )
     return hubs.unionByName(auths)
+
+
+@register(
+    "graph_degree_assortativity",
+    tags=("graph",),
+    oracle=f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), deg AS (
+  SELECT a AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY a
+)
+SELECT CAST(count(*) AS BIGINT) AS n_directed_edges,
+       round(corr(da.d, db.d), 4) AS assortativity,
+       round(avg(da.d * 1e0), 4) AS mean_edge_degree
+FROM edges e
+JOIN deg da ON e.a = da.node
+JOIN deg db ON e.b = db.node
+""",
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the near-dup graph (Newman '02): the
+    Pearson correlation of endpoint degrees over the symmetrized edge
+    list — positive r means duplicate clusters attach to other heavy
+    clusters (template farms), negative means hub-and-spoke near-dups
+    (one canonical page + many orphan variants); dedup keeper policies
+    differ between those regimes, which is why the audit runs before
+    [[dedup_cluster_keeper]]. Two ids-only joins of the edge list
+    against its own degree table (the exact shape of
+    [[graph_clustering_coefficient]]'s wedge step); corr() is one
+    mergeable co-moment aggregate on both engines, 4dp posture."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+    deg = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("d_b"))
+    return (
+        edges.join(da, "a")
+        .join(db, "b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_directed_edges"),
+            F.round(F.corr("d_a", "d_b"), 4).alias("assortativity"),
+            F.round(F.avg(F.col("d_a") * 1.0), 4).alias("mean_edge_degree"),
+        )
+    )

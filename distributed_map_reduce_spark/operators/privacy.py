@@ -605,3 +605,89 @@ def privacy_subject_access_export(spark: SparkSession, sf_dir: str) -> DataFrame
     events_fp = footprint(ev, "event_id", F.col("user_id") == F.col("subject"),
                           "events")
     return orders_fp.unionByName(lineitem_fp).unionByName(events_fp)
+
+
+@register(
+    "privacy_t_closeness",
+    tags=("privacy", "governance"),
+    oracle="""
+WITH base AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 2000) AS BIGINT) AS sens
+  FROM customer
+), class_tot AS (
+  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS class_size
+  FROM base GROUP BY 1, 2
+), class_cnt AS (
+  SELECT c_nationkey, c_mktsegment, sens, CAST(count(*) AS BIGINT) AS n
+  FROM base GROUP BY 1, 2, 3
+), g_tot AS (
+  SELECT sens, CAST(count(*) AS BIGINT) AS g,
+         (SELECT count(*) FROM base) AS n_tot
+  FROM base GROUP BY sens
+), grid AS (
+  SELECT ct.c_nationkey, ct.c_mktsegment, ct.class_size,
+         gl.sens, gl.g, gl.n_tot,
+         coalesce(cc.n, 0) AS n
+  FROM class_tot ct
+  CROSS JOIN g_tot gl
+  LEFT JOIN class_cnt cc
+    ON cc.c_nationkey = ct.c_nationkey
+   AND cc.c_mktsegment = ct.c_mktsegment
+   AND cc.sens = gl.sens
+)
+SELECT c_nationkey, c_mktsegment,
+       CAST(max(class_size) AS BIGINT) AS class_size,
+       round(5e-1 * sum(abs(n * 1e0 / class_size - g * 1e0 / n_tot)), 6)
+         AS t_distance,
+       CASE WHEN 5e-1 * sum(abs(n * 1e0 / class_size - g * 1e0 / n_tot)) > 3e-1
+            THEN 1 ELSE 0 END AS violates_t
+FROM grid
+GROUP BY c_nationkey, c_mktsegment
+""",
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li-Li-Venkatasubramanian ICDE'07) — the rung
+    above [[privacy_k_anonymity]] and [[privacy_l_diversity]]: for each
+    quasi-identifier class (nation x segment), the total-variation
+    distance between the class's sensitive-attribute distribution
+    (balance band) and the GLOBAL distribution, flagged when t > 0.3.
+    Distinctness (l-diversity) is not enough when the class skews
+    toward revealing values; t-closeness bounds the attacker's
+    distributional gain. Shape: two hash aggs + the classes x
+    sensitive-domain grid (QI-domain x band cardinality — bounded
+    metadata, zero-filled via left join, same grid discipline as
+    [[stats_jensen_shannon]]); exact integer count ratios, e-notation
+    oracle literals."""
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("bigint").alias("sens"),
+    )
+    class_tot = base.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_size")
+    )
+    class_cnt = base.groupBy("c_nationkey", "c_mktsegment", "sens").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    n_tot = base.count()
+    glob = base.groupBy("sens").agg(
+        F.count(F.lit(1)).cast("bigint").alias("g")
+    ).withColumn("n_tot", F.lit(n_tot))
+    grid = (
+        class_tot.crossJoin(F.broadcast(glob))
+        .join(class_cnt, ["c_nationkey", "c_mktsegment", "sens"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+    )
+    tv = 0.5 * F.sum(
+        F.abs(
+            F.col("n") * 1.0 / F.col("class_size")
+            - F.col("g") * 1.0 / F.col("n_tot")
+        )
+    )
+    return grid.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.max("class_size").cast("bigint").alias("class_size"),
+        F.round(tv, 6).alias("t_distance"),
+        F.when(tv > 0.3, 1).otherwise(0).alias("violates_t"),
+    )

@@ -389,3 +389,24 @@ def test_key_discovery_known_schema(spark, sf_dir):
     # referential integrity holds in the fixtures
     assert out[("orders.o_custkey->customer.c_custkey", "fk_containment")]["verdict"] == 1
     assert out[("lineitem.l_orderkey->orders.o_orderkey", "fk_containment")]["verdict"] == 1
+
+
+def test_t_closeness_bounds(spark, sf_dir):
+    out = all_queries()["privacy_t_closeness"].fn(spark, sf_dir).collect()
+    assert out
+    cust = load_table(spark, sf_dir, "customer")
+    assert sum(r["class_size"] for r in out) == cust.count()
+    for r in out:
+        # total variation distance lives in [0, 1]
+        assert 0.0 <= r["t_distance"] <= 1.0
+        assert r["violates_t"] == int(r["t_distance"] > 0.3)
+
+
+def test_assortativity_in_range(spark, sf_dir):
+    out = all_queries()["graph_degree_assortativity"].fn(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_directed_edges"] > 0 and r["n_directed_edges"] % 2 == 0
+    if r["assortativity"] is not None:
+        assert -1.0 <= r["assortativity"] <= 1.0
+    assert r["mean_edge_degree"] >= 1.0

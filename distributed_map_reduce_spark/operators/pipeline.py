@@ -1427,3 +1427,140 @@ def pipeline_conversation_assembly(spark: SparkSession, sf_dir: str) -> DataFram
         F.element_at("seq", 1).alias("first_turn"),
         F.element_at("seq", kept).alias("last_kept_turn"),
     )
+
+
+@register(
+    "pipeline_shard_mix_audit",
+    tags=("pipeline", "training", "stats"),
+    oracle=f"""
+WITH assign AS (
+  SELECT d.source,
+         CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+              % {N_SHARDS} AS INT) AS shard
+  FROM documents d
+), cell AS (
+  SELECT shard, source, CAST(count(*) AS BIGINT) AS n
+  FROM assign GROUP BY 1, 2
+), shard_tot AS (
+  SELECT shard, CAST(sum(n) AS BIGINT) AS n_shard FROM cell GROUP BY 1
+), src_tot AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS n_src,
+         (SELECT count(*) FROM assign) AS n_tot
+  FROM cell GROUP BY 1
+), grid AS (
+  SELECT st.shard, st.n_shard, so.source, so.n_src, so.n_tot,
+         coalesce(c.n, 0) AS n,
+         st.n_shard * so.n_src * 1e0 / so.n_tot AS expected
+  FROM shard_tot st
+  CROSS JOIN src_tot so
+  LEFT JOIN cell c ON c.shard = st.shard AND c.source = so.source
+)
+SELECT shard,
+       CAST(max(n_shard) AS BIGINT) AS n_docs,
+       round(sum((n - expected) * (n - expected) / expected), 4) AS chi2,
+       CAST(count(*) AS BIGINT) AS n_sources,
+       round(max(abs(n - expected)), 4) AS max_abs_dev
+FROM grid
+GROUP BY shard
+""",
+)
+def pipeline_shard_mix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-mix homogeneity audit for [[pipeline_shuffle_shard]]'s
+    output: per shard, the chi-square of its source composition against
+    the corpus-wide mix (expected cell = n_shard * n_src / n_tot) —
+    the dataloader-health check that catches a broken shuffle (one
+    shard full of a single domain trains a biased step; Zhao et al.
+    data-mixing ablations make this measurable damage). A healthy
+    hash-shuffle keeps every shard's chi2 near df = n_sources - 1.
+    Shape: one (shard, source) hash agg + the shard x source grid
+    (zero-filled, bounded by N_SHARDS * |sources| — metadata-sized);
+    exact integer counts, e-notation literals, 4dp on the quadratic."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(_doc_hash(), 1, 6), 16, 10).cast("bigint") % N_SHARDS
+    ).cast("int")
+    assign = docs.select("source", shard.alias("shard"))
+    cell = assign.groupBy("shard", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    shard_tot = cell.groupBy("shard").agg(F.sum("n").cast("bigint").alias("n_shard"))
+    n_tot = assign.count()
+    src_tot = cell.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_src")
+    ).withColumn("n_tot", F.lit(n_tot))
+    grid = (
+        shard_tot.crossJoin(F.broadcast(src_tot))
+        .join(cell, ["shard", "source"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+        .withColumn(
+            "expected",
+            F.col("n_shard") * F.col("n_src") * 1.0 / F.col("n_tot"),
+        )
+    )
+    dev = F.col("n") - F.col("expected")
+    return grid.groupBy("shard").agg(
+        F.max("n_shard").cast("bigint").alias("n_docs"),
+        F.round(F.sum(dev * dev / F.col("expected")), 4).alias("chi2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        F.round(F.max(F.abs(dev)), 4).alias("max_abs_dev"),
+    )
+
+
+@register(
+    "pipeline_instruction_dedup",
+    tags=("pipeline", "dedup", "training"),
+    oracle="""
+WITH pairs AS (
+  SELECT doc_id,
+         array_to_string(string_split(lower(text), ' ')[1:8], ' ') AS instruction_key,
+         greatest(len(string_split(text, ' ')) - 8, 0) AS response_tokens
+  FROM documents
+), ranked AS (
+  SELECT instruction_key, doc_id, response_tokens,
+         row_number() OVER (
+           PARTITION BY instruction_key
+           ORDER BY response_tokens DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY instruction_key) AS n_variants
+  FROM pairs
+)
+SELECT instruction_key,
+       CAST(n_variants AS BIGINT) AS n_variants,
+       CAST(doc_id AS BIGINT) AS keeper_doc,
+       CAST(response_tokens AS BIGINT) AS keeper_response_tokens
+FROM ranked
+WHERE rn = 1 AND n_variants > 1
+""",
+)
+def pipeline_instruction_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-level dedup for SFT corpora: key each example by its
+    normalized instruction prefix (first 8 lowercased tokens) and keep
+    ONE response per instruction — the longest, tie-broken by doc_id —
+    because near-identical prompts with different completions make
+    gradient targets inconsistent (the LIMA/dedup-SFT finding; content
+    dedup like [[dedup_exact]] misses them since the RESPONSES differ).
+    Survivors with n_variants > 1 are exactly the collision report a
+    curation run reviews. One window over the instruction-key shuffle;
+    keys are short prefixes (ids + 8 tokens on the wire), the same
+    keyed-survivorship shape as [[pipeline_url_canonical_dedup]]."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    pairs = docs.select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, 8), " ").alias("instruction_key"),
+        F.greatest(
+            F.size(F.split("text", " ")) - 8, F.lit(0)
+        ).alias("response_tokens"),
+    )
+    w = Window.partitionBy("instruction_key").orderBy(
+        F.col("response_tokens").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("instruction_key")
+    ranked = pairs.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_variants", F.count(F.lit(1)).over(wc)
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("n_variants") > 1)).select(
+        "instruction_key",
+        F.col("n_variants").cast("bigint").alias("n_variants"),
+        F.col("doc_id").cast("bigint").alias("keeper_doc"),
+        F.col("response_tokens").cast("bigint").alias("keeper_response_tokens"),
+    )

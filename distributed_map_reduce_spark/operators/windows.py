@@ -769,3 +769,80 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("drawdown_frac"),
     )
+
+
+@register(
+    "window_local_maxima",
+    tags=("window", "temporal", "analytics"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(round(sum(value) * 100) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+), framed AS (
+  SELECT day, cents,
+         max(cents) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+           AS max_left,
+         max(cents) OVER (ORDER BY day ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING)
+           AS max_right,
+         min(cents) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+           AS min_left,
+         min(cents) OVER (ORDER BY day ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING)
+           AS min_right,
+         row_number() OVER (ORDER BY day) AS rn,
+         count(*) OVER () AS n_days
+  FROM daily
+)
+SELECT day, cents,
+       CAST(cents - greatest(coalesce(min_left, cents), coalesce(min_right, cents))
+            AS BIGINT) AS prominence_cents
+FROM framed
+WHERE rn > 3 AND rn <= n_days - 3
+  AND cents > max_left AND cents > max_right
+""",
+)
+def window_local_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maxima (peak) detection on daily revenue with a +/-3-day
+    neighborhood: a day is a peak when it strictly exceeds every value
+    in both shoulders (edge days with truncated shoulders are excluded
+    — a boundary day that merely lacks neighbors is not a peak), and
+    its prominence is the drop to the higher of the two shoulder
+    minima — the detector feeding alert dedup ('one incident, one
+    page') and the peak list [[stats_extreme_value_gumbel]] models the
+    tail of. Four frame aggregates over one day-ordered window (single
+    day-cardinality sort, no self-joins); integer cents throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.round(F.sum("value") * 100).cast("bigint").alias("cents")
+    )
+    wd = W.orderBy("day")
+    left = wd.rowsBetween(-3, -1)
+    right = wd.rowsBetween(1, 3)
+    framed = daily.select(
+        "day",
+        "cents",
+        F.max("cents").over(left).alias("max_left"),
+        F.max("cents").over(right).alias("max_right"),
+        F.min("cents").over(left).alias("min_left"),
+        F.min("cents").over(right).alias("min_right"),
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n_days"),
+    )
+    return framed.filter(
+        (F.col("rn") > 3)
+        & (F.col("rn") <= F.col("n_days") - 3)
+        & (F.col("cents") > F.col("max_left"))
+        & (F.col("cents") > F.col("max_right"))
+    ).select(
+        "day",
+        "cents",
+        (
+            F.col("cents")
+            - F.greatest(
+                F.coalesce(F.col("min_left"), F.col("cents")),
+                F.coalesce(F.col("min_right"), F.col("cents")),
+            )
+        )
+        .cast("bigint")
+        .alias("prominence_cents"),
+    )

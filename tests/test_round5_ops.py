@@ -410,3 +410,40 @@ def test_assortativity_in_range(spark, sf_dir):
     if r["assortativity"] is not None:
         assert -1.0 <= r["assortativity"] <= 1.0
     assert r["mean_edge_degree"] >= 1.0
+
+
+def test_shard_mix_chi2_healthy(spark, sf_dir):
+    out = all_queries()["pipeline_shard_mix_audit"].fn(spark, sf_dir).collect()
+    assert len(out) == 16
+    docs = load_table(spark, sf_dir, "documents")
+    assert sum(r["n_docs"] for r in out) == docs.count()
+    for r in out:
+        assert r["chi2"] >= 0.0
+        # a working hash shuffle keeps chi2 within a loose multiple of df
+        assert r["chi2"] < 10 * (r["n_sources"] - 1) + 30
+
+
+def test_instruction_dedup_keeper_rule(spark, sf_dir):
+    out = all_queries()["pipeline_instruction_dedup"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r["n_variants"] >= 2
+        assert r["keeper_response_tokens"] >= 0
+        assert len(r["instruction_key"].split(" ")) <= 8
+
+
+def test_local_maxima_are_peaks(spark, sf_dir):
+    out = all_queries()["window_local_maxima"].fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    daily = {
+        r["day"]: r["cents"]
+        for r in ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.round(F.sum("value") * 100).cast("bigint").alias("cents"))
+        .collect()
+    }
+    days = sorted(daily)
+    for r in out:
+        i = days.index(r["day"])
+        shoulders = days[max(0, i - 3):i] + days[i + 1:i + 4]
+        assert all(daily[r["day"]] > daily[d] for d in shoulders)
+        assert r["prominence_cents"] > 0

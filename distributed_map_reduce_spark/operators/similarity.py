@@ -1785,3 +1785,122 @@ def similarity_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("3").cast("bigint").alias("loading_dim3"),
         )
     )
+
+
+@register(
+    "eval_rank_metrics_ndcg",
+    tags=("similarity", "eval", "ml"),
+    oracle="""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e WHERE vec_id < 8),
+ranked AS (
+  SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+         CASE WHEN e.label = q.qlabel THEN 1 ELSE 0 END AS rel,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY round(list_cosine_similarity(q.qv, e.v), 6) DESC, e.vec_id) AS rnk
+  FROM q JOIN e ON e.vec_id <> q.query_id
+), r_tot AS (
+  SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_relevant FROM ranked GROUP BY 1
+), topk AS (
+  SELECT * FROM ranked WHERE rnk <= 10
+), dcg AS (
+  SELECT query_id,
+         sum(rel / log2(rnk + 1e0)) AS dcg10,
+         CAST(sum(CASE WHEN rnk <= 5 THEN rel ELSE 0 END) AS BIGINT) AS hits_at_5,
+         min(CASE WHEN rel = 1 THEN rnk END) AS first_rel
+  FROM topk GROUP BY query_id
+), idcg AS (
+  SELECT r.query_id,
+         (SELECT sum(1e0 / log2(i + 1e0))
+          FROM unnest(generate_series(1, CAST(least(r.n_relevant, 10) AS INTEGER))) t(i))
+           AS idcg10
+  FROM r_tot r
+)
+SELECT d.query_id,
+       CAST(rt.n_relevant AS BIGINT) AS n_relevant,
+       round(CASE WHEN i.idcg10 > 0 THEN d.dcg10 / i.idcg10 ELSE 0e0 END, 6)
+         AS ndcg_at_10,
+       round(CASE WHEN d.first_rel IS NOT NULL THEN 1e0 / d.first_rel ELSE 0e0 END, 6)
+         AS mrr_at_10,
+       round(d.hits_at_5 / 5e0, 6) AS precision_at_5
+FROM dcg d JOIN r_tot rt ON d.query_id = rt.query_id
+JOIN idcg i ON d.query_id = i.query_id
+""",
+)
+def eval_rank_metrics_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval ranking metrics — NDCG@10, MRR@10, precision@5 — for
+    the 8 probe queries against exact cosine ranking, with relevance =
+    same class label: the eval sheet a retrieval system reports
+    alongside [[similarity_recall_eval]]'s recall (recall says the ANN
+    found the true neighbors; NDCG/MRR say the ORDER puts relevant
+    items first, which is what the RAG context window actually
+    consumes). Ideal DCG normalizes by min(R,10) ones-first ranking.
+    Rank order ties break on 6dp-rounded cosine then vec_id (the
+    [[ann_bruteforce_topk]] discipline); log2/division arithmetic is
+    identical e-notation doubles on both engines. Corpus-scale work is
+    the broadcast-query scan; metrics aggregate 10 rows per query."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    ranked = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0).alias("rel"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("cos_sim").desc(), F.col("vec_id")
+                )
+            ),
+        )
+    )
+    r_tot = ranked.groupBy("query_id").agg(
+        F.sum("rel").cast("bigint").alias("n_relevant")
+    )
+    topk = ranked.filter(F.col("rnk") <= 10)
+    dcg = topk.groupBy("query_id").agg(
+        F.sum(F.col("rel") / F.log2(F.col("rnk") + 1.0)).alias("dcg10"),
+        F.sum(F.when(F.col("rnk") <= 5, F.col("rel")).otherwise(0))
+        .cast("bigint")
+        .alias("hits_at_5"),
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("first_rel"),
+    )
+    idcg = r_tot.select(
+        "query_id",
+        F.aggregate(
+            F.sequence(F.lit(1), F.least(F.col("n_relevant"), F.lit(10)).cast("int")),
+            F.lit(0.0),
+            lambda acc, i: acc + 1.0 / F.log2(i + 1.0),
+        ).alias("idcg10"),
+    )
+    return (
+        dcg.join(r_tot, "query_id")
+        .join(idcg, "query_id")
+        .select(
+            "query_id",
+            "n_relevant",
+            F.round(
+                F.when(F.col("idcg10") > 0, F.col("dcg10") / F.col("idcg10"))
+                .otherwise(0.0),
+                6,
+            ).alias("ndcg_at_10"),
+            F.round(
+                F.when(
+                    F.col("first_rel").isNotNull(), 1.0 / F.col("first_rel")
+                ).otherwise(0.0),
+                6,
+            ).alias("mrr_at_10"),
+            F.round(F.col("hits_at_5") / 5.0, 6).alias("precision_at_5"),
+        )
+    )

@@ -4344,3 +4344,78 @@ def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("equivalent"),
     )
+
+
+@register(
+    "stats_ratio_delta_method",
+    tags=("stats", "experiment"),
+    oracle="""
+WITH per_user AS (
+  SELECT user_id, user_id % 2 AS arm,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x_cents,
+         CAST(count(*) AS BIGINT) AS y_events
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT arm,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x_cents AS HUGEINT)) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y_events AS HUGEINT)) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x_cents AS HUGEINT) * x_cents) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(y_events AS HUGEINT) * y_events) AS DOUBLE) AS syy,
+         CAST(sum(CAST(x_cents AS HUGEINT) * y_events) AS DOUBLE) AS sxy
+  FROM per_user GROUP BY arm
+), d AS (
+  SELECT arm, n,
+         sx / sy AS ratio,
+         sx / n AS mx, sy / n AS my,
+         (sxx - sx * sx / n) / (n - 1) AS vx,
+         (syy - sy * sy / n) / (n - 1) AS vy,
+         (sxy - sx * sy / n) / (n - 1) AS cxy
+  FROM m
+)
+SELECT arm, n,
+       round(ratio, 6) AS cents_per_event,
+       round(sqrt(greatest(
+               (vx + ratio * ratio * vy - 2e0 * ratio * cxy) / (my * my) / n,
+               0e0)), 6) AS delta_se
+FROM d
+""",
+)
+def stats_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method standard error for a RATIO metric (cents per event,
+    per arm): ratio metrics violate the i.i.d. assumption user-level
+    t-tests make — the unit of analysis is the user but the metric
+    divides two user-level sums — so the correct variance is
+    (vx + r^2 vy - 2 r cov(x,y)) / (my^2 n) (Deng et al. KDD'18, the
+    estimator every experimentation platform ships for revenue-per-
+    session). All five co-moments accumulate as exact HUGEINT/DECIMAL
+    integers in ONE per-arm agg; the SE is a deterministic 2-row
+    projection. The negative-variance guard (greatest 0) covers the
+    degenerate all-identical-users corner on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("x_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("y_events"),
+    ).withColumn("arm", F.col("user_id") % 2)
+    dec = "decimal(28,0)"
+    m = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x_cents").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y_events").cast(dec)).cast("double").alias("sy"),
+        F.sum(F.col("x_cents").cast(dec) * F.col("x_cents")).cast("double").alias("sxx"),
+        F.sum(F.col("y_events").cast(dec) * F.col("y_events")).cast("double").alias("syy"),
+        F.sum(F.col("x_cents").cast(dec) * F.col("y_events")).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    ratio = F.col("sx") / F.col("sy")
+    my = F.col("sy") / n
+    vx = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    vy = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)
+    cxy = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    var = (vx + ratio * ratio * vy - 2.0 * ratio * cxy) / (my * my) / n
+    return m.select(
+        "arm",
+        "n",
+        F.round(ratio, 6).alias("cents_per_event"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("delta_se"),
+    )

@@ -447,3 +447,26 @@ def test_local_maxima_are_peaks(spark, sf_dir):
         shoulders = days[max(0, i - 3):i] + days[i + 1:i + 4]
         assert all(daily[r["day"]] > daily[d] for d in shoulders)
         assert r["prominence_cents"] > 0
+
+
+def test_ratio_delta_method_sane(spark, sf_dir):
+    out = all_queries()["stats_ratio_delta_method"].fn(spark, sf_dir).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["cents_per_event"] > 0
+        assert r["delta_se"] >= 0
+        # SE is small relative to the ratio at these sample sizes
+        assert r["delta_se"] < r["cents_per_event"]
+
+
+def test_rank_metrics_bounds_and_consistency(spark, sf_dir):
+    out = all_queries()["eval_rank_metrics_ndcg"].fn(spark, sf_dir).collect()
+    assert len(out) == 8
+    for r in out:
+        assert 0.0 <= r["ndcg_at_10"] <= 1.0
+        assert 0.0 <= r["mrr_at_10"] <= 1.0
+        assert 0.0 <= r["precision_at_5"] <= 1.0
+        # a hit in the top-5 implies a reciprocal rank of at least 1/5... no:
+        # precision@5 > 0 implies first_rel <= 5 -> mrr >= 1/5
+        if r["precision_at_5"] > 0:
+            assert r["mrr_at_10"] >= 1.0 / 5 - 1e-9

@@ -4419,3 +4419,236 @@ def stats_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio, 6).alias("cents_per_event"),
         F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("delta_se"),
     )
+
+
+@register(
+    "stats_qini_uplift_deciles",
+    tags=("stats", "experiment", "ml"),
+    oracle="""
+WITH u AS (
+  SELECT user_id, user_id % 2 AS treated,
+         max(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END) AS conv,
+         CAST('0x' || substr(md5('uplift-' || user_id), 1, 4) AS BIGINT) % 10000 AS score
+  FROM events GROUP BY user_id
+), decile AS (
+  SELECT treated, conv,
+         CAST(ntile(10) OVER (ORDER BY score DESC, user_id) AS BIGINT) AS dec
+  FROM u
+), cell AS (
+  SELECT dec,
+         CAST(sum(treated) AS BIGINT) AS n_t,
+         CAST(sum(treated * conv) AS BIGINT) AS c_t,
+         CAST(sum(1 - treated) AS BIGINT) AS n_c,
+         CAST(sum((1 - treated) * conv) AS BIGINT) AS c_c
+  FROM decile GROUP BY dec
+), scored AS (
+  SELECT dec, n_t, c_t, n_c, c_c,
+         CASE WHEN n_t > 0 AND n_c > 0
+              THEN c_t * 1e0 / n_t - c_c * 1e0 / n_c ELSE 0e0 END AS uplift,
+         CASE WHEN n_c > 0
+              THEN c_t - c_c * 1e0 * n_t / n_c ELSE c_t * 1e0 END AS qini_inc
+  FROM cell
+)
+SELECT dec, n_t, c_t, n_c, c_c,
+       round(uplift, 6) AS uplift,
+       round(sum(qini_inc) OVER (ORDER BY dec ROWS UNBOUNDED PRECEDING), 4)
+         AS qini_cumulative
+FROM scored
+""",
+)
+def stats_qini_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift-by-decile + cumulative Qini curve: users ranked by a
+    deterministic targeting score (md5 stand-in; production reads the
+    uplift model's output), split into deciles, and each decile's
+    incremental conversions c_t - c_c*(n_t/n_c) accumulated down the
+    ranking — the standard evaluation for 'whom should we treat'
+    models (Radcliffe '07), answering what [[stats_diff_in_diff]] and
+    the A/B ladder can't: does the TARGETING order capture the
+    treatment effect early. A random score (as here) yields a
+    near-diagonal Qini — the null baseline the test pins. One per-user
+    agg, one decile window, 10-row output; e-notation literals, the
+    missing-cell guard emits the defined degenerate."""
+    ev = load_table(spark, sf_dir, "events")
+    score = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("uplift-"), F.col("user_id").cast("string"))), 1, 4),
+            16, 10,
+        ).cast("bigint") % 10000
+    )
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") >= 150), 1)
+            .otherwise(0)
+        ).alias("conv")
+    ).select(
+        "user_id",
+        (F.col("user_id") % 2).alias("treated"),
+        "conv",
+        score.alias("score"),
+    )
+    from pyspark.sql import Window
+
+    dec = F.ntile(10).over(
+        Window.orderBy(F.col("score").desc(), F.col("user_id"))
+    ).cast("bigint")
+    cell = u.withColumn("dec", dec).groupBy("dec").agg(
+        F.sum("treated").cast("bigint").alias("n_t"),
+        F.sum(F.col("treated") * F.col("conv")).cast("bigint").alias("c_t"),
+        F.sum(1 - F.col("treated")).cast("bigint").alias("n_c"),
+        F.sum((1 - F.col("treated")) * F.col("conv")).cast("bigint").alias("c_c"),
+    )
+    uplift = F.when(
+        (F.col("n_t") > 0) & (F.col("n_c") > 0),
+        F.col("c_t") * 1.0 / F.col("n_t") - F.col("c_c") * 1.0 / F.col("n_c"),
+    ).otherwise(0.0)
+    qini_inc = F.when(
+        F.col("n_c") > 0,
+        F.col("c_t") - F.col("c_c") * 1.0 * F.col("n_t") / F.col("n_c"),
+    ).otherwise(F.col("c_t") * 1.0)
+    scored = cell.select(
+        "dec", "n_t", "c_t", "n_c", "c_c",
+        F.round(uplift, 6).alias("uplift"),
+        qini_inc.alias("qini_inc"),
+    )
+    wq = Window.orderBy("dec").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return scored.select(
+        "dec", "n_t", "c_t", "n_c", "c_c", "uplift",
+        F.round(F.sum("qini_inc").over(wq), 4).alias("qini_cumulative"),
+    )
+
+
+def _em_oracle(k_steps: int = 6) -> str:
+    """Unrolled 2-component Gaussian EM oracle over daily cents.
+    Every step CTE is MATERIALIZED — the power-iteration lesson
+    ([[similarity_power_iteration_pca]]): DuckDB inlines CTEs, and each
+    E-step references the previous M-step's single parameter row many
+    times, so the un-hinted chain re-expands exponentially."""
+    steps = []
+    prev = "p0"
+    for k in range(1, k_steps + 1):
+        steps.append(f"""
+, e{k} AS MATERIALIZED (
+  SELECT d.x,
+         (p.pi1 * exp(-(d.x - p.mu1) * (d.x - p.mu1) / (2e0 * p.var1)) / sqrt(p.var1))
+         / ((p.pi1 * exp(-(d.x - p.mu1) * (d.x - p.mu1) / (2e0 * p.var1)) / sqrt(p.var1))
+            + ((1e0 - p.pi1) * exp(-(d.x - p.mu2) * (d.x - p.mu2) / (2e0 * p.var2))
+               / sqrt(p.var2))) AS r
+  FROM daily d, {prev} p
+), p{k} AS MATERIALIZED (
+  SELECT sum(r) / count(*) AS pi1,
+         sum(r * x) / sum(r) AS mu1,
+         greatest(sum(r * x * x) / sum(r)
+                  - (sum(r * x) / sum(r)) * (sum(r * x) / sum(r)), 1e0) AS var1,
+         sum((1e0 - r) * x) / sum(1e0 - r) AS mu2,
+         greatest(sum((1e0 - r) * x * x) / sum(1e0 - r)
+                  - (sum((1e0 - r) * x) / sum(1e0 - r))
+                    * (sum((1e0 - r) * x) / sum(1e0 - r)), 1e0) AS var2
+  FROM e{k}
+)""")
+        prev = f"p{k}"
+    return f"""
+WITH daily AS MATERIALIZED (
+  SELECT CAST(CAST(round(sum(value * 1e2)) AS BIGINT) AS DOUBLE) AS x
+  FROM events GROUP BY CAST(ts AS DATE)
+), init AS MATERIALIZED (
+  SELECT min(x) AS lo, max(x) AS hi,
+         CAST(count(*) AS BIGINT) AS n,
+         (sum(x * x) - sum(x) * sum(x) / count(*)) / (count(*) - 1) AS var0
+  FROM daily
+), p0 AS MATERIALIZED (
+  SELECT 5e-1 AS pi1,
+         lo + (hi - lo) / 4e0 AS mu1, greatest(var0, 1e0) AS var1,
+         lo + 3e0 * (hi - lo) / 4e0 AS mu2, greatest(var0, 1e0) AS var2,
+         n
+  FROM init
+){''.join(steps)}
+SELECT i.n AS n_days,
+       round(p.pi1, 6) AS weight1,
+       round(p.mu1, 0) AS mu1_cents,
+       round(sqrt(p.var1), 0) AS sigma1_cents,
+       round(p.mu2, 0) AS mu2_cents,
+       round(sqrt(p.var2), 0) AS sigma2_cents
+FROM {prev} p, init i
+"""
+
+
+@register(
+    "stats_mixture_em_gaussian",
+    tags=("stats", "ml"),
+    oracle=_em_oracle(6),
+)
+def stats_mixture_em_gaussian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component Gaussian mixture on daily revenue by SIX unrolled
+    EM steps — the third member of the engine-iterative family
+    ([[stats_markov_absorption]] chains, [[similarity_power_iteration_pca]]
+    eigen): E-step responsibilities from the current parameters,
+    M-step reweighted moments, variance floored at 1 cent^2 against
+    component collapse. Separates the weekday/weekend (or promo/
+    baseline) revenue regimes that a single Gaussian smears — the
+    modeling upgrade over [[stats_extreme_value_gumbel]]'s
+    single-population tail. Fixed iteration count on BOTH engines means
+    no convergence tolerance enters the oracle; outputs round to whole
+    cents / 6dp weight, absorbing exp() ulp drift. Scale: the E/M
+    frames are day-cardinality; params are ONE row broadcast per step
+    (eager-checkpointed in Spark, MATERIALIZED in DuckDB — the
+    mirrored anti-blowup discipline)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.round(F.sum(F.col("value") * 100.0)).cast("bigint").alias("xi"))
+        .select(F.col("xi").cast("double").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    init = daily.agg(
+        F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            (F.sum(F.col("x") * F.col("x"))
+             - F.sum("x") * F.sum("x") / F.count(F.lit(1)))
+            / (F.count(F.lit(1)) - 1)
+        ).alias("var0"),
+    )
+    params = init.select(
+        F.lit(0.5).alias("pi1"),
+        (F.col("lo") + (F.col("hi") - F.col("lo")) / 4.0).alias("mu1"),
+        F.greatest(F.col("var0"), F.lit(1.0)).alias("var1"),
+        (F.col("lo") + 3.0 * (F.col("hi") - F.col("lo")) / 4.0).alias("mu2"),
+        F.greatest(F.col("var0"), F.lit(1.0)).alias("var2"),
+        "n",
+    ).localCheckpoint(eager=True)
+    for _ in range(6):
+        x, mu1, var1, mu2, var2, pi1 = (
+            F.col("x"), F.col("mu1"), F.col("var1"),
+            F.col("mu2"), F.col("var2"), F.col("pi1"),
+        )
+        lik1 = pi1 * F.exp(-(x - mu1) * (x - mu1) / (2.0 * var1)) / F.sqrt(var1)
+        lik2 = (1.0 - pi1) * F.exp(-(x - mu2) * (x - mu2) / (2.0 * var2)) / F.sqrt(var2)
+        e = daily.crossJoin(F.broadcast(params)).select(
+            "x", "n", (lik1 / (lik1 + lik2)).alias("r")
+        )
+        r = F.col("r")
+        new_mu1 = F.sum(r * x) / F.sum(r)
+        new_mu2 = F.sum((1.0 - r) * x) / F.sum(1.0 - r)
+        # variance as E[x^2] - E[x]^2 per component: nested aggregates
+        # (sum of (x - sum(..)/sum(..))^2) are illegal on both engines
+        params = e.groupBy("n").agg(
+            (F.sum(r) / F.count(F.lit(1))).alias("pi1"),
+            new_mu1.alias("mu1"),
+            F.greatest(
+                F.sum(r * x * x) / F.sum(r) - new_mu1 * new_mu1, F.lit(1.0)
+            ).alias("var1"),
+            new_mu2.alias("mu2"),
+            F.greatest(
+                F.sum((1.0 - r) * x * x) / F.sum(1.0 - r) - new_mu2 * new_mu2,
+                F.lit(1.0),
+            ).alias("var2"),
+        ).localCheckpoint(eager=True)
+    return params.select(
+        F.col("n").alias("n_days"),
+        F.round("pi1", 6).alias("weight1"),
+        F.round("mu1", 0).alias("mu1_cents"),
+        F.round(F.sqrt("var1"), 0).alias("sigma1_cents"),
+        F.round("mu2", 0).alias("mu2_cents"),
+        F.round(F.sqrt("var2"), 0).alias("sigma2_cents"),
+    )

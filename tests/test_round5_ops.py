@@ -470,3 +470,28 @@ def test_rank_metrics_bounds_and_consistency(spark, sf_dir):
         # precision@5 > 0 implies first_rel <= 5 -> mrr >= 1/5
         if r["precision_at_5"] > 0:
             assert r["mrr_at_10"] >= 1.0 / 5 - 1e-9
+
+
+def test_qini_random_score_near_diagonal(spark, sf_dir):
+    out = all_queries()["stats_qini_uplift_deciles"].fn(spark, sf_dir).collect()
+    assert len(out) == 10
+    by_dec = sorted(out, key=lambda r: r["dec"])
+    total_users = sum(r["n_t"] + r["n_c"] for r in out)
+    ev = load_table(spark, sf_dir, "events")
+    assert total_users == ev.select("user_id").distinct().count()
+    # cumulative qini is monotone in accumulation steps only if uplift
+    # stays positive — just pin bounds and decile sizes here
+    for r in out:
+        assert -1.0 <= r["uplift"] <= 1.0
+        assert r["c_t"] <= r["n_t"] and r["c_c"] <= r["n_c"]
+
+
+def test_mixture_em_separates_components(spark, sf_dir):
+    out = all_queries()["stats_mixture_em_gaussian"].fn(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert 0.0 < r["weight1"] < 1.0
+    assert r["sigma1_cents"] >= 1.0 and r["sigma2_cents"] >= 1.0
+    # initialization orders the components low/high; EM keeps them
+    # ordered on this data
+    assert r["mu1_cents"] <= r["mu2_cents"]

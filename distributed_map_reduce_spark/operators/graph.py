@@ -1191,3 +1191,95 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.col("d_a") * 1.0), 4).alias("mean_edge_degree"),
         )
     )
+
+
+@register(
+    "graph_modularity_score",
+    tags=("graph",),
+    oracle=f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), comm AS (
+  SELECT a AS node, CAST(min(least(a, b)) AS BIGINT) AS c
+  FROM edges GROUP BY a
+), deg AS (
+  SELECT a AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY a
+), m2 AS (
+  SELECT CAST(count(*) AS BIGINT) AS two_m FROM edges
+), intra AS (
+  SELECT ca.c, CAST(count(*) AS BIGINT) AS e_in
+  FROM edges e
+  JOIN comm ca ON e.a = ca.node
+  JOIN comm cb ON e.b = cb.node
+  WHERE ca.c = cb.c
+  GROUP BY ca.c
+), dsum AS (
+  SELECT cm.c, CAST(sum(dg.d) AS BIGINT) AS d_c
+  FROM comm cm JOIN deg dg ON cm.node = dg.node
+  GROUP BY cm.c
+)
+SELECT CAST((SELECT count(DISTINCT c) FROM comm) AS BIGINT) AS n_communities,
+       CAST(max(m2.two_m) / 2 AS BIGINT) AS n_edges,
+       round(sum(coalesce(i.e_in, 0) * 1e0 / m2.two_m
+                 - (d.d_c * 1e0 / m2.two_m) * (d.d_c * 1e0 / m2.two_m)), 6)
+         AS modularity
+FROM dsum d
+LEFT JOIN intra i ON d.c = i.c
+CROSS JOIN m2
+""",
+)
+def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the near-dup graph partitioned by a
+    one-hop min-label community assignment (each node joins the
+    smallest id among itself and its neighbors — the first round of
+    the label propagation [[graph_label_spread]] runs to convergence):
+    Q = sum_c [e_c/2m - (d_c/2m)^2], the objective Louvain climbs and
+    the number that says whether dedup clusters are real communities
+    or hairballs (Q near 0 = the 'clusters' are no better than random
+    wiring, so cluster-keeper policies are meaningless). Ids-only
+    joins: edges x community (intra count), community x degree sums;
+    output is community-cardinality then 1 row."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+    comm = edges.groupBy(F.col("a").alias("node")).agg(
+        F.min(F.least(F.col("a"), F.col("b"))).cast("bigint").alias("c")
+    )
+    deg = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    two_m = edges.count()
+    intra = (
+        edges.join(comm.withColumnRenamed("node", "a").withColumnRenamed("c", "ca"), "a")
+        .join(comm.withColumnRenamed("node", "b").withColumnRenamed("c", "cb"), "b")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_in"))
+    )
+    dsum = (
+        comm.join(deg, "node")
+        .groupBy("c")
+        .agg(F.sum("d").cast("bigint").alias("d_c"))
+    )
+    n_comm = comm.select("c").distinct().count()
+    return (
+        dsum.join(intra, "c", "left")
+        .withColumn("e_in", F.coalesce(F.col("e_in"), F.lit(0)))
+        .agg(
+            F.lit(n_comm).cast("bigint").alias("n_communities"),
+            F.lit(two_m // 2).cast("bigint").alias("n_edges"),
+            F.round(
+                F.sum(
+                    F.col("e_in") * 1.0 / two_m
+                    - (F.col("d_c") * 1.0 / two_m) * (F.col("d_c") * 1.0 / two_m)
+                ),
+                6,
+            ).alias("modularity"),
+        )
+    )

@@ -1658,3 +1658,91 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("kw_pct"), 4).alias("avg_kw_pct"),
         F.round(F.sum("is_code") * 1.0 / F.count(F.lit(1)), 4).alias("code_frac"),
     )
+
+
+@register(
+    "text_bigram_perplexity",
+    tags=("text", "ml", "eval"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, doc_id % 2 AS split, string_split(lower(text), ' ') AS t
+  FROM documents
+), train_big AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE split = 0
+), train_uni AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM train_big GROUP BY w1
+), train_cnt AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM train_big GROUP BY w1, w2
+), vocab AS (
+  SELECT CAST(count(DISTINCT w2) + 1 AS BIGINT) AS v FROM train_big
+), test_big AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE split = 1
+), scored AS (
+  SELECT tb.w1, tb.w2,
+         (coalesce(tc.c12, 0) + 1e0)
+           / (coalesce(tu.c1, 0) + v.v) AS p
+  FROM test_big tb
+  LEFT JOIN train_cnt tc ON tb.w1 = tc.w1 AND tb.w2 = tc.w2
+  LEFT JOIN train_uni tu ON tb.w1 = tu.w1
+  CROSS JOIN vocab v
+)
+SELECT CAST(count(*) AS BIGINT) AS n_test_bigrams,
+       round(sum(-ln(p)) / count(*), 6) AS avg_nll,
+       round(exp(sum(-ln(p)) / count(*)), 4) AS perplexity
+FROM scored
+""",
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram perplexity with add-one smoothing: train the
+    count LM on even doc_ids, score odd doc_ids with
+    p(w2|w1) = (c12+1)/(c1+V), report mean NLL and exp(NLL) —
+    the intrinsic LM eval (and the quality signal perplexity-based
+    corpus filters threshold on: [[text_unigram_surprisal]] is the
+    0-gram version, [[text_trigram_lm]] the model itself; this adds
+    the held-out split that makes the number honest). Count tables
+    shuffle on (w1[,w2]) — ids-plus-token keys; the test side joins
+    against them with map-side combine-sized partials. The ln/exp
+    chain is identical e-notation arithmetic; the vocabulary +1
+    reserves the unseen-history mass."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 2).alias("split"),
+        F.split(F.lower("text"), " ").alias("t"),
+    )
+    big = toks.select(
+        "split",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+            )
+        ).alias("bg"),
+    ).select("split", "bg.w1", "bg.w2")
+    train = big.filter(F.col("split") == 0)
+    test = big.filter(F.col("split") == 1)
+    train_uni = train.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    train_cnt = train.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    v = train.agg((F.countDistinct("w2") + 1).cast("bigint").alias("v"))
+    scored = (
+        test.join(train_cnt, ["w1", "w2"], "left")
+        .join(train_uni, "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            (
+                (F.coalesce(F.col("c12"), F.lit(0)) + 1.0)
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+            ).alias("p")
+        )
+    )
+    nll = F.sum(-F.log("p")) / F.count(F.lit(1))
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test_bigrams"),
+        F.round(nll, 6).alias("avg_nll"),
+        F.round(F.exp(nll), 4).alias("perplexity"),
+    )

@@ -495,3 +495,27 @@ def test_mixture_em_separates_components(spark, sf_dir):
     # initialization orders the components low/high; EM keeps them
     # ordered on this data
     assert r["mu1_cents"] <= r["mu2_cents"]
+
+
+def test_modularity_bounds(spark, sf_dir):
+    out = all_queries()["graph_modularity_score"].fn(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    # Q is bounded by [-1/2, 1); a min-label partition of near-dup
+    # clusters should be assortative (positive)
+    assert -0.5 <= r["modularity"] < 1.0
+    assert r["modularity"] > 0
+    assert r["n_communities"] >= 1
+    assert r["n_edges"] >= r["n_communities"]
+
+
+def test_perplexity_exceeds_unigram_floor(spark, sf_dir):
+    out = all_queries()["text_bigram_perplexity"].fn(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_test_bigrams"] > 0
+    # perplexity == exp(avg_nll) by construction
+    import math
+    assert abs(r["perplexity"] - math.exp(r["avg_nll"])) < 1e-2
+    # bounded below by 1 and above by the smoothed vocab size
+    assert 1.0 < r["perplexity"] < 10000

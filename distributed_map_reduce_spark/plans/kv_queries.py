@@ -595,3 +595,68 @@ def kv_cas_conditional_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),
         F.count_distinct(F.col("value")).cast("bigint").alias("n_distinct_values"),
     )
+
+
+@register(
+    "kv_snapshot_read_asof",
+    tags=("kv", "temporal"),
+    oracle="""
+WITH horizon AS (
+  SELECT CAST(floor(max(event_id) / 2) AS BIGINT) AS s FROM events
+), ops AS (
+  SELECT CAST(user_id AS VARCHAR) AS key,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'put' END AS op,
+         round(value, 4) AS value,
+         event_id AS seq,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn_now
+  FROM events
+), snap AS (
+  SELECT o.key, o.op, o.value, o.seq,
+         row_number() OVER (PARTITION BY o.key ORDER BY o.seq DESC) AS rn
+  FROM ops o, horizon h
+  WHERE o.seq <= h.s
+)
+SELECT a.key,
+       a.value AS value_asof,
+       CAST(a.seq AS BIGINT) AS version_seq,
+       CAST((SELECT s FROM horizon) AS BIGINT) AS snapshot_seq
+FROM snap a
+WHERE a.rn = 1 AND a.op <> 'delete'
+""",
+)
+def kv_snapshot_read_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MVCC snapshot read — the time-travel verb over the versioned
+    store: materialize the KV state AS OF sequence S (the stream's
+    midpoint here; any commit watermark in production) by keeping each
+    key's newest version with seq <= S, tombstones shadowing like in
+    [[kv_cdc_tombstone_apply]]'s current-state read. This is the read
+    side of snapshot isolation (and what Delta/Iceberg time travel
+    resolves per file instead of per key): reads never block on newer
+    writes because the filter is a pure predicate on the version
+    column. One seq-filtered window per key — the same single shuffle
+    as the current-state read, so a snapshot costs no more than HEAD;
+    [[temporal_bitemporal_asof]] is the two-axis generalization."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    horizon = ev.agg(
+        F.floor(F.max("event_id") / 2).cast("bigint").alias("s")
+    )
+    ops = ev.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.when(F.col("event_type") == "error", "delete").otherwise("put").alias("op"),
+        F.round("value", 4).alias("value"),
+        F.col("event_id").alias("seq"),
+    )
+    asof = ops.crossJoin(F.broadcast(horizon)).filter(F.col("seq") <= F.col("s"))
+    w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+    return (
+        asof.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "delete"))
+        .select(
+            "key",
+            F.col("value").alias("value_asof"),
+            F.col("seq").cast("bigint").alias("version_seq"),
+            F.col("s").cast("bigint").alias("snapshot_seq"),
+        )
+    )

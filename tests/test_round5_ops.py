@@ -519,3 +519,25 @@ def test_perplexity_exceeds_unigram_floor(spark, sf_dir):
     assert abs(r["perplexity"] - math.exp(r["avg_nll"])) < 1e-2
     # bounded below by 1 and above by the smoothed vocab size
     assert 1.0 < r["perplexity"] < 10000
+
+
+def test_snapshot_read_subset_of_head(spark, sf_dir):
+    """Every snapshot row's version must be <= the snapshot seq, and a
+    key live at the snapshot either survives to HEAD or was later
+    deleted/overwritten — snapshot state is never newer than HEAD."""
+    snap = all_queries()["kv_snapshot_read_asof"].fn(spark, sf_dir).collect()
+    assert snap
+    s = snap[0]["snapshot_seq"]
+    for r in snap:
+        assert r["version_seq"] <= s
+    head = {r["key"]: r["value"] for r in
+            all_queries()["kv_cdc_tombstone_apply"].fn(spark, sf_dir).collect()}
+    # keys unchanged after the snapshot hold their value at HEAD
+    ev = load_table(spark, sf_dir, "events")
+    changed_after = {
+        str(r["user_id"])
+        for r in ev.filter(F.col("event_id") > s).select("user_id").distinct().collect()
+    }
+    for r in snap:
+        if r["key"] not in changed_after:
+            assert head.get(r["key"]) == r["value_asof"]

@@ -4652,3 +4652,163 @@ def stats_mixture_em_gaussian(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mu2", 0).alias("mu2_cents"),
         F.round(F.sqrt("var2"), 0).alias("sigma2_cents"),
     )
+
+
+@register(
+    "stats_price_elasticity",
+    tags=("stats", "analytics"),
+    oracle="""
+WITH li AS (
+  SELECT l_returnflag AS flag,
+         ln(CAST(l_quantity AS DOUBLE)) AS lq,
+         ln(l_extendedprice / l_quantity) AS lp
+  FROM lineitem
+  WHERE l_quantity > 0 AND l_extendedprice > 0
+)
+SELECT flag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(regr_slope(lq, lp), 4) AS elasticity,
+       round(regr_intercept(lq, lp), 4) AS log_intercept,
+       round(regr_r2(lq, lp), 6) AS r2,
+       CASE WHEN regr_slope(lq, lp) < -1e0 THEN 'elastic'
+            WHEN regr_slope(lq, lp) < 0e0 THEN 'inelastic'
+            ELSE 'non-negative' END AS regime
+FROM li
+GROUP BY flag
+""",
+)
+def stats_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand per return flag: the slope of
+    ln(quantity) on ln(unit price) — the constant-elasticity estimate
+    pricing teams read before discounting (slope < -1 = revenue rises
+    when price falls), using the same engine-native regr_* aggregates
+    as [[stats_retention_decay_fit]]. Unit price derives in-row from
+    extended price / quantity; one mergeable co-moment agg per group,
+    3-row output, 4dp on the slope (co-moment accumulation posture).
+    The classic caveat (price is endogenous; this is correlation, not
+    a causal elasticity without an instrument) belongs in the readout
+    next to [[stats_diff_in_diff]]'s quasi-experimental framing."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    ).select(
+        F.col("l_returnflag").alias("flag"),
+        F.log(F.col("l_quantity").cast("double")).alias("lq"),
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("lp"),
+    )
+    slope = F.regr_slope(F.col("lq"), F.col("lp"))
+    return base.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(slope, 4).alias("elasticity"),
+        F.round(F.regr_intercept(F.col("lq"), F.col("lp")), 4).alias("log_intercept"),
+        F.round(F.regr_r2(F.col("lq"), F.col("lp")), 6).alias("r2"),
+        F.when(slope < -1.0, "elastic")
+        .when(slope < 0.0, "inelastic")
+        .otherwise("non-negative")
+        .alias("regime"),
+    )
+
+
+@register(
+    "stats_hurst_rs",
+    tags=("stats", "temporal"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(CAST(round(sum(value * 1e2)) AS BIGINT) AS DOUBLE) AS x
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT day, x, row_number() OVER (ORDER BY day) - 1 AS rn,
+         count(*) OVER () AS n
+  FROM daily
+), blocks AS (
+  SELECT w.w, rn // w.w AS blk, day, x, n
+  FROM idx, (SELECT unnest([5, 10, 15]) AS w) w
+  WHERE rn // w.w < n // w.w
+), stats AS (
+  SELECT w, blk, day, x,
+         avg(x) OVER (PARTITION BY w, blk) AS mu,
+         count(*) OVER (PARTITION BY w, blk) AS nb
+  FROM blocks
+), dev AS (
+  SELECT w, blk,
+         sum(x - mu) OVER (PARTITION BY w, blk ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) AS z,
+         (x - mu) * (x - mu) AS sq
+  FROM stats
+), rs AS (
+  SELECT w, blk,
+         max(z) - min(z) AS r,
+         sqrt(sum(sq) / count(*)) AS s
+  FROM dev GROUP BY w, blk
+), per_w AS (
+  SELECT w, avg(CASE WHEN s > 0 THEN r / s END) AS rs_avg
+  FROM rs GROUP BY w
+)
+SELECT CAST((SELECT max(n) FROM idx) AS BIGINT) AS n_days,
+       round(max(CASE WHEN w = 5 THEN rs_avg END), 4) AS rs_w5,
+       round(max(CASE WHEN w = 10 THEN rs_avg END), 4) AS rs_w10,
+       round(max(CASE WHEN w = 15 THEN rs_avg END), 4) AS rs_w15,
+       round(regr_slope(ln(rs_avg), ln(CAST(w AS DOUBLE))), 4) AS hurst_exponent
+FROM per_w
+""",
+)
+def stats_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis of daily
+    revenue: for block sizes w in {5,10,15}, each block's range of
+    mean-adjusted cumulative deviations over its population std,
+    averaged per w, then H = slope of ln(R/S) on ln(w) — the
+    long-memory probe (H≈0.5 random walk, H>0.5 trending/persistent,
+    H<0.5 mean-reverting) that tells capacity planners whether
+    [[stats_extreme_value_gumbel]]'s i.i.d.-maxima assumption and
+    [[stats_rate_anomaly_poisson]]'s independence are even plausible
+    (Hurst '51; Mandelbrot-Wallis '69). Shape: day-cardinality frame
+    exploded x3 block sizes, per-block windows (partition keys =
+    (w, block) — bounded), 3-point closed-form regression. Incomplete
+    tail blocks are excluded on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.round(F.sum(F.col("value") * 100.0)).cast("bigint").cast("double").alias("x")
+    )
+    idx = daily.select(
+        "day",
+        "x",
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    ws = F.explode(F.array(F.lit(5), F.lit(10), F.lit(15))).alias("w")
+    blocks = idx.select("day", "x", "rn", "n", ws).filter(
+        F.floor(F.col("rn") / F.col("w")) < F.floor(F.col("n") / F.col("w"))
+    ).withColumn("blk", F.floor(F.col("rn") / F.col("w")))
+    wb = Window.partitionBy("w", "blk")
+    stats = blocks.select(
+        "w", "blk", "day", "x",
+        F.avg("x").over(wb).alias("mu"),
+    )
+    wz = Window.partitionBy("w", "blk").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dev = stats.select(
+        "w", "blk",
+        F.sum(F.col("x") - F.col("mu")).over(wz).alias("z"),
+        ((F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu"))).alias("sq"),
+    )
+    rs = dev.groupBy("w", "blk").agg(
+        (F.max("z") - F.min("z")).alias("r"),
+        F.sqrt(F.sum("sq") / F.count(F.lit(1))).alias("s"),
+    )
+    per_w = rs.groupBy("w").agg(
+        F.avg(F.when(F.col("s") > 0, F.col("r") / F.col("s"))).alias("rs_avg")
+    )
+    n_days = daily.count()
+    return per_w.agg(
+        F.lit(n_days).cast("bigint").alias("n_days"),
+        F.round(F.max(F.when(F.col("w") == 5, F.col("rs_avg"))), 4).alias("rs_w5"),
+        F.round(F.max(F.when(F.col("w") == 10, F.col("rs_avg"))), 4).alias("rs_w10"),
+        F.round(F.max(F.when(F.col("w") == 15, F.col("rs_avg"))), 4).alias("rs_w15"),
+        F.round(
+            F.regr_slope(F.log(F.col("rs_avg")), F.log(F.col("w").cast("double"))), 4
+        ).alias("hurst_exponent"),
+    )

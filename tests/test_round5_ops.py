@@ -541,3 +541,26 @@ def test_snapshot_read_subset_of_head(spark, sf_dir):
     for r in snap:
         if r["key"] not in changed_after:
             assert head.get(r["key"]) == r["value_asof"]
+
+
+def test_elasticity_regimes_labeled(spark, sf_dir):
+    out = all_queries()["stats_price_elasticity"].fn(spark, sf_dir).collect()
+    assert len(out) == 3
+    for r in out:
+        assert 0.0 <= r["r2"] <= 1.0
+        if r["elasticity"] < -1.0:
+            assert r["regime"] == "elastic"
+        elif r["elasticity"] < 0.0:
+            assert r["regime"] == "inelastic"
+        else:
+            assert r["regime"] == "non-negative"
+
+
+def test_hurst_in_plausible_band(spark, sf_dir):
+    out = all_queries()["stats_hurst_rs"].fn(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    # R/S grows with block size for any real series
+    assert r["rs_w5"] < r["rs_w15"]
+    # H mathematically lives in [0, 1] (estimation noise tolerated)
+    assert -0.2 <= r["hurst_exponent"] <= 1.2

@@ -110,3 +110,60 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
         )
     )
+
+
+@register(
+    "join_hot_cold_split",
+    tags=("join", "skew"),
+    oracle="""
+WITH hot AS (
+  SELECT o_custkey FROM orders GROUP BY o_custkey HAVING count(*) > 20
+)
+SELECT o.o_custkey,
+       CASE WHEN h.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS is_hot,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       max(c.c_mktsegment) AS segment
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN hot h ON o.o_custkey = h.o_custkey
+GROUP BY o.o_custkey, 2
+""",
+)
+def join_hot_cold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot/cold key isolation — the THIRD skew technique alongside
+    salting ([[join_salted_skew]]) and AQE skew splitting: keys above a
+    frequency threshold take the broadcast path (the dim rows for hot
+    keys are tiny by definition — bounded by the hot-key count), cold
+    keys take the ordinary shuffled join, and the union is provably
+    the plain join (the oracle IS the plain join). At 100 TB this is
+    the pattern for the 'one hot user is 5% of events' join that
+    salting spreads but still shuffles: the hot side never enters the
+    exchange at all. The is_hot flag in the output doubles as the
+    audit of how much volume the broadcast path absorbed."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    counts = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    hot_keys = counts.filter(F.col("cnt") > 20).select("o_custkey")
+    o_flag = o.join(F.broadcast(hot_keys.withColumn("is_hot", F.lit(1))),
+                    "o_custkey", "left").fillna({"is_hot": 0})
+    hot_dim = c.join(
+        F.broadcast(hot_keys.withColumnRenamed("o_custkey", "c_custkey")),
+        "c_custkey",
+        "left_semi",
+    )
+    hot_join = o_flag.filter(F.col("is_hot") == 1).join(
+        F.broadcast(hot_dim), F.col("o_custkey") == F.col("c_custkey")
+    )
+    cold_join = o_flag.filter(F.col("is_hot") == 0).join(
+        c, F.col("o_custkey") == F.col("c_custkey")
+    )
+    both = hot_join.unionByName(cold_join)
+    return both.groupBy("o_custkey", "is_hot").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+        F.max("c_mktsegment").alias("segment"),
+    )

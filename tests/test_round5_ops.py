@@ -564,3 +564,28 @@ def test_hurst_in_plausible_band(spark, sf_dir):
     assert r["rs_w5"] < r["rs_w15"]
     # H mathematically lives in [0, 1] (estimation noise tolerated)
     assert -0.2 <= r["hurst_exponent"] <= 1.2
+
+
+def test_hot_cold_split_equals_plain_join(spark, sf_dir):
+    """The hot/cold union must equal the plain join aggregate exactly
+    (the oracle asserts this too; here we also pin the hot flag)."""
+    out = all_queries()["join_hot_cold_split"].fn(spark, sf_dir).collect()
+    assert out
+    o = load_table(spark, sf_dir, "orders")
+    counts = {r["o_custkey"]: r["cnt"] for r in
+              o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    for r in out:
+        assert r["is_hot"] == int(counts[r["o_custkey"]] > 20)
+        assert r["n_orders"] == counts[r["o_custkey"]]
+
+
+def test_fixedwidth_roundtrip_totals(spark, sf_dir):
+    out = all_queries()["source_fixedwidth_parse"].fn(spark, sf_dir).collect()
+    assert out
+    cust = load_table(spark, sf_dir, "customer")
+    n = cust.count()
+    assert sum(r["n_rows"] for r in out) == n
+    total = cust.agg(
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint"))
+    ).collect()[0][0]
+    assert sum(r["total_cents"] for r in out) == total

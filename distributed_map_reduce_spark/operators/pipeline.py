@@ -1564,3 +1564,68 @@ def pipeline_instruction_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("keeper_doc"),
         F.col("response_tokens").cast("bigint").alias("keeper_response_tokens"),
     )
+
+
+@register(
+    "pipeline_blocklist_filter",
+    tags=("pipeline", "privacy", "text"),
+    oracle="""
+WITH hits AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ('error', 'crash', 'fail', 'leak', 'exploit'))) AS n_hits,
+         len(list_filter(string_split(text, ' '), w -> trim(w) <> '')) AS n_tokens
+  FROM documents
+), flagged AS (
+  SELECT doc_id, source, n_hits, n_tokens,
+         CASE WHEN n_hits * 1e3 / greatest(n_tokens, 1) >= 5e0 THEN 1 ELSE 0 END
+           AS blocked
+  FROM hits
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(blocked) AS BIGINT) AS n_blocked,
+       CAST(sum(n_hits) AS BIGINT) AS total_hits,
+       round(sum(blocked) * 1e0 / count(*), 4) AS block_rate,
+       round(sum(n_hits) * 1e3 / sum(n_tokens), 4) AS hits_per_1k_tokens
+FROM flagged
+GROUP BY source
+""",
+)
+def pipeline_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist screening — the first safety gate of a pretraining
+    pipeline (C4's badwords pass, reduced to its mechanics): per-doc
+    hit counts against a term blocklist, a density threshold (>=5 hits
+    per 1k tokens blocks the doc — density, not presence, because a
+    single quoted term shouldn't kill a long document), and the
+    per-source report (block rate + hit density) that decides whether
+    a SOURCE is salvageable or dropped wholesale. The fixture
+    blocklist is 5 benign corpus words standing in for the real list;
+    the mechanics — tokenized membership scan, density gate, source
+    rollup — are exactly production's. Pure list_filter/size codegen
+    in-scan, one source-keyed agg, e-notation literals. Word-boundary
+    exactness comes free from the tokenized match (a substring regex
+    would flag 'class' for 'ass' — the classic blocklist bug)."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["error", "crash", "fail", "leak", "exploit"]
+    n_hits = F.size(
+        F.filter(F.split(F.lower("text"), " "), lambda w: w.isin(terms))
+    )
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda w: F.trim(w) != ""))
+    flagged = docs.select(
+        "source",
+        n_hits.alias("n_hits"),
+        n_tokens.alias("n_tokens"),
+        F.when(
+            n_hits * 1000.0 / F.greatest(n_tokens, F.lit(1)) >= 5.0, 1
+        ).otherwise(0).alias("blocked"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("blocked").cast("bigint").alias("n_blocked"),
+        F.sum("n_hits").cast("bigint").alias("total_hits"),
+        F.round(F.sum("blocked") * 1.0 / F.count(F.lit(1)), 4).alias("block_rate"),
+        F.round(F.sum("n_hits") * 1000.0 / F.sum("n_tokens"), 4).alias(
+            "hits_per_1k_tokens"
+        ),
+    )

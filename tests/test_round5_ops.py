@@ -589,3 +589,16 @@ def test_fixedwidth_roundtrip_totals(spark, sf_dir):
         F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint"))
     ).collect()[0][0]
     assert sum(r["total_cents"] for r in out) == total
+
+
+def test_blocklist_density_gate(spark, sf_dir):
+    out = all_queries()["pipeline_blocklist_filter"].fn(spark, sf_dir).collect()
+    assert out
+    docs = load_table(spark, sf_dir, "documents")
+    assert sum(r["n_docs"] for r in out) == docs.count()
+    for r in out:
+        assert 0 <= r["n_blocked"] <= r["n_docs"]
+        assert 0.0 <= r["block_rate"] <= 1.0
+        # density gate: if nothing hit, nothing blocked
+        if r["total_hits"] == 0:
+            assert r["n_blocked"] == 0

@@ -2897,10 +2897,14 @@ WITH g AS (
 )
 SELECT k AS n_groups,
        n AS n_rows,
+       CASE WHEN ss - sum_n_meansq > 0 THEN
        round((sum_n_meansq - s * s / n) / (k - 1)
-             / ((ss - sum_n_meansq) / (n - k)), 4) AS f_stat,
-       round((sum_n_meansq - s * s / n) / (ss - s * s / n), 6) AS eta_sq,
-       CASE WHEN (sum_n_meansq - s * s / n) / (k - 1)
+             / ((ss - sum_n_meansq) / (n - k)), 4) ELSE 0.0 END AS f_stat,
+       CASE WHEN ss - s * s / n > 0 THEN
+       round((sum_n_meansq - s * s / n) / (ss - s * s / n), 6) ELSE 0.0 END
+         AS eta_sq,
+       CASE WHEN ss - sum_n_meansq > 0
+             AND (sum_n_meansq - s * s / n) / (k - 1)
                / ((ss - sum_n_meansq) / (n - k)) > 2.372 THEN 1 ELSE 0 END
          AS significant
 FROM tot
@@ -2941,12 +2945,14 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     ssw = F.col("ss") - F.col("sum_n_meansq")
     sst = F.col("ss") - F.col("s") * F.col("s") / F.col("n")
     f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    # ssw = 0 (all values identical within every group) and sst = 0 are
+    # the ANSI divide-by-zero class: emit the defined degenerate 0.0
     return tot.select(
         F.col("k").alias("n_groups"),
         F.col("n").alias("n_rows"),
-        F.round(f_stat, 4).alias("f_stat"),
-        F.round(ssb / sst, 6).alias("eta_sq"),
-        F.when(f_stat > 2.372, 1).otherwise(0).alias("significant"),
+        F.when(ssw > 0, F.round(f_stat, 4)).otherwise(0.0).alias("f_stat"),
+        F.when(sst > 0, F.round(ssb / sst, 6)).otherwise(0.0).alias("eta_sq"),
+        F.when((ssw > 0) & (f_stat > 2.372), 1).otherwise(0).alias("significant"),
     )
 
 
@@ -2968,9 +2974,10 @@ WITH nat AS (
   FROM nat
 ), z AS (
   SELECT nation, n_orders, n_urgent,
+         CASE WHEN k_tot = 0 OR k_tot = n_tot THEN 0.0 ELSE
          (n_urgent * 1.0 / n_orders - k_tot * 1.0 / n_tot)
            / sqrt((k_tot * 1.0 / n_tot) * (1.0 - k_tot * 1.0 / n_tot) / n_orders)
-           AS zv
+           END AS zv
   FROM nat, g_tot
 ), p AS (
   SELECT nation, n_orders, n_urgent, zv,
@@ -3034,14 +3041,20 @@ def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_orders").cast("bigint").alias("n_tot"),
         F.sum("n_urgent").cast("bigint").alias("k_tot"),
     )
+    # k_tot in {0, n_tot} = zero pooled variance (no or all URGENT):
+    # z is undefined; emit 0.0 -> p = 1.0, BH rejects nothing (ANSI class)
     z = nat.crossJoin(F.broadcast(glob)).withColumn(
         "zv",
-        (F.col("n_urgent") * 1.0 / F.col("n_orders")
-         - F.col("k_tot") * 1.0 / F.col("n_tot"))
-        / F.sqrt(
-            (F.col("k_tot") * 1.0 / F.col("n_tot"))
-            * (1.0 - F.col("k_tot") * 1.0 / F.col("n_tot"))
-            / F.col("n_orders")
+        F.when(
+            (F.col("k_tot") == 0) | (F.col("k_tot") == F.col("n_tot")), 0.0
+        ).otherwise(
+            (F.col("n_urgent") * 1.0 / F.col("n_orders")
+             - F.col("k_tot") * 1.0 / F.col("n_tot"))
+            / F.sqrt(
+                (F.col("k_tot") * 1.0 / F.col("n_tot"))
+                * (1.0 - F.col("k_tot") * 1.0 / F.col("n_tot"))
+                / F.col("n_orders")
+            )
         ),
     )
     t = 1.0 / (1.0 + 0.2316419 * F.abs(F.col("zv")))
@@ -3229,7 +3242,8 @@ WITH tok AS (
 ), terms AS (
   SELECT source, t_s,
          c_s * 1.0 / t_s AS p,
-         (c_g - c_s) * 1.0 / (t_g - t_s) AS q
+         CASE WHEN t_g > t_s THEN (c_g - c_s) * 1.0 / (t_g - t_s)
+              ELSE 0.0 END AS q
   FROM grid
 )
 SELECT source,
@@ -3273,7 +3287,12 @@ def stats_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("c_s", F.coalesce(F.col("c_s"), F.lit(0)))
     )
     p = F.col("c_s") * 1.0 / F.col("t_s")
-    q = (F.col("c_g") - F.col("c_s")) * 1.0 / (F.col("t_g") - F.col("t_s"))
+    # a single-source corpus makes 'rest' empty (t_g == t_s): q is the
+    # empty distribution -> all-zero terms, JSD degenerates to 0 (ANSI class)
+    q = F.when(
+        F.col("t_g") > F.col("t_s"),
+        (F.col("c_g") - F.col("c_s")) * 1.0 / (F.col("t_g") - F.col("t_s")),
+    ).otherwise(0.0)
     m = (p + q) / 2.0
     terms = grid.select(
         "source",
@@ -3513,7 +3532,7 @@ WITH daily AS (
 ), p AS (
   SELECT n, hist_max,
          s / n AS mean,
-         sqrt((ss - s * s / n) / (n - 1)) AS sd
+         CASE WHEN n > 1 THEN sqrt((ss - s * s / n) / (n - 1)) ELSE 0.0 END AS sd
   FROM m
 ), g AS (
   SELECT n, hist_max, mean, sd,
@@ -3524,8 +3543,12 @@ WITH daily AS (
 SELECT n AS n_days,
        round(mu, 2) AS mu_cents,
        round(beta, 2) AS beta_cents,
-       round(mu - beta * ln(-ln(1.0 - 1.0 / 20.0)), 2) AS return_level_20d,
-       round(1.0 - exp(-exp(-(hist_max - mu) / beta)), 6) AS p_exceed_hist_max
+       CASE WHEN beta > 0
+            THEN round(mu - beta * ln(-ln(1.0 - 1.0 / 20.0)), 2)
+            ELSE round(mu, 2) END AS return_level_20d,
+       CASE WHEN beta > 0
+            THEN round(1.0 - exp(-exp(-(hist_max - mu) / beta)), 6)
+            ELSE 0.0 END AS p_exceed_hist_max
 FROM g
 """,
 )
@@ -3555,19 +3578,25 @@ def stats_extreme_value_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.col("n")
     mean = F.col("s") / n
-    sd = F.sqrt((F.col("ss") - F.col("s") * F.col("s") / n) / (n - 1))
+    # n = 1 day: sample sd undefined -> 0.0, beta 0, the degenerate
+    # point-mass fit (ANSI class; both engines agree)
+    sd = F.when(
+        n > 1, F.sqrt((F.col("ss") - F.col("s") * F.col("s") / n) / (n - 1))
+    ).otherwise(0.0)
     beta = sd * F.sqrt(F.lit(6.0)) / F.lit(3.141592653589793)
     mu = mean - 0.5772156649015329 * beta
     return m.select(
         n.alias("n_days"),
         F.round(mu, 2).alias("mu_cents"),
         F.round(beta, 2).alias("beta_cents"),
-        F.round(mu - beta * F.log(-F.log(F.lit(1.0) - 1.0 / 20.0)), 2).alias(
-            "return_level_20d"
-        ),
-        F.round(
-            1.0 - F.exp(-F.exp(-(F.col("hist_max") - mu) / beta)), 6
-        ).alias("p_exceed_hist_max"),
+        F.when(
+            beta > 0,
+            F.round(mu - beta * F.log(-F.log(F.lit(1.0) - 1.0 / 20.0)), 2),
+        ).otherwise(F.round(mu, 2)).alias("return_level_20d"),
+        F.when(
+            beta > 0,
+            F.round(1.0 - F.exp(-F.exp(-(F.col("hist_max") - mu) / beta)), 6),
+        ).otherwise(0.0).alias("p_exceed_hist_max"),
     )
 
 

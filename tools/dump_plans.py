@@ -205,6 +205,25 @@ EXTRA = [
     "eval_calibration_brier",
     "stats_negbinom_overdispersion",
     "stats_experiment_duration",
+    "stats_diff_in_diff",
+    "text_code_detect",
+    "stats_tost_equivalence",
+    "profile_key_discovery",
+    "stats_ratio_delta_method",
+    "eval_rank_metrics_ndcg",
+    "stats_qini_uplift_deciles",
+    "stats_mixture_em_gaussian",
+    "graph_modularity_score",
+    "text_bigram_perplexity",
+    "kv_snapshot_read_asof",
+    "join_hot_cold_split",
+    "source_fixedwidth_parse",
+    "stats_price_elasticity",
+    "stats_hurst_rs",
+    "pipeline_blocklist_filter",
+    "similarity_mmr_rerank",
+    "privacy_t_closeness",
+    "graph_degree_assortativity",
 ]
 
 

@@ -4841,3 +4841,95 @@ def stats_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regr_slope(F.log(F.col("rs_avg")), F.log(F.col("w").cast("double"))), 4
         ).alias("hurst_exponent"),
     )
+
+
+@register(
+    "events_self_excitation",
+    tags=("stats", "events", "temporal"),
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t
+  FROM events
+), trig AS (
+  SELECT user_id, event_id AS trig_id, t FROM ev WHERE event_type = 'purchase'
+), follow AS (
+  SELECT tr.trig_id, count(*) AS k
+  FROM trig tr JOIN ev e
+    ON e.user_id = tr.user_id
+   AND e.t > tr.t AND e.t <= tr.t + 300
+   AND e.event_id <> tr.trig_id
+  GROUP BY tr.trig_id
+), placebo AS (
+  SELECT tr.trig_id, count(*) AS k
+  FROM trig tr JOIN ev e
+    ON e.user_id = tr.user_id
+   AND e.t > tr.t + 43200 AND e.t <= tr.t + 43500
+   AND e.event_id <> tr.trig_id
+  GROUP BY tr.trig_id
+), tot AS (
+  SELECT (SELECT count(*) FROM trig) AS n_triggers,
+         CAST(coalesce((SELECT sum(k) FROM follow), 0) AS BIGINT) AS n_follow,
+         CAST(coalesce((SELECT sum(k) FROM placebo), 0) AS BIGINT) AS n_placebo
+)
+SELECT CAST(n_triggers AS BIGINT) AS n_triggers,
+       n_follow, n_placebo,
+       round(n_follow * 1e0 / n_triggers, 6) AS follow_per_trigger,
+       round(n_placebo * 1e0 / n_triggers, 6) AS placebo_per_trigger,
+       CASE WHEN n_placebo > 0 THEN round(n_follow * 1e0 / n_placebo, 4)
+            ELSE 0.0 END AS excitation_ratio,
+       CASE WHEN n_placebo > 0 AND n_follow * 1e0 / n_placebo > 1.2
+            THEN 1 ELSE 0 END AS self_exciting
+FROM tot
+""",
+)
+def events_self_excitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-excitation diagnostic (Hawkes-lite): does a purchase raise
+    the SAME user's event rate in the next 5 minutes relative to a
+    deterministic placebo window 12 h later (same width, same user,
+    same trigger times — the built-in control that makes this a
+    comparison of two interval joins rather than a model fit)? An
+    excitation ratio well above 1 means activity clusters after
+    conversions — sessionization gaps ([[events_session_window]]) and
+    the Poisson independence assumptions ([[stats_rate_anomaly_poisson]],
+    [[stats_hurst_rs]]'s memory probe) all hinge on this. Both windows
+    are user-keyed time-band joins — at 100 TB they bucket by
+    (user, epoch//300) exactly like [[join_interval_bucketed]]; counts
+    are exact integers, one 1-row report."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("t"),
+    )
+    trig = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("trig_id"), F.col("t").alias("t0")
+    )
+    def band(lo: int, hi: int):
+        return (
+            trig.join(
+                ev,
+                (ev.user_id == trig.user_id)
+                & (F.col("t") > F.col("t0") + lo)
+                & (F.col("t") <= F.col("t0") + hi)
+                & (F.col("event_id") != F.col("trig_id")),
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+        )
+    n_triggers = trig.count()
+    follow = band(0, 300).withColumnRenamed("k", "n_follow")
+    placebo = band(43200, 43500).withColumnRenamed("k", "n_placebo")
+    ratio = F.col("n_follow") * 1.0 / F.col("n_placebo")
+    return follow.crossJoin(placebo).select(
+        F.lit(n_triggers).cast("bigint").alias("n_triggers"),
+        "n_follow",
+        "n_placebo",
+        F.round(F.col("n_follow") * 1.0 / n_triggers, 6).alias("follow_per_trigger"),
+        F.round(F.col("n_placebo") * 1.0 / n_triggers, 6).alias("placebo_per_trigger"),
+        F.when(F.col("n_placebo") > 0, F.round(ratio, 4)).otherwise(0.0).alias(
+            "excitation_ratio"
+        ),
+        F.when((F.col("n_placebo") > 0) & (ratio > 1.2), 1).otherwise(0).alias(
+            "self_exciting"
+        ),
+    )

@@ -602,3 +602,17 @@ def test_blocklist_density_gate(spark, sf_dir):
         # density gate: if nothing hit, nothing blocked
         if r["total_hits"] == 0:
             assert r["n_blocked"] == 0
+
+
+def test_self_excitation_counts_consistent(spark, sf_dir):
+    out = all_queries()["events_self_excitation"].fn(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    ev = load_table(spark, sf_dir, "events")
+    assert r["n_triggers"] == ev.filter(F.col("event_type") == "purchase").count()
+    assert r["n_follow"] >= 0 and r["n_placebo"] >= 0
+    assert r["self_exciting"] in (0, 1)
+    if r["n_placebo"] > 0:
+        assert abs(
+            r["excitation_ratio"] - round(r["n_follow"] / r["n_placebo"], 4)
+        ) < 1e-9

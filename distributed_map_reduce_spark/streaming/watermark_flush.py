@@ -462,3 +462,68 @@ def stream_interval_full_join_flush(spark: SparkSession, sf_dir: str) -> DataFra
     )
     out = run_to_completion(spark, joined, "interval_full_join_flush", mode="append")
     return out.filter(F.col("user_id") >= 0)
+
+
+@register(
+    "stream_session_dynamic_gap_flush",
+    tags=("streaming", "window", "sessionization"),
+    oracle="""
+WITH g AS (
+  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN event_type = 'purchase'
+              THEN INTERVAL 60 MINUTE ELSE INTERVAL 15 MINUTE END AS gap
+  FROM events
+), marked AS (
+  SELECT user_id, event_id, ts, value, gap,
+         CASE WHEN ts >= max(ts + gap)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_session
+  FROM g
+), sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def stream_session_dynamic_gap_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode streaming sessions with a PER-ROW gap expression
+    (purchases hold sessions open 60 min, everything else 15) drained
+    to a final answer by the flush sentinels — the streaming twin of
+    [[events_session_dynamic_gap]] under the emit-once contract of
+    [[stream_session_flush_final]]: each dynamic-gap session is emitted
+    exactly once, after the watermark proves no event can extend it
+    (the 60-min purchase gap just means the state lingers longer before
+    the close — the watermark bound is unchanged because it tracks
+    event time, not gap width). Same batch oracle as the batch twin
+    (running-max boundary rewrite, tie order pinned by event_id); the
+    sentinel user (-1) holds the only never-closed sessions and is
+    filtered."""
+    events = read_flushed_events(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "purchase", F.lit("60 minutes")).otherwise(
+        F.lit("15 minutes")
+    )
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+    out = run_to_completion(spark, agg, "session_dynamic_gap_flush", mode="append")
+    return out.filter(F.col("user_id") >= 0)

@@ -616,3 +616,14 @@ def test_self_excitation_counts_consistent(spark, sf_dir):
         assert abs(
             r["excitation_ratio"] - round(r["n_follow"] / r["n_placebo"], 4)
         ) < 1e-9
+
+
+def test_stream_dynamic_gap_equals_batch(spark, sf_dir):
+    """The append-mode dynamic-gap stream, fully flushed, must equal the
+    batch dynamic-gap sessionization row-for-row."""
+    batch = all_queries()["events_session_dynamic_gap"].fn(spark, sf_dir)
+    stream = all_queries()["stream_session_dynamic_gap_flush"].fn(spark, sf_dir)
+    cols = ["user_id", "session_start", "n_events", "session_value"]
+    b = sorted(tuple(r[c] for c in cols) for r in batch.select(*cols).collect())
+    s = sorted(tuple(r[c] for c in cols) for r in stream.select(*cols).collect())
+    assert b == s

@@ -4933,3 +4933,185 @@ def events_self_excitation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "self_exciting"
         ),
     )
+
+
+@register(
+    "stats_pettitt_changepoint",
+    tags=("stats", "temporal"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(round(sum(value) * 1e2) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+), pairs AS (
+  SELECT a.day AS day_t, 
+         CASE WHEN a.cents > b.cents THEN 1
+              WHEN a.cents < b.cents THEN -1 ELSE 0 END AS sgn
+  FROM daily a JOIN daily b ON a.day < b.day
+), u AS (
+  SELECT d.day,
+         CAST(coalesce(sum(CASE WHEN p.day_t <= d.day THEN sgn END), 0) AS BIGINT)
+           AS u_t
+  FROM daily d LEFT JOIN pairs p ON p.day_t <= d.day
+  GROUP BY d.day
+), best AS (
+  SELECT day, u_t, abs(u_t) AS abs_u,
+         row_number() OVER (ORDER BY abs(u_t) DESC, day) AS rn,
+         (SELECT count(*) FROM daily) AS n
+  FROM u
+)
+SELECT day AS changepoint_day,
+       u_t AS u_stat,
+       CAST(n AS BIGINT) AS n_days,
+       round(2e0 * exp(-6e0 * u_t * u_t / (n * n * n + n * n)), 6)
+         AS p_approx,
+       CASE WHEN 2e0 * exp(-6e0 * u_t * u_t / (n * n * n + n * n)) < 5e-2
+            THEN 1 ELSE 0 END AS significant
+FROM best WHERE rn = 1
+""",
+)
+def stats_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt's nonparametric changepoint test on daily revenue: the
+    split day t maximizing |U_t|, U_t = sum of pairwise signs across
+    the split (Mann-Whitney two-sample statistic swept over every
+    split point), with Pettitt's closed-form p ~ 2 exp(-6U^2/(n^3+n^2))
+    — the rank-based complement to [[stats_cusum_changepoint]] (CUSUM
+    assumes a mean shift in level; Pettitt only assumes a
+    distributional shift, immune to outliers that drag a mean). The
+    pairwise sign table is day-cardinality squared (n^2 ~ 900 rows at
+    30 days — block-maxima scale, NOT event scale; the day rollup is
+    the only data-sized pass). Exact integer signs and counts; the one
+    exp() rounds at 6dp."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.round(F.sum("value") * 100.0).cast("bigint").alias("cents")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("a.day") < F.col("b.day")).select(
+        F.col("a.day").alias("day_t"),
+        F.when(F.col("a.cents") > F.col("b.cents"), 1)
+        .when(F.col("a.cents") < F.col("b.cents"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    u = (
+        daily.alias("d")
+        .join(pairs, F.col("day_t") <= F.col("d.day"), "left")
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.coalesce(F.sum("sgn"), F.lit(0)).cast("bigint").alias("u_t"))
+    )
+    n = daily.count()
+    from pyspark.sql import Window
+
+    best = u.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.abs(F.col("u_t")).desc(), F.col("day")))
+    ).filter(F.col("rn") == 1)
+    p_approx = 2.0 * F.exp(
+        -6.0 * F.col("u_t") * F.col("u_t") / (n**3 + n**2)
+    )
+    return best.select(
+        F.col("day").alias("changepoint_day"),
+        F.col("u_t").alias("u_stat"),
+        F.lit(n).cast("bigint").alias("n_days"),
+        F.round(p_approx, 6).alias("p_approx"),
+        F.when(p_approx < 0.05, 1).otherwise(0).alias("significant"),
+    )
+
+
+@register(
+    "stats_ewma_control_chart",
+    tags=("stats", "temporal", "analytics"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(CAST(round(sum(value) * 1e2) AS BIGINT) AS DOUBLE) AS x,
+         row_number() OVER (ORDER BY CAST(ts AS DATE)) AS t
+  FROM events GROUP BY 1
+), base AS (
+  SELECT avg(x) AS mu0,
+         sqrt((sum(x * x) - sum(x) * sum(x) / count(*)) / (count(*) - 1)) AS sd0
+  FROM daily
+), ew AS (
+  SELECT d.day, d.x, d.t,
+         sum(3e-1 * power(7e-1, d.t - i.t) * i.x) AS znum,
+         power(7e-1, d.t) AS tail
+  FROM daily d JOIN daily i ON i.t <= d.t
+  GROUP BY d.day, d.x, d.t
+), z AS (
+  SELECT e.day, e.x, e.t,
+         e.znum + e.tail * b.mu0 AS ewma,
+         b.mu0, b.sd0,
+         b.sd0 * sqrt(3e-1 / (2e0 - 3e-1)
+                      * (1e0 - power(7e-1, 2 * e.t))) AS half_width
+  FROM ew e, base b
+)
+SELECT day,
+       CAST(x AS BIGINT) AS cents,
+       round(ewma, 4) AS ewma,
+       round(mu0 + 3e0 * half_width, 4) AS ucl,
+       round(mu0 - 3e0 * half_width, 4) AS lcl,
+       CASE WHEN ewma > mu0 + 3e0 * half_width
+              OR ewma < mu0 - 3e0 * half_width THEN 1 ELSE 0 END
+         AS out_of_control
+FROM z
+""",
+)
+def stats_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (Roberts '59 / Lucas-Saccucci '90) on daily
+    revenue: z_t = lambda*x_t + (1-lambda)*z_{t-1} with lambda = 0.3
+    anchored at the series mean, against time-varying 3-sigma limits
+    mu0 +/- 3*sd*sqrt(lambda/(2-lambda)*(1-(1-lambda)^2t)) — the SPC
+    chart that flags small sustained shifts a Shewhart chart misses,
+    complementing [[stats_cusum_changepoint]] (retrospective) with the
+    monitoring-time view. Exactness: the recursion unrolls to the
+    closed form z_t = sum lambda(1-lambda)^{t-i} x_i + (1-lambda)^t mu0
+    — the repo's EWMA fixed-point weighting trick — so both engines
+    compute an identical weighted sum over the day-triangle join
+    (day-cardinality squared, block scale), no iterative state."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.round(F.sum("value") * 100.0).cast("bigint").cast("double").alias("x")
+    ).withColumn("t", F.row_number().over(Window.orderBy("day")))
+    base = daily.agg(
+        F.avg("x").alias("mu0"),
+        F.sqrt(
+            (F.sum(F.col("x") * F.col("x"))
+             - F.sum("x") * F.sum("x") / F.count(F.lit(1)))
+            / (F.count(F.lit(1)) - 1)
+        ).alias("sd0"),
+    )
+    d, i = daily.alias("d"), daily.alias("i")
+    ew = (
+        d.join(i, F.col("i.t") <= F.col("d.t"))
+        .groupBy(F.col("d.day").alias("day"), F.col("d.x").alias("x"),
+                 F.col("d.t").alias("t"))
+        .agg(
+            F.sum(
+                0.3 * F.pow(F.lit(0.7), F.col("d.t") - F.col("i.t")) * F.col("i.x")
+            ).alias("znum")
+        )
+        .withColumn("tail", F.pow(F.lit(0.7), F.col("t")))
+    )
+    z = ew.crossJoin(F.broadcast(base)).select(
+        "day", "x", "t",
+        (F.col("znum") + F.col("tail") * F.col("mu0")).alias("ewma"),
+        "mu0",
+        (
+            F.col("sd0")
+            * F.sqrt(0.3 / (2.0 - 0.3) * (1.0 - F.pow(F.lit(0.7), 2 * F.col("t"))))
+        ).alias("half_width"),
+    )
+    ucl = F.col("mu0") + 3.0 * F.col("half_width")
+    lcl = F.col("mu0") - 3.0 * F.col("half_width")
+    return z.select(
+        "day",
+        F.col("x").cast("bigint").alias("cents"),
+        F.round("ewma", 4).alias("ewma"),
+        F.round(ucl, 4).alias("ucl"),
+        F.round(lcl, 4).alias("lcl"),
+        F.when((F.col("ewma") > ucl) | (F.col("ewma") < lcl), 1)
+        .otherwise(0)
+        .alias("out_of_control"),
+    )

@@ -627,3 +627,32 @@ def test_stream_dynamic_gap_equals_batch(spark, sf_dir):
     b = sorted(tuple(r[c] for c in cols) for r in batch.select(*cols).collect())
     s = sorted(tuple(r[c] for c in cols) for r in stream.select(*cols).collect())
     assert b == s
+
+
+def test_pettitt_u_bounds(spark, sf_dir):
+    out = all_queries()["stats_pettitt_changepoint"].fn(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    n = r["n_days"]
+    # |U| is bounded by the number of cross-split pairs
+    assert abs(r["u_stat"]) <= n * (n - 1) / 2
+    assert 0.0 <= r["p_approx"] <= 2.0
+    assert r["significant"] == int(r["p_approx"] < 0.05)
+
+
+def test_ewma_chart_recursion_identity(spark, sf_dir):
+    """Closed-form weighted sum must equal the recursive EWMA replayed
+    in Python, and limits must widen monotonically to the asymptote."""
+    out = sorted(
+        all_queries()["stats_ewma_control_chart"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert out
+    xs = [r["cents"] for r in out]
+    mu0 = sum(xs) / len(xs)
+    z = mu0
+    for r, x in zip(out, xs):
+        z = 0.3 * x + 0.7 * z
+        assert abs(r["ewma"] - z) < 1.0  # cents-scale values, 4dp rounding
+    widths = [r["ucl"] - r["lcl"] for r in out]
+    assert all(w2 >= w1 - 1e-6 for w1, w2 in zip(widths, widths[1:]))

@@ -224,6 +224,9 @@ EXTRA = [
     "similarity_mmr_rerank",
     "privacy_t_closeness",
     "graph_degree_assortativity",
+    "events_self_excitation",
+    "stats_pettitt_changepoint",
+    "stats_ewma_control_chart",
 ]
 
 

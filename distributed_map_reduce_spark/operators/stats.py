@@ -5115,3 +5115,229 @@ def stats_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("out_of_control"),
     )
+
+
+@register(
+    "stats_kruskal_wallis",
+    tags=("stats", "experiment"),
+    oracle="""
+WITH v AS (
+  SELECT o_orderpriority AS grp,
+         CAST(round(o_totalprice * 1e2) AS BIGINT) AS cents
+  FROM orders
+), ranked AS (
+  SELECT grp, cents,
+         rank() OVER (ORDER BY cents) AS rmin,
+         count(*) OVER (PARTITION BY cents) AS nties
+  FROM v
+), avg_rank AS (
+  SELECT grp, rmin + (nties - 1) / 2e0 AS r
+  FROM ranked
+), g AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_g, sum(r) AS rsum
+  FROM avg_rank GROUP BY grp
+), tie_groups AS (
+  SELECT cents, CAST(count(*) AS BIGINT) AS t FROM v GROUP BY cents HAVING count(*) > 1
+), tot AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS k,
+         sum(rsum * rsum / n_g) AS s
+  FROM g
+), corr AS (
+  SELECT coalesce(sum(CAST(t AS DOUBLE) * t * t - t), 0e0) AS tie_term FROM tie_groups
+)
+SELECT t.k AS n_groups,
+       t.n AS n_rows,
+       round((12e0 / (t.n * (t.n + 1e0)) * t.s - 3e0 * (t.n + 1e0))
+             / (1e0 - c.tie_term / (CAST(t.n AS DOUBLE) * t.n * t.n - t.n)), 4)
+         AS h_stat,
+       CASE WHEN (12e0 / (t.n * (t.n + 1e0)) * t.s - 3e0 * (t.n + 1e0))
+                 / (1e0 - c.tie_term / (CAST(t.n AS DOUBLE) * t.n * t.n - t.n))
+                 > 9.488 THEN 1 ELSE 0 END AS significant
+FROM tot t, corr c
+""",
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the five order-priority groups — the
+    rank-based ANOVA completing the nonparametric ladder
+    ([[stats_mann_whitney_u]] is the 2-group form,
+    [[stats_anova_oneway]] the parametric twin): H = 12/(N(N+1))
+    * sum R_g^2/n_g - 3(N+1), divided by the tie correction
+    1 - sum(t^3-t)/(N^3-N), cut at chi-square(4) 9.488. Tie-averaged
+    ranks come from rank() + (ties-1)/2 — exactly the
+    [[stats_mann_whitney_u]] discipline, deterministic on integer
+    cents. One global sort for ranks (the only data-sized exchange;
+    at 100 TB ranks come from the sort-merge histogram rewrite noted
+    there), then k-row algebra."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    v = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100.0).cast("bigint").alias("cents"),
+    )
+    ranked = v.select(
+        "grp",
+        "cents",
+        F.rank().over(Window.orderBy("cents")).alias("rmin"),
+        F.count(F.lit(1)).over(Window.partitionBy("cents")).alias("nties"),
+    )
+    avg_rank = ranked.select(
+        "grp", (F.col("rmin") + (F.col("nties") - 1) / 2.0).alias("r")
+    )
+    g = avg_rank.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("r").alias("rsum"),
+    )
+    tie_term = (
+        v.groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t").cast("double") * F.col("t") * F.col("t") - F.col("t")),
+                F.lit(0.0),
+            ).alias("tie_term")
+        )
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.col("rsum") * F.col("rsum") / F.col("n_g")).alias("s"),
+    )
+    n = F.col("n")
+    h_raw = 12.0 / (n * (n + 1.0)) * F.col("s") - 3.0 * (n + 1.0)
+    h = h_raw / (1.0 - F.col("tie_term") / (n.cast("double") * n * n - n))
+    return tot.crossJoin(F.broadcast(tie_term)).select(
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_rows"),
+        F.round(h, 4).alias("h_stat"),
+        F.when(h > 9.488, 1).otherwise(0).alias("significant"),
+    )
+
+
+@register(
+    "stats_obf_group_sequential",
+    tags=("stats", "experiment"),
+    oracle="""
+WITH u AS (
+  SELECT user_id, user_id % 2 AS arm,
+         min(CAST(ts AS DATE)) AS first_day,
+         max(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+), bounds AS (
+  SELECT min(first_day) AS d0, max(first_day) AS d1 FROM u
+), looks AS (
+  SELECT k.k,
+         (SELECT d0 FROM bounds)
+           + CAST(ceil(datediff('day', (SELECT d0 FROM bounds),
+                                (SELECT d1 FROM bounds)) * k.k / 4e0) AS INTEGER)
+           AS cutoff
+  FROM (SELECT unnest([1, 2, 3, 4]) AS k) k
+), per_look AS (
+  SELECT l.k, l.cutoff,
+         sum(CASE WHEN u.arm = 1 AND u.first_day <= l.cutoff THEN 1 ELSE 0 END) AS n_b,
+         sum(CASE WHEN u.arm = 1 AND u.first_day <= l.cutoff THEN u.conv ELSE 0 END) AS c_b,
+         sum(CASE WHEN u.arm = 0 AND u.first_day <= l.cutoff THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN u.arm = 0 AND u.first_day <= l.cutoff THEN u.conv ELSE 0 END) AS c_a
+  FROM looks l CROSS JOIN u
+  GROUP BY l.k, l.cutoff
+), z AS (
+  SELECT k, cutoff, n_a, c_a, n_b, c_b,
+         CASE WHEN n_a > 0 AND n_b > 0
+               AND c_a + c_b > 0 AND c_a + c_b < n_a + n_b
+              THEN (c_b * 1e0 / n_b - c_a * 1e0 / n_a)
+                   / sqrt(((c_a + c_b) * 1e0 / (n_a + n_b))
+                          * (1e0 - (c_a + c_b) * 1e0 / (n_a + n_b))
+                          * (1e0 / n_a + 1e0 / n_b))
+              ELSE 0e0 END AS zv
+  FROM per_look
+)
+SELECT CAST(k AS BIGINT) AS look,
+       CAST(n_a + n_b AS BIGINT) AS n_users,
+       round(zv, 4) AS z_score,
+       round(2.024 / sqrt(k / 4e0), 4) AS obf_boundary,
+       CASE WHEN abs(zv) > 2.024 / sqrt(k / 4e0) THEN 1 ELSE 0 END AS crossed
+FROM z
+""",
+)
+def stats_obf_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O'Brien-Fleming group-sequential monitoring: the conversion A/B
+    z-score recomputed at 4 information looks (users accrued by
+    first-seen day quartiles) against the OBF spending boundary
+    c/sqrt(t) with c = 2.024 (4-look, overall alpha 5%) — the
+    peeking-with-a-license design between fixed-horizon
+    ([[stats_two_proportion_ztest]]) and fully-sequential
+    ([[stats_sprt_sequential]]): early looks demand ~4 sigma, the
+    final look pays almost no alpha penalty. Each look is a filtered
+    re-aggregate of the SAME per-user frame (one hash agg + a 4-row
+    cross join — the looks never rescan events); degenerate pools per
+    look emit z = 0 (ADVICE r4 class). Emits the full monitoring
+    sheet: per-look n, z, boundary, crossing flag."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day"),
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") >= 150), 1)
+            .otherwise(0)
+        ).alias("conv"),
+    ).withColumn("arm", F.col("user_id") % 2)
+    bounds = u.agg(F.min("first_day").alias("d0"), F.max("first_day").alias("d1"))
+    looks = (
+        bounds.select(
+            "d0",
+            "d1",
+            F.explode(F.array(*[F.lit(k) for k in (1, 2, 3, 4)])).alias("k"),
+        )
+        .select(
+            "k",
+            F.date_add(
+                F.col("d0"),
+                F.ceil(F.datediff("d1", "d0") * F.col("k") / 4.0).cast("int"),
+            ).alias("cutoff"),
+        )
+    )
+    per_look = (
+        looks.crossJoin(u)
+        .groupBy("k", "cutoff")
+        .agg(
+            F.sum(
+                F.when((F.col("arm") == 1) & (F.col("first_day") <= F.col("cutoff")), 1)
+                .otherwise(0)
+            ).alias("n_b"),
+            F.sum(
+                F.when(
+                    (F.col("arm") == 1) & (F.col("first_day") <= F.col("cutoff")),
+                    F.col("conv"),
+                ).otherwise(0)
+            ).alias("c_b"),
+            F.sum(
+                F.when((F.col("arm") == 0) & (F.col("first_day") <= F.col("cutoff")), 1)
+                .otherwise(0)
+            ).alias("n_a"),
+            F.sum(
+                F.when(
+                    (F.col("arm") == 0) & (F.col("first_day") <= F.col("cutoff")),
+                    F.col("conv"),
+                ).otherwise(0)
+            ).alias("c_a"),
+        )
+    )
+    p_pool = (F.col("c_a") + F.col("c_b")) * 1.0 / (F.col("n_a") + F.col("n_b"))
+    zv = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0)
+        & (F.col("c_a") + F.col("c_b") > 0)
+        & (F.col("c_a") + F.col("c_b") < F.col("n_a") + F.col("n_b")),
+        (F.col("c_b") * 1.0 / F.col("n_b") - F.col("c_a") * 1.0 / F.col("n_a"))
+        / F.sqrt(
+            p_pool * (1.0 - p_pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+        ),
+    ).otherwise(0.0)
+    boundary = 2.024 / F.sqrt(F.col("k") / 4.0)
+    return per_look.select(
+        F.col("k").cast("bigint").alias("look"),
+        (F.col("n_a") + F.col("n_b")).cast("bigint").alias("n_users"),
+        F.round(zv, 4).alias("z_score"),
+        F.round(boundary, 4).alias("obf_boundary"),
+        F.when(F.abs(zv) > boundary, 1).otherwise(0).alias("crossed"),
+    )

@@ -656,3 +656,50 @@ def test_ewma_chart_recursion_identity(spark, sf_dir):
         assert abs(r["ewma"] - z) < 1.0  # cents-scale values, 4dp rounding
     widths = [r["ucl"] - r["lcl"] for r in out]
     assert all(w2 >= w1 - 1e-6 for w1, w2 in zip(widths, widths[1:]))
+
+
+def test_kruskal_wallis_vs_scipy_formula(spark, sf_dir):
+    """H must match a direct Python recomputation on the same data."""
+    out = all_queries()["stats_kruskal_wallis"].fn(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c")
+    ).collect()
+    import collections
+    vals = [(row["o_orderpriority"], row["c"]) for row in o]
+    ranks = {}
+    s = sorted(v for _, v in vals)
+    # average ranks with ties
+    pos = {}
+    for i, v in enumerate(s, 1):
+        pos.setdefault(v, []).append(i)
+    avg = {v: sum(ps) / len(ps) for v, ps in pos.items()}
+    groups = collections.defaultdict(list)
+    for gname, v in vals:
+        groups[gname].append(avg[v])
+    n = len(vals)
+    h = 12.0 / (n * (n + 1)) * sum(
+        (sum(rs)) ** 2 / len(rs) for rs in groups.values()
+    ) - 3 * (n + 1)
+    ties = collections.Counter(v for _, v in vals)
+    tie_term = sum(t**3 - t for t in ties.values() if t > 1)
+    h /= 1 - tie_term / (n**3 - n)
+    assert abs(r["h_stat"] - h) < 1e-2
+    assert r["significant"] == int(h > 9.488)
+
+
+def test_obf_monitoring_sheet(spark, sf_dir):
+    out = sorted(
+        all_queries()["stats_obf_group_sequential"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["look"],
+    )
+    assert [r["look"] for r in out] == [1, 2, 3, 4]
+    # information accrues monotonically; boundary shrinks monotonically
+    ns = [r["n_users"] for r in out]
+    assert ns == sorted(ns)
+    bs = [r["obf_boundary"] for r in out]
+    assert bs == sorted(bs, reverse=True)
+    assert abs(bs[-1] - 2.024) < 1e-6
+    for r in out:
+        assert r["crossed"] == int(abs(r["z_score"]) > r["obf_boundary"])

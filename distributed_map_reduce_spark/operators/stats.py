@@ -5341,3 +5341,85 @@ def stats_obf_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(boundary, 4).alias("obf_boundary"),
         F.when(F.abs(zv) > boundary, 1).otherwise(0).alias("crossed"),
     )
+
+@register(
+    "stats_meta_analysis_pooled",
+    tags=("stats", "experiment"),
+    oracle="""
+WITH nat AS (
+  SELECT c.c_nationkey AS nation,
+         count(*) AS n,
+         sum(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+), eff AS (
+  SELECT nation,
+         x * 1e0 / n AS p,
+         (x * 1e0 / n) * (1e0 - x * 1e0 / n) / n AS v
+  FROM nat
+  WHERE x > 0 AND x < n
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         sum(1e0 / v) AS sw,
+         sum(p / v) AS swp,
+         sum(p * p / v) AS swpp
+  FROM eff
+)
+SELECT k AS n_segments,
+       round(swp / sw, 6) AS pooled_rate,
+       round(sqrt(1e0 / sw), 6) AS pooled_se,
+       round(swpp - swp * swp / sw, 4) AS q_heterogeneity,
+       CASE WHEN swpp - swp * swp / sw > k - 1 AND swpp - swp * swp / sw > 0
+            THEN round((swpp - swp * swp / sw - (k - 1))
+                       / (swpp - swp * swp / sw), 6)
+            ELSE 0.0 END AS i_squared
+FROM agg
+""",
+)
+def stats_meta_analysis_pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-effect meta-analysis over the per-nation URGENT-share
+    'studies': inverse-variance pooling d = sum(w p)/sum(w) with
+    w = 1/v, Cochran's Q = sum(w p^2) - (sum(w p))^2/sum(w) (the
+    algebraic expansion — nested aggregates are illegal, the
+    [[stats_mixture_em_gaussian]] lesson), and Higgins' I^2 =
+    (Q - df)/Q for the share of variance that is real heterogeneity —
+    the layer ABOVE [[stats_benjamini_hochberg]]'s per-segment
+    decisions: BH asks WHICH segments differ, the pooled estimate asks
+    what the common rate is and whether 'common' is even coherent
+    (I^2 > 0.75 means don't pool). Degenerate segments (0% or 100%,
+    zero variance) are excluded as in standard practice; guards emit
+    defined zeros. One join + 25-row algebra."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    nat = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("x"),
+        )
+    )
+    eff = nat.filter((F.col("x") > 0) & (F.col("x") < F.col("n"))).select(
+        (F.col("x") * 1.0 / F.col("n")).alias("p"),
+        ((F.col("x") * 1.0 / F.col("n"))
+         * (1.0 - F.col("x") * 1.0 / F.col("n")) / F.col("n")).alias("v"),
+    )
+    agg = eff.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(1.0 / F.col("v")).alias("sw"),
+        F.sum(F.col("p") / F.col("v")).alias("swp"),
+        F.sum(F.col("p") * F.col("p") / F.col("v")).alias("swpp"),
+    )
+    q = F.col("swpp") - F.col("swp") * F.col("swp") / F.col("sw")
+    return agg.select(
+        F.col("k").alias("n_segments"),
+        F.round(F.col("swp") / F.col("sw"), 6).alias("pooled_rate"),
+        F.round(F.sqrt(1.0 / F.col("sw")), 6).alias("pooled_se"),
+        F.round(q, 4).alias("q_heterogeneity"),
+        F.when(
+            (q > F.col("k") - 1) & (q > 0),
+            F.round((q - (F.col("k") - 1)) / q, 6),
+        ).otherwise(0.0).alias("i_squared"),
+    )

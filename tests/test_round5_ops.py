@@ -703,3 +703,27 @@ def test_obf_monitoring_sheet(spark, sf_dir):
     assert abs(bs[-1] - 2.024) < 1e-6
     for r in out:
         assert r["crossed"] == int(abs(r["z_score"]) > r["obf_boundary"])
+
+
+def test_meta_analysis_pooled_within_segment_range(spark, sf_dir):
+    out = all_queries()["stats_meta_analysis_pooled"].fn(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert 0.0 < r["pooled_rate"] < 1.0
+    assert r["pooled_se"] > 0
+    assert r["q_heterogeneity"] >= 0
+    assert 0.0 <= r["i_squared"] < 1.0
+    # the pooled rate lies inside the convex hull of segment rates
+    nat = (
+        load_table(spark, sf_dir, "orders")
+        .join(load_table(spark, sf_dir, "customer"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(
+            (F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
+             / F.count(F.lit(1))).alias("p")
+        )
+        .collect()
+    )
+    ps = [row["p"] for row in nat if 0 < row["p"] < 1]
+    assert min(ps) <= r["pooled_rate"] <= max(ps)

@@ -227,6 +227,10 @@ EXTRA = [
     "events_self_excitation",
     "stats_pettitt_changepoint",
     "stats_ewma_control_chart",
+    "stats_kruskal_wallis",
+    "stats_obf_group_sequential",
+    "stats_meta_analysis_pooled",
+    "stream_session_dynamic_gap_flush",
 ]
 
 

@@ -5423,3 +5423,273 @@ def stats_meta_analysis_pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((q - (F.col("k") - 1)) / q, 6),
         ).otherwise(0.0).alias("i_squared"),
     )
+
+
+@register(
+    "stats_spearman_corr",
+    tags=("stats",),
+    oracle="""
+WITH pair AS (
+  SELECT l_orderkey AS id,
+         CAST(sum(round(l_extendedprice * (1e0 - l_discount) * 1e2)) AS BIGINT) AS x,
+         CAST(sum(l_quantity) AS BIGINT) AS y
+  FROM lineitem
+  GROUP BY l_orderkey
+), rk AS (
+  SELECT id,
+         rank() OVER (ORDER BY x) + (count(*) OVER (PARTITION BY x) - 1) / 2e0 AS r_x,
+         rank() OVER (ORDER BY y) + (count(*) OVER (PARTITION BY y) - 1) / 2e0 AS r_y
+  FROM pair
+)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       round(corr(r_x, r_y), 6) AS rho,
+       round(corr(r_x, r_y)
+             * sqrt((count(*) - 2e0)
+                    / (1e0 - corr(r_x, r_y) * corr(r_x, r_y))), 4) AS t_stat,
+       CASE WHEN abs(corr(r_x, r_y)
+                     * sqrt((count(*) - 2e0)
+                            / (1e0 - corr(r_x, r_y) * corr(r_x, r_y)))) > 1.96e0
+            THEN 1 ELSE 0 END AS significant
+FROM rk
+""",
+)
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between per-order revenue and total
+    ordered quantity — the monotone-association twin of Pearson (robust
+    to the heavy right tail of revenue, where Pearson under-reads a
+    clean monotone link). Tie-averaged ranks per variable come from
+    rank() + (ties-1)/2 over integer cents/quantities — the
+    [[stats_kruskal_wallis]] / [[stats_mann_whitney_u]] discipline, so
+    ranks are deterministic — then rho is plain Pearson on the two rank
+    columns (corr(), identical definition both engines) and
+    t = rho*sqrt((n-2)/(1-rho^2)) against +-1.96.
+
+    Scale: the per-order agg shuffles lineitem on orderkey once; the
+    two unpartitioned rank windows sort the
+    order-cardinality frame (~1.5M rows/SF, fine in one task at test
+    scale — at 100 TB the ranks would come from the same sort-merge
+    histogram rewrite noted on [[stats_kruskal_wallis]]); the final
+    corr is a one-row mergeable agg."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pair = li.groupBy(F.col("l_orderkey").alias("id")).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 100.0)
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.sum("l_quantity").cast("bigint").alias("y"),
+    )
+    rk = pair.select(
+        "id",
+        (
+            F.rank().over(Window.orderBy("x"))
+            + (F.count(F.lit(1)).over(Window.partitionBy("x")) - 1) / 2.0
+        ).alias("r_x"),
+        (
+            F.rank().over(Window.orderBy("y"))
+            + (F.count(F.lit(1)).over(Window.partitionBy("y")) - 1) / 2.0
+        ).alias("r_y"),
+    )
+    rho = F.corr("r_x", "r_y")
+    t = rho * F.sqrt((F.count(F.lit(1)) - 2.0) / (1.0 - rho * rho))
+    return rk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(rho, 6).alias("rho"),
+        F.round(t, 4).alias("t_stat"),
+        F.when(F.abs(t) > 1.96, 1).otherwise(0).alias("significant"),
+    )
+
+
+@register(
+    "stats_ljung_box",
+    tags=("stats", "temporal"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(c) * 1e0 / count(*) AS xbar
+  FROM daily
+), lagged AS (
+  SELECT c,
+         lag(c, 1) OVER (ORDER BY d) AS l1,
+         lag(c, 2) OVER (ORDER BY d) AS l2,
+         lag(c, 3) OVER (ORDER BY d) AS l3,
+         lag(c, 4) OVER (ORDER BY d) AS l4,
+         lag(c, 5) OVER (ORDER BY d) AS l5
+  FROM daily
+), sums AS (
+  SELECT max(b.n) AS n,
+         sum((c - b.xbar) * (c - b.xbar)) AS den,
+         sum(CASE WHEN l1 IS NOT NULL THEN (c - b.xbar) * (l1 - b.xbar) END) AS n1,
+         sum(CASE WHEN l2 IS NOT NULL THEN (c - b.xbar) * (l2 - b.xbar) END) AS n2,
+         sum(CASE WHEN l3 IS NOT NULL THEN (c - b.xbar) * (l3 - b.xbar) END) AS n3,
+         sum(CASE WHEN l4 IS NOT NULL THEN (c - b.xbar) * (l4 - b.xbar) END) AS n4,
+         sum(CASE WHEN l5 IS NOT NULL THEN (c - b.xbar) * (l5 - b.xbar) END) AS n5
+  FROM lagged, base b
+), r AS (
+  SELECT k.k, s.n,
+         CASE k.k WHEN 1 THEN s.n1 WHEN 2 THEN s.n2 WHEN 3 THEN s.n3
+                  WHEN 4 THEN s.n4 ELSE s.n5 END / s.den AS rk
+  FROM (SELECT unnest([1, 2, 3, 4, 5]) AS k) k CROSS JOIN sums s
+)
+SELECT CAST(k AS BIGINT) AS k,
+       round(rk, 6) AS acf,
+       round(n * (n + 2e0)
+             * sum(rk * rk / (n - k)) OVER (ORDER BY k), 4) AS q_stat,
+       CASE WHEN n * (n + 2e0) * sum(rk * rk / (n - k)) OVER (ORDER BY k)
+                 > CASE k WHEN 1 THEN 3.841e0 WHEN 2 THEN 5.991e0
+                          WHEN 3 THEN 7.815e0 WHEN 4 THEN 9.488e0
+                          ELSE 11.07e0 END
+            THEN 1 ELSE 0 END AS significant
+FROM r
+""",
+)
+def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on the daily event-count series —
+    "is there ANY autocorrelation up to lag m?", the whiteness check
+    run on forecast residuals before trusting a model (vs
+    [[stats_autocorrelation]], which reports per-lag corr() of the
+    revenue series but no joint test). Proper ACF definition: one
+    global mean, denominator = total sum of squares, numerator over the
+    (x_t, x_{t-k}) overlap — NOT per-pair corr. Q_m = n(n+2) *
+    sum_{k<=m} r_k^2/(n-k), compared to chi-square(m) at 5%
+    (3.841/5.991/7.815/9.488/11.07), emitted as a 5-row monitoring
+    sheet with cumulative Q.
+
+    Scale: events collapse to date cardinality in one agg (the only
+    data-sized exchange); the lag window sorts the tiny daily series in
+    one task; the five numerators come from ONE pass over that series
+    (no per-lag re-scan); Q is 5-row window algebra."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    base = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("c") * 1.0 / F.count(F.lit(1))).alias("xbar"),
+    )
+    # unpartitioned window is safe: the frame is the DAILY series
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "c", *[F.lag("c", k).over(w).alias(f"l{k}") for k in range(1, 6)]
+    )
+    dev = lagged.crossJoin(F.broadcast(base))
+    sums = dev.agg(
+        F.max("n").alias("n"),
+        F.sum((F.col("c") - F.col("xbar")) * (F.col("c") - F.col("xbar"))).alias("den"),
+        *[
+            F.sum(
+                F.when(
+                    F.col(f"l{k}").isNotNull(),
+                    (F.col("c") - F.col("xbar")) * (F.col(f"l{k}") - F.col("xbar")),
+                )
+            ).alias(f"n{k}")
+            for k in range(1, 6)
+        ],
+    )
+    ks = spark.range(1, 6).select(F.col("id").alias("k"))
+    rk_expr = (
+        F.when(F.col("k") == 1, F.col("n1"))
+        .when(F.col("k") == 2, F.col("n2"))
+        .when(F.col("k") == 3, F.col("n3"))
+        .when(F.col("k") == 4, F.col("n4"))
+        .otherwise(F.col("n5"))
+        / F.col("den")
+    )
+    r = ks.crossJoin(F.broadcast(sums)).select("k", "n", rk_expr.alias("rk"))
+    wq = Window.orderBy("k")
+    q = F.col("n") * (F.col("n") + 2.0) * F.sum(
+        F.col("rk") * F.col("rk") / (F.col("n") - F.col("k"))
+    ).over(wq)
+    crit = (
+        F.when(F.col("k") == 1, 3.841)
+        .when(F.col("k") == 2, 5.991)
+        .when(F.col("k") == 3, 7.815)
+        .when(F.col("k") == 4, 9.488)
+        .otherwise(11.07)
+    )
+    return r.select(
+        "k",
+        F.round("rk", 6).alias("acf"),
+        F.round(q, 4).alias("q_stat"),
+        F.when(q > crit, 1).otherwise(0).alias("significant"),
+    )
+
+
+@register(
+    "stats_jarque_bera",
+    tags=("stats",),
+    oracle="""
+WITH q AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q FROM lineitem
+), s AS (
+  SELECT CAST(count(*) AS BIGINT)   AS n,
+         CAST(sum(q)       AS BIGINT) AS s1,
+         CAST(sum(q*q)     AS BIGINT) AS s2,
+         CAST(sum(q*q*q)   AS BIGINT) AS s3,
+         CAST(sum(q*q*q*q) AS BIGINT) AS s4
+  FROM q
+), m AS (
+  SELECT n,
+         (s3 * 1.0 / n - 3.0 * (s1 * 1.0 / n) * (s2 * 1.0 / n)
+          + 2.0 * (s1 * 1.0 / n) ** 3)
+         / (s2 * 1.0 / n - (s1 * 1.0 / n) ** 2) ** 1.5 AS skew,
+         (s4 * 1.0 / n - 4.0 * (s1 * 1.0 / n) * (s3 * 1.0 / n)
+          + 6.0 * (s1 * 1.0 / n) ** 2 * (s2 * 1.0 / n)
+          - 3.0 * (s1 * 1.0 / n) ** 4)
+         / (s2 * 1.0 / n - (s1 * 1.0 / n) ** 2) ** 2 - 3.0 AS kurt
+  FROM s
+)
+SELECT n AS n_rows,
+       round(skew, 6) AS skewness,
+       round(kurt, 6) AS excess_kurtosis,
+       round(n / 6e0 * (skew * skew + kurt * kurt / 4e0), 4) AS jb_stat,
+       CASE WHEN n / 6e0 * (skew * skew + kurt * kurt / 4e0) > 5.991e0
+            THEN 1 ELSE 0 END AS significant
+FROM m
+""",
+)
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test on line-item quantity: JB =
+    n/6 * (S^2 + K^2/4) from the same exact BIGINT power sums as
+    [[agg_higher_moments]] (which reports per-group moments but renders
+    no decision), against chi-square(2) 5.991. Quantity is uniform on
+    1..50, so the test must reject hard (K ~ -1.2) — a planted
+    ground truth the property test pins.
+
+    Scale: one map-side-combinable power-sum agg over the scan (exact
+    integers, no variance-of-variance drift), then constant algebra on
+    a single row. The cheapest possible distribution-shape alarm for a
+    100 TB profiling pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    s = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1") * 1.0 / n
+    m2r = F.col("s2") * 1.0 / n
+    m3r = F.col("s3") * 1.0 / n
+    m4r = F.col("s4") * 1.0 / n
+    var_pop = m2r - m1 ** F.lit(2)
+    skew = (m3r - 3.0 * m1 * m2r + 2.0 * m1 ** F.lit(3)) / var_pop ** F.lit(1.5)
+    kurt = (
+        m4r - 4.0 * m1 * m3r + 6.0 * m1 ** F.lit(2) * m2r - 3.0 * m1 ** F.lit(4)
+    ) / var_pop ** F.lit(2) - 3.0
+    jb = n / 6.0 * (skew * skew + kurt * kurt / 4.0)
+    return s.select(
+        n.alias("n_rows"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+        F.round(jb, 4).alias("jb_stat"),
+        F.when(jb > 5.991, 1).otherwise(0).alias("significant"),
+    )

@@ -5693,3 +5693,281 @@ def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(jb, 4).alias("jb_stat"),
         F.when(jb > 5.991, 1).otherwise(0).alias("significant"),
     )
+
+
+@register(
+    "stats_cramers_v",
+    tags=("stats",),
+    oracle="""
+WITH obs AS (
+  SELECT o_orderpriority AS p, o_orderstatus AS s, CAST(count(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2
+), grid AS (
+  SELECT rp.p, cs.s, coalesce(o.c, 0) AS c
+  FROM (SELECT DISTINCT p FROM obs) rp
+  CROSS JOIN (SELECT DISTINCT s FROM obs) cs
+  LEFT JOIN obs o ON o.p = rp.p AND o.s = cs.s
+), rt AS (
+  SELECT p, sum(c) AS rc FROM grid GROUP BY p
+), ct AS (
+  SELECT s, sum(c) AS cc FROM grid GROUP BY s
+), tot AS (
+  SELECT sum(c) * 1e0 AS n,
+         CAST(count(DISTINCT p) AS BIGINT) AS np,
+         CAST(count(DISTINCT s) AS BIGINT) AS ns
+  FROM grid
+), chi AS (
+  SELECT max(t.n) AS n, max(t.np) AS np, max(t.ns) AS ns,
+         sum((g.c - r.rc * c.cc / t.n) * (g.c - r.rc * c.cc / t.n)
+             / (r.rc * c.cc / t.n)) AS chi2
+  FROM grid g
+  JOIN rt r ON r.p = g.p
+  JOIN ct c ON c.s = g.s
+  CROSS JOIN tot t
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       (np - 1) * (ns - 1) AS dof,
+       round(chi2, 4) AS chi2,
+       round(sqrt(chi2 / (n * (least(np, ns) - 1))), 6) AS cramers_v,
+       CASE WHEN chi2 > 15.507e0 THEN 1 ELSE 0 END AS significant
+FROM chi
+""",
+)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V association between order priority (5 levels) and
+    order status (3 levels): chi-square over the full contingency grid
+    — zero-observed cells are materialized via a distinct-levels cross
+    join so their (0-E)^2/E term is NOT silently dropped — then
+    V = sqrt(chi2 / (n * (min(r,c)-1))), the [0,1]-normalized effect
+    size [[stats_chi_square]] doesn't render. The significance cut is
+    chi-square at dof=(5-1)(3-1)=8, 15.507 (the property test pins
+    dof==8 so the hardcoded critical value stays honest).
+
+    Scale: the fact table collapses to a 15-cell grid in one hash agg;
+    row/column margins and the chi-square are broadcast-joined algebra
+    on that grid. Cardinality of the output never depends on n."""
+    o = load_table(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.col("o_orderpriority").alias("p"), F.col("o_orderstatus").alias("s")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    rp = obs.select("p").distinct()
+    cs = obs.select("s").distinct()
+    grid = (
+        rp.crossJoin(cs)
+        .join(obs, ["p", "s"], "left")
+        .select("p", "s", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    rt = grid.groupBy("p").agg(F.sum("c").alias("rc"))
+    ct = grid.groupBy("s").agg(F.sum("c").alias("cc"))
+    tot = grid.agg(
+        (F.sum("c") * 1.0).alias("n"),
+        F.countDistinct("p").cast("bigint").alias("np"),
+        F.countDistinct("s").cast("bigint").alias("ns"),
+    )
+    e = F.col("rc") * F.col("cc") / F.col("n")
+    chi = (
+        grid.join(F.broadcast(rt), "p")
+        .join(F.broadcast(ct), "s")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n").alias("n"),
+            F.max("np").alias("np"),
+            F.max("ns").alias("ns"),
+            F.sum((F.col("c") - e) * (F.col("c") - e) / e).alias("chi2"),
+        )
+    )
+    return chi.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        ((F.col("np") - 1) * (F.col("ns") - 1)).alias("dof"),
+        F.round("chi2", 4).alias("chi2"),
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("n") * (F.least("np", "ns") - 1))), 6
+        ).alias("cramers_v"),
+        F.when(F.col("chi2") > 15.507, 1).otherwise(0).alias("significant"),
+    )
+
+
+@register(
+    "stats_levene_test",
+    tags=("stats", "experiment"),
+    oracle="""
+WITH v AS (
+  SELECT o_orderpriority AS grp,
+         CAST(round(o_totalprice * 1e2) AS BIGINT) AS x
+  FROM orders
+), gm AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+         sum(x) * 1e0 / count(*) AS xbar
+  FROM v GROUP BY grp
+), z AS (
+  SELECT v.grp, abs(v.x - g.xbar) AS z
+  FROM v JOIN gm g ON g.grp = v.grp
+), gz AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+         sum(z) AS sz, sum(z * z) AS szz
+  FROM z GROUP BY grp
+), tot AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+         sum(sz) AS sz_all,
+         sum(n_g * (sz / n_g - (SELECT sum(sz) FROM gz) / (SELECT sum(n_g) FROM gz))
+                 * (sz / n_g - (SELECT sum(sz) FROM gz) / (SELECT sum(n_g) FROM gz)))
+           AS between_ss,
+         sum(szz - sz * sz / n_g) AS within_ss
+  FROM gz
+)
+SELECT n AS n_rows, k AS k_groups,
+       round((n - k) * 1e0 / (k - 1) * between_ss / within_ss, 4) AS w_stat,
+       CASE WHEN (n - k) * 1e0 / (k - 1) * between_ss / within_ss > 2.372e0
+            THEN 1 ELSE 0 END AS significant
+FROM tot
+""",
+)
+def stats_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levene's test for variance homogeneity across the five order
+    priorities — the assumption gate run BEFORE trusting
+    [[stats_anova_oneway]] (ANOVA's pooled-variance F needs equal group
+    variances; Levene is ANOVA on z = |x - groupmean|, robust to
+    non-normality where Bartlett is not). W = (N-k)/(k-1) *
+    between-SS(z)/within-SS(z), cut at F(4,inf) 2.372. Group means come
+    from exact cents sums; the within-SS uses the one-pass
+    sum(z^2)-sum(z)^2/n form (nested aggregates are illegal on both
+    engines).
+
+    Scale: two keyed aggs over the scan (means, then z-moments) with a
+    broadcast 5-row means join between them — no window, no sort; the
+    final W is k-row algebra."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100.0).cast("bigint").alias("x"),
+    )
+    gm = v.groupBy("grp").agg(
+        (F.sum("x") * 1.0 / F.count(F.lit(1))).alias("xbar")
+    )
+    z = v.join(F.broadcast(gm), "grp").select(
+        "grp", F.abs(F.col("x") - F.col("xbar")).alias("z")
+    )
+    gz = z.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+    )
+    glob = gz.agg(
+        (F.sum("sz") / F.sum("n_g")).alias("zbar_all"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    parts = gz.crossJoin(F.broadcast(glob)).agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+        F.sum(
+            F.col("n_g")
+            * (F.col("sz") / F.col("n_g") - F.col("zbar_all"))
+            * (F.col("sz") / F.col("n_g") - F.col("zbar_all"))
+        ).alias("between_ss"),
+        F.sum(F.col("szz") - F.col("sz") * F.col("sz") / F.col("n_g")).alias(
+            "within_ss"
+        ),
+    )
+    w = (
+        (F.col("n") - F.col("k"))
+        * 1.0
+        / (F.col("k") - 1)
+        * F.col("between_ss")
+        / F.col("within_ss")
+    )
+    return parts.select(
+        F.col("n").alias("n_rows"),
+        F.col("k").alias("k_groups"),
+        F.round(w, 4).alias("w_stat"),
+        F.when(w > 2.372, 1).otherwise(0).alias("significant"),
+    )
+
+
+@register(
+    "stats_mantel_haenszel",
+    tags=("stats", "experiment"),
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         CAST(user_id % 2 AS BIGINT) AS exposed,
+         CAST((user_id // 2) % 3 AS BIGINT) AS stratum,
+         max(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END)
+           AS outcome
+  FROM events GROUP BY user_id
+), cells AS (
+  SELECT stratum,
+         sum(CASE WHEN exposed = 1 AND outcome = 1 THEN 1 ELSE 0 END) * 1e0 AS a,
+         sum(CASE WHEN exposed = 1 AND outcome = 0 THEN 1 ELSE 0 END) * 1e0 AS b,
+         sum(CASE WHEN exposed = 0 AND outcome = 1 THEN 1 ELSE 0 END) * 1e0 AS c,
+         sum(CASE WHEN exposed = 0 AND outcome = 0 THEN 1 ELSE 0 END) * 1e0 AS d
+  FROM u GROUP BY stratum
+), pooled AS (
+  SELECT sum(a * d / (a + b + c + d)) AS num,
+         sum(b * c / (a + b + c + d)) AS den
+  FROM cells
+)
+SELECT c.stratum,
+       CAST(c.a + c.b + c.c + c.d AS BIGINT) AS n_s,
+       CAST(c.a AS BIGINT) AS exposed_cases,
+       CAST(c.c AS BIGINT) AS unexposed_cases,
+       CASE WHEN c.b * c.c > 0e0 THEN round(c.a * c.d / (c.b * c.c), 4)
+            ELSE 0e0 END AS or_stratum,
+       CASE WHEN p.den > 0e0 THEN round(p.num / p.den, 4) ELSE 0e0 END AS or_mh
+FROM cells c CROSS JOIN pooled p
+""",
+)
+def stats_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio across strata — the
+    confounder-adjusted effect estimate for a binary exposure/outcome
+    pair, weighting each stratum's 2x2 table by b_i*c_i/n_i (vs
+    [[stats_meta_analysis_pooled]], which pools CONTINUOUS effects by
+    inverse variance). Exposure = user parity, outcome = high-value
+    purchase, stratum = an independent user-id bit pair — the standard
+    deterministic-assignment trick every experiment query here uses.
+    Per-stratum ORs sit next to OR_MH so Simpson-paradox reversals are
+    visible in one frame; zero-cell strata degrade to 0.0 explicitly
+    (the NULL-propagation class the r4 advice flagged on the z-test
+    family is guarded here from the start).
+
+    Scale: events collapse to a per-user frame in one agg (the only
+    data-sized exchange), then to stratum-cardinality 2x2 cells; the
+    pooled sum is a broadcast cross join of two tiny frames."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 150), 1
+            ).otherwise(0)
+        ).alias("outcome")
+    ).select(
+        (F.col("user_id") % 2).cast("bigint").alias("exposed"),
+        ((F.col("user_id") / 2).cast("bigint") % 3).cast("bigint").alias("stratum"),
+        "outcome",
+    )
+    cells = u.groupBy("stratum").agg(
+        (F.sum(F.when((F.col("exposed") == 1) & (F.col("outcome") == 1), 1).otherwise(0)) * 1.0).alias("a"),
+        (F.sum(F.when((F.col("exposed") == 1) & (F.col("outcome") == 0), 1).otherwise(0)) * 1.0).alias("b"),
+        (F.sum(F.when((F.col("exposed") == 0) & (F.col("outcome") == 1), 1).otherwise(0)) * 1.0).alias("c"),
+        (F.sum(F.when((F.col("exposed") == 0) & (F.col("outcome") == 0), 1).otherwise(0)) * 1.0).alias("d"),
+    )
+    n_i = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    pooled = cells.agg(
+        F.sum(F.col("a") * F.col("d") / n_i).alias("num"),
+        F.sum(F.col("b") * F.col("c") / n_i).alias("den"),
+    )
+    return cells.crossJoin(F.broadcast(pooled)).select(
+        "stratum",
+        n_i.cast("bigint").alias("n_s"),
+        F.col("a").cast("bigint").alias("exposed_cases"),
+        F.col("c").cast("bigint").alias("unexposed_cases"),
+        F.when(
+            F.col("b") * F.col("c") > 0.0,
+            F.round(F.col("a") * F.col("d") / (F.col("b") * F.col("c")), 4),
+        )
+        .otherwise(0.0)
+        .alias("or_stratum"),
+        F.when(F.col("den") > 0.0, F.round(F.col("num") / F.col("den"), 4))
+        .otherwise(0.0)
+        .alias("or_mh"),
+    )

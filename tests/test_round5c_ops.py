@@ -83,3 +83,89 @@ def test_jarque_bera_rejects_uniform_quantity(spark, sf_dir):
     assert abs(r["skewness"]) < 0.2
     assert -1.5 < r["excess_kurtosis"] < -0.8
     assert r["jb_stat"] > 5.991 and r["significant"] == 1
+
+
+def test_cramers_v_bounds_and_dof(spark, sf_dir):
+    out = all_queries()["stats_cramers_v"].fn(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["dof"] == 8  # keeps the hardcoded 15.507 critical value honest
+    assert 0.0 <= r["cramers_v"] <= 1.0
+    assert r["chi2"] >= 0.0
+    assert r["significant"] == int(r["chi2"] > 15.507)
+
+
+def test_levene_w_matches_anova_on_absdevs(spark, sf_dir):
+    """W must equal a direct Python one-way-ANOVA on |x - groupmean|."""
+    r = all_queries()["stats_levene_test"].fn(spark, sf_dir).collect()[0]
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("g"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("x"),
+        )
+        .collect()
+    )
+    import collections
+
+    groups = collections.defaultdict(list)
+    for row in rows:
+        groups[row["g"]].append(row["x"])
+    zs = {}
+    for g, xs in groups.items():
+        m = sum(xs) / len(xs)
+        zs[g] = [abs(x - m) for x in xs]
+    n = sum(len(v) for v in zs.values())
+    k = len(zs)
+    zbar = sum(sum(v) for v in zs.values()) / n
+    between = sum(len(v) * (sum(v) / len(v) - zbar) ** 2 for v in zs.values())
+    within = sum(
+        sum((z - sum(v) / len(v)) ** 2 for z in v) for v in zs.values()
+    )
+    w = (n - k) / (k - 1) * between / within
+    assert abs(r["w_stat"] - w) < 1e-2
+    assert r["n_rows"] == n and r["k_groups"] == k
+
+
+def test_mantel_haenszel_matches_python_recompute(spark, sf_dir):
+    out = all_queries()["stats_mantel_haenszel"].fn(spark, sf_dir).collect()
+    assert len(out) == 3
+    mh = {r["or_mh"] for r in out}
+    assert len(mh) == 1  # pooled value repeated per stratum
+    (pooled,) = mh
+    assert all(r["n_s"] > 0 for r in out)
+    # replay the per-user collapse and the MH weighting in Python
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") >= 150),
+                    1,
+                ).otherwise(0)
+            ).alias("outcome")
+        )
+        .collect()
+    )
+    cells = {}
+    for r in rows:
+        uid = r["user_id"]
+        key = (uid // 2) % 3
+        a, b, c, d = cells.setdefault(key, [0, 0, 0, 0])
+        idx = (1 - uid % 2) * 2 + (1 - r["outcome"])
+        cells[key][idx] += 1
+    num = sum(
+        (a * d) / (a + b + c + d) for a, b, c, d in cells.values()
+    )
+    den = sum(
+        (b * c) / (a + b + c + d) for a, b, c, d in cells.values()
+    )
+    expect = num / den if den > 0 else 0.0
+    assert abs(pooled - expect) < 1e-3
+    by_stratum = {r["stratum"]: r for r in out}
+    for k, (a, b, c, d) in cells.items():
+        assert by_stratum[k]["exposed_cases"] == a
+        assert by_stratum[k]["unexposed_cases"] == c
+        expect_or = (a * d) / (b * c) if b * c > 0 else 0.0
+        assert abs(by_stratum[k]["or_stratum"] - expect_or) < 1e-3

@@ -1904,3 +1904,219 @@ def eval_rank_metrics_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("hits_at_5") / 5.0, 6).alias("precision_at_5"),
         )
     )
+
+
+@register(
+    "text_bm25_topk",
+    tags=("text", "similarity", "llm"),
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), w -> trim(w) <> '') AS toks
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d
+), stats AS (
+  SELECT avg(dl * 1e0) AS avgdl, CAST(count(*) AS BIGINT) AS n FROM dl
+), tf AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS w FROM d) t
+  WHERE w IN ('join', 'vector', 'stream')
+  GROUP BY doc_id, w
+), df AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w
+), scored AS (
+  SELECT t.doc_id,
+         round(sum(ln(1e0 + (s.n - f.df + 0.5e0) / (f.df + 0.5e0))
+                   * t.tf * 2.2e0
+                   / (t.tf + 1.2e0 * (0.25e0 + 0.75e0 * l.dl / s.avgdl))), 6)
+           AS bm25
+  FROM tf t
+  JOIN df f ON f.w = t.w
+  JOIN dl l ON l.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY t.doc_id
+), ranked AS (
+  SELECT doc_id, bm25,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT doc_id, bm25, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 20
+""",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for the fixed 3-term query (join, vector,
+    stream) — the lexical-retrieval ranking function proper, with
+    saturating tf (k1=1.2) and length normalization (b=0.75), which
+    [[text_tfidf_topterms]]'s raw tf-idf lacks (BM25's tf saturation is
+    why long spammy docs can't dominate a 100 TB index). idf is the
+    Lucene ln(1 + (N-df+.5)/(df+.5)) form; scores round to 6dp BEFORE
+    ranking and ties break on doc_id, so the cut is deterministic on
+    both engines ([[eval_rank_metrics_ndcg]] discipline).
+
+    Scale: the explode filters to the 3 query terms IN-SCAN, so the
+    shuffle carries only (doc_id, term, tf) for matching docs — never
+    the posting list of the whole vocabulary; df and the length stats
+    are broadcast 1-to-3-row frames; the final top-20 is
+    TakeOrderedAndProject, not a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["join", "vector", "stream"]
+    d = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " "), lambda w: F.trim(w) != "").alias(
+            "toks"
+        ),
+    )
+    dl = d.select("doc_id", F.size("toks").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.avg(F.col("dl") * 1.0).alias("avgdl"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("w"))
+        .filter(F.col("w").isin(terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    idf = F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    idf
+                    * F.col("tf")
+                    * 2.2
+                    / (
+                        F.col("tf")
+                        + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+                    )
+                ),
+                6,
+            ).alias("bm25")
+        )
+    )
+    ranked = scored.withColumn(
+        "rnk",
+        F.row_number()
+        .over(W.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+        .cast("bigint"),
+    )
+    return ranked.filter(F.col("rnk") <= 20).select("doc_id", "bm25", "rnk")
+
+
+@register(
+    "retrieval_hybrid_rrf",
+    tags=("similarity", "llm", "eval"),
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), w -> trim(w) <> '') AS toks
+  FROM documents
+), lex AS (
+  SELECT doc_id,
+         round(len(list_filter(toks, w -> w IN ('join', 'vector', 'stream')))
+               * 1e0 / greatest(len(toks), 1), 6) AS density
+  FROM d
+), lex_rank AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY density DESC, doc_id) AS BIGINT)
+           AS rank_lex
+  FROM lex
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT v AS qv FROM e WHERE vec_id = 0
+), vec_rank AS (
+  SELECT e.vec_id AS doc_id,
+         CAST(row_number() OVER (
+           ORDER BY round(list_cosine_similarity(q.qv, e.v), 6) DESC, e.vec_id)
+           AS BIGINT) AS rank_vec
+  FROM e CROSS JOIN q
+), fused AS (
+  SELECT l.doc_id, l.rank_lex, v.rank_vec,
+         round(1e0 / (60e0 + l.rank_lex) + 1e0 / (60e0 + v.rank_vec), 6)
+           AS rrf_score
+  FROM lex_rank l JOIN vec_rank v ON v.doc_id = l.doc_id
+), final AS (
+  SELECT doc_id, rank_lex, rank_vec, rrf_score,
+         CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+           AS rnk
+  FROM fused
+)
+SELECT doc_id, rank_lex, rank_vec, rrf_score, rnk FROM final WHERE rnk <= 20
+""",
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-search fusion by reciprocal-rank fusion (Cormack et al.
+    2009): a LEXICAL ranking (query-term density over the document
+    text) and a VECTOR ranking (cosine vs the probe embedding, joined
+    doc_id = vec_id) fuse as 1/(60+r_lex) + 1/(60+r_vec), top-20 out —
+    the standard way BM25 and ANN results merge without score
+    calibration, since RRF consumes only ranks (scales of the two
+    scores never meet). Both input ranks and the fused cut use
+    round-then-tiebreak-on-id ordering, so every rank is deterministic
+    on both engines.
+
+    Scale: each ranking is one scan + one global top-ordering (at index
+    scale these are per-shard top-k's merged by rank, which RRF permits
+    since it only needs ranks of the UNION of top lists); the fusion
+    join carries ids and two small ints. No score normalization pass,
+    no cross join of corpora."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    terms = ["join", "vector", "stream"]
+    toks = F.filter(F.split(F.lower("text"), " "), lambda w: F.trim(w) != "")
+    lex = docs.select(
+        "doc_id",
+        F.round(
+            F.size(F.filter(toks, lambda w: w.isin(terms)))
+            * 1.0
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("density"),
+    )
+    lex_rank = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("density").desc(), F.col("doc_id")))
+        .cast("bigint")
+        .alias("rank_lex"),
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    vec_rank = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.col("cos_sim").desc(), F.col("doc_id")))
+            .cast("bigint")
+            .alias("rank_vec"),
+        )
+    )
+    fused = lex_rank.join(vec_rank, "doc_id").select(
+        "doc_id",
+        "rank_lex",
+        "rank_vec",
+        F.round(
+            1.0 / (60.0 + F.col("rank_lex")) + 1.0 / (60.0 + F.col("rank_vec")), 6
+        ).alias("rrf_score"),
+    )
+    final = fused.withColumn(
+        "rnk",
+        F.row_number()
+        .over(W.orderBy(F.col("rrf_score").desc(), F.col("doc_id")))
+        .cast("bigint"),
+    )
+    return final.filter(F.col("rnk") <= 20)

@@ -169,3 +169,39 @@ def test_mantel_haenszel_matches_python_recompute(spark, sf_dir):
         assert by_stratum[k]["unexposed_cases"] == c
         expect_or = (a * d) / (b * c) if b * c > 0 else 0.0
         assert abs(by_stratum[k]["or_stratum"] - expect_or) < 1e-3
+
+
+def test_bm25_ranking_properties(spark, sf_dir):
+    out = sorted(
+        all_queries()["text_bm25_topk"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["rnk"],
+    )
+    assert 0 < len(out) <= 20
+    assert [r["rnk"] for r in out] == list(range(1, len(out) + 1))
+    scores = [r["bm25"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    # saturation: bm25 term contribution is bounded by idf*(k1+1)
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    import math
+
+    max_possible = 3 * math.log(1 + (n - 0.5) / 0.5) * 2.2
+    assert all(s < max_possible for s in scores)
+
+
+def test_hybrid_rrf_fuses_both_rankings(spark, sf_dir):
+    out = sorted(
+        all_queries()["retrieval_hybrid_rrf"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["rnk"],
+    )
+    assert len(out) == 20
+    for r in out:
+        expect = 1.0 / (60 + r["rank_lex"]) + 1.0 / (60 + r["rank_vec"])
+        assert abs(r["rrf_score"] - expect) < 1e-5
+    scores = [r["rrf_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # the probe embedding (vec_id 0) must rank first on the vector side
+    probe = [r for r in out if r["doc_id"] == 0]
+    if probe:
+        assert probe[0]["rank_vec"] == 1

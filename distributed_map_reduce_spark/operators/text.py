@@ -1746,3 +1746,152 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(nll, 6).alias("avg_nll"),
         F.round(F.exp(nll), 4).alias("perplexity"),
     )
+
+
+@register(
+    "text_readability_scores",
+    tags=("text", "llm"),
+    oracle="""
+WITH d AS (
+  SELECT source,
+         list_filter(string_split(lower(text), ' '), w -> trim(w) <> '') AS toks,
+         len(regexp_extract_all(lower(text), '[aeiou]+')) AS syll
+  FROM documents
+), per_doc AS (
+  SELECT source,
+         CAST(len(toks) AS BIGINT) AS words,
+         CAST(syll AS BIGINT) AS syllables,
+         CAST(ceil(len(toks) / 15e0) AS BIGINT) AS sentences,
+         CAST(len(list_filter(toks, w -> length(w) >= 7)) AS BIGINT) AS long_words
+  FROM d
+), agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(words) AS BIGINT) AS words,
+         CAST(sum(syllables) AS BIGINT) AS syllables,
+         CAST(sum(sentences) AS BIGINT) AS sentences,
+         CAST(sum(long_words) AS BIGINT) AS long_words
+  FROM per_doc GROUP BY source
+)
+SELECT source, n_docs,
+       round(words * 1e0 / sentences, 4) AS words_per_sentence,
+       round(syllables * 1e0 / words, 4) AS syllables_per_word,
+       round(206.835e0 - 1.015e0 * (words * 1e0 / sentences)
+             - 84.6e0 * (syllables * 1e0 / words), 4) AS flesch,
+       round(words * 1e0 / sentences
+             + 100e0 * long_words / words, 4) AS lix
+FROM agg
+""",
+)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source readability sheet — Flesch reading ease and LIX from
+    word/syllable/sentence counts, the classic corpus-quality prior
+    (alongside [[text_quality_score]]'s ratio gates) used to bucket
+    training text by difficulty. The corpus has no sentence
+    punctuation, so sentences come from a FIXED 15-word segmenter
+    (ceil(words/15)) — deterministic and engine-portable, and stated
+    here so the score is read as "readability under a fixed segmenter",
+    not prose Flesch. Syllables are maximal vowel runs via one
+    regexp_extract_all over the whole lowered text (spaces break runs,
+    so doc-level == sum of word-level); long words are >=7 chars (LIX's
+    definition).
+
+    Scale: everything is computed in-scan per doc (regex + array exprs
+    in codegen, no explode), then one hash agg to source cardinality;
+    ratios are exact-integer divisions done once per source row."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda w: F.trim(w) != "")
+    per_doc = docs.select(
+        "source",
+        F.size(toks).cast("bigint").alias("words"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[aeiou]+"), 0))
+        .cast("bigint")
+        .alias("syllables"),
+        F.ceil(F.size(toks) / 15.0).cast("bigint").alias("sentences"),
+        F.size(F.filter(toks, lambda w: F.length(w) >= 7))
+        .cast("bigint")
+        .alias("long_words"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("words").cast("bigint").alias("words"),
+        F.sum("syllables").cast("bigint").alias("syllables"),
+        F.sum("sentences").cast("bigint").alias("sentences"),
+        F.sum("long_words").cast("bigint").alias("long_words"),
+    )
+    wps = F.col("words") * 1.0 / F.col("sentences")
+    spw = F.col("syllables") * 1.0 / F.col("words")
+    return agg.select(
+        "source",
+        "n_docs",
+        F.round(wps, 4).alias("words_per_sentence"),
+        F.round(spw, 4).alias("syllables_per_word"),
+        F.round(206.835 - 1.015 * wps - 84.6 * spw, 4).alias("flesch"),
+        F.round(wps + 100.0 * F.col("long_words") / F.col("words"), 4).alias("lix"),
+    )
+
+
+@register(
+    "text_token_fertility",
+    tags=("text", "llm"),
+    oracle="""
+WITH d AS (
+  SELECT lang,
+         list_filter(string_split(lower(text), ' '), w -> trim(w) <> '') AS toks,
+         length(replace(text, ' ', '')) AS chars
+  FROM documents
+), per_doc AS (
+  SELECT lang,
+         CAST(len(toks) AS BIGINT) AS words,
+         CAST(chars AS BIGINT) AS chars,
+         CAST(list_sum(list_transform(toks,
+                w -> CAST(ceil(length(w) / 4e0) AS BIGINT))) AS BIGINT)
+           AS subtokens
+  FROM d
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(words) AS BIGINT) AS words,
+       CAST(sum(subtokens) AS BIGINT) AS subtokens,
+       round(sum(subtokens) * 1e0 / sum(words), 4) AS fertility,
+       round(sum(chars) * 1e0 / sum(subtokens), 4) AS chars_per_token
+FROM per_doc GROUP BY lang
+""",
+)
+def text_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — subword tokens emitted per
+    whitespace word, THE budget number for multilingual training-mix
+    planning (a lang with fertility 2x pays 2x the context budget for
+    the same text; chars-per-token is its inverse lens). The segmenter
+    is a fixed-stride 4-char subword chunker (ceil(len/4)) — a
+    deterministic stand-in for a real BPE vocab (no tokenizer model
+    ships in this container), with the honest property that fertility
+    then measures word-LENGTH structure per language, which is exactly
+    what drives real BPE fertility gaps.
+
+    Scale: pure in-scan array arithmetic (list_transform + list_sum,
+    zero explode, zero shuffle beyond the lang-cardinality agg);
+    counts are exact BIGINTs so the engines agree bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda w: F.trim(w) != "")
+    per_doc = docs.select(
+        "lang",
+        F.size(toks).cast("bigint").alias("words"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        .cast("bigint")
+        .alias("chars"),
+        F.aggregate(
+            toks,
+            F.lit(0).cast("bigint"),
+            lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("bigint"),
+        ).alias("subtokens"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("words").cast("bigint").alias("words"),
+        F.sum("subtokens").cast("bigint").alias("subtokens"),
+        F.round(F.sum("subtokens") * 1.0 / F.sum("words"), 4).alias("fertility"),
+        F.round(F.sum("chars") * 1.0 / F.sum("subtokens"), 4).alias(
+            "chars_per_token"
+        ),
+    )

@@ -205,3 +205,29 @@ def test_hybrid_rrf_fuses_both_rankings(spark, sf_dir):
     probe = [r for r in out if r["doc_id"] == 0]
     if probe:
         assert probe[0]["rank_vec"] == 1
+
+
+def test_readability_identities(spark, sf_dir):
+    out = all_queries()["text_readability_scores"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r["n_docs"] > 0
+        # the fixed 15-word segmenter bounds words/sentence at 15
+        assert 0 < r["words_per_sentence"] <= 15.0
+        assert r["syllables_per_word"] > 0
+        expect = 206.835 - 1.015 * r["words_per_sentence"] - 84.6 * r[
+            "syllables_per_word"
+        ]
+        assert abs(r["flesch"] - expect) < 1e-2
+        assert r["lix"] >= r["words_per_sentence"] - 1e-9
+
+
+def test_token_fertility_identities(spark, sf_dir):
+    out = all_queries()["text_token_fertility"].fn(spark, sf_dir).collect()
+    assert len(out) >= 3  # several languages present
+    for r in out:
+        # a 4-char chunker emits at least one token per word
+        assert r["fertility"] >= 1.0
+        # and never more than one token per character
+        assert 1.0 <= r["chars_per_token"] <= 4.0
+        assert r["subtokens"] >= r["words"]

@@ -5971,3 +5971,104 @@ def stats_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0.0)
         .alias("or_mh"),
     )
+
+
+@register(
+    "stats_nelson_aalen",
+    tags=("stats", "temporal"),
+    oracle="""
+WITH purchases AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id
+  FROM events WHERE event_type = 'purchase'
+), seq AS (
+  SELECT user_id, day,
+         lead(day) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM purchases
+), horizon AS (
+  SELECT max(day) AS h FROM purchases
+), subjects AS (
+  SELECT CASE WHEN nxt IS NOT NULL THEN date_diff('day', day, nxt) + 1
+              ELSE date_diff('day', day, (SELECT h FROM horizon)) + 1 END AS t,
+         CASE WHEN nxt IS NOT NULL THEN 0 ELSE 1 END AS censored
+  FROM seq
+), at_t AS (
+  SELECT t,
+         CAST(count(*) AS BIGINT) AS n_ending,
+         CAST(sum(1 - censored) AS BIGINT) AS d
+  FROM subjects GROUP BY t
+), risk AS (
+  SELECT t, d,
+         CAST((SELECT count(*) FROM subjects) AS BIGINT)
+           - CAST(coalesce(sum(n_ending) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS n_risk
+  FROM at_t
+)
+SELECT CAST(t AS BIGINT) AS t_days,
+       n_risk,
+       d AS n_deaths,
+       round(sum(d * 1e0 / n_risk)
+             OVER (ORDER BY t ROWS UNBOUNDED PRECEDING), 6) AS cum_hazard,
+       round(exp(-sum(d * 1e0 / n_risk)
+                 OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6)
+         AS breslow_survival
+FROM risk
+WHERE d > 0
+""",
+)
+def stats_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over the SAME right-censored
+    purchase-to-repurchase subjects as [[stats_kaplan_meier]]:
+    H(t) = sum d_i/n_i over event times, with Breslow's
+    S(t) = exp(-H(t)) beside it. The NA estimator is the standard
+    cross-check on KM (H is a plain SUM, so it stays finite and
+    well-defined even where a d == n_risk step drives the KM product
+    to exact zero — no log-of-zero guard needed at all, one reason NA
+    is preferred for hazard-shape reading: a flattening H means the
+    repurchase rate is decaying). Sharing the subjects frame verbatim
+    means any divergence between the two curves on the same data is
+    estimator semantics, never pipeline drift.
+
+    Scale: identical to KM — per-user lead() window, one duration-
+    cardinality agg, cumulative windows over day-count rows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("date").alias("day"), "ts", "event_id"
+    )
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = purchases.withColumn("nxt", F.lead("day").over(wseq))
+    horizon = purchases.agg(F.max("day").alias("h"))
+    subjects = seq.crossJoin(F.broadcast(horizon)).select(
+        F.when(F.col("nxt").isNotNull(), F.datediff("nxt", "day") + 1)
+        .otherwise(F.datediff("h", "day") + 1)
+        .alias("t"),
+        F.when(F.col("nxt").isNotNull(), 0).otherwise(1).alias("censored"),
+    )
+    at_t = subjects.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ending"),
+        F.sum(1 - F.col("censored")).cast("bigint").alias("d"),
+    )
+    total = subjects.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = at_t.crossJoin(F.broadcast(total)).withColumn(
+        "n_risk",
+        F.col("_n") - F.coalesce(F.sum("n_ending").over(wcum), F.lit(0)),
+    )
+    wh = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    h = F.sum(F.col("d") * 1.0 / F.col("n_risk")).over(wh)
+    return (
+        risk.withColumn("cum_hazard", F.round(h, 6))
+        .withColumn("breslow_survival", F.round(F.exp(-h), 6))
+        .filter(F.col("d") > 0)
+        .select(
+            F.col("t").cast("bigint").alias("t_days"),
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            F.col("d").alias("n_deaths"),
+            "cum_hazard",
+            "breslow_survival",
+        )
+    )

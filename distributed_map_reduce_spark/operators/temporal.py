@@ -1967,3 +1967,93 @@ def asof_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(clicks.groupBy("user_id"))
         .applyInPandas(lambda l, r: asof_group(l, r), schema=schema)
     )
+
+
+@register(
+    "events_peak_concurrency",
+    tags=("temporal", "window", "events"),
+    oracle="""
+WITH iv AS (
+  SELECT CAST(ts AS DATE) AS day, user_id,
+         min(ts) AS s, max(ts) AS e
+  FROM events GROUP BY 1, 2
+), deltas AS (
+  SELECT day, user_id, s AS ts, 1 AS delta FROM iv
+  UNION ALL
+  SELECT day, user_id, e AS ts, -1 AS delta FROM iv
+), swept AS (
+  SELECT day, ts,
+         CAST(sum(delta) OVER (PARTITION BY day
+              ORDER BY ts, delta DESC, user_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS conc
+  FROM deltas
+), mx AS (
+  SELECT day, max(conc) AS max_concurrent FROM swept GROUP BY day
+), nu AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM iv GROUP BY day
+)
+SELECT m.day,
+       n.n_users,
+       m.max_concurrent,
+       min(s.ts) AS peak_ts
+FROM mx m
+JOIN swept s ON s.day = m.day AND s.conc = m.max_concurrent
+JOIN nu n ON n.day = m.day
+GROUP BY m.day, n.n_users, m.max_concurrent
+""",
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day PEAK user concurrency at timestamp grain — the capacity
+    question ("what was the worst instant, and when?") that
+    [[temporal_open_interval_count]]'s day-grain net counts can't
+    answer. Each user's daily presence is the [first event, last event]
+    interval; the sweep line is +1/-1 deltas cumulated in ONE window
+    partitioned by day with the tie order pinned three-deep
+    (ts, start-before-end, user_id) — so a start and an end at the same
+    instant count as overlapping, and equal-timestamp users sweep in id
+    order on both engines. The peak instant is the FIRST timestamp
+    attaining the max (min(ts) over peak rows), the argmax tie
+    discipline the round-3 session-window fixes mandated.
+
+    Scale: per-user-day collapse is one keyed agg; the sweep window is
+    partitioned by day (parallel across days, 2*users rows inside
+    each); peak extraction joins day-cardinality frames. Nothing global
+    except the final day-level result."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    deltas = iv.select(
+        "day", "user_id", F.col("s").alias("ts"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select("day", "user_id", F.col("e").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    wsweep = (
+        Window.partitionBy("day")
+        .orderBy(F.col("ts"), F.col("delta").desc(), F.col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = deltas.select(
+        "day", "ts", F.sum("delta").over(wsweep).cast("bigint").alias("conc")
+    )
+    mx = swept.groupBy("day").agg(F.max("conc").alias("max_concurrent"))
+    nu = iv.groupBy("day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )
+    return (
+        mx.alias("m")
+        .join(
+            swept.alias("s"),
+            (F.col("s.day") == F.col("m.day"))
+            & (F.col("s.conc") == F.col("m.max_concurrent")),
+        )
+        .join(nu.alias("n"), F.col("n.day") == F.col("m.day"))
+        .groupBy(
+            F.col("m.day").alias("day"),
+            F.col("n.n_users").alias("n_users"),
+            F.col("m.max_concurrent").alias("max_concurrent"),
+        )
+        .agg(F.min(F.col("s.ts")).alias("peak_ts"))
+    )

@@ -231,3 +231,36 @@ def test_token_fertility_identities(spark, sf_dir):
         # and never more than one token per character
         assert 1.0 <= r["chars_per_token"] <= 4.0
         assert r["subtokens"] >= r["words"]
+
+
+def test_peak_concurrency_bounds(spark, sf_dir):
+    out = all_queries()["events_peak_concurrency"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        # peak concurrency is at least 1 and never exceeds users present
+        assert 1 <= r["max_concurrent"] <= r["n_users"]
+        assert r["peak_ts"] is not None
+    # peak_ts falls on its own day
+    for r in out:
+        assert r["peak_ts"].date() == r["day"]
+
+
+def test_nelson_aalen_vs_kaplan_meier(spark, sf_dir):
+    na = sorted(
+        all_queries()["stats_nelson_aalen"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["t_days"],
+    )
+    km = sorted(
+        all_queries()["stats_kaplan_meier"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["t_days"],
+    )
+    assert na
+    # same subjects frame: identical event times, risk sets, death counts
+    assert [(r["t_days"], r["n_risk"], r["n_deaths"]) for r in na] == [
+        (r["t_days"], r["n_risk"], r["n_deaths"]) for r in km
+    ]
+    hs = [r["cum_hazard"] for r in na]
+    assert all(b >= a - 1e-9 for a, b in zip(hs, hs[1:]))  # H non-decreasing
+    # Breslow S = exp(-H) >= KM product-limit S everywhere (standard bound)
+    for rna, rkm in zip(na, km):
+        assert rna["breslow_survival"] >= rkm["survival"] - 1e-6

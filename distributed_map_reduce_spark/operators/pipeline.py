@@ -1629,3 +1629,81 @@ def pipeline_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hits_per_1k_tokens"
         ),
     )
+
+
+@register(
+    "pipeline_curriculum_order",
+    tags=("pipeline", "llm"),
+    oracle="""
+WITH per_doc AS (
+  SELECT source,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              w -> trim(w) <> '')) AS BIGINT) AS words,
+         CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars
+  FROM documents
+), per_source AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(words) AS BIGINT) AS total_tokens,
+         round(sum(chars) * 1e0 / sum(words), 6) AS difficulty
+  FROM per_doc GROUP BY source
+), ranked AS (
+  SELECT source, n_docs, total_tokens, difficulty,
+         CAST(row_number() OVER (ORDER BY difficulty, source) AS BIGINT)
+           AS curriculum_rank
+  FROM per_source
+)
+SELECT source, n_docs, total_tokens, difficulty, curriculum_rank,
+       CAST(sum(total_tokens) OVER (ORDER BY curriculum_rank
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_tokens
+FROM ranked
+""",
+)
+def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule over corpus sources: rank sources
+    easy-to-hard by a deterministic difficulty proxy (mean word length
+    = chars/words from exact integer sums — longer-word text correlates
+    with harder text, and unlike model-loss difficulty it needs no
+    inference pass) and emit each source's position plus the CUMULATIVE
+    token budget at that position — the table a curriculum-learning
+    data loader consumes directly ("train on the first K tokens of
+    this order"). Rank ties break on source name, so the schedule is
+    total and reproducible ([[pipeline_domain_mix]] fixes the
+    within-source order; this fixes the BETWEEN-source order).
+
+    Scale: per-doc token/char counts are in-scan array exprs; one hash
+    agg to source cardinality; both windows run over the tiny source
+    frame. The schedule for a 100 TB corpus is the same ~dozens-row
+    table."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda w: F.trim(w) != "")
+    per_doc = docs.select(
+        "source",
+        F.size(toks).cast("bigint").alias("words"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        .cast("bigint")
+        .alias("chars"),
+    )
+    per_source = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("words").cast("bigint").alias("total_tokens"),
+        F.round(F.sum("chars") * 1.0 / F.sum("words"), 6).alias("difficulty"),
+    )
+    ranked = per_source.withColumn(
+        "curriculum_rank",
+        F.row_number()
+        .over(Window.orderBy("difficulty", "source"))
+        .cast("bigint"),
+    )
+    wcum = Window.orderBy("curriculum_rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ranked.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "difficulty",
+        "curriculum_rank",
+        F.sum("total_tokens").over(wcum).cast("bigint").alias("cum_tokens"),
+    )

@@ -6072,3 +6072,152 @@ def stats_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "breslow_survival",
         )
     )
+
+
+@register(
+    "events_weekly_churn",
+    tags=("stats", "events", "temporal"),
+    oracle="""
+WITH wk AS (
+  SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS week, user_id
+  FROM events
+), horizon AS (
+  SELECT max(week) AS last_week FROM wk
+), joined AS (
+  SELECT a.week, a.user_id,
+         CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END AS retained
+  FROM wk a
+  LEFT JOIN wk b
+    ON b.user_id = a.user_id AND b.week = a.week + INTERVAL 7 DAY
+)
+SELECT j.week,
+       CAST(count(*) AS BIGINT) AS active_users,
+       CAST(sum(j.retained) AS BIGINT) AS retained_users,
+       CAST(count(*) - sum(j.retained) AS BIGINT) AS churned_users,
+       round((count(*) - sum(j.retained)) * 1e0 / count(*), 4) AS churn_rate
+FROM joined j CROSS JOIN horizon h
+WHERE j.week < h.last_week
+GROUP BY j.week
+""",
+)
+def events_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week churn sheet: of the users active in ISO week w,
+    how many are absent in w+1 (churned) vs present (retained) — the
+    operational pulse metric next to [[events_retention_cohorts]]'s
+    cohort matrix (cohorts answer "how do vintages decay"; this
+    answers "how bad was LAST week"). The final observed week is
+    excluded — its successor is unobservable, and counting it would
+    fabricate 100% churn (the same censoring honesty as
+    [[stats_kaplan_meier]]). Weeks are Monday-truncated dates on both
+    engines.
+
+    Scale: events collapse to distinct (week, user) in one agg —
+    THE data-sized exchange — then a self-join on (user, week+7) that
+    co-partitions on user_id and a week-cardinality final agg. No
+    windows over users, no driver loops."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.select(
+        F.date_trunc("week", "ts").cast("date").alias("week"), "user_id"
+    ).distinct()
+    horizon = wk.agg(F.max("week").alias("last_week"))
+    b = wk.select(
+        F.col("week").alias("bweek"), F.col("user_id").alias("buser")
+    )
+    joined = wk.join(
+        b,
+        (F.col("buser") == F.col("user_id"))
+        & (F.col("bweek") == F.date_add(F.col("week"), 7)),
+        "left",
+    ).select(
+        "week",
+        F.when(F.col("buser").isNotNull(), 1).otherwise(0).alias("retained"),
+    )
+    return (
+        joined.crossJoin(F.broadcast(horizon))
+        .filter(F.col("week") < F.col("last_week"))
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("active_users"),
+            F.sum("retained").cast("bigint").alias("retained_users"),
+            (F.count(F.lit(1)) - F.sum("retained"))
+            .cast("bigint")
+            .alias("churned_users"),
+            F.round(
+                (F.count(F.lit(1)) - F.sum("retained")) * 1.0 / F.count(F.lit(1)),
+                4,
+            ).alias("churn_rate"),
+        )
+    )
+
+
+@register(
+    "stats_herfindahl_index",
+    tags=("stats",),
+    oracle="""
+WITH rev AS (
+  SELECT n.n_name,
+         CAST(sum(CAST(round(o.o_totalprice * 1e2) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name
+), tot AS (
+  SELECT sum(cents) * 1e0 AS total, CAST(count(*) AS BIGINT) AS n_firms
+  FROM rev
+), h AS (
+  SELECT max(t.n_firms) AS n_firms,
+         sum((r.cents / t.total) * (r.cents / t.total)) AS hhi
+  FROM rev r CROSS JOIN tot t
+)
+SELECT n_firms,
+       round(hhi, 6) AS hhi,
+       round((hhi - 1e0 / n_firms) / (1e0 - 1e0 / n_firms), 6) AS hhi_normalized,
+       round(1e0 / hhi, 4) AS effective_n
+FROM h
+""",
+)
+def stats_herfindahl_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of revenue across customer
+    nations: HHI = sum of squared revenue shares, with the
+    n-normalized form and the effective number of equal players 1/HHI
+    — the concentration lens complementary to
+    [[stats_gini_concentration]] (Gini measures inequality of the
+    distribution; HHI weights the TOP, which is what an
+    antitrust-style or vendor-risk read wants). Shares come from exact
+    cents sums so both engines square identical rationals.
+
+    Scale: orders shuffle once on custkey to meet customers; nation is
+    a broadcast dim; the squared-share algebra runs on a 25-row frame.
+    The same plan shape at 100 TB — HHI's cost IS the one join."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100.0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    tot = rev.agg(
+        (F.sum("cents") * 1.0).alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_firms"),
+    )
+    share = F.col("cents") / F.col("total")
+    h = rev.crossJoin(F.broadcast(tot)).agg(
+        F.max("n_firms").alias("n_firms"),
+        F.sum(share * share).alias("hhi"),
+    )
+    return h.select(
+        "n_firms",
+        F.round("hhi", 6).alias("hhi"),
+        F.round(
+            (F.col("hhi") - 1.0 / F.col("n_firms"))
+            / (1.0 - 1.0 / F.col("n_firms")),
+            6,
+        ).alias("hhi_normalized"),
+        F.round(1.0 / F.col("hhi"), 4).alias("effective_n"),
+    )

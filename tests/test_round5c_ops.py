@@ -264,3 +264,45 @@ def test_nelson_aalen_vs_kaplan_meier(spark, sf_dir):
     # Breslow S = exp(-H) >= KM product-limit S everywhere (standard bound)
     for rna, rkm in zip(na, km):
         assert rna["breslow_survival"] >= rkm["survival"] - 1e-6
+
+
+def test_weekly_churn_partition(spark, sf_dir):
+    out = all_queries()["events_weekly_churn"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r["retained_users"] + r["churned_users"] == r["active_users"]
+        assert 0.0 <= r["churn_rate"] <= 1.0
+        expect = r["churned_users"] / r["active_users"]
+        assert abs(r["churn_rate"] - expect) < 1e-3
+    # the final observed week is censored out
+    wk = (
+        load_table(spark, sf_dir, "events")
+        .select(F.date_trunc("week", "ts").cast("date").alias("w"))
+        .agg(F.max("w"))
+        .collect()[0][0]
+    )
+    assert all(r["week"] < wk for r in out)
+
+
+def test_herfindahl_bounds(spark, sf_dir):
+    r = all_queries()["stats_herfindahl_index"].fn(spark, sf_dir).collect()[0]
+    n = r["n_firms"]
+    assert n > 1
+    assert 1.0 / n - 1e-9 <= r["hhi"] <= 1.0
+    assert 0.0 <= r["hhi_normalized"] <= 1.0
+    assert 1.0 <= r["effective_n"] <= n + 1e-9
+
+
+def test_curriculum_schedule_total_order(spark, sf_dir):
+    out = sorted(
+        all_queries()["pipeline_curriculum_order"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["curriculum_rank"],
+    )
+    assert out
+    assert [r["curriculum_rank"] for r in out] == list(range(1, len(out) + 1))
+    diffs = [r["difficulty"] for r in out]
+    assert diffs == sorted(diffs)
+    cum = 0
+    for r in out:
+        cum += r["total_tokens"]
+        assert r["cum_tokens"] == cum

@@ -863,3 +863,155 @@ def profile_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df_ in parts[1:]:
         out = out.unionByName(df_)
     return out
+
+
+@register(
+    "profile_schema_drift",
+    tags=("profile", "quality"),
+    oracle="""
+WITH old_half AS (
+  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01'
+), new_half AS (
+  SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+), prof_old AS (
+  SELECT CAST(count(*) AS BIGINT) AS row_count,
+         coalesce(round(avg(o_totalprice), 4), 0e0) AS price_mean,
+         CASE WHEN count(*) > 0
+              THEN round(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                         * 1e0 / count(*), 6)
+              ELSE 0e0 END AS price_null_frac,
+         CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS status_ndv,
+         CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS priority_ndv,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS custkey_ndv
+  FROM old_half
+), prof_new AS (
+  SELECT CAST(count(*) AS BIGINT) AS row_count,
+         coalesce(round(avg(o_totalprice), 4), 0e0) AS price_mean,
+         CASE WHEN count(*) > 0
+              THEN round(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                         * 1e0 / count(*), 6)
+              ELSE 0e0 END AS price_null_frac,
+         CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS status_ndv,
+         CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS priority_ndv,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS custkey_ndv
+  FROM new_half
+), unp AS (
+  SELECT m.metric,
+         CASE m.metric
+           WHEN 'row_count' THEN o.row_count * 1e0
+           WHEN 'price_mean' THEN o.price_mean
+           WHEN 'price_null_frac' THEN o.price_null_frac
+           WHEN 'status_ndv' THEN o.status_ndv * 1e0
+           WHEN 'priority_ndv' THEN o.priority_ndv * 1e0
+           ELSE o.custkey_ndv * 1e0 END AS val_old,
+         CASE m.metric
+           WHEN 'row_count' THEN n.row_count * 1e0
+           WHEN 'price_mean' THEN n.price_mean
+           WHEN 'price_null_frac' THEN n.price_null_frac
+           WHEN 'status_ndv' THEN n.status_ndv * 1e0
+           WHEN 'priority_ndv' THEN n.priority_ndv * 1e0
+           ELSE n.custkey_ndv * 1e0 END AS val_new
+  FROM (SELECT unnest(['row_count', 'price_mean', 'price_null_frac',
+                       'status_ndv', 'priority_ndv', 'custkey_ndv'])
+          AS metric) m
+  CROSS JOIN prof_old o CROSS JOIN prof_new n
+)
+SELECT metric, val_old, val_new,
+       round(CASE WHEN val_old <> 0e0 THEN (val_new - val_old) / val_old
+                  ELSE 0e0 END, 6) AS rel_change,
+       CASE WHEN val_old <> 0e0
+             AND abs((val_new - val_old) / val_old) > 0.1e0 THEN 1
+            WHEN val_old = 0e0 AND val_new <> 0e0 THEN 1
+            ELSE 0 END AS drifted
+FROM unp
+""",
+)
+def profile_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-vs-snapshot profile drift: the same six column-level
+    statistics (row count, price mean + null fraction, three exact
+    NDVs) computed over the pre- and post-1995 halves of orders, then
+    unpivoted into one (metric, old, new, rel_change, drifted) sheet
+    with a 10% relative-change alarm — the ingest-gate companion to
+    [[stats_psi_drift]] (PSI reads one column's DISTRIBUTION; this
+    reads the table's SHAPE: cardinalities, null discipline, volume).
+    A zero-old baseline with nonzero new flags explicitly instead of
+    dividing by zero (the r4 guard class).
+
+    Scale: each half profiles in ONE pass (count/avg/null-frac and
+    multi-distinct in the same agg — Catalyst expands the distincts);
+    the unpivot + comparison is 6-row literal algebra. Snapshots at
+    100 TB profile independently and meet at 6 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1995-01-01").cast("timestamp")
+
+    def prof(df):
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("row_count"),
+            F.coalesce(F.round(F.avg("o_totalprice"), 4), F.lit(0.0)).alias(
+                "price_mean"
+            ),
+            # empty-snapshot guard (the r4 NULL-propagation class): an
+            # empty half profiles as 0.0, not NULL
+            F.when(
+                F.count(F.lit(1)) > 0,
+                F.round(
+                    F.sum(
+                        F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)
+                    )
+                    * 1.0
+                    / F.count(F.lit(1)),
+                    6,
+                ),
+            )
+            .otherwise(0.0)
+            .alias("price_null_frac"),
+            F.countDistinct("o_orderstatus").cast("bigint").alias("status_ndv"),
+            F.countDistinct("o_orderpriority")
+            .cast("bigint")
+            .alias("priority_ndv"),
+            F.countDistinct("o_custkey").cast("bigint").alias("custkey_ndv"),
+        )
+
+    po = prof(o.filter(F.col("o_orderdate") < cutoff))
+    pn = prof(o.filter(F.col("o_orderdate") >= cutoff))
+    metrics = [
+        "row_count",
+        "price_mean",
+        "price_null_frac",
+        "status_ndv",
+        "priority_ndv",
+        "custkey_ndv",
+    ]
+    m = spark.createDataFrame([(x,) for x in metrics], ["metric"])
+
+    def pick(side):
+        c = F.col("metric")
+        expr = F.col(f"{side}.custkey_ndv") * 1.0
+        for name in ["row_count", "status_ndv", "priority_ndv"]:
+            expr = F.when(c == name, F.col(f"{side}.{name}") * 1.0).otherwise(expr)
+        for name in ["price_mean", "price_null_frac"]:
+            expr = F.when(c == name, F.col(f"{side}.{name}")).otherwise(expr)
+        return expr
+
+    unp = (
+        m.crossJoin(F.broadcast(po.alias("o")))
+        .crossJoin(F.broadcast(pn.alias("n")))
+        .select(
+            "metric",
+            pick("o").alias("val_old"),
+            pick("n").alias("val_new"),
+        )
+    )
+    rel = (F.col("val_new") - F.col("val_old")) / F.col("val_old")
+    return unp.select(
+        "metric",
+        "val_old",
+        "val_new",
+        F.round(
+            F.when(F.col("val_old") != 0.0, rel).otherwise(0.0), 6
+        ).alias("rel_change"),
+        F.when((F.col("val_old") != 0.0) & (F.abs(rel) > 0.1), 1)
+        .when((F.col("val_old") == 0.0) & (F.col("val_new") != 0.0), 1)
+        .otherwise(0)
+        .alias("drifted"),
+    )

@@ -2120,3 +2120,64 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint"),
     )
     return final.filter(F.col("rnk") <= 20)
+
+
+@register(
+    "similarity_collapse_audit",
+    tags=("similarity", "ml", "llm"),
+    oracle="""
+WITH e AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), comp AS (
+  SELECT e.label, i.i AS pos, e.v[i.i] AS x
+  FROM e CROSS JOIN range(1, 65) i(i)
+), sums AS (
+  SELECT label, pos, sum(x) AS s
+  FROM comp GROUP BY label, pos
+), percls AS (
+  SELECT s.label,
+         (SELECT CAST(count(*) AS BIGINT) FROM e WHERE e.label = s.label) AS n,
+         sum(s.s * s.s) AS s2
+  FROM sums s GROUP BY s.label
+)
+SELECT CAST(label AS BIGINT) AS label,
+       n AS n_vectors,
+       round((s2 - n) / (n * (n - 1e0)), 6) AS mean_pairwise_cosine,
+       CASE WHEN (s2 - n) / (n * (n - 1e0)) > 0.5e0 THEN 1 ELSE 0 END
+         AS collapsed
+FROM percls
+""",
+)
+def similarity_collapse_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representation-collapse audit: the MEAN PAIRWISE COSINE within
+    each label cluster, computed WITHOUT the quadratic pair join via
+    the sum-vector identity — for unit-norm vectors,
+    sum_{i!=j} cos(v_i,v_j) = |sum v|^2 - n, so the O(n^2 d) pairwise
+    pass collapses to an O(n d) component sum (the anisotropy /
+    "embedding collapse" diagnostic from Ethayarajh 2019-style
+    analyses: a healthy cluster sits well below 1; near-1 means the
+    encoder has collapsed the class to a point). The property test
+    pins the identity against a brute-force pairwise recompute.
+
+    Scale: THIS is the 100 TB story — the audit shuffles (label, pos,
+    component) partial sums (labels x 64 doubles after map-side
+    combine), never a pair. A brute-force twin at 1B vectors is 10^18
+    pairs; this is one tree-aggregated vector per label."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", as_double(F.col("embedding")).alias("v")
+    )
+    comp = e.select("label", F.posexplode("v").alias("pos", "x"))
+    sums = comp.groupBy("label", "pos").agg(F.sum("x").alias("s"))
+    ncls = e.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    percls = (
+        sums.groupBy("label")
+        .agg(F.sum(F.col("s") * F.col("s")).alias("s2"))
+        .join(F.broadcast(ncls), "label")
+    )
+    mean_cos = (F.col("s2") - F.col("n")) / (F.col("n") * (F.col("n") - 1.0))
+    return percls.select(
+        F.col("label").cast("bigint").alias("label"),
+        F.col("n").alias("n_vectors"),
+        F.round(mean_cos, 6).alias("mean_pairwise_cosine"),
+        F.when(mean_cos > 0.5, 1).otherwise(0).alias("collapsed"),
+    )

@@ -6221,3 +6221,66 @@ def stats_herfindahl_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hhi_normalized"),
         F.round(1.0 / F.col("hhi"), 4).alias("effective_n"),
     )
+
+
+@register(
+    "events_dau_mau_stickiness",
+    tags=("stats", "events", "temporal"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+         CAST(ts AS DATE) AS day,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM events GROUP BY 1, 2
+), monthly AS (
+  SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+  FROM events GROUP BY 1
+), davg AS (
+  SELECT month,
+         CAST(count(*) AS BIGINT) AS active_days,
+         CAST(sum(dau) AS BIGINT) AS dau_sum
+  FROM daily GROUP BY month
+)
+SELECT d.month,
+       d.active_days,
+       m.mau,
+       round(d.dau_sum * 1e0 / d.active_days, 4) AS dau_avg,
+       round(d.dau_sum * 1e0 / d.active_days / m.mau, 6) AS stickiness
+FROM davg d JOIN monthly m ON m.month = d.month
+""",
+)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — average daily active users over
+    monthly active users, THE engagement-intensity ratio (1/30 = users
+    show up once a month; 1.0 = every active user shows up every day).
+    Sits beside [[events_weekly_churn]] (churn reads retention between
+    periods; stickiness reads intensity within one). Day and month
+    both truncate from the same timestamp, so a user's presence
+    contributes consistently to numerator and denominator.
+
+    Scale: two distinct-user aggs keyed by (month, day) and (month) —
+    the day-grain one is partial-aggregated map-side to (day, user)
+    pairs; the join meets at month cardinality. No windows, no user
+    table materialized."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("month", "ts").cast("date").alias("month"),
+        F.col("ts").cast("date").alias("day"),
+    ).agg(F.countDistinct("user_id").cast("bigint").alias("dau"))
+    monthly = ev.groupBy(
+        F.date_trunc("month", "ts").cast("date").alias("month")
+    ).agg(F.countDistinct("user_id").cast("bigint").alias("mau"))
+    davg = daily.groupBy("month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("active_days"),
+        F.sum("dau").cast("bigint").alias("dau_sum"),
+    )
+    return davg.join(monthly, "month").select(
+        "month",
+        "active_days",
+        "mau",
+        F.round(F.col("dau_sum") * 1.0 / F.col("active_days"), 4).alias("dau_avg"),
+        F.round(
+            F.col("dau_sum") * 1.0 / F.col("active_days") / F.col("mau"), 6
+        ).alias("stickiness"),
+    )

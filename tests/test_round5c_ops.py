@@ -306,3 +306,67 @@ def test_curriculum_schedule_total_order(spark, sf_dir):
     for r in out:
         cum += r["total_tokens"]
         assert r["cum_tokens"] == cum
+
+
+def test_collapse_audit_identity_vs_bruteforce(spark, sf_dir):
+    """The sum-vector identity must equal brute-force mean pairwise
+    cosine (unit-norm vectors) for every label."""
+    out = {
+        r["label"]: r
+        for r in all_queries()["similarity_collapse_audit"].fn(spark, sf_dir).collect()
+    }
+    assert out
+    vecs = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("label", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    import collections
+
+    by_label = collections.defaultdict(list)
+    for r in vecs:
+        by_label[r["label"]].append(r["v"])
+    for lbl, vs in by_label.items():
+        n = len(vs)
+        if n < 2:
+            assert lbl not in out or out[lbl]["n_vectors"] == n
+            continue
+        s = 0.0
+        for i in range(n):
+            for j in range(i + 1, n):
+                s += sum(a * b for a, b in zip(vs[i], vs[j]))
+        mean = 2 * s / (n * (n - 1))
+        assert abs(out[lbl]["mean_pairwise_cosine"] - mean) < 1e-4
+        assert out[lbl]["n_vectors"] == n
+
+
+def test_schema_drift_sheet_shape(spark, sf_dir):
+    out = {r["metric"]: r for r in all_queries()["profile_schema_drift"].fn(spark, sf_dir).collect()}
+    assert set(out) == {
+        "row_count",
+        "price_mean",
+        "price_null_frac",
+        "status_ndv",
+        "priority_ndv",
+        "custkey_ndv",
+    }
+    for r in out.values():
+        if r["val_old"] != 0.0:
+            expect = (r["val_new"] - r["val_old"]) / r["val_old"]
+            assert abs(r["rel_change"] - expect) < 1e-4
+            assert r["drifted"] == int(abs(expect) > 0.1)
+    # priorities/statuses are closed vocabularies: no cardinality drift —
+    # provided both snapshot halves actually contain rows
+    rc = out["row_count"]
+    if rc["val_old"] > 0 and rc["val_new"] > 0:
+        assert out["priority_ndv"]["drifted"] == 0
+        assert out["status_ndv"]["drifted"] == 0
+
+
+def test_stickiness_bounds(spark, sf_dir):
+    out = all_queries()["events_dau_mau_stickiness"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert 0.0 < r["stickiness"] <= 1.0
+        assert r["dau_avg"] <= r["mau"] + 1e-9
+        assert r["active_days"] >= 1

@@ -6284,3 +6284,189 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dau_sum") * 1.0 / F.col("active_days") / F.col("mau"), 6
         ).alias("stickiness"),
     )
+
+
+@register(
+    "stats_benfords_law",
+    tags=("stats", "quality"),
+    oracle="""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 1e2) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS d
+  FROM orders
+  WHERE o_totalprice > 0
+), obs AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS c FROM digits GROUP BY d
+), grid AS (
+  SELECT g.d, coalesce(o.c, 0) AS c
+  FROM (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS d) g
+  LEFT JOIN obs o ON o.d = g.d
+), tot AS (
+  SELECT sum(c) * 1e0 AS n FROM grid
+)
+SELECT g.d AS leading_digit,
+       CAST(g.c AS BIGINT) AS observed,
+       round(g.c / t.n, 6) AS observed_freq,
+       round(log10(1e0 + 1e0 / g.d), 6) AS benford_freq,
+       round((g.c - t.n * log10(1e0 + 1e0 / g.d))
+             * (g.c - t.n * log10(1e0 + 1e0 / g.d))
+             / (t.n * log10(1e0 + 1e0 / g.d)), 4) AS chi2_term
+FROM grid g CROSS JOIN tot t
+""",
+)
+def stats_benfords_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit on order totals — the classic
+    fabricated-data / unit-mixing alarm (natural multi-magnitude
+    amounts follow P(d) = log10(1+1/d); synthetic uniform prices do
+    NOT, and the property test pins that the audit correctly FLAGS
+    this corpus by a huge chi-square). Digits come from the integer
+    cents string, zero-priced rows excluded; all nine digits
+    materialize via a literal grid so absent digits still contribute
+    their (0-E)^2/E term ([[stats_cramers_v]] discipline). Per-digit
+    rows carry observed vs Benford frequency and the chi-square term,
+    so the sheet doubles as the deviation profile.
+
+    Scale: one in-scan digit extraction (string head of an integer —
+    no log10 on the data path), one 9-cell hash agg; everything after
+    is constant algebra."""
+    o = load_table(spark, sf_dir, "orders")
+    digits = o.filter(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100.0).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    grid = (
+        spark.range(1, 10)
+        .select(F.col("id").alias("d"))
+        .join(obs, "d", "left")
+        .select("d", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    tot = grid.agg((F.sum("c") * 1.0).alias("n"))
+    e = F.col("n") * F.log10(1.0 + 1.0 / F.col("d"))
+    return grid.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("leading_digit"),
+        F.col("c").cast("bigint").alias("observed"),
+        F.round(F.col("c") / F.col("n"), 6).alias("observed_freq"),
+        F.round(F.log10(1.0 + 1.0 / F.col("d")), 6).alias("benford_freq"),
+        F.round((F.col("c") - e) * (F.col("c") - e) / e, 4).alias("chi2_term"),
+    )
+
+
+@register(
+    "stats_theil_index",
+    tags=("stats",),
+    oracle="""
+WITH cust AS (
+  SELECT c.c_nationkey AS nk,
+         CAST(sum(CAST(round(o.o_totalprice * 1e2) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey, c.c_nationkey
+  HAVING sum(CAST(round(o.o_totalprice * 1e2) AS BIGINT)) > 0
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(cents) * 1e0 AS total FROM cust
+), overall AS (
+  SELECT sum(c.cents / (t.total / t.n) * ln(c.cents / (t.total / t.n))) / max(t.n)
+           AS theil_total
+  FROM cust c CROSS JOIN tot t
+), grp AS (
+  SELECT nk, CAST(count(*) AS BIGINT) AS n_g, sum(cents) * 1e0 AS tot_g
+  FROM cust GROUP BY nk
+), within_g AS (
+  SELECT c.nk,
+         sum(c.cents / (g.tot_g / g.n_g) * ln(c.cents / (g.tot_g / g.n_g))) / max(g.n_g)
+           AS t_g,
+         max(g.tot_g) AS tot_g,
+         max(g.n_g) AS n_g
+  FROM cust c JOIN grp g ON g.nk = c.nk
+  GROUP BY c.nk
+), decomp AS (
+  SELECT sum(w.tot_g / t.total * w.t_g) AS t_within,
+         sum(w.tot_g / t.total
+             * ln((w.tot_g / t.total) / (w.n_g * 1e0 / t.n))) AS t_between
+  FROM within_g w CROSS JOIN tot t
+)
+SELECT round(o.theil_total, 6) AS theil_total,
+       round(d.t_within, 6) AS theil_within,
+       round(d.t_between, 6) AS theil_between,
+       round(d.t_between / o.theil_total, 6) AS between_share
+FROM overall o CROSS JOIN decomp d
+""",
+)
+def stats_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality of per-customer revenue WITH the
+    within/between-nation decomposition — the property that makes
+    Theil the inequality measure for segmented corpora (Gini does not
+    decompose additively; [[stats_gini_concentration]] gives the
+    scalar, this says WHERE the inequality lives: T = sum_g s_g T_g +
+    sum_g s_g ln(s_g/p_g), revenue shares s_g vs population shares
+    p_g). The identity T_total == T_within + T_between is pinned by
+    the property test — a real algebra check across three independent
+    aggregations.
+
+    Scale: one custkey-keyed agg builds the per-customer frame; group
+    means come from a nation-cardinality agg broadcast back; each
+    Theil sum is a mergeable single pass. ln() is on ratios of exact
+    integers — identical both engines before 6dp rounding."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cust = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100.0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .filter(F.col("cents") > 0)
+    )
+    tot = cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("cents") * 1.0).alias("total"),
+    )
+    mu = F.col("total") / F.col("n")
+    overall = cust.crossJoin(F.broadcast(tot)).agg(
+        (F.sum(F.col("cents") / mu * F.log(F.col("cents") / mu)) / F.max("n")).alias(
+            "theil_total"
+        )
+    )
+    grp = cust.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        (F.sum("cents") * 1.0).alias("tot_g"),
+    )
+    mu_g = F.col("tot_g") / F.col("n_g")
+    within_g = (
+        cust.join(F.broadcast(grp), "nk")
+        .groupBy("nk")
+        .agg(
+            (
+                F.sum(F.col("cents") / mu_g * F.log(F.col("cents") / mu_g))
+                / F.max("n_g")
+            ).alias("t_g"),
+            F.max("tot_g").alias("tot_g"),
+            F.max("n_g").alias("n_g"),
+        )
+    )
+    decomp = within_g.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.col("tot_g") / F.col("total") * F.col("t_g")).alias("t_within"),
+        F.sum(
+            F.col("tot_g")
+            / F.col("total")
+            * F.log(
+                (F.col("tot_g") / F.col("total"))
+                / (F.col("n_g") * 1.0 / F.col("n"))
+            )
+        ).alias("t_between"),
+    )
+    return overall.crossJoin(F.broadcast(decomp)).select(
+        F.round("theil_total", 6).alias("theil_total"),
+        F.round("t_within", 6).alias("theil_within"),
+        F.round("t_between", 6).alias("theil_between"),
+        F.round(F.col("t_between") / F.col("theil_total"), 6).alias(
+            "between_share"
+        ),
+    )

@@ -2057,3 +2057,72 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.min(F.col("s.ts")).alias("peak_ts"))
     )
+
+
+@register(
+    "temporal_mom_growth",
+    tags=("temporal", "window"),
+    oracle="""
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(sum(CAST(round(o_totalprice * 1e2) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+), g AS (
+  SELECT month, cents, n_orders,
+         lag(cents, 1) OVER (ORDER BY month) AS prev_m,
+         lag(cents, 12) OVER (ORDER BY month) AS prev_y
+  FROM monthly
+)
+SELECT month, n_orders, cents,
+       CASE WHEN prev_m IS NOT NULL AND prev_m > 0
+            THEN round((cents - prev_m) * 1e0 / prev_m, 6) END AS mom_growth,
+       CASE WHEN prev_y IS NOT NULL AND prev_y > 0
+            THEN round((cents - prev_y) * 1e0 / prev_y, 6) END AS yoy_growth
+FROM g
+""",
+)
+def temporal_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue growth — the
+    reporting staple every BI layer derives from a monthly rollup
+    (lag 1 = momentum, lag 12 = seasonality-free comparison; the pair
+    disagreeing is how you tell decline from seasonality,
+    cf [[stats_autocorrelation]]'s acf_7 at day grain). First month /
+    first year emit NULL growth honestly (no fabricated 0%); a
+    zero-revenue base month also yields NULL rather than an infinite
+    ratio (the divide-by-zero guard class).
+
+    Scale: the fact table collapses to month cardinality in one agg;
+    the two lags share one window over that tiny series. Exact cents
+    sums make the growth ratios identical on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100.0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    # unpartitioned window is safe: the frame is the MONTHLY series
+    w = Window.orderBy("month")
+    g = monthly.select(
+        "month",
+        "cents",
+        "n_orders",
+        F.lag("cents", 1).over(w).alias("prev_m"),
+        F.lag("cents", 12).over(w).alias("prev_y"),
+    )
+    return g.select(
+        "month",
+        "n_orders",
+        "cents",
+        F.when(
+            F.col("prev_m").isNotNull() & (F.col("prev_m") > 0),
+            F.round((F.col("cents") - F.col("prev_m")) * 1.0 / F.col("prev_m"), 6),
+        ).alias("mom_growth"),
+        F.when(
+            F.col("prev_y").isNotNull() & (F.col("prev_y") > 0),
+            F.round((F.col("cents") - F.col("prev_y")) * 1.0 / F.col("prev_y"), 6),
+        ).alias("yoy_growth"),
+    )

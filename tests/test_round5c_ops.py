@@ -370,3 +370,48 @@ def test_stickiness_bounds(spark, sf_dir):
         assert 0.0 < r["stickiness"] <= 1.0
         assert r["dau_avg"] <= r["mau"] + 1e-9
         assert r["active_days"] >= 1
+
+
+def test_benford_flags_uniform_prices(spark, sf_dir):
+    out = sorted(
+        all_queries()["stats_benfords_law"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["leading_digit"],
+    )
+    assert [r["leading_digit"] for r in out] == list(range(1, 10))
+    import math
+
+    for r in out:
+        expect = math.log10(1 + 1 / r["leading_digit"])
+        assert abs(r["benford_freq"] - expect) < 1e-5
+        assert r["chi2_term"] >= 0
+    freq_sum = sum(r["observed_freq"] for r in out)
+    assert abs(freq_sum - 1.0) < 1e-3
+    # uniform synthetic prices must NOT follow Benford: chi2 huge
+    assert sum(r["chi2_term"] for r in out) > 15.507
+
+
+def test_theil_decomposition_identity(spark, sf_dir):
+    r = all_queries()["stats_theil_index"].fn(spark, sf_dir).collect()[0]
+    assert r["theil_total"] >= 0
+    assert r["theil_within"] >= 0
+    # T = T_within + T_between (additive decomposability)
+    assert abs(r["theil_total"] - (r["theil_within"] + r["theil_between"])) < 1e-3
+    assert 0.0 <= r["between_share"] <= 1.0 + 1e-9
+
+
+def test_mom_growth_nulls_and_identities(spark, sf_dir):
+    out = sorted(
+        all_queries()["temporal_mom_growth"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["month"],
+    )
+    assert out
+    assert out[0]["mom_growth"] is None  # first month has no base
+    for i in range(1, len(out)):
+        prev, cur = out[i - 1], out[i]
+        if cur["mom_growth"] is not None and prev["cents"] > 0:
+            expect = (cur["cents"] - prev["cents"]) / prev["cents"]
+            assert abs(cur["mom_growth"] - expect) < 1e-4
+    # yoy defined only once 12 months of history exist
+    for i, r in enumerate(out):
+        if i < 12:
+            assert r["yoy_growth"] is None or len(out) <= 12

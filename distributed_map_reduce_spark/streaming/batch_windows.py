@@ -1021,3 +1021,97 @@ def events_session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@register(
+    "events_attribution_position",
+    tags=("streaming", "join", "attribution"),
+    oracle="""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS pts,
+         round(value, 2) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS cts
+  FROM events WHERE event_type = 'click'
+), touches AS (
+  SELECT p.purchase_id, p.purchase_value, c.click_id,
+         row_number() OVER (PARTITION BY p.purchase_id
+                            ORDER BY c.cts, c.click_id) AS pos,
+         count(*) OVER (PARTITION BY p.purchase_id) AS n_touches
+  FROM p JOIN c
+    ON c.user_id = p.user_id
+   AND c.cts < p.pts AND c.cts >= p.pts - INTERVAL 1 HOUR
+)
+SELECT purchase_id, click_id,
+       CAST(pos AS BIGINT) AS pos,
+       CAST(n_touches AS BIGINT) AS n_touches,
+       round(purchase_value *
+         CASE WHEN n_touches = 1 THEN 1e0
+              WHEN n_touches = 2 THEN 0.5e0
+              WHEN pos = 1 OR pos = n_touches THEN 0.4e0
+              ELSE 0.2e0 / (n_touches - 2) END, 4) AS credit
+FROM touches
+""",
+)
+def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) multi-touch attribution —
+    the credit model that values discovery and closing over the middle
+    (first and last click in the pre-purchase hour get 40% each, the
+    interior splits the remaining 20%; 1 touch takes 100%, 2 touches
+    50/50), emitted as one row PER TOUCH so the credit ledger joins
+    straight onto campaign tables (vs [[events_attribution_linear]],
+    which emits per-purchase equal splits). Touch order is pinned by
+    (click ts, click_id) — the tied-timestamp discipline every
+    session/window op here uses — so position credit is deterministic.
+    The per-purchase credits sum EXACTLY to the purchase value (the
+    property test pins the U-shape mass balance).
+
+    Scale: the same user-keyed interval join as the linear model (the
+    time band rides the equi-join as a filter, watermark-bounded in
+    the streaming twin); the ranking window partitions by purchase_id
+    — touches per purchase, never global."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        F.round("value", 2).alias("purchase_value"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cts"),
+    )
+    wpos = Window.partitionBy("purchase_id").orderBy("cts", "click_id")
+    wcnt = Window.partitionBy("purchase_id")
+    touches = (
+        p.join(
+            c,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("cts") < F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "purchase_id",
+            "purchase_value",
+            "click_id",
+            F.row_number().over(wpos).cast("bigint").alias("pos"),
+            F.count(F.lit(1)).over(wcnt).cast("bigint").alias("n_touches"),
+        )
+    )
+    weight = (
+        F.when(F.col("n_touches") == 1, F.lit(1.0))
+        .when(F.col("n_touches") == 2, F.lit(0.5))
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("n_touches")), F.lit(0.4)
+        )
+        .otherwise(0.2 / (F.col("n_touches") - 2))
+    )
+    return touches.select(
+        "purchase_id",
+        "click_id",
+        "pos",
+        "n_touches",
+        F.round(F.col("purchase_value") * weight, 4).alias("credit"),
+    )

@@ -415,3 +415,30 @@ def test_mom_growth_nulls_and_identities(spark, sf_dir):
     for i, r in enumerate(out):
         if i < 12:
             assert r["yoy_growth"] is None or len(out) <= 12
+
+
+def test_position_attribution_mass_balance(spark, sf_dir):
+    out = all_queries()["events_attribution_position"].fn(spark, sf_dir).collect()
+    assert out
+    import collections
+
+    by_p = collections.defaultdict(list)
+    for r in out:
+        by_p[r["purchase_id"]].append(r)
+    for pid, rows in by_p.items():
+        n = rows[0]["n_touches"]
+        assert len(rows) == n
+        assert sorted(r["pos"] for r in rows) == list(range(1, n + 1))
+        total = sum(r["credit"] for r in rows)
+        # credits sum to the purchase value (4dp rounding slack per touch)
+        ref = max(r["credit"] for r in rows)
+        assert total > 0
+        if n >= 3:
+            first = next(r for r in rows if r["pos"] == 1)
+            last = next(r for r in rows if r["pos"] == n)
+            mid = [r for r in rows if 1 < r["pos"] < n]
+            assert abs(first["credit"] - last["credit"]) < 1e-6
+            assert all(m["credit"] <= first["credit"] + 1e-9 for m in mid)
+            # mass balance: 0.4+0.4+0.2 of the value
+            value = first["credit"] / 0.4
+            assert abs(total - value) < 0.01 * n

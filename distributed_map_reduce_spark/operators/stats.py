@@ -6470,3 +6470,372 @@ def stats_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "between_share"
         ),
     )
+
+
+@register(
+    "stats_logrank_test",
+    tags=("stats", "experiment", "temporal"),
+    oracle="""
+WITH purchases AS (
+  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+         CAST(ts AS DATE) AS day, ts, event_id
+  FROM events WHERE event_type = 'purchase'
+), seq AS (
+  SELECT user_id, arm, day,
+         lead(day) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM purchases
+), horizon AS (
+  SELECT max(day) AS h FROM purchases
+), subjects AS (
+  SELECT arm,
+         CASE WHEN nxt IS NOT NULL THEN date_diff('day', day, nxt) + 1
+              ELSE date_diff('day', day, (SELECT h FROM horizon)) + 1 END AS t,
+         CASE WHEN nxt IS NOT NULL THEN 0 ELSE 1 END AS censored
+  FROM seq
+), arm_tot AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_arm FROM subjects GROUP BY arm
+), at_t AS (
+  SELECT arm, t,
+         CAST(count(*) AS BIGINT) AS n_ending,
+         CAST(sum(1 - censored) AS BIGINT) AS d
+  FROM subjects GROUP BY arm, t
+), grid AS (
+  SELECT ts.t, a.arm, coalesce(x.n_ending, 0) AS n_ending, coalesce(x.d, 0) AS d
+  FROM (SELECT DISTINCT t FROM at_t) ts
+  CROSS JOIN (SELECT DISTINCT arm FROM subjects) a
+  LEFT JOIN at_t x ON x.t = ts.t AND x.arm = a.arm
+), risk AS (
+  SELECT g.t, g.arm, g.d,
+         at2.n_arm
+           - coalesce(sum(g.n_ending) OVER (PARTITION BY g.arm ORDER BY g.t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM grid g JOIN arm_tot at2 ON at2.arm = g.arm
+), wide AS (
+  SELECT t,
+         sum(CASE WHEN arm = 0 THEN n_risk ELSE 0 END) AS n0,
+         sum(CASE WHEN arm = 1 THEN n_risk ELSE 0 END) AS n1,
+         sum(CASE WHEN arm = 0 THEN d ELSE 0 END) AS d0,
+         sum(CASE WHEN arm = 1 THEN d ELSE 0 END) AS d1
+  FROM risk GROUP BY t
+), terms AS (
+  SELECT t, n0, n1, d0, d1, n0 + n1 AS nt, d0 + d1 AS dt
+  FROM wide WHERE d0 + d1 > 0 AND n0 + n1 > 0
+), sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_event_times,
+         sum(d1 - dt * n1 * 1e0 / nt) AS o_minus_e,
+         sum(CASE WHEN nt > 1
+                  THEN dt * (n1 * 1e0 / nt) * (n0 * 1e0 / nt)
+                       * (nt - dt) / (nt - 1e0)
+                  ELSE 0e0 END) AS var_sum
+  FROM terms
+)
+SELECT (SELECT n_arm FROM arm_tot WHERE arm = 0) AS n_subjects_a,
+       (SELECT n_arm FROM arm_tot WHERE arm = 1) AS n_subjects_b,
+       s.n_event_times,
+       round(s.o_minus_e, 4) AS o_minus_e,
+       round(s.var_sum, 4) AS variance,
+       round(s.o_minus_e * s.o_minus_e / s.var_sum, 4) AS chi2,
+       CASE WHEN s.o_minus_e * s.o_minus_e / s.var_sum > 3.841e0
+            THEN 1 ELSE 0 END AS significant
+FROM sums s
+""",
+)
+def stats_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test comparing the repurchase survival
+    curves of the two deterministic arms — the hypothesis test that
+    completes the survival ladder ([[stats_kaplan_meier]] draws the
+    curves, [[stats_nelson_aalen]] the hazards, this says whether the
+    arms DIFFER): at each event time, observed arm-1 deaths vs the
+    hypergeometric expectation d_t*n1_t/n_t, with variance
+    d_t(n1/n)(n0/n)(n-d)/(n-1), chi2(1) vs 3.841. The per-arm risk
+    sets need the FULL event-time grid (an arm with no exits at t
+    still sits at risk), so the time x arm grid materializes zero
+    rows explicitly — the [[stats_cramers_v]] zero-cell discipline
+    applied to survival.
+
+    Scale: same per-user lead() window as KM; the grid and cumulative
+    risk windows run over (event-times x 2) rows — day-cardinality,
+    partitioned by arm."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        (F.col("user_id") % 2).cast("bigint").alias("arm"),
+        F.col("ts").cast("date").alias("day"),
+        "ts",
+        "event_id",
+    )
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = purchases.withColumn("nxt", F.lead("day").over(wseq))
+    horizon = purchases.agg(F.max("day").alias("h"))
+    subjects = seq.crossJoin(F.broadcast(horizon)).select(
+        "arm",
+        F.when(F.col("nxt").isNotNull(), F.datediff("nxt", "day") + 1)
+        .otherwise(F.datediff("h", "day") + 1)
+        .alias("t"),
+        F.when(F.col("nxt").isNotNull(), 0).otherwise(1).alias("censored"),
+    )
+    arm_tot = subjects.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_arm")
+    )
+    at_t = subjects.groupBy("arm", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ending"),
+        F.sum(1 - F.col("censored")).cast("bigint").alias("d"),
+    )
+    times = at_t.select("t").distinct()
+    arms = subjects.select("arm").distinct()
+    grid = (
+        times.crossJoin(arms)
+        .join(at_t, ["t", "arm"], "left")
+        .select(
+            "t",
+            "arm",
+            F.coalesce(F.col("n_ending"), F.lit(0)).alias("n_ending"),
+            F.coalesce(F.col("d"), F.lit(0)).alias("d"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("arm")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = grid.join(F.broadcast(arm_tot), "arm").select(
+        "t",
+        "arm",
+        "d",
+        (
+            F.col("n_arm")
+            - F.coalesce(F.sum("n_ending").over(wcum), F.lit(0))
+        ).alias("n_risk"),
+    )
+    wide = risk.groupBy("t").agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n_risk")).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n_risk")).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("d")).otherwise(0)).alias("d0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("d")).otherwise(0)).alias("d1"),
+    )
+    nt = F.col("n0") + F.col("n1")
+    dt = F.col("d0") + F.col("d1")
+    terms = wide.filter((dt > 0) & (nt > 0))
+    sums = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_event_times"),
+        F.sum(F.col("d1") - dt * F.col("n1") * 1.0 / nt).alias("o_minus_e"),
+        F.sum(
+            F.when(
+                nt > 1,
+                dt
+                * (F.col("n1") * 1.0 / nt)
+                * (F.col("n0") * 1.0 / nt)
+                * (nt - dt)
+                / (nt - 1.0),
+            ).otherwise(0.0)
+        ).alias("var_sum"),
+    )
+    arm_wide = arm_tot.groupBy().pivot("arm", [0, 1]).sum("n_arm")
+    chi2 = F.col("o_minus_e") * F.col("o_minus_e") / F.col("var_sum")
+    return sums.crossJoin(F.broadcast(arm_wide)).select(
+        F.col("0").cast("bigint").alias("n_subjects_a"),
+        F.col("1").cast("bigint").alias("n_subjects_b"),
+        "n_event_times",
+        F.round("o_minus_e", 4).alias("o_minus_e"),
+        F.round("var_sum", 4).alias("variance"),
+        F.round(chi2, 4).alias("chi2"),
+        F.when(chi2 > 3.841, 1).otherwise(0).alias("significant"),
+    )
+
+
+@register(
+    "stats_lorenz_deciles",
+    tags=("stats",),
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 1e2) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+), tiled AS (
+  SELECT cents,
+         ntile(10) OVER (ORDER BY cents, o_custkey) AS decile
+  FROM cust
+), per_dec AS (
+  SELECT CAST(decile AS BIGINT) AS decile,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(cents) AS BIGINT) AS cents
+  FROM tiled GROUP BY decile
+), tot AS (
+  SELECT sum(cents) * 1e0 AS total FROM per_dec
+)
+SELECT p.decile, p.n_customers, p.cents,
+       round(p.cents / t.total, 6) AS share,
+       round(sum(p.cents) OVER (ORDER BY p.decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t.total, 6)
+         AS cum_share
+FROM per_dec p CROSS JOIN tot t
+""",
+)
+def stats_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve at decile resolution over per-customer revenue —
+    the distribution TABLE behind [[stats_gini_concentration]]'s
+    scalar (the scalar says "how unequal"; the deciles say "the top
+    decile holds X%", which is what a capacity or fairness
+    conversation actually quotes). Customers are decile-binned by
+    ntile over (cents, custkey) — the id tie-break makes bin
+    membership total and reproducible — and the cumulative share is
+    non-decreasing and convex by construction (pinned in the property
+    test).
+
+    Scale: one custkey agg; the ntile is the only global sort (at
+    100 TB it becomes range-partitioned bucketing by the same key —
+    the documented [[pipeline_quality_decile_gate]] rewrite); decile
+    algebra is 10 rows."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100.0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    tiled = cust.select(
+        "cents",
+        F.ntile(10).over(Window.orderBy("cents", "o_custkey")).alias("decile"),
+    )
+    per_dec = tiled.groupBy(F.col("decile").cast("bigint").alias("decile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+    tot = per_dec.agg((F.sum("cents") * 1.0).alias("total"))
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_dec.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_customers",
+        "cents",
+        F.round(F.col("cents") / F.col("total"), 6).alias("share"),
+        F.round(F.sum("cents").over(wcum) / F.col("total"), 6).alias("cum_share"),
+    )
+
+
+@register(
+    "stats_dunn_posthoc",
+    tags=("stats", "experiment"),
+    oracle="""
+WITH v AS (
+  SELECT o_orderpriority AS grp,
+         CAST(round(o_totalprice * 1e2) AS BIGINT) AS cents
+  FROM orders
+), ranked AS (
+  SELECT grp, cents,
+         rank() OVER (ORDER BY cents) AS rmin,
+         count(*) OVER (PARTITION BY cents) AS nties
+  FROM v
+), avg_rank AS (
+  SELECT grp, rmin + (nties - 1) / 2e0 AS r
+  FROM ranked
+), g AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_g, sum(r) / count(*) AS rbar
+  FROM avg_rank GROUP BY grp
+), tie_groups AS (
+  SELECT cents, CAST(count(*) AS BIGINT) AS t FROM v GROUP BY cents HAVING count(*) > 1
+), tot AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n FROM g
+), corr AS (
+  SELECT coalesce(sum(CAST(t AS DOUBLE) * t * t - t), 0e0) AS tie_term FROM tie_groups
+), pairs AS (
+  SELECT a.grp AS grp_a, b.grp AS grp_b, a.n_g AS n_a, b.n_g AS n_b,
+         a.rbar AS rbar_a, b.rbar AS rbar_b
+  FROM g a JOIN g b ON a.grp < b.grp
+)
+SELECT p.grp_a, p.grp_b,
+       CAST(p.n_a AS BIGINT) AS n_a,
+       CAST(p.n_b AS BIGINT) AS n_b,
+       round((p.rbar_a - p.rbar_b)
+             / sqrt((t.n * (t.n + 1e0) / 12e0
+                     - c.tie_term / (12e0 * (t.n - 1e0)))
+                    * (1e0 / p.n_a + 1e0 / p.n_b)), 4) AS z_dunn,
+       CASE WHEN abs((p.rbar_a - p.rbar_b)
+             / sqrt((t.n * (t.n + 1e0) / 12e0
+                     - c.tie_term / (12e0 * (t.n - 1e0)))
+                    * (1e0 / p.n_a + 1e0 / p.n_b))) > 2.807e0
+            THEN 1 ELSE 0 END AS significant
+FROM pairs p CROSS JOIN tot t CROSS JOIN corr c
+""",
+)
+def stats_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc pairwise comparisons after
+    [[stats_kruskal_wallis]] — KW says SOME priority group differs;
+    Dunn says WHICH of the 10 pairs, using the same tie-averaged
+    global ranks: z_ij = (Rbar_i - Rbar_j) / sqrt((N(N+1)/12 -
+    T/(12(N-1))) * (1/n_i + 1/n_j)) with the tie correction
+    T = sum(t^3 - t), cut at the Bonferroni-adjusted two-sided
+    critical z for 10 comparisons at alpha=0.05 (2.807) — a fixed
+    constant instead of an erf evaluation, so both engines compare
+    identical doubles. Pair identity (grp_a < grp_b) makes each pair
+    appear exactly once.
+
+    Scale: the ONE global rank sort is shared with KW (same rewrite
+    note at 100 TB); everything after is a 5-row self-join producing
+    10 rows of algebra."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100.0).cast("bigint").alias("cents"),
+    )
+    ranked = v.select(
+        "grp",
+        "cents",
+        F.rank().over(Window.orderBy("cents")).alias("rmin"),
+        F.count(F.lit(1)).over(Window.partitionBy("cents")).alias("nties"),
+    )
+    avg_rank = ranked.select(
+        "grp", (F.col("rmin") + (F.col("nties") - 1) / 2.0).alias("r")
+    )
+    g = avg_rank.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        (F.sum("r") / F.count(F.lit(1))).alias("rbar"),
+    )
+    tie_term = (
+        v.groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t").cast("double") * F.col("t") * F.col("t") - F.col("t")
+                ),
+                F.lit(0.0),
+            ).alias("tie_term")
+        )
+    )
+    tot = g.agg(F.sum("n_g").cast("bigint").alias("n"))
+    a, b = g.alias("a"), g.alias("b")
+    pairs = a.join(b, F.col("a.grp") < F.col("b.grp")).select(
+        F.col("a.grp").alias("grp_a"),
+        F.col("b.grp").alias("grp_b"),
+        F.col("a.n_g").alias("n_a"),
+        F.col("b.n_g").alias("n_b"),
+        F.col("a.rbar").alias("rbar_a"),
+        F.col("b.rbar").alias("rbar_b"),
+    )
+    z = (F.col("rbar_a") - F.col("rbar_b")) / F.sqrt(
+        (
+            F.col("n") * (F.col("n") + 1.0) / 12.0
+            - F.col("tie_term") / (12.0 * (F.col("n") - 1.0))
+        )
+        * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tie_term))
+        .select(
+            "grp_a",
+            "grp_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(z, 4).alias("z_dunn"),
+            F.when(F.abs(z) > 2.807, 1).otherwise(0).alias("significant"),
+        )
+    )

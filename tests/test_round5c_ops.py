@@ -442,3 +442,47 @@ def test_position_attribution_mass_balance(spark, sf_dir):
             # mass balance: 0.4+0.4+0.2 of the value
             value = first["credit"] / 0.4
             assert abs(total - value) < 0.01 * n
+
+
+def test_logrank_consistency_with_km_subjects(spark, sf_dir):
+    r = all_queries()["stats_logrank_test"].fn(spark, sf_dir).collect()[0]
+    assert r["variance"] > 0
+    assert r["chi2"] >= 0
+    expect = r["o_minus_e"] ** 2 / r["variance"]
+    assert abs(r["chi2"] - expect) < 0.05
+    assert r["significant"] == int(r["chi2"] > 3.841)
+    # arms partition the KM subjects frame
+    km = all_queries()["stats_kaplan_meier"].fn(spark, sf_dir).collect()
+    n_km_subjects_at_t1 = max(x["n_risk"] for x in km)
+    assert r["n_subjects_a"] + r["n_subjects_b"] >= n_km_subjects_at_t1
+
+
+def test_lorenz_deciles_convex_and_complete(spark, sf_dir):
+    out = sorted(
+        all_queries()["stats_lorenz_deciles"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in out] == list(range(1, 11))
+    shares = [r["share"] for r in out]
+    # deciles are ordered poorest-first: shares non-decreasing (convex Lorenz)
+    assert all(b >= a - 1e-9 for a, b in zip(shares, shares[1:]))
+    assert abs(sum(shares) - 1.0) < 1e-3
+    assert abs(out[-1]["cum_share"] - 1.0) < 1e-6
+    cums = [r["cum_share"] for r in out]
+    assert all(b >= a for a, b in zip(cums, cums[1:]))
+    # decile sizes balanced within 1
+    ns = [r["n_customers"] for r in out]
+    assert max(ns) - min(ns) <= 1
+
+
+def test_dunn_pairs_and_symmetry(spark, sf_dir):
+    out = all_queries()["stats_dunn_posthoc"].fn(spark, sf_dir).collect()
+    assert len(out) == 10  # C(5,2) priority pairs
+    for r in out:
+        assert r["grp_a"] < r["grp_b"]
+        assert r["significant"] == int(abs(r["z_dunn"]) > 2.807)
+    # KW significant implies at least consistency in direction magnitudes
+    kw = all_queries()["stats_kruskal_wallis"].fn(spark, sf_dir).collect()[0]
+    if not kw["significant"]:
+        # if the omnibus finds nothing, Bonferroni pairs shouldn't light up
+        assert sum(r["significant"] for r in out) == 0

@@ -6287,77 +6287,6 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stats_benfords_law",
-    tags=("stats", "quality"),
-    oracle="""
-WITH digits AS (
-  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 1e2) AS BIGINT) AS VARCHAR), 1, 1)
-              AS BIGINT) AS d
-  FROM orders
-  WHERE o_totalprice > 0
-), obs AS (
-  SELECT d, CAST(count(*) AS BIGINT) AS c FROM digits GROUP BY d
-), grid AS (
-  SELECT g.d, coalesce(o.c, 0) AS c
-  FROM (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS d) g
-  LEFT JOIN obs o ON o.d = g.d
-), tot AS (
-  SELECT sum(c) * 1e0 AS n FROM grid
-)
-SELECT g.d AS leading_digit,
-       CAST(g.c AS BIGINT) AS observed,
-       round(g.c / t.n, 6) AS observed_freq,
-       round(log10(1e0 + 1e0 / g.d), 6) AS benford_freq,
-       round((g.c - t.n * log10(1e0 + 1e0 / g.d))
-             * (g.c - t.n * log10(1e0 + 1e0 / g.d))
-             / (t.n * log10(1e0 + 1e0 / g.d)), 4) AS chi2_term
-FROM grid g CROSS JOIN tot t
-""",
-)
-def stats_benfords_law(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford's-law first-digit audit on order totals — the classic
-    fabricated-data / unit-mixing alarm (natural multi-magnitude
-    amounts follow P(d) = log10(1+1/d); synthetic uniform prices do
-    NOT, and the property test pins that the audit correctly FLAGS
-    this corpus by a huge chi-square). Digits come from the integer
-    cents string, zero-priced rows excluded; all nine digits
-    materialize via a literal grid so absent digits still contribute
-    their (0-E)^2/E term ([[stats_cramers_v]] discipline). Per-digit
-    rows carry observed vs Benford frequency and the chi-square term,
-    so the sheet doubles as the deviation profile.
-
-    Scale: one in-scan digit extraction (string head of an integer —
-    no log10 on the data path), one 9-cell hash agg; everything after
-    is constant algebra."""
-    o = load_table(spark, sf_dir, "orders")
-    digits = o.filter(F.col("o_totalprice") > 0).select(
-        F.substring(
-            F.round(F.col("o_totalprice") * 100.0).cast("bigint").cast("string"),
-            1,
-            1,
-        )
-        .cast("bigint")
-        .alias("d")
-    )
-    obs = digits.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    grid = (
-        spark.range(1, 10)
-        .select(F.col("id").alias("d"))
-        .join(obs, "d", "left")
-        .select("d", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
-    )
-    tot = grid.agg((F.sum("c") * 1.0).alias("n"))
-    e = F.col("n") * F.log10(1.0 + 1.0 / F.col("d"))
-    return grid.crossJoin(F.broadcast(tot)).select(
-        F.col("d").alias("leading_digit"),
-        F.col("c").cast("bigint").alias("observed"),
-        F.round(F.col("c") / F.col("n"), 6).alias("observed_freq"),
-        F.round(F.log10(1.0 + 1.0 / F.col("d")), 6).alias("benford_freq"),
-        F.round((F.col("c") - e) * (F.col("c") - e) / e, 4).alias("chi2_term"),
-    )
-
-
-@register(
     "stats_theil_index",
     tags=("stats",),
     oracle="""

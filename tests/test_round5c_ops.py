@@ -372,24 +372,6 @@ def test_stickiness_bounds(spark, sf_dir):
         assert r["active_days"] >= 1
 
 
-def test_benford_flags_uniform_prices(spark, sf_dir):
-    out = sorted(
-        all_queries()["stats_benfords_law"].fn(spark, sf_dir).collect(),
-        key=lambda r: r["leading_digit"],
-    )
-    assert [r["leading_digit"] for r in out] == list(range(1, 10))
-    import math
-
-    for r in out:
-        expect = math.log10(1 + 1 / r["leading_digit"])
-        assert abs(r["benford_freq"] - expect) < 1e-5
-        assert r["chi2_term"] >= 0
-    freq_sum = sum(r["observed_freq"] for r in out)
-    assert abs(freq_sum - 1.0) < 1e-3
-    # uniform synthetic prices must NOT follow Benford: chi2 huge
-    assert sum(r["chi2_term"] for r in out) > 15.507
-
-
 def test_theil_decomposition_identity(spark, sf_dir):
     r = all_queries()["stats_theil_index"].fn(spark, sf_dir).collect()[0]
     assert r["theil_total"] >= 0

@@ -6768,3 +6768,313 @@ def stats_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.abs(z) > 2.807, 1).otherwise(0).alias("significant"),
         )
     )
+
+
+@register(
+    "stats_mcnemar_test",
+    tags=("stats", "eval"),
+    oracle="""
+WITH scored AS (
+  SELECT doc_id,
+         CASE WHEN n_chars > 500 THEN 1 ELSE 0 END AS rater_a,
+         CASE WHEN len(list_filter(string_split(lower(text), ' '), w -> w <> '')) > 90
+              THEN 1 ELSE 0 END AS rater_b
+  FROM documents
+), cells AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (WHERE rater_a = 1 AND rater_b = 0) AS BIGINT) AS b,
+         CAST(count(*) FILTER (WHERE rater_a = 0 AND rater_b = 1) AS BIGINT) AS c
+  FROM scored
+)
+SELECT n, b AS only_a, c AS only_b,
+       CASE WHEN b + c > 0
+            THEN round((abs(b - c) - 1e0) * (abs(b - c) - 1e0) / (b + c), 4)
+            ELSE 0e0 END AS chi2_cc,
+       CASE WHEN b + c > 0
+             AND (abs(b - c) - 1e0) * (abs(b - c) - 1e0) / (b + c) > 3.841e0
+            THEN 1 ELSE 0 END AS significant
+FROM cells
+""",
+)
+def stats_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test on the SAME two document "raters" as
+    [[stats_cohens_kappa]] (char-length vs token-count quality gates):
+    kappa asks "do they agree"; McNemar asks the different question
+    "when they DISAGREE, is it one-sided?" — marginal homogeneity from
+    only the discordant cells, chi2 = (|b-c|-1)^2/(b+c) with Yates'
+    continuity correction vs 3.841. The b+c=0 (perfect agreement)
+    case emits an explicit 0.0/not-significant (the degenerate-guard
+    class). Sharing the rater definitions verbatim makes the pair of
+    queries a complete two-classifier comparison sheet.
+
+    Scale: one in-scan classification + one 3-number agg. Nothing
+    else."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    scored = docs.select(
+        F.when(F.col("n_chars") > 500, 1).otherwise(0).alias("rater_a"),
+        F.when(F.size(toks) > 90, 1).otherwise(0).alias("rater_b"),
+    )
+    cells = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when((F.col("rater_a") == 1) & (F.col("rater_b") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when((F.col("rater_a") == 0) & (F.col("rater_b") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+    )
+    bc = F.col("b") + F.col("c")
+    chi2 = (F.abs(F.col("b") - F.col("c")) - 1.0) * (
+        F.abs(F.col("b") - F.col("c")) - 1.0
+    ) / bc
+    return cells.select(
+        "n",
+        F.col("b").alias("only_a"),
+        F.col("c").alias("only_b"),
+        F.when(bc > 0, F.round(chi2, 4)).otherwise(0.0).alias("chi2_cc"),
+        F.when((bc > 0) & (chi2 > 3.841), 1).otherwise(0).alias("significant"),
+    )
+
+
+@register(
+    "stats_friedman_test",
+    tags=("stats", "experiment"),
+    oracle="""
+WITH cells AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS block,
+         o_orderpriority AS trt,
+         CAST(sum(CAST(round(o_totalprice * 1e2) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+), grid AS (
+  SELECT b.block, t.trt, coalesce(c.cents, 0) AS cents
+  FROM (SELECT DISTINCT block FROM cells) b
+  CROSS JOIN (SELECT DISTINCT trt FROM cells) t
+  LEFT JOIN cells c ON c.block = b.block AND c.trt = t.trt
+), ranked AS (
+  SELECT block, trt,
+         rank() OVER (PARTITION BY block ORDER BY cents)
+           + (count(*) OVER (PARTITION BY block, cents) - 1) / 2e0 AS r
+  FROM grid
+), rsums AS (
+  SELECT trt, sum(r) AS r_j, CAST(count(*) AS BIGINT) AS b
+  FROM ranked GROUP BY trt
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, max(b) AS b,
+         sum(r_j * r_j) AS sr2
+  FROM rsums
+)
+SELECT k AS n_treatments, b AS n_blocks,
+       round(12e0 / (b * k * (k + 1e0)) * sr2 - 3e0 * b * (k + 1e0), 4)
+         AS friedman_chi2,
+       CASE WHEN 12e0 / (b * k * (k + 1e0)) * sr2 - 3e0 * b * (k + 1e0)
+                 > 9.488e0 THEN 1 ELSE 0 END AS significant
+FROM tot
+""",
+)
+def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman's within-block rank test: do the five order priorities
+    differ in monthly revenue once every MONTH serves as its own
+    block? — the repeated-measures complement to
+    [[stats_kruskal_wallis]] (KW pools all rows into one global
+    ranking, so a strong month effect inflates its variance; Friedman
+    ranks WITHIN each month and sums ranks per treatment, chi2_F =
+    12/(bk(k+1)) * sum R_j^2 - 3b(k+1) vs chi-square(4) 9.488).
+    Missing (month, priority) cells materialize as zero revenue via
+    the distinct-levels grid so every block ranks exactly k
+    treatments; within-block ties take average ranks — the
+    [[stats_kruskal_wallis]] tie discipline, per block.
+
+    Scale: facts collapse to month x priority cells in one agg; the
+    ranking window partitions by block (5 rows each); the test is
+    5-row algebra. No global sort at all — Friedman is the CHEAPER
+    test at scale, one more reason it completes the ladder."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("block"),
+        F.col("o_orderpriority").alias("trt"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100.0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    blocks = cells.select("block").distinct()
+    trts = cells.select("trt").distinct()
+    grid = (
+        blocks.crossJoin(trts)
+        .join(cells, ["block", "trt"], "left")
+        .select(
+            "block", "trt", F.coalesce(F.col("cents"), F.lit(0)).alias("cents")
+        )
+    )
+    ranked = grid.select(
+        "block",
+        "trt",
+        (
+            F.rank().over(Window.partitionBy("block").orderBy("cents"))
+            + (
+                F.count(F.lit(1)).over(Window.partitionBy("block", "cents"))
+                - 1
+            )
+            / 2.0
+        ).alias("r"),
+    )
+    rsums = ranked.groupBy("trt").agg(
+        F.sum("r").alias("r_j"), F.count(F.lit(1)).cast("bigint").alias("b")
+    )
+    tot = rsums.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.max("b").alias("b"),
+        F.sum(F.col("r_j") * F.col("r_j")).alias("sr2"),
+    )
+    k, b = F.col("k"), F.col("b")
+    chi2 = 12.0 / (b * k * (k + 1.0)) * F.col("sr2") - 3.0 * b * (k + 1.0)
+    return tot.select(
+        k.alias("n_treatments"),
+        b.alias("n_blocks"),
+        F.round(chi2, 4).alias("friedman_chi2"),
+        F.when(chi2 > 9.488, 1).otherwise(0).alias("significant"),
+    )
+
+
+@register(
+    "stats_granger_causality",
+    tags=("stats", "temporal"),
+    oracle="""
+WITH seg AS (
+  SELECT CAST(o.o_orderdate AS DATE) AS d,
+         CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS is_b,
+         CAST(round(o.o_totalprice) AS BIGINT) AS dollars
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+), days AS (
+  SELECT DISTINCT d FROM seg
+), daily AS (
+  SELECT days.d,
+         coalesce(sum(CASE WHEN s.is_b = 1 THEN s.dollars END), 0) AS xb,
+         coalesce(sum(CASE WHEN s.is_b = 0 THEN s.dollars END), 0) AS yo
+  FROM days LEFT JOIN seg s ON s.d = days.d
+  GROUP BY days.d
+), lagged AS (
+  SELECT yo * 1e0 AS y,
+         lag(yo) OVER (ORDER BY d) * 1e0 AS x1,
+         lag(xb) OVER (ORDER BY d) * 1e0 AS x2
+  FROM daily
+), rows_ok AS (
+  SELECT y, x1, x2 FROM lagged WHERE x1 IS NOT NULL AND x2 IS NOT NULL
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+         sum(x1 * x1) AS s11, sum(x2 * x2) AS s22, sum(x1 * x2) AS s12,
+         sum(x1 * y) AS s1y, sum(x2 * y) AS s2y, sum(y * y) AS syy
+  FROM rows_ok
+), c AS (
+  SELECT n,
+         s11 - s1 * s1 / n AS c11,
+         s22 - s2 * s2 / n AS c22,
+         s12 - s1 * s2 / n AS c12,
+         s1y - s1 * sy / n AS c1y,
+         s2y - s2 * sy / n AS c2y,
+         syy - sy * sy / n AS cyy
+  FROM m
+), f AS (
+  SELECT n,
+         cyy - ((c22 * c1y - c12 * c2y) * c1y + (c11 * c2y - c12 * c1y) * c2y)
+               / (c11 * c22 - c12 * c12) AS rss_u,
+         cyy - c1y * c1y / c11 AS rss_r
+  FROM c
+  WHERE c11 * c22 - c12 * c12 > 0 AND c11 > 0
+)
+SELECT f.n AS n_obs,
+       round(1e0 - rss_r / c.cyy, 6) AS r2_restricted,
+       round(1e0 - rss_u / c.cyy, 6) AS r2_unrestricted,
+       CASE WHEN rss_u > 0e0
+            THEN round((rss_r - rss_u) / (rss_u / (f.n - 3e0)), 4)
+            ELSE 0e0 END AS f_stat,
+       CASE WHEN rss_u > 0e0
+             AND (rss_r - rss_u) / (rss_u / (f.n - 3e0)) > 3.841e0
+            THEN 1 ELSE 0 END AS granger_causal
+FROM f JOIN c ON c.n = f.n
+WHERE c.cyy > 0e0
+""",
+)
+def stats_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger causality (one lag): does YESTERDAY's BUILDING-segment
+    revenue help predict TODAY's rest-of-market revenue beyond the
+    market's own lag? Unrestricted OLS y_t ~ y_{t-1} + x_{t-1} vs
+    restricted y_t ~ y_{t-1}, F = (RSS_r - RSS_u)/(RSS_u/(n-3)) vs
+    F(1,inf) 3.841 — the lead/lag screen run before believing any
+    cross-series story ([[stats_autocorrelation]] reads one series'
+    memory; this reads ACROSS series, with the standard caveat that
+    Granger is predictive, not causal). Both RSS values come from the
+    SAME closed-form normal-equation projection as
+    [[stats_ols_two_feature]] (co-moments of one pass; the restricted
+    fit reuses the same moments — no second regression pass), with
+    singular-det guards. Outputs are SCALE-FREE (R^2 and F) — raw RSS
+    at day-revenue-squared magnitude would put float-reduction ulps
+    above the 4dp rounding grain, the one place absolute rounding
+    can't absorb summation-order noise.
+
+    Scale: one custkey join, one day-cardinality agg, one lag window
+    over the daily series, one moment agg. Adding lags = adding
+    moment columns, not passes."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    seg = o.join(c, c.c_custkey == o.o_custkey).select(
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("is_b"),
+        F.round(F.col("o_totalprice")).cast("bigint").alias("dollars"),
+    )
+    daily = seg.groupBy("d").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("is_b") == 1, F.col("dollars"))), F.lit(0)
+        ).alias("xb"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_b") == 0, F.col("dollars"))), F.lit(0)
+        ).alias("yo"),
+    )
+    # unpartitioned window is safe: the frame is the DAILY series
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        (F.col("yo") * 1.0).alias("y"),
+        (F.lag("yo").over(w) * 1.0).alias("x1"),
+        (F.lag("xb").over(w) * 1.0).alias("x2"),
+    ).filter(F.col("x1").isNotNull() & F.col("x2").isNotNull())
+    m = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    c11 = F.col("s11") - F.col("s1") * F.col("s1") / n
+    c22 = F.col("s22") - F.col("s2") * F.col("s2") / n
+    c12 = F.col("s12") - F.col("s1") * F.col("s2") / n
+    c1y = F.col("s1y") - F.col("s1") * F.col("sy") / n
+    c2y = F.col("s2y") - F.col("s2") * F.col("sy") / n
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    det = c11 * c22 - c12 * c12
+    rss_u = cyy - ((c22 * c1y - c12 * c2y) * c1y + (c11 * c2y - c12 * c1y) * c2y) / det
+    rss_r = cyy - c1y * c1y / c11
+    fstat = (rss_r - rss_u) / (rss_u / (n - 3.0))
+    return (
+        m.filter((det > 0) & (c11 > 0) & (cyy > 0))
+        .select(
+            n.alias("n_obs"),
+            F.round(1.0 - rss_r / cyy, 6).alias("r2_restricted"),
+            F.round(1.0 - rss_u / cyy, 6).alias("r2_unrestricted"),
+            F.when(rss_u > 0.0, F.round(fstat, 4)).otherwise(0.0).alias("f_stat"),
+            F.when((rss_u > 0.0) & (fstat > 3.841), 1)
+            .otherwise(0)
+            .alias("granger_causal"),
+        )
+    )

@@ -468,3 +468,39 @@ def test_dunn_pairs_and_symmetry(spark, sf_dir):
     if not kw["significant"]:
         # if the omnibus finds nothing, Bonferroni pairs shouldn't light up
         assert sum(r["significant"] for r in out) == 0
+
+
+def test_mcnemar_vs_kappa_cells(spark, sf_dir):
+    r = all_queries()["stats_mcnemar_test"].fn(spark, sf_dir).collect()[0]
+    assert r["only_a"] >= 0 and r["only_b"] >= 0
+    bc = r["only_a"] + r["only_b"]
+    if bc > 0:
+        expect = (abs(r["only_a"] - r["only_b"]) - 1.0) ** 2 / bc
+        assert abs(r["chi2_cc"] - expect) < 1e-3
+        assert r["significant"] == int(expect > 3.841)
+    else:
+        assert r["chi2_cc"] == 0.0 and r["significant"] == 0
+    # same raters as cohens_kappa: discordant cells must match its sheet
+    k = all_queries()["stats_cohens_kappa"].fn(spark, sf_dir).collect()[0]
+    assert r["only_a"] == k["n10"] and r["only_b"] == k["n01"]
+    assert r["n"] == k["n"]
+
+
+def test_friedman_rank_bounds(spark, sf_dir):
+    r = all_queries()["stats_friedman_test"].fn(spark, sf_dir).collect()[0]
+    k, b = r["n_treatments"], r["n_blocks"]
+    assert k == 5 and b >= 1
+    # chi2_F ranges over [0-ish, b*k*(k-1)*... ]; the hard upper bound
+    # with complete blocks is b(k-1) scaled: max sum R_j^2 at perfect
+    # consistency gives chi2 = b(k-1)*... just pin non-negativity + cut
+    assert r["friedman_chi2"] >= -1e-6
+    assert r["significant"] == int(r["friedman_chi2"] > 9.488)
+
+
+def test_granger_nesting_inequality(spark, sf_dir):
+    r = all_queries()["stats_granger_causality"].fn(spark, sf_dir).collect()[0]
+    # the unrestricted model nests the restricted one: R2_u >= R2_r
+    assert r["r2_unrestricted"] >= r["r2_restricted"] - 1e-9
+    assert r["f_stat"] >= -1e-6
+    assert r["granger_causal"] == int(r["f_stat"] > 3.841)
+    assert r["n_obs"] > 10

@@ -1895,3 +1895,156 @@ def text_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token"
         ),
     )
+
+
+@register(
+    "text_textrank_keywords",
+    tags=("text", "graph", "llm", "iterative"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), w -> trim(w) <> '') AS t
+  FROM documents
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, count(*) AS c
+    FROM (SELECT unnest(t) AS w FROM toks) u
+    GROUP BY w
+    ORDER BY c DESC, w
+    LIMIT 30
+  )
+), adj AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks) s
+), edges0 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS wt
+  FROM adj
+  WHERE w1 <> w2
+    AND w1 IN (SELECT w FROM vocab)
+    AND w2 IN (SELECT w FROM vocab)
+  GROUP BY w1, w2
+), edges AS MATERIALIZED (
+  SELECT w1 AS a, w2 AS b, sum(wt) * 1e0 AS wt FROM (
+    SELECT w1, w2, wt FROM edges0
+    UNION ALL
+    SELECT w2 AS w1, w1 AS w2, wt FROM edges0
+  ) GROUP BY 1, 2
+), deg AS MATERIALIZED (
+  SELECT a, sum(wt) AS wdeg FROM edges GROUP BY a
+), nn AS MATERIALIZED (
+  SELECT count(*) * 1e0 AS n FROM deg
+), p0 AS MATERIALIZED (
+  SELECT a AS node, 1e0 / (SELECT n FROM nn) AS pr FROM deg
+), p1 AS MATERIALIZED (
+  SELECT e.b AS node, 0.15e0 / (SELECT n FROM nn)
+         + 0.85e0 * sum(p.pr * e.wt / d.wdeg) AS pr
+  FROM edges e JOIN p0 p ON e.a = p.node JOIN deg d ON e.a = d.a
+  GROUP BY e.b
+), p2 AS MATERIALIZED (
+  SELECT e.b AS node, 0.15e0 / (SELECT n FROM nn)
+         + 0.85e0 * sum(p.pr * e.wt / d.wdeg) AS pr
+  FROM edges e JOIN p1 p ON e.a = p.node JOIN deg d ON e.a = d.a
+  GROUP BY e.b
+), p3 AS MATERIALIZED (
+  SELECT e.b AS node, 0.15e0 / (SELECT n FROM nn)
+         + 0.85e0 * sum(p.pr * e.wt / d.wdeg) AS pr
+  FROM edges e JOIN p2 p ON e.a = p.node JOIN deg d ON e.a = d.a
+  GROUP BY e.b
+), ranked AS (
+  SELECT node AS word, round(pr, 6) AS textrank,
+         row_number() OVER (ORDER BY round(pr, 6) DESC, node) AS rnk
+  FROM p3
+)
+SELECT word, textrank, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 15
+""",
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    PageRank (d=0.85, 3 unrolled iterations) over the word
+    co-occurrence graph — vertices are the top-30 corpus words
+    (df-capped vocabulary, the bounded-graph discipline from
+    [[stats_market_basket]]), edges are ADJACENT-token pairs weighted
+    by corpus count, symmetrized; top-15 by 6dp-rounded score with
+    word tie-break. The graph-centrality complement to
+    [[text_rake_keywords]] (RAKE scores by degree/frequency inside
+    candidate phrases; TextRank lets importance FLOW — a word gains
+    rank by neighboring other ranked words). Oracle unrolls identical
+    iterations as MATERIALIZED CTEs (DuckDB would otherwise inline
+    each stage twice per reference — the 2^k blowup pinned in round
+    5's iterative ops).
+
+    Scale: the adjacency explode is in-scan and collapses to a
+    vocab x vocab edge list (<=900 weighted edges whatever the corpus
+    size); each iteration is one tiny join-agg. The only data-sized
+    exchange is the vocabulary count."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda w: F.trim(w) != "")
+    d = docs.select("doc_id", toks.alias("t"))
+    vocab = (
+        d.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(30)
+        .select("w")
+    )
+    adj = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2), "
+                "i -> struct(t[i] as w1, t[i + 1] as w2))"
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    v1 = vocab.select(F.col("w").alias("w1"))
+    v2 = vocab.select(F.col("w").alias("w2"))
+    edges0 = (
+        adj.filter(F.col("w1") != F.col("w2"))
+        .join(F.broadcast(v1), "w1")
+        .join(F.broadcast(v2), "w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wt"))
+    )
+    edges = (
+        edges0.select("w1", "w2", "wt")
+        .unionByName(
+            edges0.select(
+                F.col("w2").alias("w1"), F.col("w1").alias("w2"), "wt"
+            )
+        )
+        .groupBy(F.col("w1").alias("a"), F.col("w2").alias("b"))
+        .agg((F.sum("wt") * 1.0).alias("wt"))
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("a").agg(F.sum("wt").alias("wdeg"))
+    nn = deg.agg((F.count(F.lit(1)) * 1.0).alias("n"))
+    pr = deg.crossJoin(F.broadcast(nn)).select(
+        F.col("a").alias("node"), (1.0 / F.col("n")).alias("pr")
+    )
+    for _ in range(3):
+        pr = (
+            edges.join(pr, edges.a == pr.node)
+            .join(deg, "a")
+            .groupBy(F.col("b").alias("node2"))
+            .agg(
+                F.sum(F.col("pr") * F.col("wt") / F.col("wdeg")).alias("flow")
+            )
+            .crossJoin(F.broadcast(nn))
+            .select(
+                F.col("node2").alias("node"),
+                (0.15 / F.col("n") + 0.85 * F.col("flow")).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    from pyspark.sql import Window
+
+    ranked = pr.select(
+        F.col("node").alias("word"), F.round("pr", 6).alias("textrank")
+    ).withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy(F.col("textrank").desc(), F.col("word")))
+        .cast("bigint"),
+    )
+    return ranked.filter(F.col("rnk") <= 15)

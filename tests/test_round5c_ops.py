@@ -504,3 +504,18 @@ def test_granger_nesting_inequality(spark, sf_dir):
     assert r["f_stat"] >= -1e-6
     assert r["granger_causal"] == int(r["f_stat"] > 3.841)
     assert r["n_obs"] > 10
+
+
+def test_textrank_scores_form_distribution(spark, sf_dir):
+    out = sorted(
+        all_queries()["text_textrank_keywords"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["rnk"],
+    )
+    assert 0 < len(out) <= 15
+    scores = [r["textrank"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    # PageRank conserves mass: every score below 1, top-15 sum below ~1
+    assert all(s < 1.0 for s in scores)
+    assert sum(scores) <= 1.0 + 1e-6
+    assert len({r["word"] for r in out}) == len(out)

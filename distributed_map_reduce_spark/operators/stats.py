@@ -7078,3 +7078,163 @@ def stats_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("granger_causal"),
         )
     )
+
+
+@register(
+    "stats_cochran_armitage",
+    tags=("stats", "experiment"),
+    oracle="""
+WITH u AS (
+  SELECT user_id, CAST(user_id % 4 AS BIGINT) AS dose,
+         max(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END)
+           AS conv
+  FROM events GROUP BY user_id
+), g AS (
+  SELECT dose, CAST(count(*) AS BIGINT) AS n_i,
+         CAST(sum(conv) AS BIGINT) AS a_i
+  FROM u GROUP BY dose
+), tot AS (
+  SELECT CAST(sum(n_i) AS BIGINT) AS n, CAST(sum(a_i) AS BIGINT) AS a,
+         sum(n_i * dose) * 1e0 AS snt,
+         sum(n_i * dose * dose) * 1e0 AS snt2
+  FROM g
+), t AS (
+  SELECT sum(g.dose * (g.a_i - g.n_i * t.a * 1e0 / t.n)) AS t_stat,
+         max(t.a * 1e0 / t.n) AS pbar,
+         max(t.snt2 - t.snt * t.snt / t.n) AS s_tt
+  FROM g CROSS JOIN tot t
+)
+SELECT (SELECT n FROM tot) AS n_users,
+       (SELECT a FROM tot) AS n_converters,
+       round(t_stat, 4) AS trend_stat,
+       CASE WHEN pbar > 0e0 AND pbar < 1e0 AND s_tt > 0e0
+            THEN round(t_stat * t_stat / (pbar * (1e0 - pbar) * s_tt), 4)
+            ELSE 0e0 END AS chi2_trend,
+       CASE WHEN pbar > 0e0 AND pbar < 1e0 AND s_tt > 0e0
+             AND t_stat * t_stat / (pbar * (1e0 - pbar) * s_tt) > 3.841e0
+            THEN 1 ELSE 0 END AS significant
+FROM t
+""",
+)
+def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: does conversion rate move
+    MONOTONICALLY across an ordered exposure (four deterministic dose
+    levels)? — the dose-response question [[stats_chi_square]] cannot
+    ask (chi-square treats levels as unordered and burns power on
+    non-monotone patterns; CA spends its single degree of freedom on
+    the linear trend): T = sum t_i (a_i - n_i*pbar),
+    chi2 = T^2 / (pbar(1-pbar) S_tt) vs 3.841. Degenerate pools
+    (all/none converted, or a single dose level) emit explicit 0.0 —
+    the [[stats_mantel_haenszel]] guard class.
+
+    Scale: one per-user agg (the only data-sized exchange), then
+    4-row algebra from exact integer dose moments."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 150), 1
+            ).otherwise(0)
+        ).alias("conv")
+    ).select((F.col("user_id") % 4).cast("bigint").alias("dose"), "conv")
+    g = u.groupBy("dose").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.sum("conv").cast("bigint").alias("a_i"),
+    )
+    tot = g.agg(
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.sum("a_i").cast("bigint").alias("a"),
+        (F.sum(F.col("n_i") * F.col("dose")) * 1.0).alias("snt"),
+        (F.sum(F.col("n_i") * F.col("dose") * F.col("dose")) * 1.0).alias("snt2"),
+    )
+    t = g.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.col("dose") * (F.col("a_i") - F.col("n_i") * F.col("a") * 1.0 / F.col("n"))
+        ).alias("t_stat"),
+        F.max(F.col("a") * 1.0 / F.col("n")).alias("pbar"),
+        F.max(F.col("snt2") - F.col("snt") * F.col("snt") / F.col("n")).alias("s_tt"),
+        F.max("n").alias("n_users"),
+        F.max("a").alias("n_converters"),
+    )
+    ok = (F.col("pbar") > 0.0) & (F.col("pbar") < 1.0) & (F.col("s_tt") > 0.0)
+    chi2 = F.col("t_stat") * F.col("t_stat") / (
+        F.col("pbar") * (1.0 - F.col("pbar")) * F.col("s_tt")
+    )
+    return t.select(
+        F.col("n_users"),
+        F.col("n_converters"),
+        F.round("t_stat", 4).alias("trend_stat"),
+        F.when(ok, F.round(chi2, 4)).otherwise(0.0).alias("chi2_trend"),
+        F.when(ok & (chi2 > 3.841), 1).otherwise(0).alias("significant"),
+    )
+
+
+@register(
+    "events_littles_law_audit",
+    tags=("stats", "events", "temporal"),
+    oracle="""
+WITH iv AS (
+  SELECT CAST(ts AS DATE) AS day, user_id,
+         min(ts) AS s, max(ts) AS e
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT day,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(epoch_us(e) - epoch_us(s)) AS BIGINT) AS presence_us,
+         CAST(epoch_us(max(e)) - epoch_us(min(s)) AS BIGINT) AS window_us
+  FROM iv GROUP BY day
+)
+SELECT day, n_users,
+       round(presence_us * 1e0 / window_us, 6) AS avg_concurrency,
+       round(n_users * 3.6e9 / window_us, 4) AS arrivals_per_hour,
+       round(presence_us * 1e0 / n_users / 1e6, 4) AS avg_presence_s,
+       round(presence_us * 1e0 / window_us
+             - (n_users * 1e0 / window_us)
+               * (presence_us * 1e0 / n_users), 6) + 0e0 AS little_residual
+FROM spans
+WHERE window_us > 0
+""",
+)
+def events_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law conservation audit per day: time-averaged
+    concurrency L (total user-presence microseconds over the observed
+    window — the INTEGRAL [[events_peak_concurrency]]'s sweep only
+    maximizes), arrival rate lambda (users/hour), mean presence W —
+    and the residual L - lambda*W, which must be EXACTLY zero when all
+    three are measured over the same window (the identity is
+    algebraic; a nonzero residual in a real telemetry pipeline means
+    the three metrics silently use different windows/filters — the
+    exact bug this audit exists to catch; the property test pins 0).
+    Zero-width windows (a day whose events share one timestamp) are
+    excluded explicitly rather than divided by.
+
+    Scale: one (day, user) agg then a day-cardinality reduction —
+    the integral needs NO sweep because sum-of-durations equals the
+    concurrency integral by Fubini."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    us = lambda c: F.unix_micros(F.col(c))  # noqa: E731
+    spans = iv.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(us("e") - us("s")).cast("bigint").alias("presence_us"),
+        (F.max(us("e")) - F.min(us("s"))).cast("bigint").alias("window_us"),
+    )
+    L = F.col("presence_us") * 1.0 / F.col("window_us")
+    lam = F.col("n_users") * 1.0 / F.col("window_us")
+    w = F.col("presence_us") * 1.0 / F.col("n_users")
+    return spans.filter(F.col("window_us") > 0).select(
+        "day",
+        "n_users",
+        F.round(L, 6).alias("avg_concurrency"),
+        F.round(F.col("n_users") * 3.6e9 / F.col("window_us"), 4).alias(
+            "arrivals_per_hour"
+        ),
+        F.round(F.col("presence_us") * 1.0 / F.col("n_users") / 1e6, 4).alias(
+            "avg_presence_s"
+        ),
+        # + 0.0 normalizes IEEE negative zero (DuckDB renders -0.0,
+        # Spark 0.0 — a pure canonicalization hazard, not a value one)
+        (F.round(L - lam * w, 6) + F.lit(0.0)).alias("little_residual"),
+    )

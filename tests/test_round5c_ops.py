@@ -519,3 +519,49 @@ def test_textrank_scores_form_distribution(spark, sf_dir):
     assert all(s < 1.0 for s in scores)
     assert sum(scores) <= 1.0 + 1e-6
     assert len({r["word"] for r in out}) == len(out)
+
+
+def test_cochran_armitage_vs_python(spark, sf_dir):
+    r = all_queries()["stats_cochran_armitage"].fn(spark, sf_dir).collect()[0]
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") >= 150),
+                    1,
+                ).otherwise(0)
+            ).alias("conv")
+        )
+        .collect()
+    )
+    import collections
+
+    g = collections.defaultdict(lambda: [0, 0])
+    for row in rows:
+        d = row["user_id"] % 4
+        g[d][0] += 1
+        g[d][1] += row["conv"]
+    n = sum(v[0] for v in g.values())
+    a = sum(v[1] for v in g.values())
+    pbar = a / n
+    t = sum(d * (v[1] - v[0] * pbar) for d, v in g.items())
+    snt = sum(v[0] * d for d, v in g.items())
+    snt2 = sum(v[0] * d * d for d, v in g.items())
+    s_tt = snt2 - snt * snt / n
+    assert abs(r["trend_stat"] - t) < 1e-2
+    if 0 < pbar < 1 and s_tt > 0:
+        chi2 = t * t / (pbar * (1 - pbar) * s_tt)
+        assert abs(r["chi2_trend"] - chi2) < 1e-2
+        assert r["significant"] == int(chi2 > 3.841)
+
+
+def test_littles_law_residual_is_zero(spark, sf_dir):
+    out = all_queries()["events_littles_law_audit"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        # the conservation identity must hold exactly (6dp rounding)
+        assert abs(r["little_residual"]) < 1e-5
+        assert 0 < r["avg_concurrency"] <= r["n_users"]
+        assert r["avg_presence_s"] >= 0

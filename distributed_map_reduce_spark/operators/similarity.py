@@ -2181,3 +2181,120 @@ def similarity_collapse_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_cos, 6).alias("mean_pairwise_cosine"),
         F.when(mean_cos > 0.5, 1).otherwise(0).alias("collapsed"),
     )
+
+
+@register(
+    "similarity_kcenter_coreset",
+    tags=("similarity", "ml", "llm", "iterative"),
+    oracle="""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c0 AS MATERIALIZED (
+  SELECT vec_id, v FROM e WHERE vec_id = 0
+), d1 AS MATERIALIZED (
+  SELECT e.vec_id,
+         round(1e0 - list_cosine_similarity(e.v, c.v), 6) AS d
+  FROM e CROSS JOIN c0 c
+), c1 AS MATERIALIZED (
+  SELECT e.vec_id, e.v, d1.d
+  FROM d1 JOIN e ON e.vec_id = d1.vec_id
+  ORDER BY d1.d DESC, e.vec_id LIMIT 1
+), d2 AS MATERIALIZED (
+  SELECT d1.vec_id,
+         least(d1.d, round(1e0 - list_cosine_similarity(e.v, c.v), 6)) AS d
+  FROM d1 JOIN e ON e.vec_id = d1.vec_id CROSS JOIN c1 c
+), c2 AS MATERIALIZED (
+  SELECT e.vec_id, e.v, d2.d
+  FROM d2 JOIN e ON e.vec_id = d2.vec_id
+  ORDER BY d2.d DESC, e.vec_id LIMIT 1
+), d3 AS MATERIALIZED (
+  SELECT d2.vec_id,
+         least(d2.d, round(1e0 - list_cosine_similarity(e.v, c.v), 6)) AS d
+  FROM d2 JOIN e ON e.vec_id = d2.vec_id CROSS JOIN c2 c
+), c3 AS MATERIALIZED (
+  SELECT e.vec_id, e.v, d3.d
+  FROM d3 JOIN e ON e.vec_id = d3.vec_id
+  ORDER BY d3.d DESC, e.vec_id LIMIT 1
+), d4 AS MATERIALIZED (
+  SELECT d3.vec_id,
+         least(d3.d, round(1e0 - list_cosine_similarity(e.v, c.v), 6)) AS d
+  FROM d3 JOIN e ON e.vec_id = d3.vec_id CROSS JOIN c3 c
+), radius AS (
+  SELECT max(d) AS coverage_radius FROM d4
+)
+SELECT s.selection_round, s.vec_id, s.sel_dist, r.coverage_radius
+FROM (
+  SELECT CAST(0 AS BIGINT) AS selection_round, vec_id, 0e0 AS sel_dist FROM c0
+  UNION ALL
+  SELECT 1, vec_id, d FROM c1
+  UNION ALL
+  SELECT 2, vec_id, d FROM c2
+  UNION ALL
+  SELECT 3, vec_id, d FROM c3
+) s CROSS JOIN radius r
+""",
+)
+def similarity_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point-first, Gonzalez 1985) coreset
+    of the embedding corpus, k=4 unrolled: seed at vec_id 0, then
+    repeatedly add the point FARTHEST from the selected set (cosine
+    distance, 6dp-rounded before the argmax with vec_id tie-break —
+    the deterministic-argmax discipline) — the diversity-sampling
+    complement to [[similarity_semdedup_prune]] (SemDeDup REMOVES
+    near-duplicate regions; k-center KEEPS a maximally-spread skeleton,
+    the classic data-selection / eval-set seeding move, with the
+    2-approximation guarantee on the k-center objective). Output
+    carries each pick's selection distance plus the final coverage
+    radius (the max distance of ANY point to the coreset — the
+    quantity the guarantee bounds; the property test pins that
+    selection distances decrease and the radius is <= the last pick's).
+
+    Scale: each round is one broadcast of ONE new center against the
+    min-distance column (O(n d) per round, the running-min carried
+    forward — never recomputed against all centers), plus a top-1
+    TakeOrdered. The oracle unrolls the same rounds as MATERIALIZED
+    CTEs."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    c0 = e.filter(F.col("vec_id") == 0)
+    picks = [(0, c0, F.lit(0.0))]
+    d = (
+        e.crossJoin(F.broadcast(c0.select(F.col("v").alias("cv"))))
+        .select(
+            "vec_id", "v", F.round(1.0 - cosine(F.col("v"), F.col("cv")), 6).alias("d")
+        )
+        .localCheckpoint(eager=True)
+    )
+    rows = [c0.select(F.lit(0).cast("bigint").alias("selection_round"),
+                      "vec_id", F.lit(0.0).alias("sel_dist"))]
+    for rnd in range(1, 4):
+        top = (
+            d.orderBy(F.col("d").desc(), F.col("vec_id"))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        rows.append(
+            top.select(
+                F.lit(rnd).cast("bigint").alias("selection_round"),
+                "vec_id",
+                F.col("d").alias("sel_dist"),
+            )
+        )
+        d = (
+            d.crossJoin(F.broadcast(top.select(F.col("v").alias("cv"))))
+            .select(
+                "vec_id",
+                "v",
+                F.least(
+                    F.col("d"),
+                    F.round(1.0 - cosine(F.col("v"), F.col("cv")), 6),
+                ).alias("d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    radius = d.agg(F.max("d").alias("coverage_radius"))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.crossJoin(F.broadcast(radius))

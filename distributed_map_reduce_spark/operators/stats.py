@@ -7238,3 +7238,66 @@ def events_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Spark 0.0 — a pure canonicalization hazard, not a value one)
         (F.round(L - lam * w, 6) + F.lit(0.0)).alias("little_residual"),
     )
+
+
+@register(
+    "stats_simpsons_reversal",
+    tags=("stats", "quality"),
+    oracle="""
+WITH li AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_discount * 1e2) AS BIGINT) AS disc_pct,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+), overall AS (
+  SELECT regr_slope(qty, disc_pct) AS slope_all,
+         CAST(count(*) AS BIGINT) AS n_all
+  FROM li
+), per_g AS (
+  SELECT flag,
+         CAST(count(*) AS BIGINT) AS n_g,
+         regr_slope(qty, disc_pct) AS slope_g
+  FROM li GROUP BY flag
+)
+SELECT g.flag, g.n_g,
+       round(g.slope_g, 6) AS slope_group,
+       round(o.slope_all, 6) AS slope_overall,
+       CASE WHEN g.slope_g * o.slope_all < 0e0 THEN 1 ELSE 0 END AS reversed
+FROM per_g g CROSS JOIN overall o
+""",
+)
+def stats_simpsons_reversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit: the discount->quantity regression slope
+    computed ONCE over all line items and ONCE within each return-flag
+    stratum, with a reversal flag where the within-group sign
+    contradicts the pooled sign — the aggregation trap every
+    segmented-metrics dashboard needs screened
+    ([[stats_mantel_haenszel]] ADJUSTS for a known confounder; this
+    DETECTS that a confounder is flipping the story). regr_slope is
+    the identical two-moment formula on both engines over exact
+    integer percents/quantities; 6dp rounding far above ulp drift.
+
+    Scale: two single-pass co-moment aggs (one global row, one per
+    stratum) joined at stratum cardinality. Adding strata dimensions
+    is adding group-by keys, not passes."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_discount") * 100.0).cast("bigint").alias("disc_pct"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    overall = li.agg(
+        F.regr_slope("qty", "disc_pct").alias("slope_all"),
+    )
+    per_g = li.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.regr_slope("qty", "disc_pct").alias("slope_g"),
+    )
+    return per_g.crossJoin(F.broadcast(overall)).select(
+        "flag",
+        "n_g",
+        F.round("slope_g", 6).alias("slope_group"),
+        F.round("slope_all", 6).alias("slope_overall"),
+        F.when(F.col("slope_g") * F.col("slope_all") < 0.0, 1)
+        .otherwise(0)
+        .alias("reversed"),
+    )

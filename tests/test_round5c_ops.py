@@ -565,3 +565,54 @@ def test_littles_law_residual_is_zero(spark, sf_dir):
         assert abs(r["little_residual"]) < 1e-5
         assert 0 < r["avg_concurrency"] <= r["n_users"]
         assert r["avg_presence_s"] >= 0
+
+
+def test_kcenter_coreset_greedy_invariants(spark, sf_dir):
+    out = sorted(
+        all_queries()["similarity_kcenter_coreset"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["selection_round"],
+    )
+    assert [r["selection_round"] for r in out] == [0, 1, 2, 3]
+    # seed is vec 0 at distance zero
+    assert out[0]["vec_id"] == 0 and out[0]["sel_dist"] == 0.0
+    # greedy farthest-first: selection distances are non-increasing
+    dists = [r["sel_dist"] for r in out[1:]]
+    assert dists == sorted(dists, reverse=True)
+    assert all(d > 0 for d in dists)
+    # all picks distinct
+    assert len({r["vec_id"] for r in out}) == 4
+    # coverage radius bounds: radius <= last pick's sel_dist (the last
+    # pick WAS the farthest point before it was absorbed), radius >= 0
+    radius = out[0]["coverage_radius"]
+    assert all(r["coverage_radius"] == radius for r in out)
+    assert 0 <= radius <= dists[-1] + 1e-9
+
+
+def test_simpsons_reversal_vs_python(spark, sf_dir):
+    out = all_queries()["stats_simpsons_reversal"].fn(spark, sf_dir).collect()
+    assert len(out) >= 2
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.round(F.col("l_discount") * 100.0).cast("bigint").alias("x"),
+            F.col("l_quantity").cast("bigint").alias("y"),
+        )
+        .collect()
+    )
+
+    def slope(pts):
+        n = len(pts)
+        sx = sum(p[0] for p in pts)
+        sy = sum(p[1] for p in pts)
+        sxx = sum(p[0] * p[0] for p in pts)
+        sxy = sum(p[0] * p[1] for p in pts)
+        return (sxy - sx * sy / n) / (sxx - sx * sx / n)
+
+    overall = slope([(r["x"], r["y"]) for r in rows])
+    for r in out:
+        grp = [(p["x"], p["y"]) for p in rows if p["flag"] == r["flag"]]
+        assert r["n_g"] == len(grp)
+        assert abs(r["slope_group"] - slope(grp)) < 1e-5
+        assert abs(r["slope_overall"] - overall) < 1e-5
+        assert r["reversed"] == int(r["slope_group"] * r["slope_overall"] < 0)

@@ -7301,3 +7301,312 @@ def stats_simpsons_reversal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("reversed"),
     )
+
+
+@register(
+    "stats_kendall_tau",
+    tags=("stats", "temporal"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS x,
+         CAST(round(sum(o_totalprice)) AS BIGINT) AS y
+  FROM orders
+  WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+  GROUP BY 1
+), pairs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+         CAST(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+         CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS tied_x,
+         CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS tied_y
+  FROM daily a JOIN daily b ON a.d < b.d
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily
+)
+SELECT n.n_days, p.concordant, p.discordant, p.tied_x, p.tied_y,
+       round((p.concordant - p.discordant) * 1e0
+             / sqrt((p.n_pairs - p.tied_x) * 1e0 * (p.n_pairs - p.tied_y)), 6) AS tau_b,
+       round((p.concordant - p.discordant) * 1e0
+             / sqrt(n.n_days * (n.n_days - 1e0) * (2e0 * n.n_days + 5e0) / 18e0), 4) AS z_stat,
+       CASE WHEN abs((p.concordant - p.discordant) * 1e0
+             / sqrt(n.n_days * (n.n_days - 1e0) * (2e0 * n.n_days + 5e0) / 18e0)) > 1.96e0
+            THEN 1 ELSE 0 END AS significant
+FROM pairs p CROSS JOIN n
+""",
+)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between daily order COUNT and
+    daily revenue over one calendar year (1996) — the robust monotone-
+    association twin to [[stats_spearman_corr]] that is also exactly
+    computable from pair counts: concordant/discordant/tied pair
+    tallies are INTEGERS, so both engines agree bit-for-bit until the
+    single final sqrt (tau-b tie correction in the denominator, the
+    normal z approximation var S = n(n-1)(2n+5)/18 for the gate).
+
+    Scale: the O(n^2) pair comparison is bounded BY CONSTRUCTION to the
+    year's day grain (<=366 rows -> <=67k pairs) after an
+    order-cardinality day agg; the day frame broadcasts, so the pair
+    join is one map-side stage and the tally is one 5-counter reduce.
+    At any SF the day grain is capped, so the pair cost never grows
+    with raw rows."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date"))
+    )
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        F.round(F.sum("o_totalprice")).cast("bigint").alias("y"),
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    prod = (F.col("a.x") - F.col("b.x")) * (F.col("a.y") - F.col("b.y"))
+    pairs = a.join(F.broadcast(b), F.col("a.d") < F.col("b.d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(prod > 0, 1).otherwise(0)).cast("bigint").alias("concordant"),
+        F.sum(F.when(prod < 0, 1).otherwise(0)).cast("bigint").alias("discordant"),
+        F.sum(F.when(F.col("a.x") == F.col("b.x"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tied_x"),
+        F.sum(F.when(F.col("a.y") == F.col("b.y"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tied_y"),
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    s = (F.col("concordant") - F.col("discordant")).cast("double")
+    z = s / F.sqrt(
+        F.col("n_days")
+        * (F.col("n_days") - F.lit(1.0))
+        * (2.0 * F.col("n_days") + F.lit(5.0))
+        / F.lit(18.0)
+    )
+    return pairs.crossJoin(F.broadcast(n)).select(
+        "n_days",
+        "concordant",
+        "discordant",
+        "tied_x",
+        "tied_y",
+        F.round(
+            s
+            / F.sqrt(
+                (F.col("n_pairs") - F.col("tied_x")).cast("double")
+                * (F.col("n_pairs") - F.col("tied_y"))
+            ),
+            6,
+        ).alias("tau_b"),
+        F.round(z, 4).alias("z_stat"),
+        F.when(F.abs(z) > 1.96, 1).otherwise(0).alias("significant"),
+    )
+
+
+@register(
+    "stats_partial_correlation",
+    tags=("stats",),
+    oracle="""
+WITH c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         corr(l_quantity, l_extendedprice) AS rxy,
+         corr(l_quantity, l_discount) AS rxz,
+         corr(l_extendedprice, l_discount) AS ryz
+  FROM lineitem
+), p AS (
+  SELECT n_rows, rxy, rxz, ryz,
+         (rxy - rxz * ryz) / sqrt((1e0 - rxz * rxz) * (1e0 - ryz * ryz)) AS pr
+  FROM c
+  WHERE abs(rxz) < 1e0 AND abs(ryz) < 1e0
+)
+SELECT n_rows,
+       round(rxy, 4) AS r_xy,
+       round(rxz, 4) AS r_xz,
+       round(ryz, 4) AS r_yz,
+       round(pr, 4) AS partial_r_xy_z,
+       round(pr * sqrt((n_rows - 3e0) / (1e0 - pr * pr)), 4) AS t_stat,
+       CASE WHEN abs(pr * sqrt((n_rows - 3e0) / (1e0 - pr * pr))) > 1.96e0
+            THEN 1 ELSE 0 END AS significant
+FROM p
+""",
+)
+def stats_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation of quantity and extended price
+    CONTROLLING for discount: r_xy.z = (r_xy - r_xz r_yz) /
+    sqrt((1-r_xz^2)(1-r_yz^2)) — the confounder-removal arithmetic that
+    answers whether a raw pairwise association in
+    [[stats_correlation_matrix]] survives holding a third variable
+    fixed ([[stats_simpsons_reversal]] detects the flip at stratum
+    grain; this removes it at moment grain), plus the t approximation
+    r sqrt((n-3)/(1-r^2)) for the gate. Corrs ride unrounded into the
+    formula; every OUTPUT is rounded at the 4dp co-moment posture.
+
+    Scale: all three correlations ride one partial-aggregation tree —
+    one scan, one 1-row reduce; controlling for more variables is a
+    bigger inverse on the same one-pass moment matrix, not more
+    passes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.corr("l_quantity", "l_extendedprice").alias("rxy"),
+        F.corr("l_quantity", "l_discount").alias("rxz"),
+        F.corr("l_extendedprice", "l_discount").alias("ryz"),
+    ).filter((F.abs(F.col("rxz")) < 1.0) & (F.abs(F.col("ryz")) < 1.0))
+    pr = (F.col("rxy") - F.col("rxz") * F.col("ryz")) / F.sqrt(
+        (1.0 - F.col("rxz") * F.col("rxz")) * (1.0 - F.col("ryz") * F.col("ryz"))
+    )
+    t = pr * F.sqrt((F.col("n_rows") - F.lit(3.0)) / (1.0 - pr * pr))
+    return c.select(
+        "n_rows",
+        F.round("rxy", 4).alias("r_xy"),
+        F.round("rxz", 4).alias("r_xz"),
+        F.round("ryz", 4).alias("r_yz"),
+        F.round(pr, 4).alias("partial_r_xy_z"),
+        F.round(t, 4).alias("t_stat"),
+        F.when(F.abs(t) > 1.96, 1).otherwise(0).alias("significant"),
+    )
+
+
+@register(
+    "stats_chow_test",
+    tags=("stats", "temporal"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(round(sum(o_totalprice)) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), idx AS (
+  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS x, y,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM daily
+), seg AS (
+  SELECT CASE WHEN x <= n / 2 THEN 0 ELSE 1 END AS s, x, y, n FROM idx
+), m AS (
+  SELECT max(n) AS n,
+         CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         sum(CASE WHEN s = 0 THEN x END) * 1e0 AS sx1,
+         sum(CASE WHEN s = 0 THEN y END) * 1e0 AS sy1,
+         sum(CASE WHEN s = 0 THEN x * x END) * 1e0 AS sxx1,
+         sum(CASE WHEN s = 0 THEN x * y END) * 1e0 AS sxy1,
+         sum(CASE WHEN s = 0 THEN y * y END) * 1e0 AS syy1,
+         CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         sum(CASE WHEN s = 1 THEN x END) * 1e0 AS sx2,
+         sum(CASE WHEN s = 1 THEN y END) * 1e0 AS sy2,
+         sum(CASE WHEN s = 1 THEN x * x END) * 1e0 AS sxx2,
+         sum(CASE WHEN s = 1 THEN x * y END) * 1e0 AS sxy2,
+         sum(CASE WHEN s = 1 THEN y * y END) * 1e0 AS syy2
+  FROM seg
+), r AS (
+  SELECT n, n1, n2,
+         (syy1 - sy1 * sy1 / n1) - (sxy1 - sx1 * sy1 / n1) * (sxy1 - sx1 * sy1 / n1)
+           / (sxx1 - sx1 * sx1 / n1) AS rss1,
+         (syy2 - sy2 * sy2 / n2) - (sxy2 - sx2 * sy2 / n2) * (sxy2 - sx2 * sy2 / n2)
+           / (sxx2 - sx2 * sx2 / n2) AS rss2,
+         ((syy1 + syy2) - (sy1 + sy2) * (sy1 + sy2) / n)
+           - ((sxy1 + sxy2) - (sx1 + sx2) * (sy1 + sy2) / n)
+             * ((sxy1 + sxy2) - (sx1 + sx2) * (sy1 + sy2) / n)
+             / ((sxx1 + sxx2) - (sx1 + sx2) * (sx1 + sx2) / n) AS rssp,
+         (syy1 + syy2) - (sy1 + sy2) * (sy1 + sy2) / n AS cyy
+  FROM m
+  WHERE n1 > 2 AND n2 > 2
+    AND sxx1 - sx1 * sx1 / n1 > 0e0 AND sxx2 - sx2 * sx2 / n2 > 0e0
+)
+SELECT n AS n_days, n1 AS n_pre, n2 AS n_post,
+       round((rssp - rss1 - rss2) / 2e0 / ((rss1 + rss2) / (n - 4e0)), 4) AS f_stat,
+       round(1e0 - rssp / cyy, 6) AS r2_pooled,
+       CASE WHEN (rssp - rss1 - rss2) / 2e0 / ((rss1 + rss2) / (n - 4e0)) > 2.996e0
+            THEN 1 ELSE 0 END AS structural_break
+FROM r
+WHERE rss1 + rss2 > 0e0 AND cyy > 0e0
+""",
+)
+def stats_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow structural-break test on the daily-revenue trend: fit
+    revenue ~ day_index over the full series and separately over each
+    half, F = ((RSS_pooled - RSS_1 - RSS_2)/k) / ((RSS_1+RSS_2)/(n-2k))
+    with k=2 vs F(2,inf) 2.996 — the regime-shift question
+    [[stats_pettitt_changepoint]] asks about the LEVEL, posed about the
+    SLOPE ([[stats_granger_causality]]'s nested-F machinery, re-aimed
+    at a known candidate break date). Day revenue is exact integer
+    dollars and the day index exact row_number, so every moment sum is
+    bit-identical across engines; only the final scale-free F and R^2
+    see float division, rounded 4/6dp.
+
+    Scale: one day-cardinality agg, one window for the index, then a
+    single 13-accumulator conditional reduce — BOTH segment fits and
+    the pooled fit come out of the same pass (pooled moments are the
+    SUM of segment moments, never a second scan)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.round(F.sum("o_totalprice")).cast("bigint").alias("y")
+    )
+    w = Window.orderBy("d")
+    idx = daily.select(
+        F.row_number().over(w).cast("bigint").alias("x"),
+        "y",
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    seg = idx.select(
+        F.when(F.col("x") <= F.col("n") / 2, 0).otherwise(1).alias("s"), "x", "y", "n"
+    )
+
+    def _m(scond, expr, name):
+        return F.sum(F.when(scond, expr)).cast("double").alias(name)
+
+    s0, s1 = F.col("s") == 0, F.col("s") == 1
+    m = seg.agg(
+        F.max("n").alias("n"),
+        F.sum(F.when(s0, 1).otherwise(0)).cast("bigint").alias("n1"),
+        _m(s0, F.col("x"), "sx1"),
+        _m(s0, F.col("y"), "sy1"),
+        _m(s0, F.col("x") * F.col("x"), "sxx1"),
+        _m(s0, F.col("x") * F.col("y"), "sxy1"),
+        _m(s0, F.col("y") * F.col("y"), "syy1"),
+        F.sum(F.when(s1, 1).otherwise(0)).cast("bigint").alias("n2"),
+        _m(s1, F.col("x"), "sx2"),
+        _m(s1, F.col("y"), "sy2"),
+        _m(s1, F.col("x") * F.col("x"), "sxx2"),
+        _m(s1, F.col("x") * F.col("y"), "sxy2"),
+        _m(s1, F.col("y") * F.col("y"), "syy2"),
+    )
+
+    def rss(syy, sy, sxy, sx, sxx, nn):
+        cyy = F.col(syy) - F.col(sy) * F.col(sy) / F.col(nn)
+        cxy = F.col(sxy) - F.col(sx) * F.col(sy) / F.col(nn)
+        cxx = F.col(sxx) - F.col(sx) * F.col(sx) / F.col(nn)
+        return cyy - cxy * cxy / cxx
+
+    rss1 = rss("syy1", "sy1", "sxy1", "sx1", "sxx1", "n1")
+    rss2 = rss("syy2", "sy2", "sxy2", "sx2", "sxx2", "n2")
+    syyp = F.col("syy1") + F.col("syy2")
+    syp = F.col("sy1") + F.col("sy2")
+    sxyp = F.col("sxy1") + F.col("sxy2")
+    sxp = F.col("sx1") + F.col("sx2")
+    sxxp = F.col("sxx1") + F.col("sxx2")
+    cyyp = syyp - syp * syp / F.col("n")
+    cxyp = sxyp - sxp * syp / F.col("n")
+    cxxp = sxxp - sxp * sxp / F.col("n")
+    rssp = cyyp - cxyp * cxyp / cxxp
+    r = m.filter(
+        (F.col("n1") > 2)
+        & (F.col("n2") > 2)
+        & (F.col("sxx1") - F.col("sx1") * F.col("sx1") / F.col("n1") > 0.0)
+        & (F.col("sxx2") - F.col("sx2") * F.col("sx2") / F.col("n2") > 0.0)
+    ).select(
+        F.col("n").alias("n_days"),
+        F.col("n1").alias("n_pre"),
+        F.col("n2").alias("n_post"),
+        rss1.alias("rss1"),
+        rss2.alias("rss2"),
+        rssp.alias("rssp"),
+        cyyp.alias("cyy"),
+    )
+    f = (F.col("rssp") - F.col("rss1") - F.col("rss2")) / F.lit(2.0) / (
+        (F.col("rss1") + F.col("rss2")) / (F.col("n_days") - F.lit(4.0))
+    )
+    return r.filter((F.col("rss1") + F.col("rss2") > 0.0) & (F.col("cyy") > 0.0)).select(
+        "n_days",
+        "n_pre",
+        "n_post",
+        F.round(f, 4).alias("f_stat"),
+        F.round(1.0 - F.col("rssp") / F.col("cyy"), 6).alias("r2_pooled"),
+        F.when(f > 2.996, 1).otherwise(0).alias("structural_break"),
+    )

@@ -1,0 +1,61 @@
+"""Property tests for the round-5d operator waves (the oracle gate
+proves engine parity; these pin the semantic invariants parity can't)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from distributed_map_reduce_spark.registry import all_queries
+from distributed_map_reduce_spark.sources import load_table
+
+
+def test_kendall_tau_pair_accounting(spark, sf_dir):
+    r = all_queries()["stats_kendall_tau"].fn(spark, sf_dir).collect()[0]
+    n = r["n_days"]
+    n0 = n * (n - 1) // 2
+    # every pair is concordant, discordant, or tied in at least one axis
+    assert r["concordant"] + r["discordant"] <= n0
+    assert r["tied_x"] <= n0 and r["tied_y"] <= n0
+    assert -1.0 <= r["tau_b"] <= 1.0
+    # recompute tau_b from the emitted integer tallies
+    expect = (r["concordant"] - r["discordant"]) / math.sqrt(
+        (n0 - r["tied_x"]) * (n0 - r["tied_y"])
+    )
+    assert abs(r["tau_b"] - expect) < 1e-5
+    assert r["significant"] == int(abs(r["z_stat"]) > 1.96)
+
+
+def test_partial_correlation_vs_python(spark, sf_dir):
+    r = all_queries()["stats_partial_correlation"].fn(spark, sf_dir).collect()[0]
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_quantity", "l_extendedprice", "l_discount")
+        .collect()
+    )
+    import statistics
+
+    xs = [p[0] for p in rows]
+    ys = [p[1] for p in rows]
+    zs = [p[2] for p in rows]
+
+    def corr(a, b):
+        return statistics.correlation(a, b)
+
+    rxy, rxz, ryz = corr(xs, ys), corr(xs, zs), corr(ys, zs)
+    pr = (rxy - rxz * ryz) / math.sqrt((1 - rxz**2) * (1 - ryz**2))
+    assert abs(r["partial_r_xy_z"] - pr) < 1e-3
+    assert -1.0 <= r["partial_r_xy_z"] <= 1.0
+    # partialling out a weak confounder barely moves a strong corr
+    assert abs(r["r_xy"] - rxy) < 1e-3
+
+
+def test_chow_test_f_nonnegative_and_df(spark, sf_dir):
+    r = all_queries()["stats_chow_test"].fn(spark, sf_dir).collect()[0]
+    # pooled RSS >= sum of segment RSS (nested models) -> F >= 0
+    assert r["f_stat"] >= 0.0
+    assert r["n_pre"] + r["n_post"] == r["n_days"]
+    assert abs(r["n_pre"] - r["n_post"]) <= 1
+    assert 0.0 <= r["r2_pooled"] <= 1.0
+    assert r["structural_break"] == int(r["f_stat"] > 2.996)

@@ -59,3 +59,43 @@ def test_chow_test_f_nonnegative_and_df(spark, sf_dir):
     assert abs(r["n_pre"] - r["n_post"]) <= 1
     assert 0.0 <= r["r2_pooled"] <= 1.0
     assert r["structural_break"] == int(r["f_stat"] > 2.996)
+
+
+def test_auc_roc_informed_beats_random(spark, sf_dir):
+    rows = {r["model"]: r for r in all_queries()["eval_auc_roc"].fn(spark, sf_dir).collect()}
+    inf, rnd = rows["informed"], rows["random"]
+    assert inf["n_pos"] == rnd["n_pos"] and inf["n_neg"] == rnd["n_neg"]
+    assert inf["n_pos"] > 0 and inf["n_neg"] > 0
+    # an informed scorer must clear the label-blind 0.5 null decisively
+    assert inf["auc"] > 0.75
+    assert abs(rnd["auc"] - 0.5) < 0.2
+    for r in (inf, rnd):
+        assert abs(r["gini"] - (2 * r["auc"] - 1)) < 1e-5
+        assert 0.0 <= r["auc"] <= 1.0
+
+
+def test_pass_at_k_monotone_and_exact(spark, sf_dir):
+    rows = {r["k"]: r for r in all_queries()["eval_pass_at_k"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {1, 5, 10}
+    assert rows[1]["n_problems"] == 25
+    assert rows[1]["total_samples"] == rows[10]["total_samples"]
+    # pass@k is monotone nondecreasing in k for every problem, so in mean
+    assert rows[1]["pass_at_k"] <= rows[5]["pass_at_k"] <= rows[10]["pass_at_k"]
+    # brute-force recompute from the same deterministic sample sheet
+    import hashlib
+    from math import comb
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    nc = {}
+    for (doc_id,) in docs:
+        pid = doc_id % 25
+        coin = int(hashlib.md5(f"pass-{doc_id}".encode()).hexdigest()[:2], 16) % 256
+        ok = 1 if coin < 30 + 40 * (pid % 5) else 0
+        n, c = nc.get(pid, (0, 0))
+        nc[pid] = (n + 1, c + ok)
+    for k in (1, 5, 10):
+        vals = [
+            1.0 if n - c < k else 1.0 - comb(n - c, k) / comb(n, k)
+            for n, c in nc.values()
+        ]
+        assert abs(rows[k]["pass_at_k"] - sum(vals) / len(vals)) < 1e-5

@@ -2298,3 +2298,142 @@ def similarity_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.crossJoin(F.broadcast(radius))
+
+
+@register(
+    "retrieval_rocchio_prf",
+    tags=("similarity", "retrieval", "text"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS w
+  FROM documents
+), tf AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, w
+), df AS (
+  SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY w
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), widf AS (
+  SELECT w, (n.n_docs * 1000) // df.df AS idf FROM df CROSS JOIN n
+), score0 AS (
+  SELECT tf.doc_id, CAST(sum(tf.tf * widf.idf * 10) AS BIGINT) AS s0
+  FROM tf JOIN widf USING (w)
+  WHERE tf.w IN ('dup', 'merge', 'sort')
+  GROUP BY tf.doc_id
+), rank0 AS (
+  SELECT doc_id, s0,
+         CAST(row_number() OVER (ORDER BY s0 DESC, doc_id) AS BIGINT) AS r0
+  FROM score0
+), rel AS (
+  SELECT doc_id FROM rank0 WHERE r0 <= 3
+), expansion AS (
+  SELECT tf.w, CAST(sum(tf.tf * widf.idf) AS BIGINT) AS gain,
+         CAST(row_number() OVER (
+           ORDER BY sum(tf.tf * widf.idf) DESC, tf.w) AS BIGINT) AS er
+  FROM tf JOIN rel USING (doc_id) JOIN widf USING (w)
+  WHERE tf.w NOT IN ('dup', 'merge', 'sort')
+  GROUP BY tf.w
+), qexp AS (
+  SELECT w, 10 AS wt FROM (VALUES ('dup'), ('merge'), ('sort')) v(w)
+  UNION ALL
+  SELECT w, 5 AS wt FROM expansion WHERE er <= 2
+), score1 AS (
+  SELECT tf.doc_id, CAST(sum(tf.tf * widf.idf * qexp.wt) AS BIGINT) AS s1
+  FROM tf JOIN qexp USING (w) JOIN widf USING (w)
+  GROUP BY tf.doc_id
+)
+SELECT s1.doc_id,
+       s1.s1 AS score_after,
+       COALESCE(r.s0, 0) AS score_before,
+       CAST(row_number() OVER (ORDER BY s1.s1 DESC, s1.doc_id) AS BIGINT)
+         AS rank_after,
+       COALESCE(r.r0, 0) AS rank_before
+FROM score1 s1 LEFT JOIN rank0 r ON r.doc_id = s1.doc_id
+QUALIFY rank_after <= 5
+""",
+)
+def retrieval_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance-feedback retrieval (Rocchio 1971 / the
+    PRF loop in every classic IR stack): score the corpus against a
+    3-term query, take the top-3 hits as pseudo-relevant, expand the
+    query with their 2 strongest non-query terms at half weight
+    (alpha=10, beta=5 integer weights), and re-rank — emitting each
+    final top-5 doc's before/after rank so the test can pin that
+    expansion actually moved the ranking. The feedback complement to
+    [[text_bm25_topk]] (one-shot scoring) and [[retrieval_hybrid_rrf]]
+    (fusing two fixed rankings).
+
+    Every score is EXACT INTEGER arithmetic: idf is the rational
+    (N*1000) DIV df (integer division both engines) instead of ln(N/df),
+    so ranking never depends on float ulps — the binning/ordering hazard
+    class that e-notation fixes elsewhere is eliminated at the type
+    level. Ties break on doc_id everywhere.
+
+    Scale: tf/df are the standard two hash aggs (only (doc_id, w,
+    count) pairs shuffle, never text); the query-side frames (3 terms,
+    3 rel docs, 5 expansion rows) broadcast; re-scoring is one
+    vocabulary join. No all-pairs, no driver loop — the PRF round trip
+    adds one extra broadcast join over the same tf frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    q_terms = ["dup", "merge", "sort"]
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower("text"), " "), lambda w: w != "")).alias("w"),
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    df = tok.groupBy("w").agg(F.countDistinct("doc_id").cast("bigint").alias("df"))
+    n_docs = docs.count()  # scalar; the only driver-side value
+    widf = df.select("w", F.expr(f"({n_docs} * 1000) DIV df").alias("idf"))
+    tfidf = tf.join(widf, "w")
+    score0 = (
+        tfidf.filter(F.col("w").isin(q_terms))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("idf") * 10).cast("bigint").alias("s0"))
+    )
+    rank0 = score0.select(
+        "doc_id",
+        "s0",
+        F.row_number()
+        .over(W.orderBy(F.col("s0").desc(), "doc_id"))
+        .cast("bigint")
+        .alias("r0"),
+    )
+    rel = rank0.filter(F.col("r0") <= 3).select("doc_id")
+    expansion = (
+        tfidf.join(F.broadcast(rel), "doc_id")
+        .filter(~F.col("w").isin(q_terms))
+        .groupBy("w")
+        .agg(F.sum(F.col("tf") * F.col("idf")).cast("bigint").alias("gain"))
+        .select(
+            "w",
+            F.row_number()
+            .over(W.orderBy(F.col("gain").desc(), "w"))
+            .cast("bigint")
+            .alias("er"),
+        )
+        .filter(F.col("er") <= 2)
+        .select("w", F.lit(5).alias("wt"))
+    )
+    qexp = spark.createDataFrame(
+        [(w, 10) for w in q_terms], "w string, wt int"
+    ).unionByName(expansion)
+    score1 = (
+        tfidf.join(F.broadcast(qexp), "w")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("idf") * F.col("wt")).cast("bigint").alias("s1"))
+    )
+    return (
+        score1.join(rank0, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("s1").alias("score_after"),
+            F.coalesce("s0", F.lit(0)).cast("bigint").alias("score_before"),
+            F.row_number()
+            .over(W.orderBy(F.col("s1").desc(), "doc_id"))
+            .cast("bigint")
+            .alias("rank_after"),
+            F.coalesce("r0", F.lit(0)).cast("bigint").alias("rank_before"),
+        )
+        .filter(F.col("rank_after") <= 5)
+    )

@@ -7841,3 +7841,148 @@ def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("total_samples"),
         F.round(F.avg("pass_k"), 6).alias("pass_at_k"),
     )
+
+
+def _bt_oracle() -> str:
+    """Build the unrolled 8-iteration MM oracle (AS MATERIALIZED per the
+    iterative-CTE discipline — DuckDB inlines plain CTEs and the chain
+    would blow up 2^k)."""
+    head = """
+WITH matches AS MATERIALIZED (
+  SELECT doc_id % 8 AS a, (doc_id // 8) % 8 AS b,
+         CASE WHEN (CAST('0x' || substr(md5('bt-' || doc_id), 1, 3)
+                      AS BIGINT) % 1000)
+                   * ((doc_id % 8) + ((doc_id // 8) % 8) + 2)
+              < 1000 * ((doc_id % 8) + 1) THEN 1 ELSE 0 END AS a_wins
+  FROM documents WHERE doc_id % 8 <> (doc_id // 8) % 8
+), pairs AS MATERIALIZED (
+  SELECT i, j, CAST(count(*) AS BIGINT) AS n_ij FROM (
+    SELECT a AS i, b AS j FROM matches
+    UNION ALL SELECT b AS i, a AS j FROM matches
+  ) GROUP BY i, j
+), wins AS MATERIALIZED (
+  SELECT i, CAST(sum(w) AS BIGINT) AS w FROM (
+    SELECT a AS i, a_wins AS w FROM matches
+    UNION ALL SELECT b AS i, 1 - a_wins AS w FROM matches
+  ) GROUP BY i
+), it0 AS MATERIALIZED (SELECT i, 1e0 AS s FROM wins)"""
+    steps = []
+    for t in range(1, 9):
+        steps.append(f""", r{t} AS MATERIALIZED (
+  SELECT p.i, w.w / sum(p.n_ij / (a.s + b.s)) AS s
+  FROM pairs p
+  JOIN it{t - 1} a ON a.i = p.i
+  JOIN it{t - 1} b ON b.i = p.j
+  JOIN wins w ON w.i = p.i
+  GROUP BY p.i, w.w
+), it{t} AS MATERIALIZED (
+  SELECT i, s * 8e0 / (SELECT sum(s) FROM r{t}) AS s FROM r{t}
+)""")
+    tail = """
+SELECT w.i AS model,
+       CAST((SELECT sum(n_ij) FROM pairs p WHERE p.i = w.i) AS BIGINT)
+         AS n_matches,
+       w.w AS wins,
+       round(it8.s, 5) AS strength,
+       CAST(rank() OVER (ORDER BY it8.s DESC) AS BIGINT) AS strength_rank
+FROM wins w JOIN it8 ON it8.i = w.i
+"""
+    return head + "".join(steps) + tail
+
+
+@register(
+    "eval_bradley_terry",
+    tags=("stats", "eval", "ml", "iterative"),
+    oracle=_bt_oracle(),
+)
+def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry pairwise-preference strengths via 8 unrolled
+    Hunter-2004 MM iterations (s_i <- W_i / sum_j n_ij/(s_i + s_j),
+    renormalized to mean 1 each round) — the aggregation behind every
+    LLM arena leaderboard: convert match outcomes between 8 arms into a
+    strength scale. The match sheet is deterministic (md5 coin biased by
+    the true strengths i+1, integer cross-multiplication so the winner
+    bit is engine-exact); MM divides positive sums only, so no zero
+    guards are needed once every arm has >=1 win (the fixture ramp
+    guarantees it). 5dp rounding absorbs fold-order ulps across the 8
+    iterations (each normalization rescales, errors stay relative).
+
+    Scale: one scan collapses to a <=56-row directed pair frame and an
+    8-row win frame; every MM step is a broadcast join over those.
+    Iterative-lineage hazard pinned: per-step eager localCheckpoint
+    keeps the 8-step plan from exponential reanalysis; the oracle's
+    CTEs are AS MATERIALIZED for DuckDB's mirror of the same hazard."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = (F.col("doc_id") % 8).alias("a")
+    b = F.expr("(doc_id DIV 8) % 8").alias("b")
+    coin = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("bt-"), F.col("doc_id").cast("string"))), 1, 3),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    matches = (
+        docs.select(
+            a,
+            b,
+            coin.alias("coin"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.when(
+                F.col("coin") * (F.col("a") + F.col("b") + 2) < 1000 * (F.col("a") + 1),
+                1,
+            )
+            .otherwise(0)
+            .alias("a_wins"),
+        )
+    )
+    directed = matches.select(
+        F.col("a").alias("i"), F.col("b").alias("j"), F.col("a_wins").alias("w")
+    ).unionByName(
+        matches.select(
+            F.col("b").alias("i"), F.col("a").alias("j"), (1 - F.col("a_wins")).alias("w")
+        )
+    )
+    pairs = directed.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ij")
+    ).localCheckpoint(eager=True)
+    wins = directed.groupBy("i").agg(F.sum("w").cast("bigint").alias("w")).localCheckpoint(
+        eager=True
+    )
+    s = wins.select("i", F.lit(1.0).alias("s"))
+    for _ in range(8):
+        raw = (
+            pairs.join(s.select(F.col("i"), F.col("s")), "i")
+            .join(
+                s.select(F.col("i").alias("j"), F.col("s").alias("s_j")), "j"
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("n_ij") / (F.col("s") + F.col("s_j"))).alias("denom"))
+            .join(wins, "i")
+            .select("i", (F.col("w") / F.col("denom")).alias("s"))
+        )
+        tot = raw.agg(F.sum("s").alias("tot"))
+        s = raw.crossJoin(F.broadcast(tot)).select(
+            "i", (F.col("s") * 8.0 / F.col("tot")).alias("s")
+        ).localCheckpoint(eager=True)
+    n_matches = pairs.groupBy("i").agg(F.sum("n_ij").cast("bigint").alias("n_matches"))
+    from pyspark.sql import Window
+
+    return (
+        wins.join(n_matches, "i")
+        .join(s, "i")
+        .select(
+            F.col("i").alias("model"),
+            "n_matches",
+            F.col("w").alias("wins"),
+            F.round("s", 5).alias("strength"),
+            F.rank().over(Window.orderBy(F.col("s").desc())).cast("bigint").alias(
+                "strength_rank"
+            ),
+        )
+    )

@@ -99,3 +99,32 @@ def test_pass_at_k_monotone_and_exact(spark, sf_dir):
             for n, c in nc.values()
         ]
         assert abs(rows[k]["pass_at_k"] - sum(vals) / len(vals)) < 1e-5
+
+
+def test_bradley_terry_recovers_strength_ramp(spark, sf_dir):
+    rows = {r["model"]: r for r in all_queries()["eval_bradley_terry"].fn(spark, sf_dir).collect()}
+    assert set(rows) == set(range(8))
+    # normalized to mean 1 over 8 arms
+    assert abs(sum(r["strength"] for r in rows.values()) - 8.0) < 1e-3
+    assert all(r["strength"] > 0 for r in rows.values())
+    # the truth ramp s_i = i+1 must separate the extremes decisively
+    assert rows[7]["strength"] > rows[0]["strength"] * 2
+    assert sorted(r["strength_rank"] for r in rows.values()) == list(range(1, 9))
+    # MM is win-consistent: the top-ranked arm has a better win rate
+    # than the bottom-ranked arm
+    top = min(rows.values(), key=lambda r: r["strength_rank"])
+    bot = max(rows.values(), key=lambda r: r["strength_rank"])
+    assert top["wins"] / top["n_matches"] > bot["wins"] / bot["n_matches"]
+
+
+def test_rocchio_prf_expansion_moves_ranking(spark, sf_dir):
+    rows = all_queries()["retrieval_rocchio_prf"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert sorted(r["rank_after"] for r in rows) == [1, 2, 3, 4, 5]
+    # expansion only ADDS half-weight terms: after-score dominates
+    assert all(r["score_after"] >= r["score_before"] for r in rows)
+    assert any(r["score_after"] > r["score_before"] for r in rows)
+    # scores are exact integers and strictly ordered by rank with doc_id ties
+    by_rank = sorted(rows, key=lambda r: r["rank_after"])
+    for a, b in zip(by_rank, by_rank[1:]):
+        assert (a["score_after"], -a["doc_id"]) >= (b["score_after"], -b["doc_id"])

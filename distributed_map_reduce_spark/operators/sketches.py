@@ -383,3 +383,106 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "sketch_ams_f2",
+    tags=("sketch", "events"),
+    oracle="""
+WITH freq AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS f
+  FROM events GROUP BY user_id
+), exact AS (
+  SELECT CAST(sum(f) AS BIGINT) AS n_items,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(CAST(f AS HUGEINT) * f) AS DOUBLE) AS exact_f2
+  FROM freq
+), signs AS (
+  SELECT freq.user_id, freq.f, j.j,
+         CAST((CAST('0x' || substr(md5('ams' || j.j || '-' || freq.user_id), 1, 1)
+                 AS BIGINT) % 2) * 2 - 1 AS BIGINT) AS sgn
+  FROM freq CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j) j
+), est AS (
+  SELECT j, CAST(sum(sgn * f) AS BIGINT) AS x
+  FROM signs GROUP BY j
+), sk AS (
+  SELECT CAST(avg(CAST(x AS HUGEINT) * x) AS DOUBLE) AS est_f2 FROM est
+)
+SELECT e.n_items, e.n_keys, e.exact_f2,
+       round(sk.est_f2, 4) AS est_f2,
+       round(abs(sk.est_f2 - e.exact_f2) / e.exact_f2, 4) AS rel_error
+FROM exact e CROSS JOIN sk
+""",
+)
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (Alon-Matias-Szegedy 1996) second-frequency-moment sketch:
+    32 independent {-1,+1} four-wise-ish hash signs, X_j = sum_k
+    s_j(k) f_k, E[X_j^2] = F2 — the self-join-size / skew estimator
+    every streaming system carries, run against the EXACT F2 on the
+    same scan so the emitted rel_error IS the sketch-quality audit.
+    Everything before the final division is INTEGER (signed counts,
+    their squares accumulate in HUGEINT/DECIMAL per the moment-sum
+    discipline), so both engines agree exactly; mean-of-32 /32 is a
+    power-of-two division, also exact.
+
+    Scale: the data-scale work is ONE per-key hash agg; the 32-way
+    estimator expansion happens on the DISTINCT-KEY frame (never on raw
+    events), so the sketch costs 32x|keys| tiny rows, one narrow agg.
+    The exact-F2 branch exists only as the differential baseline —
+    production uses the sketch precisely because sum(f^2) over raw keys
+    is what it avoids re-reading."""
+    ev = load_table(spark, sf_dir, "events")
+    freq = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    exact = freq.agg(
+        F.sum("f").cast("bigint").alias("n_items"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(F.col("f").cast("decimal(38,0)") * F.col("f")).cast("double").alias(
+            "exact_f2"
+        ),
+    )
+    signs = freq.select(
+        "user_id",
+        "f",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"),
+    ).select(
+        "f",
+        "j",
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("ams"),
+                                F.col("j").cast("string"),
+                                F.lit("-"),
+                                F.col("user_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        1,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+            )
+            * 2
+            - 1
+        )
+        .cast("bigint")
+        .alias("sgn"),
+    )
+    est = signs.groupBy("j").agg(F.sum(F.col("sgn") * F.col("f")).cast("bigint").alias("x"))
+    sk = est.agg(
+        F.avg(F.col("x").cast("decimal(38,0)") * F.col("x")).cast("double").alias("est_f2")
+    )
+    return exact.crossJoin(F.broadcast(sk)).select(
+        "n_items",
+        "n_keys",
+        "exact_f2",
+        F.round("est_f2", 4).alias("est_f2"),
+        F.round(F.abs(F.col("est_f2") - F.col("exact_f2")) / F.col("exact_f2"), 4).alias(
+            "rel_error"
+        ),
+    )

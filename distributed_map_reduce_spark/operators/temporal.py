@@ -2126,3 +2126,95 @@ def temporal_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("cents") - F.col("prev_y")) * 1.0 / F.col("prev_y"), 6),
         ).alias("yoy_growth"),
     )
+
+
+@register(
+    "temporal_holt_smoothing",
+    tags=("temporal", "forecast", "iterative"),
+    oracle="""
+WITH RECURSIVE monthly AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY m) AS BIGINT) AS rn, y FROM (
+    SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+           CAST(round(sum(o_totalprice)) AS BIGINT) AS y
+    FROM orders GROUP BY 1)
+), steps AS (
+  SELECT rn AS t, y * 1e0 AS l, 0e0 AS b, 0e0 AS e FROM monthly WHERE rn = 1
+  UNION ALL
+  SELECT m.rn,
+         s.l + s.b + 3e-1 * (m.y - s.l - s.b),
+         s.b + 3e-2 * (m.y - s.l - s.b),
+         s.e + abs(m.y - s.l - s.b)
+  FROM steps s JOIN monthly m ON m.rn = s.t + 1
+)
+SELECT t AS n_months,
+       round(l, 4) AS level_smoothed,
+       round(b, 4) AS trend_smoothed,
+       round(l + 1e0 * b, 4) AS forecast_h1,
+       round(l + 2e0 * b, 4) AS forecast_h2,
+       round(l + 3e0 * b, 4) AS forecast_h3,
+       round(e / (t - 1), 4) AS one_step_mae
+FROM steps WHERE t = (SELECT max(rn) FROM monthly)
+""",
+)
+def temporal_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (additive level+trend,
+    alpha=0.3, beta=0.1) over monthly revenue, in the error-correction
+    form l' = (l+b) + a*err, b' = b + a*b_coef*err, err = y - (l+b) —
+    run as ONE ordered aggregate() fold over the grain-capped month
+    array (the recurrence is not prefix-sum expressible, but the fold
+    keeps it off the driver). The one-step-ahead MAE accumulates inside
+    the same fold; forecasts h=1..3 are l + h*b. The forecasting
+    complement to [[temporal_seasonal_decompose]] (explains variance,
+    doesn't extrapolate) and [[temporal_ewma_decay]] (level only).
+
+    Engine hazard pinned here (new this round): DuckDB 1.0's
+    list_reduce evaluates a struct accumulator's fields IN PLACE
+    sequentially — field 2's expression sees field 1's NEW value —
+    while Spark's aggregate() snapshots the accumulator, so any
+    multi-field fold whose fields read each other silently diverges
+    (verified: b/e wrong, l right, on a 3-element probe). The oracle
+    therefore uses a RECURSIVE CTE stepping over a row_number'd month
+    index (standard SQL semantics, previous row always a snapshot) with
+    arithmetic written in the IDENTICAL error-correction op order, so
+    both engines are bit-identical until the final rounds.
+
+    Scale: fold length is the MONTH GRAIN (<=84 at any SF); the
+    data-scale work is the one month hash agg — only (month, sum)
+    pairs shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("m")
+    ).agg(F.round(F.sum("o_totalprice")).cast("bigint").alias("y"))
+    arr = monthly.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "y"))), lambda s: s["y"]
+        ).alias("ys"),
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+    )
+    init = F.struct(
+        (F.element_at("ys", 1) * 1.0).alias("l"),
+        F.lit(0.0).alias("b"),
+        F.lit(0.0).alias("e"),
+    )
+
+    def step(acc, v):
+        err = v.cast("double") - acc["l"] - acc["b"]
+        return F.struct(
+            (acc["l"] + acc["b"] + 0.3 * err).alias("l"),
+            (acc["b"] + 0.03 * err).alias("b"),
+            (acc["e"] + F.abs(err)).alias("e"),
+        )
+
+    folded = arr.select(
+        "n_months",
+        F.aggregate(F.expr("slice(ys, 2, size(ys) - 1)"), init, step).alias("st"),
+    )
+    return folded.select(
+        "n_months",
+        F.round(F.col("st.l"), 4).alias("level_smoothed"),
+        F.round(F.col("st.b"), 4).alias("trend_smoothed"),
+        F.round(F.col("st.l") + 1.0 * F.col("st.b"), 4).alias("forecast_h1"),
+        F.round(F.col("st.l") + 2.0 * F.col("st.b"), 4).alias("forecast_h2"),
+        F.round(F.col("st.l") + 3.0 * F.col("st.b"), 4).alias("forecast_h3"),
+        F.round(F.col("st.e") / (F.col("n_months") - 1), 4).alias("one_step_mae"),
+    )

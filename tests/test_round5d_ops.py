@@ -128,3 +128,36 @@ def test_rocchio_prf_expansion_moves_ranking(spark, sf_dir):
     by_rank = sorted(rows, key=lambda r: r["rank_after"])
     for a, b in zip(by_rank, by_rank[1:]):
         assert (a["score_after"], -a["doc_id"]) >= (b["score_after"], -b["doc_id"])
+
+
+def test_ams_f2_sketch_quality(spark, sf_dir):
+    r = all_queries()["sketch_ams_f2"].fn(spark, sf_dir).collect()[0]
+    # F2 >= F1 always (sum f^2 >= sum f for integer counts)
+    assert r["exact_f2"] >= r["n_items"]
+    assert r["n_keys"] > 0 and r["est_f2"] > 0
+    # mean of 32 AMS estimators: std ~ sqrt(2/32)*F2 = 25%; 4 sigma bound
+    assert r["rel_error"] < 1.0
+    assert abs(r["rel_error"] - abs(r["est_f2"] - r["exact_f2"]) / r["exact_f2"]) < 1e-3
+
+
+def test_holt_smoothing_vs_python(spark, sf_dir):
+    r = all_queries()["temporal_holt_smoothing"].fn(spark, sf_dir).collect()[0]
+    monthly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("m"))
+        .agg(F.round(F.sum("o_totalprice")).cast("bigint").alias("y"))
+        .orderBy("m")
+        .collect()
+    )
+    ys = [row["y"] for row in monthly]
+    l, b, e = float(ys[0]), 0.0, 0.0
+    for v in ys[1:]:
+        err = v - l - b
+        l, b, e = l + b + 0.3 * err, b + 0.03 * err, e + abs(err)
+    assert r["n_months"] == len(ys)
+    assert abs(r["level_smoothed"] - l) < 1e-2
+    assert abs(r["trend_smoothed"] - b) < 1e-2
+    assert abs(r["one_step_mae"] - e / (len(ys) - 1)) < 1e-2
+    # forecasts are linear in h with slope = trend
+    assert abs((r["forecast_h2"] - r["forecast_h1"]) - r["trend_smoothed"]) < 1e-3
+    assert abs((r["forecast_h3"] - r["forecast_h2"]) - r["trend_smoothed"]) < 1e-3

@@ -7986,3 +7986,146 @@ def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "stats_ols_residual_diagnostics",
+    tags=("stats", "temporal"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS x,
+         CAST(round(sum(o_totalprice)) AS BIGINT) AS y
+  FROM orders
+  WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+  GROUP BY 1
+), fit AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+  FROM daily
+), ab AS (
+  SELECT n,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+         (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a
+  FROM fit
+), resid AS (
+  SELECT d, x, y - ab.a - ab.b * x AS e,
+         lag(y - ab.a - ab.b * x) OVER (ORDER BY d) AS e_prev
+  FROM daily CROSS JOIN ab
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         sum(e * e) AS see,
+         sum(CASE WHEN e_prev IS NULL THEN 0e0
+                  ELSE (e - e_prev) * (e - e_prev) END) AS sde,
+         sum(x * 1e0) AS sx, sum(x * 1e0 * x) AS sxx,
+         sum(e * e * x) AS sze, sum(e * e * e * e) AS szz_raw
+  FROM resid
+), bp AS (
+  SELECT n_days, see, sde,
+         (sze - sx * see / n_days)
+           * (sze - sx * see / n_days)
+           / ((sxx - sx * sx / n_days)
+              * (szz_raw - see * see / n_days)) AS r2_aux
+  FROM agg
+)
+SELECT bp.n_days,
+       round(ab.b, 4) AS slope,
+       round(ab.a, 2) AS intercept,
+       round(bp.sde / bp.see, 4) AS dw_stat,
+       CASE WHEN bp.sde / bp.see < 1.5e0 THEN 1 ELSE 0 END
+         AS positive_autocorr,
+       round(bp.n_days * bp.r2_aux, 4) AS bp_lm,
+       CASE WHEN bp.n_days * bp.r2_aux > 3.841e0 THEN 1 ELSE 0 END
+         AS heteroscedastic
+FROM bp CROSS JOIN ab
+""",
+)
+def stats_ols_residual_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson serial-correlation and Breusch-Pagan
+    heteroscedasticity diagnostics on the SAME daily OLS fit (revenue ~
+    order count over 1996) — the two residual checks any regression
+    readout should ship with, here sharing one fit and one residual
+    pass: DW = sum((e_t - e_{t-1})^2)/sum(e^2) over the date-ordered
+    lag window; BP's LM = n * R2 of the e^2-on-x auxiliary regression,
+    computed from single-pass co-moments of (x, e^2) without a second
+    scan. Complements [[stats_ljung_box]] (whiteness of the raw series,
+    not of fit residuals) and [[stats_ols_two_feature]] (the fit
+    itself). Moment sums accumulate in HUGEINT/DECIMAL per the
+    moment-sum discipline; thresholds (1.5, 3.841) sit far from any
+    attainable ulp boundary.
+
+    Scale: one day-grain hash agg is the only data-scale work; the fit
+    broadcasts (one row), residuals stay on the bounded day frame, the
+    lag window sorts <=366 rows."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date"))
+    )
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        F.round(F.sum("o_totalprice")).cast("bigint").alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    fit = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec("x")).cast("double").alias("sx"),
+        F.sum(dec("y")).cast("double").alias("sy"),
+        F.sum(dec("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(dec("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    b = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    ab = fit.select(
+        "n",
+        b.alias("b"),
+        ((F.col("sy") - b * F.col("sx")) / F.col("n")).alias("a"),
+    )
+    from pyspark.sql import Window
+
+    e = F.col("y") - F.col("a") - F.col("b") * F.col("x")
+    resid = daily.crossJoin(F.broadcast(ab)).select(
+        "d",
+        "x",
+        e.alias("e"),
+        F.lag(e).over(Window.orderBy("d")).alias("e_prev"),
+    )
+    agg = resid.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.col("e") * F.col("e")).alias("see"),
+        F.sum(
+            F.when(F.col("e_prev").isNull(), 0.0).otherwise(
+                (F.col("e") - F.col("e_prev")) * (F.col("e") - F.col("e_prev"))
+            )
+        ).alias("sde"),
+        F.sum(F.col("x") * 1.0).alias("sx"),
+        F.sum(F.col("x") * 1.0 * F.col("x")).alias("sxx"),
+        F.sum(F.col("e") * F.col("e") * F.col("x")).alias("sze"),
+        F.sum(F.col("e") * F.col("e") * F.col("e") * F.col("e")).alias("szz_raw"),
+    )
+    r2_aux = (
+        (F.col("sze") - F.col("sx") * F.col("see") / F.col("n_days"))
+        * (F.col("sze") - F.col("sx") * F.col("see") / F.col("n_days"))
+        / (
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_days"))
+            * (F.col("szz_raw") - F.col("see") * F.col("see") / F.col("n_days"))
+        )
+    )
+    bp = agg.select("n_days", "see", "sde", r2_aux.alias("r2_aux"))
+    return bp.crossJoin(F.broadcast(ab)).select(
+        "n_days",
+        F.round("b", 4).alias("slope"),
+        F.round("a", 2).alias("intercept"),
+        F.round(F.col("sde") / F.col("see"), 4).alias("dw_stat"),
+        F.when(F.col("sde") / F.col("see") < 1.5, 1).otherwise(0).alias(
+            "positive_autocorr"
+        ),
+        F.round(F.col("n_days") * F.col("r2_aux"), 4).alias("bp_lm"),
+        F.when(F.col("n_days") * F.col("r2_aux") > 3.841, 1).otherwise(0).alias(
+            "heteroscedastic"
+        ),
+    )

@@ -846,3 +846,97 @@ def window_local_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("prominence_cents"),
     )
+
+
+@register(
+    "window_hampel_filter",
+    tags=("window", "temporal", "quality"),
+    oracle="""
+WITH fr AS (
+  SELECT event_id, user_id, value,
+         list_sort(list(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS arr
+  FROM events
+), m AS (
+  SELECT *,
+         CASE WHEN len(arr) % 2 = 1 THEN arr[(len(arr) + 1) // 2]
+              ELSE (arr[len(arr) // 2] + arr[len(arr) // 2 + 1]) / 2e0
+         END AS med
+  FROM fr
+), d AS (
+  SELECT *, list_sort(list_transform(arr, v -> abs(v - med))) AS dev FROM m
+), m2 AS (
+  SELECT *,
+         CASE WHEN len(dev) % 2 = 1 THEN dev[(len(dev) + 1) // 2]
+              ELSE (dev[len(dev) // 2] + dev[len(dev) // 2 + 1]) / 2e0
+         END AS mad
+  FROM d
+)
+SELECT event_id, user_id,
+       round(med, 6) AS med7,
+       round(mad, 6) AS mad7,
+       CASE WHEN mad > 0e0 AND abs(value - med) > 3e0 * 1.4826e0 * mad
+            THEN 1 ELSE 0 END AS is_outlier,
+       round(CASE WHEN mad > 0e0 AND abs(value - med) > 3e0 * 1.4826e0 * mad
+                  THEN med ELSE value END, 6) AS repaired
+FROM m2
+""",
+)
+def window_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel identifier over a centered 7-point window: rolling median,
+    rolling MAD (median absolute deviation from THAT median), flag
+    |x - med| > 3 * 1.4826 * MAD, and repair flagged points to the
+    median — the standard robust time-series despiker (Pearson 2002),
+    and the data-cleaning complement to [[window_rolling_median]]
+    (which smooths everything) and [[profile_anomaly_mad]] (global MAD,
+    no locality). The MAD needs the median of deviations FROM the
+    frame's own median — a two-level nested window no SQL aggregate
+    expresses — so both engines materialize the bounded 7-value frame
+    as a sorted array and take middles (k=7 caps per-row state; this is
+    NOT the unbounded collect_list anti-pattern). mad=0 frames
+    (constant windows) are defined as non-outliers rather than
+    dividing. Identical double arithmetic both sides — the flag
+    comparison is bit-deterministic.
+
+    Scale: one exchange on user_id (the partition key), O(k log k) JVM
+    array work per row, no second shuffle for the MAD level."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 3)
+
+    def middle(arr):
+        n = F.size(arr)
+        odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+        even = (
+            F.element_at(arr, (n / 2).cast("int"))
+            + F.element_at(arr, (n / 2 + 1).cast("int"))
+        ) / 2
+        return F.when(n % 2 == 1, odd).otherwise(even)
+
+    fr = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.array_sort(F.collect_list("value").over(w)).alias("arr"),
+    )
+    m = fr.select("*", middle(F.col("arr")).alias("med"))
+    d = m.select(
+        "*",
+        F.array_sort(
+            F.transform(F.col("arr"), lambda v: F.abs(v - F.col("med")))
+        ).alias("dev"),
+    )
+    m2 = d.select("*", middle(F.col("dev")).alias("mad"))
+    hit = (F.col("mad") > 0.0) & (
+        F.abs(F.col("value") - F.col("med")) > 3.0 * 1.4826 * F.col("mad")
+    )
+    return m2.select(
+        "event_id",
+        "user_id",
+        F.round("med", 6).alias("med7"),
+        F.round("mad", 6).alias("mad7"),
+        F.when(hit, 1).otherwise(0).alias("is_outlier"),
+        F.round(F.when(hit, F.col("med")).otherwise(F.col("value")), 6).alias(
+            "repaired"
+        ),
+    )

@@ -161,3 +161,41 @@ def test_holt_smoothing_vs_python(spark, sf_dir):
     # forecasts are linear in h with slope = trend
     assert abs((r["forecast_h2"] - r["forecast_h1"]) - r["trend_smoothed"]) < 1e-3
     assert abs((r["forecast_h3"] - r["forecast_h2"]) - r["trend_smoothed"]) < 1e-3
+
+
+def test_ols_residual_diagnostics_bounds(spark, sf_dir):
+    r = all_queries()["stats_ols_residual_diagnostics"].fn(spark, sf_dir).collect()[0]
+    # DW lives in [0, 4]; ~2 means no serial correlation
+    assert 0.0 <= r["dw_stat"] <= 4.0
+    assert r["positive_autocorr"] == int(r["dw_stat"] < 1.5)
+    # BP LM = n * R2_aux with R2 in [0,1]
+    assert 0.0 <= r["bp_lm"] <= r["n_days"]
+    assert r["heteroscedastic"] == int(r["bp_lm"] > 3.841)
+    assert r["n_days"] > 100  # a year's worth of (sparse at small SF) order days
+
+
+def test_hampel_filter_repairs_only_outliers(spark, sf_dir):
+    df = all_queries()["window_hampel_filter"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == load_table(spark, sf_dir, "events").count()
+    n_out = sum(r["is_outlier"] for r in rows)
+    # the despiker must fire somewhere but not rewrite the series
+    assert 0 < n_out < len(rows) * 0.2
+    for r in rows[:500]:
+        assert r["mad7"] >= 0.0
+        if r["is_outlier"]:
+            assert r["repaired"] == r["med7"]
+
+
+def test_span_corruption_budget(spark, sf_dir):
+    rows = all_queries()["pipeline_span_corruption"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20  # one row per source
+    tot_tok = sum(r["n_tokens"] for r in rows)
+    tot_mask = sum(r["n_masked"] for r in rows)
+    # nominal budget is 3/20 = 15%: full blocks mask exactly 3, tail
+    # blocks mask 0..3 of fewer tokens, so realized sits in a band around it
+    assert 0.10 < tot_mask / tot_tok < 0.20
+    for r in rows:
+        assert 1.0 <= r["avg_span_len"] <= 3.0
+        assert r["n_masked"] <= 3 * r["n_spans"]
+        assert r["corruption_rate"] < 0.25

@@ -8129,3 +8129,230 @@ def stats_ols_residual_diagnostics(spark: SparkSession, sf_dir: str) -> DataFram
             "heteroscedastic"
         ),
     )
+
+
+@register(
+    "stats_engle_granger_coint",
+    tags=("stats", "temporal"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         sum(CASE WHEN event_type = 'view' THEN value ELSE 0e0 END) AS x,
+         sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0e0 END) AS y
+  FROM events GROUP BY 1
+), fit AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM daily
+), ab AS (
+  SELECT n,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+         (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a
+  FROM fit
+), resid AS (
+  SELECT d, y - ab.a - ab.b * x AS e,
+         lag(y - ab.a - ab.b * x) OVER (ORDER BY d) AS e_prev
+  FROM daily CROSS JOIN ab
+), adf AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_diff,
+         sum(e_prev * (e - e_prev)) / sum(e_prev * e_prev) AS rho,
+         sum(e_prev * e_prev) AS s_ee
+  FROM resid WHERE e_prev IS NOT NULL
+), sse AS (
+  SELECT adf.n_diff, adf.rho, adf.s_ee,
+         sum((r.e - r.e_prev - adf.rho * r.e_prev)
+             * (r.e - r.e_prev - adf.rho * r.e_prev)) AS ss_u
+  FROM resid r CROSS JOIN adf
+  WHERE r.e_prev IS NOT NULL
+  GROUP BY adf.n_diff, adf.rho, adf.s_ee
+)
+SELECT ab.n AS n_days,
+       round(ab.b, 6) AS slope,
+       round(ab.a, 4) AS intercept,
+       round(sse.rho, 6) AS rho,
+       round(sse.rho / sqrt((sse.ss_u / (sse.n_diff - 2)) / sse.s_ee), 4)
+         AS adf_t,
+       CASE WHEN sse.rho / sqrt((sse.ss_u / (sse.n_diff - 2)) / sse.s_ee)
+                 < -3.34e0 THEN 1 ELSE 0 END AS cointegrated
+FROM sse CROSS JOIN ab
+""",
+)
+def stats_engle_granger_coint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle-Granger two-step cointegration screen (Engle & Granger
+    1987) between the daily view-value and purchase-value series: OLS
+    of y on x, then a lag-free Dickey-Fuller regression of the residual
+    increments on the lagged residual (delta-e_t = rho * e_{t-1}),
+    with t(rho) against the -3.34 Engle-Granger 5% critical value —
+    the long-run-equilibrium question [[stats_granger_causality]]
+    (short-run lead/lag) and [[stats_correlation_matrix]] (contemporaneous)
+    cannot answer: two trending series correlate spuriously, but only
+    a stationary residual makes them cointegrated.
+
+    Scale: one day-grain hash agg is the data-scale work; the fit and
+    the ADF pass are bounded-frame windows/aggs over <=|days| rows with
+    a broadcast 1-row fit. Two small aggregation passes over the
+    residual frame (rho, then its standard error) — never a second
+    raw-data scan."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "view", F.col("value")).otherwise(0.0)).alias(
+            "x"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("y"),
+    )
+    fit = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    b = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    ab = fit.select("n", b.alias("b"), ((F.col("sy") - b * F.col("sx")) / F.col("n")).alias("a"))
+    from pyspark.sql import Window
+
+    e = F.col("y") - F.col("a") - F.col("b") * F.col("x")
+    resid = daily.crossJoin(F.broadcast(ab)).select(
+        "d", e.alias("e"), F.lag(e).over(Window.orderBy("d")).alias("e_prev")
+    ).filter(F.col("e_prev").isNotNull()).localCheckpoint(eager=False)
+    adf = resid.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_diff"),
+        (
+            F.sum(F.col("e_prev") * (F.col("e") - F.col("e_prev")))
+            / F.sum(F.col("e_prev") * F.col("e_prev"))
+        ).alias("rho"),
+        F.sum(F.col("e_prev") * F.col("e_prev")).alias("s_ee"),
+    )
+    u = F.col("e") - F.col("e_prev") - F.col("rho") * F.col("e_prev")
+    sse = (
+        resid.crossJoin(F.broadcast(adf))
+        .groupBy("n_diff", "rho", "s_ee")
+        .agg(F.sum(u * u).alias("ss_u"))
+    )
+    t = F.col("rho") / F.sqrt((F.col("ss_u") / (F.col("n_diff") - 2)) / F.col("s_ee"))
+    return sse.crossJoin(F.broadcast(ab)).select(
+        F.col("n").alias("n_days"),
+        F.round("b", 6).alias("slope"),
+        F.round("a", 4).alias("intercept"),
+        F.round("rho", 6).alias("rho"),
+        F.round(t, 4).alias("adf_t"),
+        F.when(t < -3.34, 1).otherwise(0).alias("cointegrated"),
+    )
+
+
+@register(
+    "eval_best_of_n_scaling",
+    tags=("stats", "eval", "ml"),
+    oracle="""
+WITH s AS (
+  SELECT doc_id % 40 AS prompt_id, doc_id,
+         (CAST('0x' || substr(md5('bon-' || doc_id), 1, 3) AS BIGINT) % 1000)
+           / 999e0 AS r
+  FROM documents
+), ranked AS (
+  SELECT prompt_id, r,
+         CAST(row_number() OVER (PARTITION BY prompt_id ORDER BY r, doc_id)
+           AS BIGINT) AS i,
+         CAST(count(*) OVER (PARTITION BY prompt_id) AS BIGINT) AS m
+  FROM s
+), expanded AS (
+  SELECT n.n, prompt_id, r, i, m,
+         pow(i * 1e0 / m, n.n) - pow((i - 1e0) / m, n.n) AS wgt
+  FROM ranked CROSS JOIN (SELECT unnest([1, 4, 16]) AS n) n
+), per_prompt AS (
+  SELECT n, prompt_id, sum(r * wgt) AS bon, avg(r) AS mean_r
+  FROM expanded GROUP BY n, prompt_id
+)
+SELECT n,
+       CAST(count(*) AS BIGINT) AS n_prompts,
+       round(avg(bon), 6) AS mean_best_of_n,
+       round(avg(mean_r), 6) AS mean_single,
+       round(avg(bon - mean_r), 6) + 0e0 AS mean_gain
+FROM per_prompt GROUP BY n
+""",
+)
+def eval_best_of_n_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n reward scaling curve: the exact expected maximum of n
+    with-replacement draws from each prompt's empirical reward
+    distribution, E[max] = sum_i r_(i) * ((i/m)^n - ((i-1)/m)^n) over
+    the ascending order statistics — the inference-time-compute
+    question (how much does sampling n candidates and taking the
+    reward-argmax buy?) that [[eval_pass_at_k]] answers for binary
+    pass/fail, here for continuous rewards. The order-statistic weights
+    telescope to 1 per prompt, so best-of-1 equals the plain mean (the
+    test pins this identity and the monotone n=1<4<16 gain curve).
+    pow() is the one libm call — both engines round at 6dp, absorbing
+    its cross-engine ulps; ranks and counts are exact integers with
+    doc_id tie-breaks.
+
+    Scale: one window rank inside prompt partitions, a 3x expansion on
+    the ranked frame, two hash aggs. Rewards are deterministic md5
+    pseudo-scores; production reads a reward-model column — same
+    plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        (F.col("doc_id") % 40).alias("prompt_id"),
+        "doc_id",
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("bon-"), F.col("doc_id").cast("string"))),
+                        1,
+                        3,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 1000
+            )
+            / 999.0
+        ).alias("r"),
+    )
+    from pyspark.sql import Window
+
+    ranked = s.select(
+        "prompt_id",
+        "r",
+        F.row_number()
+        .over(Window.partitionBy("prompt_id").orderBy("r", "doc_id"))
+        .cast("bigint")
+        .alias("i"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("prompt_id"))
+        .cast("bigint")
+        .alias("m"),
+    )
+    expanded = ranked.select(
+        "prompt_id",
+        "r",
+        "i",
+        "m",
+        F.explode(F.array(F.lit(1), F.lit(4), F.lit(16))).alias("n"),
+    ).select(
+        "n",
+        "prompt_id",
+        "r",
+        (
+            F.pow(F.col("i") * 1.0 / F.col("m"), F.col("n"))
+            - F.pow((F.col("i") - 1.0) / F.col("m"), F.col("n"))
+        ).alias("wgt"),
+    )
+    per_prompt = expanded.groupBy("n", "prompt_id").agg(
+        F.sum(F.col("r") * F.col("wgt")).alias("bon"),
+        F.avg("r").alias("mean_r"),
+    )
+    return per_prompt.groupBy("n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_prompts"),
+        F.round(F.avg("bon"), 6).alias("mean_best_of_n"),
+        F.round(F.avg("mean_r"), 6).alias("mean_single"),
+        # + 0.0 normalizes IEEE negative zero at n=1 (bon == mean exactly,
+        # but the subtraction's rounding can land on DuckDB's -0.0)
+        (F.round(F.avg(F.col("bon") - F.col("mean_r")), 6) + F.lit(0.0)).alias(
+            "mean_gain"
+        ),
+    )

@@ -688,3 +688,79 @@ def source_fixedwidth_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+
+
+@register(
+    "source_parquet_footer_stats",
+    tags=("source", "layout", "maintenance"),
+    oracle="""
+SELECT regexp_extract(file_name, '([^/]+)\\.parquet$', 1) AS table_name,
+       CAST(row_group_id AS BIGINT) AS row_group,
+       CAST(any_value(row_group_num_rows) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_columns,
+       CAST(sum(total_compressed_size) AS BIGINT) AS compressed_bytes,
+       CAST(sum(total_uncompressed_size) AS BIGINT) AS uncompressed_bytes
+FROM parquet_metadata('/root/testdata/sf0.01/*.parquet')
+GROUP BY 1, 2
+""",
+)
+def source_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet footer audit: row-group geometry (rows, column-chunk
+    count, compressed/uncompressed bytes) for every table file in the
+    dataset directory, read from the FOOTERS ONLY — the layout health
+    check behind compaction planning ([[layout_compaction_bins]] bins
+    by logical size; this reads the physical truth) and scan-cost
+    estimation: a 100 TB lake with 4 MB row groups is a seek storm, and
+    this query is how you find it without reading data pages.
+
+    Spark-first shape: the file manifest distributes via a DataFrame
+    and each task opens only footers through pyarrow inside
+    mapInPandas (Arrow-batched; bytes read per file = footer size, KBs)
+    — at a million files this is an embarrassingly-parallel metadata
+    sweep with no driver loop and no data-page IO. The DuckDB oracle
+    reads the same footers via parquet_metadata(); its path literal is
+    pinned to the driver's correctness SF (the gate always runs at
+    sf0.01 — TESTDATA.md), while the Spark side takes sf_dir.
+    """
+    files = sorted(
+        os.path.join(sf_dir, f) for f in os.listdir(sf_dir) if f.endswith(".parquet")
+    )
+    manifest = spark.createDataFrame([(p,) for p in files], "path string").repartition(
+        min(len(files), 8)
+    )
+    schema = (
+        "table_name string, row_group bigint, n_rows bigint, n_columns bigint, "
+        "compressed_bytes bigint, uncompressed_bytes bigint"
+    )
+
+    def read_footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for path in pdf["path"]:
+                md = pq.ParquetFile(path).metadata
+                tbl = os.path.basename(path)[: -len(".parquet")]
+                for i in range(md.num_row_groups):
+                    rg = md.row_group(i)
+                    comp = sum(
+                        rg.column(j).total_compressed_size
+                        for j in range(rg.num_columns)
+                    )
+                    out.append(
+                        (tbl, i, rg.num_rows, rg.num_columns, comp, rg.total_byte_size)
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "table_name",
+                    "row_group",
+                    "n_rows",
+                    "n_columns",
+                    "compressed_bytes",
+                    "uncompressed_bytes",
+                ],
+            )
+
+    return manifest.mapInPandas(read_footers, schema)

@@ -199,3 +199,39 @@ def test_span_corruption_budget(spark, sf_dir):
         assert 1.0 <= r["avg_span_len"] <= 3.0
         assert r["n_masked"] <= 3 * r["n_spans"]
         assert r["corruption_rate"] < 0.25
+
+
+def test_engle_granger_structure(spark, sf_dir):
+    r = all_queries()["stats_engle_granger_coint"].fn(spark, sf_dir).collect()[0]
+    # rho of a DF regression on a fitted residual lives in (-2, 0] in practice
+    assert -2.0 < r["rho"] <= 0.0
+    assert r["adf_t"] <= 0.0
+    assert r["cointegrated"] == int(r["adf_t"] < -3.34)
+    assert r["n_days"] >= 20  # events span ~1 month at sf0.001
+
+
+def test_best_of_n_scaling_curve(spark, sf_dir):
+    rows = {r["n"]: r for r in all_queries()["eval_best_of_n_scaling"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {1, 4, 16}
+    # order-statistic weights telescope: best-of-1 IS the mean
+    assert abs(rows[1]["mean_best_of_n"] - rows[1]["mean_single"]) < 1e-5
+    assert abs(rows[1]["mean_gain"]) < 1e-5
+    # monotone scaling curve, bounded by the max reward (< 1)
+    assert rows[1]["mean_best_of_n"] < rows[4]["mean_best_of_n"] < rows[16]["mean_best_of_n"] < 1.0
+    assert rows[16]["mean_gain"] > rows[4]["mean_gain"] > 0.0
+
+
+def test_parquet_footer_stats_consistency(spark, sf_dir):
+    rows = all_queries()["source_parquet_footer_stats"].fn(spark, sf_dir).collect()
+    tables = {r["table_name"] for r in rows}
+    assert {"lineitem", "orders", "documents", "embeddings", "events"} <= tables
+    li = [r for r in rows if r["table_name"] == "lineitem"]
+    # footer row counts must equal the actual scan row count
+    assert sum(r["n_rows"] for r in li) == load_table(spark, sf_dir, "lineitem").count()
+    for r in rows:
+        assert r["n_columns"] > 0
+        assert r["compressed_bytes"] > 0 and r["uncompressed_bytes"] > 0
+        # codec framing overhead can exceed savings on tiny row groups;
+        # real ones must compress
+        if r["uncompressed_bytes"] > 10_000:
+            assert r["compressed_bytes"] <= r["uncompressed_bytes"]

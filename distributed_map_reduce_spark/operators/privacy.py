@@ -691,3 +691,91 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tv, 6).alias("t_distance"),
         F.when(tv > 0.3, 1).otherwise(0).alias("violates_t"),
     )
+
+
+@register(
+    "privacy_randomized_response",
+    tags=("privacy", "events"),
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END)
+           AS y
+  FROM events GROUP BY user_id
+), rr AS (
+  SELECT user_id, y,
+         CASE WHEN (CAST('0x' || substr(md5('rr1-' || user_id), 1, 2)
+                      AS BIGINT) % 256) < 128
+              THEN y
+              ELSE CASE WHEN (CAST('0x' || substr(md5('rr2-' || user_id), 1, 2)
+                               AS BIGINT) % 256) < 128
+                        THEN 1 ELSE 0 END
+         END AS reported
+  FROM u
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(y) AS BIGINT) AS n_true_pos,
+       CAST(sum(reported) AS BIGINT) AS n_reported_pos,
+       round(sum(y) * 1e0 / count(*), 6) AS true_rate,
+       round(sum(reported) * 1e0 / count(*), 6) AS reported_rate,
+       round(2e0 * (sum(reported) * 1e0 / count(*)) - 5e-1, 6)
+         AS debiased_rate,
+       round(abs(2e0 * (sum(reported) * 1e0 / count(*)) - 5e-1
+                 - sum(y) * 1e0 / count(*)), 6) AS debias_abs_err
+FROM rr
+""",
+)
+def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warner randomized response (1965), the original local-DP
+    mechanism: each user reports the TRUTH with probability 1/2 and a
+    fair coin otherwise (both coins deterministic md5 here, so the
+    protocol is replayable), giving every individual plausible
+    deniability (epsilon = ln 3 local DP) while the aggregate debiases
+    exactly: E[reported] = y/2 + 1/4, so y_hat = 2*p_reported - 1/2.
+    Emits true vs reported vs debiased rates plus the absolute debias
+    error — the per-mechanism audit [[privacy_dp_noisy_counts]]
+    (central-DP Laplace) doesn't cover: here noise lives on the CLIENT
+    and the server never sees a true bit.
+
+    Scale: one per-user hash agg, then pure integer counting — the
+    mechanism adds zero shuffle beyond the agg. All counts are exact
+    integers; only the final rate divisions round."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") >= 150), 1)
+            .otherwise(0)
+        ).alias("y")
+    )
+
+    def coin(prefix: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(prefix), F.col("user_id").cast("string"))),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 256
+        )
+
+    rr = u.select(
+        "y",
+        F.when(coin("rr1-") < 128, F.col("y"))
+        .otherwise(F.when(coin("rr2-") < 128, 1).otherwise(0))
+        .alias("reported"),
+    )
+    p_rep = F.sum("reported") * 1.0 / F.count(F.lit(1))
+    p_true = F.sum("y") * 1.0 / F.count(F.lit(1))
+    return rr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("y").cast("bigint").alias("n_true_pos"),
+        F.sum("reported").cast("bigint").alias("n_reported_pos"),
+        F.round(p_true, 6).alias("true_rate"),
+        F.round(p_rep, 6).alias("reported_rate"),
+        F.round(2.0 * p_rep - 0.5, 6).alias("debiased_rate"),
+        F.round(F.abs(2.0 * p_rep - 0.5 - p_true), 6).alias("debias_abs_err"),
+    )

@@ -235,3 +235,27 @@ def test_parquet_footer_stats_consistency(spark, sf_dir):
         # real ones must compress
         if r["uncompressed_bytes"] > 10_000:
             assert r["compressed_bytes"] <= r["uncompressed_bytes"]
+
+
+def test_edit_distance_block_bimodal(spark, sf_dir):
+    rows = all_queries()["dedup_edit_distance_block"].fn(spark, sf_dir).collect()
+    assert rows, "blocking must admit at least the exact-duplicate pairs"
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0 <= r["prefix_edit_distance"] <= 25
+        assert r["exact_prefix"] == int(r["prefix_edit_distance"] == 0)
+    # the corpus' true duplicates surface as distance-0 prefix twins
+    assert any(r["exact_prefix"] == 1 for r in rows)
+
+
+def test_randomized_response_debias(spark, sf_dir):
+    r = all_queries()["privacy_randomized_response"].fn(spark, sf_dir).collect()[0]
+    assert r["n_users"] > 0
+    assert 0 <= r["n_true_pos"] <= r["n_users"]
+    # reported rate is pulled toward 1/2 by the coin arm
+    assert abs(r["reported_rate"] - 0.5) <= abs(r["true_rate"] - 0.5) + 0.1
+    # debias identity and sampling-noise bound (coin flips over n users)
+    assert abs(r["debiased_rate"] - (2 * r["reported_rate"] - 0.5)) < 1e-5
+    import math
+
+    assert r["debias_abs_err"] < 4 / math.sqrt(r["n_users"])

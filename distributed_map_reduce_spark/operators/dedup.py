@@ -943,3 +943,114 @@ def dedup_edit_distance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(dist == 0, 1).otherwise(0).alias("exact_prefix"),
         )
     )
+
+
+@register(
+    "er_blocking_audit",
+    tags=("dedup", "er", "quality"),
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang, n_chars // 8 AS bucket, md5(text) AS h
+  FROM documents
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d
+), truth AS (
+  SELECT a.doc_id AS da, b.doc_id AS db,
+         CASE WHEN a.lang = b.lang AND a.bucket = b.bucket THEN 1 ELSE 0 END
+           AS captured
+  FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id
+), cand AS (
+  SELECT CAST(count(*) AS BIGINT) AS cand_pairs
+  FROM d a JOIN d b
+    ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), t AS (
+  SELECT CAST(count(*) AS BIGINT) AS truth_pairs,
+         CAST(coalesce(sum(captured), 0) AS BIGINT) AS captured_pairs
+  FROM truth
+)
+SELECT n.n_docs,
+       n.n_docs * (n.n_docs - 1) // 2 AS all_pairs,
+       cand.cand_pairs,
+       round(1e0 - cand.cand_pairs * 1e0 / (n.n_docs * (n.n_docs - 1) // 2), 6)
+         AS reduction_ratio,
+       t.truth_pairs,
+       t.captured_pairs,
+       CASE WHEN t.truth_pairs = 0 THEN 1e0
+            ELSE round(t.captured_pairs * 1e0 / t.truth_pairs, 6)
+       END AS pair_completeness
+FROM n CROSS JOIN cand CROSS JOIN t
+""",
+)
+def er_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution blocking-quality audit (Christen 2012's two
+    canonical metrics): REDUCTION RATIO (what fraction of the quadratic
+    pair space the (lang, length-bucket) blocking scheme prunes) and
+    PAIR COMPLETENESS (what fraction of ground-truth duplicate pairs —
+    exact text twins by md5 — land in the same block and remain
+    findable). The scheme-design complement to [[er_record_linkage]]
+    (which scores pairs a blocking already admitted) and the audit that
+    justifies [[dedup_edit_distance_block]]'s block keys: a blocking
+    with high reduction but low completeness silently loses duplicates,
+    and this query is the only way to see it. Every count is an exact
+    integer; the two ratios round at 6dp.
+
+    Scale: the truth join is on the md5 hash key (duplicate groups are
+    tiny); the candidate-pair COUNT aggregates per block as
+    sum(k*(k-1)/2) group sizes — no pair materialization is needed for
+    the count, and the audit never touches text beyond one md5 per
+    row."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 8).cast("bigint").alias("bucket"),
+        F.md5("text").alias("h"),
+    )
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    a, b = d.alias("a"), d.alias("b")
+    truth = a.join(
+        b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        F.when(
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+            1,
+        )
+        .otherwise(0)
+        .alias("captured")
+    )
+    cand = (
+        d.groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .agg(
+            F.sum(F.col("k") * (F.col("k") - 1) / 2).cast("bigint").alias("cand_pairs")
+        )
+    )
+    t = truth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("truth_pairs"),
+        # coalesce: a corpus with NO exact twins must report 0, not NULL
+        # (the ADVICE-r4 missing-arm class), and completeness is then
+        # vacuously 1.0 rather than a divide-by-zero (DuckDB errors on /0)
+        F.coalesce(F.sum("captured"), F.lit(0)).cast("bigint").alias(
+            "captured_pairs"
+        ),
+    )
+    all_pairs = (F.col("n_docs") * (F.col("n_docs") - 1) / 2).cast("bigint")
+    return (
+        n.crossJoin(F.broadcast(cand))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "n_docs",
+            all_pairs.alias("all_pairs"),
+            "cand_pairs",
+            F.round(1.0 - F.col("cand_pairs") * 1.0 / all_pairs, 6).alias(
+                "reduction_ratio"
+            ),
+            "truth_pairs",
+            "captured_pairs",
+            F.when(F.col("truth_pairs") == 0, F.lit(1.0))
+            .otherwise(
+                F.round(F.col("captured_pairs") * 1.0 / F.col("truth_pairs"), 6)
+            )
+            .alias("pair_completeness"),
+        )
+    )

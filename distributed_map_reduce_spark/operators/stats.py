@@ -8356,3 +8356,77 @@ def eval_best_of_n_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_gain"
         ),
     )
+
+
+@register(
+    "stats_hodges_lehmann",
+    tags=("stats", "temporal"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM orders
+  WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+  GROUP BY 1
+), walsh AS (
+  SELECT a.x + b.x AS s
+  FROM daily a JOIN daily b ON a.d <= b.d
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_walsh, median(s) AS med2 FROM walsh
+), base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days, avg(x * 1e0) AS mean_x,
+         median(x) AS median_x
+  FROM daily
+)
+SELECT base.n_days, m.n_walsh,
+       round(m.med2 / 2e0, 4) AS hl_location,
+       round(base.mean_x, 4) AS mean_x,
+       round(base.median_x, 4) AS median_x,
+       round(m.med2 / 2e0 - base.mean_x, 4) AS hl_minus_mean
+FROM base CROSS JOIN m
+""",
+)
+def stats_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann location estimator: the median of all Walsh
+    averages (x_i + x_j)/2 over unordered day pairs INCLUDING self-
+    pairs — the robust location with 95.5% Gaussian efficiency that the
+    plain median (64%) can't touch, and the estimator behind the
+    Wilcoxon CI. Computed as median of the INTEGER pair sums then one
+    final /2, so the interpolated middle is exact (.0 or .5) on both
+    engines — the same integer-first discipline as
+    [[stats_kendall_tau]], whose bounded day-pair join this reuses.
+    Emitted next to the mean and plain median so the test can pin the
+    robustness ordering |HL - mean| <= |median - mean| on skewed days.
+
+    Scale: the O(n^2) Walsh expansion is bounded BY CONSTRUCTION to the
+    year's day grain (<=366 rows, <=67k pairs, broadcast join); the
+    median runs on one small sorted frame. Day-grain agg is the only
+    data-scale work."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date"))
+    )
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    walsh = a.join(F.broadcast(b), F.col("a.d") <= F.col("b.d")).select(
+        (F.col("a.x") + F.col("b.x")).alias("s")
+    )
+    m = walsh.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_walsh"),
+        F.expr("percentile(s, 0.5)").alias("med2"),
+    )
+    base = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.avg(F.col("x") * 1.0).alias("mean_x"),
+        F.expr("percentile(x, 0.5)").alias("median_x"),
+    )
+    return base.crossJoin(F.broadcast(m)).select(
+        "n_days",
+        "n_walsh",
+        F.round(F.col("med2") / 2.0, 4).alias("hl_location"),
+        F.round("mean_x", 4).alias("mean_x"),
+        F.round("median_x", 4).alias("median_x"),
+        F.round(F.col("med2") / 2.0 - F.col("mean_x"), 4).alias("hl_minus_mean"),
+    )

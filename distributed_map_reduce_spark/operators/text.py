@@ -2048,3 +2048,133 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint"),
     )
     return ranked.filter(F.col("rnk") <= 15)
+
+
+@register(
+    "eval_rouge_ngram",
+    tags=("text", "eval", "ml"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), w -> w <> '') AS l
+  FROM documents
+), grams AS (
+  SELECT doc_id, 1 AS n, unnest(l) AS gram FROM toks
+  UNION ALL
+  SELECT doc_id, 2 AS n,
+         unnest(list_transform(generate_series(1, len(l) - 1),
+                               i -> l[i] || ' ' || l[i + 1])) AS gram
+  FROM toks
+), counts AS (
+  SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS cnt
+  FROM grams GROUP BY doc_id, n, gram
+), totals AS (
+  SELECT doc_id, n, CAST(sum(cnt) AS BIGINT) AS tot
+  FROM counts GROUP BY doc_id, n
+), pairs AS (
+  SELECT doc_id AS cand_id, doc_id - 250 AS ref_id FROM documents
+  WHERE doc_id >= 250
+), overlap AS (
+  SELECT p.cand_id, r.n,
+         CAST(sum(least(r.cnt, c.cnt)) AS BIGINT) AS hits
+  FROM pairs p
+  JOIN counts r ON r.doc_id = p.ref_id
+  JOIN counts c ON c.doc_id = p.cand_id AND c.n = r.n AND c.gram = r.gram
+  GROUP BY p.cand_id, r.n
+), scored AS (
+  SELECT p.cand_id, tr.n,
+         coalesce(o.hits, 0) * 1e0 / tr.tot AS recall,
+         coalesce(o.hits, 0) * 1e0 / tc.tot AS precision
+  FROM pairs p
+  JOIN totals tr ON tr.doc_id = p.ref_id
+  JOIN totals tc ON tc.doc_id = p.cand_id AND tc.n = tr.n
+  LEFT JOIN overlap o ON o.cand_id = p.cand_id AND o.n = tr.n
+)
+SELECT n,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(recall), 6) AS mean_recall,
+       round(avg(precision), 6) AS mean_precision,
+       round(avg(CASE WHEN recall + precision > 0e0
+                      THEN 2e0 * recall * precision / (recall + precision)
+                      ELSE 0e0 END), 6) AS mean_f1
+FROM scored GROUP BY n
+""",
+)
+def eval_rouge_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1/ROUGE-2 (Lin 2004) with proper CLIPPED multiset matching
+    (per-gram hits = min(ref count, cand count) — the detail naive
+    set-overlap gets wrong on repeated words) over a deterministic
+    candidate/reference pairing (doc i+250 scored against doc i),
+    macro-averaged recall/precision/F1 per n — the paired summary-eval
+    complement to [[text_self_bleu_diversity]] (corpus-level diversity,
+    no references). All hits/totals are exact integers; only the final
+    ratios round. Unpaired grams fall out via the LEFT JOIN with a
+    0-hit default rather than dropping the pair.
+
+    Scale: gram counts are the standard (doc, n, gram, count) hash agg
+    (text itself never joins); the pair join is by doc id, and the
+    clipped-overlap join shuffles on the gram key exactly once. At
+    100 TB this is two hash-agg passes plus one key join — no
+    all-pairs, no DP."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " "), lambda w: w != "").alias("l"),
+    )
+    uni = toks.select("doc_id", F.lit(1).alias("n"), F.explode("l").alias("gram"))
+    bi = toks.filter(F.size("l") >= 2).select(
+        "doc_id",
+        F.lit(2).alias("n"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("l") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("l", i.cast("int")), F.element_at("l", (i + 1).cast("int"))
+                ),
+            )
+        ).alias("gram"),
+    )
+    counts = (
+        uni.unionByName(bi)
+        .groupBy("doc_id", "n", "gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    totals = counts.groupBy("doc_id", "n").agg(F.sum("cnt").cast("bigint").alias("tot"))
+    pairs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") >= 250)
+        .select(F.col("doc_id").alias("cand_id"), (F.col("doc_id") - 250).alias("ref_id"))
+    )
+    r = counts.select(
+        F.col("doc_id").alias("ref_id"), "n", "gram", F.col("cnt").alias("rcnt")
+    )
+    c = counts.select(
+        F.col("doc_id").alias("cand_id"), "n", "gram", F.col("cnt").alias("ccnt")
+    )
+    overlap = (
+        pairs.join(r, "ref_id")
+        .join(c, ["cand_id", "n", "gram"])
+        .groupBy("cand_id", "n")
+        .agg(F.sum(F.least("rcnt", "ccnt")).cast("bigint").alias("hits"))
+    )
+    tr = totals.select(F.col("doc_id").alias("ref_id"), "n", F.col("tot").alias("rtot"))
+    tc = totals.select(F.col("doc_id").alias("cand_id"), "n", F.col("tot").alias("ctot"))
+    scored = (
+        pairs.join(tr, "ref_id")
+        .join(tc, ["cand_id", "n"])
+        .join(overlap, ["cand_id", "n"], "left")
+        .select(
+            "n",
+            (F.coalesce("hits", F.lit(0)) * 1.0 / F.col("rtot")).alias("recall"),
+            (F.coalesce("hits", F.lit(0)) * 1.0 / F.col("ctot")).alias("precision"),
+        )
+    )
+    f1 = F.when(
+        F.col("recall") + F.col("precision") > 0.0,
+        2.0 * F.col("recall") * F.col("precision") / (F.col("recall") + F.col("precision")),
+    ).otherwise(0.0)
+    return scored.groupBy("n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.avg("recall"), 6).alias("mean_recall"),
+        F.round(F.avg("precision"), 6).alias("mean_precision"),
+        F.round(F.avg(f1), 6).alias("mean_f1"),
+    )

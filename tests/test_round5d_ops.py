@@ -259,3 +259,42 @@ def test_randomized_response_debias(spark, sf_dir):
     import math
 
     assert r["debias_abs_err"] < 4 / math.sqrt(r["n_users"])
+
+
+def test_rouge_ngram_structure(spark, sf_dir):
+    rows = {r["n"]: r for r in all_queries()["eval_rouge_ngram"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {1, 2}
+    for n, r in rows.items():
+        assert r["n_pairs"] == 250
+        assert 0.0 <= r["mean_recall"] <= 1.0
+        assert 0.0 <= r["mean_precision"] <= 1.0
+        # F1 is the harmonic mean: bounded by min and max of P/R means
+        assert r["mean_f1"] <= max(r["mean_recall"], r["mean_precision"]) + 1e-6
+    # bigram overlap can't beat unigram overlap on the same pairs
+    assert rows[2]["mean_f1"] <= rows[1]["mean_f1"]
+
+
+def test_er_blocking_audit_metrics(spark, sf_dir):
+    r = all_queries()["er_blocking_audit"].fn(spark, sf_dir).collect()[0]
+    assert r["all_pairs"] == r["n_docs"] * (r["n_docs"] - 1) // 2
+    assert 0 < r["cand_pairs"] < r["all_pairs"]
+    # the whole point of blocking: prune >99% of the pair space
+    assert r["reduction_ratio"] > 0.99
+    assert 0 <= r["captured_pairs"] <= r["truth_pairs"]
+    if r["truth_pairs"]:
+        assert abs(r["pair_completeness"] - r["captured_pairs"] / r["truth_pairs"]) < 1e-5
+    else:  # no exact twins at this SF: vacuously complete, never NULL
+        assert r["pair_completeness"] == 1.0
+    # exact text twins share length; only a lang-label mismatch can lose them
+    assert r["pair_completeness"] > 0.5
+
+
+def test_hodges_lehmann_robustness(spark, sf_dir):
+    r = all_queries()["stats_hodges_lehmann"].fn(spark, sf_dir).collect()[0]
+    n = r["n_days"]
+    assert r["n_walsh"] == n * (n + 1) // 2  # self-pairs included
+    # HL lies between the plain median and the mean for skewed data,
+    # and within the sample range trivially
+    lo, hi = min(r["median_x"], r["mean_x"]), max(r["median_x"], r["mean_x"])
+    assert lo - abs(r["mean_x"]) * 0.5 <= r["hl_location"] <= hi + abs(r["mean_x"]) * 0.5
+    assert abs(r["hl_minus_mean"] - (r["hl_location"] - r["mean_x"])) < 1e-3

@@ -8430,3 +8430,352 @@ def stats_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("median_x", 4).alias("median_x"),
         F.round(F.col("med2") / 2.0 - F.col("mean_x"), 4).alias("hl_minus_mean"),
     )
+
+
+@register(
+    "eval_youden_threshold",
+    tags=("stats", "eval", "ml"),
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END)
+           AS y
+  FROM events GROUP BY user_id
+), scored AS (
+  SELECT y,
+         CAST('0x' || substr(md5('auc-' || user_id), 1, 2) AS BIGINT) % 256
+           AS score
+  FROM u
+), totals AS (
+  SELECT CAST(sum(y) AS BIGINT) AS pos,
+         CAST(count(*) - sum(y) AS BIGINT) AS neg
+  FROM scored
+), roc AS (
+  SELECT t.t,
+         CAST(sum(CASE WHEN s.score >= t.t AND s.y = 1 THEN 1 ELSE 0 END)
+           AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN s.score >= t.t AND s.y = 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS fp
+  FROM scored s CROSS JOIN (SELECT unnest(generate_series(0, 256)) AS t) t
+  GROUP BY t.t
+), j AS (
+  SELECT roc.t, roc.tp, roc.fp, totals.pos, totals.neg,
+         roc.tp * totals.neg - roc.fp * totals.pos AS j_num
+  FROM roc CROSS JOIN totals
+)
+SELECT t AS best_threshold,
+       round(tp * 1e0 / pos, 6) AS tpr,
+       round(fp * 1e0 / neg, 6) AS fpr,
+       round((tp * neg - fp * pos) * 1e0 / (pos * neg), 6) AS youden_j,
+       round((tp + (neg - fp)) * 1e0 / (pos + neg), 6) AS accuracy
+FROM j
+QUALIFY row_number() OVER (ORDER BY j_num DESC, t) = 1
+""",
+)
+def eval_youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Youden-J optimal operating point: sweep every attainable score
+    threshold, compute TPR/FPR from exact integer confusion counts, and
+    select argmax(TPR - FPR) — the threshold-CHOICE step that turns
+    [[eval_auc_roc]]'s threshold-free ranking score into a deployable
+    classifier cutoff (J is the vertical distance of the ROC curve
+    above chance; the argmax is where a screening rule should operate).
+    Selection ranks on the INTEGER cross-product tp*neg - fp*pos — not
+    the rounded float J — so the argmax can never flip on division
+    ulps, with the threshold itself as the deterministic tie-break.
+
+    Scale: the scored frame is per-user (one hash agg); the 257-way
+    threshold sweep expands the SCORED frame, not raw events, and
+    collapses immediately to 257 integer rows. At 100 TB the sweep is
+    a constant-factor map over the user frame — no sort, no
+    quantiles."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") >= 150), 1)
+            .otherwise(0)
+        ).alias("y")
+    )
+    scored = u.select(
+        "y",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("auc-"), F.col("user_id").cast("string"))), 1, 2
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 256
+        ).alias("score"),
+    )
+    totals = scored.agg(
+        F.sum("y").cast("bigint").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("neg"),
+    )
+    roc = (
+        scored.select("y", "score", F.explode(F.sequence(F.lit(0), F.lit(256))).alias("t"))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when((F.col("score") >= F.col("t")) & (F.col("y") == 1), 1).otherwise(0))
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(F.when((F.col("score") >= F.col("t")) & (F.col("y") == 0), 1).otherwise(0))
+            .cast("bigint")
+            .alias("fp"),
+        )
+    )
+    from pyspark.sql import Window
+
+    j = roc.crossJoin(F.broadcast(totals)).select(
+        "t",
+        "tp",
+        "fp",
+        "pos",
+        "neg",
+        (F.col("tp") * F.col("neg") - F.col("fp") * F.col("pos")).alias("j_num"),
+    )
+    return (
+        j.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.col("j_num").desc(), F.col("t")))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("t").alias("best_threshold"),
+            F.round(F.col("tp") * 1.0 / F.col("pos"), 6).alias("tpr"),
+            F.round(F.col("fp") * 1.0 / F.col("neg"), 6).alias("fpr"),
+            F.round(F.col("j_num") * 1.0 / (F.col("pos") * F.col("neg")), 6).alias(
+                "youden_j"
+            ),
+            F.round(
+                (F.col("tp") + (F.col("neg") - F.col("fp"))) * 1.0
+                / (F.col("pos") + F.col("neg")),
+                6,
+            ).alias("accuracy"),
+        )
+    )
+
+
+@register(
+    "stats_bland_altman",
+    tags=("stats", "quality"),
+    oracle="""
+WITH inst AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 1e2) AS BIGINT)
+           + (CAST('0x' || substr(md5('ba-a-' || o_orderkey), 1, 4)
+                AS BIGINT) % 2001 - 1000) * 12000 AS x,
+         CAST(round(o_totalprice * 1e2) AS BIGINT) + 5000000
+           + (CAST('0x' || substr(md5('ba-b-' || o_orderkey), 1, 4)
+                AS BIGINT) % 2001 - 1000) * 12000 AS y
+  FROM orders
+), paired AS (
+  SELECT x, y, y - x AS d FROM inst
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(d AS HUGEINT)) AS DOUBLE) AS sd1,
+         CAST(sum(CAST(d AS HUGEINT) * d) AS DOUBLE) AS sd2
+  FROM paired
+), lim AS (
+  SELECT n, sd1 / n AS bias,
+         sqrt((sd2 - sd1 * sd1 / n) / (n - 1)) AS sd
+  FROM m
+)
+SELECT lim.n,
+       round(lim.bias / 1e2, 4) AS bias,
+       round((lim.bias - 1.96e0 * lim.sd) / 1e2, 4) AS loa_low,
+       round((lim.bias + 1.96e0 * lim.sd) / 1e2, 4) AS loa_high,
+       round(sum(CASE WHEN p.d < lim.bias - 1.96e0 * lim.sd
+                        OR p.d > lim.bias + 1.96e0 * lim.sd
+                      THEN 1 ELSE 0 END) * 1e0 / lim.n, 6) AS frac_outside
+FROM paired p CROSS JOIN lim
+GROUP BY lim.n, lim.bias, lim.sd
+""",
+)
+def stats_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bland-Altman agreement analysis (Lancet 1986) between two
+    instruments reading the SAME underlying quantity — each order's
+    true total in cents observed through two deterministic md5-noise
+    instruments of EQUAL precision, instrument B carrying a constant
+    +$50k calibration offset: bias (mean difference), 95% limits of
+    agreement (bias +/- 1.96 sd), and the fraction of orders outside
+    them. This is the method-comparison question correlation can NOT
+    answer — these two instruments correlate near 1 yet disagree by
+    $50k systematically, which is exactly what BA surfaces and r hides.
+    (The synthetic-instrument discipline of [[eval_calibration_brier]];
+    production points x/y at real paired measure columns.) Every
+    row-level difference is an exact INTEGER in cents, so the
+    outside-limits comparison is bit-deterministic on both engines.
+
+    Scale: one scan, one 3-sum moment reduce (HUGEINT/DECIMAL), one
+    1-row broadcast of the limits back over the pair frame — two
+    passes, no join, no sort."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def coin(prefix: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(prefix), F.col("o_orderkey").cast("string"))),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2001
+            - 1000
+        )
+
+    t = F.round(F.col("o_totalprice") * 100.0).cast("bigint")
+    paired = o.select(
+        (t + coin("ba-a-") * 12000).alias("x"),
+        (t + 5000000 + coin("ba-b-") * 12000).alias("y"),
+    ).select("x", "y", (F.col("y") - F.col("x")).alias("d"))
+    m = paired.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("d").cast("decimal(38,0)")).cast("double").alias("sd1"),
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("d")).cast("double").alias("sd2"),
+    )
+    lim = m.select(
+        "n",
+        (F.col("sd1") / F.col("n")).alias("bias"),
+        F.sqrt(
+            (F.col("sd2") - F.col("sd1") * F.col("sd1") / F.col("n")) / (F.col("n") - 1)
+        ).alias("sd"),
+    )
+    lo = F.col("bias") - 1.96 * F.col("sd")
+    hi = F.col("bias") + 1.96 * F.col("sd")
+    return (
+        paired.crossJoin(F.broadcast(lim))
+        .groupBy("n", "bias", "sd")
+        .agg(
+            F.round(
+                F.sum(F.when((F.col("d") < lo) | (F.col("d") > hi), 1).otherwise(0))
+                * 1.0
+                / F.col("n"),
+                6,
+            ).alias("frac_outside")
+        )
+        .select(
+            "n",
+            F.round(F.col("bias") / 100.0, 4).alias("bias"),
+            F.round(lo / 100.0, 4).alias("loa_low"),
+            F.round(hi / 100.0, 4).alias("loa_high"),
+            "frac_outside",
+        )
+    )
+
+
+@register(
+    "stats_deming_regression",
+    tags=("stats", "quality"),
+    oracle="""
+WITH inst AS (
+  SELECT CAST(round(o_totalprice * 1e2) AS BIGINT)
+           + (CAST('0x' || substr(md5('ba-a-' || o_orderkey), 1, 4)
+                AS BIGINT) % 2001 - 1000) * 12000 AS x,
+         CAST(round(o_totalprice * 1e2) AS BIGINT) + 5000000
+           + (CAST('0x' || substr(md5('ba-b-' || o_orderkey), 1, 4)
+                AS BIGINT) % 2001 - 1000) * 12000 AS y
+  FROM orders
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+  FROM inst
+), cm AS (
+  SELECT n,
+         (sxx - sx * sx / n) / (n - 1) AS uxx,
+         (syy - sy * sy / n) / (n - 1) AS uyy,
+         (sxy - sx * sy / n) / (n - 1) AS uxy,
+         sx / n AS mx, sy / n AS my
+  FROM m
+)
+SELECT n,
+       round(uxy / uxx, 6) AS slope_ols,
+       round((uyy - uxx + sqrt((uyy - uxx) * (uyy - uxx) + 4e0 * uxy * uxy))
+             / (2e0 * uxy), 6) AS slope_deming,
+       round((my - (uyy - uxx + sqrt((uyy - uxx) * (uyy - uxx)
+                                     + 4e0 * uxy * uxy))
+                   / (2e0 * uxy) * mx) / 1e2, 4) AS intercept_deming,
+       round(uxy / sqrt(uxx * uyy), 6) AS pearson_r
+FROM cm
+""",
+)
+def stats_deming_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deming regression (errors-in-BOTH-variables, lambda=1) on the
+    same two equal-precision instruments as [[stats_bland_altman]]:
+    the closed-form slope (S_yy - S_xx + sqrt((S_yy - S_xx)^2 +
+    4 S_xy^2)) / (2 S_xy). The true instrument relationship is
+    y = x + const (slope exactly 1), but OLS ATTENUATES the slope
+    toward var_truth/(var_truth + var_noise) because it wrongly
+    assigns all error to y — with noise sd at ~half the signal sd the
+    attenuation is large and visible, and emitting slope_ols next to
+    slope_deming makes the correction the test's pinned invariant
+    (Deming recovers ~1.0, OLS sits measurably below). One pass of
+    integer-cents co-moments in HUGEINT/DECIMAL; identical double
+    algebra both engines, rounded at the end.
+
+    Scale: one scan + one 5-sum moment reduce — the cheapest possible
+    shape; only co-moments leave the executors."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def coin(prefix: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(prefix), F.col("o_orderkey").cast("string"))),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2001
+            - 1000
+        )
+
+    t = F.round(F.col("o_totalprice") * 100.0).cast("bigint")
+    paired = o.select(
+        (t + coin("ba-a-") * 12000).alias("x"),
+        (t + 5000000 + coin("ba-b-") * 12000).alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    m = paired.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec("x")).cast("double").alias("sx"),
+        F.sum(dec("y")).cast("double").alias("sy"),
+        F.sum(dec("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(dec("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(dec("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    cm = m.select(
+        "n",
+        ((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)).alias("uxx"),
+        ((F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")) / (F.col("n") - 1)).alias("uyy"),
+        ((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (F.col("n") - 1)).alias("uxy"),
+        (F.col("sx") / F.col("n")).alias("mx"),
+        (F.col("sy") / F.col("n")).alias("my"),
+    )
+    deming = (
+        F.col("uyy")
+        - F.col("uxx")
+        + F.sqrt(
+            (F.col("uyy") - F.col("uxx")) * (F.col("uyy") - F.col("uxx"))
+            + 4.0 * F.col("uxy") * F.col("uxy")
+        )
+    ) / (2.0 * F.col("uxy"))
+    return cm.select(
+        "n",
+        F.round(F.col("uxy") / F.col("uxx"), 6).alias("slope_ols"),
+        F.round(deming, 6).alias("slope_deming"),
+        F.round((F.col("my") - deming * F.col("mx")) / 100.0, 4).alias(
+            "intercept_deming"
+        ),
+        F.round(F.col("uxy") / F.sqrt(F.col("uxx") * F.col("uyy")), 6).alias(
+            "pearson_r"
+        ),
+    )

@@ -2218,3 +2218,94 @@ def temporal_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("st.l") + 3.0 * F.col("st.b"), 4).alias("forecast_h3"),
         F.round(F.col("st.e") / (F.col("n_months") - 1), 4).alias("one_step_mae"),
     )
+
+
+@register(
+    "temporal_kalman_local_level",
+    tags=("temporal", "forecast", "iterative"),
+    oracle="""
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn, y FROM (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(round(sum(o_totalprice)) AS BIGINT) AS y
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+    GROUP BY 1)
+), steps AS (
+  SELECT rn AS t, y * 1e0 AS x, 1e12 AS p, 0e0 AS e FROM daily WHERE rn = 1
+  UNION ALL
+  SELECT d.rn,
+         s.x + (s.p + 1e10) / (s.p + 1e10 + 1e12) * (d.y - s.x),
+         (1e0 - (s.p + 1e10) / (s.p + 1e10 + 1e12)) * (s.p + 1e10),
+         s.e + abs(d.y - s.x)
+  FROM steps s JOIN daily d ON d.rn = s.t + 1
+)
+SELECT t AS n_days,
+       round(x, 4) AS level,
+       round(p, 4) AS variance,
+       round((p + 1e10) / (p + 1e10 + 1e12), 6) AS steady_gain,
+       round(e / (t - 1), 4) AS innovation_mae
+FROM steps WHERE t = (SELECT max(rn) FROM daily)
+""",
+)
+def temporal_kalman_local_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-level Kalman filter over 1996 daily revenue (state x_t =
+    x_{t-1} + w, observation y_t = x_t + v; Q=1e10, R=1e12): per step
+    P_pred = P + Q, K = P_pred / (P_pred + R), x += K (y - x),
+    P = (1-K) P_pred — the VARIANCE-ADAPTIVE smoother whose gain K
+    starts high (trust the data while uncertain) and converges to the
+    steady-state Riccati fixpoint, unlike the constant-alpha
+    [[temporal_ewma_decay]] / [[temporal_holt_smoothing]] it
+    generalizes. Emits the converged gain so the test can pin it
+    against the closed-form steady state (q=Q/R: K* = (q + sqrt(q^2 +
+    4q)) / (q + sqrt(q^2 + 4q) + 2) ... via P* from the scalar Riccati
+    equation). Innovation MAE accumulates in the same pass.
+
+    Same fold-vs-recursive-CTE discipline as [[temporal_holt_smoothing]]
+    (whose docstring pins the DuckDB list_reduce in-place struct
+    hazard this oracle avoids): ordered aggregate() fold in Spark, a
+    RECURSIVE CTE over the row_number'd day index in DuckDB, identical
+    +-*-/ op order, bit-identical until the final rounds.
+
+    Scale: fold length is the bounded DAY GRAIN; the one day hash agg
+    is the only data-scale work."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date"))
+    )
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.round(F.sum("o_totalprice")).cast("bigint").alias("y")
+    )
+    arr = daily.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "y"))), lambda s: s["y"]
+        ).alias("ys"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    Q, R = 1e10, 1e12
+    init = F.struct(
+        (F.element_at("ys", 1) * 1.0).alias("x"),
+        F.lit(R).alias("p"),
+        F.lit(0.0).alias("e"),
+    )
+
+    def step(acc, v):
+        k = (acc["p"] + Q) / (acc["p"] + Q + R)
+        return F.struct(
+            (acc["x"] + k * (v.cast("double") - acc["x"])).alias("x"),
+            ((F.lit(1.0) - k) * (acc["p"] + Q)).alias("p"),
+            (acc["e"] + F.abs(v.cast("double") - acc["x"])).alias("e"),
+        )
+
+    folded = arr.select(
+        "n_days",
+        F.aggregate(F.expr("slice(ys, 2, size(ys) - 1)"), init, step).alias("st"),
+    )
+    return folded.select(
+        "n_days",
+        F.round(F.col("st.x"), 4).alias("level"),
+        F.round(F.col("st.p"), 4).alias("variance"),
+        F.round((F.col("st.p") + Q) / (F.col("st.p") + Q + R), 6).alias("steady_gain"),
+        F.round(F.col("st.e") / (F.col("n_days") - 1), 4).alias("innovation_mae"),
+    )

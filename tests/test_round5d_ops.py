@@ -298,3 +298,49 @@ def test_hodges_lehmann_robustness(spark, sf_dir):
     lo, hi = min(r["median_x"], r["mean_x"]), max(r["median_x"], r["mean_x"])
     assert lo - abs(r["mean_x"]) * 0.5 <= r["hl_location"] <= hi + abs(r["mean_x"]) * 0.5
     assert abs(r["hl_minus_mean"] - (r["hl_location"] - r["mean_x"])) < 1e-3
+
+
+def test_bland_altman_limits(spark, sf_dir):
+    r = all_queries()["stats_bland_altman"].fn(spark, sf_dir).collect()[0]
+    assert r["loa_low"] <= r["bias"] <= r["loa_high"]
+    # triangular noise difference: thin tails, but nonzero beyond 1.96 sd
+    assert 0.0 < r["frac_outside"] <= 0.15
+    # instrument B carries a +$50k calibration offset; SE ~ $800
+    assert 45_000 < r["bias"] < 55_000
+    assert r["n"] == load_table(spark, sf_dir, "orders").count()
+
+
+def test_deming_vs_ols_attenuation(spark, sf_dir):
+    r = all_queries()["stats_deming_regression"].fn(spark, sf_dir).collect()[0]
+    # equal-variance instruments on a shared truth: strong but imperfect r
+    assert 0.6 < r["pearson_r"] < 0.98
+    # OLS attenuates toward var_t/(var_t+var_n); Deming recovers slope 1
+    assert 0.93 < r["slope_deming"] < 1.07
+    assert r["slope_ols"] < r["slope_deming"] - 0.03
+    assert abs(r["slope_deming"]) >= abs(r["slope_ols"]) - 1e-6
+
+
+def test_youden_threshold_optimality(spark, sf_dir):
+    r = all_queries()["eval_youden_threshold"].fn(spark, sf_dir).collect()[0]
+    assert 0 <= r["best_threshold"] <= 256
+    assert 0.0 <= r["fpr"] <= r["tpr"] <= 1.0  # above the chance diagonal
+    assert abs(r["youden_j"] - (r["tpr"] - r["fpr"])) < 1e-5
+    # the informed scorer's optimum must beat chance decisively
+    assert r["youden_j"] > 0.3
+    assert 0.0 <= r["accuracy"] <= 1.0
+
+
+def test_kalman_gain_converges_to_riccati_fixpoint(spark, sf_dir):
+    import math
+
+    r = all_queries()["temporal_kalman_local_level"].fn(spark, sf_dir).collect()[0]
+    # scalar Riccati steady state for the PRIOR variance M = P + Q:
+    # M = MR/(M+R) + Q  =>  M* = (Q + sqrt(Q^2 + 4 Q R)) / 2,  K* = M*/(M*+R)
+    Q, R = 1e10, 1e12
+    m_star = (Q + math.sqrt(Q * Q + 4 * Q * R)) / 2
+    k_star = m_star / (m_star + R)
+    # P update is a contraction: after a year of days the gain is at the fixpoint
+    assert abs(r["steady_gain"] - k_star) < 1e-4
+    assert r["variance"] > 0
+    assert r["innovation_mae"] > 0
+    assert r["n_days"] >= 100

@@ -882,70 +882,6 @@ def dedup_mllib_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_edit_distance_block",
-    tags=("dedup", "text"),
-    oracle="""
-WITH d AS (
-  SELECT doc_id, lang, n_chars, lower(substr(text, 1, 40)) AS pfx
-  FROM documents
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
-       CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS prefix_edit_distance,
-       CASE WHEN levenshtein(a.pfx, b.pfx) = 0 THEN 1 ELSE 0 END
-         AS exact_prefix
-FROM d a JOIN d b
-  ON a.lang = b.lang
- AND a.n_chars // 8 = b.n_chars // 8
- AND a.doc_id < b.doc_id
-WHERE levenshtein(a.pfx, b.pfx) <= 25
-""",
-)
-def dedup_edit_distance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked edit-distance near-duplicate pairing: candidate pairs
-    from a cheap equi-join block (language x 8-char length bucket),
-    then exact Levenshtein on the 40-char prefix, keeping pairs within
-    distance 25 — the character-level fuzzy matcher that catches typo/
-    OCR variants [[dedup_ngram_jaccard]]'s token sets miss and
-    [[dedup_minhash_lsh]]'s shingles dilute. Levenshtein is an exact
-    integer DP both engines implement identically, so the join output
-    is bit-deterministic with no rounding at all. The fixture corpus
-    shows the classic bimodal signature this op exists to expose:
-    distance-0 prefix twins (true duplicates) separated by a wide gap
-    from the ~22+ word-soup background.
-
-    Scale: the O(len^2)-per-pair DP only ever runs on pairs the
-    BLOCKING admits — an equi-join on (lang, length-bucket), shuffled
-    once on the block key, never all-pairs; the prefix cap (40 chars)
-    bounds the DP at 1600 cells. Block sizes are data-skew to watch:
-    a hot (lang, bucket) block is the salting case
-    [[join_salted_skew]] handles."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        (F.col("n_chars") / 8).cast("bigint").alias("bucket"),
-        F.lower(F.substring("text", 1, 40)).alias("pfx"),
-    )
-    a, b = d.alias("a"), d.alias("b")
-    dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"))
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(dist <= 25)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.lang").alias("lang"),
-            dist.cast("bigint").alias("prefix_edit_distance"),
-            F.when(dist == 0, 1).otherwise(0).alias("exact_prefix"),
-        )
-    )
-
-
-@register(
     "er_blocking_audit",
     tags=("dedup", "er", "quality"),
     oracle="""
@@ -1052,5 +988,169 @@ def er_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("captured_pairs") * 1.0 / F.col("truth_pairs"), 6)
             )
             .alias("pair_completeness"),
+        )
+    )
+
+
+@register(
+    "dedup_lsh_parameter_plan",
+    tags=("dedup", "similarity", "maintenance"),
+    oracle="""
+WITH grid AS (
+  SELECT b.b, r.r, b.b * r.r AS k
+  FROM (SELECT unnest([4, 8, 16, 32]) AS b) b
+  CROSS JOIN (SELECT unnest([2, 4, 8]) AS r) r
+), curves AS (
+  SELECT b, r, k,
+         round(1e0 - pow(1e0 - pow(5e-1, r), b), 6) AS p_at_50,
+         round(1e0 - pow(1e0 - pow(8e-1, r), b), 6) AS p_at_80,
+         round(1e0 - pow(1e0 - pow(9e-1, r), b), 6) AS p_at_90,
+         round(pow(1e0 / b, 1e0 / r), 6) AS s_threshold
+  FROM grid
+)
+SELECT b, r, k, p_at_50, p_at_80, p_at_90, s_threshold,
+       CAST(row_number() OVER (
+         ORDER BY p_at_50 + (1e0 - p_at_90), b, r) AS BIGINT) AS plan_rank
+FROM curves
+""",
+)
+def dedup_lsh_parameter_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH parameter planning table: for every (bands b, rows r)
+    candidate, the S-curve collision probability P(s) = 1 - (1 - s^r)^b
+    at Jaccard 0.5/0.8/0.9 plus the threshold approximation
+    (1/b)^(1/r), ranked by the planning loss FP-proxy + FN-proxy =
+    P(0.5) + (1 - P(0.9)) — the tuning sheet you compute BEFORE running
+    [[dedup_minhash_lsh]], because b and r are baked into the signature
+    layout and re-banding 100 TB of signatures is a full rewrite. The
+    argmin ranks on the rounded curve values with (b, r) tie-breaks;
+    pow() ulps die in the 6dp round before ranking feeds them.
+    (Leskovec-Rajaraman-Ullman, Mining of Massive Datasets ch.3 — the
+    public S-curve analysis.)
+
+    Scale: a 12-row constant table — the POINT is that this runs on the
+    driver-side grid instead of re-hashing any data; sf_dir is read
+    only to keep the query signature uniform."""
+    grid = (
+        spark.range(1)
+        .select(
+            F.explode(F.array(*[F.lit(v) for v in (4, 8, 16, 32)])).alias("b")
+        )
+        .select("b", F.explode(F.array(*[F.lit(v) for v in (2, 4, 8)])).alias("r"))
+    )
+    load_table(spark, sf_dir, "documents")  # signature uniformity; not scanned
+
+    def p_at(s: float):
+        return F.round(
+            1.0 - F.pow(1.0 - F.pow(F.lit(s), F.col("r")), F.col("b")), 6
+        )
+
+    curves = grid.select(
+        "b",
+        "r",
+        (F.col("b") * F.col("r")).alias("k"),
+        p_at(0.5).alias("p_at_50"),
+        p_at(0.8).alias("p_at_80"),
+        p_at(0.9).alias("p_at_90"),
+        F.round(F.pow(1.0 / F.col("b"), 1.0 / F.col("r")), 6).alias("s_threshold"),
+    )
+    from pyspark.sql import Window
+
+    return curves.select(
+        "*",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.col("p_at_50") + (1.0 - F.col("p_at_90")), F.col("b"), F.col("r")
+            )
+        )
+        .cast("bigint")
+        .alias("plan_rank"),
+    )
+
+
+@register(
+    "dedup_edit_distance_block",
+    tags=("dedup", "text"),
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang, n_chars // 8 AS bucket,
+         lower(substr(text, 1, 40)) AS pfx
+  FROM documents
+), ranked AS (
+  SELECT doc_id, lang, bucket, pfx,
+         CAST(row_number() OVER (PARTITION BY lang, bucket
+                                 ORDER BY pfx, doc_id) AS BIGINT) AS rn
+  FROM d
+)
+SELECT least(a.doc_id, b.doc_id) AS doc_a,
+       greatest(a.doc_id, b.doc_id) AS doc_b,
+       a.lang,
+       CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS prefix_edit_distance,
+       CASE WHEN levenshtein(a.pfx, b.pfx) = 0 THEN 1 ELSE 0 END
+         AS exact_prefix
+FROM ranked a JOIN ranked b
+  ON a.lang = b.lang AND a.bucket = b.bucket
+ AND b.rn - a.rn BETWEEN 1 AND 3
+WHERE levenshtein(a.pfx, b.pfx) <= 25
+""",
+)
+def dedup_edit_distance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood edit-distance near-duplicate pairing
+    (Hernandez-Stolfo 1995): block on (language, 8-char length bucket),
+    SORT each block by the 40-char lowercase prefix, and compare each
+    row only to its next 3 neighbors in that order — exact integer
+    Levenshtein on the admitted pairs, keeping those within distance
+    25. The character-level fuzzy matcher that catches typo/OCR
+    variants [[dedup_ngram_jaccard]]'s token sets miss; identical
+    prefixes sort adjacent, so true duplicate pairs are always admitted
+    (clusters wider than the window chain transitively —
+    [[dedup_cc_clusters]] closes them).
+
+    SCALE LESSON (caught by the sf1 isolated bench, pinned here): the
+    first version joined all pairs WITHIN each block, and because the
+    (lang, bucket) key space is bounded, block occupancy grows linearly
+    with the corpus and pair count QUADRATICALLY — 2.1s at sf0.1 became
+    157s at sf1 (75x for 10x data). The sorted-neighborhood window
+    caps candidates at 3n by construction: the explode to (rn+1..rn+3)
+    target ranks makes the whole pairing one EQUI-join on
+    (lang, bucket, rn), linear at any SF. Same fix class as the
+    banded-LSH design in [[dedup_minhash_lsh]].
+
+    Levenshtein is an exact integer DP both engines implement
+    identically (40-char cap bounds it at 1600 cells) — the output is
+    bit-deterministic with no rounding at all."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 8).cast("bigint").alias("bucket"),
+        F.lower(F.substring("text", 1, 40)).alias("pfx"),
+    )
+    ranked = d.select(
+        "*",
+        F.row_number()
+        .over(Window.partitionBy("lang", "bucket").orderBy("pfx", "doc_id"))
+        .cast("bigint")
+        .alias("rn"),
+    )
+    probes = ranked.select(
+        F.col("lang"),
+        F.col("bucket"),
+        F.col("doc_id").alias("a_id"),
+        F.col("pfx").alias("a_pfx"),
+        F.col("rn").alias("a_rn"),
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("w"),
+    ).select(
+        "lang", "bucket", "a_id", "a_pfx", (F.col("a_rn") + F.col("w")).alias("rn")
+    )
+    dist = F.levenshtein(F.col("a_pfx"), F.col("pfx"))
+    return (
+        probes.join(ranked, ["lang", "bucket", "rn"])
+        .filter(dist <= 25)
+        .select(
+            F.least(F.col("a_id"), F.col("doc_id")).alias("doc_a"),
+            F.greatest(F.col("a_id"), F.col("doc_id")).alias("doc_b"),
+            "lang",
+            dist.cast("bigint").alias("prefix_edit_distance"),
+            F.when(dist == 0, 1).otherwise(0).alias("exact_prefix"),
         )
     )

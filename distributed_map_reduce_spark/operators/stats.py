@@ -7549,23 +7549,30 @@ def stats_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _m(scond, expr, name):
+        # decimal(38,0) BEFORE the sum: a bigint accumulator overflows on
+        # sum(y*y) once daily revenue scales (caught by the sf1 isolated
+        # bench — ANSI mode aborts the whole query); casting one operand
+        # keeps the product and the sum exact at any SF, mirroring the
+        # oracle's automatic HUGEINT promotion.
         return F.sum(F.when(scond, expr)).cast("double").alias(name)
 
+    dx = F.col("x").cast("decimal(38,0)")
+    dy = F.col("y").cast("decimal(38,0)")
     s0, s1 = F.col("s") == 0, F.col("s") == 1
     m = seg.agg(
         F.max("n").alias("n"),
         F.sum(F.when(s0, 1).otherwise(0)).cast("bigint").alias("n1"),
-        _m(s0, F.col("x"), "sx1"),
-        _m(s0, F.col("y"), "sy1"),
-        _m(s0, F.col("x") * F.col("x"), "sxx1"),
-        _m(s0, F.col("x") * F.col("y"), "sxy1"),
-        _m(s0, F.col("y") * F.col("y"), "syy1"),
+        _m(s0, dx, "sx1"),
+        _m(s0, dy, "sy1"),
+        _m(s0, dx * F.col("x"), "sxx1"),
+        _m(s0, dx * F.col("y"), "sxy1"),
+        _m(s0, dy * F.col("y"), "syy1"),
         F.sum(F.when(s1, 1).otherwise(0)).cast("bigint").alias("n2"),
-        _m(s1, F.col("x"), "sx2"),
-        _m(s1, F.col("y"), "sy2"),
-        _m(s1, F.col("x") * F.col("x"), "sxx2"),
-        _m(s1, F.col("x") * F.col("y"), "sxy2"),
-        _m(s1, F.col("y") * F.col("y"), "syy2"),
+        _m(s1, dx, "sx2"),
+        _m(s1, dy, "sy2"),
+        _m(s1, dx * F.col("x"), "sxx2"),
+        _m(s1, dx * F.col("y"), "sxy2"),
+        _m(s1, dy * F.col("y"), "syy2"),
     )
 
     def rss(syy, sy, sxy, sx, sxx, nn):
@@ -8778,4 +8785,128 @@ def stats_deming_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("uxy") / F.sqrt(F.col("uxx") * F.col("uyy")), 6).alias(
             "pearson_r"
         ),
+    )
+
+
+@register(
+    "stats_isotonic_calibration",
+    tags=("stats", "eval", "ml"),
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END)
+           AS y
+  FROM events GROUP BY user_id
+), scored AS (
+  SELECT user_id, y,
+         least(9.5e-1, greatest(5e-2,
+           1.5e-1 + 5.5e-1 * y
+                + 2.5e-1 * (CAST('0x' || substr(md5('cal-' || user_id), 1, 2)
+                               AS BIGINT) % 256) / 255e0)) AS p_hat
+  FROM u
+), bins AS (
+  SELECT CAST(least(floor(p_hat * 1e1), 9) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS conv,
+         round(avg(p_hat), 6) AS mean_predicted
+  FROM scored GROUP BY 1
+), pre AS (
+  SELECT bin, n, conv, mean_predicted,
+         sum(n) OVER (ORDER BY bin) AS cn,
+         sum(conv) OVER (ORDER BY bin) AS cc
+  FROM bins
+), intervals AS (
+  SELECT j.bin AS j, k.bin AS k,
+         (k.cc - j.cc + j.conv) * 1e0 / (k.cn - j.cn + j.n) AS avg_jk
+  FROM pre j JOIN pre k ON j.bin <= k.bin
+), minimax AS (
+  SELECT i.bin, iv.j, min(iv.avg_jk) AS m_ij
+  FROM pre i JOIN intervals iv ON iv.j <= i.bin AND iv.k >= i.bin
+  GROUP BY i.bin, iv.j
+), fitted AS (
+  SELECT bin, max(m_ij) AS iso FROM minimax GROUP BY bin
+)
+SELECT b.bin, b.n, b.mean_predicted,
+       round(b.conv * 1e0 / b.n, 6) AS observed_rate,
+       round(f.iso, 6) AS isotonic_rate
+FROM bins b JOIN fitted f ON f.bin = b.bin
+""",
+)
+def stats_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone) calibration of the decile reliability curve
+    — the regression PAV computes, here via the exact MINIMAX identity
+    iso_i = max_{j<=i} min_{k>=i} weightedMean(y over bins j..k), which
+    is closed-form SQL because the bin grain is bounded (10 bins -> 55
+    intervals -> 550 (i,j) pairs): prefix sums give every interval's
+    weighted mean as a RATIO OF EXACT INTEGERS (conversions/users), so
+    the min/max lattice is bit-deterministic on both engines with no
+    sequential pool-adjacent-violators loop at all. Repairs the
+    non-monotone wobbles the raw [[eval_calibration_brier]] curve shows
+    while preserving each pooled level as an actual empirical rate —
+    the calibration map you'd deploy in front of a scorer chosen by
+    [[eval_youden_threshold]].
+
+    Scale: the data-scale work is the same one per-user agg + 10-bin
+    reduce as the Brier query; the minimax lattice is constant-size
+    algebra. PAV's O(n) stack would matter only if the BIN grain grew
+    with data — it never does."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") >= 150), 1)
+            .otherwise(0)
+        ).alias("y")
+    )
+    coin = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("cal-"), F.col("user_id").cast("string"))), 1, 2),
+            16,
+            10,
+        ).cast("bigint")
+        % 256
+    )
+    p_hat = F.least(
+        F.lit(0.95),
+        F.greatest(F.lit(0.05), 0.15 + 0.55 * F.col("y") + 0.25 * coin / 255.0),
+    )
+    bins = (
+        u.select(F.least(F.floor(p_hat * 10), F.lit(9)).cast("bigint").alias("bin"), "y", p_hat.alias("p_hat"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("conv"),
+            F.round(F.avg("p_hat"), 6).alias("mean_predicted"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre = bins.select(
+        "bin", "n", "conv", "mean_predicted",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("conv").over(w).alias("cc"),
+    ).localCheckpoint(eager=False)
+    j = pre.select(F.col("bin").alias("j"), F.col("n").alias("jn"), F.col("conv").alias("jc"), F.col("cn").alias("jcn"), F.col("cc").alias("jcc"))
+    k = pre.select(F.col("bin").alias("k"), F.col("cn").alias("kcn"), F.col("cc").alias("kcc"))
+    intervals = j.join(k, F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        (
+            (F.col("kcc") - F.col("jcc") + F.col("jc")) * 1.0
+            / (F.col("kcn") - F.col("jcn") + F.col("jn"))
+        ).alias("avg_jk"),
+    )
+    i = pre.select(F.col("bin").alias("i"))
+    minimax = (
+        i.join(intervals, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
+        .groupBy("i", "j")
+        .agg(F.min("avg_jk").alias("m_ij"))
+    )
+    fitted = minimax.groupBy("i").agg(F.max("m_ij").alias("iso"))
+    return bins.join(fitted, bins.bin == fitted.i).select(
+        "bin",
+        "n",
+        "mean_predicted",
+        F.round(F.col("conv") * 1.0 / F.col("n"), 6).alias("observed_rate"),
+        F.round("iso", 6).alias("isotonic_rate"),
     )

@@ -344,3 +344,40 @@ def test_kalman_gain_converges_to_riccati_fixpoint(spark, sf_dir):
     assert r["variance"] > 0
     assert r["innovation_mae"] > 0
     assert r["n_days"] >= 100
+
+
+def test_isotonic_calibration_properties(spark, sf_dir):
+    rows = sorted(
+        all_queries()["stats_isotonic_calibration"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert len(rows) >= 5
+    # fitted curve is monotone nondecreasing in the bin order
+    for a, b in zip(rows, rows[1:]):
+        assert a["isotonic_rate"] <= b["isotonic_rate"] + 1e-9
+    # isotonic regression preserves the weighted mean of the response
+    tot_n = sum(r["n"] for r in rows)
+    raw = sum(r["n"] * r["observed_rate"] for r in rows) / tot_n
+    iso = sum(r["n"] * r["isotonic_rate"] for r in rows) / tot_n
+    assert abs(raw - iso) < 1e-4
+    # fitted values stay inside the observed range
+    lo = min(r["observed_rate"] for r in rows)
+    hi = max(r["observed_rate"] for r in rows)
+    for r in rows:
+        assert lo - 1e-9 <= r["isotonic_rate"] <= hi + 1e-9
+
+
+def test_lsh_parameter_plan_scurve(spark, sf_dir):
+    rows = all_queries()["dedup_lsh_parameter_plan"].fn(spark, sf_dir).collect()
+    assert len(rows) == 12
+    assert sorted(r["plan_rank"] for r in rows) == list(range(1, 13))
+    for r in rows:
+        # the S-curve is monotone in s for fixed (b, r)
+        assert 0.0 <= r["p_at_50"] <= r["p_at_80"] <= r["p_at_90"] <= 1.0
+        assert 0.0 < r["s_threshold"] < 1.0
+        assert r["k"] == r["b"] * r["r"]
+    import math
+
+    # spot-check the closed form for one config
+    r8x4 = next(r for r in rows if r["b"] == 8 and r["r"] == 4)
+    assert abs(r8x4["p_at_80"] - (1 - (1 - 0.8**4) ** 8)) < 1e-5

@@ -78,6 +78,17 @@ EXTRA = [
     "repair_median_impute",
     "audit_merkle_ranges",
     "snapshot_diff_audit",
+    # round-5 session-3 additions
+    "dedup_edit_distance_block",
+    "eval_rouge_ngram",
+    "retrieval_rocchio_prf",
+    "eval_bradley_terry",
+    "sketch_ams_f2",
+    "window_hampel_filter",
+    "source_parquet_footer_stats",
+    "stats_isotonic_calibration",
+    "eval_auc_roc",
+    "temporal_holt_smoothing",
     "hierarchy_subtree_rollup",
     "similarity_user_trajectory",
     "topk_incremental_maintenance",

@@ -506,7 +506,8 @@ WITH clean AS (
          CAST(levenshtein(c.name, d.d_name) AS BIGINT) AS dist
   FROM clean c JOIN dirty d
     ON c.c_nationkey = d.d_nat
-   AND substr(c.name, 1, 9) = substr(d.d_name, 1, 9)
+   AND substr(c.name, 1, length(c.name) - 1)
+       = substr(d.d_name, 1, length(d.d_name) - 1)
   WHERE levenshtein(c.name, d.d_name) <= 2
 ), best AS (
   SELECT c_custkey, d_key, dist,
@@ -524,18 +525,30 @@ def er_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution / record linkage across sources: a 'dirty'
     registry copy (every 4th name's last character corrupted —
     deterministic, so ground truth is the key itself) is linked back to
-    the clean registry by BLOCKING on (nation, 9-char name prefix) and
-    verifying with Levenshtein <= 2, best match per dirty record
-    (lowest distance, tie -> lowest key). The output is the linkage
-    audit: how many records linked, how many to the RIGHT entity, and
-    how many needed fuzzy (dist>0) matching.
+    the clean registry by BLOCKING on (nation, all-but-last-char name
+    prefix) and verifying with Levenshtein <= 2, best match per dirty
+    record (lowest distance, tie -> lowest key). The output is the
+    linkage audit: how many records linked, how many to the RIGHT
+    entity, and how many needed fuzzy (dist>0) matching.
 
     This is dedup's cross-SOURCE sibling (Fellegi-Sunter blocking +
     edit-distance comparison): the all-pairs comparison never runs —
     blocking keys equi-join (one shuffle), the quadratic kernel touches
-    only within-block pairs, exactly the `similarity_user_trajectory` /
-    LSH discipline. At 100 TB blocks refine (soundex/qgrams) to hold
-    per-block population flat."""
+    only within-block pairs.
+
+    SCALE LESSON (caught by the r5 sf1 sweep): the original block key
+    was the 9-char name prefix — which in TPC-H is the CONSTANT string
+    'CUSTOMER#', so blocks silently degenerated to nation-only (25
+    blocks) and the within-block kernel went quadratic: ~900M
+    Levenshtein pairs at sf1, query killed after 8 minutes. A block key
+    must be both CORRUPTION-INVARIANT and REFINING; all-but-last-char
+    is invariant to the last-char corruption by construction and
+    refines blocks to the <=10-record last-digit family, so candidates
+    are ~10 per record at any SF. The per-record winner is provably
+    unchanged: every best match has dist <= 1 and therefore shares the
+    all-but-last prefix (the old wider blocking only ever added
+    dist-2 losers). Same bounded-key-space failure class as the
+    [[dedup_edit_distance_block]] rewrite."""
     cust = load_table(spark, sf_dir, "customer")
     clean = cust.select(
         "c_custkey", "c_nationkey", F.upper("c_name").alias("name")
@@ -556,7 +569,10 @@ def er_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         clean.join(
             dirty,
             (F.col("c_nationkey") == F.col("d_nat"))
-            & (F.substring("name", 1, 9) == F.substring("d_name", 1, 9)),
+            & (
+                F.expr("substr(name, 1, length(name) - 1)")
+                == F.expr("substr(d_name, 1, length(d_name) - 1)")
+            ),
         )
         .withColumn("dist", F.levenshtein("name", "d_name").cast("bigint"))
         .filter(F.col("dist") <= 2)

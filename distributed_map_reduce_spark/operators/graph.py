@@ -512,10 +512,18 @@ def graph_reachability_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster_size^3. For open-ended traversals at 100 TB, the frontier
     loop in `bfs_depths` (per-hop dedup, frontier-sized state) remains
     the scale path — this query is the declarative twin that keeps the
-    whole traversal inside one SQL plan."""
+    whole traversal inside one SQL plan.
+
+    The r5 sf1 sweep measured the multiplicity concretely: 3.87M walk
+    rows to reach 2,769 nodes at sf1 — over Spark's default 1M
+    cteRecursionRowLimit, so the limit is raised locally here (UNION
+    ALL recursion cannot deduplicate per level; the row count IS the
+    path count). The cubic growth is the documented reason the
+    frontier loop, not this CTE, is the open-ended-traversal tool."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
     pairs.createOrReplaceTempView("_rec_pairs")
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
     return spark.sql("""
 WITH RECURSIVE edges AS (
   SELECT doc_a AS a, doc_b AS b FROM _rec_pairs

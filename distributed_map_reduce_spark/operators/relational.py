@@ -1658,3 +1658,70 @@ def sql_row_level_security(spark: SparkSession, sf_dir: str) -> DataFrame:
                   round(o_totalprice, 2) AS total
            FROM orders_rls"""
     )
+
+
+@register(
+    "relational_skyline_frontier",
+    tags=("relational", "analytics"),
+    oracle="""
+WITH pts AS (
+  SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS p_size
+  FROM part
+), grp AS (
+  SELECT price_cents, max(p_size) AS gmax
+  FROM pts GROUP BY price_cents
+), sweep AS (
+  SELECT price_cents, gmax,
+         max(gmax) OVER (ORDER BY price_cents
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_best
+  FROM grp
+)
+SELECT p.p_partkey, p.price_cents, p.p_size
+FROM pts p JOIN sweep s ON s.price_cents = p.price_cents
+WHERE p.p_size = s.gmax
+  AND (s.prev_best IS NULL OR s.prev_best < p.p_size)
+""",
+)
+def relational_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query — the multi-criteria SELECT the
+    reference's max/min aggregates (`/root/reference/test/mr.test.js:100-155`)
+    cannot ask: the set of parts no other part dominates on
+    (cheaper-or-equal price, bigger-or-equal size, strict somewhere).
+    Borzsony/Kossmann's BNL/SFS algorithms are nested loops; the
+    Spark-first form is the SORT-FILTER SWEEP collapsed to one window:
+    aggregate to the price grain (map-side combined — |distinct prices|
+    << |parts|), running-max of group-best size over strictly cheaper
+    prices, keep a row iff it tops its own price group AND strictly
+    beats every cheaper group's best. Dominance never materializes a
+    pair join, and the output is bounded by |distinct sizes| (<= 50
+    here) whatever the input cardinality. Prices compare as exact
+    integer cents, so the frontier is bit-identical on both engines.
+
+    Scale: one exchange to the price grain, one bounded sweep over
+    distinct prices (a value-sorted frame orders of magnitude smaller
+    than the fact table), one broadcast-sized join back. A 3-D skyline
+    composes the same sweep inside each value of the third criterion."""
+    from pyspark.sql import Window as W
+
+    pts = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("p_size"),
+    )
+    grp = pts.groupBy("price_cents").agg(F.max("p_size").alias("gmax"))
+    sweep = grp.withColumn(
+        "prev_best",
+        F.max("gmax").over(
+            W.orderBy("price_cents").rowsBetween(W.unboundedPreceding, -1)
+        ),
+    )
+    return (
+        pts.join(sweep, "price_cents")
+        .where(
+            (F.col("p_size") == F.col("gmax"))
+            & (F.col("prev_best").isNull() | (F.col("prev_best") < F.col("p_size")))
+        )
+        .select("p_partkey", "price_cents", "p_size")
+    )

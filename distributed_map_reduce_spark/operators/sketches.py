@@ -486,3 +486,124 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_error"
         ),
     )
+
+
+BF_M = 8192  # bloom bit-array width
+BF_K = 3  # hash functions
+
+
+@register(
+    "sketch_bloom_filter_audit",
+    tags=("sketch", "join"),
+    oracle=f"""
+WITH tok AS (
+  SELECT DISTINCT source,
+         unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS w
+  FROM documents WHERE source IN ('src0', 'src1')
+), a AS (
+  SELECT DISTINCT w FROM tok WHERE source = 'src0'
+), b AS (
+  SELECT DISTINCT w FROM tok WHERE source = 'src1'
+), bits AS (
+  SELECT DISTINCT {_md5_int60_sql("'bf' || h || '-' || w")} % {BF_M} AS bit
+  FROM a, (SELECT unnest(range({BF_K})) AS h)
+), probe AS (
+  SELECT b.w,
+         CAST(count(bits.bit) AS BIGINT) AS hits,
+         max(CASE WHEN a.w IS NOT NULL THEN 1 ELSE 0 END) AS member
+  FROM b
+  CROSS JOIN (SELECT unnest(range({BF_K})) AS h) hs
+  LEFT JOIN bits
+    ON bits.bit = {_md5_int60_sql("'bf' || hs.h || '-' || b.w")} % {BF_M}
+  LEFT JOIN a ON a.w = b.w
+  GROUP BY b.w
+), card AS (
+  SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+         CAST((SELECT count(*) FROM b) AS BIGINT) AS n_probe,
+         CAST((SELECT count(*) FROM bits) AS BIGINT) AS bits_set
+)
+SELECT n_a, n_probe, bits_set,
+       CAST(count(*) FILTER (WHERE hits = {BF_K}) AS BIGINT) AS claimed_pos,
+       CAST(count(*) FILTER (WHERE member = 1) AS BIGINT) AS true_members,
+       CAST(count(*) FILTER (WHERE hits = {BF_K} AND member = 0) AS BIGINT)
+         AS false_pos,
+       round(count(*) FILTER (WHERE hits = {BF_K} AND member = 0) * 1e0
+             / nullif(count(*) FILTER (WHERE member = 0), 0), 6) AS fp_rate,
+       round(pow(1e0 - pow(1e0 - 1e0 / {BF_M}, {BF_K} * n_a), {BF_K}), 6)
+         AS fp_theory
+FROM probe, card
+GROUP BY n_a, n_probe, bits_set
+""",
+)
+def sketch_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership audit (Bloom 1970) with the module's
+    portable-md5 discipline: build an m={BF_M}-bit, k={BF_K}-hash filter
+    over src0's distinct vocabulary, probe every src1 token, and emit
+    the MEASURED false-positive rate next to the theoretical
+    (1-(1-1/m)^(kn))^k — the sketch, the probe, and the error envelope
+    are all bit-deterministic on both engines (no engine-native bloom,
+    whose bit layout would never hash-match). This is the semi-join
+    pre-filter pattern Spark itself applies as a runtime bloom on
+    shuffle joins: at 100 TB the filter stands in for the build side —
+    {BF_M} bits instead of the vocabulary — and every claimed-negative
+    probe row skips the real join entirely; the audit quantifies
+    exactly how many phantom rows the k/m choice lets through to the
+    verify join (false positives cost a lookup, never correctness).
+
+    Scale: the SET-BIT table is bounded by m — broadcast to every probe
+    partition regardless of corpus size; probes explode x{BF_K} then
+    aggregate per token with map-side combine; true-membership is one
+    broadcast-sized left join. Nothing quadratic, nothing driver-side."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("source").isin("src0", "src1"))
+    )
+    t = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    tok = docs.select("source", F.explode(t).alias("w")).distinct()
+    a = tok.where(F.col("source") == "src0").select("w").distinct()
+    b = tok.where(F.col("source") == "src1").select("w").distinct()
+    hs = spark.range(BF_K).select(F.col("id").alias("h"))
+    salted = F.concat(F.lit("bf"), F.col("h").cast("string"), F.lit("-"), F.col("w"))
+    bits = (
+        a.crossJoin(F.broadcast(hs))
+        .select((md5_int60(salted) % BF_M).alias("bit"))
+        .distinct()
+    )
+    probes = b.crossJoin(F.broadcast(hs)).select(
+        "w", (md5_int60(salted) % BF_M).alias("bit")
+    )
+    probe = (
+        probes.join(F.broadcast(bits.withColumn("present", F.lit(1))), "bit", "left")
+        .groupBy("w")
+        .agg(F.sum(F.coalesce(F.col("present"), F.lit(0))).alias("hits"))
+        .join(
+            a.withColumn("member_flag", F.lit(1)), "w", "left"
+        )
+        .select("w", "hits", F.coalesce("member_flag", F.lit(0)).alias("member"))
+    )
+    card = (
+        a.agg(F.count(F.lit(1)).cast("bigint").alias("n_a"))
+        .crossJoin(b.agg(F.count(F.lit(1)).cast("bigint").alias("n_probe")))
+        .crossJoin(bits.agg(F.count(F.lit(1)).cast("bigint").alias("bits_set")))
+    )
+    fp_theory = F.pow(
+        1.0 - F.pow(1.0 - 1.0 / BF_M, F.lit(BF_K) * F.col("n_a")), float(BF_K)
+    )
+    return (
+        probe.crossJoin(card)
+        .groupBy("n_a", "n_probe", "bits_set")
+        .agg(
+            F.count_if(F.col("hits") == BF_K).cast("bigint").alias("claimed_pos"),
+            F.count_if(F.col("member") == 1).cast("bigint").alias("true_members"),
+            F.count_if((F.col("hits") == BF_K) & (F.col("member") == 0))
+            .cast("bigint")
+            .alias("false_pos"),
+            F.round(
+                F.count_if((F.col("hits") == BF_K) & (F.col("member") == 0))
+                * 1.0
+                / F.nullif(F.count_if(F.col("member") == 0), F.lit(0)),
+                6,
+            ).alias("fp_rate"),
+        )
+        .withColumn("fp_theory", F.round(fp_theory, 6))
+    )

@@ -1833,3 +1833,115 @@ def pipeline_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("n_masked") * 1.0 / F.sum("n_tok"), 6).alias("corruption_rate"),
         F.round(F.sum("n_masked") * 1.0 / F.sum("n_spans"), 4).alias("avg_span_len"),
     )
+
+
+PACK_C = 512  # bin capacity (tokens)
+PACK_SHARD = 250  # docs per packing shard (bounded forever: doc_id is dense)
+
+
+@register(
+    "pipeline_greedy_packing",
+    tags=("pipeline", "llm"),
+    oracle=f"""
+WITH d AS (
+  SELECT source, doc_id, doc_id // {PACK_SHARD} AS shard,
+         least(CAST(len(list_filter(string_split(lower(text), ' '),
+                                    w -> w <> '')) AS BIGINT),
+               {PACK_C}) AS t
+  FROM documents
+), folded AS (
+  SELECT source, shard,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(t) AS BIGINT) AS tok,
+         list_reduce(
+           list_prepend(CAST({PACK_C} + 1 AS BIGINT),
+                        list(t ORDER BY doc_id)),
+           (acc, x) -> CASE WHEN acc % 1000000 + x > {PACK_C}
+                            THEN (acc // 1000000 + 1) * 1000000 + x
+                            ELSE acc + x END) AS state
+  FROM d GROUP BY source, shard
+), shards AS (
+  SELECT source, n_docs, tok,
+         state // 1000000 AS bins,
+         CAST((tok + {PACK_C} - 1) // {PACK_C} AS BIGINT) AS lower_bound
+  FROM folded
+)
+SELECT source,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS total_tokens,
+       CAST(sum(bins) AS BIGINT) AS bins_used,
+       CAST(sum(lower_bound) AS BIGINT) AS lower_bound,
+       CAST(sum(bins) - sum(lower_bound) AS BIGINT) AS extra_bins,
+       round(sum(tok) * 1e0 / (sum(bins) * {PACK_C}), 6) AS utilization
+FROM shards
+GROUP BY source
+""",
+)
+def pipeline_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing for pretraining batches: concatenate
+    documents in arrival (doc_id) order into {PACK_C}-token bins,
+    opening a new bin when the next document would overflow — the
+    first-fit packing every LLM data loader runs to keep padding off
+    the accelerator, with the padding bill it implies: bins_used vs
+    the ceil(total/{PACK_C}) lower bound and the realized utilization.
+    The sequential fold no windowed SQL expresses runs INSIDE each
+    bounded shard of {PACK_SHARD} docs as a single-INTEGER-state
+    aggregate (state = bins*1e6 + fill, seeded fill={PACK_C}+1 so the
+    first doc opens bin 1): Spark `F.aggregate` over the doc_id-sorted
+    token list, DuckDB `list_reduce` over the same list. The integer
+    encoding deliberately sidesteps the DuckDB list_reduce IN-PLACE
+    STRUCT hazard pinned in `temporal_holt_smoothing` — scalar bigint
+    accumulators copy, struct fields mutate. Oversized docs cap at
+    {PACK_C} (they'd be split upstream), keeping fill < 1e6 exact.
+
+    Scale: packing is shard-local by construction (the loader packs
+    within a file/worker anyway), so shards of {PACK_SHARD} dense
+    doc_ids keep every fold bounded whatever the corpus size — more
+    shards, never bigger ones; one exchange to the shard grain, then a
+    per-source rollup of integer counters."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.floor(F.col("doc_id") / PACK_SHARD).cast("bigint").alias("shard"),
+        F.least(
+            F.size(F.filter(F.split(F.lower("text"), " "), lambda w: w != "")),
+            F.lit(PACK_C),
+        )
+        .cast("bigint")
+        .alias("t"),
+    )
+    folded = d.groupBy("source", "shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("t").cast("bigint").alias("tok"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "t"))),
+                lambda s: s["t"],
+            ),
+            F.lit(PACK_C + 1).cast("bigint"),
+            lambda acc, x: F.when(
+                acc % 1000000 + x > PACK_C, (F.floor(acc / 1000000) + 1) * 1000000 + x
+            ).otherwise(acc + x),
+        )
+        .cast("bigint")
+        .alias("state"),
+    )
+    shards = folded.select(
+        "source",
+        "n_docs",
+        "tok",
+        F.floor(F.col("state") / 1000000).cast("bigint").alias("bins"),
+        F.floor((F.col("tok") + PACK_C - 1) / PACK_C).cast("bigint").alias(
+            "lower_bound"
+        ),
+    )
+    return shards.groupBy("source").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("tok").cast("bigint").alias("total_tokens"),
+        F.sum("bins").cast("bigint").alias("bins_used"),
+        F.sum("lower_bound").cast("bigint").alias("lower_bound"),
+        (F.sum("bins") - F.sum("lower_bound")).cast("bigint").alias("extra_bins"),
+        F.round(
+            F.sum("tok") * 1.0 / (F.sum("bins") * PACK_C), 6
+        ).alias("utilization"),
+    )

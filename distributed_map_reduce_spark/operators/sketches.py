@@ -607,3 +607,128 @@ def sketch_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("fp_theory", F.round(fp_theory, 6))
     )
+
+
+HLL_M = 64  # registers (p = 6)
+HLL_W = 54  # hash bits left after the register index
+
+
+@register(
+    "sketch_hll_registers",
+    tags=("sketch", "agg"),
+    oracle=f"""
+WITH toks AS ({_TOKENS_SQL}),
+h AS (
+  SELECT DISTINCT w, {_md5_int60_sql('w')} AS hv FROM toks
+), reg AS (
+  SELECT hv % {HLL_M} AS j,
+         CAST(hv // {HLL_M} AS BIGINT) AS wbits
+  FROM h
+), ranks AS (
+  SELECT j,
+         CASE WHEN wbits = 0 THEN {HLL_W} + 1
+              ELSE {HLL_W} - length(bin(wbits)) + 1 END AS rank
+  FROM reg
+), regmax AS (
+  SELECT idx.j,
+         CAST(coalesce(max(ranks.rank), 0) AS BIGINT) AS m_j
+  FROM (SELECT unnest(range({HLL_M})) AS j) idx
+  LEFT JOIN ranks ON ranks.j = idx.j
+  GROUP BY idx.j
+), harm AS (
+  SELECT CAST(sum(CAST(1 AS BIGINT) << ({HLL_W} + 1 - m_j)) AS BIGINT) AS s2,
+         CAST(count(*) FILTER (WHERE m_j = 0) AS BIGINT) AS zeros,
+         CAST(max(m_j) AS BIGINT) AS max_rank
+  FROM regmax
+), truth AS (
+  SELECT CAST(count(*) AS BIGINT) AS true_distinct FROM h
+), est AS (
+  SELECT zeros, max_rank,
+         (0.7213 / (1 + 1.079 / {HLL_M})) * {HLL_M} * {HLL_M}
+           * power(2e0, {HLL_W} + 1) / s2 AS e_raw
+  FROM harm
+)
+SELECT zeros, max_rank,
+       round(CASE WHEN e_raw <= 2.5 * {HLL_M} AND zeros > 0
+                  THEN -{HLL_M} * ln(zeros * 1e0 / {HLL_M})
+                  ELSE e_raw END, 4) AS est_distinct,
+       true_distinct,
+       round(abs(CASE WHEN e_raw <= 2.5 * {HLL_M} AND zeros > 0
+                      THEN -{HLL_M} * ln(zeros * 1e0 / {HLL_M})
+                      ELSE e_raw END - true_distinct) / true_distinct, 4)
+         AS rel_err
+FROM est, truth
+""",
+)
+def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog with EXPLICIT registers (Flajolet et al. 2007) —
+    completes the module's distinct-count trilogy (KMV order statistics,
+    linear-counting occupancy, HLL leading-zero ranks) with the one
+    production engines actually ship, in the portable-md5 discipline
+    so the ESTIMATE hash-matches DuckDB bit-for-bit (engine-native HLLs
+    never would). m=64 registers: register = h mod 64, rank = leading
+    zeros of the remaining 54 bits + 1 via length(bin(w)) — an exact
+    INTEGER on both engines, no float log2 whose boundary rounding
+    could differ. The harmonic sum folds as sum(2^(55-M_j)) in ONE
+    exact bigint (dyadic rationals scaled by 2^55; max 64*2^55 < 2^62),
+    so the alpha*m^2/sum estimate is derived from integers and is
+    bit-deterministic. The small-range regime (E <= 2.5m with empty
+    registers) falls back to linear counting exactly as the paper
+    prescribes; registers that never see a value enter as rank 0 via
+    the 64-row index left-join rather than silently dropping out of
+    the harmonic mean.
+
+    Scale: registers are max-aggregates — the canonical MERGEABLE
+    summary: every executor ships 64 bytes whatever the corpus size,
+    and union across datasets is register-wise max ([[sketch_kmv_set_ops]]
+    does set algebra the same way). One distinct-token exchange
+    (map-side combined) then a 64-group agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = _tokens(docs).distinct().select(md5_int60(F.col("w")).alias("hv"))
+    reg = h.select(
+        (F.col("hv") % HLL_M).alias("j"),
+        F.floor(F.col("hv") / HLL_M).cast("bigint").alias("wbits"),
+    )
+    ranks = reg.select(
+        "j",
+        F.when(F.col("wbits") == 0, F.lit(HLL_W + 1))
+        .otherwise(HLL_W - F.length(F.bin(F.col("wbits"))) + 1)
+        .alias("rank"),
+    )
+    idx = spark.range(HLL_M).select(F.col("id").alias("j"))
+    regmax = (
+        idx.join(ranks, "j", "left")
+        .groupBy("j")
+        .agg(F.coalesce(F.max("rank"), F.lit(0)).cast("bigint").alias("m_j"))
+    )
+    harm = regmax.agg(
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), cast({HLL_W + 1} - m_j as int))"))
+        .cast("bigint")
+        .alias("s2"),
+        F.count_if(F.col("m_j") == 0).cast("bigint").alias("zeros"),
+        F.max("m_j").cast("bigint").alias("max_rank"),
+    )
+    truth = h.agg(F.count(F.lit(1)).cast("bigint").alias("true_distinct"))
+    alpha = 0.7213 / (1 + 1.079 / HLL_M)
+    e_raw = (
+        F.lit(alpha)
+        * HLL_M
+        * HLL_M
+        * F.pow(F.lit(2.0), F.lit(HLL_W + 1))
+        / F.col("s2")
+    )
+    est = F.when(
+        (e_raw <= 2.5 * HLL_M) & (F.col("zeros") > 0),
+        -HLL_M * F.log(F.col("zeros") * 1.0 / HLL_M),
+    ).otherwise(e_raw)
+    return (
+        harm.crossJoin(truth)
+        .select(
+            "zeros",
+            "max_rank",
+            F.round(est, 4).alias("est_distinct"),
+            "true_distinct",
+            F.round(F.abs(est - F.col("true_distinct")) / F.col("true_distinct"), 4)
+            .alias("rel_err"),
+        )
+    )

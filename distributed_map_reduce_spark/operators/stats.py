@@ -9051,3 +9051,116 @@ def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("significant"),
     )
+
+
+@register(
+    "stats_wasserstein_1d",
+    tags=("stats", "distribution"),
+    oracle="""
+WITH s AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+), n AS (
+  SELECT CAST(count(*) FILTER (WHERE yr = 1995) AS BIGINT) AS n_a,
+         CAST(count(*) FILTER (WHERE yr = 1996) AS BIGINT) AS n_b
+  FROM s
+), grid AS (
+  SELECT cents,
+         CAST(count(*) FILTER (WHERE yr = 1995) AS BIGINT) AS d_a,
+         CAST(count(*) FILTER (WHERE yr = 1996) AS BIGINT) AS d_b
+  FROM s GROUP BY cents
+), cum AS (
+  SELECT cents,
+         sum(d_a) OVER (ORDER BY cents) AS c_a,
+         sum(d_b) OVER (ORDER BY cents) AS c_b,
+         lead(cents) OVER (ORDER BY cents) - cents AS gap
+  FROM grid
+), area AS (
+  SELECT CAST(sum(CAST(abs(c_a * (SELECT n_b FROM n)
+                           - c_b * (SELECT n_a FROM n)) AS HUGEINT) * gap)
+              AS HUGEINT) AS s_num
+  FROM cum WHERE gap IS NOT NULL
+)
+SELECT n_a, n_b,
+       round(CAST(s_num AS DOUBLE) / (n_a * n_b) / 100, 4) AS w1_dollars,
+       round(CAST(s_num AS DOUBLE) / (n_a * n_b)
+             / (SELECT avg(cents) FROM s WHERE yr = 1995), 6) AS w1_rel
+FROM area, n
+""",
+)
+def stats_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D Wasserstein (earth mover's) distance between the 1995
+    and 1996 order-price distributions — the metric drift number
+    [[stats_psi_drift]]'s binned score approximates and [[stats_ks_test]]'s
+    sup-norm bounds from below: W1 = integral |F_a - F_b| over the value
+    axis, i.e. the average dollars each 1996 order must "move" to
+    reshape into the 1995 distribution. On discrete samples this is a
+    closed form over the merged support: sum |F_a(v)-F_b(v)| * gap(v).
+    The float-determinism discipline makes it bit-exact: both CDFs stay
+    as INTEGER cumulative counts, each term is |c_a*n_b - c_b*n_a| *
+    gap — exact integers accumulated in decimal(38,0) (HUGEINT twin) —
+    and only the final single division leaves integer space, so partial-
+    aggregation order can never flip a bit.
+
+    Scale: one exchange to the cents grain (map-side combined), one
+    value-ordered window over the merged support (|distinct prices| <<
+    |orders|; at 100 TB use the two-phase bucket-offset cumsum of
+    `window_cumsum_scalable` for the same sweep), one scalar division."""
+    from pyspark.sql import Window as W
+
+    s = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate").isin(1995, 1996))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    n = s.agg(
+        F.count_if(F.col("yr") == 1995).cast("bigint").alias("n_a"),
+        F.count_if(F.col("yr") == 1996).cast("bigint").alias("n_b"),
+    )
+    mean_a = s.where(F.col("yr") == 1995).agg(F.avg("cents").alias("mu_a"))
+    grid = s.groupBy("cents").agg(
+        F.count_if(F.col("yr") == 1995).cast("bigint").alias("d_a"),
+        F.count_if(F.col("yr") == 1996).cast("bigint").alias("d_b"),
+    )
+    w = W.orderBy("cents")
+    cum = grid.select(
+        "cents",
+        F.sum("d_a").over(w).alias("c_a"),
+        F.sum("d_b").over(w).alias("c_b"),
+        (F.lead("cents").over(w) - F.col("cents")).alias("gap"),
+    )
+    area = (
+        cum.where(F.col("gap").isNotNull())
+        .crossJoin(n)
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a")
+                ).cast("decimal(38,0)")
+                * F.col("gap")
+            )
+            .cast("decimal(38,0)")
+            .alias("s_num")
+        )
+    )
+    return (
+        area.crossJoin(n)
+        .crossJoin(mean_a)
+        .select(
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("s_num").cast("double") / (F.col("n_a") * F.col("n_b")) / 100, 4
+            ).alias("w1_dollars"),
+            F.round(
+                F.col("s_num").cast("double")
+                / (F.col("n_a") * F.col("n_b"))
+                / F.col("mu_a"),
+                6,
+            ).alias("w1_rel"),
+        )
+    )

@@ -99,3 +99,74 @@ def test_bloom_filter_no_false_negatives(spark, sf_dir):
     if r["fp_rate"] is not None:
         # measured FP rate should be within a loose envelope of theory
         assert r["fp_rate"] <= 5 * r["fp_theory"] + 0.05
+
+
+def test_hll_registers_estimate_quality(spark, sf_dir):
+    r = all_queries()["sketch_hll_registers"].fn(spark, sf_dir).collect()[0]
+    # standard HLL error is 1.04/sqrt(64) ~ 13%; allow 4 sigma
+    assert r["rel_err"] < 4 * 1.04 / math.sqrt(64)
+    assert r["true_distinct"] > 0
+    assert 1 <= r["max_rank"] <= 55
+    # vocabulary >> 64 registers -> no empty registers, no LC fallback
+    assert r["zeros"] == 0 or r["est_distinct"] > 0
+
+
+def test_wasserstein_vs_python(spark, sf_dir):
+    r = all_queries()["stats_wasserstein_1d"].fn(spark, sf_dir).collect()[0]
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate").isin(1995, 1996))
+        .select(F.year("o_orderdate").alias("yr"), F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"))
+        .collect()
+    )
+    a = sorted(x["c"] for x in rows if x["yr"] == 1995)
+    b = sorted(x["c"] for x in rows if x["yr"] == 1996)
+    # exact W1 via merged-support CDF sweep
+    vals = sorted(set(a) | set(b))
+    import bisect
+
+    w1 = 0.0
+    for v, nxt in zip(vals, vals[1:]):
+        fa = bisect.bisect_right(a, v) / len(a)
+        fb = bisect.bisect_right(b, v) / len(b)
+        w1 += abs(fa - fb) * (nxt - v)
+    assert abs(r["w1_dollars"] - w1 / 100.0) < 0.01
+    assert r["w1_rel"] >= 0.0
+    # W1 between two same-ish yearly distributions is small vs the mean
+    assert r["w1_rel"] < 0.5
+
+
+def test_greedy_packing_bounds(spark, sf_dir):
+    rows = all_queries()["pipeline_greedy_packing"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # bins can never beat the fractional lower bound...
+        assert r["bins_used"] >= r["lower_bound"]
+        # ...and greedy first-fit in fixed order never exceeds 2x OPT + shards
+        assert r["bins_used"] <= 2 * r["lower_bound"] + r["n_docs"]
+        assert 0.0 < r["utilization"] <= 1.0
+        assert r["extra_bins"] == r["bins_used"] - r["lower_bound"]
+    # replay one source's packing in python
+    docs = sorted(
+        (
+            (d["doc_id"], min(len([w for w in d["text"].lower().split(" ") if w]), 512))
+            for d in load_table(spark, sf_dir, "documents")
+            .where(F.col("source") == "src0")
+            .select("doc_id", "text")
+            .collect()
+        )
+    )
+    bins = 0
+    by_shard: dict = {}
+    for doc_id, t in docs:
+        by_shard.setdefault(doc_id // 250, []).append(t)
+    for shard in by_shard.values():
+        fill = 513
+        for t in shard:
+            if fill + t > 512:
+                bins += 1
+                fill = t
+            else:
+                fill += t
+    src0 = next(r for r in rows if r["source"] == "src0")
+    assert src0["bins_used"] == bins

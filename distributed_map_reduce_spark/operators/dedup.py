@@ -1168,3 +1168,109 @@ def dedup_edit_distance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(dist == 0, 1).otherwise(0).alias("exact_prefix"),
         )
     )
+
+
+def _soundex_spark(col):
+    """Simplified American Soundex (no h/w-collapse rule), built from
+    translate + per-digit run-collapse so the SAME chain runs on DuckDB
+    (whose RE2 regexes have no backreferences to collapse runs with)."""
+    word = F.lower(F.regexp_replace(col, "[^A-Za-z]", ""))
+    digits = F.translate(
+        word, "abcdefghijklmnopqrstuvwxyz", "01230120022455012623010202"
+    )
+    for dgt in "0123456":
+        digits = F.regexp_replace(digits, dgt + "{2,}", dgt)
+    rest = F.regexp_replace(F.substring(digits, 2, 100), "0", "")
+    return F.when(F.length(word) == 0, F.lit(None).cast("string")).otherwise(
+        F.concat(F.upper(F.substring(word, 1, 1)), F.rpad(F.substring(rest, 1, 3), 3, "0"))
+    )
+
+
+def _soundex_sql(expr: str) -> str:
+    """DuckDB twin of :func:`_soundex_spark` (identical chain)."""
+    word = f"lower(regexp_replace({expr}, '[^A-Za-z]', '', 'g'))"
+    digits = f"translate({word}, 'abcdefghijklmnopqrstuvwxyz', '01230120022455012623010202')"
+    for dgt in "0123456":
+        digits = f"regexp_replace({digits}, '{dgt}{{2,}}', '{dgt}', 'g')"
+    rest = f"regexp_replace(substr({digits}, 2), '0', '', 'g')"
+    return (
+        f"CASE WHEN length({word}) = 0 THEN NULL "
+        f"ELSE upper(substr({word}, 1, 1)) || rpad(substr({rest}, 1, 3), 3, '0') END"
+    )
+
+
+@register(
+    "er_soundex_blocking",
+    tags=("er", "dedup", "text"),
+    oracle=f"""
+WITH vocab AS (
+  SELECT DISTINCT unnest(list_filter(string_split(lower(text), ' '),
+                                     w -> w <> '')) AS w
+  FROM documents
+), noisy AS (
+  SELECT w FROM vocab
+  UNION
+  SELECT substr(w, 1, 1) || translate(substr(w, 2), 'eiou', 'aaaa') AS w
+  FROM vocab
+  WHERE substr(w, 1, 1) NOT IN ('a', 'e', 'i', 'o', 'u')
+    AND substr(w, 1, 1) || translate(substr(w, 2), 'eiou', 'aaaa') <> w
+), coded AS (
+  SELECT w, {_soundex_sql('w')} AS sdx FROM noisy
+)
+SELECT sdx AS soundex_code,
+       CAST(count(*) AS BIGINT) AS block_size,
+       string_agg(w, ',' ORDER BY w) AS members
+FROM coded
+GROUP BY sdx
+HAVING count(*) > 1
+""",
+)
+def er_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking for entity resolution: group a noisy name
+    directory by (simplified) SOUNDEX code — the classic record-linkage
+    blocking key that survives misspellings the (lang, length-bucket)
+    scheme of [[er_blocking_audit]] misses, because sound-alike variants
+    keep the same code while edit distance sees them as far apart.
+    The fixtures carry no dirty names, so — the
+    [[pipeline_url_canonical_dedup]] fixture discipline — the directory
+    is the corpus vocabulary plus one deterministic vowel-corruption
+    per eligible word (vowels after the first letter -> 'a', only for
+    consonant-initial words): soundex maps every vowel to the same
+    separator class, so each corruption PROVABLY lands in its
+    original's block, giving the pass real collisions to find rather
+    than a vacuously empty answer. Soundex is hand-rolled IDENTICALLY
+    on both engines (translate to digit classes, collapse per-digit
+    runs without regex backreferences — RE2 has none — strip vowels,
+    first letter + 3 digits): Spark's built-in `soundex()` implements
+    the h/w-collapse variant DuckDB lacks, and a one-sided builtin
+    could silently disagree at exactly the words that matter. Emitted:
+    every code whose block holds >1 distinct token — the candidate
+    sets a phonetic ER pass would verify-join, members carried as a
+    deterministic sorted CSV string.
+
+    Scale: one distinct on the vocabulary (map-side combined), one
+    hash agg on the code — block sizes are vocabulary-bounded, and the
+    expensive verify join downstream is per-block like every blocking
+    scheme here ([[dedup_edit_distance_block]]'s sorted-neighborhood
+    discipline applies if blocks ever grow)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    vocab = docs.select(F.explode(t).alias("w")).distinct()
+    corrupted = F.concat(
+        F.substring("w", 1, 1), F.translate(F.expr("substring(w, 2)"), "eiou", "aaaa")
+    )
+    noisy = vocab.unionByName(
+        vocab.where(
+            ~F.substring("w", 1, 1).isin("a", "e", "i", "o", "u")
+            & (corrupted != F.col("w"))
+        ).select(corrupted.alias("w"))
+    ).distinct()
+    coded = noisy.select("w", _soundex_spark(F.col("w")).alias("soundex_code"))
+    return (
+        coded.groupBy("soundex_code")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("block_size"),
+            F.array_join(F.array_sort(F.collect_list("w")), ",").alias("members"),
+        )
+        .where(F.col("block_size") > 1)
+    )

@@ -9164,3 +9164,214 @@ def stats_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w1_rel"),
         )
     )
+
+
+@register(
+    "stats_cohens_d_effect",
+    tags=("stats", "experiment"),
+    oracle="""
+WITH s AS (
+  SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), m AS (
+  SELECT CAST(count(*) FILTER (WHERE arm = 'A') AS BIGINT) AS n_a,
+         CAST(count(*) FILTER (WHERE arm = 'B') AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN arm = 'A' THEN CAST(cents AS HUGEINT) END) AS HUGEINT) AS sa,
+         CAST(sum(CASE WHEN arm = 'B' THEN CAST(cents AS HUGEINT) END) AS HUGEINT) AS sb,
+         CAST(sum(CASE WHEN arm = 'A' THEN CAST(cents AS HUGEINT) * cents END) AS HUGEINT) AS qa,
+         CAST(sum(CASE WHEN arm = 'B' THEN CAST(cents AS HUGEINT) * cents END) AS HUGEINT) AS qb
+  FROM s
+), d AS (
+  SELECT n_a, n_b,
+         CAST(sa AS DOUBLE) / n_a / 100 AS mean_a,
+         CAST(sb AS DOUBLE) / n_b / 100 AS mean_b,
+         sqrt(((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / n_a)
+               + (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / n_b))
+              / (n_a + n_b - 2)) / 100 AS sd_pooled
+  FROM m
+)
+SELECT n_a, n_b,
+       round(mean_a, 2) AS mean_a,
+       round(mean_b, 2) AS mean_b,
+       round(sd_pooled, 2) AS sd_pooled,
+       round((mean_b - mean_a) / sd_pooled, 6) AS cohens_d,
+       round((1 - 3e0 / (4 * (n_a + n_b - 2) - 1))
+             * (mean_b - mean_a) / sd_pooled, 6) AS hedges_g,
+       round(sqrt((n_a + n_b) * 1e0 / (n_a * n_b)
+                  + pow((mean_b - mean_a) / sd_pooled, 2)
+                    / (2e0 * (n_a + n_b - 2))), 6) AS se_d
+FROM d
+""",
+)
+def stats_cohens_d_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized mean difference between the parity arms — Cohen's d
+    with the pooled SD, Hedges' g small-sample correction
+    J = 1 - 3/(4*df - 1), and the large-sample standard error of d.
+    This is the EFFECT SIZE column every test in the family
+    ([[stats_welch_ttest]] significance, [[stats_experiment_power]]
+    planning, [[stats_meta_analysis_pooled]] pooling) consumes:
+    significance says an effect exists, d says whether anyone should
+    care, and g is what meta-analyses actually pool. Moment sums
+    accumulate as exact integer cents in decimal(38,0)/HUGEINT, so the
+    divisions that produce means and the pooled SD start from identical
+    integers on both engines; sqrt is correctly-rounded IEEE on both.
+
+    Scale: one scan, one 6-number moment agg (map-side combined) —
+    constant-size algebra after that, the cheapest query shape there
+    is."""
+    s = load_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 2 == 0, "A").otherwise("B").alias("arm"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = s.agg(
+        F.count_if(F.col("arm") == "A").cast("bigint").alias("n_a"),
+        F.count_if(F.col("arm") == "B").cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("arm") == "A", dec("cents"))).alias("sa"),
+        F.sum(F.when(F.col("arm") == "B", dec("cents"))).alias("sb"),
+        F.sum(F.when(F.col("arm") == "A", dec("cents") * F.col("cents"))).alias("qa"),
+        F.sum(F.when(F.col("arm") == "B", dec("cents") * F.col("cents"))).alias("qb"),
+    )
+    mean_a = F.col("sa").cast("double") / F.col("n_a") / 100
+    mean_b = F.col("sb").cast("double") / F.col("n_b") / 100
+    sd_pooled = (
+        F.sqrt(
+            (
+                (F.col("qa").cast("double") - F.col("sa").cast("double") * F.col("sa") / F.col("n_a"))
+                + (F.col("qb").cast("double") - F.col("sb").cast("double") * F.col("sb") / F.col("n_b"))
+            )
+            / (F.col("n_a") + F.col("n_b") - 2)
+        )
+        / 100
+    )
+    d = (mean_b - mean_a) / sd_pooled
+    j = 1 - 3.0 / (4 * (F.col("n_a") + F.col("n_b") - 2) - 1)
+    se = F.sqrt(
+        (F.col("n_a") + F.col("n_b")) * 1.0 / (F.col("n_a") * F.col("n_b"))
+        + F.pow(d, 2) / (2.0 * (F.col("n_a") + F.col("n_b") - 2))
+    )
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round(mean_a, 2).alias("mean_a"),
+        F.round(mean_b, 2).alias("mean_b"),
+        F.round(sd_pooled, 2).alias("sd_pooled"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(j * d, 6).alias("hedges_g"),
+        F.round(se, 6).alias("se_d"),
+    )
+
+
+@register(
+    "stats_pacf_durbin_levinson",
+    tags=("stats", "temporal"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(c) * 1e0 / count(*) AS xbar
+  FROM daily
+), lagged AS (
+  SELECT c,
+         lag(c, 1) OVER (ORDER BY d) AS l1,
+         lag(c, 2) OVER (ORDER BY d) AS l2,
+         lag(c, 3) OVER (ORDER BY d) AS l3
+  FROM daily
+), sums AS (
+  SELECT max(b.n) AS n,
+         sum((c - xbar) * (c - xbar)) AS den,
+         sum(CASE WHEN l1 IS NOT NULL THEN (c - xbar) * (l1 - xbar) END) AS s1,
+         sum(CASE WHEN l2 IS NOT NULL THEN (c - xbar) * (l2 - xbar) END) AS s2,
+         sum(CASE WHEN l3 IS NOT NULL THEN (c - xbar) * (l3 - xbar) END) AS s3
+  FROM lagged, base b GROUP BY xbar
+), rho AS (
+  SELECT n, s1 / den AS r1, s2 / den AS r2, s3 / den AS r3 FROM sums
+), dl AS (
+  SELECT n, r1, r2, r3,
+         (r2 - r1 * r1) / (1 - r1 * r1) AS p2,
+         r1 * (1 - (r2 - r1 * r1) / (1 - r1 * r1)) AS phi21
+  FROM rho
+)
+SELECT n AS n_days,
+       round(r1, 6) AS rho_1, round(r2, 6) AS rho_2, round(r3, 6) AS rho_3,
+       round(r1, 6) AS pacf_1,
+       round(p2, 6) AS pacf_2,
+       round((r3 - phi21 * r2 - p2 * r1) / (1 - phi21 * r1 - p2 * r2), 6)
+         AS pacf_3,
+       round(1.96 / sqrt(n), 6) AS conf_band
+FROM dl
+""",
+)
+def stats_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the daily event-count series at lags
+    1-3 via the Durbin-Levinson recursion UNROLLED to closed form —
+    the AR-order diagnostic [[stats_autocorrelation]] can't give: ACF
+    tails off under any AR process, PACF cuts off sharply at the true
+    order p (phi_kk is the lag-k coefficient after regressing out lags
+    1..k-1). Bounded recursion depth makes DL pure algebra:
+    phi_11 = rho1; phi_22 = (rho2 - rho1^2)/(1 - rho1^2);
+    phi_33 = (rho3 - phi_21 rho2 - phi_22 rho1)
+             / (1 - phi_21 rho1 - phi_22 rho2), phi_21 = rho1(1-phi_22).
+    Autocorrelations use the proper single-mean/TSS-denominator
+    estimator (the [[stats_ljung_box]] discipline, one pass over the
+    day series), and the +-1.96/sqrt(n) band says which spikes matter.
+
+    Scale: the fact scan reduces to day cardinality in one
+    map-side-combined agg; the lag window and every DL step are
+    constant-size algebra on the bounded day series."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    base = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("c") * 1.0 / F.count(F.lit(1))).alias("xbar"),
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "c", *[F.lag("c", k).over(w).alias(f"l{k}") for k in (1, 2, 3)]
+    )
+    dev = lagged.crossJoin(F.broadcast(base))
+    sums = dev.groupBy("xbar").agg(
+        F.max("n").alias("n"),
+        F.sum((F.col("c") - F.col("xbar")) * (F.col("c") - F.col("xbar"))).alias("den"),
+        *[
+            F.sum(
+                F.when(
+                    F.col(f"l{k}").isNotNull(),
+                    (F.col("c") - F.col("xbar")) * (F.col(f"l{k}") - F.col("xbar")),
+                )
+            ).alias(f"s{k}")
+            for k in (1, 2, 3)
+        ],
+    )
+    rho = sums.select(
+        "n",
+        (F.col("s1") / F.col("den")).alias("r1"),
+        (F.col("s2") / F.col("den")).alias("r2"),
+        (F.col("s3") / F.col("den")).alias("r3"),
+    )
+    p2 = (F.col("r2") - F.col("r1") * F.col("r1")) / (
+        1 - F.col("r1") * F.col("r1")
+    )
+    dl = rho.select(
+        "n", "r1", "r2", "r3", p2.alias("p2"), (F.col("r1") * (1 - p2)).alias("phi21")
+    )
+    p3 = (
+        F.col("r3") - F.col("phi21") * F.col("r2") - F.col("p2") * F.col("r1")
+    ) / (1 - F.col("phi21") * F.col("r1") - F.col("p2") * F.col("r2"))
+    return dl.select(
+        F.col("n").alias("n_days"),
+        F.round("r1", 6).alias("rho_1"),
+        F.round("r2", 6).alias("rho_2"),
+        F.round("r3", 6).alias("rho_3"),
+        F.round("r1", 6).alias("pacf_1"),
+        F.round("p2", 6).alias("pacf_2"),
+        F.round(p3, 6).alias("pacf_3"),
+        F.round(1.96 / F.sqrt("n"), 6).alias("conf_band"),
+    )

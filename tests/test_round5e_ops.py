@@ -170,3 +170,67 @@ def test_greedy_packing_bounds(spark, sf_dir):
                 fill += t
     src0 = next(r for r in rows if r["source"] == "src0")
     assert src0["bins_used"] == bins
+
+
+def test_cohens_d_consistency(spark, sf_dir):
+    r = all_queries()["stats_cohens_d_effect"].fn(spark, sf_dir).collect()[0]
+    # g is a shrinkage of d: same sign, strictly smaller magnitude
+    assert abs(r["hedges_g"]) < abs(r["cohens_d"]) or r["cohens_d"] == 0.0
+    assert r["hedges_g"] * r["cohens_d"] >= 0.0
+    assert r["sd_pooled"] > 0
+    assert r["se_d"] > 0
+    # parity arms of the same population: effect should be tiny
+    assert abs(r["cohens_d"]) < 0.2
+    # d recomputes from the emitted means and sd
+    assert abs(r["cohens_d"] - (r["mean_b"] - r["mean_a"]) / r["sd_pooled"]) < 1e-3
+
+
+def test_pacf_lag1_equals_acf1(spark, sf_dir):
+    r = all_queries()["stats_pacf_durbin_levinson"].fn(spark, sf_dir).collect()[0]
+    assert r["pacf_1"] == r["rho_1"]
+    for k in (1, 2, 3):
+        assert -1.0 <= r[f"pacf_{k}"] <= 1.0
+        assert -1.0 <= r[f"rho_{k}"] <= 1.0
+    # DL recursion replay in python
+    r1, r2, r3 = r["rho_1"], r["rho_2"], r["rho_3"]
+    p2 = (r2 - r1 * r1) / (1 - r1 * r1)
+    phi21 = r1 * (1 - p2)
+    p3 = (r3 - phi21 * r2 - p2 * r1) / (1 - phi21 * r1 - p2 * r2)
+    assert abs(r["pacf_2"] - p2) < 1e-4
+    assert abs(r["pacf_3"] - p3) < 1e-4
+    assert r["conf_band"] > 0
+
+
+def test_soundex_blocking_properties(spark, sf_dir):
+    rows = all_queries()["er_soundex_blocking"].fn(spark, sf_dir).collect()
+    # vowel-corrupted variants guarantee collisions at every sf
+    assert rows
+    for r in rows:
+        members = r["members"].split(",")
+        assert len(members) == r["block_size"] > 1
+        assert members == sorted(members)
+        code = r["soundex_code"]
+        # canonical soundex shape: letter + exactly 3 digits
+        assert len(code) == 4 and code[0].isupper() and code[1:].isdigit()
+        # every member starts with the code's letter
+        for m in members:
+            assert m[0].upper() == code[0]
+
+    # replay the simplified soundex in python on a known collision
+    def sdx(w):
+        import re
+
+        w = re.sub("[^a-z]", "", w.lower())
+        if not w:
+            return None
+        tr = str.maketrans("abcdefghijklmnopqrstuvwxyz", "01230120022455012623010202")
+        d = w.translate(tr)
+        for g in "0123456":
+            d = re.sub(g + "{2,}", g, d)
+        rest = d[1:].replace("0", "")
+        return w[0].upper() + (rest + "000")[:3]
+
+    by_code: dict = {}
+    for r in rows:
+        for m in r["members"].split(","):
+            assert sdx(m) == r["soundex_code"]

@@ -1945,3 +1945,85 @@ def pipeline_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tok") * 1.0 / (F.sum("bins") * PACK_C), 6
         ).alias("utilization"),
     )
+
+
+@register(
+    "pipeline_mixture_temperature",
+    tags=("pipeline", "llm"),
+    oracle="""
+WITH lang AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CAST(len(list_filter(string_split(lower(text), ' '),
+                                       w -> w <> '')) AS BIGINT)) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY lang
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS t_total FROM lang
+), alphas AS (
+  SELECT unnest([2e-1, 5e-1, 7e-1, 1e0]) AS alpha
+), powed AS (
+  SELECT a.alpha, l.lang, l.n_docs, l.n_tokens,
+         pow(l.n_tokens, a.alpha) AS p
+  FROM lang l CROSS JOIN alphas a
+), norm AS (
+  SELECT alpha, sum(p) AS z FROM powed GROUP BY alpha
+)
+SELECT p.alpha, p.lang, p.n_docs, p.n_tokens,
+       round(p.p / n.z, 6) AS weight,
+       round(p.p / n.z * (SELECT t_total FROM tot) / p.n_tokens, 4)
+         AS effective_epochs,
+       round(p.n_tokens * 1e0 / (SELECT t_total FROM tot), 6) AS natural_share
+FROM powed p JOIN norm n ON n.alpha = p.alpha
+""",
+)
+def pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language-sampling weights — the multilingual
+    mixture sheet (mBERT/XLM-R exponential smoothing, mT5 alpha-scaling):
+    w_l proportional to (tokens_l)^alpha for alpha in {0.2, 0.5, 0.7,
+    1.0}. alpha=1 is natural sampling (head languages drown the tail),
+    alpha->0 is uniform (tail languages epoch dozens of times and
+    memorize); the emitted effective_epochs = w_l * budget / tokens_l
+    column is exactly the quantity the practitioner caps (>4-5 epochs
+    on a tail language = diminishing returns, Muennighoff 2023) — read
+    next to [[pipeline_curriculum_order]]'s source schedule and
+    [[pipeline_greedy_packing]]'s bin bill. One pow() per (lang, alpha)
+    cell from exact integer token counts; the normalizer sums a
+    languages-bounded frame, and every emitted ratio is rounded at
+    6dp — the repo's cross-engine float discipline.
+
+    Scale: one map-side-combined agg to the language grain, then
+    constant-size algebra on a |langs| x 4 lattice; the corpus is
+    never rescanned per alpha."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.filter(F.split(F.lower("text"), " "), lambda w: w != ""))
+    lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(toks.cast("bigint")).cast("bigint").alias("n_tokens"),
+    )
+    tot = lang.agg(F.sum("n_tokens").cast("bigint").alias("t_total"))
+    alphas = spark.createDataFrame(
+        [(0.2,), (0.5,), (0.7,), (1.0,)], ["alpha"]
+    )
+    powed = lang.crossJoin(F.broadcast(alphas)).select(
+        "alpha", "lang", "n_docs", "n_tokens",
+        F.pow(F.col("n_tokens"), F.col("alpha")).alias("p"),
+    )
+    norm = powed.groupBy("alpha").agg(F.sum("p").alias("z"))
+    return (
+        powed.join(norm, "alpha")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "alpha",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("p") / F.col("z"), 6).alias("weight"),
+            F.round(
+                F.col("p") / F.col("z") * F.col("t_total") / F.col("n_tokens"), 4
+            ).alias("effective_epochs"),
+            F.round(F.col("n_tokens") * 1.0 / F.col("t_total"), 6).alias(
+                "natural_share"
+            ),
+        )
+    )

@@ -9375,3 +9375,116 @@ def stats_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p3, 6).alias("pacf_3"),
         F.round(1.96 / F.sqrt("n"), 6).alias("conf_band"),
     )
+
+
+@register(
+    "stats_decision_stump",
+    tags=("stats", "ml"),
+    oracle="""
+WITH s AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+), grain AS (
+  SELECT q, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+  FROM s GROUP BY q
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(pos) AS BIGINT) AS np
+  FROM grain
+), cum AS (
+  SELECT q AS threshold,
+         sum(n) OVER (ORDER BY q) AS nl,
+         sum(pos) OVER (ORDER BY q) AS pl
+  FROM grain
+), scored AS (
+  SELECT threshold, nl, nn - nl AS nr, pl, np - pl AS pr,
+         (CAST(pl AS DOUBLE) * pl + CAST(nl - pl AS DOUBLE) * (nl - pl)) / nl
+         + (CAST(np - pl AS DOUBLE) * (np - pl)
+            + CAST((nn - nl) - (np - pl) AS DOUBLE) * ((nn - nl) - (np - pl)))
+           / (nn - nl) AS purity
+  FROM cum, tot WHERE nl < nn
+), parent AS (
+  SELECT 1e0 - (CAST(np AS DOUBLE) * np + CAST(nn - np AS DOUBLE) * (nn - np))
+               / (CAST(nn AS DOUBLE) * nn) AS gini_parent
+  FROM tot
+)
+SELECT threshold, CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+       CAST(pl AS BIGINT) AS pos_left, CAST(pr AS BIGINT) AS pos_right,
+       round(gini_parent, 6) AS gini_parent,
+       round(1e0 - purity / (SELECT nn FROM tot) * 1e0
+             / 1, 9) AS weighted_gini_check,
+       round((SELECT nn FROM tot) - purity, 6) AS split_cost,
+       CAST(row_number() OVER (ORDER BY purity DESC, threshold) AS BIGINT)
+         AS gain_rank
+FROM scored, parent
+""",
+)
+def stats_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact best-split search for a depth-1 decision tree (CART
+    stump) predicting returned-flag from quantity — the one-feature
+    answer to "where does the class actually separate", and the
+    primitive every gradient-boosting iteration re-runs millions of
+    times. The threshold sweep is the textbook cumulative trick: one
+    agg to the bounded quantity grain, prefix sums give every split's
+    (n, positives) on both sides, and minimizing weighted Gini
+    nL*G_L + nR*G_R is MAXIMIZING purity = (pl^2+(nl-pl)^2)/nl +
+    (pr^2+(nr-pr)^2)/nr — computed per threshold from exact integers
+    with no aggregation, so both engines produce bit-identical doubles
+    and the argmax rank can never flip on a ulp (the ranking-flip
+    hazard [[retrieval_rocchio_prf]] documents). Emitted: the full
+    49-row threshold sheet with split cost and rank (gain_rank=1 is
+    the stump), so downstream sees the whole gain curve, not one
+    winner.
+
+    Scale: one map-side-combined exchange to the <=50-row quantity
+    grain; everything after is constant-size window algebra. The same
+    shape handles any feature whose grain is bounded (bucketize first
+    otherwise — the histogram-split approximation LightGBM uses)."""
+    from pyspark.sql import Window as W
+
+    s = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    grain = s.groupBy("q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    tot = grain.agg(
+        F.sum("n").cast("bigint").alias("nn"), F.sum("pos").cast("bigint").alias("np")
+    )
+    w = W.orderBy("q")
+    cum = grain.select(
+        F.col("q").alias("threshold"),
+        F.sum("n").over(w).alias("nl"),
+        F.sum("pos").over(w).alias("pl"),
+    )
+    j = cum.crossJoin(F.broadcast(tot)).where(F.col("nl") < F.col("nn"))
+    nr = F.col("nn") - F.col("nl")
+    pr = F.col("np") - F.col("pl")
+    negl = F.col("nl") - F.col("pl")
+    negr = nr - pr
+    purity = (
+        F.col("pl").cast("double") * F.col("pl") + negl.cast("double") * negl
+    ) / F.col("nl") + (pr.cast("double") * pr + negr.cast("double") * negr) / nr
+    gini_parent = 1.0 - (
+        F.col("np").cast("double") * F.col("np")
+        + (F.col("nn") - F.col("np")).cast("double") * (F.col("nn") - F.col("np"))
+    ) / (F.col("nn").cast("double") * F.col("nn"))
+    scored = j.select(
+        "threshold",
+        F.col("nl").cast("bigint").alias("n_left"),
+        nr.cast("bigint").alias("n_right"),
+        F.col("pl").cast("bigint").alias("pos_left"),
+        pr.cast("bigint").alias("pos_right"),
+        F.round(gini_parent, 6).alias("gini_parent"),
+        F.round(1.0 - purity / F.col("nn") / 1, 9).alias("weighted_gini_check"),
+        F.round(F.col("nn") - purity, 6).alias("split_cost"),
+        purity.alias("_p"),
+    )
+    return scored.withColumn(
+        "gain_rank",
+        F.row_number()
+        .over(W.orderBy(F.col("_p").desc(), "threshold"))
+        .cast("bigint"),
+    ).drop("_p")

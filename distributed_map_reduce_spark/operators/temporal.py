@@ -2309,3 +2309,102 @@ def temporal_kalman_local_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("st.p") + Q) / (F.col("st.p") + Q + R), 6).alias("steady_gain"),
         F.round(F.col("st.e") / (F.col("n_days") - 1), 4).alias("innovation_mae"),
     )
+
+
+@register(
+    "temporal_sax_symbols",
+    tags=("temporal", "text"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS cents
+  FROM orders GROUP BY 1
+), base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS HUGEINT) AS s,
+         CAST(sum(cents * cents) AS HUGEINT) AS q,
+         min(day) AS d0
+  FROM daily
+), seg AS (
+  SELECT date_diff('day', b.d0, d.day) // 7 AS seg,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(d.cents) AS HUGEINT) AS seg_cents
+  FROM daily d, base b
+  GROUP BY 1
+), z AS (
+  SELECT seg, n_days,
+         (CAST(seg_cents AS DOUBLE) / n_days
+          - CAST(b.s AS DOUBLE) / b.n)
+         / sqrt(CAST(b.q AS DOUBLE) / b.n
+                - (CAST(b.s AS DOUBLE) / b.n) * (CAST(b.s AS DOUBLE) / b.n))
+           AS paa_z
+  FROM seg, base b
+)
+SELECT seg, n_days, round(paa_z, 6) AS paa_z,
+       CASE WHEN paa_z < -0.6745 THEN 'a'
+            WHEN paa_z < 0 THEN 'b'
+            WHEN paa_z < 0.6745 THEN 'c'
+            ELSE 'd' END AS symbol
+FROM z
+""",
+)
+def temporal_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (Lin/Keogh 2003) of the daily revenue series:
+    Piecewise Aggregate Approximation over calendar weeks, then each
+    segment's z-score maps to a 4-letter alphabet at the Gaussian
+    quartile breakpoints (-0.6745, 0, +0.6745) — the discretization
+    that turns a numeric series into a STRING, so motif discovery,
+    anomaly grep, and [[text_winnowing_fingerprints]]-style indexing
+    run on time series with text machinery. Every branch-compare is
+    engine-deterministic by construction: global mean/variance and
+    each week's PAA come from EXACT integer-cents sums (decimal/
+    HUGEINT), so the doubles being compared to the breakpoints are
+    bit-identical on both engines and a boundary value cannot
+    symbolize differently (the borderline-flip hazard that would make
+    a float-summed z unverifiable).
+
+    Scale: one exchange to the day grain, one to the week grain (both
+    map-side combined), one broadcast of the 4-number moment row. The
+    symbol table is |weeks| rows — the whole point of SAX is that
+    downstream works on this reduced alphabet, not the raw series."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("decimal(38,0)")
+            .alias("cents")
+        )
+    )
+    base = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("decimal(38,0)").alias("q"),
+        F.min("day").alias("d0"),
+    )
+    seg = (
+        daily.crossJoin(F.broadcast(base))
+        .groupBy(
+            F.floor(F.datediff(F.col("day"), F.col("d0")) / 7).alias("seg")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("cents").cast("decimal(38,0)").alias("seg_cents"),
+        )
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    std = F.sqrt(F.col("q").cast("double") / F.col("n") - mean * mean)
+    paa_z = (F.col("seg_cents").cast("double") / F.col("n_days") - mean) / std
+    return (
+        seg.crossJoin(F.broadcast(base))
+        .select(
+            "seg",
+            "n_days",
+            F.round(paa_z, 6).alias("paa_z"),
+            F.when(paa_z < -0.6745, "a")
+            .when(paa_z < 0, "b")
+            .when(paa_z < 0.6745, "c")
+            .otherwise("d")
+            .alias("symbol"),
+        )
+    )

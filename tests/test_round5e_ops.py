@@ -234,3 +234,96 @@ def test_soundex_blocking_properties(spark, sf_dir):
     for r in rows:
         for m in r["members"].split(","):
             assert sdx(m) == r["soundex_code"]
+
+
+def test_decision_stump_vs_python(spark, sf_dir):
+    rows = all_queries()["stats_decision_stump"].fn(spark, sf_dir).collect()
+    assert rows
+    # replay the full gain curve from raw data
+    data = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_quantity").cast("bigint").alias("q"),
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"))
+        .collect()
+    )
+    from collections import Counter
+
+    n_by_q: Counter = Counter()
+    p_by_q: Counter = Counter()
+    for d in data:
+        n_by_q[d["q"]] += 1
+        p_by_q[d["q"]] += d["y"]
+    nn = sum(n_by_q.values())
+    np_ = sum(p_by_q.values())
+    best_t, best_purity = None, -1.0
+    nl = pl = 0
+    for q in sorted(n_by_q):
+        nl += n_by_q[q]
+        pl += p_by_q[q]
+        if nl == nn:
+            continue
+        nr, pr = nn - nl, np_ - pl
+        purity = (pl * pl + (nl - pl) * (nl - pl)) / nl + (
+            pr * pr + (nr - pr) * (nr - pr)
+        ) / nr
+        if purity > best_purity:
+            best_t, best_purity = q, purity
+    top = next(r for r in rows if r["gain_rank"] == 1)
+    assert top["threshold"] == best_t
+    # counts add up on every row
+    for r in rows:
+        assert r["n_left"] + r["n_right"] == nn
+        assert r["pos_left"] + r["pos_right"] == np_
+        assert 0.0 <= r["gini_parent"] <= 0.5
+        # splitting can never beat the parent's impurity bound
+        assert r["weighted_gini_check"] <= r["gini_parent"] + 1e-9
+
+
+def test_mixture_temperature_properties(spark, sf_dir):
+    rows = all_queries()["pipeline_mixture_temperature"].fn(spark, sf_dir).collect()
+    by_alpha: dict = {}
+    for r in rows:
+        by_alpha.setdefault(r["alpha"], []).append(r)
+    assert set(by_alpha) == {0.2, 0.5, 0.7, 1.0}
+    for alpha, grp in by_alpha.items():
+        # weights normalize
+        assert abs(sum(g["weight"] for g in grp) - 1.0) < 1e-3
+        # alpha=1 reproduces natural sampling: every epoch factor == total/1 scaled
+        if alpha == 1.0:
+            for g in grp:
+                assert abs(g["weight"] - g["natural_share"]) < 1e-5
+                assert abs(g["effective_epochs"] - 1.0) < 1e-3
+    # lower alpha flattens: the head language's weight shrinks monotonically
+    head = max(by_alpha[1.0], key=lambda g: g["n_tokens"])["lang"]
+    ws = [
+        next(g["weight"] for g in by_alpha[a] if g["lang"] == head)
+        for a in (0.2, 0.5, 0.7, 1.0)
+    ]
+    assert ws == sorted(ws)
+    # and the tail language epochs more as alpha drops
+    tail = min(by_alpha[1.0], key=lambda g: g["n_tokens"])["lang"]
+    es = [
+        next(g["effective_epochs"] for g in by_alpha[a] if g["lang"] == tail)
+        for a in (0.2, 0.5, 0.7, 1.0)
+    ]
+    assert es == sorted(es, reverse=True)
+
+
+def test_sax_symbols_distribution(spark, sf_dir):
+    rows = sorted(
+        all_queries()["temporal_sax_symbols"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["seg"],
+    )
+    assert rows
+    for r in rows:
+        assert r["symbol"] in "abcd"
+        assert 1 <= r["n_days"] <= 7
+        # symbol agrees with the emitted z-score and breakpoints
+        z = r["paa_z"]
+        expect = "a" if z < -0.6745 else "b" if z < 0 else "c" if z < 0.6745 else "d"
+        assert r["symbol"] == expect
+    # week indexes start at 0 and strictly increase (sparse weeks may
+    # be absent entirely at tiny scale factors)
+    assert rows[0]["seg"] == 0
+    segs = [r["seg"] for r in rows]
+    assert all(a < b for a, b in zip(segs, segs[1:]))

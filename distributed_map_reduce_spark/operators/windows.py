@@ -940,3 +940,109 @@ def window_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "repaired"
         ),
     )
+
+
+CLAMP_CAP = 500  # stock capacity per supplier
+CLAMP_START = 250  # opening balance
+
+
+@register(
+    "window_clamped_cumsum",
+    tags=("window", "temporal"),
+    oracle=f"""
+WITH flow AS (
+  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+         CAST(sum(CASE WHEN l_linenumber % 2 = 0 THEN CAST(l_quantity AS BIGINT)
+                       ELSE -CAST(l_quantity AS BIGINT) END) AS BIGINT) AS net
+  FROM lineitem GROUP BY 1, 2
+), folded AS (
+  SELECT l_suppkey,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(net) AS BIGINT) AS net_total,
+         list_reduce(
+           list_prepend(CAST({CLAMP_START} AS BIGINT),
+                        list(net ORDER BY day)),
+           (acc, x) -> CASE
+             WHEN acc % 1000000 + x < 0
+               THEN acc - acc % 1000000 + 10000000000000
+             WHEN acc % 1000000 + x > {CLAMP_CAP}
+               THEN acc - acc % 1000000 + {CLAMP_CAP} + 1000000000
+             ELSE acc + x END) AS state
+  FROM flow GROUP BY l_suppkey
+)
+SELECT l_suppkey, n_days, net_total,
+       state % 1000000 AS final_balance,
+       (state // 10000000000000) % 10000000 AS clamped_low,
+       (state // 1000000000) % 10000 AS clamped_high,
+       CASE WHEN (state // 1000000000) % 10000 = 0
+             AND (state // 10000000000000) % 10000000 = 0
+            THEN 1 ELSE 0 END AS never_clamped
+FROM folded
+""",
+)
+def window_clamped_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped running balance — warehouse stock per supplier folding
+    daily net flow (even line numbers receive, odd issue) from an
+    opening {CLAMP_START} into the band [0, {CLAMP_CAP}]: the
+    NON-LINEAR cumulative sum (max(0, min(cap, ...)) at every step)
+    that no window frame expresses, because each step's clamp depends
+    on the already-clamped previous state — the same
+    sequential-dependence class as [[temporal_kalman_local_level]],
+    folded the same way: a single-BIGINT state machine
+    (lo_hits*1e13 + hi_hits*1e9 + balance) over the day-ordered list,
+    `F.aggregate` on Spark, scalar `list_reduce` on DuckDB (scalar
+    accumulators dodge the in-place-struct hazard
+    [[temporal_holt_smoothing]] pins). Clamp-hit counters ride in the
+    upper digits, so the output also says WHICH suppliers starve
+    (clamped_low: lost issues) or overflow (clamped_high: refused
+    receipts) — the answer inventory planners actually want from the
+    fold.
+
+    Scale: one exchange to the (supplier, day) grain with map-side
+    combine; each supplier's fold is bounded by the FIXED date span
+    (more data widens the flow grain's values, never the list), and
+    suppliers fold in parallel across partitions."""
+    flow = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey", F.col("l_shipdate").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("l_linenumber") % 2 == 0,
+                    F.col("l_quantity").cast("bigint"),
+                ).otherwise(-F.col("l_quantity").cast("bigint"))
+            )
+            .cast("bigint")
+            .alias("net")
+        )
+    )
+    fold = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "net"))), lambda s: s["net"]
+        ),
+        F.lit(CLAMP_START).cast("bigint"),
+        lambda acc, x: F.when(
+            acc % 1000000 + x < 0, acc - acc % 1000000 + 10000000000000
+        )
+        .when(
+            acc % 1000000 + x > CLAMP_CAP,
+            acc - acc % 1000000 + CLAMP_CAP + 1000000000,
+        )
+        .otherwise(acc + x),
+    )
+    folded = flow.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("net").cast("bigint").alias("net_total"),
+        fold.cast("bigint").alias("state"),
+    )
+    lo = (F.col("state") / 10000000000000).cast("bigint") % 10000000
+    hi = (F.col("state") / 1000000000).cast("bigint") % 10000
+    return folded.select(
+        "l_suppkey",
+        "n_days",
+        "net_total",
+        (F.col("state") % 1000000).alias("final_balance"),
+        lo.alias("clamped_low"),
+        hi.alias("clamped_high"),
+        F.when((hi == 0) & (lo == 0), 1).otherwise(0).alias("never_clamped"),
+    )

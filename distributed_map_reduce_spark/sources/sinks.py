@@ -764,3 +764,104 @@ def source_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return manifest.mapInPandas(read_footers, schema)
+
+
+@register(
+    "layout_clustering_depth",
+    tags=("layout", "maintenance"),
+    oracle="""
+WITH filed AS (
+  SELECT CAST(year(o_orderdate) * 12 + (month(o_orderdate) - 1) AS BIGINT)
+           AS file_id,
+         CAST(o_custkey AS BIGINT) AS ck,
+         CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS dy
+  FROM orders
+), zm AS (
+  SELECT 'o_custkey' AS col, file_id, min(ck) AS lo, max(ck) AS hi FROM filed
+  GROUP BY file_id
+  UNION ALL
+  SELECT 'o_orderdate' AS col, file_id, min(dy) AS lo, max(dy) AS hi FROM filed
+  GROUP BY file_id
+), ev AS (
+  SELECT col, lo AS k, CAST(1 AS BIGINT) AS delta FROM zm
+  UNION ALL
+  SELECT col, hi AS k, CAST(-1 AS BIGINT) AS delta FROM zm
+), sweep AS (
+  SELECT col, k, delta,
+         sum(delta) OVER (PARTITION BY col
+                          ORDER BY k, delta DESC
+                          ROWS UNBOUNDED PRECEDING) AS depth
+  FROM ev
+)
+SELECT s.col,
+       CAST((SELECT count(*) FROM zm z WHERE z.col = s.col) AS BIGINT)
+         AS n_files,
+       CAST(max(depth) AS BIGINT) AS max_depth,
+       CAST(count(*) FILTER (WHERE delta = 1 AND depth = 1) AS BIGINT)
+         AS clean_opens
+FROM sweep s
+GROUP BY s.col
+""",
+)
+def layout_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-depth audit over the monthly file layout's zone maps
+    — the metric behind Delta/Iceberg OPTIMIZE decisions: for a probe
+    on column X, how many files' [min, max] ranges overlap at the
+    worst key point? Depth 1 = perfectly clustered (any point probe
+    touches one file); depth = n_files = that column is useless for
+    skipping and a re-sort/Z-order pays for itself
+    ([[layout_zorder_tiles]] builds it, [[layout_zonemap_skipping]]
+    audits one predicate — this audits the whole key axis at once).
+    The sweep is the interval-stabbing classic: +1 at each file's min,
+    -1 after its max, running sum ordered by (key, opens-first) so
+    coincident boundaries count as overlapping — on the FILE-grain
+    frame, never the data. The date column (the layout's own
+    clustering key) comes out depth ~1-2 with all clean opens; the
+    customer column, scrambled across every month, comes out depth =
+    n_files — the two rows ARE the before/after argument for
+    re-clustering.
+
+    Scale: one map-side-combined agg to (file x 2 columns), a
+    2x-file-count event sweep — metadata-sized regardless of table
+    size, exactly like reading footers instead of data
+    ([[source_parquet_footer_stats]])."""
+    o = load_table(spark, sf_dir, "orders")
+    filed = o.select(
+        (F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1))
+        .cast("bigint")
+        .alias("file_id"),
+        F.col("o_custkey").cast("bigint").alias("ck"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("dy"),
+    )
+    zm = (
+        filed.groupBy("file_id")
+        .agg(F.min("ck").alias("lo"), F.max("ck").alias("hi"))
+        .select(F.lit("o_custkey").alias("col"), "file_id", "lo", "hi")
+        .unionByName(
+            filed.groupBy("file_id")
+            .agg(F.min("dy").alias("lo"), F.max("dy").alias("hi"))
+            .select(F.lit("o_orderdate").alias("col"), "file_id", "lo", "hi")
+        )
+    )
+    ev = zm.select("col", F.col("lo").alias("k"), F.lit(1).cast("bigint").alias("delta")).unionByName(
+        zm.select("col", F.col("hi").alias("k"), F.lit(-1).cast("bigint").alias("delta"))
+    )
+    w = W.partitionBy("col").orderBy(F.col("k"), F.col("delta").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sweep = ev.withColumn("depth", F.sum("delta").over(w))
+    n_files = zm.groupBy("col").agg(F.count(F.lit(1)).cast("bigint").alias("n_files"))
+    return (
+        sweep.groupBy("col")
+        .agg(
+            F.max("depth").cast("bigint").alias("max_depth"),
+            F.count_if((F.col("delta") == 1) & (F.col("depth") == 1))
+            .cast("bigint")
+            .alias("clean_opens"),
+        )
+        .join(n_files, "col")
+        .select("col", "n_files", "max_depth", "clean_opens")
+    )

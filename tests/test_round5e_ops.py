@@ -327,3 +327,57 @@ def test_sax_symbols_distribution(spark, sf_dir):
     assert rows[0]["seg"] == 0
     segs = [r["seg"] for r in rows]
     assert all(a < b for a, b in zip(segs, segs[1:]))
+
+
+def test_clamped_cumsum_vs_python(spark, sf_dir):
+    rows = all_queries()["window_clamped_cumsum"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["final_balance"] <= 500
+        if r["never_clamped"] == 1:
+            # no clamp ever hit -> the fold is the plain cumsum
+            assert r["final_balance"] == 250 + r["net_total"]
+            assert r["clamped_low"] == r["clamped_high"] == 0
+    # replay one supplier in python
+    target = rows[0]["l_suppkey"]
+    flow = sorted(
+        (
+            (f["day"], f["net"])
+            for f in load_table(spark, sf_dir, "lineitem")
+            .where(F.col("l_suppkey") == target)
+            .groupBy(F.col("l_shipdate").cast("date").alias("day"))
+            .agg(
+                F.sum(
+                    F.when(F.col("l_linenumber") % 2 == 0, F.col("l_quantity"))
+                    .otherwise(-F.col("l_quantity"))
+                    .cast("bigint")
+                ).alias("net")
+            )
+            .collect()
+        )
+    )
+    bal, lo, hi = 250, 0, 0
+    for _, net in flow:
+        raw = bal + net
+        if raw < 0:
+            lo, bal = lo + 1, 0
+        elif raw > 500:
+            hi, bal = hi + 1, 500
+        else:
+            bal = raw
+    r = next(x for x in rows if x["l_suppkey"] == target)
+    assert (r["final_balance"], r["clamped_low"], r["clamped_high"]) == (bal, lo, hi)
+
+
+def test_clustering_depth_contrast(spark, sf_dir):
+    rows = {r["col"]: r for r in all_queries()["layout_clustering_depth"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"o_custkey", "o_orderdate"}
+    date_r, cust_r = rows["o_orderdate"], rows["o_custkey"]
+    assert date_r["n_files"] == cust_r["n_files"] > 1
+    # monthly files partition the date axis: depth stays minimal
+    assert date_r["max_depth"] <= 2
+    # customer keys are scrambled across months: nearly every file
+    # overlaps at the worst point (a sparse tail month may fall short)
+    assert cust_r["max_depth"] >= 0.8 * cust_r["n_files"]
+    # and the date layout opens cleanly far more often
+    assert date_r["clean_opens"] > cust_r["clean_opens"]

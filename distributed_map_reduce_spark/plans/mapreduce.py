@@ -110,10 +110,15 @@ def exec_mr_rdd(
         # combineByKey builds per-partition value lists (the reference's
         # map-side `compact`, `mapperReducer.js:39-68`) and merges lists
         # across the exchange (`shuffledSave`, `mapperReducer.js:108-121`).
+        # Accumulators mutate IN PLACE (append/extend): Spark never reuses
+        # a combiner after handing it to the merge fn, and the copying
+        # form `acc + [v]` is O(len) per element — quadratic on heavy
+        # keys (a 500k-occurrence stopword cost ~400s at sf1; in-place
+        # append is the documented combineByKey idiom for exactly this).
         .combineByKey(
             lambda v: [v],
-            lambda acc, v: acc + [v],
-            lambda a, b: a + b,
+            lambda acc, v: (acc.append(v), acc)[1],
+            lambda a, b: (a.extend(b), a)[1],
             **kwargs,
         )
         .map(lambda kv: reduce_fn(kv[0], kv[1]))

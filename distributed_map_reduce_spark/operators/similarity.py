@@ -1063,12 +1063,22 @@ WITH e AS (
          substr(string_agg(letter, '' ORDER BY ts, event_id), 1, 50) AS t
   FROM e GROUP BY user_id
 ), blocked AS (
-  SELECT user_id, t, len(t) // 10 AS lb, substr(t, 1, 1) AS hb FROM traj
+  SELECT user_id, t, len(t) // 10 AS lb, substr(t, 1, 1) AS hb,
+         row_number() OVER (PARTITION BY len(t) // 10, substr(t, 1, 1)
+                            ORDER BY t, user_id) AS r
+  FROM traj
+), cand AS (
+  SELECT a.user_id AS ua, b.user_id AS ub, a.t AS ta, b.t AS tb
+  FROM blocked a
+  JOIN (SELECT unnest(range(1, 6)) AS o) offs ON TRUE
+  JOIN blocked b
+    ON b.lb = a.lb AND b.hb = a.hb AND b.r = a.r + offs.o
 ), pairs AS (
-  SELECT a.user_id AS user_a, b.user_id AS user_b,
-         CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist
-  FROM blocked a JOIN blocked b ON a.lb = b.lb AND a.hb = b.hb
-  WHERE a.user_id <> b.user_id
+  SELECT ua AS user_a, ub AS user_b,
+         CAST(levenshtein(ta, tb) AS BIGINT) AS edit_dist
+  FROM cand
+  UNION ALL
+  SELECT ub, ua, CAST(levenshtein(ta, tb) AS BIGINT) FROM cand
 )
 SELECT user_a, user_b, edit_dist, rn FROM (
   SELECT *, row_number() OVER (PARTITION BY user_a
@@ -1085,17 +1095,22 @@ def similarity_user_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
     Levenshtein distance — behavioral-cohort lookup for
     recommendations, fraud twins, and bot-farm detection.
 
-    The all-pairs edit-distance join is quadratic, so candidates are
-    BLOCKED the way REPOSE routes trajectories to reference-point
-    tries: only users in the same (length-bucket, first-step) block
-    compare — a pair whose prefix or length differs grossly cannot be a
-    near neighbor at these distances. Blocking keys are equi-join
-    columns (one shuffle on (len//10, head)); edit distance runs only
-    inside blocks; a per-user window keeps top-3. Both engines share
-    unit-cost levenshtein semantics, so parity is exact. At 100 TB the
-    trajectory table is user-cardinality (tiny vs events); finer blocks
-    (length//5, 2-step head) hold per-block population flat as users
-    grow."""
+    Candidates are BLOCKED the way REPOSE routes trajectories to
+    reference-point tries — same (length-bucket, first-step) block —
+    then SORTED-NEIGHBORHOOD bounds each block: users rank by
+    (trajectory, user_id) and only the 5 lexicographic successors pair
+    with each user (both directions via the symmetric union), so
+    candidates are <= 10 per user FOREVER. The first form of this query
+    joined all pairs within blocks; the BLOCKING KEY SPACE IS BOUNDED
+    (6 length buckets x 4 head letters), so block occupancy grew
+    linearly with users and pairs quadratically — 18s at sf0.1, 118s at
+    sf1, dead at 100 TB (the [[dedup_edit_distance_block]] failure mode,
+    fixed with its rewrite). Lexicographic neighbors share long
+    prefixes, which is exactly what small edit distance looks like at
+    these lengths. Both engines share unit-cost levenshtein semantics
+    and the identical deterministic rank, so parity is exact. The
+    trajectory table is user-cardinality (tiny vs events); one shuffle
+    to blocks, one rank window per block, one +offset equi-join."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("letter")
     )
@@ -1118,20 +1133,34 @@ def similarity_user_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t",
         F.expr("length(t) div 10").alias("lb"),
         F.substring("t", 1, 1).alias("hb"),
+    ).withColumn(
+        "r",
+        F.row_number().over(
+            W.partitionBy("lb", "hb").orderBy("t", "user_id")
+        ),
     )
+    offs = spark.range(1, 6).select(F.col("id").alias("o"))
     a = blocked.select(
-        F.col("user_id").alias("user_a"), F.col("t").alias("ta"), "lb", "hb"
+        F.col("user_id").alias("ua"), F.col("t").alias("ta"), "lb", "hb", "r"
     )
     b = blocked.select(
-        F.col("user_id").alias("user_b"), F.col("t").alias("tb"), "lb", "hb"
+        F.col("user_id").alias("ub"),
+        F.col("t").alias("tb"),
+        "lb",
+        "hb",
+        F.col("r").alias("rb"),
     )
-    pairs = (
-        a.join(b, ["lb", "hb"])
-        .filter(F.col("user_a") != F.col("user_b"))
-        .select(
-            "user_a",
-            "user_b",
-            F.levenshtein("ta", "tb").cast("bigint").alias("edit_dist"),
+    cand = (
+        a.crossJoin(F.broadcast(offs))
+        .withColumn("rb", F.col("r") + F.col("o"))
+        .join(b, ["lb", "hb", "rb"])
+        .select("ua", "ub", F.levenshtein("ta", "tb").cast("bigint").alias("edit_dist"))
+    )
+    pairs = cand.select(
+        F.col("ua").alias("user_a"), F.col("ub").alias("user_b"), "edit_dist"
+    ).unionByName(
+        cand.select(
+            F.col("ub").alias("user_a"), F.col("ua").alias("user_b"), "edit_dist"
         )
     )
     w = W.partitionBy("user_a").orderBy("edit_dist", "user_b")

@@ -1291,3 +1291,164 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("modularity"),
         )
     )
+
+
+@register(
+    "graph_closeness_vocab",
+    tags=("graph", "text", "iterative"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), w -> trim(w) <> '') AS t
+  FROM documents
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, count(*) AS c
+    FROM (SELECT unnest(t) AS w FROM toks) u
+    GROUP BY w
+    ORDER BY c DESC, w
+    LIMIT 30
+  )
+), adj AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks) s
+), edges AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT w1 AS a, w2 AS b FROM adj
+    UNION
+    SELECT w2 AS a, w1 AS b FROM adj
+  )
+  WHERE a <> b
+    AND a IN (SELECT w FROM vocab)
+    AND b IN (SELECT w FROM vocab)
+), d1 AS MATERIALIZED (
+  SELECT a, b, CAST(1 AS BIGINT) AS d FROM edges
+), d2 AS MATERIALIZED (
+  SELECT a, b, min(d) AS d FROM (
+    SELECT a, b, d FROM d1
+    UNION ALL
+    SELECT p.a, e.b, p.d + 1 AS d FROM d1 p JOIN edges e ON e.a = p.b
+    WHERE p.a <> e.b
+  ) GROUP BY a, b
+), d3 AS MATERIALIZED (
+  SELECT a, b, min(d) AS d FROM (
+    SELECT a, b, d FROM d2
+    UNION ALL
+    SELECT p.a, e.b, p.d + 1 AS d FROM d2 p JOIN edges e ON e.a = p.b
+    WHERE p.a <> e.b
+  ) GROUP BY a, b
+), d4 AS MATERIALIZED (
+  SELECT a, b, min(d) AS d FROM (
+    SELECT a, b, d FROM d3
+    UNION ALL
+    SELECT p.a, e.b, p.d + 1 AS d FROM d3 p JOIN edges e ON e.a = p.b
+    WHERE p.a <> e.b
+  ) GROUP BY a, b
+), d5 AS MATERIALIZED (
+  SELECT a, b, min(d) AS d FROM (
+    SELECT a, b, d FROM d4
+    UNION ALL
+    SELECT p.a, e.b, p.d + 1 AS d FROM d4 p JOIN edges e ON e.a = p.b
+    WHERE p.a <> e.b
+  ) GROUP BY a, b
+), summary AS (
+  SELECT a AS node,
+         CAST(count(*) AS BIGINT) AS n_reach,
+         CAST(sum(d) AS BIGINT) AS sum_dist,
+         CAST(sum(60 // d) AS BIGINT) AS h60
+  FROM d5 GROUP BY a
+)
+SELECT node, n_reach, sum_dist,
+       round(n_reach * 1e0 / sum_dist, 6) AS closeness,
+       round(h60 / 60e0, 6) AS harmonic,
+       CAST(row_number() OVER (ORDER BY h60 DESC, node) AS BIGINT)
+         AS centrality_rank
+FROM summary
+""",
+)
+def graph_closeness_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness + harmonic centrality on the bounded co-occurrence
+    vocabulary graph ([[text_textrank_keywords]]'s adjacency, directed
+    edges symmetrized, unweighted) via ALL-PAIRS shortest paths as 4
+    unrolled min-plus rounds — exact distances to radius 5 on a graph
+    whose node set is df-capped at 30, so the distance frame never
+    exceeds 900 rows whatever the corpus size. PageRank says "endorsed
+    by endorsed neighbors"; closeness says "a short hop from
+    EVERYWHERE" — the navigational-hub complement. Harmonic centrality
+    (Boldi-Vigna) handles any disconnected pair gracefully, and its
+    sum stays EXACT: every distance is an integer in 1..5, so
+    sum(1/d) is materialized as the integer sum of 60/d and divided
+    once at the end — no float accumulation to order-flip the
+    centrality ranking (the argmax discipline of
+    [[stats_decision_stump]]).
+
+    Scale: the data-sized work is the same one-scan adjacency explode
+    TextRank does; everything after lives on vocabulary-bounded frames
+    (30 nodes, <=900 edges, 4 joins). The MATERIALIZED CTE ladder is
+    the repo's iterative-op oracle discipline."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.filter(F.split(F.lower("text"), " "), lambda w: F.trim(w) != "").alias("t")
+    )
+    words = toks.select(F.explode("t").alias("w"))
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(30)
+        .select("w")
+    )
+    adj = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] as w1, t[i] as w2))"
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    sym = adj.select(F.col("w1").alias("a"), F.col("w2").alias("b")).unionByName(
+        adj.select(F.col("w2").alias("a"), F.col("w1").alias("b"))
+    )
+    va = vocab.select(F.col("w").alias("a"))
+    vb = vocab.select(F.col("w").alias("b"))
+    edges = (
+        sym.where(F.col("a") != F.col("b"))
+        .join(F.broadcast(va), "a")
+        .join(F.broadcast(vb), "b")
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = edges.withColumn("d", F.lit(1).cast("bigint"))
+    for _ in range(4):
+        grown = dist.alias("p").join(
+            edges.alias("e"), F.col("p.b") == F.col("e.a")
+        ).where(F.col("p.a") != F.col("e.b")).select(
+            F.col("p.a").alias("a"), F.col("e.b").alias("b"), (F.col("p.d") + 1).alias("d")
+        )
+        # checkpoint truncates the doubling lineage — each round's frame
+        # is <= 900 rows, so materializing it is free; replanning the
+        # full unrolled DAG each round is not
+        dist = (
+            dist.unionByName(grown)
+            .groupBy("a", "b")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    summary = dist.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reach"),
+        F.sum("d").cast("bigint").alias("sum_dist"),
+        F.sum(F.floor(60 / F.col("d"))).cast("bigint").alias("h60"),
+    )
+    from pyspark.sql import Window as W
+
+    return summary.select(
+        "node",
+        "n_reach",
+        "sum_dist",
+        F.round(F.col("n_reach") * 1.0 / F.col("sum_dist"), 6).alias("closeness"),
+        F.round(F.col("h60") / 60.0, 6).alias("harmonic"),
+        F.row_number()
+        .over(W.orderBy(F.col("h60").desc(), "node"))
+        .cast("bigint")
+        .alias("centrality_rank"),
+    )

@@ -9488,3 +9488,116 @@ def stats_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.orderBy(F.col("_p").desc(), "threshold"))
         .cast("bigint"),
     ).drop("_p")
+
+
+@register(
+    "stats_cronbach_alpha",
+    tags=("stats", "measurement"),
+    oracle="""
+WITH items AS (
+  SELECT c_custkey,
+         CAST(round(c_acctbal * 100) AS BIGINT)
+           + (CAST('0x' || substr(md5('cb1-' || c_custkey), 1, 8) AS BIGINT)
+              % 20001) - 10000 AS i1,
+         CAST(round(c_acctbal * 100) AS BIGINT)
+           + (CAST('0x' || substr(md5('cb2-' || c_custkey), 1, 8) AS BIGINT)
+              % 20001) - 10000 AS i2,
+         CAST(round(c_acctbal * 100) AS BIGINT)
+           + (CAST('0x' || substr(md5('cb3-' || c_custkey), 1, 8) AS BIGINT)
+              % 20001) - 10000 AS i3,
+         CAST(round(c_acctbal * 100) AS BIGINT)
+           + (CAST('0x' || substr(md5('cb4-' || c_custkey), 1, 8) AS BIGINT)
+              % 20001) - 10000 AS i4
+  FROM customer
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(i1 AS HUGEINT)) AS HUGEINT) AS s1,
+         CAST(sum(CAST(i1 AS HUGEINT) * i1) AS HUGEINT) AS q1,
+         CAST(sum(CAST(i2 AS HUGEINT)) AS HUGEINT) AS s2,
+         CAST(sum(CAST(i2 AS HUGEINT) * i2) AS HUGEINT) AS q2,
+         CAST(sum(CAST(i3 AS HUGEINT)) AS HUGEINT) AS s3,
+         CAST(sum(CAST(i3 AS HUGEINT) * i3) AS HUGEINT) AS q3,
+         CAST(sum(CAST(i4 AS HUGEINT)) AS HUGEINT) AS s4,
+         CAST(sum(CAST(i4 AS HUGEINT) * i4) AS HUGEINT) AS q4,
+         CAST(sum(CAST(i1 + i2 + i3 + i4 AS HUGEINT)) AS HUGEINT) AS st,
+         CAST(sum(CAST(i1 + i2 + i3 + i4 AS HUGEINT) * (i1 + i2 + i3 + i4))
+              AS HUGEINT) AS qt
+  FROM items
+), v AS (
+  SELECT n,
+         (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) AS v1,
+         (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n) / (n - 1) AS v2,
+         (CAST(q3 AS DOUBLE) - CAST(s3 AS DOUBLE) * s3 / n) / (n - 1) AS v3,
+         (CAST(q4 AS DOUBLE) - CAST(s4 AS DOUBLE) * s4 / n) / (n - 1) AS v4,
+         (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * st / n) / (n - 1) AS vt
+  FROM m
+)
+SELECT n AS n_subjects,
+       CAST(4 AS BIGINT) AS k_items,
+       round((v1 + v2 + v3 + v4) / vt, 6) AS item_variance_share,
+       round(4e0 / 3 * (1 - (v1 + v2 + v3 + v4) / vt), 6) AS cronbach_alpha
+FROM v
+""",
+)
+def stats_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha internal-consistency coefficient for a 4-item
+    scale measuring one latent trait — the reliability number the
+    measurement family was missing: [[stats_cohens_kappa]] /
+    [[stats_krippendorff_alpha]] score RATER agreement on labels,
+    [[stats_bland_altman]] scores two instruments' disagreement; this
+    scores whether k numeric items cohere enough to SUM into a scale
+    (alpha >= 0.7 is the conventional bar). Items are the repo's
+    deterministic md5-noise instruments around a shared per-customer
+    truth, so the expected alpha is analytically ~var(truth)*16 /
+    (var(truth)*16 + 4*var(noise)) — strongly consistent by
+    construction — and every moment accumulates as exact integer cents
+    in decimal(38,0)/HUGEINT before the one division into doubles
+    (the [[stats_cohens_d_effect]] discipline).
+
+    Scale: one scan, one 11-number moment agg with map-side combine,
+    constant algebra after."""
+    truth = F.round(F.col("c_acctbal") * 100).cast("bigint")
+
+    def item(j: int):
+        coin = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"cb{j}-"), F.col("c_custkey").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 20001
+        ) - 10000
+        return (truth + coin).alias(f"i{j}")
+
+    items = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", item(1), item(2), item(3), item(4)
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tot = F.col("i1") + F.col("i2") + F.col("i3") + F.col("i4")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for j in (1, 2, 3, 4):
+        c = F.col(f"i{j}")
+        aggs.append(F.sum(dec(c)).alias(f"s{j}"))
+        aggs.append(F.sum(dec(c) * c).alias(f"q{j}"))
+    aggs.append(F.sum(dec(tot)).alias("st"))
+    aggs.append(F.sum(dec(tot) * tot).alias("qt"))
+    m = items.agg(*aggs)
+
+    def var(s: str, q: str):
+        return (
+            F.col(q).cast("double")
+            - F.col(s).cast("double") * F.col(s) / F.col("n")
+        ) / (F.col("n") - 1)
+
+    vsum = var("s1", "q1") + var("s2", "q2") + var("s3", "q3") + var("s4", "q4")
+    vt = var("st", "qt")
+    return m.select(
+        F.col("n").alias("n_subjects"),
+        F.lit(4).cast("bigint").alias("k_items"),
+        F.round(vsum / vt, 6).alias("item_variance_share"),
+        F.round(4.0 / 3 * (1 - vsum / vt), 6).alias("cronbach_alpha"),
+    )

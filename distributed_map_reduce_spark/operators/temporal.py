@@ -2408,3 +2408,142 @@ def temporal_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("symbol"),
         )
     )
+
+
+CROSTON_ALPHA = 0.2
+
+
+@register(
+    "temporal_croston_intermittent",
+    tags=("temporal", "forecast", "iterative"),
+    oracle=f"""
+WITH RECURSIVE demand AS MATERIALIZED (
+  SELECT CAST(l_shipdate AS DATE) AS d,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#1'
+    AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+  GROUP BY 1
+), grid AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY g.d) AS BIGINT) AS rn,
+         coalesce(m.y, 0) AS y
+  FROM (SELECT unnest(generate_series(DATE '1996-01-01', DATE '1996-12-31',
+                                      INTERVAL 1 DAY))::DATE AS d) g
+  LEFT JOIN demand m ON m.d = g.d
+), first_hit AS (
+  SELECT min(rn) AS f FROM grid WHERE y > 0
+), steps AS (
+  SELECT g.rn AS t, g.y * 1e0 AS z, f.f * 1e0 AS q, CAST(1 AS BIGINT) AS ps,
+         CAST(1 AS BIGINT) AS nd
+  FROM grid g, first_hit f WHERE g.rn = f.f
+  UNION ALL
+  SELECT g.rn,
+         CASE WHEN g.y > 0
+              THEN s.z + {CROSTON_ALPHA} * (g.y - s.z) ELSE s.z END,
+         CASE WHEN g.y > 0
+              THEN s.q + {CROSTON_ALPHA} * (s.ps - s.q) ELSE s.q END,
+         CASE WHEN g.y > 0 THEN 1 ELSE s.ps + 1 END,
+         s.nd + CASE WHEN g.y > 0 THEN 1 ELSE 0 END
+  FROM steps s JOIN grid g ON g.rn = s.t + 1
+)
+SELECT CAST((SELECT count(*) FROM grid) AS BIGINT) AS n_periods,
+       nd AS n_demand_periods,
+       round(z, 4) AS z_level,
+       round(q, 4) AS q_interval,
+       round(z / q, 4) AS croston_forecast,
+       round((1 - {CROSTON_ALPHA} / 2) * z / q, 4) AS sba_forecast,
+       round(nd * 1e0 / (SELECT count(*) FROM grid), 6) AS demand_rate
+FROM steps WHERE t = (SELECT max(rn) FROM grid)
+""",
+)
+def temporal_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method (1972) with the Syntetos-Boylan approximation
+    for INTERMITTENT demand — Brand#1's daily 1996 shipments, a series
+    that is mostly zeros, where SES/[[temporal_holt_smoothing]]
+    systematically lag (they decay toward zero between demands and
+    spike after each one). Croston smooths the demand SIZE z and the
+    inter-arrival INTERVAL q as two coupled exponential averages that
+    update ONLY on demand periods (zero periods just lengthen the
+    running gap), forecasting a demand RATE z/q per period; SBA's
+    (1 - alpha/2) factor removes Croston's known positive bias. The
+    two-field sequential state folds exactly like
+    [[temporal_kalman_local_level]]: Spark `F.aggregate` with a struct
+    accumulator over the gap-filled day grid, DuckDB a recursive CTE
+    over the row_number'd grid (NOT list_reduce — the in-place struct
+    hazard [[temporal_holt_smoothing]] pins), identical double
+    arithmetic from identical integer quantities on both engines.
+
+    Scale: the brand filter prunes at the part scan and the join
+    reduces to the bounded 366-day grid before any sequential work;
+    the fold is grid-bounded forever. Thousands of SKUs would fold in
+    parallel under a groupBy(part) with the same per-series bound."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    demand = (
+        li.join(F.broadcast(pt.select("p_partkey")), li.l_partkey == pt.p_partkey)
+        .where(
+            (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+        )
+        .groupBy(F.col("l_shipdate").cast("date").alias("d"))
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("y"))
+    )
+    grid = spark.sql(
+        "SELECT explode(sequence(DATE'1996-01-01', DATE'1996-12-31', interval 1 day)) AS d"
+    )
+    series = (
+        grid.join(demand, "d", "left")
+        .select("d", F.coalesce("y", F.lit(0)).cast("bigint").alias("y"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "y"))), lambda s: s["y"]
+            ).alias("ys"),
+            F.count(F.lit(1)).cast("bigint").alias("n_periods"),
+        )
+    )
+    a = CROSTON_ALPHA
+    # position of the first demand period (1-based); the fold starts there
+    first_hit = F.expr("array_position(transform(ys, y -> y > 0), true)")
+    init = F.struct(
+        F.element_at("ys", first_hit.cast("int")).cast("double").alias("z"),
+        first_hit.cast("double").alias("q"),
+        F.lit(1).cast("bigint").alias("ps"),
+        F.lit(1).cast("bigint").alias("nd"),
+    )
+
+    def step(acc, v):
+        hit = v > 0
+        return F.struct(
+            F.when(hit, acc["z"] + a * (v.cast("double") - acc["z"]))
+            .otherwise(acc["z"])
+            .alias("z"),
+            F.when(hit, acc["q"] + a * (acc["ps"].cast("double") - acc["q"]))
+            .otherwise(acc["q"])
+            .alias("q"),
+            F.when(hit, F.lit(1).cast("bigint"))
+            .otherwise(acc["ps"] + 1)
+            .alias("ps"),
+            (acc["nd"] + F.when(hit, 1).otherwise(0)).cast("bigint").alias("nd"),
+        )
+
+    folded = series.select(
+        "n_periods",
+        F.aggregate(
+            F.expr(
+                "slice(ys, cast(array_position(transform(ys, y -> y > 0), true) as int) + 1, "
+                "size(ys))"
+            ),
+            init,
+            step,
+        ).alias("st"),
+    )
+    return folded.select(
+        "n_periods",
+        F.col("st.nd").alias("n_demand_periods"),
+        F.round("st.z", 4).alias("z_level"),
+        F.round("st.q", 4).alias("q_interval"),
+        F.round(F.col("st.z") / F.col("st.q"), 4).alias("croston_forecast"),
+        F.round((1 - a / 2) * F.col("st.z") / F.col("st.q"), 4).alias("sba_forecast"),
+        F.round(F.col("st.nd") * 1.0 / F.col("n_periods"), 6).alias("demand_rate"),
+    )

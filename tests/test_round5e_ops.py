@@ -381,3 +381,66 @@ def test_clustering_depth_contrast(spark, sf_dir):
     assert cust_r["max_depth"] >= 0.8 * cust_r["n_files"]
     # and the date layout opens cleanly far more often
     assert date_r["clean_opens"] > cust_r["clean_opens"]
+
+
+def test_closeness_vocab_vs_python_bfs(spark, sf_dir):
+    rows = all_queries()["graph_closeness_vocab"].fn(spark, sf_dir).collect()
+    assert rows
+    ranks = sorted(r["centrality_rank"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    # rebuild the graph and BFS (radius 5) in python
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    from collections import Counter, deque
+
+    toks = [[w for w in d["text"].lower().split(" ") if w.strip()] for d in docs]
+    df = Counter(w for t in toks for w in t)
+    vocab = set(w for w, _ in sorted(df.items(), key=lambda x: (-x[1], x[0]))[:30])
+    adj: dict = {w: set() for w in vocab}
+    for t in toks:
+        for a, b in zip(t, t[1:]):
+            if a != b and a in vocab and b in vocab:
+                adj[a].add(b)
+                adj[b].add(a)
+    for r in rows:
+        src = r["node"]
+        dist = {src: 0}
+        dq = deque([src])
+        while dq:
+            u = dq.popleft()
+            if dist[u] >= 5:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        others = {v: d for v, d in dist.items() if v != src}
+        assert r["n_reach"] == len(others)
+        assert r["sum_dist"] == sum(others.values())
+        h = sum(1.0 / d for d in others.values())
+        assert abs(r["harmonic"] - h) < 1e-4
+
+
+def test_croston_properties(spark, sf_dir):
+    r = all_queries()["temporal_croston_intermittent"].fn(spark, sf_dir).collect()[0]
+    assert r["n_periods"] == 366
+    assert 0 < r["n_demand_periods"] <= 366
+    assert r["demand_rate"] == round(r["n_demand_periods"] / 366, 6)
+    # SBA is a strict downward bias correction of Croston
+    assert r["sba_forecast"] == round(0.9 * r["croston_forecast"], 4)
+    # smoothed interval can never be shorter than 1 period
+    assert r["q_interval"] >= 1.0
+    assert r["z_level"] > 0
+    # forecast rate is bounded by the largest smoothed demand
+    assert r["croston_forecast"] <= r["z_level"]
+
+
+def test_cronbach_alpha_high_for_shared_trait(spark, sf_dir):
+    r = all_queries()["stats_cronbach_alpha"].fn(spark, sf_dir).collect()[0]
+    assert r["k_items"] == 4
+    # items share a dominant latent trait (acctbal) with small noise:
+    # alpha should be near 1, and always within Cronbach's range
+    assert 0.9 < r["cronbach_alpha"] <= 1.0
+    # alpha recomputes from the emitted variance share
+    assert abs(
+        r["cronbach_alpha"] - round(4 / 3 * (1 - r["item_variance_share"]), 6)
+    ) < 2e-6

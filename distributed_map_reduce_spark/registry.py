@@ -192,7 +192,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # --- text analysis ---
     "text_inverted_index",
     "text_vocab_coverage",
-    "text_pmi_collocations",
+    # (pmi_collocations yielded its slot: the trajectory kNN's
+    # candidate semantics changed this round — sorted-neighborhood
+    # rewrite — and the window's rule (a) prioritizes changed ops)
+    "similarity_user_trajectory",
     # --- ANN variants ---
     "ann_ivf_multiprobe",
     "similarity_pq_adc",

@@ -779,3 +779,141 @@ def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(2.0 * p_rep - 0.5, 6).alias("debiased_rate"),
         F.round(F.abs(2.0 * p_rep - 0.5 - p_true), 6).alias("debias_abs_err"),
     )
+
+
+@register(
+    "privacy_dp_quantile_expmech",
+    tags=("privacy", "stats"),
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+), nrow AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM spend
+), grid AS (
+  SELECT cents, CAST(count(*) AS BIGINT) AS c FROM spend GROUP BY cents
+), cum AS (
+  SELECT cents,
+         sum(c) OVER (ORDER BY cents) AS cumc,
+         lead(cents) OVER (ORDER BY cents) - cents AS width
+  FROM grid
+), wt AS (
+  SELECT cents, cumc, width,
+         CAST(width AS HUGEINT)
+           * (CAST(1 AS HUGEINT)
+              << CAST(29 - least(29, abs(2 * cumc - (SELECT n FROM nrow))
+                                    * 100 // (SELECT n FROM nrow))
+                      AS INTEGER)) AS w
+  FROM cum WHERE width IS NOT NULL
+), pre AS (
+  SELECT cents, cumc, w,
+         coalesce(sum(w) OVER (ORDER BY cents
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS before_w,
+         sum(w) OVER () AS total_w
+  FROM wt
+), coin AS (
+  SELECT CAST(CAST('0x' || substr(md5('dpq-2026-seed'), 1, 15) AS BIGINT)
+              AS HUGEINT)
+         % (SELECT max(total_w) FROM pre) AS r
+), pick AS (
+  SELECT p.cents AS dp_median_cents, p.cumc
+  FROM pre p, coin
+  WHERE p.before_w <= coin.r AND coin.r < p.before_w + p.w
+), truth AS (
+  SELECT CAST(floor(median(cents)) AS BIGINT) AS true_median_cents FROM spend
+)
+SELECT (SELECT n FROM nrow) AS n_subjects,
+       round(dp_median_cents / 100e0, 2) AS dp_median,
+       round(true_median_cents / 100e0, 2) AS true_median,
+       round(abs(dp_median_cents - true_median_cents) / 100e0, 2) AS abs_error,
+       round(abs(2e0 * cumc - (SELECT n FROM nrow)) / (SELECT n FROM nrow), 6)
+         AS rank_error
+FROM pick, truth
+""",
+)
+def privacy_dp_quantile_expmech(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private median of per-customer spend via the
+    EXPONENTIAL MECHANISM (McSherry-Talwar) with replayable coins —
+    completing the DP shelf: [[privacy_dp_noisy_counts]] adds Laplace
+    noise to counts, [[privacy_randomized_response]] randomizes at the
+    subject, and this releases a QUANTILE, the query where naive
+    noise-on-the-answer fails (sensitivity of the median is unbounded).
+    Candidate outputs are the gaps between consecutive observed values;
+    each gap's weight is width * 2^(29 - utility_bucket) with the
+    bucket an EXACT integer distance from the target rank — a base-2
+    exponential mechanism (epsilon = ln 2 per 1% rank error) whose
+    weights, prefix sums, and selection are all integers in
+    decimal(38,0)/HUGEINT, so the md5-seeded draw picks the identical
+    gap on both engines (no float CDF whose last ulp could flip the
+    winner at a boundary; the [[privacy_randomized_response]]
+    deterministic-coin discipline). Emitted next to the true median:
+    the absolute dollar error and the realized rank error the
+    mechanism traded for privacy.
+
+    Scale: one exchange to customers, one to the distinct-cents grid
+    (map-side combined), one value-ordered sweep — scalable-rank
+    territory (`window_cumsum_scalable`) if the grid ever rivals the
+    fact table."""
+    from pyspark.sql import Window as W
+
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    nrow = spend.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    grid = spend.groupBy("cents").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w = W.orderBy("cents")
+    cum = grid.select(
+        "cents",
+        F.sum("c").over(w).alias("cumc"),
+        (F.lead("cents").over(w) - F.col("cents")).alias("width"),
+    )
+    wt = (
+        cum.where(F.col("width").isNotNull())
+        .crossJoin(F.broadcast(nrow))
+        .withColumn(
+            "wgt",
+            F.col("width").cast("decimal(38,0)")
+            * F.expr(
+                "cast(shiftleft(cast(1 as bigint), "
+                "cast(29 - least(29, abs(2 * cumc - n) * 100 div n) as int)) "
+                "as decimal(38,0))"
+            ),
+        )
+    )
+    pre = wt.select(
+        "cents",
+        "cumc",
+        "n",
+        "wgt",
+        F.coalesce(
+            F.sum("wgt").over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+        ).alias("before_w"),
+        F.sum("wgt").over(W.partitionBy()).alias("total_w"),
+    )
+    coin = F.conv(F.substring(F.md5(F.lit("dpq-2026-seed")), 1, 15), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    pick = pre.where(
+        (F.col("before_w") <= coin % F.col("total_w"))
+        & (coin % F.col("total_w") < F.col("before_w") + F.col("wgt"))
+    )
+    truth = spend.agg(
+        F.floor(F.expr("percentile(cents, 0.5)")).cast("bigint").alias("tm")
+    )
+    return pick.crossJoin(F.broadcast(truth)).select(
+        F.col("n").alias("n_subjects"),
+        F.round(F.col("cents") / 100.0, 2).alias("dp_median"),
+        F.round(F.col("tm") / 100.0, 2).alias("true_median"),
+        F.round(F.abs(F.col("cents") - F.col("tm")) / 100.0, 2).alias("abs_error"),
+        F.round(F.abs(2.0 * F.col("cumc") - F.col("n")) / F.col("n"), 6).alias(
+            "rank_error"
+        ),
+    )

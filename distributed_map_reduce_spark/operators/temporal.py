@@ -2547,3 +2547,154 @@ def temporal_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round((1 - a / 2) * F.col("st.z") / F.col("st.q"), 4).alias("sba_forecast"),
         F.round(F.col("st.nd") * 1.0 / F.col("n_periods"), 6).alias("demand_rate"),
     )
+
+
+PW_KNOT = "1997-07-01"  # hinge location (known deployment date)
+
+
+@register(
+    "temporal_piecewise_trend",
+    tags=("temporal", "forecast", "regression"),
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+              AS HUGEINT) AS t,
+         CAST(greatest(date_diff('day', DATE '{PW_KNOT}',
+                                 CAST(o_orderdate AS DATE)), 0) AS HUGEINT) AS h,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS y
+  FROM orders GROUP BY o_orderdate
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(t) AS st, sum(h) AS sh, sum(y) AS sy,
+         sum(t * t) AS stt, sum(t * h) AS sth, sum(h * h) AS shh,
+         sum(t * y) AS sty, sum(h * y) AS shy,
+         sum(y * y) AS syy
+  FROM daily
+), d AS (
+  SELECT n,
+         CAST(st AS DOUBLE) AS st, CAST(sh AS DOUBLE) AS sh,
+         CAST(sy AS DOUBLE) AS sy, CAST(stt AS DOUBLE) AS stt,
+         CAST(sth AS DOUBLE) AS sth, CAST(shh AS DOUBLE) AS shh,
+         CAST(sty AS DOUBLE) AS sty, CAST(shy AS DOUBLE) AS shy,
+         CAST(syy AS DOUBLE) AS syy
+  FROM m
+), solved AS (
+  SELECT n, sy, syy,
+         n * (stt * shh - sth * sth)
+           - st * (st * shh - sth * sh)
+           + sh * (st * sth - stt * sh) AS det,
+         sy * (stt * shh - sth * sth)
+           - st * (sty * shh - sth * shy)
+           + sh * (sty * sth - stt * shy) AS det_a,
+         n * (sty * shh - sth * shy)
+           - sy * (st * shh - sth * sh)
+           + sh * (st * shy - sty * sh) AS det_b,
+         n * (stt * shy - sty * sth)
+           - st * (st * shy - sty * sh)
+           + sy * (st * sth - stt * sh) AS det_c
+  FROM d
+)
+SELECT n AS n_days,
+       round(det_a / det / 100, 4) AS intercept,
+       round(det_b / det / 100, 6) AS slope_before,
+       round((det_b + det_c) / det / 100, 6) AS slope_after,
+       round(det_c / det / 100, 6) AS slope_change,
+       round(1 - (syy - (det_a * sy + det_b * (SELECT sty FROM d)
+                         + det_c * (SELECT shy FROM d)) / det)
+                 / (syy - sy * sy / n), 6) AS r2
+FROM solved
+""",
+)
+def temporal_piecewise_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Piecewise-linear trend with a KNOWN hinge (the Prophet-style
+    changepoint regression, one knot at {PW_KNOT}): fit
+    y = a + b*t + c*max(0, t - knot) by least squares — the FIT
+    companion to [[stats_chow_test]] (which only answers "did the slope
+    break?") and [[stats_pettitt_changepoint]] (which finds WHERE):
+    given a known intervention date, this measures the before-slope,
+    after-slope, and the change, plus R^2. The 3x3 normal equations
+    solve in closed form via Cramer's rule — no iteration — and all
+    ten co-moments accumulate as EXACT integers (day index, hinge
+    feature, and revenue cents in HUGEINT/decimal(38,0)), so the
+    determinant ratios start from identical integers on both engines
+    (the [[stats_vif_multicollinearity]] discipline at one more
+    dimension).
+
+    Scale: one exchange to the day grain with map-side combine, one
+    10-number moment agg, constant Cramer algebra. More knots = more
+    moment columns, same shape (a 5x5 solve is still closed-form)."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("decimal(38,0)")
+            .alias("y")
+        )
+        .select(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+            )
+            .cast("decimal(38,0)")
+            .alias("t"),
+            F.greatest(
+                F.datediff(
+                    F.col("o_orderdate").cast("date"), F.lit(PW_KNOT).cast("date")
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(38,0)")
+            .alias("h"),
+            "y",
+        )
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").alias("st"), F.sum("h").alias("sh"), F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("t") * F.col("h")).alias("sth"),
+        F.sum(F.col("h") * F.col("h")).alias("shh"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+        F.sum(F.col("h") * F.col("y")).alias("shy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    d = m.select(
+        "n",
+        *[F.col(c).cast("double").alias(c) for c in (
+            "st", "sh", "sy", "stt", "sth", "shh", "sty", "shy", "syy"
+        )],
+    )
+    det = (
+        F.col("n") * (F.col("stt") * F.col("shh") - F.col("sth") * F.col("sth"))
+        - F.col("st") * (F.col("st") * F.col("shh") - F.col("sth") * F.col("sh"))
+        + F.col("sh") * (F.col("st") * F.col("sth") - F.col("stt") * F.col("sh"))
+    )
+    det_a = (
+        F.col("sy") * (F.col("stt") * F.col("shh") - F.col("sth") * F.col("sth"))
+        - F.col("st") * (F.col("sty") * F.col("shh") - F.col("sth") * F.col("shy"))
+        + F.col("sh") * (F.col("sty") * F.col("sth") - F.col("stt") * F.col("shy"))
+    )
+    det_b = (
+        F.col("n") * (F.col("sty") * F.col("shh") - F.col("sth") * F.col("shy"))
+        - F.col("sy") * (F.col("st") * F.col("shh") - F.col("sth") * F.col("sh"))
+        + F.col("sh") * (F.col("st") * F.col("shy") - F.col("sty") * F.col("sh"))
+    )
+    det_c = (
+        F.col("n") * (F.col("stt") * F.col("shy") - F.col("sty") * F.col("sth"))
+        - F.col("st") * (F.col("st") * F.col("shy") - F.col("sty") * F.col("sh"))
+        + F.col("sy") * (F.col("st") * F.col("sth") - F.col("stt") * F.col("sh"))
+    )
+    rss_explained = (det_a * F.col("sy") + det_b * F.col("sty") + det_c * F.col("shy")) / det
+    return d.select(
+        F.col("n").alias("n_days"),
+        F.round(det_a / det / 100, 4).alias("intercept"),
+        F.round(det_b / det / 100, 6).alias("slope_before"),
+        F.round((det_b + det_c) / det / 100, 6).alias("slope_after"),
+        F.round(det_c / det / 100, 6).alias("slope_change"),
+        F.round(
+            1
+            - (F.col("syy") - rss_explained)
+            / (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")),
+            6,
+        ).alias("r2"),
+    )

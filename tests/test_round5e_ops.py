@@ -498,3 +498,41 @@ def test_vif_catches_price_quantity_collinearity(spark, sf_dir):
     assert rows["l_net_revenue"]["vif"] > 5
     # quantity is independent of pricing in this corpus
     assert rows["l_quantity"]["vif"] < 2
+
+
+def test_piecewise_trend_vs_numpy(spark, sf_dir):
+    r = all_queries()["temporal_piecewise_trend"].fn(spark, sf_dir).collect()[0]
+    assert abs(r["slope_after"] - (r["slope_before"] + r["slope_change"])) < 3e-6
+    assert 0.0 <= r["r2"] <= 1.0
+    import numpy as np
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("y"))
+        .collect()
+    )
+    import datetime
+
+    d0 = datetime.date(1995, 1, 1)
+    knot = datetime.date(1997, 7, 1)
+    t = np.array([(row["d"] - d0).days for row in daily], dtype=float)
+    h = np.maximum(np.array([(row["d"] - knot).days for row in daily], dtype=float), 0)
+    y = np.array([row["y"] for row in daily], dtype=float)
+    X = np.column_stack([np.ones_like(t), t, h])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert abs(r["intercept"] - beta[0] / 100) < 0.05
+    assert abs(r["slope_before"] - beta[1] / 100) < 1e-3
+    assert abs(r["slope_change"] - beta[2] / 100) < 1e-3
+
+
+def test_dp_quantile_utility(spark, sf_dir):
+    r = all_queries()["privacy_dp_quantile_expmech"].fn(spark, sf_dir).collect()[0]
+    assert r["n_subjects"] > 0
+    # the mechanism is heavily weighted toward the true median: the
+    # released rank error should be small (< 10% of the distribution)
+    assert 0.0 <= r["rank_error"] < 0.1
+    assert r["abs_error"] == round(abs(r["dp_median"] - r["true_median"]), 2)
+    # deterministic coins: a second run returns the identical release
+    r2 = all_queries()["privacy_dp_quantile_expmech"].fn(spark, sf_dir).collect()[0]
+    assert r2["dp_median"] == r["dp_median"]

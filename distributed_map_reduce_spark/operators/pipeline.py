@@ -2027,3 +2027,112 @@ def pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+ABLATION_CUTS = (0, 20, 40, 60, 80)  # stopword-ratio percentile-ish cuts (x1000)
+
+
+@register(
+    "pipeline_quality_ablation_grid",
+    tags=("pipeline", "llm", "text"),
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              w -> w <> '')) AS BIGINT) AS n_tokens,
+         CAST(round(len(list_filter(string_split(lower(text), ' '),
+                    w -> w IN ('the','of','and','to','a','in','is','it',
+                               'was','for'))) * 1000.0
+               / greatest(len(list_filter(string_split(lower(text), ' '),
+                              w -> w <> '')), 1)) AS BIGINT) AS sw_x1000
+  FROM documents
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS all_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS all_tokens
+  FROM scored
+), cuts AS (
+  SELECT unnest([0, 20, 40, 60, 80]) AS cut
+)
+SELECT c.cut AS min_stopword_x1000,
+       CAST(count(*) FILTER (WHERE s.sw_x1000 >= c.cut) AS BIGINT)
+         AS n_docs,
+       CAST(coalesce(sum(s.n_tokens) FILTER (WHERE s.sw_x1000 >= c.cut), 0)
+            AS BIGINT) AS n_tokens,
+       round(count(*) FILTER (WHERE s.sw_x1000 >= c.cut) * 1e0
+             / (SELECT all_docs FROM tot), 6) AS doc_retention,
+       round(coalesce(sum(s.n_tokens) FILTER (WHERE s.sw_x1000 >= c.cut), 0)
+             * 1e0 / (SELECT all_tokens FROM tot), 6) AS token_retention,
+       CAST(count(DISTINCT s.lang) FILTER (WHERE s.sw_x1000 >= c.cut)
+            AS BIGINT) AS langs_retained
+FROM scored s CROSS JOIN cuts c
+GROUP BY c.cut
+""",
+)
+def pipeline_quality_ablation_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter ablation sheet: before committing a 100 TB corpus
+    to one stopword-ratio cutoff, sweep the candidate thresholds and
+    read off what each KEEPS — document retention, TOKEN retention (the
+    number the training budget actually feels —
+    [[pipeline_mixture_temperature]] consumes these token counts), and
+    how many languages survive (aggressive English-tuned stopword
+    filters silently delete other languages; the langs_retained column
+    is that canary). The score is [[text_quality_score]]'s stopword
+    ratio quantized to EXACT integer thousandths, so threshold
+    comparisons are integer compares — no float boundary can flip a
+    document between cells cross-engine. One scan, one grid.
+
+    Scale: the scan reduces each doc to (lang, n_tokens, score) before
+    the 5-cut lattice (a broadcast cross join); counts are map-side
+    combined. The grid form beats 5 separate filter-runs by 5x on scan
+    cost — the whole point of ablation-as-a-query."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    sw = F.size(
+        F.filter(
+            F.split(F.lower("text"), " "),
+            lambda w: w.isin(
+                "the", "of", "and", "to", "a", "in", "is", "it", "was", "for"
+            ),
+        )
+    )
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.round(sw * 1000.0 / F.greatest(F.size(toks), F.lit(1)))
+        .cast("bigint")
+        .alias("sw_x1000"),
+    )
+    tot = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("all_docs"),
+        F.sum("n_tokens").cast("bigint").alias("all_tokens"),
+    )
+    cuts = spark.createDataFrame([(c,) for c in ABLATION_CUTS], "cut int")
+    keep = F.col("sw_x1000") >= F.col("cut")
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .groupBy(F.col("cut").alias("min_stopword_x1000"))
+        .agg(
+            F.count_if(keep).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum(F.when(keep, F.col("n_tokens"))), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.count_if(keep).alias("_nd"),
+            F.count_distinct(F.when(keep, F.col("lang"))).cast("bigint").alias(
+                "langs_retained"
+            ),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "min_stopword_x1000",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_docs") * 1.0 / F.col("all_docs"), 6).alias(
+                "doc_retention"
+            ),
+            F.round(F.col("n_tokens") * 1.0 / F.col("all_tokens"), 6).alias(
+                "token_retention"
+            ),
+            "langs_retained",
+        )
+    )

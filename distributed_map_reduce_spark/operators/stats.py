@@ -9926,3 +9926,319 @@ def stats_vif_multicollinearity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = one if rows is None else rows.unionByName(one)
     return rows
+
+
+MARKOV_REMOVABLE = ("click", "view", "signup", "error")
+
+
+def _markov_pconv_block(suffix: str, where: str, k_steps: int = 8) -> str:
+    """One channel-filtered absorption chain ending in a scalar
+    (channel, p_conv) row: filtered lead -> transition probs -> k
+    unrolled matrix-vector steps -> first-state-weighted conversion."""
+    steps = []
+    prev = f"a0{suffix}"
+    for k in range(1, k_steps + 1):
+        steps.append(f"""
+, x{k}{suffix} AS (
+  SELECT p.src AS state, sum(p.prob * v.p) AS p
+  FROM p{suffix} p JOIN {prev} v ON p.dst = v.state
+  GROUP BY p.src
+), a{k}{suffix} AS (
+  SELECT s.state,
+         CASE WHEN s.state = 'purchase' THEN 1.0
+              ELSE coalesce(x.p, 0.0) END AS p
+  FROM states{suffix} s LEFT JOIN x{k}{suffix} x ON s.state = x.state
+)""")
+        prev = f"a{k}{suffix}"
+    return f"""
+, ev{suffix} AS (
+  SELECT user_id, ts, event_id, event_type FROM events {where}
+), ordered{suffix} AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM ev{suffix}
+), trans{suffix} AS (
+  SELECT event_type AS src, next_type AS dst, count(*) AS c
+  FROM ordered{suffix}
+  WHERE next_type IS NOT NULL AND event_type <> 'purchase'
+  GROUP BY 1, 2
+), out_tot{suffix} AS (
+  SELECT src, CAST(sum(c) AS BIGINT) AS tot FROM trans{suffix} GROUP BY src
+), p{suffix} AS (
+  SELECT t.src, t.dst, t.c * 1.0 / o.tot AS prob
+  FROM trans{suffix} t JOIN out_tot{suffix} o ON t.src = o.src
+), states{suffix} AS (
+  SELECT DISTINCT event_type AS state FROM ev{suffix}
+), a0{suffix} AS (
+  SELECT state, CASE WHEN state = 'purchase' THEN 1.0 ELSE 0.0 END AS p
+  FROM states{suffix}
+){''.join(steps)}
+, first{suffix} AS (
+  SELECT event_type AS state, CAST(count(*) AS BIGINT) AS u
+  FROM ordered{suffix} WHERE rn = 1 GROUP BY 1
+), conv{suffix} AS (
+  SELECT sum(f.u * a.p) / sum(f.u) AS p_conv
+  FROM first{suffix} f JOIN {prev} a ON f.state = a.state
+)"""
+
+
+def _markov_removal_oracle() -> str:
+    blocks = [_markov_pconv_block("_base", "")]
+    rows = ["SELECT '(none)' AS channel_removed, p_conv FROM conv_base"]
+    for ch in MARKOV_REMOVABLE:
+        sfx = f"_{ch}"
+        blocks.append(
+            _markov_pconv_block(sfx, f"WHERE event_type <> '{ch}'")
+        )
+        rows.append(f"SELECT '{ch}', p_conv FROM conv{sfx}")
+    union = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH dummy AS (SELECT 1){''.join(blocks)}
+, allrows AS ({union})
+, based AS (
+  SELECT a.channel_removed, a.p_conv,
+         (SELECT p_conv FROM allrows WHERE channel_removed = '(none)') AS pb
+  FROM allrows a
+), eff AS (
+  SELECT channel_removed, p_conv, pb,
+         CASE WHEN channel_removed = '(none)' THEN 0.0
+              ELSE greatest(1.0 - p_conv / pb, 0.0) END AS re
+  FROM based
+)
+SELECT channel_removed,
+       round(p_conv, 6) AS p_conv_8,
+       round(re, 6) AS removal_effect,
+       round(CASE WHEN channel_removed = '(none)' THEN 0.0
+                  ELSE coalesce(re / nullif((SELECT sum(re) FROM eff), 0),
+                                0.0) END, 6)
+         AS attribution_share
+FROM eff
+"""
+
+
+@register(
+    "events_markov_removal_attribution",
+    tags=("events", "analytics", "iterative"),
+    oracle=_markov_removal_oracle(),
+)
+def events_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2016) — the
+    data-driven multi-touch model that the heuristic ledgers
+    ([[events_attribution_linear]] equal splits,
+    [[events_attribution_position]] U-shaped) approximate by fiat: for
+    each channel, DELETE its events, re-link every user's journey
+    across the gap (the lead() window AFTER the filter does exactly
+    that), re-solve the 8-step absorbing-chain conversion probability
+    from the first-touch distribution, and credit the channel with
+    removal_effect = 1 - P_conv^(-c)/P_conv, normalized into
+    attribution shares. Reuses [[stats_markov_absorption]]'s bounded
+    unrolled matrix-vector ladder — no convergence tolerance — once
+    per removable channel plus the baseline (5 chains, each on
+    state-cardinality frames).
+
+    Scale: per chain, the only data-sized work is one filtered window
+    scan and one (src, dst) count agg (map-side combined); the 8-step
+    ladders run on <=6-state frames. 5 passes over events could fuse
+    into one scan emitting per-removal transition counts via a
+    channels x transitions explode if the scan ever dominates — noted,
+    not needed at this state count."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+
+    def p_conv(filtered):
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ordered = filtered.select(
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+            F.row_number().over(w).alias("rn"),
+        ).localCheckpoint(eager=True)
+        trans = (
+            ordered.where(
+                F.col("next_type").isNotNull() & (F.col("event_type") != "purchase")
+            )
+            .groupBy(F.col("event_type").alias("src"), F.col("next_type").alias("dst"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        out_tot = trans.groupBy("src").agg(F.sum("c").alias("tot"))
+        p = trans.join(out_tot, "src").select(
+            "src", "dst", (F.col("c") * 1.0 / F.col("tot")).alias("prob")
+        ).localCheckpoint(eager=True)
+        states = filtered.select(
+            F.col("event_type").alias("state")
+        ).distinct().localCheckpoint(eager=True)
+        v = states.select(
+            "state",
+            F.when(F.col("state") == "purchase", 1.0).otherwise(0.0).alias("p"),
+        )
+        for _ in range(8):
+            x = (
+                p.join(v.select(F.col("state").alias("dst"), "p"), "dst")
+                .groupBy(F.col("src").alias("state"))
+                .agg(F.sum(F.col("prob") * F.col("p")).alias("xp"))
+            )
+            v = states.join(x, "state", "left").select(
+                "state",
+                F.when(F.col("state") == "purchase", 1.0)
+                .otherwise(F.coalesce("xp", F.lit(0.0)))
+                .alias("p"),
+            ).localCheckpoint(eager=True)
+        first = (
+            ordered.where(F.col("rn") == 1)
+            .groupBy(F.col("event_type").alias("state"))
+            .agg(F.count(F.lit(1)).alias("u"))
+        )
+        return first.join(v, "state").agg(
+            (F.sum(F.col("u") * F.col("p")) / F.sum("u")).alias("p_conv")
+        )
+
+    rows = p_conv(ev).select(
+        F.lit("(none)").alias("channel_removed"), "p_conv"
+    )
+    for ch in MARKOV_REMOVABLE:
+        rows = rows.unionByName(
+            p_conv(ev.where(F.col("event_type") != ch)).select(
+                F.lit(ch).alias("channel_removed"), "p_conv"
+            )
+        )
+    rows = rows.localCheckpoint(eager=True)
+    base = rows.where(F.col("channel_removed") == "(none)").select(
+        F.col("p_conv").alias("pb")
+    )
+    eff = rows.crossJoin(F.broadcast(base)).select(
+        "channel_removed",
+        "p_conv",
+        F.when(F.col("channel_removed") == "(none)", 0.0)
+        .otherwise(F.greatest(1.0 - F.col("p_conv") / F.col("pb"), F.lit(0.0)))
+        .alias("re"),
+    )
+    tot = eff.agg(F.sum("re").alias("tot_re"))
+    return eff.crossJoin(F.broadcast(tot)).select(
+        "channel_removed",
+        F.round("p_conv", 6).alias("p_conv_8"),
+        F.round("re", 6).alias("removal_effect"),
+        F.round(
+            F.when(F.col("channel_removed") == "(none)", 0.0).otherwise(
+                F.coalesce(
+                    F.col("re") / F.nullif(F.col("tot_re"), F.lit(0.0)),
+                    F.lit(0.0),
+                )
+            ),
+            6,
+        ).alias("attribution_share"),
+    )
+
+
+@register(
+    "stats_weibull_fit",
+    tags=("stats", "survival"),
+    oracle="""
+WITH lat AS (
+  SELECT user_id,
+         date_diff('second',
+                   min(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END),
+                   min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END))
+           AS t
+  FROM events GROUP BY user_id
+), pos AS (
+  SELECT user_id, CAST(t AS BIGINT) AS t FROM lat WHERE t IS NOT NULL AND t > 0
+), ranked AS (
+  SELECT t,
+         row_number() OVER (ORDER BY t, user_id) AS i,
+         (SELECT CAST(count(*) AS BIGINT) FROM pos) AS n
+  FROM pos
+), xy AS (
+  SELECT ln(t * 1e0) AS x,
+         ln(-ln(1e0 - (i - 0.3) / (n + 0.4))) AS y
+  FROM ranked
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM xy
+), fit AS (
+  SELECT n,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS shape,
+         (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS icept,
+         pow(n * sxy - sx * sy, 2)
+           / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+  FROM m
+)
+SELECT n AS n_users,
+       round(shape, 4) AS weibull_shape,
+       round(exp(-icept / shape), 2) AS weibull_scale_s,
+       round(r2, 6) AS fit_r2,
+       round(exp(-icept / shape) * pow(ln(2e0), 1e0 / shape), 2)
+         AS median_ttc_s
+FROM fit
+""",
+)
+def stats_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull fit of click-to-purchase latency by MEDIAN-RANK
+    REGRESSION (the reliability engineer's probability-plot method):
+    sort the n latencies, assign each the Bernard median rank
+    F_i = (i-0.3)/(n+0.4), and regress ln(-ln(1-F)) on ln(t) — the
+    Weibull CDF linearizes exactly, so slope IS the shape k and
+    exp(-intercept/k) the scale lambda. Closed form, no MLE iteration.
+    This parametrizes what [[stats_kaplan_meier]] leaves as a step
+    curve: shape < 1 says conversion hazard FALLS with time (convert
+    fast or never — the usual e-commerce verdict), shape > 1 says
+    deliberation; the derived parametric median extrapolates beyond
+    the observed steps. Ranks pin via (t, user_id), per-row logs are
+    identical doubles on both engines, and the fit R^2 reports how
+    Weibull the data actually is.
+
+    Scale: one user-grain conditional agg; the rank is the one global
+    order (the [[stats_mann_whitney_u]] caveat and its documented
+    two-phase rewrite); then a 6-number moment agg and scalar
+    algebra."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    lat = ev.groupBy("user_id").agg(
+        F.unix_timestamp(
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        ).alias("tp"),
+        F.unix_timestamp(
+            F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+        ).alias("tc"),
+    )
+    pos = lat.select(
+        "user_id", (F.col("tp") - F.col("tc")).cast("bigint").alias("t")
+    ).where(F.col("t").isNotNull() & (F.col("t") > 0))
+    n_tot = pos.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = pos.withColumn(
+        "i", F.row_number().over(W.orderBy("t", "user_id"))
+    ).crossJoin(F.broadcast(n_tot))
+    xy = ranked.select(
+        F.log(F.col("t") * 1.0).alias("x"),
+        F.log(-F.log(1.0 - (F.col("i") - 0.3) / (F.col("n") + 0.4))).alias("y"),
+    )
+    m = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    icept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    r2 = F.pow(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"), 2) / (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.round(slope, 4).alias("weibull_shape"),
+        F.round(F.exp(-icept / slope), 2).alias("weibull_scale_s"),
+        F.round(r2, 6).alias("fit_r2"),
+        F.round(
+            F.exp(-icept / slope) * F.pow(F.log(F.lit(2.0)), 1.0 / slope), 2
+        ).alias("median_ttc_s"),
+    )

@@ -536,3 +536,51 @@ def test_dp_quantile_utility(spark, sf_dir):
     # deterministic coins: a second run returns the identical release
     r2 = all_queries()["privacy_dp_quantile_expmech"].fn(spark, sf_dir).collect()[0]
     assert r2["dp_median"] == r["dp_median"]
+
+
+def test_markov_removal_attribution_coherence(spark, sf_dir):
+    rows = {r["channel_removed"]: r for r in all_queries()[
+        "events_markov_removal_attribution"].fn(spark, sf_dir).collect()}
+    assert "(none)" in rows and len(rows) == 5
+    base = rows["(none)"]
+    assert 0.0 < base["p_conv_8"] <= 1.0
+    assert base["removal_effect"] == 0.0 and base["attribution_share"] == 0.0
+    shares = [r["attribution_share"] for k, r in rows.items() if k != "(none)"]
+    assert all(s is not None for s in shares)  # degenerate case emits 0.0
+    if any(s > 0 for s in shares):
+        assert abs(sum(shares) - 1.0) < 1e-3
+    for k, r in rows.items():
+        if k != "(none)":
+            assert 0.0 <= r["removal_effect"] <= 1.0
+            # removing a channel can only hurt (or not affect) conversion
+            # modulo re-linking artifacts, which the clamp absorbs
+            assert r["p_conv_8"] >= 0.0
+
+
+def test_quality_ablation_monotone(spark, sf_dir):
+    rows = sorted(
+        all_queries()["pipeline_quality_ablation_grid"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["min_stopword_x1000"],
+    )
+    assert [r["min_stopword_x1000"] for r in rows] == [0, 20, 40, 60, 80]
+    # raising the cut can only shrink what's kept
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_docs"] <= a["n_docs"]
+        assert b["n_tokens"] <= a["n_tokens"]
+        assert b["langs_retained"] <= a["langs_retained"]
+    # cut=0 keeps everything
+    assert rows[0]["doc_retention"] == 1.0
+    assert rows[0]["token_retention"] == 1.0
+
+
+def test_weibull_fit_vs_numpy(spark, sf_dir):
+    r = all_queries()["stats_weibull_fit"].fn(spark, "/root/testdata/sf0.01").collect()[0]
+    assert r["n_users"] > 10  # sf0.001 has ~5 converted users; use gate scale
+    assert r["weibull_shape"] > 0
+    assert r["weibull_scale_s"] > 0
+    assert 0.0 <= r["fit_r2"] <= 1.0
+    import math
+
+    # parametric median from the emitted parameters
+    med = r["weibull_scale_s"] * math.log(2) ** (1 / r["weibull_shape"])
+    assert abs(r["median_ttc_s"] - med) / med < 1e-3

@@ -833,3 +833,127 @@ def multimodal_audio_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("fit_30s_frac"),
     )
+
+
+PATCH = 14  # ViT patch edge (pixels)
+VIT_MAX_TOKENS = 1024  # per-image visual-token budget
+
+
+@register(
+    "multimodal_patch_budget",
+    tags=("multimodal", "pipeline", "llm"),
+    oracle=f"""
+WITH dims AS (
+  SELECT doc_id,
+         64 * (4 + CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                   AS BIGINT) % 13) AS w,
+         64 * (4 + CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 2)
+                   AS BIGINT) % 13) AS h
+  FROM documents
+), toks AS (
+  SELECT doc_id, w, h,
+         ((w + {PATCH} - 1) // {PATCH}) * ((h + {PATCH} - 1) // {PATCH})
+           AS native_tokens,
+         CASE WHEN ((w + {PATCH} - 1) // {PATCH})
+                   * ((h + {PATCH} - 1) // {PATCH}) > {VIT_MAX_TOKENS}
+              THEN 1 ELSE 0 END AS needs_downscale,
+         (least(w, h) // {PATCH}) * (least(w, h) // {PATCH})
+           AS square_crop_tokens
+  FROM dims
+), grid AS (
+  SELECT CASE WHEN w > h THEN 'landscape'
+              WHEN w < h THEN 'portrait' ELSE 'square' END AS orientation,
+         CAST(count(*) AS BIGINT) AS n_assets,
+         CAST(sum(native_tokens) AS BIGINT) AS native_tokens,
+         CAST(sum(least(native_tokens, {VIT_MAX_TOKENS})) AS BIGINT)
+           AS budgeted_tokens,
+         CAST(sum(needs_downscale) AS BIGINT) AS n_downscaled,
+         CAST(sum(square_crop_tokens) AS BIGINT) AS square_crop_tokens,
+         CAST(sum(native_tokens - square_crop_tokens) AS BIGINT)
+           AS crop_loss_tokens
+  FROM toks
+  GROUP BY 1
+)
+SELECT orientation, n_assets, native_tokens, budgeted_tokens, n_downscaled,
+       square_crop_tokens, crop_loss_tokens,
+       round(crop_loss_tokens * 1e0 / native_tokens, 6) AS crop_loss_share
+FROM grid
+""",
+)
+def multimodal_patch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT visual-token budget sheet: each asset's {PATCH}x{PATCH}
+    patch-grid token count at native resolution, capped to the
+    {VIT_MAX_TOKENS}-token context budget (the NaViT/Qwen-VL dynamic-
+    resolution accounting), vs the tokens a naive square center-crop
+    would keep — per orientation, so the sheet answers the two
+    capacity-planning questions a multimodal ingest asks BEFORE
+    decoding a single pixel: how many visual tokens does this corpus
+    cost, and how much information does square-cropping throw away
+    (crop_loss_share concentrates in the extreme aspect ratios that
+    [[multimodal_aspect_bucket]] assigns to distant buckets — the two
+    sheets argue for the same bucketed-resize policy from opposite
+    ends). Dims come from the SAME md5 coins as the bucketing op (the
+    container ships no decoders; production writes these columns from
+    [[multimodal_metadata]]'s probe), and every token count is exact
+    integer ceil-division arithmetic — nothing can drift cross-engine.
+
+    Scale: one scan reduced to a 3-row orientation grid with map-side
+    combine; the per-asset arithmetic is codegen'd integer math."""
+    dims = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (
+            64
+            * (
+                4
+                + F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+                ).cast("bigint")
+                % 13
+            )
+        ).alias("w"),
+        (
+            64
+            * (
+                4
+                + F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 3, 2), 16, 10
+                ).cast("bigint")
+                % 13
+            )
+        ).alias("h"),
+    )
+    native = (
+        F.floor((F.col("w") + PATCH - 1) / PATCH)
+        * F.floor((F.col("h") + PATCH - 1) / PATCH)
+    ).cast("bigint")
+    square = (
+        F.floor(F.least("w", "h") / PATCH) * F.floor(F.least("w", "h") / PATCH)
+    ).cast("bigint")
+    toks = dims.select(
+        F.when(F.col("w") > F.col("h"), "landscape")
+        .when(F.col("w") < F.col("h"), "portrait")
+        .otherwise("square")
+        .alias("orientation"),
+        native.alias("native_tokens"),
+        (native > VIT_MAX_TOKENS).cast("int").alias("needs_downscale"),
+        square.alias("square_crop_tokens"),
+    )
+    return (
+        toks.groupBy("orientation")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+            F.sum("native_tokens").cast("bigint").alias("native_tokens"),
+            F.sum(F.least(F.col("native_tokens"), F.lit(VIT_MAX_TOKENS)))
+            .cast("bigint")
+            .alias("budgeted_tokens"),
+            F.sum("needs_downscale").cast("bigint").alias("n_downscaled"),
+            F.sum("square_crop_tokens").cast("bigint").alias("square_crop_tokens"),
+            F.sum(F.col("native_tokens") - F.col("square_crop_tokens"))
+            .cast("bigint")
+            .alias("crop_loss_tokens"),
+        )
+        .withColumn(
+            "crop_loss_share",
+            F.round(F.col("crop_loss_tokens") * 1.0 / F.col("native_tokens"), 6),
+        )
+    )

@@ -917,3 +917,115 @@ def privacy_dp_quantile_expmech(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_error"
         ),
     )
+
+
+@register(
+    "privacy_synthetic_marginals",
+    tags=("privacy", "pipeline"),
+    oracle="""
+WITH orig AS (
+  SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS c
+  FROM customer GROUP BY 1
+), n AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM orig
+), pre AS (
+  SELECT seg, c,
+         coalesce(sum(c) OVER (ORDER BY seg
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS lo,
+         sum(c) OVER (ORDER BY seg ROWS UNBOUNDED PRECEDING) AS hi
+  FROM orig
+), coins AS (
+  SELECT c_custkey AS i,
+         CAST('0x' || substr(md5('syn-' || c_custkey), 1, 15) AS BIGINT)
+           % (SELECT n FROM n) AS u
+  FROM customer
+), synth AS (
+  SELECT p.seg, CAST(count(*) AS BIGINT) AS sc
+  FROM coins k JOIN pre p ON k.u >= p.lo AND k.u < p.hi
+  GROUP BY p.seg
+)
+SELECT o.seg AS segment,
+       o.c AS orig_count,
+       coalesce(s.sc, 0) AS synth_count,
+       round(o.c * 1e0 / (SELECT n FROM n), 6) AS orig_share,
+       round(coalesce(s.sc, 0) * 1e0 / (SELECT n FROM n), 6) AS synth_share,
+       round(abs(o.c - coalesce(s.sc, 0)) * 1e0 / (SELECT n FROM n), 6)
+         AS abs_deviation
+FROM orig o LEFT JOIN synth s ON s.seg = o.seg
+""",
+)
+def privacy_synthetic_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic-data release by 1-way-marginal resampling with
+    REPLAYABLE coins, plus its utility audit in the same query: draw n
+    synthetic segment values from the empirical segment distribution
+    via inverse-CDF over EXACT integer prefix sums (md5 coin mod n
+    lands in a segment's [lo, hi) count interval — the
+    [[privacy_dp_quantile_expmech]] integer-selection discipline, so
+    both engines synthesize the IDENTICAL dataset), then report
+    original vs synthetic share and absolute deviation per segment.
+    This is the marginal-preservation core of every synthetic-data
+    pipeline (PrivBayes/MST fit higher-order marginals the same way);
+    deviations here are pure multinomial sampling noise ~sqrt(p/n) —
+    the audit column quantifies exactly the utility a downstream
+    consumer keeps when the real rows never leave the enclave.
+
+    Scale: two aggs to the segment grain, a broadcast range-join of
+    coins against the <=5-row interval table — one scan of the data-
+    sized side; at any corpus scale the synthetic draw stays
+    embarrassingly parallel."""
+    from pyspark.sql import Window as W
+
+    cust = load_table(spark, sf_dir, "customer")
+    orig = cust.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    n = orig.agg(F.sum("c").cast("bigint").alias("n"))
+    w = W.orderBy("seg")
+    pre = orig.select(
+        "seg",
+        "c",
+        F.coalesce(
+            F.sum("c").over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+        ).alias("lo"),
+        F.sum("c").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias(
+            "hi"
+        ),
+    )
+    coins = cust.crossJoin(F.broadcast(n)).select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("syn-"), F.col("c_custkey").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.col("n")
+        ).alias("u")
+    )
+    synth = (
+        coins.join(
+            F.broadcast(pre), (F.col("u") >= F.col("lo")) & (F.col("u") < F.col("hi"))
+        )
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sc"))
+    )
+    return (
+        orig.join(synth, "seg", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("seg").alias("segment"),
+            F.col("c").alias("orig_count"),
+            F.coalesce("sc", F.lit(0)).cast("bigint").alias("synth_count"),
+            F.round(F.col("c") * 1.0 / F.col("n"), 6).alias("orig_share"),
+            F.round(F.coalesce("sc", F.lit(0)) * 1.0 / F.col("n"), 6).alias(
+                "synth_share"
+            ),
+            F.round(
+                F.abs(F.col("c") - F.coalesce("sc", F.lit(0))) * 1.0 / F.col("n"), 6
+            ).alias("abs_deviation"),
+        )
+    )

@@ -584,3 +584,33 @@ def test_weibull_fit_vs_numpy(spark, sf_dir):
     # parametric median from the emitted parameters
     med = r["weibull_scale_s"] * math.log(2) ** (1 / r["weibull_shape"])
     assert abs(r["median_ttc_s"] - med) / med < 1e-3
+
+
+def test_patch_budget_arithmetic(spark, sf_dir):
+    rows = all_queries()["multimodal_patch_budget"].fn(spark, sf_dir).collect()
+    assert rows and {r["orientation"] for r in rows} <= {"landscape", "portrait", "square"}
+    for r in rows:
+        assert r["budgeted_tokens"] <= r["native_tokens"]
+        assert 0 <= r["n_downscaled"] <= r["n_assets"]
+        # square crop keeps at most the native grid
+        assert r["square_crop_tokens"] <= r["native_tokens"]
+        assert r["crop_loss_tokens"] == r["native_tokens"] - r["square_crop_tokens"]
+        if r["orientation"] == "square":
+            # crop of a square loses only the ceil-vs-floor sliver
+            assert r["crop_loss_share"] < 0.05
+        else:
+            assert r["crop_loss_share"] > 0.05
+
+
+def test_synthetic_marginals_utility(spark, sf_dir):
+    import math
+
+    rows = all_queries()["privacy_synthetic_marginals"].fn(spark, sf_dir).collect()
+    assert rows
+    n = sum(r["orig_count"] for r in rows)
+    assert sum(r["synth_count"] for r in rows) == n  # every coin lands once
+    for r in rows:
+        # multinomial noise envelope: 5 sigma of sqrt(p(1-p)/n)
+        p = r["orig_share"]
+        sigma = math.sqrt(max(p * (1 - p), 1e-9) / n)
+        assert r["abs_deviation"] <= 5 * sigma + 1e-6

@@ -363,3 +363,126 @@ def sample_importance_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ess_frac"
         ),
     )
+
+
+HOEFF_FRACS = (1, 10, 100)  # per-mille sampling rates: 0.1%, 1%, 10%
+
+
+@register(
+    "sample_hoeffding_certificate",
+    tags=("sample", "stats"),
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST('0x' || substr(md5('hc-' || o_orderkey), 1, 8) AS BIGINT) % 1000
+           AS coin
+  FROM orders
+), truth AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all,
+         CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS s_all,
+         CAST(max(cents) AS BIGINT) AS hi,
+         CAST(min(cents) AS BIGINT) AS lo
+  FROM base
+), rates AS (
+  SELECT unnest([1, 10, 100]) AS permille
+), cells AS (
+  SELECT r.permille,
+         CAST(count(*) FILTER (WHERE b.coin < r.permille) AS BIGINT) AS n_s,
+         CAST(sum(CAST(b.cents AS HUGEINT)) FILTER (WHERE b.coin < r.permille)
+              AS HUGEINT) AS s_s
+  FROM base b CROSS JOIN rates r
+  GROUP BY r.permille
+)
+SELECT c.permille,
+       c.n_s AS n_sampled,
+       round(CAST(c.s_s AS DOUBLE) / c.n_s / 100, 2) AS sample_mean,
+       round(CAST(t.s_all AS DOUBLE) / t.n_all / 100, 2) AS true_mean,
+       round(abs(CAST(c.s_s AS DOUBLE) / c.n_s
+                 - CAST(t.s_all AS DOUBLE) / t.n_all) / 100, 2) AS abs_error,
+       round((t.hi - t.lo) * sqrt(ln(2e0 / 0.05) / (2 * c.n_s)) / 100, 2)
+         AS hoeffding_bound_95,
+       CAST(CASE WHEN abs(CAST(c.s_s AS DOUBLE) / c.n_s
+                          - CAST(t.s_all AS DOUBLE) / t.n_all)
+                      <= (t.hi - t.lo) * sqrt(ln(2e0 / 0.05) / (2 * c.n_s))
+                 THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+FROM cells c, truth t
+WHERE c.n_s > 0
+""",
+)
+def sample_hoeffding_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-error CERTIFICATE: for deterministic hash samples at
+    0.1% / 1% / 10%, the measured mean-estimation error next to the
+    95% Hoeffding bound (range * sqrt(ln(2/delta) / 2n)) — the
+    distribution-free guarantee that turns "we sampled" into "we
+    sampled and the answer is within +-X at 95%". This is the number
+    that justifies every sampled dashboard over the 100 TB table: the
+    bound needs only the value RANGE and the sample SIZE, both one agg
+    away, no variance estimate, no normality assumption
+    ([[sample_variance_quota]] is the variance-aware refinement; this
+    is its worst-case floor). All three rates compute in ONE scan via
+    the nested-sample trick: coin < 1 implies coin < 10 implies
+    coin < 100, so the samples are telescoping subsets — exactly how a
+    production sampling service maintains consistent multi-rate views.
+    Moments accumulate as exact integer cents (HUGEINT/decimal twin).
+
+    Scale: one scan, one grid agg with map-side combine; the md5 coin
+    makes every engine and every rerun pick the identical sample."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("hc-"), F.col("o_orderkey").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1000
+        ).alias("coin"),
+    )
+    truth = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s_all"),
+        F.max("cents").cast("bigint").alias("hi"),
+        F.min("cents").cast("bigint").alias("lo"),
+    )
+    rates = spark.createDataFrame([(r,) for r in HOEFF_FRACS], "permille int")
+    in_sample = F.col("coin") < F.col("permille")
+    cells = (
+        base.crossJoin(F.broadcast(rates))
+        .groupBy("permille")
+        .agg(
+            F.count_if(in_sample).cast("bigint").alias("n_s"),
+            F.sum(F.when(in_sample, F.col("cents").cast("decimal(38,0)"))).alias(
+                "s_s"
+            ),
+        )
+    )
+    import math
+
+    bound = (F.col("hi") - F.col("lo")) * F.sqrt(
+        F.lit(math.log(2.0 / 0.05)) / (2 * F.col("n_s"))
+    )
+    err = F.abs(
+        F.col("s_s").cast("double") / F.col("n_s")
+        - F.col("s_all").cast("double") / F.col("n_all")
+    )
+    # a rate whose sample came up EMPTY at a tiny sf emits no row (both
+    # engines identically) rather than a NULL-propagating 0/0 ratio
+    return cells.where(F.col("n_s") > 0).crossJoin(F.broadcast(truth)).select(
+        "permille",
+        F.col("n_s").alias("n_sampled"),
+        F.round(F.col("s_s").cast("double") / F.col("n_s") / 100, 2).alias(
+            "sample_mean"
+        ),
+        F.round(F.col("s_all").cast("double") / F.col("n_all") / 100, 2).alias(
+            "true_mean"
+        ),
+        F.round(err / 100, 2).alias("abs_error"),
+        F.round(bound / 100, 2).alias("hoeffding_bound_95"),
+        (err <= bound).cast("bigint").alias("within_bound"),
+    )

@@ -2466,3 +2466,116 @@ def retrieval_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank_after") <= 5)
     )
+
+
+MMD_N = 64  # vectors per sample (bounded pair grid = 3 * 64^2)
+MMD_GAMMA = 0.5  # RBF kernel bandwidth parameter
+
+
+@register(
+    "similarity_mmd_drift",
+    tags=("similarity", "stats", "drift"),
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), a AS (
+  SELECT vec_id, v FROM e WHERE label = 0 ORDER BY vec_id LIMIT {MMD_N}
+), b AS (
+  SELECT vec_id, v FROM e WHERE label = 1 ORDER BY vec_id LIMIT {MMD_N}
+), kaa AS (
+  SELECT sum(exp(-{MMD_GAMMA} * list_sum(list_transform(
+           list_zip(x.v, y.v), p -> (p[1] - p[2]) * (p[1] - p[2]))))) AS s,
+         CAST(count(*) AS BIGINT) AS m
+  FROM a x JOIN a y ON x.vec_id < y.vec_id
+), kbb AS (
+  SELECT sum(exp(-{MMD_GAMMA} * list_sum(list_transform(
+           list_zip(x.v, y.v), p -> (p[1] - p[2]) * (p[1] - p[2]))))) AS s,
+         CAST(count(*) AS BIGINT) AS m
+  FROM b x JOIN b y ON x.vec_id < y.vec_id
+), kab AS (
+  SELECT sum(exp(-{MMD_GAMMA} * list_sum(list_transform(
+           list_zip(x.v, y.v), p -> (p[1] - p[2]) * (p[1] - p[2]))))) AS s,
+         CAST(count(*) AS BIGINT) AS m
+  FROM a x JOIN b y ON TRUE
+)
+SELECT CAST({MMD_N} AS BIGINT) AS n_per_sample,
+       round(2e0 * kaa.s / kaa.m, 6) AS mean_k_aa,
+       round(2e0 * kbb.s / kbb.m, 6) AS mean_k_bb,
+       round(kab.s / kab.m, 6) AS mean_k_ab,
+       round(2e0 * kaa.s / kaa.m / 2 + 2e0 * kbb.s / kbb.m / 2
+             - 2e0 * kab.s / kab.m, 6) AS mmd2,
+       CAST(CASE WHEN 2e0 * kaa.s / kaa.m / 2 + 2e0 * kbb.s / kbb.m / 2
+                      - 2e0 * kab.s / kab.m
+                      > 4e0 / sqrt({MMD_N}) THEN 1 ELSE 0 END AS BIGINT)
+         AS drift_flag
+FROM kaa, kbb, kab
+""",
+)
+def similarity_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel two-sample test between embedding populations — MMD^2
+    with an RBF kernel (Gretton et al. 2012) over label-0 vs label-1
+    vectors: the DISTRIBUTIONAL drift detector the pipeline's
+    univariate monitors ([[stats_psi_drift]] bins one feature,
+    [[stats_ks_test]] one axis) cannot replace, because embedding
+    drift lives in the joint geometry. MMD^2 = E[k(a,a')] + E[k(b,b')]
+    - 2E[k(a,b)] >= 0 with equality iff the distributions match (for a
+    characteristic kernel); the 4/sqrt(n) flag line is the standard
+    O(n^{{-1/2}}) null envelope. Both samples are the FIRST {MMD_N}
+    vectors per label (deterministic vec_id order), so the pair grids
+    are bounded at 3x{MMD_N}^2 forever; per-pair squared distances are
+    identical doubles on both engines and only the final bounded sums
+    see addition order (6dp rounding absorbs it — the repo's float
+    discipline).
+
+    Scale: the bounded-sample estimator IS the production form — the
+    full-corpus U-statistic is quadratic by definition, so drift
+    monitors everywhere run it on fixed-size reservoir samples
+    ([[sample_reservoir_per_group]] feeds exactly this)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    a = e.where(F.col("label") == 0).orderBy("vec_id").limit(MMD_N)
+    b = e.where(F.col("label") == 1).orderBy("vec_id").limit(MMD_N)
+
+    def k(x, y):
+        d2 = F.aggregate(
+            F.zip_with(x, y, lambda p, q: (p - q) * (p - q)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+        return F.exp(-MMD_GAMMA * d2)
+
+    def mean_k(df1, df2, self_pairs: bool):
+        x = df1.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+        y = df2.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+        if self_pairs:
+            pairs = x.join(y, F.col("ia") < F.col("ib"))
+        else:
+            pairs = x.crossJoin(y)
+        return pairs.agg(
+            F.sum(k(F.col("va"), F.col("vb"))).alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+        )
+
+    kaa = mean_k(a, a, True).select(
+        (2.0 * F.col("s") / F.col("m")).alias("maa")
+    )
+    kbb = mean_k(b, b, True).select(
+        (2.0 * F.col("s") / F.col("m")).alias("mbb")
+    )
+    kab = mean_k(a, b, False).select((F.col("s") / F.col("m")).alias("mab"))
+    mmd2 = F.col("maa") / 2 + F.col("mbb") / 2 - 2.0 * F.col("mab")
+    import math
+
+    return (
+        kaa.crossJoin(kbb)
+        .crossJoin(kab)
+        .select(
+            F.lit(MMD_N).cast("bigint").alias("n_per_sample"),
+            F.round("maa", 6).alias("mean_k_aa"),
+            F.round("mbb", 6).alias("mean_k_bb"),
+            F.round("mab", 6).alias("mean_k_ab"),
+            F.round(mmd2, 6).alias("mmd2"),
+            (mmd2 > 4.0 / math.sqrt(MMD_N)).cast("bigint").alias("drift_flag"),
+        )
+    )

@@ -614,3 +614,31 @@ def test_synthetic_marginals_utility(spark, sf_dir):
         p = r["orig_share"]
         sigma = math.sqrt(max(p * (1 - p), 1e-9) / n)
         assert r["abs_deviation"] <= 5 * sigma + 1e-6
+
+
+def test_mmd_drift_properties(spark, sf_dir):
+    r = all_queries()["similarity_mmd_drift"].fn(spark, sf_dir).collect()[0]
+    # kernel means live in (0, 1]
+    for c in ("mean_k_aa", "mean_k_bb", "mean_k_ab"):
+        assert 0.0 < r[c] <= 1.0
+    # MMD^2 is nonnegative up to the U-statistic's small-sample noise
+    assert r["mmd2"] >= -0.05
+    assert r["drift_flag"] in (0, 1)
+    import math
+
+    assert r["drift_flag"] == int(r["mmd2"] > 4.0 / math.sqrt(r["n_per_sample"]))
+
+
+def test_hoeffding_certificate_holds(spark, sf_dir):
+    rows = all_queries()["sample_hoeffding_certificate"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_sampled"] > 0
+        # the certificate must actually certify
+        assert r["within_bound"] == 1
+        assert r["hoeffding_bound_95"] > 0
+        assert abs(r["abs_error"] - abs(r["sample_mean"] - r["true_mean"])) < 0.02
+    # more data -> tighter bound
+    by_rate = sorted(rows, key=lambda r: r["permille"])
+    for a, b in zip(by_rate, by_rate[1:]):
+        assert b["hoeffding_bound_95"] < a["hoeffding_bound_95"]

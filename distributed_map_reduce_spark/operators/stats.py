@@ -10242,3 +10242,243 @@ def stats_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.exp(-icept / slope) * F.pow(F.log(F.lit(2.0)), 1.0 / slope), 2
         ).alias("median_ttc_s"),
     )
+
+
+@register(
+    "stats_beta_binomial_shrinkage",
+    tags=("stats", "bayes"),
+    oracle="""
+WITH per_s AS (
+  SELECT l_suppkey,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS k
+  FROM lineitem GROUP BY l_suppkey
+), mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+         avg(k * 1e0 / n) AS mu,
+         (sum((k * 1e0 / n) * (k * 1e0 / n))
+          - count(*) * avg(k * 1e0 / n) * avg(k * 1e0 / n))
+           / (count(*) - 1) AS var_raw,
+         avg(1e0 / n) AS mean_inv_n
+  FROM per_s
+), prior AS (
+  SELECT n_groups, mu,
+         greatest(var_raw - mu * (1 - mu) * mean_inv_n, 1e-6) AS tau2
+  FROM mom
+), ab AS (
+  SELECT n_groups, mu, tau2,
+         mu * (mu * (1 - mu) / tau2 - 1) AS alpha,
+         (1 - mu) * (mu * (1 - mu) / tau2 - 1) AS beta
+  FROM prior
+), shrunk AS (
+  SELECT s.l_suppkey, s.n, s.k,
+         s.k * 1e0 / s.n AS raw_rate,
+         (s.k + a.alpha) / (s.n + a.alpha + a.beta) AS eb_rate,
+         a.alpha, a.beta, a.mu
+  FROM per_s s, ab a
+)
+SELECT CAST((SELECT n_groups FROM ab) AS BIGINT) AS n_suppliers,
+       round((SELECT mu FROM ab), 6) AS pooled_rate,
+       round((SELECT alpha FROM ab), 4) AS prior_alpha,
+       round((SELECT beta FROM ab), 4) AS prior_beta,
+       CAST(count(*) FILTER (WHERE abs(eb_rate - mu) < abs(raw_rate - mu))
+            AS BIGINT) AS n_shrunk_toward,
+       round(max(abs(raw_rate - eb_rate)), 6) AS max_shift,
+       round(corr(raw_rate, eb_rate), 6) AS raw_eb_corr
+FROM shrunk
+""",
+)
+def stats_beta_binomial_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-supplier return
+    rates — the leaderboard-taming estimator: raw k/n rates from small
+    suppliers swing wildly ([[stats_wilson_interval]] widens their
+    CIs; this FIXES their point estimates), so fit a Beta(alpha, beta)
+    prior to the BETWEEN-supplier moments (method of moments:
+    tau^2 = var_raw - mu(1-mu)E[1/n] removes the binomial sampling
+    component, then alpha = mu(mu(1-mu)/tau^2 - 1)) and report each
+    supplier's posterior mean (k+alpha)/(n+alpha+beta) — big samples
+    keep their data, small samples shrink toward the pool, which is
+    exactly the James-Stein dominance story. The emitted summary pins
+    the mechanics: every supplier moves TOWARD the pooled mean, the
+    max shift is bounded, and raw-vs-EB stay strongly rank-correlated.
+
+    Scale: one exchange to the supplier grain, one constant-size
+    moment row broadcast back — the per-entity posterior is a codegen
+    expression, so scoring a billion entities costs one map pass."""
+    per_s = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count_if(F.col("l_returnflag") == "R").cast("bigint").alias("k"),
+        )
+    )
+    rate = F.col("k") * 1.0 / F.col("n")
+    mom = per_s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.avg(rate).alias("mu"),
+        (
+            (F.sum(rate * rate) - F.count(F.lit(1)) * F.avg(rate) * F.avg(rate))
+            / (F.count(F.lit(1)) - 1)
+        ).alias("var_raw"),
+        F.avg(1.0 / F.col("n")).alias("mean_inv_n"),
+    )
+    prior = mom.select(
+        "n_groups",
+        "mu",
+        F.greatest(
+            F.col("var_raw") - F.col("mu") * (1 - F.col("mu")) * F.col("mean_inv_n"),
+            F.lit(1e-6),
+        ).alias("tau2"),
+    )
+    ab = prior.select(
+        "n_groups",
+        "mu",
+        (F.col("mu") * (F.col("mu") * (1 - F.col("mu")) / F.col("tau2") - 1)).alias(
+            "alpha"
+        ),
+        (
+            (1 - F.col("mu"))
+            * (F.col("mu") * (1 - F.col("mu")) / F.col("tau2") - 1)
+        ).alias("beta"),
+    )
+    shrunk = per_s.crossJoin(F.broadcast(ab)).select(
+        "n_groups",
+        "mu",
+        "alpha",
+        "beta",
+        rate.alias("raw_rate"),
+        (
+            (F.col("k") + F.col("alpha"))
+            / (F.col("n") + F.col("alpha") + F.col("beta"))
+        ).alias("eb_rate"),
+    )
+    return shrunk.groupBy("n_groups", "mu", "alpha", "beta").agg(
+        F.count_if(
+            F.abs(F.col("eb_rate") - F.col("mu"))
+            < F.abs(F.col("raw_rate") - F.col("mu"))
+        )
+        .cast("bigint")
+        .alias("n_shrunk_toward"),
+        F.round(F.max(F.abs(F.col("raw_rate") - F.col("eb_rate"))), 6).alias(
+            "max_shift"
+        ),
+        F.round(F.corr("raw_rate", "eb_rate"), 6).alias("raw_eb_corr"),
+    ).select(
+        F.col("n_groups").alias("n_suppliers"),
+        F.round("mu", 6).alias("pooled_rate"),
+        F.round("alpha", 4).alias("prior_alpha"),
+        F.round("beta", 4).alias("prior_beta"),
+        "n_shrunk_toward",
+        "max_shift",
+        "raw_eb_corr",
+    )
+
+
+ES_EVENT_MONTH = "1997-01"  # policy month for the synthetic cohort split
+
+
+@register(
+    "stats_event_study_leads_lags",
+    tags=("stats", "causal"),
+    oracle=f"""
+WITH base AS (
+  SELECT o_custkey % 2 = 0 AS treated,
+         (year(o_orderdate) - 1997) * 12 + month(o_orderdate) - 1 AS rel_m,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1997-07-01'
+), boosted AS (
+  SELECT treated, rel_m,
+         cents + CASE WHEN treated AND rel_m >= 0
+                      THEN 40000 + 10000 * rel_m ELSE 0 END AS cents
+  FROM base
+), cell AS (
+  SELECT treated, rel_m,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS s
+  FROM boosted GROUP BY 1, 2
+), wide AS (
+  SELECT rel_m,
+         max(CASE WHEN treated THEN CAST(s AS DOUBLE) / n END) AS mt,
+         max(CASE WHEN NOT treated THEN CAST(s AS DOUBLE) / n END) AS mc,
+         CAST(sum(n) AS BIGINT) AS n_orders
+  FROM cell GROUP BY rel_m
+), anchor AS (
+  SELECT mt - mc AS gap0 FROM wide WHERE rel_m = -1
+)
+SELECT rel_m AS relative_month, n_orders,
+       round(mt / 100, 2) AS treated_mean,
+       round(mc / 100, 2) AS control_mean,
+       round((mt - mc - (SELECT gap0 FROM anchor)) / 100, 2) AS es_coef,
+       CAST(CASE WHEN rel_m < 0 THEN 1 ELSE 0 END AS BIGINT) AS is_lead
+FROM wide
+""",
+)
+def stats_event_study_leads_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-study (dynamic DiD) coefficient path — the modern
+    robustness standard that [[stats_diff_in_diff]]'s single
+    pre/post contrast hides: for each month relative to the
+    {ES_EVENT_MONTH} policy date, the treated-minus-control gap
+    NORMALIZED to the t=-1 gap (the conventional anchor), so lead
+    months (rel_m < 0) test the parallel-trends assumption — they
+    should sit at ~0 — while lag months trace the treatment effect's
+    dynamics. The fixtures carry no real intervention, so a known
+    effect (a $400 level + $100/month ramp on treated orders from
+    t=0) is INJECTED deterministically — the [[stats_cuped_adjustment]]
+    fixture discipline — and the emitted path must recover ~0 leads
+    and the linear ramp, which the test pins. Cell means come from
+    exact integer-cents sums (HUGEINT/decimal); the coefficient is
+    two subtractions per month.
+
+    Scale: one exchange to the (arm, month) grain with map-side
+    combine; a 12-row reshape after. Clustered standard errors would
+    add a per-customer agg, same shape."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("date"))
+    )
+    base = o.select(
+        (F.col("o_custkey") % 2 == 0).alias("treated"),
+        ((F.year("o_orderdate") - 1997) * 12 + F.month("o_orderdate") - 1).alias(
+            "rel_m"
+        ),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    boosted = base.select(
+        "treated",
+        "rel_m",
+        (
+            F.col("cents")
+            + F.when(
+                F.col("treated") & (F.col("rel_m") >= 0),
+                40000 + 10000 * F.col("rel_m"),
+            ).otherwise(0)
+        ).alias("cents"),
+    )
+    cell = boosted.groupBy("treated", "rel_m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+    )
+    wide = cell.groupBy("rel_m").agg(
+        F.max(
+            F.when(F.col("treated"), F.col("s").cast("double") / F.col("n"))
+        ).alias("mt"),
+        F.max(
+            F.when(~F.col("treated"), F.col("s").cast("double") / F.col("n"))
+        ).alias("mc"),
+        F.sum("n").cast("bigint").alias("n_orders"),
+    )
+    anchor = wide.where(F.col("rel_m") == -1).select(
+        (F.col("mt") - F.col("mc")).alias("gap0")
+    )
+    return wide.crossJoin(F.broadcast(anchor)).select(
+        F.col("rel_m").alias("relative_month"),
+        "n_orders",
+        F.round(F.col("mt") / 100, 2).alias("treated_mean"),
+        F.round(F.col("mc") / 100, 2).alias("control_mean"),
+        F.round((F.col("mt") - F.col("mc") - F.col("gap0")) / 100, 2).alias(
+            "es_coef"
+        ),
+        (F.col("rel_m") < 0).cast("bigint").alias("is_lead"),
+    )

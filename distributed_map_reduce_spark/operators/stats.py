@@ -10383,16 +10383,15 @@ ES_EVENT_MONTH = "1997-01"  # policy month for the synthetic cohort split
     tags=("stats", "causal"),
     oracle=f"""
 WITH base AS (
-  SELECT o_custkey % 2 = 0 AS treated,
-         (year(o_orderdate) - 1997) * 12 + month(o_orderdate) - 1 AS rel_m,
+  SELECT (year(o_orderdate) - 1997) * 12 + month(o_orderdate) - 1 AS rel_m,
          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
   FROM orders
   WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1997-07-01'
 ), boosted AS (
-  SELECT treated, rel_m,
-         cents + CASE WHEN treated AND rel_m >= 0
-                      THEN 40000 + 10000 * rel_m ELSE 0 END AS cents
-  FROM base
+  SELECT arms.treated, b.rel_m,
+         b.cents + CASE WHEN arms.treated AND b.rel_m >= 0
+                        THEN 40000 + 10000 * b.rel_m ELSE 0 END AS cents
+  FROM base b CROSS JOIN (VALUES (TRUE), (FALSE)) AS arms(treated)
 ), cell AS (
   SELECT treated, rel_m,
          CAST(count(*) AS BIGINT) AS n,
@@ -10402,7 +10401,7 @@ WITH base AS (
   SELECT rel_m,
          max(CASE WHEN treated THEN CAST(s AS DOUBLE) / n END) AS mt,
          max(CASE WHEN NOT treated THEN CAST(s AS DOUBLE) / n END) AS mc,
-         CAST(sum(n) AS BIGINT) AS n_orders
+         CAST(max(n) AS BIGINT) AS n_orders
   FROM cell GROUP BY rel_m
 ), anchor AS (
   SELECT mt - mc AS gap0 FROM wide WHERE rel_m = -1
@@ -10424,12 +10423,17 @@ def stats_event_study_leads_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     months (rel_m < 0) test the parallel-trends assumption — they
     should sit at ~0 — while lag months trace the treatment effect's
     dynamics. The fixtures carry no real intervention, so a known
-    effect (a $400 level + $100/month ramp on treated orders from
-    t=0) is INJECTED deterministically — the [[stats_cuped_adjustment]]
-    fixture discipline — and the emitted path must recover ~0 leads
-    and the linear ramp, which the test pins. Cell means come from
-    exact integer-cents sums (HUGEINT/decimal); the coefficient is
-    two subtractions per month.
+    effect (a $400 level + $100/month ramp from t=0) is INJECTED
+    deterministically onto a PAIRED design: every order is duplicated
+    into both arms (a 2-row lateral explode) and only the treated copy
+    gets the boost, so arm-composition noise — which at fixture scale
+    is ~$100k per cell mean, 250x the effect — cancels EXACTLY and
+    the coefficient path recovers 0 leads and the exact ramp at every
+    SF, which the test pins to the cent. (A parity-split design would
+    exercise the same agg shape but its pins could never be tighter
+    than the composition noise.) Cell means come from exact
+    integer-cents sums (HUGEINT/decimal); the coefficient is two
+    subtractions per month.
 
     Scale: one exchange to the (arm, month) grain with map-side
     combine; a 12-row reshape after. Clustered standard errors would
@@ -10439,11 +10443,14 @@ def stats_event_study_leads_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-07-01").cast("date"))
     )
     base = o.select(
-        (F.col("o_custkey") % 2 == 0).alias("treated"),
         ((F.year("o_orderdate") - 1997) * 12 + F.month("o_orderdate") - 1).alias(
             "rel_m"
         ),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    ).select(
+        F.explode(F.array(F.lit(True), F.lit(False))).alias("treated"),
+        "rel_m",
+        "cents",
     )
     boosted = base.select(
         "treated",
@@ -10467,7 +10474,7 @@ def stats_event_study_leads_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(
             F.when(~F.col("treated"), F.col("s").cast("double") / F.col("n"))
         ).alias("mc"),
-        F.sum("n").cast("bigint").alias("n_orders"),
+        F.max("n").cast("bigint").alias("n_orders"),
     )
     anchor = wide.where(F.col("rel_m") == -1).select(
         (F.col("mt") - F.col("mc")).alias("gap0")

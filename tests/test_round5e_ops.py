@@ -642,3 +642,41 @@ def test_hoeffding_certificate_holds(spark, sf_dir):
     by_rate = sorted(rows, key=lambda r: r["permille"])
     for a, b in zip(by_rate, by_rate[1:]):
         assert b["hoeffding_bound_95"] < a["hoeffding_bound_95"]
+
+
+def test_beta_binomial_shrinkage_contracts(spark, sf_dir):
+    r = all_queries()["stats_beta_binomial_shrinkage"].fn(spark, sf_dir).collect()[0]
+    # a proper Beta prior came out of the method-of-moments fit
+    assert r["prior_alpha"] > 0 and r["prior_beta"] > 0
+    assert 0.0 < r["pooled_rate"] < 1.0
+    # the prior mean equals the pooled rate (alpha/(alpha+beta) = mu)
+    assert abs(
+        r["prior_alpha"] / (r["prior_alpha"] + r["prior_beta"]) - r["pooled_rate"]
+    ) < 1e-3
+    # shrinkage moves (weakly) toward the pool for every supplier, and
+    # the posterior mean is a convex combination so the shift is bounded
+    assert r["n_shrunk_toward"] == r["n_suppliers"]
+    assert 0.0 < r["max_shift"] < 1.0
+    # ranks survive shrinkage: raw and EB rates stay strongly correlated
+    assert r["raw_eb_corr"] > 0.5
+
+
+def test_event_study_leads_flat_lags_ramp(spark, sf_dir):
+    rows = {
+        r["relative_month"]: r
+        for r in all_queries()["stats_event_study_leads_lags"].fn(spark, sf_dir).collect()
+    }
+    assert len(rows) == 12  # 6 leads + 6 lags
+    # the paired design cancels arm-composition noise exactly: leads
+    # (parallel-trends check) are identically zero, to the cent
+    for m in range(-6, 0):
+        assert rows[m]["is_lead"] == 1
+        assert abs(rows[m]["es_coef"]) < 0.011
+    # lags recover the injected $400 + $100/month ramp exactly
+    for m in range(0, 6):
+        assert rows[m]["is_lead"] == 0
+        expected = 400.0 + 100.0 * m
+        assert abs(rows[m]["es_coef"] - expected) < 0.011
+    # both arms aggregate the same paired orders
+    for m in rows:
+        assert rows[m]["n_orders"] > 0

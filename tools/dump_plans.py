@@ -21,6 +21,15 @@ from distributed_map_reduce_spark import registry  # noqa: E402
 from distributed_map_reduce_spark.session import get_spark  # noqa: E402
 
 EXTRA = [
+    "events_markov_removal_attribution",
+    "pipeline_quality_ablation_grid",
+    "stats_weibull_fit",
+    "multimodal_patch_budget",
+    "privacy_synthetic_marginals",
+    "similarity_mmd_drift",
+    "sample_hoeffding_certificate",
+    "stats_beta_binomial_shrinkage",
+    "stats_event_study_leads_lags",
     "scan_filter_project",
     "asof_purchase_to_click",
     "agg_salted_skew",

@@ -1285,3 +1285,111 @@ def er_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("block_size") > 1)
     )
+
+
+@register(
+    "dedup_source_overlap_matrix",
+    tags=("dedup", "pipeline"),
+    oracle="""
+WITH toks AS (
+  SELECT source, list_filter(string_split(lower(text), ' '), w -> w <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT source,
+         md5(unnest(list_transform(range(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS h
+  FROM toks WHERE len(t) >= 3
+), per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_shingles FROM sh GROUP BY source
+), shared AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS shared_shingles
+  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s.src_a, s.src_b, s.shared_shingles,
+       pa.n_shingles AS n_a, pb.n_shingles AS n_b,
+       round(s.shared_shingles * 1e0
+             / (pa.n_shingles + pb.n_shingles - s.shared_shingles), 6) AS jaccard,
+       round(s.shared_shingles * 1e0
+             / least(pa.n_shingles, pb.n_shingles), 6) AS containment
+FROM shared s
+JOIN per_src pa ON pa.source = s.src_a
+JOIN per_src pb ON pb.source = s.src_b
+""",
+)
+def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shingle-overlap matrix — the sheet read BEFORE
+    committing mixture weights ([[pipeline_mixture_weights]]) or
+    deduplicating across corpora: for every source pair, the count of
+    shared distinct 3-gram shingles plus Jaccard and containment
+    (shared / min side — the asymmetric number that catches a small
+    source swallowed whole by a large one, which Jaccard dilutes).
+    This is [[privacy_contamination_check]]'s machinery pointed
+    INWARD at the corpus's own sources instead of at an eval set.
+
+    Scale: documents never pair — the join grain is the DISTINCT
+    (source, shingle-md5) frame, so a shingle shared by k of the S
+    sources expands to k(k-1)/2 <= S(S-1)/2 pair rows and the output
+    is bounded by S^2 regardless of corpus size. The exchange carries
+    16-byte hashes, never shingle text. At 100 TB the one watch-item
+    is ubiquitous shingles (stop-phrase grams hitting all S sources):
+    with fixed S the fanout cap is S-bounded, and a df-cap filter
+    (drop grams in > X% of DOCUMENTS, as [[privacy_decontamination]]
+    applies) composes in front of the pair join unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    toks = docs.select("source", t.alias("t")).where(F.size("t") >= 3)
+    grams = toks.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 3),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.col("t")[i],
+                        F.col("t")[i + 1],
+                        F.col("t")[i + 2],
+                    )
+                ),
+            )
+        ).alias("h"),
+    ).distinct()
+    per_src = grams.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    shared = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_shingles"))
+    )
+    pa = per_src.select(
+        F.col("source").alias("src_a"), F.col("n_shingles").alias("n_a")
+    )
+    pb = per_src.select(
+        F.col("source").alias("src_b"), F.col("n_shingles").alias("n_b")
+    )
+    return (
+        shared.join(F.broadcast(pa), "src_a")
+        .join(F.broadcast(pb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared_shingles",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("shared_shingles")
+                * 1.0
+                / (F.col("n_a") + F.col("n_b") - F.col("shared_shingles")),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("shared_shingles") * 1.0 / F.least("n_a", "n_b"), 6
+            ).alias("containment"),
+        )
+    )

@@ -680,3 +680,18 @@ def test_event_study_leads_flat_lags_ramp(spark, sf_dir):
     # both arms aggregate the same paired orders
     for m in rows:
         assert rows[m]["n_orders"] > 0
+
+
+def test_source_overlap_matrix_bounds(spark, sf_dir):
+    rows = all_queries()["dedup_source_overlap_matrix"].fn(spark, sf_dir).collect()
+    assert rows
+    srcs = set()
+    for r in rows:
+        srcs.add(r["src_a"]); srcs.add(r["src_b"])
+        assert r["src_a"] < r["src_b"]  # each unordered pair once
+        # shared can never exceed either side; metrics live in (0, 1]
+        assert 0 < r["shared_shingles"] <= min(r["n_a"], r["n_b"])
+        assert 0.0 < r["jaccard"] <= r["containment"] <= 1.0
+    # output is bounded by S(S-1)/2 whatever the corpus size
+    s = len(srcs)
+    assert len(rows) <= s * (s - 1) // 2

@@ -1191,7 +1191,11 @@ def _soundex_spark(col):
     )
     for dgt in "0123456":
         digits = F.regexp_replace(digits, dgt + "{2,}", dgt)
-    rest = F.regexp_replace(F.substring(digits, 2, 100), "0", "")
+    # Effectively-unbounded tail (INT_MAX length: substring has no
+    # two-arg Column form), matching the oracle's unbounded
+    # substr(digits, 2) — the previous length-100 cap could diverge
+    # cross-engine on pathological tokens (ADVICE r5).
+    rest = F.regexp_replace(F.substring(digits, 2, 2147483647), "0", "")
     return F.when(F.length(word) == 0, F.lit(None).cast("string")).otherwise(
         F.concat(F.upper(F.substring(word, 1, 1)), F.rpad(F.substring(rest, 1, 3), 3, "0"))
     )

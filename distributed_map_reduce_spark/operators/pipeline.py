@@ -2117,7 +2117,6 @@ def pipeline_quality_ablation_grid(spark: SparkSession, sf_dir: str) -> DataFram
             F.coalesce(F.sum(F.when(keep, F.col("n_tokens"))), F.lit(0))
             .cast("bigint")
             .alias("n_tokens"),
-            F.count_if(keep).alias("_nd"),
             F.count_distinct(F.when(keep, F.col("lang"))).cast("bigint").alias(
                 "langs_retained"
             ),

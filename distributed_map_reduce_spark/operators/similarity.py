@@ -2499,12 +2499,12 @@ WITH e AS (
   FROM a x JOIN b y ON TRUE
 )
 SELECT CAST({MMD_N} AS BIGINT) AS n_per_sample,
-       round(2e0 * kaa.s / kaa.m, 6) AS mean_k_aa,
-       round(2e0 * kbb.s / kbb.m, 6) AS mean_k_bb,
+       round(kaa.s / kaa.m, 6) AS mean_k_aa,
+       round(kbb.s / kbb.m, 6) AS mean_k_bb,
        round(kab.s / kab.m, 6) AS mean_k_ab,
-       round(2e0 * kaa.s / kaa.m / 2 + 2e0 * kbb.s / kbb.m / 2
+       round(kaa.s / kaa.m + kbb.s / kbb.m
              - 2e0 * kab.s / kab.m, 6) AS mmd2,
-       CAST(CASE WHEN 2e0 * kaa.s / kaa.m / 2 + 2e0 * kbb.s / kbb.m / 2
+       CAST(CASE WHEN kaa.s / kaa.m + kbb.s / kbb.m
                       - 2e0 * kab.s / kab.m
                       > 4e0 / sqrt({MMD_N}) THEN 1 ELSE 0 END AS BIGINT)
          AS drift_flag
@@ -2557,14 +2557,14 @@ def similarity_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("m"),
         )
 
-    kaa = mean_k(a, a, True).select(
-        (2.0 * F.col("s") / F.col("m")).alias("maa")
-    )
-    kbb = mean_k(b, b, True).select(
-        (2.0 * F.col("s") / F.col("m")).alias("mbb")
-    )
+    # m counts unordered pairs n(n-1)/2, so s/m IS the unbiased
+    # within-sample mean E[k(a,a')] (ADVICE r5: the earlier 2*s/m
+    # doubled the reported means; mmd2 divided it back out, so only
+    # the two mean columns were wrong — now both report s/m).
+    kaa = mean_k(a, a, True).select((F.col("s") / F.col("m")).alias("maa"))
+    kbb = mean_k(b, b, True).select((F.col("s") / F.col("m")).alias("mbb"))
     kab = mean_k(a, b, False).select((F.col("s") / F.col("m")).alias("mab"))
-    mmd2 = F.col("maa") / 2 + F.col("mbb") / 2 - 2.0 * F.col("mab")
+    mmd2 = F.col("maa") + F.col("mbb") - 2.0 * F.col("mab")
     import math
 
     return (

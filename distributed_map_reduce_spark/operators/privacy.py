@@ -853,10 +853,18 @@ def privacy_dp_quantile_expmech(spark: SparkSession, sf_dir: str) -> DataFrame:
     mechanism traded for privacy.
 
     Scale: one exchange to customers, one to the distinct-cents grid
-    (map-side combined), one value-ordered sweep — scalable-rank
-    territory (`window_cumsum_scalable`) if the grid ever rivals the
-    fact table."""
+    (map-side combined); the candidate sweep (cumulative rank, gap
+    width via lead, weight prefix sums) runs as TWO-PHASE BUCKETED
+    prefix sums (the `window_cumsum_scalable` rewrite, applied per
+    VERDICT r5 #4): buckets derive deterministically from the value
+    itself (floor over a broadcast min/max-width quantization, monotone
+    in cents), per-bucket windows run in parallel, and only the
+    bucket-cardinality offset/next-min frames (<= 32 rows) hit a
+    single task — no data-sized single-partition WindowExec
+    anywhere."""
     from pyspark.sql import Window as W
+
+    NB = 32  # value-range buckets for the two-phase prefix sweeps
 
     spend = (
         load_table(spark, sf_dir, "orders")
@@ -869,11 +877,58 @@ def privacy_dp_quantile_expmech(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nrow = spend.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     grid = spend.groupBy("cents").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    w = W.orderBy("cents")
-    cum = grid.select(
+    # Deterministic monotone bucketing: bucket i's cents all precede
+    # bucket i+1's, so bucket boundaries cancel out of prefix algebra.
+    bounds = grid.agg(F.min("cents").alias("_lo"), F.max("cents").alias("_hi"))
+    g = (
+        grid.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "_pid",
+            F.floor(
+                (F.col("cents") - F.col("_lo"))
+                / F.greatest(
+                    F.lit(1), F.ceil((F.col("_hi") - F.col("_lo") + 1) / NB)
+                )
+            ).cast("bigint"),
+        )
+        .drop("_lo", "_hi")
+    )
+    local_w = (
+        W.partitionBy("_pid").orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
+    )
+    local = g.select(
+        "_pid",
         "cents",
-        F.sum("c").over(w).alias("cumc"),
-        (F.lead("cents").over(w) - F.col("cents")).alias("width"),
+        "c",
+        F.sum("c").over(local_w).alias("_cum_local"),
+        F.lead("cents").over(W.partitionBy("_pid").orderBy("cents")).alias(
+            "_next_local"
+        ),
+    )
+    # Bucket-cardinality frames (<= NB rows): count offsets + next
+    # bucket's minimum value for the cross-bucket lead.
+    btot = g.groupBy("_pid").agg(
+        F.sum("c").alias("_bc"), F.min("cents").alias("_bmin")
+    )
+    bw = W.orderBy("_pid")
+    boff = btot.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_bc").over(bw.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+        ).alias("_coff"),
+        F.lead("_bmin").over(bw).alias("_next_bmin"),
+    )
+    cum = (
+        local.join(F.broadcast(boff), "_pid")
+        .select(
+            "_pid",
+            "cents",
+            (F.col("_cum_local") + F.col("_coff")).alias("cumc"),
+            (
+                F.coalesce(F.col("_next_local"), F.col("_next_bmin"))
+                - F.col("cents")
+            ).alias("width"),
+        )
     )
     wt = (
         cum.where(F.col("width").isNotNull())
@@ -888,15 +943,36 @@ def privacy_dp_quantile_expmech(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    pre = wt.select(
-        "cents",
-        "cumc",
-        "n",
-        "wgt",
+    # Second two-phase sweep: weight prefix sums over the same buckets.
+    wlocal_before = F.coalesce(
+        F.sum("wgt").over(
+            W.partitionBy("_pid").orderBy("cents").rowsBetween(
+                W.unboundedPreceding, -1
+            )
+        ),
+        F.lit(0).cast("decimal(38,0)"),
+    )
+    wtot = wt.groupBy("_pid").agg(F.sum("wgt").alias("_bwsum"))
+    woff = wtot.select(
+        "_pid",
         F.coalesce(
-            F.sum("wgt").over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
-        ).alias("before_w"),
-        F.sum("wgt").over(W.partitionBy()).alias("total_w"),
+            F.sum("_bwsum").over(bw.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_woff"),
+    )
+    total = wt.agg(F.sum("wgt").alias("total_w"))
+    pre = (
+        wt.withColumn("_before_local", wlocal_before)
+        .join(F.broadcast(woff), "_pid")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cents",
+            "cumc",
+            "n",
+            "wgt",
+            (F.col("_before_local") + F.col("_woff")).alias("before_w"),
+            "total_w",
+        )
     )
     coin = F.conv(F.substring(F.md5(F.lit("dpq-2026-seed")), 1, 15), 16, 10).cast(
         "decimal(38,0)"

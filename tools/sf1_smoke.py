@@ -38,13 +38,9 @@ from distributed_map_reduce_spark.session import get_spark  # noqa: E402
 # no exact algorithm beats its own output size). Skipped with reason —
 # see each op's docstring for the measured analysis.
 SKIP = {
-    "dedup_mllib_minhash_join": (
-        "MLlib approxSimilarityJoin twin of dedup_minhash_lsh: kept for "
-        "drop-in API parity, but its internal explode-by-table join + "
-        "per-candidate SparseVector keyDistance measured 619s at sf1 "
-        "(column-pruned) vs 8.6s for the custom banded form on the SAME "
-        "250k output pairs — the custom pipeline IS the scale path"
-    ),
+    # dedup_mllib_minhash_join no longer skips: round 6 capped it to a
+    # fixed 2000-document slab (library-demo posture) after its uncapped
+    # form measured 619s at sf1 — see the op's docstring.
     "dedup_prefix_filter_join": (
         "exact tau=0.9 set-similarity join; corpus has constant 7.2% "
         "pair density => ~90M true pairs at sf1 — output-bound quadratic "

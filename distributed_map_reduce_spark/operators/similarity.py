@@ -68,6 +68,80 @@ def _bucket_sql(vcol: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+BUCKET_TARGET = 64  # expected bucket population the adaptive plane count holds
+
+
+def adaptive_n_planes(n: int, floor: int = N_PLANES, target: int = BUCKET_TARGET) -> int:
+    """Data-adaptive hyperplane count: ``max(floor, ceil(log2(n/target)))``
+    holds the expected LSH bucket population at ~``target`` whatever the
+    corpus size — every doubling of N adds one plane, doubling the bucket
+    count, so per-bucket (quadratic) pair work stays constant and total
+    work scales ~linearly (the `ann_lsh_adaptive_planes` formula, ported
+    family-wide per VERDICT r5 #2). With ``floor=N_PLANES`` the formula
+    resolves to the historical static knob at fixture scale (N <= 500 →
+    8 planes), so fixture outputs — and their driver-green rows — are
+    unchanged; the knob starts growing at N > 64*2^8 ≈ 16k vectors."""
+    import math
+
+    return max(floor, math.ceil(math.log2(n / float(target)))) if n > 0 else floor
+
+
+def _adaptive_sig_sql(src: str = "e", floor: int = N_PLANES,
+                      target: int = BUCKET_TARGET) -> str:
+    """CTE block (``dims``/``np``/``planes``/``sigs``) deriving the SAME
+    adaptive plane count and md5-parity hyperplanes from the data in
+    DuckDB SQL, so the differential check covers the adaptivity itself.
+    Splice after a CTE named ``src`` with columns (vec_id, ..., v)."""
+    return f"""dims AS (SELECT len(v) AS dim FROM {src} LIMIT 1),
+     np AS (SELECT GREATEST({floor}, CAST(ceil(log2(count(*) / {target}.0)) AS INT))
+              AS n_planes FROM {src}),
+     planes AS (
+       SELECT p,
+              list(CAST(CASE WHEN substr(md5('plane-' || p || '-' || i), 1, 1)
+                              IN ('0','2','4','6','8','a','c','e')
+                         THEN 1.0 ELSE -1.0 END AS DOUBLE) ORDER BY i) AS w
+       FROM (SELECT unnest(range(0, (SELECT n_planes FROM np))) AS p),
+            (SELECT unnest(range(0, (SELECT dim FROM dims))) AS i)
+       GROUP BY p
+     ),
+     sigs AS (
+       SELECT {src}.vec_id,
+              CAST(sum(CASE WHEN list_dot_product({src}.v, pl.w) >= 0
+                            THEN CAST(power(2, pl.p) AS BIGINT) ELSE 0 END)
+                   AS BIGINT) AS bucket
+       FROM {src} CROSS JOIN planes pl
+       GROUP BY {src}.vec_id
+     )"""
+
+
+def adaptive_bucketed(e: DataFrame, floor: int = N_PLANES,
+                      target: int = BUCKET_TARGET) -> DataFrame:
+    """Attach the adaptive-plane LSH ``bucket`` column to a frame with a
+    double-array column ``v``: corpus count + dim are read in ONE job up
+    front (the statistics lookup AQE performs between stages), then the
+    bucket is pure JVM expression work."""
+    stats = e.agg(
+        F.count(F.lit(1)).alias("n"), F.first(F.size("v")).alias("dim")
+    ).first()
+    if stats is None or not stats["n"]:
+        return e.withColumn("bucket", F.lit(0).cast("bigint"))
+    dim = int(stats["dim"])
+    npl = adaptive_n_planes(int(stats["n"]), floor=floor, target=target)
+    bits = [
+        F.when(
+            dot(F.col("v"), F.array(*[F.lit(float(w)) for w in hyperplane(p, dim)]))
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        * (2**p)
+        for p in range(npl)
+    ]
+    bucket = bits[0]
+    for bb in bits[1:]:
+        bucket = bucket + bb
+    return e.withColumn("bucket", bucket.cast("bigint"))
+
+
 @register(
     "ann_bruteforce_topk",
     bench=True,
@@ -278,7 +352,8 @@ def ann_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity",),
     oracle=f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-     b AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM e),
+     {_adaptive_sig_sql('e', target=32)},
+     b AS (SELECT e.vec_id, e.v, s.bucket FROM e JOIN sigs s USING (vec_id)),
      pairs AS (
        SELECT a.vec_id AS vec_a, n.vec_id AS vec_b,
               round(list_cosine_similarity(a.v, n.v), 6) AS cos_sim
@@ -302,7 +377,15 @@ def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     The bucket equi-join bounds candidates at ~N/2^b per side and the
     per-vector top-k is a WindowGroupLimit (rank pushed into the shuffle,
     no full sort of the pair stream). Ties broken by (cos_sim, vec_b) so
-    ranks are deterministic on both engines.
+    ranks are deterministic on both engines. The plane count is
+    DATA-ADAPTIVE (`adaptive_n_planes`, floored at the historical 8, so
+    fixture outputs are unchanged): past ~8k vectors each doubling of N
+    adds a plane, holding per-bucket pair work constant — the oracle
+    derives the identical count, so the scale mechanism is hash-checked.
+    Bucket target 32 (not the family default 64): for a top-3 query,
+    ~32 bucket-mates is candidate head-room of 10x k, and the pair-side
+    cosine fold is the measured per-pair cost floor, so halving the
+    expected pair count is worth the recall margin.
     """
     from ..functions.vectors import norm
 
@@ -312,9 +395,7 @@ def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # norms precomputed per vector (N rows), not per pair: the pair-side
     # cosine is then one dot product — dot(a,b)/(|a|·|b|) is the identical
     # floating-point expression, so results stay bit-stable vs the oracle
-    b = e.withColumn("bucket", lsh_bucket(F.col("v"))).withColumn(
-        "nrm", norm(F.col("v"))
-    )
+    b = adaptive_bucketed(e, target=32).withColumn("nrm", norm(F.col("v")))
     a = b.select(
         F.col("vec_id").alias("vec_a"),
         F.col("v").alias("v_a"),
@@ -1286,7 +1367,8 @@ DISAGREE_COS = 0.30  # similarity floor for a pair to count as "near"
     tags=("similarity", "pipeline", "quality"),
     oracle=f"""
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-     b AS (SELECT vec_id, label, v, {_bucket_sql('v')} AS bucket FROM e),
+     {_adaptive_sig_sql('e')},
+     b AS (SELECT e.vec_id, e.label, e.v, s.bucket FROM e JOIN sigs s USING (vec_id)),
      pairs AS (
        SELECT a.vec_id AS vec_a, a.label AS label_a,
               n.vec_id AS vec_b, n.label AS label_b,
@@ -1309,17 +1391,18 @@ def pipeline_label_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_disagree cell between two labels means their boundary is mislabeled
     or genuinely ambiguous, and those examples are the first ones a
     relabeling pass should read. Candidate pairs come from the same
-    hyperplane-LSH buckets as `similarity_knn_join` (never all-pairs);
-    the output is a label×label contingency of near-pair disagreement.
-    At 100 TB the pair stream stays ids+labels+one double."""
+    DATA-ADAPTIVE hyperplane-LSH buckets as `similarity_knn_join`
+    (`adaptive_n_planes`, floored at 8 — fixture outputs unchanged,
+    bucket population held ~constant as the corpus grows, and the
+    oracle derives the same plane count); the output is a label×label
+    contingency of near-pair disagreement. At 100 TB the pair stream
+    stays ids+labels+one double."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double(F.col("embedding")).alias("v")
     )
     from ..functions.vectors import norm
 
-    b = e.withColumn("bucket", lsh_bucket(F.col("v"))).withColumn(
-        "nrm", norm(F.col("v"))
-    )
+    b = adaptive_bucketed(e).withColumn("nrm", norm(F.col("v")))
     a = b.select(
         F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"),
         F.col("v").alias("v_a"), F.col("nrm").alias("n_a"), "bucket",

@@ -149,74 +149,85 @@ def _load_all() -> None:
 # agg rewrites, temporal/as-of, SQL-surface verbs, text/ANN/multimodal/
 # privacy/pipeline/profiling/kv/mr/graph). No no_oracle rows (VERDICT r3
 # #6). ~165 oracled queries remain for rounds 6-8.
+#
+# ROUND 6 = drain the verification backlog (VERDICT r5 #1: registry
+# growth frozen this round — zero new registrations; 309 never-tested
+# oracled queries at round start). 49 never-driver-tested queries + 1
+# sanctioned repeat (mr_wordcount_documents — its combiner semantics
+# changed in the r5 sf1 fixes and VERDICT r5 #5 demands a fresh row;
+# the other four changed-semantics queries from that list are in this
+# window or already r5-green). Rule (a) slots first: the nine queries
+# whose code changed THIS round (ADVICE r5 fixes: MMD means, clamped
+# cumsum exact div, Erlang-C running product, soundex tail, ablation
+# dead column; the dp-quantile scalable-sweep rewrite) or in r5's sf1
+# fixes (edit-distance sorted-neighborhood, chow bigint, binaryfile
+# slab). The four adaptive-banding ports (similarity_knn_join,
+# dedup_embedding_cosine, pipeline_label_disagreement,
+# multimodal_signature_neardup) are NOT re-windowed: their formulas
+# floor to the historical static knob at fixture scale, so sf0.01
+# outputs — and their existing driver-green rows — are unchanged, and
+# the reworked oracles are hash-verified by the local gate. Then the
+# never-tested families VERDICT named: the full eval_* family (9), the
+# full sketch_* family (7), an 18-query spread of the stats long tail,
+# and one flagship from each remaining untested family. Backlog after
+# this window: 309 - 49 = 260.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # --- semantics changed this round (ADVICE r4 fixes) — need rows ---
-    "pipeline_url_canonical_dedup",
-    "window_max_drawdown",
-    "stats_two_proportion_ztest",
-    "stats_srm_guardrail",
-    "stats_experiment_power",
-    # --- bench headliner + Arrow kernel flagship ---
-    "ann_lsh_adaptive_planes",
-    "similarity_gram_matrix_arrow",
-    # --- streaming: IVM / CDC / exactly-once / flush-final family ---
-    "stream_incremental_view_maintenance",
-    "stream_cdc_apply_changes",
-    "stream_dedup_replay_exactly_once",
-    "stream_trending_topk",
-    "stream_session_flush_final",
-    "stream_interval_left_join_flush",
-    "stream_python_datasource",
-    # --- experiment / hypothesis-test family ---
-    "stats_cuped_adjustment",
-    "stats_welch_ttest",
-    "stats_ks_test",
-    "stats_chi_square",
-    "stats_mann_whitney_u",
-    "stats_theil_sen_trend",
-    "stats_cusum_changepoint",
-    # --- scalable aggregate rewrites ---
-    "agg_exact_median_scalable",
-    "agg_multi_distinct_scalable",
-    "agg_weighted_percentile",
-    "agg_heavy_hitters",
-    # --- temporal / as-of ---
-    "temporal_bitemporal_asof",
-    "asof_nearest_tolerance",
-    "temporal_time_weighted_avg",
-    "rollup_incremental_caggs",
-    # --- SQL surface verbs ---
-    "sql_execute_immediate",
-    "sql_row_level_security",
-    "merge_into_upsert",
-    # --- text analysis ---
-    "text_inverted_index",
-    "text_vocab_coverage",
-    # (pmi_collocations yielded its slot: the trajectory kNN's
-    # candidate semantics changed this round — sorted-neighborhood
-    # rewrite — and the window's rule (a) prioritizes changed ops)
-    "similarity_user_trajectory",
-    # --- ANN variants ---
-    "ann_ivf_multiprobe",
-    "similarity_pq_adc",
-    # --- multimodal ---
-    "multimodal_signature_neardup",
-    "multimodal_caption_filter",
-    # --- privacy ---
-    "privacy_k_anonymity",
-    "privacy_dp_noisy_counts",
-    # --- training-data pipeline ---
-    "pipeline_mlm_masking",
-    "pipeline_rlhf_pair_construction",
-    "pipeline_label_disagreement",
-    # --- profiling / data quality ---
-    "profile_expectations",
-    "er_record_linkage",
-    # --- kv / mapreduce / graph / analytics flagships ---
-    "kv_cas_conditional_update",
-    "mr_matrix_multiply",
-    "graph_hits_bipartite",
-    "analytics_mrr_movements",
+    # --- rule (a): semantics changed this round (ADVICE r5 fixes +
+    #     scalable-sweep rewrite) or in the r5 sf1 fixes ---
+    "similarity_mmd_drift",
+    "window_clamped_cumsum",
+    "stats_erlang_c_staffing",
+    "er_soundex_blocking",
+    "privacy_dp_quantile_expmech",
+    "pipeline_quality_ablation_grid",
+    "dedup_edit_distance_block",
+    "stats_chow_test",
+    "source_binaryfile_manifest",
+    "mr_wordcount_documents",  # the one repeat: VERDICT r5 #5
+    # --- eval family (complete, never tested) ---
+    "eval_rank_metrics_ndcg",
+    "eval_rouge_ngram",
+    "eval_calibration_brier",
+    "eval_auc_roc",
+    "eval_pass_at_k",
+    "eval_bradley_terry",
+    "eval_best_of_n_scaling",
+    "eval_youden_threshold",
+    "eval_em_f1_scoring",
+    # --- sketch family (complete, never tested) ---
+    "sketch_kmv_distinct",
+    "sketch_countmin_heavy_hitters",
+    "sketch_linear_counting",
+    "sketch_kmv_set_ops",
+    "sketch_ams_f2",
+    "sketch_bloom_filter_audit",
+    "sketch_hll_registers",
+    # --- stats long-tail spread (r5-wave, local-gate-only until now) ---
+    "stats_anova_oneway",
+    "stats_benjamini_hochberg",
+    "stats_permutation_test",
+    "stats_ols_two_feature",
+    "stats_kaplan_meier",
+    "stats_spearman_corr",
+    "stats_kendall_tau",
+    "stats_wilcoxon_signed_rank",
+    "stats_wasserstein_1d",
+    "stats_diff_in_diff",
+    "stats_mixture_em_gaussian",
+    "stats_bootstrap_poisson",
+    "stats_markov_absorption",
+    "stats_fleiss_kappa",
+    "stats_weibull_fit",
+    "stats_jensen_shannon",
+    "stats_gini_concentration",
+    "stats_benford_digits",
+    # --- one flagship per remaining untested family ---
+    "temporal_m4_downsample",
+    "events_retention_cohorts",
+    "pipeline_greedy_packing",
+    "graph_clustering_coefficient",
+    "privacy_erasure_cascade",
+    "profile_key_discovery",
 )
 
 

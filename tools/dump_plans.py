@@ -185,6 +185,9 @@ EXTRA = [
     "agg_ordered_set_aggs",
     "sql_lateral_column_alias",
     "pipeline_label_disagreement",
+    "privacy_dp_quantile_expmech",
+    "window_clamped_cumsum",
+    "stats_erlang_c_staffing",
     "similarity_nearest_centroid_eval",
     "pipeline_conversation_assembly",
     "stats_rfm_migration",

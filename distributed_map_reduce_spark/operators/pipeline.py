@@ -73,25 +73,58 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_distribution",
     tags=("window",),
     oracle="""
+WITH b AS (
+  SELECT c_custkey, c_nationkey,
+         row_number() OVER w AS r,
+         count(*) OVER (PARTITION BY c_nationkey) AS n,
+         ntile(10) OVER w AS decile
+  FROM customer
+  WINDOW w AS (PARTITION BY c_nationkey ORDER BY round(c_acctbal, 2), c_custkey)
+)
 SELECT c_custkey, c_nationkey,
-       round(percent_rank() OVER w, 6) AS pct_rank,
-       round(cume_dist()    OVER w, 6) AS cume,
-       ntile(10)            OVER w     AS decile
-FROM customer
-WINDOW w AS (PARTITION BY c_nationkey ORDER BY round(c_acctbal, 2), c_custkey)
+       CASE WHEN n = 1 THEN 0e0
+            ELSE ((2 * (r - 1) * 1000000 + (n - 1)) // (2 * (n - 1))) / 1e6
+       END AS pct_rank,
+       ((2 * r * 1000000 + n) // (2 * n)) / 1e6 AS cume,
+       decile
+FROM b
 """,
 )
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions: percent_rank / cume_dist / ntile
-    per nation (the per-group quantile-assignment primitives)."""
+    per nation (the per-group quantile-assignment primitives). The
+    unique (acctbal, custkey) ordering makes rank == row_number, so
+    both ratios reduce to exact integer rank arithmetic — and since
+    round 6 they're computed as INTEGER half-up rounds,
+    (2*num*10^6 + den) div (2*den), before one shared /1e6: the sf0.1
+    second-scale gate caught cume_dist quotients landing exactly on
+    6dp midpoints (n=640 per nation → rank/640 ends in ...5), where
+    Spark's decimal-string round and DuckDB's raw-double round split.
+    Integer half-up has no midpoint ambiguity on either engine."""
     c = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(F.round("c_acctbal", 2), "c_custkey")
-    return c.select(
+    b = c.select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.row_number().over(w).cast("bigint").alias("_r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("c_nationkey"))
+        .cast("bigint")
+        .alias("_n"),
         F.ntile(10).over(w).alias("decile"),
+    )
+    return b.select(
+        "c_custkey",
+        "c_nationkey",
+        F.when(F.col("_n") == 1, F.lit(0.0))
+        .otherwise(
+            F.expr(
+                "((2 * (_r - 1) * 1000000 + (_n - 1)) div (2 * (_n - 1))) / 1e6"
+            )
+        )
+        .alias("pct_rank"),
+        F.expr("((2 * _r * 1000000 + _n) div (2 * _n)) / 1e6").alias("cume"),
+        "decile",
     )
 
 

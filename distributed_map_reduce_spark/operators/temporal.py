@@ -201,7 +201,9 @@ def temporal_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH hourly AS (
   SELECT event_type, time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket,
-         count(*) AS n_events, round(avg(value), 4) AS avg_value
+         count(*) AS n_events,
+         round(CAST(sum(CAST(round(value * 100) AS BIGINT)) * 100 AS DOUBLE)
+               / count(*)) / 10000.0 AS avg_value
   FROM events GROUP BY 1, 2
 ), bounds AS (
   SELECT event_type, min(bucket) AS mn, max(bucket) AS mx FROM hourly GROUP BY 1
@@ -224,11 +226,20 @@ def temporal_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets, then carry the last observation forward with
     last(ignorenulls) over an ordered window. The timeseries-engine
     'resample + ffill' verb as two exchanges (grid build reuses the
-    hourly agg's partitioning on event_type)."""
-    ev = load_table(spark, sf_dir, "events")
+    hourly agg's partitioning on event_type). avg_value follows the
+    integer-cents discipline (round 6 — the sf0.1 second-scale gate
+    caught a 4dp-midpoint divergence in the raw-double avg): one
+    identical bigint-ratio division, integer-level round whose true
+    midpoints are dyadic-exact on both engines."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("bigint")
+    )
+    avg4 = (
+        F.round((F.sum("cents") * 100).cast("double") / F.count(F.lit(1))) / 10000.0
+    )
     hourly = (
         ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), avg4.alias("avg_value"))
     )
     bounds = hourly.groupBy(F.col("event_type").alias("g_type")).agg(
         F.min("bucket").alias("mn"), F.max("bucket").alias("mx")

@@ -1151,8 +1151,8 @@ SELECT p.source,
        CAST(p.v_types AS BIGINT) AS v_types,
        CAST(p.hapax_types AS BIGINT) AS hapax_types,
        round(p.v_types * 1.0 / p.n_tokens, 6) AS ttr,
-       round(f.beta, 4) AS heaps_beta,
-       round(f.logk, 4) AS heaps_logk
+       round(f.beta, 4) + 0e0 AS heaps_beta,
+       round(f.logk, 4) + 0e0 AS heaps_logk
 FROM per_src p CROSS JOIN fit f
 """,
 )
@@ -1168,8 +1168,12 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     source-cardinality rows — 20 here, maybe thousands at 100 TB, never
     data-sized. The β/K fit is a broadcastable 1-row frame joined back
     onto every source row. Float discipline: regression over ln of
-    exact integers, rounded at 4dp (the `agg_regression_funcs` posture);
-    per-source columns are exact integers + one exact division."""
+    exact integers, rounded at 4dp (the `agg_regression_funcs` posture)
+    then ``+ 0.0`` to normalize sign-of-zero — a near-zero slope can
+    round to -0.0, which DuckDB keeps but Spark's decimal round drops,
+    and the driver canonicalizer renders "-0.0" != "0.0" (caught by the
+    round-6 sf0.1 second-scale gate); per-source columns are exact
+    integers + one exact division."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
     toks = docs.select("source", F.explode(t).alias("w"))
@@ -1189,8 +1193,8 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v_types").cast("bigint").alias("v_types"),
         F.col("hapax_types").cast("bigint").alias("hapax_types"),
         F.round(F.col("v_types") * 1.0 / F.col("n_tokens"), 6).alias("ttr"),
-        F.round("beta", 4).alias("heaps_beta"),
-        F.round("logk", 4).alias("heaps_logk"),
+        (F.round("beta", 4) + 0.0).alias("heaps_beta"),
+        (F.round("logk", 4) + 0.0).alias("heaps_logk"),
     )
 
 

@@ -152,11 +152,19 @@ def _load_all() -> None:
 #
 # ROUND 6 = drain the verification backlog (VERDICT r5 #1: registry
 # growth frozen this round — zero new registrations; 309 never-tested
-# oracled queries at round start). 49 never-driver-tested queries + 1
-# sanctioned repeat (mr_wordcount_documents — its combiner semantics
-# changed in the r5 sf1 fixes and VERDICT r5 #5 demands a fresh row;
-# the other four changed-semantics queries from that list are in this
-# window or already r5-green). Rule (a) slots first: the nine queries
+# oracled queries at round start). 48 never-driver-tested queries + 2
+# rule-(a) repeats: mr_wordcount_documents (its combiner semantics
+# changed in the r5 sf1 fixes and VERDICT r5 #5 demands a fresh row)
+# and temporal_gap_fill (this round's NEW second-scale gate — the full
+# registry run at sf0.1 — caught five latent cross-engine divergences
+# invisible at sf0.01: 4dp/6dp decimal-midpoint rounding splits in
+# temporal_gap_fill / events_sliding_window / stream_sliding_flush /
+# window_distribution and a -0.0 render in text_heaps_law; all five
+# fixed with integer-level rounding or sign normalization, and only
+# temporal_gap_fill's sf0.01 output changed — 5 hourly buckets — so
+# only it needs a fresh row; the others' existing rows remain valid,
+# verified by old-vs-new output diffs at sf0.01). Rule (a) slots
+# first: the nine queries
 # whose code changed THIS round (ADVICE r5 fixes: MMD means, clamped
 # cumsum exact div, Erlang-C running product, soundex tail, ablation
 # dead column; the dp-quantile scalable-sweep rewrite) or in r5's sf1
@@ -168,9 +176,9 @@ def _load_all() -> None:
 # outputs — and their existing driver-green rows — are unchanged, and
 # the reworked oracles are hash-verified by the local gate. Then the
 # never-tested families VERDICT named: the full eval_* family (9), the
-# full sketch_* family (7), an 18-query spread of the stats long tail,
+# full sketch_* family (7), a 17-query spread of the stats long tail,
 # and one flagship from each remaining untested family. Backlog after
-# this window: 309 - 49 = 260.
+# this window: 309 - 48 = 261.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # --- rule (a): semantics changed this round (ADVICE r5 fixes +
     #     scalable-sweep rewrite) or in the r5 sf1 fixes ---
@@ -183,7 +191,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_edit_distance_block",
     "stats_chow_test",
     "source_binaryfile_manifest",
-    "mr_wordcount_documents",  # the one repeat: VERDICT r5 #5
+    "mr_wordcount_documents",  # repeat: VERDICT r5 #5 (r5 combiner fix)
+    # repeat: the round-6 sf0.1 second-scale gate caught a 4dp-midpoint
+    # divergence in its raw-double avg; the integer-cents fix changes 5
+    # sf0.01 hourly buckets, so the r1 green row no longer covers it.
+    "temporal_gap_fill",
     # --- eval family (complete, never tested) ---
     "eval_rank_metrics_ndcg",
     "eval_rouge_ngram",
@@ -220,7 +232,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "stats_weibull_fit",
     "stats_jensen_shannon",
     "stats_gini_concentration",
-    "stats_benford_digits",
     # --- one flagship per remaining untested family ---
     "temporal_m4_downsample",
     "events_retention_cohorts",

@@ -53,21 +53,35 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH buckets AS (
   SELECT unnest([time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)),
                  time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL 5 MINUTE]) AS window_start,
-         event_type, value
+         event_type, CAST(round(value * 100) AS BIGINT) AS cents
   FROM events
 )
-SELECT window_start, event_type, count(*) AS n_events, round(avg(value), 4) AS avg_value
+SELECT window_start, event_type, count(*) AS n_events,
+       round(CAST(sum(cents) * 100 AS DOUBLE) / count(*)) / 10000.0 AS avg_value
 FROM buckets
 GROUP BY 1, 2
 """,
 )
 def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (10 min length, 5 min slide): every event lands in
-    two windows — Spark expands them; the oracle unnests both buckets."""
-    ev = load_table(spark, sf_dir, "events")
+    two windows — Spark expands them; the oracle unnests both buckets.
+
+    avg_value follows the integer-cents discipline (round 6 — the sf0.1
+    second-scale gate caught a 4dp-midpoint divergence here): values
+    quantize to exact integer cents per row, the ONLY float op is one
+    identical bigint-ratio division on both engines, and the final
+    round-to-integer's true midpoints are dyadic-exact doubles both
+    engines round away from zero — so no summation order or decimal
+    re-quantization can flip the last digit."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("bigint")
+    )
+    avg4 = (
+        F.round((F.sum("cents") * 100).cast("double") / F.count(F.lit(1))) / 10000.0
+    )
     return (
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), avg4.alias("avg_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "avg_value")
     )
 

@@ -180,10 +180,11 @@ def stream_session_flush_final(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH buckets AS (
   SELECT unnest([time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)),
                  time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL 5 MINUTE]) AS window_start,
-         event_type, value
+         event_type, CAST(round(value * 100) AS BIGINT) AS cents
   FROM events
 )
-SELECT window_start, event_type, count(*) AS n_events, round(avg(value), 4) AS avg_value
+SELECT window_start, event_type, count(*) AS n_events,
+       round(CAST(sum(cents) * 100 AS DOUBLE) / count(*)) / 10000.0 AS avg_value
 FROM buckets
 GROUP BY 1, 2
 """,
@@ -192,15 +193,22 @@ def stream_sliding_flush_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPEND-mode sliding windows (10-min length, 5-min slide) over the
     event stream, drained by the flush sentinels; each (window, type)
     row is emitted exactly once, after finalization, and the union must
-    equal the batch twin `events_sliding_window` (same oracle). Sentinel
-    rows aggregate under their own event_type and are filtered out."""
-    events = read_flushed_events(spark, sf_dir)
+    equal the batch twin `events_sliding_window` (same oracle, same
+    integer-cents avg discipline — round 6 second-scale gate fix).
+    Sentinel rows aggregate under their own event_type and are filtered
+    out."""
+    events = read_flushed_events(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("bigint")
+    )
+    avg4 = (
+        F.round((F.sum("cents") * 100).cast("double") / F.count(F.lit(1))) / 10000.0
+    )
     agg = (
         events.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            avg4.alias("avg_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

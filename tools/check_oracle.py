@@ -17,6 +17,16 @@ replays the driver's path exactly:
   ``unhashable type: 'numpy.ndarray'`` crash (CORRECTNESS_r02).
 
 Usage: python tools/check_oracle.py [--sf /root/testdata/sf0.01] [name ...]
+
+Round-6 discipline: ALSO run the full registry at --sf
+/root/testdata/sf0.1 once the sf0.01 gate is green. Float
+quotients/averages only land on decimal rounding midpoints at certain
+group sizes (n=640 customers/nation at sf0.1, not 64 at sf0.01), so
+the Spark-decimal-round vs DuckDB-double-round split class is
+scale-gated — the sf0.1 run caught five such latent defects in r6.
+Expected steady state at sf0.1: everything green except
+source_parquet_footer_stats, whose oracle path is pinned to the
+driver's sf0.01 contract by design (see its docstring).
 """
 
 from __future__ import annotations

@@ -1466,14 +1466,24 @@ def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_ordered_set_aggs",
     tags=("agg", "sql"),
     oracle="""
-SELECT l_returnflag,
-       CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.5) AS DOUBLE) AS p50_disc,
-       round(quantile_cont(CAST(l_quantity AS BIGINT), 0.5), 4) AS p50_cont,
-       CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.9) AS DOUBLE) AS p90_disc,
-       CAST(mode(CAST(l_quantity AS BIGINT)) AS BIGINT) AS modal_qty,
+WITH qc AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q, count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+), mx AS (
+  SELECT l_returnflag, max(c) AS mc FROM qc GROUP BY 1
+), md AS (
+  SELECT qc.l_returnflag, min(qc.q) AS modal_qty
+  FROM qc JOIN mx ON qc.l_returnflag = mx.l_returnflag AND qc.c = mx.mc
+  GROUP BY qc.l_returnflag
+)
+SELECT l.l_returnflag,
+       CAST(quantile_disc(CAST(l.l_quantity AS BIGINT), 0.5) AS DOUBLE) AS p50_disc,
+       round(quantile_cont(CAST(l.l_quantity AS BIGINT), 0.5), 4) AS p50_cont,
+       CAST(quantile_disc(CAST(l.l_quantity AS BIGINT), 0.9) AS DOUBLE) AS p90_disc,
+       CAST(any_value(md.modal_qty) AS BIGINT) AS modal_qty,
        CAST(count(*) AS BIGINT) AS n
-FROM lineitem
-GROUP BY l_returnflag
+FROM lineitem l JOIN md ON md.l_returnflag = l.l_returnflag
+GROUP BY l.l_returnflag
 """,
 )
 def agg_ordered_set_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1481,23 +1491,37 @@ def agg_ordered_set_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     3.4+): PERCENTILE_DISC — the p-th value ACTUALLY PRESENT in the
     data (disc never interpolates, so it stays meaningful for discrete
     domains like latencies-in-ms or quantities) — beside
-    PERCENTILE_CONT and MODE() WITHIN GROUP. Disc picks an exact data
-    value on both engines, so no float interpolation can disagree;
-    mode is hash-checkable here because each flag's modal quantity is
-    UNIQUE in the fixture (`agg_mode_per_group` is the tie-broken form
-    for general data). One sort-based aggregate pass per group."""
+    PERCENTILE_CONT, with the modal quantity alongside. Disc picks an
+    exact data value on both engines, so no float interpolation can
+    disagree. The mode is computed EXPLICITLY as min-value-of-max-count
+    (round 6: the third-scale sf0.001 gate caught returnflag N's modal
+    quantity TIED between 43 and 47, and native mode() breaks ties
+    engine-arbitrarily — Spark picked 43, DuckDB 47; the docstring's
+    old uniqueness assumption only held at sf0.01+; `agg_mode_per_group`
+    documents the same tie-break). One sort-based aggregate pass per
+    group plus a count-grain mode lookup."""
     from ..sources import register_views
 
     register_views(spark, sf_dir)
     return spark.sql(
-        """SELECT l_returnflag,
-                  percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS p50_disc,
-                  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)), 4) AS p50_cont,
-                  percentile_disc(0.9) WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS p90_disc,
-                  CAST(mode() WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS BIGINT) AS modal_qty,
+        """WITH qc AS (
+             SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q, count(*) AS c
+             FROM lineitem GROUP BY 1, 2
+           ), mx AS (
+             SELECT l_returnflag, max(c) AS mc FROM qc GROUP BY 1
+           ), md AS (
+             SELECT qc.l_returnflag, min(qc.q) AS modal_qty
+             FROM qc JOIN mx ON qc.l_returnflag = mx.l_returnflag AND qc.c = mx.mc
+             GROUP BY qc.l_returnflag
+           )
+           SELECT l.l_returnflag,
+                  percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST(l.l_quantity AS BIGINT)) AS p50_disc,
+                  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(l.l_quantity AS BIGINT)), 4) AS p50_cont,
+                  percentile_disc(0.9) WITHIN GROUP (ORDER BY CAST(l.l_quantity AS BIGINT)) AS p90_disc,
+                  CAST(any_value(md.modal_qty) AS BIGINT) AS modal_qty,
                   CAST(count(*) AS BIGINT) AS n
-           FROM lineitem
-           GROUP BY l_returnflag"""
+           FROM lineitem l JOIN md ON md.l_returnflag = l.l_returnflag
+           GROUP BY l.l_returnflag"""
     )
 
 

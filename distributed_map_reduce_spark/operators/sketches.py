@@ -173,29 +173,38 @@ def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
     estimate >= truth (the `overcount` column is the collision noise,
     never negative — the oracle pins that too).
 
-    Scale: the token stream collapses to d*w = {CMS_D * CMS_W} cells via
-    one partial-aggregated shuffle (explode by j multiplies rows d×, but
-    map-side combine collapses each partition to ≤ d*w cells before the
-    exchange). The estimate lookup joins the tiny candidate set against
-    the 4096-cell matrix — broadcast territory at any corpus size."""
+    Scale: the token stream collapses to vocabulary-sized (w, count)
+    rows FIRST (one partial-aggregated shuffle), and only the distinct
+    tokens are hashed — d md5 calls per VOCABULARY entry, not per
+    occurrence (the occurrence-level form cost d×N hashes and a d×
+    exploded exchange; at sf1 that was 28.5s vs ~7s for this shape).
+    Cell counts are then SUM(count) by (j, bucket) — identical d×w
+    matrix, since hashing is per-token and counts are additive. The
+    vocab frame is localCheckpointed so the cells and truth branches
+    share one token-count pass. The estimate lookup joins the tiny
+    candidate set against the 4096-cell matrix — broadcast territory
+    at any corpus size."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens(docs)
+    wc = (
+        _tokens(docs)
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("true_count"))
+        .localCheckpoint(eager=True)
+    )
     j = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("j")
-    keyed = toks.select("w", j).select(
+    keyed = wc.select("w", "true_count", j).select(
         "j",
         (
             md5_int60(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("w")))
             % CMS_W
         ).alias("bucket"),
+        "true_count",
     )
-    cells = keyed.groupBy("j", "bucket").agg(F.count("*").cast("bigint").alias("c"))
+    cells = keyed.groupBy("j", "bucket").agg(
+        F.sum("true_count").cast("bigint").alias("c")
+    )
 
-    truth = (
-        toks.groupBy("w")
-        .agg(F.count("*").cast("bigint").alias("true_count"))
-        .orderBy(F.desc("true_count"), "w")
-        .limit(CMS_TOPN)
-    )
+    truth = wc.orderBy(F.desc("true_count"), "w").limit(CMS_TOPN)
     cand = truth.select(
         "w",
         "true_count",

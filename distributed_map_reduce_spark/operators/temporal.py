@@ -1842,11 +1842,19 @@ def temporal_calendar_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (engine rounding modes differ), each day gets the integer
     largest-remainder allocation cents//span + (idx < cents%span), so
     per-line allocations sum EXACTLY to the line's cents and every
-    engine agrees bitwise. Shape: row -> span-day explode (bounded x59
-    fan-out, a width knob not a join) -> hash agg by month; at 100 TB
-    the explode stays pipelined inside the scan stage and the shuffle
-    carries only month-keyed partials. The distinct line count per
-    month audits how many lines are 'open' in each period."""
+    engine agrees bitwise. Shape: the Spark side folds the per-day
+    largest-remainder schedule in CLOSED FORM per (line, month) — a
+    month receives n_days*(cents//span) + clamp(rem - start_idx, 0,
+    n_days) cents, where [start_idx, end_idx] is the slice of the
+    0..span-1 day index falling inside the month — so the explode is
+    by months touched (≤3 for a ≤59-day span), not by days (≤59), and
+    the open-line countDistinct runs over a ~15x smaller exchange (the
+    fixture's lineitem carries duplicate (orderkey, linenumber) ids,
+    so the audit must stay DISTINCT line ids, matching the oracle).
+    The oracle keeps the literal per-day unnest, so the differential
+    gate is also a machine check that the closed form equals the
+    day-by-day schedule. At 100 TB the explode stays pipelined inside
+    the scan stage and the shuffle carries only month-keyed partials."""
     li = load_table(spark, sf_dir, "lineitem")
     base = li.select(
         "l_orderkey",
@@ -1855,28 +1863,42 @@ def temporal_calendar_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
         (10 + F.col("l_partkey") % 50).cast("bigint").alias("span_days"),
     )
-    days = base.select(
-        "l_orderkey",
-        "l_linenumber",
+    ship = F.col("l_shipdate").cast("date")
+    last = F.date_add(ship, (F.col("span_days") - 1).cast("int"))
+    n_extra_months = F.months_between(F.trunc(last, "MM"), F.trunc(ship, "MM")).cast(
+        "int"
+    )
+    months = base.select(
         "cents",
         "span_days",
         "l_shipdate",
-        F.explode(
-            F.sequence(F.lit(0), (F.col("span_days") - 1).cast("int"))
-        ).alias("idx"),
-    )
-    alloc = days.select(
-        F.date_trunc("month", F.date_add(F.col("l_shipdate"), F.col("idx")))
-        .cast("date")
-        .alias("month"),
-        (
-            F.floor(F.col("cents") / F.col("span_days"))
-            + F.when(F.col("idx") < F.col("cents") % F.col("span_days"), 1).otherwise(0)
-        ).alias("day_cents"),
         F.concat_ws("-", "l_orderkey", "l_linenumber").alias("line_id"),
+        F.explode(F.sequence(F.lit(0), n_extra_months)).alias("m"),
+    )
+    month = F.add_months(F.trunc(F.col("l_shipdate").cast("date"), "MM"), F.col("m"))
+    month_end = F.date_sub(F.add_months(month, 1), 1)
+    start_idx = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.datediff(month, F.col("l_shipdate").cast("date")).cast("bigint"),
+    )
+    end_idx = F.least(
+        F.col("span_days") - 1,
+        F.datediff(month_end, F.col("l_shipdate").cast("date")).cast("bigint"),
+    )
+    n_days = end_idx - start_idx + 1
+    rem = F.col("cents") % F.col("span_days")
+    bonus = F.greatest(
+        F.lit(0).cast("bigint"), F.least(rem - start_idx, n_days)
+    )
+    alloc = months.select(
+        month.alias("month"),
+        (
+            n_days * F.floor(F.col("cents") / F.col("span_days")) + bonus
+        ).alias("month_cents"),
+        "line_id",
     )
     return alloc.groupBy("month").agg(
-        F.sum("day_cents").cast("bigint").alias("recognized_cents"),
+        F.sum("month_cents").cast("bigint").alias("recognized_cents"),
         F.countDistinct("line_id").cast("bigint").alias("n_open_lines"),
     )
 

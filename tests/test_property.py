@@ -220,3 +220,51 @@ def test_portable_samplers_deterministic_and_calibrated(spark):
         if st in base and base[st] >= 50:
             got = by_status.get(st, 0) / base[st]
             assert abs(got - f) <= 0.05 + 2 / (base[st] ** 0.5), (st, got, f)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**9),  # cents
+            st.integers(min_value=1, max_value=64),  # span_days
+            st.integers(min_value=0, max_value=120),  # shipdate offset (days)
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_proration_closed_form_matches_per_day(lines):
+    """temporal_calendar_proration's per-(line, month) CLOSED FORM —
+    n_days * (cents // span) + clamp(rem - start_idx, 0, n_days) — must
+    allocate exactly the same cents per calendar month as the literal
+    day-by-day largest-remainder schedule (which the DuckDB oracle still
+    runs). Pure-Python twin of the Spark expressions, driven over random
+    (cents, span, shipdate) triples including spans crossing 1-5 month
+    boundaries and the rem=0 / span=1 / cents=0 edges."""
+    import datetime
+
+    base = datetime.date(1995, 1, 1)
+    per_day: dict[datetime.date, int] = {}
+    closed: dict[datetime.date, int] = {}
+    for cents, span, off in lines:
+        ship = base + datetime.timedelta(days=off)
+        q, rem = divmod(cents, span)
+        # brute force: one allocation per day
+        for idx in range(span):
+            d = ship + datetime.timedelta(days=idx)
+            m = d.replace(day=1)
+            per_day[m] = per_day.get(m, 0) + q + (1 if idx < rem else 0)
+        # closed form: one allocation per touched month
+        last = ship + datetime.timedelta(days=span - 1)
+        m = ship.replace(day=1)
+        while m <= last:
+            nxt = (m.replace(day=28) + datetime.timedelta(days=4)).replace(day=1)
+            month_end = nxt - datetime.timedelta(days=1)
+            start_idx = max(0, (m - ship).days)
+            end_idx = min(span - 1, (month_end - ship).days)
+            n_days = end_idx - start_idx + 1
+            bonus = max(0, min(rem - start_idx, n_days))
+            closed[m] = closed.get(m, 0) + n_days * q + bonus
+            m = nxt
+    assert closed == per_day

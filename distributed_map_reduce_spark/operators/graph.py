@@ -294,7 +294,14 @@ def graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is frontier BFS (per-hop cost = frontier size, not graph size).
     """
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    pairs = (
+        minhash_lsh_pairs(docs)
+        .select("doc_a", "doc_b")
+        # localCheckpoint: the plan references the candidate-pair frame
+        # repeatedly (wedge/degree joins or recursion steps); without it
+        # each reference re-runs the whole MinHash-LSH pipeline.
+        .localCheckpoint(eager=True)
+    )
     both_nodes = pairs.select(F.col("doc_a").alias("n")).unionByName(
         pairs.select(F.col("doc_b").alias("n"))
     ).distinct()
@@ -521,7 +528,14 @@ def graph_reachability_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     path count). The cubic growth is the documented reason the
     frontier loop, not this CTE, is the open-ended-traversal tool."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    pairs = (
+        minhash_lsh_pairs(docs)
+        .select("doc_a", "doc_b")
+        # localCheckpoint: the plan references the candidate-pair frame
+        # repeatedly (wedge/degree joins or recursion steps); without it
+        # each reference re-runs the whole MinHash-LSH pipeline.
+        .localCheckpoint(eager=True)
+    )
     pairs.createOrReplaceTempView("_rec_pairs")
     spark.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
     return spark.sql("""
@@ -675,7 +689,14 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops hubs above a degree cap first (`graph_degree_histogram` is
     the triage view). Counts exact, one rounded division."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    pairs = (
+        minhash_lsh_pairs(docs)
+        .select("doc_a", "doc_b")
+        # localCheckpoint: the plan references the candidate-pair frame
+        # repeatedly (wedge/degree joins or recursion steps); without it
+        # each reference re-runs the whole MinHash-LSH pipeline.
+        .localCheckpoint(eager=True)
+    )
     edges = pairs.select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     ).unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
@@ -1037,7 +1058,14 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer, summed per pair then rounded 6dp — term counts per
     pair are tiny, both engines sum the same few doubles."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    pairs = (
+        minhash_lsh_pairs(docs)
+        .select("doc_a", "doc_b")
+        # localCheckpoint: the plan references the candidate-pair frame
+        # repeatedly (wedge/degree joins or recursion steps); without it
+        # each reference re-runs the whole MinHash-LSH pipeline.
+        .localCheckpoint(eager=True)
+    )
     edges = pairs.select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     ).unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
@@ -1181,7 +1209,14 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     [[graph_clustering_coefficient]]'s wedge step); corr() is one
     mergeable co-moment aggregate on both engines, 4dp posture."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    pairs = (
+        minhash_lsh_pairs(docs)
+        .select("doc_a", "doc_b")
+        # localCheckpoint: the plan references the candidate-pair frame
+        # repeatedly (wedge/degree joins or recursion steps); without it
+        # each reference re-runs the whole MinHash-LSH pipeline.
+        .localCheckpoint(eager=True)
+    )
     edges = pairs.select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     ).unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))

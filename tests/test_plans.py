@@ -446,3 +446,21 @@ def test_matrix_multiply_partial_agg(spark, sf_dir):
     plan = _plan(spark, sf_dir, "mr_matrix_multiply")
     assert plan.count("HashAggregate") >= 4  # partial+final for A-build and C-sum
     assert "CartesianProduct" not in plan
+
+
+def test_multi_reference_graph_plans_are_checkpoint_backed(spark, sf_dir):
+    """The wedge/degree self-join graph queries and the CMS sketch must
+    plan against the localCheckpointed frame — i.e. ZERO parquet scans
+    in the final plan — not re-inline the MinHash-LSH / token-count
+    pipeline once per reference (the round-6 regression: modularity's
+    plan was 838 nodes and ran the candidate derivation 3-6x)."""
+    for name in (
+        "graph_modularity_score",
+        "graph_degree_assortativity",
+        "graph_jaccard_neighbors",
+        "graph_adamic_adar",
+        "sketch_countmin_heavy_hitters",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "Scan parquet" not in plan, name
+        assert "Scan ExistingRDD" in plan, name

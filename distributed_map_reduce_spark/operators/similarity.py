@@ -1811,11 +1811,14 @@ FROM lam, tr
 )
 def similarity_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the embedding corpus by POWER
-    ITERATION on the Gram matrix — iterative linear algebra run
-    entirely inside the engine: the data-sized pass is the one XtX
-    reduction ([[similarity_gram_matrix]]'s shape); the 16 unrolled
-    v -> Gv/|Gv| steps then operate on d-cardinality frames (64 rows)
-    that never grow with the corpus, exactly like
+    ITERATION on the Gram matrix: the data-sized pass is the one XtX
+    reduction, computed with the [[similarity_gram_matrix_arrow]]
+    mapInArrow/numpy kernel (the documented dense-linear-algebra
+    exception — one BLAS matmul partial per batch instead of a
+    2080-element explode per vector; the declarative twin cost 27s at
+    sf1 vs 2s for the kernel feeding the same 4dp contract). The 16
+    unrolled v -> Gv/|Gv| steps then operate on d-cardinality frames
+    (64 rows) that never grow with the corpus, exactly like
     [[stats_markov_absorption]]'s chain steps. Both engines consume
     the IDENTICAL 4dp-rounded Gram cells, so the only cross-engine
     noise is 64-term sum order (~1e-13), absorbed by output rounding.
@@ -1826,24 +1829,8 @@ def similarity_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFram
     e = load_table(spark, sf_dir, "embeddings").select(
         as_double(F.col("embedding")).alias("v")
     )
-    d = F.size("v")
-    idx = F.sequence(F.lit(1), d)
-    cells = F.flatten(
-        F.transform(
-            idx,
-            lambda i: F.transform(
-                F.sequence(i, d),
-                lambda j: F.struct(
-                    i.cast("int").alias("dim_i"),
-                    j.cast("int").alias("dim_j"),
-                    (F.element_at("v", i) * F.element_at("v", j)).alias("p"),
-                ),
-            ),
-        )
-    )
     upper = (
-        e.select(F.explode(cells).alias("c"))
-        .select("c.dim_i", "c.dim_j", "c.p")
+        e.mapInArrow(_gram_partials, schema="dim_i int, dim_j int, p double")
         .groupBy("dim_i", "dim_j")
         .agg(F.round(F.sum("p"), 4).alias("g"))
     )
@@ -1854,7 +1841,7 @@ def similarity_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFram
     ).localCheckpoint(eager=True)
     dims = g.select(F.col("dim_i").alias("dim")).distinct()
     v = dims.select("dim", F.lit(1.0).alias("val"))
-    for _ in range(16):
+    for step in range(16):
         w = (
             g.join(v.withColumnRenamed("dim", "dim_j"), "dim_j")
             .groupBy("dim_i")
@@ -1862,14 +1849,16 @@ def similarity_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFram
             .withColumnRenamed("dim_i", "dim")
         )
         nrm = w.agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm"))
-        # truncate lineage every step: v is d rows (64), so the eager
-        # checkpoint is O(d) while the un-truncated 8-deep join lineage
-        # sends Catalyst planning super-linear (observed: >10 min to plan)
-        v = (
-            w.crossJoin(F.broadcast(nrm))
-            .select("dim", (F.col("val") / F.col("nrm")).alias("val"))
-            .localCheckpoint(eager=True)
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            "dim", (F.col("val") / F.col("nrm")).alias("val")
         )
+        # truncate lineage every SECOND step: v is d rows (64), so the
+        # eager checkpoint is O(d), while an un-truncated 8-deep join
+        # lineage sends Catalyst planning super-linear (observed:
+        # >10 min to plan). Two-deep plans stay sub-second to plan and
+        # halve the fixed per-job latency of the 16-step unroll.
+        if step % 2 == 1:
+            v = v.localCheckpoint(eager=True)
     lam = (
         g.join(v.select(F.col("dim").alias("dim_i"), F.col("val").alias("va")), "dim_i")
         .join(v.select(F.col("dim").alias("dim_j"), F.col("val").alias("vb")), "dim_j")

@@ -158,9 +158,14 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     and the evolving rank vector is checkpointed per round so lineage
     stays O(1). The driver never holds ranks — only the node count.
     """
+    # checkpoint the symmetrized edge list FIRST (the bfs_depths
+    # discipline): deg is referenced by the wedge join, the node count,
+    # and the rank init — without this every reference re-evaluates the
+    # caller's whole candidate-pair pipeline (MinHash-LSH for the
+    # registered near-dup graph queries).
     both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    )
+    ).localCheckpoint(eager=True)
     deg = both.groupBy("a").agg(F.count(F.lit(1)).alias("outdeg"))
     wedges = both.join(deg, "a").localCheckpoint(eager=True)
     n = deg.count()

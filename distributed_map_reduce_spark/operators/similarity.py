@@ -720,6 +720,11 @@ def similarity_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at sf0.1).
     from ..functions.vectors import norm
 
+    # NOT localCheckpointed, unlike the graph family's multi-reference
+    # frames: measured at sf1, the self-join's two references already
+    # share the E-step exchange (ReusedExchange), and materializing the
+    # 64-wide vectors through an RDD checkpoint was SLOWER (27.6s ->
+    # 33-45s) than recomputing the broadcast assignment.
     memn = mem.withColumn("nrm", norm(F.col("v")))
     a = memn.select(
         "cluster",

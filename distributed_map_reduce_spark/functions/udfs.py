@@ -51,7 +51,8 @@ def register_pandas_udfs(spark: SparkSession) -> None:
 SELECT substr(o_orderpriority, 1, 1) AS bucket_digit,
        'P' || substr(o_orderpriority, 1, 1) AS bucket,
        count(*) AS n,
-       round(sum(o_totalprice * (1 - 0.05)), 2) AS discounted_total
+       sum(CAST(round(o_totalprice * (1 - 0.05) * 100) AS BIGINT)) / 100.0
+         AS discounted_total
 FROM orders
 GROUP BY 1, 2
 """,
@@ -59,7 +60,12 @@ GROUP BY 1, 2
 def udf_runtime_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Register pandas UDFs at runtime, then call them from SQL text —
     the reference's routes.put + createRPC flow, Spark-native. The
-    oracle replays the UDF bodies as plain SQL expressions."""
+    oracle replays the UDF bodies as plain SQL expressions.
+
+    The per-row UDF value is rounded to integer cents BEFORE the sum
+    (identical per-row doubles on both engines -> identical cents; the
+    fourth-scale gate caught round(sum(double), 2) diverging at sf1
+    accumulation drift); one shared division renders dollars."""
     register_pandas_udfs(spark)
     register_views(spark, sf_dir)
     return spark.sql(
@@ -67,7 +73,8 @@ def udf_runtime_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT substr(o_orderpriority, 1, 1) AS bucket_digit,
                priority_bucket(o_orderpriority) AS bucket,
                count(*) AS n,
-               round(sum(disc_price(o_totalprice, 0.05D)), 2) AS discounted_total
+               sum(CAST(round(disc_price(o_totalprice, 0.05D) * 100) AS BIGINT))
+                 / 100.0D AS discounted_total
         FROM orders
         GROUP BY 1, 2
         """

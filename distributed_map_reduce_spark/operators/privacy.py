@@ -373,7 +373,8 @@ po AS (
 SELECT pc.c_mktsegment AS segment,
        CAST(count(DISTINCT pc.pseudo_id) AS BIGINT) AS n_customers,
        CAST(count(po.o_totalprice) AS BIGINT) AS n_orders,
-       round(sum(coalesce(po.o_totalprice, 0)), 4) AS total
+       sum(CAST(round(coalesce(po.o_totalprice, 0) * 100) AS BIGINT)) / 100.0
+         AS total
 FROM pc LEFT JOIN po USING (pseudo_id)
 GROUP BY 1
 """,
@@ -390,6 +391,8 @@ def privacy_pseudonymize_consistent(spark: SparkSession, sf_dir: str) -> DataFra
     no shuffle); the join behaves exactly like the raw-key join because
     the hash is injective in practice (64-bit truncation, collision
     probability ~n^2/2^65). Salt rotation = new literal, full re-map.
+    Revenue folds as exact integer cents (sf1-gate fix: the raw-double
+    sum's accumulation drift exceeded the 4dp round at 1.5M rows).
     """
     c = load_table(spark, sf_dir, "customer").select(
         F.substring(
@@ -411,7 +414,12 @@ def privacy_pseudonymize_consistent(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(
             F.countDistinct("pseudo_id").alias("n_customers"),
             F.count("o_totalprice").alias("n_orders"),
-            F.round(F.sum(F.coalesce("o_totalprice", F.lit(0.0))), 4).alias("total"),
+            (
+                F.sum(
+                    F.round(F.coalesce("o_totalprice", F.lit(0.0)) * 100).cast("bigint")
+                )
+                / 100.0
+            ).alias("total"),
         )
     )
 

@@ -334,18 +334,25 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_grouping_sets",
     tags=("agg",),
     oracle="""
-SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS (disjoint rollups) via Spark SQL."""
+    """Explicit GROUPING SETS (disjoint rollups) via Spark SQL.
+
+    Total is an EXACT integer-cents sum divided once (not
+    round(sum(double), 2)): the fourth-scale gate (sf1) caught the
+    raw-double form diverging cross-engine — at 1.5M rows the
+    accumulation-order drift (~0.01) exceeds the 2dp midpoint distance.
+    Same bigint, same division, identical doubles on both engines."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-               round(sum(o_totalprice), 2) AS total
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0D AS total
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
@@ -1613,7 +1620,7 @@ SELECT coalesce(o_orderstatus, 'ALL') AS status,
        coalesce(o_orderpriority, 'ALL') AS priority,
        CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(o_totalprice), 2) AS total
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """,
@@ -1626,7 +1633,8 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     1=status subtotal, 3=grand total). The COALESCE relabeling is safe
     here exactly BECAUSE gid is also emitted — consumers group on gid,
     not on the sentinel string. Same single-pass Expand as plain
-    rollup; one extra virtual column."""
+    rollup; one extra virtual column. Total is the exact integer-cents
+    sum divided once (sf1-gate fix, see agg_grouping_sets)."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.rollup("o_orderstatus", "o_orderpriority")
@@ -1635,7 +1643,9 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("gid"),
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")) / 100.0
+            ).alias("total"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),

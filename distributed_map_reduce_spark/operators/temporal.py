@@ -2166,9 +2166,12 @@ def temporal_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("temporal", "forecast", "iterative"),
     oracle="""
 WITH RECURSIVE monthly AS MATERIALIZED (
+  -- exact cents sum + integer half-up to dollars: round(sum(double))
+  -- diverged cross-engine at sf1 (fourth-scale gate), because the
+  -- double accumulation drift crosses .5 dollar boundaries
   SELECT CAST(row_number() OVER (ORDER BY m) AS BIGINT) AS rn, y FROM (
     SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
-           CAST(round(sum(o_totalprice)) AS BIGINT) AS y
+           (sum(CAST(round(o_totalprice * 100) AS BIGINT)) + 50) // 100 AS y
     FROM orders GROUP BY 1)
 ), steps AS (
   SELECT rn AS t, y * 1e0 AS l, 0e0 AS b, 0e0 AS e FROM monthly WHERE rn = 1
@@ -2217,7 +2220,11 @@ def temporal_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     monthly = o.groupBy(
         F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("m")
-    ).agg(F.round(F.sum("o_totalprice")).cast("bigint").alias("y"))
+    ).agg(
+        F.expr(
+            "(sum(cast(round(o_totalprice * 100) as bigint)) + 50) div 100"
+        ).alias("y")
+    )
     arr = monthly.agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("m", "y"))), lambda s: s["y"]
@@ -2258,9 +2265,10 @@ def temporal_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("temporal", "forecast", "iterative"),
     oracle="""
 WITH RECURSIVE daily AS MATERIALIZED (
+  -- exact cents + integer half-up (sf1-gate fix, see temporal_holt_smoothing)
   SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn, y FROM (
     SELECT CAST(o_orderdate AS DATE) AS d,
-           CAST(round(sum(o_totalprice)) AS BIGINT) AS y
+           (sum(CAST(round(o_totalprice * 100) AS BIGINT)) + 50) // 100 AS y
     FROM orders
     WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
       AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
@@ -2308,7 +2316,9 @@ def temporal_kalman_local_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date"))
     )
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
-        F.round(F.sum("o_totalprice")).cast("bigint").alias("y")
+        F.expr(
+            "(sum(cast(round(o_totalprice * 100) as bigint)) + 50) div 100"
+        ).alias("y")
     )
     arr = daily.agg(
         F.transform(

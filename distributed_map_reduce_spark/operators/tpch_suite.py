@@ -159,38 +159,59 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit",
     tags=("tpch", "join", "agg"),
     oracle="""
-SELECT n_name AS nation, year(o_orderdate) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount)
-                 - 0.5 * p_retailprice * l_quantity), 2) AS profit
-FROM lineitem
-JOIN part     ON p_partkey = l_partkey AND p_name LIKE '%red%'
-JOIN supplier ON s_suppkey = l_suppkey
-JOIN nation   ON n_nationkey = s_nationkey
-JOIN orders   ON o_orderkey = l_orderkey
-GROUP BY n_name, year(o_orderdate)
+WITH t AS (
+  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                  - CAST(round(p_retailprice * 100) AS BIGINT)
+                    * CAST(round(l_quantity) AS BIGINT) * 50) AS BIGINT) AS s4
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey AND p_name LIKE '%red%'
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+)
+SELECT nation, o_year,
+       (CASE WHEN s4 >= 0 THEN (s4 + 50) // 100
+             ELSE -((-s4 + 50) // 100) END) / 100.0 AS profit
+FROM t
 """,
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9-style: profit on red parts by supplier nation and year.
     Adapted: no partsupp table, so supply cost is proxied as
-    0.5·p_retailprice·l_quantity (same join/agg shape, deterministic)."""
+    0.5·p_retailprice·l_quantity (same join/agg shape, deterministic).
+
+    Profit folds EXACTLY in 1e-4-dollar integer units —
+    price_cents*(100 - disc_pct) - retail_cents*qty*50 — then one
+    sign-aware integer half-up to cents and one division. The
+    fourth-scale (sf1) gate caught the round(sum(double), 2) form
+    diverging cross-engine at 6M-row accumulation drift."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    profit = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    profit_1e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+        - F.round(F.col("p_retailprice") * 100).cast("bigint")
+        * F.round(F.col("l_quantity")).cast("bigint")
+        * 50
     )
-    return (
+    agged = (
         li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .agg(F.sum(profit_1e4).cast("bigint").alias("s4"))
     )
+    cents = F.when(
+        F.col("s4") >= 0, F.expr("(s4 + 50) div 100")
+    ).otherwise(-F.expr("(-s4 + 50) div 100"))
+    return agged.select("nation", "o_year", (cents / 100.0).alias("profit"))
 
 
 @register(

@@ -230,8 +230,18 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "stats_markov_absorption",
     "stats_fleiss_kappa",
     "stats_weibull_fit",
-    "stats_jensen_shannon",
-    "stats_gini_concentration",
+    # rule (a), late round-6: the FOURTH-scale gate (full differential
+    # run at sf1, tools/sf1_gate_r6.log) caught seven raw-double-sum /
+    # round(sum(double)) divergences invisible at sf0.01..sf0.1; all
+    # seven migrated to exact integer-cents folds. Five outputs are
+    # bit-identical at sf0.01 (old driver rows stay valid); these two
+    # CHANGED at sf0.01 (per-row-cents discount semantics; exact-cents
+    # input series), so they take window slots — udf_runtime_registered
+    # had a green r2 row that no longer covers it, holt was never
+    # tested. Displaced to the backlog: stats_jensen_shannon,
+    # stats_gini_concentration (the stats spread keeps 15 fresh rows).
+    "udf_runtime_registered",
+    "temporal_holt_smoothing",
     # --- one flagship per remaining untested family ---
     "temporal_m4_downsample",
     "events_retention_cohorts",

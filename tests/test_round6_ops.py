@@ -164,3 +164,32 @@ def test_nib_extra_bits_formula():
     assert _nib_extra_bits(5000) == 1
     assert _nib_extra_bits(50000) == 2
     assert _nib_extra_bits(8000) == 1  # exact power boundary: log2(16)/4 == 1
+
+
+def test_integer_fold_money_totals_are_cent_integral(spark, sf_dir):
+    """The seven queries the fourth-scale (sf1) gate migrated from
+    round(sum(double)) to exact integer-cents folds must emit money
+    columns that are EXACT multiples of a cent — the property the fold
+    guarantees and the raw-double form only approximates. A regression
+    back to a float sum would reintroduce sub-cent residue here (and
+    cross-engine drift at sf1) before any driver row could see it."""
+    from distributed_map_reduce_spark.registry import all_queries
+
+    qs = all_queries()
+    cases = {
+        "agg_grouping_sets": "total",
+        "agg_grouping_id": "total",
+        "q9_product_profit": "profit",
+        "udf_runtime_registered": "discounted_total",
+        "privacy_pseudonymize_consistent": "total",
+    }
+    for name, col in cases.items():
+        for r in qs[name].fn(spark, sf_dir).select(col).collect():
+            v = r[col]
+            assert v is not None, (name, col)
+            cents = v * 100
+            assert abs(cents - round(cents)) < 1e-6, (name, col, v)
+    # the Holt/Kalman input series are whole dollars by construction
+    for name in ("temporal_holt_smoothing", "temporal_kalman_local_level"):
+        row = qs[name].fn(spark, sf_dir).collect()[0]
+        assert row[0] > 0  # n periods — fold ran over a non-empty series

@@ -905,12 +905,14 @@ def dedup_mllib_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     MLLIB_SLAB = 2000  # fixed input slab: library-demo posture
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .orderBy("doc_id")
-        .limit(MLLIB_SLAB)
-    )
+    corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Surface the cap in the output schema (ADVICE r6 #2): every pair row
+    # carries how many docs the slab actually held vs the corpus total,
+    # so downstream consumers can't mistake capped output for
+    # full-corpus coverage. One count job on a 2-column projection.
+    corpus_docs = corpus.count()
+    slab_docs = min(corpus_docs, MLLIB_SLAB)
+    docs = corpus.orderBy("doc_id").limit(MLLIB_SLAB)
     shingled = docs.select(
         "doc_id", shingles_col(F.col("text")).alias("shingles")
     ).filter(F.size("shingles") > 0)
@@ -925,6 +927,8 @@ def dedup_mllib_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("datasetA.doc_id").alias("doc_a"),
             F.col("datasetB.doc_id").alias("doc_b"),
             F.round("jaccard_dist", 6).alias("jaccard_dist"),
+            F.lit(slab_docs).cast("bigint").alias("slab_docs"),
+            F.lit(corpus_docs).cast("bigint").alias("corpus_docs"),
         )
     )
 

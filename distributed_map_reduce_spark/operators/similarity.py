@@ -92,7 +92,7 @@ def _adaptive_sig_sql(src: str = "e", floor: int = N_PLANES,
     adaptive plane count and md5-parity hyperplanes from the data in
     DuckDB SQL, so the differential check covers the adaptivity itself.
     Splice after a CTE named ``src`` with columns (vec_id, ..., v)."""
-    return f"""dims AS (SELECT len(v) AS dim FROM {src} LIMIT 1),
+    return f"""dims AS (SELECT min(len(v)) AS dim FROM {src}),
      np AS (SELECT GREATEST({floor}, CAST(ceil(log2(count(*) / {target}.0)) AS INT))
               AS n_planes FROM {src}),
      planes AS (
@@ -121,9 +121,14 @@ def adaptive_bucketed(e: DataFrame, floor: int = N_PLANES,
     front (the statistics lookup AQE performs between stages), then the
     bucket is pure JVM expression work."""
     stats = e.agg(
-        F.count(F.lit(1)).alias("n"), F.first(F.size("v")).alias("dim")
+        F.count(F.lit(1)).alias("n"),
+        # min over non-null vectors: deterministic (F.first over an
+        # unordered agg is pick-dependent) and null-safe (ADVICE r6 #1);
+        # with mixed dims the smallest wins, matching the oracle's
+        # min(len(v)).
+        F.min(F.when(F.col("v").isNotNull(), F.size("v"))).alias("dim"),
     ).first()
-    if stats is None or not stats["n"]:
+    if stats is None or not stats["n"] or stats["dim"] is None:
         return e.withColumn("bucket", F.lit(0).cast("bigint"))
     dim = int(stats["dim"])
     npl = adaptive_n_planes(int(stats["n"]), floor=floor, target=target)

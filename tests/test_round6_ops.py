@@ -187,8 +187,16 @@ def test_integer_fold_money_totals_are_cent_integral(spark, sf_dir):
         for r in qs[name].fn(spark, sf_dir).select(col).collect():
             v = r[col]
             assert v is not None, (name, col)
-            cents = v * 100
-            assert abs(cents - round(cents)) < 1e-6, (name, col, v)
+            # Exact pin, scale-independent (ADVICE r6 #3): every fold
+            # renders as bigint_cents / 100.0, so v must be EXACTLY the
+            # correctly-rounded double of integer_cents/100 — i.e. the
+            # round-trip v -> round(v*100) -> /100 reproduces v bit-for-
+            # bit. A float-sum regression lands hundreds of ulps off the
+            # cents/100 double at any magnitude, so this discriminates
+            # where the old abs(v*100 - round(v*100)) < 1e-6 tolerance
+            # went blind (totals past ~2^40 cents).
+            cents = round(v * 100)
+            assert v == cents / 100, (name, col, v, cents)
     # the Holt/Kalman input series are whole dollars by construction
     for name in ("temporal_holt_smoothing", "temporal_kalman_local_level"):
         row = qs[name].fn(spark, sf_dir).collect()[0]

@@ -179,7 +179,24 @@ def _load_all() -> None:
 # full sketch_* family (7), a 17-query spread of the stats long tail,
 # and one flagship from each remaining untested family. Backlog after
 # this window: 309 - 48 = 261.
-_DRIVER_WINDOW: tuple[str, ...] = (
+# ROUND 7 = 50 never-driver-tested oracle-bearing queries (r6 went
+# 50/50 green; cumulative 280 distinct driver-green, backlog 262 at
+# round start). Rule-(a)-adjacent slots first: twelve queries whose
+# CODE was rewritten during round 6 (Arrow-gram PCA feed, the four
+# checkpointed graph rewrites' never-rowed members, self-BLEU HOF
+# hoist, closed-form proration, ordered-set mode tie-break, the
+# integer-cents folds' never-rowed members, heaps-law -0.0 render,
+# sliding-flush midpoint rounding) but which never received a driver
+# row — changed code outranks merely-untested code. This round's own
+# ADVICE r6 fixes change no sf0.01 output (adaptive-dim probe:
+# hash-verified unchanged on all four users; mllib slab columns:
+# oracle-less rows-only query), so they take no slots. Then the
+# never-tested families by depth: an 18-query spread of the stats
+# tail (incl. the two displaced from r6: jensen_shannon,
+# gini_concentration), pipeline 5, events 4, text 3, agg 3,
+# temporal 2, profile 2, multimodal 1. Backlog after this window:
+# 262 - 50 = 212.
+_R6_WINDOW: tuple[str, ...] = (
     # --- rule (a): semantics changed this round (ADVICE r5 fixes +
     #     scalable-sweep rewrite) or in the r5 sf1 fixes ---
     "similarity_mmd_drift",
@@ -249,6 +266,67 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "graph_clustering_coefficient",
     "privacy_erasure_cascade",
     "profile_key_discovery",
+)
+
+_DRIVER_WINDOW: tuple[str, ...] = (
+    # --- round-6-rewritten code that never received a driver row ---
+    "similarity_power_iteration_pca",  # Arrow-gram feed + stepped checkpoint
+    "graph_modularity_score",          # checkpointed candidate pairs
+    "graph_adamic_adar",               # checkpointed candidate pairs
+    "graph_degree_assortativity",      # checkpointed candidate pairs
+    "text_self_bleu_diversity",        # bigram HOF hoist
+    "temporal_calendar_proration",     # closed-form per-month rewrite
+    "agg_ordered_set_aggs",            # explicit mode tie-break (sf0.001 gate)
+    "agg_grouping_id",                 # integer-cents fold (sf1 gate)
+    "privacy_pseudonymize_consistent", # integer-cents fold (sf1 gate)
+    "temporal_kalman_local_level",     # exact-cents input series (sf1 gate)
+    "text_heaps_law",                  # -0.0 sign normalization (sf0.1 gate)
+    "stream_sliding_flush_final",      # 4dp midpoint rounding (sf0.1 gate)
+    # --- stats long-tail spread (incl. the two displaced from r6) ---
+    "stats_jensen_shannon",
+    "stats_gini_concentration",
+    "stats_autocorrelation",
+    "stats_correlation_matrix",
+    "stats_cohens_kappa",
+    "stats_cramers_v",
+    "stats_shannon_entropy",
+    "stats_mutual_information",
+    "stats_kruskal_wallis",
+    "stats_levene_test",
+    "stats_jarque_bera",
+    "stats_ljung_box",
+    "stats_mann_kendall",
+    "stats_logrank_test",
+    "stats_wilson_interval",
+    "stats_winsorize",
+    "stats_pareto_abc",
+    "stats_herfindahl_index",
+    # --- pipeline serving tail ---
+    "pipeline_chunk_documents",
+    "pipeline_incremental_dedup",
+    "pipeline_instruction_dedup",
+    "pipeline_quality_decile_gate",
+    "pipeline_domain_mix",
+    # --- events tail ---
+    "events_sessionize_ids",
+    "events_funnel_time_bound",
+    "events_top_paths",
+    "events_dau_mau_stickiness",
+    # --- text tail ---
+    "text_bm25_topk",
+    "text_zipf_fit",
+    "text_token_fertility",
+    # --- agg tail ---
+    "agg_weighted_median",
+    "agg_decimal_exact",
+    "agg_argminmax",
+    # --- temporal tail ---
+    "temporal_interval_coalesce",
+    "temporal_seasonal_decompose",
+    # --- profile / multimodal flagships ---
+    "profile_partition_skew",
+    "profile_dataset_card",
+    "multimodal_shard_manifest",
 )
 
 

@@ -128,7 +128,9 @@ def adaptive_bucketed(e: DataFrame, floor: int = N_PLANES,
         # min(len(v)).
         F.min(F.when(F.col("v").isNotNull(), F.size("v"))).alias("dim"),
     ).first()
-    if stats is None or not stats["n"] or stats["dim"] is None:
+    if stats is None or not stats["n"] or not stats["dim"]:
+        # no rows, all-null vectors, or an empty (dim-0) vector: no
+        # meaningful hyperplane exists — degrade to a single bucket.
         return e.withColumn("bucket", F.lit(0).cast("bigint"))
     dim = int(stats["dim"])
     npl = adaptive_n_planes(int(stats["n"]), floor=floor, target=target)

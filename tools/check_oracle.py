@@ -24,9 +24,11 @@ quotients/averages only land on decimal rounding midpoints at certain
 group sizes (n=640 customers/nation at sf0.1, not 64 at sf0.01), so
 the Spark-decimal-round vs DuckDB-double-round split class is
 scale-gated — the sf0.1 run caught five such latent defects in r6.
-Expected steady state at sf0.1: everything green except
-source_parquet_footer_stats, whose oracle path is pinned to the
-driver's sf0.01 contract by design (see its docstring).
+Expected steady state at sf0.1: everything green.
+(source_parquet_footer_stats' oracle path literal is pinned to the
+driver's sf0.01 contract; since round 7 this gate rewrites that literal
+to the --sf dir so the footer audit verifies at every scale instead of
+being skipped as a by-design fail.)
 """
 
 from __future__ import annotations
@@ -133,8 +135,21 @@ def main() -> int:
                 print(f"FAIL {name}: canonicalizer would crash: {e}")
                 failures.append(name)
             continue
+        # Scale-faithful path rewrite: one oracle (source_parquet_footer_stats)
+        # reads parquet FOOTERS via a path literal pinned to the driver's
+        # sf0.01 contract (the driver only ever evaluates oracles at sf0.01).
+        # When this gate runs at another scale, point the literal at the same
+        # dir the Spark side reads so the footer audit is verified at EVERY
+        # scale instead of skipped as a by-design fail.
+        oracle_sql = q.oracle
+        if "/root/testdata/sf0.01" in oracle_sql and os.path.abspath(
+            args.sf
+        ) != "/root/testdata/sf0.01":
+            oracle_sql = oracle_sql.replace(
+                "/root/testdata/sf0.01", os.path.abspath(args.sf)
+            )
         try:
-            opdf = con.execute(q.oracle).df()
+            opdf = con.execute(oracle_sql).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
             failures.append(name)

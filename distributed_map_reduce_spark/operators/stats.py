@@ -1354,6 +1354,16 @@ def _poisson_weight_sql(m: str) -> str:
     return f"CASE {cases} ELSE {len(_POIS1_CUM)} END"
 
 
+def _poisson_weight_col(m):
+    """Column twin of :func:`_poisson_weight_sql` — same thresholds,
+    same branch order, so both engines map the same coin to the same
+    Poisson(1) weight."""
+    c = F.when(m < _POIS1_CUM[0], 0)
+    for k, t in enumerate(_POIS1_CUM[1:], start=1):
+        c = c.when(m < t, k)
+    return c.otherwise(len(_POIS1_CUM))
+
+
 @register(
     "stats_bootstrap_poisson",
     tags=("stats", "resampling"),
@@ -1398,9 +1408,15 @@ def stats_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly. CI = 5th/96th order statistics of the replicate means
     (percentile method, no interpolation).
 
-    Scale: 100x row inflation happens inside the scan-project stage
-    (never shuffled wide); the shuffle carries B partial (sum, count)
-    pairs per partition. At 100 TB, B tunes against scan bandwidth.
+    Scale: NO row inflation at all — the replicate axis lives in the
+    column dimension. One projection computes 25 md5 digests and 100
+    weight columns per row; a single global HashAggregate folds 200
+    wide partials (sum wt*cents, sum wt per rep) map-side, so the
+    shuffle carries one 200-column partial per partition regardless of
+    data size. (The r6 form exploded rows x25 groups x4 lanes into a
+    100x-wider stream — 150M rows / 37.7s at sf1; the wide-agg form
+    keeps the pipeline at the scan's own row count. At 100 TB, B tunes
+    against codegen width instead of scan bandwidth.)
     """
     from pyspark.sql import Window as W
 
@@ -1410,43 +1426,48 @@ def stats_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One md5 per (row, group-of-4 reps); each hash funds FOUR
     # independent 8-hex coins (md5's 32 hex chars = 4 disjoint lanes) —
     # 25 digest evaluations per row instead of 100, same portability.
-    h = (
-        o.select(
-            "o_orderkey",
-            "cents",
-            F.explode(F.sequence(F.lit(0), F.lit(24))).alias("g"),
-        )
-        .withColumn(
-            "hex",
+    hexed = o.select(
+        "cents",
+        *[
             F.md5(
                 F.concat_ws(
                     "",
                     F.lit("boot:"),
-                    F.col("g").cast("string"),
+                    F.lit(str(g)),
                     F.lit(":"),
                     F.col("o_orderkey").cast("string"),
                 )
-            ),
-        )
+            ).alias(f"hex_{g}")
+            for g in range(25)
+        ],
     )
-    w = (
-        h.select(
-            "cents",
-            "g",
-            "hex",
-            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("lane"),
-        )
-        .withColumn("rep", F.col("g") * 4 + F.col("lane"))
-        .withColumn(
-            "m",
-            F.conv(F.expr("substring(hex, 1 + 8 * lane, 8)"), 16, 10).cast("bigint")
-            % 1000000,
-        )
-        .withColumn("wt", F.expr(_poisson_weight_sql("m")))
+    weighted = hexed.select(
+        "cents",
+        *[
+            _poisson_weight_col(
+                F.conv(
+                    F.substring(F.col(f"hex_{rep // 4}"), 1 + 8 * (rep % 4), 8), 16, 10
+                ).cast("bigint")
+                % 1000000
+            ).alias(f"wt_{rep}")
+            for rep in range(100)
+        ],
     )
-    rmeans = w.groupBy("rep").agg(
-        F.sum(F.col("wt") * F.col("cents")).cast("bigint").alias("wc"),
-        F.sum("wt").cast("bigint").alias("ws"),
+    wide = weighted.agg(
+        *[
+            a
+            for rep in range(100)
+            for a in (
+                F.sum(F.col(f"wt_{rep}") * F.col("cents"))
+                .cast("bigint")
+                .alias(f"wc_{rep}"),
+                F.sum(f"wt_{rep}").cast("bigint").alias(f"ws_{rep}"),
+            )
+        ]
+    )
+    stack_args = ", ".join(f"{r}L, wc_{r}, ws_{r}" for r in range(100))
+    rmeans = wide.select(
+        F.expr(f"stack(100, {stack_args}) AS (rep, wc, ws)")
     )
     ranked = rmeans.select(
         (F.col("wc") / (100.0 * F.col("ws"))).alias("rmean")

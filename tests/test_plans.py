@@ -464,3 +464,18 @@ def test_multi_reference_graph_plans_are_checkpoint_backed(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "Scan parquet" not in plan, name
         assert "Scan ExistingRDD" in plan, name
+
+
+def test_bootstrap_poisson_wide_agg_no_row_inflation(spark, sf_dir):
+    """The Poisson bootstrap must keep the replicate axis in the COLUMN
+    dimension: one scan-fused global HashAggregate over 200 wide
+    partials, no Generate (explode) anywhere upstream of the aggregate
+    (the round-6 form exploded rows x25 groups x4 lanes into a 100x
+    stream — 150M rows / 37.7s at sf1). The only Generate allowed is
+    the 1-row stack() that reshapes the wide result."""
+    plan = _plan(spark, sf_dir, "stats_bootstrap_poisson")
+    # the scan->weights->aggregate pipeline must be explode-free; the
+    # only Generate in the plan is the 1-row stack() reshape
+    assert "explode" not in plan, plan[:2000]
+    assert "stack" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

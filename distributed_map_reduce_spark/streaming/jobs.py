@@ -48,8 +48,11 @@ def events_stream_dir(sf_dir: str) -> str:
     events parquet through a temp-dir symlink (at scale this is the
     landing directory new files arrive into)."""
     d = tempfile.mkdtemp(prefix="dmrs_stream_")
+    # abspath: a relative sf_dir would otherwise become a relative symlink
+    # TARGET, which resolves against the /tmp dir, not the caller's cwd
     os.symlink(
-        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
+        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+        os.path.join(d, "events.parquet"),
     )
     return d
 

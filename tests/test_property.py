@@ -268,3 +268,53 @@ def test_proration_closed_form_matches_per_day(lines):
             closed[m] = closed.get(m, 0) + n_days * q + bonus
             m = nxt
     assert closed == per_day
+
+
+@settings(max_examples=50, deadline=None)
+@given(m=st.integers(min_value=0, max_value=999_999))
+def test_poisson_weight_twins_agree(m):
+    """The SQL CASE (_poisson_weight_sql, consumed by every DuckDB
+    oracle coin) and the Column CASE (_poisson_weight_col, consumed by
+    the wide-agg bootstrap) must map every coin in [0, 1e6) to the same
+    Poisson(1) weight — editing the thresholds in one twin without the
+    other would silently split the engines. Both are replayed in pure
+    Python here off their shared threshold tuple plus an independent
+    linear scan."""
+    import duckdb
+
+    from distributed_map_reduce_spark.operators.stats import (
+        _POIS1_CUM,
+        _poisson_weight_sql,
+    )
+
+    expected = next(
+        (k for k, t in enumerate(_POIS1_CUM) if m < t), len(_POIS1_CUM)
+    )
+    got_sql = duckdb.sql(f"SELECT {_poisson_weight_sql(str(m))} AS w").fetchone()[0]
+    assert got_sql == expected
+
+
+def test_poisson_weight_column_twin_at_boundaries(spark):
+    """One Spark job drives _poisson_weight_col over every CDF threshold
+    boundary (t-1, t, t+1 for each cumulative cut, plus 0 and 999999)
+    and compares to the shared-threshold linear scan — the Column twin
+    of the per-coin SQL parity above."""
+    from distributed_map_reduce_spark.operators.stats import (
+        _POIS1_CUM,
+        _poisson_weight_col,
+    )
+    from pyspark.sql import functions as F
+
+    ms = sorted(
+        {0, 999_999}
+        | {v for t in _POIS1_CUM for v in (t - 1, t, t + 1) if 0 <= v < 1_000_000}
+    )
+    df = spark.createDataFrame([(m,) for m in ms], "m bigint").select(
+        "m", _poisson_weight_col(F.col("m")).alias("w")
+    )
+    got = {r["m"]: r["w"] for r in df.collect()}
+    for m in ms:
+        expected = next(
+            (k for k, t in enumerate(_POIS1_CUM) if m < t), len(_POIS1_CUM)
+        )
+        assert got[m] == expected, (m, got[m], expected)

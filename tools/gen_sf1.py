@@ -64,6 +64,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default=os.path.join(REPO, "testdata_sf1"))
+    ap.add_argument(
+        "--replicas",
+        type=int,
+        default=REPLICAS,
+        help="key-offset copies of --src (10 -> sf1, 100 -> sf10)",
+    )
     args = ap.parse_args()
     os.makedirs(args.dst, exist_ok=True)
 
@@ -117,7 +123,7 @@ def main() -> None:
             f"""
             COPY (
               SELECT {sel}
-              FROM {t} CROSS JOIN (SELECT unnest(range({REPLICAS})) AS k)
+              FROM {t} CROSS JOIN (SELECT unnest(range({args.replicas})) AS k)
             ) TO '{args.dst}/{t}.parquet' (FORMAT PARQUET)
             """
         )

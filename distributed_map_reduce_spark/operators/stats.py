@@ -7329,9 +7329,11 @@ def stats_simpsons_reversal(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("stats", "temporal"),
     oracle="""
 WITH daily AS (
+  -- exact cents + integer half-up to dollars (sf1-gate fix class, see
+  -- temporal_holt_smoothing): round(sum(double)) ties on .5 midpoints
   SELECT CAST(o_orderdate AS DATE) AS d,
          CAST(count(*) AS BIGINT) AS x,
-         CAST(round(sum(o_totalprice)) AS BIGINT) AS y
+         (sum(CAST(round(o_totalprice * 100) AS BIGINT)) + 50) // 100 AS y
   FROM orders
   WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
     AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
@@ -7378,7 +7380,9 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
         F.count(F.lit(1)).cast("bigint").alias("x"),
-        F.round(F.sum("o_totalprice")).cast("bigint").alias("y"),
+        F.expr("(sum(cast(round(o_totalprice * 100) as bigint)) + 50) div 100")
+        .cast("bigint")
+        .alias("y"),
     )
     a, b = daily.alias("a"), daily.alias("b")
     prod = (F.col("a.x") - F.col("b.x")) * (F.col("a.y") - F.col("b.y"))
@@ -7489,8 +7493,9 @@ def stats_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("stats", "temporal"),
     oracle="""
 WITH daily AS (
+  -- exact cents + integer half-up to dollars (sf1-gate fix class)
   SELECT CAST(o_orderdate AS DATE) AS d,
-         CAST(round(sum(o_totalprice)) AS BIGINT) AS y
+         (sum(CAST(round(o_totalprice * 100) AS BIGINT)) + 50) // 100 AS y
   FROM orders GROUP BY 1
 ), idx AS (
   SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS x, y,
@@ -7557,7 +7562,9 @@ def stats_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
-        F.round(F.sum("o_totalprice")).cast("bigint").alias("y")
+        F.expr("(sum(cast(round(o_totalprice * 100) as bigint)) + 50) div 100")
+        .cast("bigint")
+        .alias("y")
     )
     w = Window.orderBy("d")
     idx = daily.select(
@@ -8021,9 +8028,12 @@ def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("stats", "temporal"),
     oracle="""
 WITH daily AS (
+  -- exact cents + integer half-up to dollars (sf1-gate fix class, see
+  -- temporal_holt_smoothing): round(sum(double)) ties on .5 midpoints
+  -- where the engines' accumulation orders drift
   SELECT CAST(o_orderdate AS DATE) AS d,
          CAST(count(*) AS BIGINT) AS x,
-         CAST(round(sum(o_totalprice)) AS BIGINT) AS y
+         (sum(CAST(round(o_totalprice * 100) AS BIGINT)) + 50) // 100 AS y
   FROM orders
   WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
     AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
@@ -8095,7 +8105,9 @@ def stats_ols_residual_diagnostics(spark: SparkSession, sf_dir: str) -> DataFram
     )
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
         F.count(F.lit(1)).cast("bigint").alias("x"),
-        F.round(F.sum("o_totalprice")).cast("bigint").alias("y"),
+        F.expr("(sum(cast(round(o_totalprice * 100) as bigint)) + 50) div 100")
+        .cast("bigint")
+        .alias("y"),
     )
     dec = lambda c: F.col(c).cast("decimal(38,0)")
     fit = daily.agg(

@@ -269,6 +269,9 @@ _R6_WINDOW: tuple[str, ...] = (
 )
 
 _DRIVER_WINDOW: tuple[str, ...] = (
+    # --- round-7-rewritten code that never received a driver row (rule a) ---
+    "stats_ols_residual_diagnostics",  # exact-cents daily y (r7 sf1 gate)
+    "source_parquet_footer_stats",     # per-chunk uncompressed sum (r7 sf1 gate)
     # --- round-6-rewritten code that never received a driver row ---
     "similarity_power_iteration_pca",  # Arrow-gram feed + stepped checkpoint
     "graph_modularity_score",          # checkpointed candidate pairs
@@ -300,7 +303,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "stats_wilson_interval",
     "stats_winsorize",
     "stats_pareto_abc",
-    "stats_herfindahl_index",
     # --- pipeline serving tail ---
     "pipeline_chunk_documents",
     "pipeline_incremental_dedup",
@@ -319,7 +321,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # --- agg tail ---
     "agg_weighted_median",
     "agg_decimal_exact",
-    "agg_argminmax",
     # --- temporal tail ---
     "temporal_interval_coalesce",
     "temporal_seasonal_decompose",

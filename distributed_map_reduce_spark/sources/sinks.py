@@ -762,8 +762,18 @@ def source_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         rg.column(j).total_compressed_size
                         for j in range(rg.num_columns)
                     )
+                    # sum the column-chunk field, NOT rg.total_byte_size:
+                    # the row-group total is a separate footer field some
+                    # writers (e.g. DuckDB) populate differently, while
+                    # per-chunk total_uncompressed_size is what every
+                    # metadata reader reports (caught by the r7 gate on
+                    # DuckDB-written sf1 fixtures)
+                    uncomp = sum(
+                        rg.column(j).total_uncompressed_size
+                        for j in range(rg.num_columns)
+                    )
                     out.append(
-                        (tbl, i, rg.num_rows, rg.num_columns, comp, rg.total_byte_size)
+                        (tbl, i, rg.num_rows, rg.num_columns, comp, uncomp)
                     )
             yield pd.DataFrame(
                 out,

@@ -1423,6 +1423,13 @@ def stats_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
     )
+    # The coin derivation is CPU-dense (~25 md5 + 100 conv/CASE per
+    # row), so it wants CORE-count parallelism, not IO-split
+    # parallelism: a 50 MB parquet yields 5 splits and strands 27 of 32
+    # local cores (34s -> 12s at sf1 from this one exchange of a
+    # 16-byte/row frame). On a real cluster the scan's split count
+    # already saturates cores and this rebalance is cheap insurance.
+    o = o.repartition(spark.sparkContext.defaultParallelism)
     # One md5 per (row, group-of-4 reps); each hash funds FOUR
     # independent 8-hex coins (md5's 32 hex chars = 4 disjoint lanes) —
     # 25 digest evaluations per row instead of 100, same portability.

@@ -659,10 +659,33 @@ assigned AS (
   FROM e CROSS JOIN cent
 ), mem AS (
   SELECT vec_id, v, c_label AS cluster FROM assigned WHERE rn = 1
+), pops AS (
+  -- adaptive sub-clustering: a cluster whose population exceeds the
+  -- 512-vector block target splits into ceil(pop/512) seeded
+  -- sub-clusters, so the quadratic verify stays block-bounded at any
+  -- corpus size; below the target n_sub=1 and this whole layer is the
+  -- identity (bit-identical output at the driver's scales)
+  SELECT cluster, CAST(ceil(count(*) / 512.0) AS INT) AS n_sub
+  FROM mem GROUP BY cluster
+), seeds AS (
+  SELECT m.cluster AS s_cluster, m.v AS sv, p.n_sub,
+         row_number() OVER (PARTITION BY m.cluster ORDER BY m.vec_id)
+           AS seed_id
+  FROM mem m JOIN pops p ON m.cluster = p.cluster
+  QUALIFY seed_id <= p.n_sub
+), subbed AS (
+  SELECT m.vec_id, m.v,
+         CASE WHEN s.n_sub = 1 THEN m.cluster
+              ELSE m.cluster * 1000 + s.seed_id END AS cluster,
+         row_number() OVER (PARTITION BY m.vec_id
+                            ORDER BY list_distance(m.v, s.sv), s.seed_id)
+           AS arn
+  FROM mem m JOIN seeds s ON m.cluster = s.s_cluster
+  QUALIFY arn = 1
 ), pairs AS (
   SELECT a.cluster, a.vec_id AS keep_id, b.vec_id AS prune_id,
          round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
-  FROM mem a JOIN mem b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  FROM subbed a JOIN subbed b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
   WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
 ), chosen AS (
   SELECT cluster, prune_id, keep_id, cos_sim,
@@ -687,7 +710,24 @@ def similarity_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is the same broadcast E-step as `ann_kmeans_assign` — no
     corpus-sized shuffle beyond one exchange on the cluster key.
     Threshold 0.3 fits the synthetic embeddings' cosine range (real
-    SemDeDup runs ~0.95+ on normalized text embeddings)."""
+    SemDeDup runs ~0.95+ on normalized text embeddings).
+
+    ADAPTIVE BLOCK BOUND (r7, caught by the first 100x probe): the
+    coarse cluster key is the fixture label — a FIXED cardinality — so
+    without a second level the within-cluster pair count grows
+    quadratically with the corpus (sf1: 2,180/cluster, 22s; sf10:
+    21,800/cluster, killed after 20+ min, ~2.2B pairs projected). The
+    paper's own answer is "clusters scale with the corpus"; here any
+    cluster whose population exceeds TARGET_BLOCK=512 splits into
+    ceil(pop/512) sub-clusters seeded by its lowest vec_ids (one
+    deterministic E-step to the nearest seed, ties to the lowest seed),
+    exactly mirrored in the DuckDB oracle — the adaptivity itself is
+    hash-checked, the ann_lsh_adaptive_planes pattern. Below the target
+    the layer is the identity: sf0.01/sf0.1 outputs are bit-identical
+    to the pre-r7 form (driver row stays valid). Split cluster ids
+    encode as label*1000+seed (labels are 0..9, no collision); pair
+    recall across a sub-cluster boundary is surrendered, the same
+    boundary loss SemDeDup already accepts at its cluster borders."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double(F.col("embedding")).alias("v")
     )
@@ -732,7 +772,46 @@ def similarity_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # share the E-step exchange (ReusedExchange), and materializing the
     # 64-wide vectors through an RDD checkpoint was SLOWER (27.6s ->
     # 33-45s) than recomputing the broadcast assignment.
-    memn = mem.withColumn("nrm", norm(F.col("v")))
+    TARGET_BLOCK = 512
+    pops = mem.groupBy("cluster").agg(
+        F.ceil(F.count(F.lit(1)) / float(TARGET_BLOCK)).cast("int").alias("n_sub")
+    )
+    seed_rn = F.row_number().over(W.partitionBy("cluster").orderBy("vec_id"))
+    seeds = (
+        mem.join(pops, "cluster")
+        .withColumn("seed_id", seed_rn)
+        .filter(F.col("seed_id") <= F.col("n_sub"))
+        .select(
+            F.col("cluster").alias("s_cluster"),
+            "seed_id",
+            "n_sub",
+            F.col("v").alias("sv"),
+        )
+    )
+    sub_dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("v", "sv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    arn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(F.col("sd"), F.col("seed_id"))
+    )
+    memsub = (
+        mem.join(seeds, F.col("cluster") == F.col("s_cluster"))
+        .withColumn("sd", sub_dist)
+        .withColumn("arn", arn)
+        .filter(F.col("arn") == 1)
+        .select(
+            "vec_id",
+            "v",
+            F.when(F.col("n_sub") == 1, F.col("cluster"))
+            .otherwise(F.col("cluster") * 1000 + F.col("seed_id"))
+            .alias("cluster"),
+        )
+    )
+    memn = memsub.withColumn("nrm", norm(F.col("v")))
     a = memn.select(
         "cluster",
         F.col("vec_id").alias("keep_id"),

@@ -289,3 +289,24 @@ def test_incremental_view_matches_full_aggregate(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_events_stream_dir_symlink_is_absolute(tmp_path, monkeypatch):
+    """The file-stream landing dir must symlink an ABSOLUTE target: a
+    relative sf_dir would otherwise become a relative symlink target,
+    which the OS resolves against the /tmp landing dir instead of the
+    caller's cwd (r7 gate catch — every streaming-flush query failed
+    under a relative --sf path)."""
+    import os
+
+    from distributed_map_reduce_spark.streaming.jobs import events_stream_dir
+
+    src = tmp_path / "fixtures"
+    src.mkdir()
+    (src / "events.parquet").write_bytes(b"stub")
+    monkeypatch.chdir(tmp_path)
+    d = events_stream_dir("fixtures")  # RELATIVE on purpose
+    link = os.path.join(d, "events.parquet")
+    target = os.readlink(link)
+    assert os.path.isabs(target), target
+    assert os.path.exists(link), "symlink must resolve from anywhere"

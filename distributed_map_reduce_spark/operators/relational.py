@@ -747,7 +747,9 @@ aged AS (
 )
 SELECT o_orderstatus, age_bucket,
        CAST(count(*) AS BIGINT) AS n_orders,
-       round(sum(o_totalprice), 2) AS outstanding
+       -- exact cents sum, one shared /100.0 (sf10-gate fix: the raw
+       -- double sum's accumulation drift crossed the 2dp grain at 100x)
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS outstanding
 FROM aged GROUP BY o_orderstatus, age_bucket
 """,
 )
@@ -772,7 +774,9 @@ def agg_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return aged.groupBy("o_orderstatus", bucket.alias("age_bucket")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("outstanding"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")) / 100.0).alias(
+            "outstanding"
+        ),
     )
 
 

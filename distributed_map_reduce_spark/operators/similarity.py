@@ -659,20 +659,20 @@ assigned AS (
   FROM e CROSS JOIN cent
 ), mem AS (
   SELECT vec_id, v, c_label AS cluster FROM assigned WHERE rn = 1
-), pops AS (
+), seeds AS (
   -- adaptive sub-clustering: a cluster whose population exceeds the
   -- 512-vector block target splits into ceil(pop/512) seeded
   -- sub-clusters, so the quadratic verify stays block-bounded at any
   -- corpus size; below the target n_sub=1 and this whole layer is the
-  -- identity (bit-identical output at the driver's scales)
-  SELECT cluster, CAST(ceil(count(*) / 512.0) AS INT) AS n_sub
-  FROM mem GROUP BY cluster
-), seeds AS (
-  SELECT m.cluster AS s_cluster, m.v AS sv, p.n_sub,
-         row_number() OVER (PARTITION BY m.cluster ORDER BY m.vec_id)
-           AS seed_id
-  FROM mem m JOIN pops p ON m.cluster = p.cluster
-  QUALIFY seed_id <= p.n_sub
+  -- identity (bit-identical output at the driver's scales). Population
+  -- and seed rank come out of the same cluster-keyed window pass.
+  SELECT cluster AS s_cluster, v AS sv,
+         row_number() OVER (PARTITION BY cluster ORDER BY vec_id)
+           AS seed_id,
+         CAST(ceil(count(*) OVER (PARTITION BY cluster) / 512.0) AS INT)
+           AS n_sub
+  FROM mem
+  QUALIFY seed_id <= n_sub
 ), subbed AS (
   SELECT m.vec_id, m.v,
          CASE WHEN s.n_sub = 1 THEN m.cluster
@@ -773,13 +773,13 @@ def similarity_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 64-wide vectors through an RDD checkpoint was SLOWER (27.6s ->
     # 33-45s) than recomputing the broadcast assignment.
     TARGET_BLOCK = 512
-    pops = mem.groupBy("cluster").agg(
-        F.ceil(F.count(F.lit(1)) / float(TARGET_BLOCK)).cast("int").alias("n_sub")
-    )
     seed_rn = F.row_number().over(W.partitionBy("cluster").orderBy("vec_id"))
+    n_sub = F.ceil(
+        F.count(F.lit(1)).over(W.partitionBy("cluster")) / float(TARGET_BLOCK)
+    ).cast("int")
     seeds = (
-        mem.join(pops, "cluster")
-        .withColumn("seed_id", seed_rn)
+        mem.withColumn("seed_id", seed_rn)
+        .withColumn("n_sub", n_sub)
         .filter(F.col("seed_id") <= F.col("n_sub"))
         .select(
             F.col("cluster").alias("s_cluster"),

@@ -119,14 +119,10 @@ def shingle_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     return toks.select("doc_id", F.explode(shingle).alias("s")).dropDuplicates(["doc_id", "s"])
 
 
-def band_candidates(sh_rows: DataFrame) -> DataFrame:
-    """MinHash-band candidate pairs (doc_a < doc_b), ids only.
-
-    signature = one hash-aggregate with k vectorized ``min`` columns
-    (universal hashing over the per-shingle md5 int); band keys
-    concatenate signature columns; candidates share a (band_id, band_key)
-    bucket. This is THE candidate generator for every exact verifier in
-    this module — bucket-bounded, never block-quadratic."""
+def banded_keys(sh_rows: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) LSH bucket rows: one hash-aggregate with
+    k vectorized ``min`` columns (universal hashing over the per-shingle
+    md5 int); band keys concatenate signature columns."""
     base = sh_rows.select(
         "doc_id",
         (F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint") % MINHASH_P).alias("b"),
@@ -138,7 +134,7 @@ def band_candidates(sh_rows: DataFrame) -> DataFrame:
         ]
     )
     r = N_HASHES // N_BANDS
-    banded = sig.select(
+    return sig.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -149,12 +145,41 @@ def band_candidates(sh_rows: DataFrame) -> DataFrame:
             )
         ).alias("band_id", "band_key"),
     )
+
+
+def band_candidates(sh_rows: DataFrame) -> DataFrame:
+    """MinHash-band candidate pairs (doc_a < doc_b), ids only: candidates
+    share a (band_id, band_key) bucket. This is THE candidate generator
+    for every exact PAIR verifier in this module — bucket-bounded, never
+    block-quadratic in candidate generation, but PAIR-quadratic inside a
+    bucket by construction (a 100-clone family yields C(100,2) bucket
+    pairs). Cluster-level consumers use :func:`star_candidates`."""
+    banded = banded_keys(sh_rows)
     return (
         banded.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
         .join(banded.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key"),
               ["band_id", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def star_candidates(sh_rows: DataFrame) -> DataFrame:
+    """LINEAR-output LSH candidates: per (band_id, band_key) bucket emit a
+    STAR from the bucket's min doc_id instead of all C(n,2) pairs —
+    Σ(n−1) edges connect exactly the same buckets, so connected
+    components over (verified) star edges replace the pair-quadratic
+    bucket join for cluster-level dedup (VERDICT r7 #1: 27.2M pairs →
+    ~0.5M edges on the sf10 clone-family fixture). Hub resolution is one
+    hash-aggregate (min per bucket) + one equi-join back — no window
+    sort over bucket-sized partitions."""
+    banded = banded_keys(sh_rows)
+    hubs = banded.groupBy("band_id", "band_key").agg(F.min("doc_id").alias("hub"))
+    return (
+        banded.join(hubs, ["band_id", "band_key"])
+        .filter(F.col("doc_id") != F.col("hub"))
+        .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
         .distinct()
     )
 
@@ -186,7 +211,13 @@ def minhash_lsh_pairs(
     # (persist taxes every later CacheManager lookup; checkpoint blocks
     # pile up until a cleaner storm stalls some later job).
     sh_rows = shingle_rows(docs, id_col, text_col)
-    cand = band_candidates(sh_rows)
+    return verify_jaccard(band_candidates(sh_rows), sh_rows, tau)
+
+
+def verify_jaccard(cand: DataFrame, sh_rows: DataFrame, tau: float) -> DataFrame:
+    """Exact-Jaccard verification of an ids-only candidate set against
+    the (doc_id, shingle) row table: |A∩B| from an equi-join on shingle,
+    |A∪B| = |A|+|B|−|A∩B| — never materializes a pair of arrays."""
     sizes = sh_rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         cand.join(sh_rows.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
@@ -203,6 +234,25 @@ def minhash_lsh_pairs(
         )
     )
     return verified.filter(F.col("jaccard") >= tau).select("doc_a", "doc_b", "jaccard")
+
+
+def minhash_star_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tau: float = MINHASH_TAU,
+) -> DataFrame:
+    """shingle → sign → band → bucket STAR → verify: the linear-output
+    edge generator for cluster-level dedup. Returns verified
+    (doc_a=hub, doc_b, jaccard) with jaccard ≥ tau; Σ_buckets (n−1)
+    edges instead of Σ C(n,2) pairs. Recall note: two docs sharing a
+    bucket connect only if both their hub edges verify — a bucket pair
+    whose members each clear τ against the hub stays connected, but a
+    (b,c) pair in a bucket whose hub a matches neither is surrendered
+    (the full-pair generator would keep it). On clone-family corpora the
+    hub is itself a family member, so family recall is unchanged."""
+    sh_rows = shingle_rows(docs, id_col, text_col)
+    return verify_jaccard(star_candidates(sh_rows), sh_rows, tau)
 
 
 def simhash_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -281,10 +331,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared WITH-clause body: shingle → sign → band → candidate pairs.
-# Referenced by both the MinHash verify oracle and the candidate-fed
-# n-gram Jaccard oracle, mirroring shingle_rows/band_candidates exactly.
-_MINHASH_CAND_SQL = f"""toks AS (
+# Shared WITH-clause body: shingle → sign → band rows (through `banded`).
+# Extended below into the pair-candidate form (_MINHASH_CAND_SQL) and the
+# linear star-edge form (_MINHASH_STAR_SQL), mirroring shingle_rows /
+# band_candidates / star_candidates exactly.
+_MINHASH_BAND_SQL = f"""toks AS (
   SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS t
   FROM documents
 ), sh AS (
@@ -307,12 +358,41 @@ _MINHASH_CAND_SQL = f"""toks AS (
          unnest(list_transform(range(0, {N_BANDS}),
                 bb -> mh[bb*3+1] || '|' || mh[bb*3+2] || '|' || mh[bb*3+3])) AS band_key
   FROM sig
-), cand AS (
+)"""
+
+_MINHASH_CAND_SQL = f"""{_MINHASH_BAND_SQL}, cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
   WHERE a.doc_id < b.doc_id
 )"""
 
+# Star-edge candidates: one hub (min doc_id) per bucket, (hub, other)
+# edges only — Σ(n−1) rows per bucket instead of C(n,2).
+_MINHASH_STAR_SQL = f"""{_MINHASH_BAND_SQL}, hubs AS (
+  SELECT band_id, band_key, min(doc_id) AS hub
+  FROM banded GROUP BY band_id, band_key
+), cand AS (
+  SELECT DISTINCT h.hub AS doc_a, b.doc_id AS doc_b
+  FROM banded b JOIN hubs h ON h.band_id = b.band_id AND h.band_key = b.band_key
+  WHERE b.doc_id <> h.hub
+)"""
+
+
+def _verified_sql(cand_sql: str, tau: float = MINHASH_TAU) -> str:
+    return f"""
+WITH {cand_sql}, verified AS (
+  SELECT doc_a, doc_b,
+         round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+               / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) AS jaccard
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.doc_a
+  JOIN sh sb ON sb.doc_id = cand.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {tau}
+"""
+
+
+_MINHASH_STAR_ORACLE = _verified_sql(_MINHASH_STAR_SQL)
 
 _MINHASH_ORACLE = f"""
 WITH {_MINHASH_CAND_SQL}, verified AS (
@@ -327,10 +407,17 @@ SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {MINHASH_TAU}
 """
 
 
-@register("dedup_minhash_lsh", bench=True, tags=("dedup",), oracle=_MINHASH_ORACLE)
+@register("dedup_minhash_lsh", tags=("dedup",), oracle=_MINHASH_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join→
-    verify); the DuckDB oracle replays the identical portable hashes."""
+    verify); the DuckDB oracle replays the identical portable hashes.
+
+    CALIBRATION-SCALE ONLY (demoted from the bench set in r8, VERDICT r7
+    #1): the pair LIST is output-quadratic on clone-heavy corpora (27.2M
+    pairs, 371.9s at sf10) — useful for threshold calibration on a
+    bounded sample, never the corpus-wide pass. The headline dedup query
+    is [[dedup_minhash_clusters]] (star edges → connected components →
+    keeper), whose output is one row per clustered doc."""
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 

@@ -20,7 +20,12 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import load_table
-from .dedup import _MINHASH_ORACLE, minhash_lsh_pairs
+from .dedup import (
+    _MINHASH_ORACLE,
+    _MINHASH_STAR_ORACLE,
+    minhash_lsh_pairs,
+    minhash_star_pairs,
+)
 
 MAX_ROUNDS = 20
 
@@ -890,6 +895,91 @@ def dedup_cluster_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rn") == 1, 1).otherwise(0).alias("keep"),
             "keeper_id",
         )
+    )
+
+
+@register(
+    "dedup_minhash_clusters",
+    bench=True,
+    tags=("dedup", "graph", "iterative", "scale"),
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_MINHASH_STAR_ORACLE})
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS node FROM edges
+), reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+), cc AS (
+  SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
+), ranked AS (
+  SELECT cc.doc_id, cc.component, d.n_chars,
+         row_number() OVER (PARTITION BY cc.component
+                            ORDER BY d.n_chars DESC, cc.doc_id) AS rn,
+         count(*) OVER (PARTITION BY cc.component) AS cluster_size
+  FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+)
+SELECT r.doc_id, r.component, CAST(r.cluster_size AS BIGINT) AS cluster_size,
+       CASE WHEN r.rn = 1 THEN 1 ELSE 0 END AS keep,
+       k.doc_id AS keeper_id
+FROM ranked r
+JOIN ranked k ON k.component = r.component AND k.rn = 1
+""",
+)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE headline corpus-dedup pass (r8, VERDICT r7 #2): MinHash-LSH
+    star edges → connected components → one keeper per cluster, composed
+    end-to-end with LINEAR output (one row per clustered doc: component,
+    cluster size, keep/drop verdict, superseding keeper).
+
+    Why this replaces [[dedup_minhash_lsh]] as the benched dedup query:
+    a 100 TB cleaning pass never materializes the near-dup PAIR list —
+    on clone-heavy corpora true pairs grow as clones² (27.2M pairs =
+    371.9s of the r7 sf10 bench), while the decision it feeds is per-doc.
+    Star edges (one hub per LSH bucket, Σ(n−1) edges) connect the same
+    buckets with linear volume; each edge still passes exact-Jaccard
+    verification, components come from pointer-jumping label propagation
+    (O(log D) shuffles, driver holds a counter), and the keeper rule is
+    [[dedup_cluster_keeper]]'s (longest n_chars, ties → lowest doc_id).
+    Recall vs the full-pair path: a bucket pair (b,c) whose hub a
+    matches neither is surrendered — on template/clone families the hub
+    is a family member, so family recall is unchanged (pinned by test).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_star_pairs(docs).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    from pyspark.sql import Window
+
+    ranked = (
+        cc.select(F.col("node").alias("doc_id"), "component")
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("component").orderBy(
+                    F.col("n_chars").desc(), F.col("doc_id")
+                )
+            ),
+        )
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("component")).cast("bigint"),
+        )
+    )
+    keepers = ranked.filter(F.col("rn") == 1).select(
+        "component", F.col("doc_id").alias("keeper_id")
+    )
+    return ranked.join(keepers, "component").select(
+        "doc_id",
+        "component",
+        "cluster_size",
+        F.when(F.col("rn") == 1, 1).otherwise(0).alias("keep"),
+        "keeper_id",
     )
 
 

@@ -662,8 +662,8 @@ assigned AS (
 ), seeds AS (
   -- adaptive sub-clustering: a cluster whose population exceeds the
   -- 512-vector block target splits into ceil(pop/512) seeded
-  -- sub-clusters, so the quadratic verify stays block-bounded at any
-  -- corpus size; below the target n_sub=1 and this whole layer is the
+  -- sub-clusters, keeping the quadratic verify confined to ~block-sized
+  -- groups; below the target n_sub=1 and this whole layer is the
   -- identity (bit-identical output at the driver's scales). Population
   -- and seed rank come out of the same cluster-keyed window pass.
   SELECT cluster AS s_cluster, v AS sv,
@@ -673,14 +673,37 @@ assigned AS (
            AS n_sub
   FROM mem
   QUALIFY seed_id <= n_sub
-), subbed AS (
-  SELECT m.vec_id, m.v,
-         CASE WHEN s.n_sub = 1 THEN m.cluster
-              ELSE m.cluster * 1000 + s.seed_id END AS cluster,
+), seedg AS (
+  -- two-level routing (r8): seeds fan into ceil(sqrt(n_sub)) round-robin
+  -- groups so a vector meets n_super super-seeds then <=ceil(n_sub/
+  -- n_super) group seeds — O(pop*sqrt(n_sub)) assignment rows instead of
+  -- the r7 pop*n_sub ~ pop^2/512 fan-out.
+  SELECT s_cluster, sv, seed_id, n_sub,
+         CAST(ceil(sqrt(CAST(n_sub AS DOUBLE))) AS INT) AS n_super,
+         ((seed_id - 1) % CAST(ceil(sqrt(CAST(n_sub AS DOUBLE))) AS INT)) + 1
+           AS grp
+  FROM seeds
+), supers AS (
+  SELECT s_cluster AS sp_cluster, sv AS spv, seed_id AS sp_id
+  FROM seedg WHERE seed_id <= n_super
+), l1 AS (
+  SELECT m.vec_id, m.v, m.cluster, s.sp_id AS vgrp,
          row_number() OVER (PARTITION BY m.vec_id
-                            ORDER BY list_distance(m.v, s.sv), s.seed_id)
+                            ORDER BY list_distance(m.v, s.spv), s.sp_id)
+           AS srn
+  FROM mem m JOIN supers s ON m.cluster = s.sp_cluster
+  QUALIFY srn = 1
+), subbed AS (
+  -- split ids live at (cluster+1)*1000000 + seed_id: disjoint from raw
+  -- labels (no label-0 collision) and collision-free while n_sub <
+  -- 1000000, i.e. coarse clusters under 512M vectors (ADVICE r7).
+  SELECT l.vec_id, l.v,
+         CASE WHEN g.n_sub = 1 THEN l.cluster
+              ELSE (l.cluster + 1) * 1000000 + g.seed_id END AS cluster,
+         row_number() OVER (PARTITION BY l.vec_id
+                            ORDER BY list_distance(l.v, g.sv), g.seed_id)
            AS arn
-  FROM mem m JOIN seeds s ON m.cluster = s.s_cluster
+  FROM l1 l JOIN seedg g ON l.cluster = g.s_cluster AND l.vgrp = g.grp
   QUALIFY arn = 1
 ), pairs AS (
   SELECT a.cluster, a.vec_id AS keep_id, b.vec_id AS prune_id,
@@ -719,15 +742,30 @@ def similarity_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     21,800/cluster, killed after 20+ min, ~2.2B pairs projected). The
     paper's own answer is "clusters scale with the corpus"; here any
     cluster whose population exceeds TARGET_BLOCK=512 splits into
-    ceil(pop/512) sub-clusters seeded by its lowest vec_ids (one
-    deterministic E-step to the nearest seed, ties to the lowest seed),
-    exactly mirrored in the DuckDB oracle — the adaptivity itself is
+    ceil(pop/512) sub-clusters seeded by its lowest vec_ids, exactly
+    mirrored in the DuckDB oracle — the adaptivity itself is
     hash-checked, the ann_lsh_adaptive_planes pattern. Below the target
     the layer is the identity: sf0.01/sf0.1 outputs are bit-identical
-    to the pre-r7 form (driver row stays valid). Split cluster ids
-    encode as label*1000+seed (labels are 0..9, no collision); pair
-    recall across a sub-cluster boundary is surrendered, the same
-    boundary loss SemDeDup already accepts at its cluster borders."""
+    to the pre-r7 form (driver row stays valid).
+
+    TWO-LEVEL SEED ROUTING (r8, VERDICT r7 #3): r7 assigned every
+    vector to the nearest of all n_sub seeds — a pop × ceil(pop/512)
+    join fan-out, i.e. the quadratic moved from the verify into the
+    assignment exchange (~1 TB at sf100). Now seeds fan into
+    n_super = ceil(sqrt(n_sub)) ROUND-ROBIN groups (group sizes
+    deterministically ≤ ceil(n_sub/n_super)); a vector first picks its
+    nearest super-seed (the first n_super seeds), then the nearest seed
+    within that group — O(pop·sqrt(n_sub)) assignment rows, both
+    E-steps deterministic (ties → lowest seed id) and mirrored in SQL.
+    n_sub == 1 collapses both levels to the identity. Split cluster
+    ids encode as (label+1)*1000000 + seed_id — disjoint from raw
+    labels even when label 0 splits, and collision-free while
+    n_sub < 10^6, i.e. coarse clusters under 512M vectors (ADVICE r7).
+    The 512-vector block size is the EXPECTED size, not a hard bound —
+    nearest-seed routing can overfill a block in a dense region (the
+    accepted SemDeDup trade); pair recall across a sub-cluster
+    boundary is surrendered, the same boundary loss SemDeDup already
+    accepts at its cluster borders."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double(F.col("embedding")).alias("v")
     )
@@ -777,16 +815,43 @@ def similarity_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_sub = F.ceil(
         F.count(F.lit(1)).over(W.partitionBy("cluster")) / float(TARGET_BLOCK)
     ).cast("int")
+    n_super = F.ceil(F.sqrt(F.col("n_sub").cast("double"))).cast("int")
     seeds = (
         mem.withColumn("seed_id", seed_rn)
         .withColumn("n_sub", n_sub)
         .filter(F.col("seed_id") <= F.col("n_sub"))
+        .withColumn("n_super", n_super)
+        .withColumn("grp", (F.col("seed_id") - 1) % F.col("n_super") + 1)
         .select(
             F.col("cluster").alias("s_cluster"),
             "seed_id",
             "n_sub",
+            "n_super",
+            "grp",
             F.col("v").alias("sv"),
         )
+    )
+    supers = seeds.filter(F.col("seed_id") <= F.col("n_super")).select(
+        F.col("s_cluster").alias("sp_cluster"),
+        F.col("seed_id").alias("sp_id"),
+        F.col("sv").alias("spv"),
+    )
+    sup_dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("v", "spv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    srn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(F.col("spd"), F.col("sp_id"))
+    )
+    l1 = (
+        mem.join(supers, F.col("cluster") == F.col("sp_cluster"))
+        .withColumn("spd", sup_dist)
+        .withColumn("srn", srn)
+        .filter(F.col("srn") == 1)
+        .select("vec_id", "v", "cluster", F.col("sp_id").alias("vgrp"))
     )
     sub_dist = F.sqrt(
         F.aggregate(
@@ -799,7 +864,11 @@ def similarity_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("vec_id").orderBy(F.col("sd"), F.col("seed_id"))
     )
     memsub = (
-        mem.join(seeds, F.col("cluster") == F.col("s_cluster"))
+        l1.join(
+            seeds,
+            (F.col("cluster") == F.col("s_cluster"))
+            & (F.col("vgrp") == F.col("grp")),
+        )
         .withColumn("sd", sub_dist)
         .withColumn("arn", arn)
         .filter(F.col("arn") == 1)
@@ -807,7 +876,9 @@ def similarity_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "v",
             F.when(F.col("n_sub") == 1, F.col("cluster"))
-            .otherwise(F.col("cluster") * 1000 + F.col("seed_id"))
+            .otherwise(
+                (F.col("cluster") + 1).cast("bigint") * 1000000 + F.col("seed_id")
+            )
             .alias("cluster"),
         )
     )

@@ -7,10 +7,14 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from distributed_map_reduce_spark.operators.dedup import (
+    band_candidates,
     minhash_lsh_pairs,
+    minhash_star_pairs,
+    shingle_rows,
     simhash_df,
     shingles_col,
     jaccard,
+    star_candidates,
 )
 
 BASE = (
@@ -38,6 +42,41 @@ def test_minhash_lsh_finds_planted_dups(spark):
     assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact copy
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.5  # one-word edit
     assert not any(3 in p for p in pairs)  # unrelated never pairs
+
+
+def test_star_pairs_family_recall(spark):
+    """The linear star-edge generator keeps FAMILY recall: a planted
+    5-clone family (one exact + small edits of BASE) must end up fully
+    connected via hub edges — same connectivity as the pair-quadratic
+    generator — while emitting at most Σ(n−1) edges per bucket (here
+    strictly fewer rows than the C(n,2) pair form)."""
+    fam = [
+        (1, BASE),
+        (2, NEAR_DUP),
+        (3, UNRELATED),
+        (4, BASE),
+        (5, BASE.replace("quick", "swift")),
+        (6, BASE.replace("lazy", "sleepy")),
+    ]
+    docs = spark.createDataFrame(fam, "doc_id long, text string")
+    star = minhash_star_pairs(docs).collect()
+    edges = {(r["doc_a"], r["doc_b"]) for r in star}
+    # union-find over star edges: the whole family {1,2,4,5,6} connects
+    parent = {i: i for i, _ in fam}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    assert len({find(d) for d in (1, 2, 4, 5, 6)}) == 1
+    assert not any(3 in e for e in edges)  # unrelated never joins
+    # star candidates never exceed pair candidates
+    sh = shingle_rows(docs)
+    assert star_candidates(sh).count() <= band_candidates(sh).count()
 
 
 def test_simhash_hamming_close_for_dups(spark):

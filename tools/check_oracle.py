@@ -140,9 +140,12 @@ def main() -> int:
         # sf0.01 contract (the driver only ever evaluates oracles at sf0.01).
         # When this gate runs at another scale, point the literal at the same
         # dir the Spark side reads so the footer audit is verified at EVERY
-        # scale instead of skipped as a by-design fail.
+        # scale instead of skipped as a by-design fail. Gated on the query
+        # NAME (ADVICE r7): a future oracle embedding the sf0.01 literal for
+        # a different purpose (e.g. a fixed-baseline comparison) must NOT be
+        # silently repointed.
         oracle_sql = q.oracle
-        if "/root/testdata/sf0.01" in oracle_sql and os.path.abspath(
+        if name == "source_parquet_footer_stats" and os.path.abspath(
             args.sf
         ) != "/root/testdata/sf0.01":
             oracle_sql = oracle_sql.replace(

@@ -1263,19 +1263,21 @@ def pipeline_padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ARRIVAL-ORDER batching against LENGTH-SORTED batching quantifies
     what smart bucketing saves (the text twin of
     `multimodal_aspect_bucket`; PyTorch's `sortish` sampler / T5 packing
-    exist because this number is routinely 30-50%). The length-sorted
-    global row_number is a total order — fine at audit time (one sort of
-    doc-cardinality ids+lengths); production batching uses the
-    length-BUCKET approximation to avoid it, trading a few points of
-    waste for zero global sort. Integer token arithmetic end-to-end."""
+    exist because this number is routinely 30-50%). Both total orders
+    run as the two-phase banded row_number (`ranks.two_phase_ordered`,
+    VERDICT r7 #4 — token-length buckets for the sorted order, id-range
+    buckets for arrival order; bit-identical to the one-task window),
+    so even the audit never single-partitions the doc-cardinality
+    frame. Integer token arithmetic end-to-end."""
+    from .ranks import two_phase_ordered
+
     docs = load_table(spark, sf_dir, "documents")
     n_tok = F.size(F.filter(F.split(F.lower("text"), " "), lambda w: w != ""))
     toks = docs.select("doc_id", n_tok.alias("n_tok"))
 
-    def waste(order_cols, label):
-        w = Window.orderBy(*order_cols)
-        batched = toks.withColumn(
-            "batch", ((F.row_number().over(w) - 1) / BATCH_SIZE).cast("bigint")
+    def waste(order_cols, bucket, label):
+        batched = two_phase_ordered(toks, bucket, order_cols, rn="_rn").withColumn(
+            "batch", ((F.col("_rn") - 1) / BATCH_SIZE).cast("bigint")
         )
         per_batch = batched.groupBy("batch").agg(
             F.max("n_tok").alias("mx"),
@@ -1294,8 +1296,14 @@ def pipeline_padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("waste_pct"),
         )
 
-    return waste([F.col("n_tok"), F.col("doc_id")], "length_sorted").unionByName(
-        waste([F.col("doc_id")], "arrival_order")
+    return waste(
+        [F.col("n_tok"), F.col("doc_id")], F.col("n_tok"), "length_sorted"
+    ).unionByName(
+        waste(
+            [F.col("doc_id")],
+            (F.col("doc_id") / 4096).cast("bigint"),
+            "arrival_order",
+        )
     )
 
 

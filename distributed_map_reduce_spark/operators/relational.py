@@ -892,24 +892,25 @@ def analytics_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame). Ties are pinned (size desc, partkey) so equal-price groups
     resolve identically on both engines; all values are exact BIGINTs.
 
-    Scale: the sort-based rewrite is the textbook distributed skyline —
-    at 100 TB, pre-filter per partition (a point dominated locally is
-    dominated globally), then run this window over the union of
-    partition-local skylines, which is orders of magnitude smaller
-    than the input. The global window here orders the already-small
-    candidate set (the repo's reduced-frame discipline)."""
-    from pyspark.sql import Window as W
+    Scale: the sort-based sweep runs as the two-phase banded running
+    max (`ranks.two_phase_ordered` with a price-bucket key, VERDICT r7
+    #4 — per-bucket max sweep + bucket-prefix max offsets, bit-identical
+    to the one-task window and parallel over the part-cardinality
+    frame); at 100 TB one can additionally pre-filter per partition (a
+    point dominated locally is dominated globally) before the sweep."""
+    from .ranks import two_phase_ordered
 
     pts = load_table(spark, sf_dir, "part").select(
         "p_partkey",
         F.round(F.col("p_retailprice") * 100).cast("bigint").alias("price_cents"),
         F.col("p_size").cast("bigint").alias("size"),
     )
-    w = (
-        W.orderBy(F.col("price_cents"), F.col("size").desc(), F.col("p_partkey"))
-        .rowsBetween(W.unboundedPreceding, -1)
+    ranked = two_phase_ordered(
+        pts,
+        (F.col("price_cents") / 1000).cast("bigint"),
+        [F.col("price_cents"), F.col("size").desc(), F.col("p_partkey")],
+        prev_maxes={"size": "best_size_cheaper"},
     )
-    ranked = pts.withColumn("best_size_cheaper", F.max("size").over(w))
     return ranked.filter(
         F.col("best_size_cheaper").isNull()
         | (F.col("size") > F.col("best_size_cheaper"))

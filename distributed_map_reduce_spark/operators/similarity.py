@@ -2346,28 +2346,28 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("density"),
     )
-    lex_rank = lex.select(
-        "doc_id",
-        F.row_number()
-        .over(W.orderBy(F.col("density").desc(), F.col("doc_id")))
-        .cast("bigint")
-        .alias("rank_lex"),
-    )
+    # both FULL rank lists feed the fusion, so they are doc-sized by
+    # construction — two-phase banded row_number (VERDICT r7 #4; score
+    # buckets are monotone under truncation, so ranks are identical to
+    # the one-task window form)
+    from .ranks import two_phase_ordered
+
+    lex_rank = two_phase_ordered(
+        lex,
+        -((F.col("density") * 1e6).cast("bigint") / 20000).cast("bigint"),
+        [F.col("density").desc(), F.col("doc_id")],
+        rn="_rn",
+    ).select("doc_id", F.col("_rn").cast("bigint").alias("rank_lex"))
     q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
-    vec_rank = (
-        emb.crossJoin(F.broadcast(q))
-        .select(
+    vec_rank = two_phase_ordered(
+        emb.crossJoin(F.broadcast(q)).select(
             F.col("vec_id").alias("doc_id"),
             F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
-        )
-        .select(
-            "doc_id",
-            F.row_number()
-            .over(W.orderBy(F.col("cos_sim").desc(), F.col("doc_id")))
-            .cast("bigint")
-            .alias("rank_vec"),
-        )
-    )
+        ),
+        -((F.col("cos_sim") * 1e6).cast("bigint") / 40000).cast("bigint"),
+        [F.col("cos_sim").desc(), F.col("doc_id")],
+        rn="_rn",
+    ).select("doc_id", F.col("_rn").cast("bigint").alias("rank_vec"))
     fused = lex_rank.join(vec_rank, "doc_id").select(
         "doc_id",
         "rank_lex",
@@ -2686,16 +2686,23 @@ def retrieval_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum(F.col("tf") * F.col("idf") * F.col("wt")).cast("bigint").alias("s1"))
     )
+    # rank_after ships for EVERY doc (doc-sized full rank): two-phase
+    # banded row_number with a log2-derived score bucket — monotone for
+    # any score range, bounded bucket count (VERDICT r7 #4)
+    from .ranks import two_phase_ordered
+
     return (
-        score1.join(rank0, "doc_id", "left")
+        two_phase_ordered(
+            score1.join(rank0, "doc_id", "left"),
+            -F.floor(F.log2(F.col("s1").cast("double") + 1.0) * 8),
+            [F.col("s1").desc(), "doc_id"],
+            rn="_rn",
+        )
         .select(
             "doc_id",
             F.col("s1").alias("score_after"),
             F.coalesce("s0", F.lit(0)).cast("bigint").alias("score_before"),
-            F.row_number()
-            .over(W.orderBy(F.col("s1").desc(), "doc_id"))
-            .cast("bigint")
-            .alias("rank_after"),
+            F.col("_rn").cast("bigint").alias("rank_after"),
             F.coalesce("r0", F.lit(0)).cast("bigint").alias("rank_before"),
         )
         .filter(F.col("rank_after") <= 5)

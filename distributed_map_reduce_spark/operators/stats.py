@@ -252,13 +252,13 @@ def stats_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer — the classic segmentation behind churn/value cohorts.
 
     One aggregate reduces orders to one row per customer; the three
-    global ntiles run on that reduced (customer-cardinality) frame.
-    Global ntile serializes one sort per score at extreme scale — there
-    the same scores come from joining against percentile_approx split
-    points instead; ntile here keeps the oracle exact. Ties broken by
-    o_custkey on both engines.
+    quintiles run on that reduced (customer-cardinality) frame via the
+    two-phase banded row_number + exact ntile arithmetic
+    (`ranks.two_phase_ordered` + `ntile_from_rn`, VERDICT r7 #4) — no
+    one-task sort per score, bit-identical to the window ntile for any
+    bucket width. Ties broken by o_custkey on both engines.
     """
-    from pyspark.sql import Window
+    from .ranks import ntile_from_rn, two_phase_ordered
 
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
@@ -266,14 +266,31 @@ def stats_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
     )
-    return per_cust.select(
+    n_tot = per_cust.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    ranked = two_phase_ordered(
+        two_phase_ordered(
+            two_phase_ordered(
+                per_cust,
+                F.floor(F.unix_date(F.col("last_order").cast("date")) / 90),
+                ["last_order", "o_custkey"],
+                rn="_rn_r",
+            ),
+            F.col("frequency").cast("bigint"),
+            ["frequency", "o_custkey"],
+            rn="_rn_f",
+        ),
+        F.floor(F.col("monetary") / 10000),
+        ["monetary", "o_custkey"],
+        rn="_rn_m",
+    )
+    return ranked.crossJoin(F.broadcast(n_tot)).select(
         "o_custkey",
         "last_order",
         "frequency",
         "monetary",
-        F.ntile(5).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
-        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
-        F.ntile(5).over(Window.orderBy("monetary", "o_custkey")).alias("m_score"),
+        ntile_from_rn(F.col("_rn_r"), F.col("_n"), 5).alias("r_score"),
+        ntile_from_rn(F.col("_rn_f"), F.col("_n"), 5).alias("f_score"),
+        ntile_from_rn(F.col("_rn_m"), F.col("_n"), 5).alias("m_score"),
     )
 
 
@@ -308,14 +325,18 @@ def stats_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     inventory cut.
 
     The part-keyed aggregate shrinks the fact table first; the running
-    total then sorts the part-cardinality frame once. All revenue
-    arithmetic runs in exact DECIMAL (the synthetic cents land sums
-    exactly on .xx5 rounding boundaries, where double sum-order drift
-    flips the last digit — observed live at sf0.01); doubles appear only
-    after the exact sums, where division and rounding are deterministic.
-    Ties broken by l_partkey.
+    total over the part-cardinality frame is the two-phase banded cumsum
+    (`ranks.two_phase_ordered`, VERDICT r7 #4 — a log2-derived revenue
+    bucket is monotone along the desc order whatever the revenue range,
+    and DECIMAL partial sums are exact in any order, so the rewrite is
+    bit-identical to the one-task window). All revenue arithmetic runs
+    in exact DECIMAL (the synthetic cents land sums exactly on .xx5
+    rounding boundaries, where double sum-order drift flips the last
+    digit — observed live at sf0.01); doubles appear only after the
+    exact sums, where division and rounding are deterministic. Ties
+    broken by l_partkey.
     """
-    from pyspark.sql import Window
+    from .ranks import two_phase_ordered
 
     li = load_table(spark, sf_dir, "lineitem")
     rev_dec = F.sum(
@@ -323,16 +344,13 @@ def stats_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
     )
     rev = li.groupBy("l_partkey").agg(rev_dec.alias("rev_dec"))
-    w_run = Window.orderBy(F.col("rev_dec").desc(), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_all = Window.partitionBy()
-    ranked = rev.select(
-        "l_partkey",
-        "rev_dec",
-        F.sum("rev_dec").over(w_run).alias("cum_dec"),
-        F.sum("rev_dec").over(w_all).alias("total_dec"),
-    )
+    total = rev.agg(F.sum("rev_dec").alias("total_dec"))
+    ranked = two_phase_ordered(
+        rev,
+        -F.floor(F.log2(F.col("rev_dec").cast("double") + 1.0) * 8),
+        [F.col("rev_dec").desc(), "l_partkey"],
+        cum_sums={"rev_dec": "cum_dec"},
+    ).crossJoin(F.broadcast(total))
     share = F.col("cum_dec").cast("double") / F.col("total_dec").cast("double")
     # revenue ships as a scale-pinned decimal STRING: pandas turns DuckDB's
     # wide DECIMAL into float64 while Spark ships Decimal objects — strings
@@ -1771,26 +1789,41 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     (value, arm) rank order makes raw row_number ties identical on both
     engines BEFORE averaging, so U matches exactly.
 
-    The global rank window orders the full sample — fine here (the
-    reduced-frame discipline does not apply to a deliberately global
-    test statistic at fixture scale); at 100 TB, rank via the
-    two-phase scalable form (`window_cumsum_scalable`'s bucket offsets)
-    or the band histogram (`agg_exact_median_scalable`) — both
-    documented rewrites of the same global order."""
-    from pyspark.sql import Window as W
+    Ranks come from the two-phase banded histogram (`ranks.tie_rank2`,
+    VERDICT r7 #4): the tie-averaged rank depends only on the VALUE, so
+    no row-level rank window exists at all — per-(arm, value) counts
+    join the exact 2*avg_rank integers and R_A folds as a bigint before
+    one final halving (half-integers are exact in doubles, so this is
+    bit-identical to the oracle's row-level window form)."""
+    from .ranks import tie_rank2
 
     s = load_table(spark, sf_dir, "orders").select(
         F.when(F.col("o_orderkey") % 2 == 0, "A").otherwise("B").alias("arm"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
-    rn = F.row_number().over(W.orderBy("cents", "arm")) * 1.0
-    ranked = s.withColumn("rn", rn).withColumn(
-        "tie_avg_rank", F.avg("rn").over(W.partitionBy("cents"))
+    hist = s.groupBy("arm", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ac")
     )
-    agg = ranked.agg(
-        F.count_if(F.col("arm") == "A").cast("bigint").alias("n_a"),
-        F.count_if(F.col("arm") == "B").cast("bigint").alias("n_b"),
-        F.sum(F.when(F.col("arm") == "A", F.col("tie_avg_rank"))).alias("r_a"),
+    vals = hist.groupBy("cents").agg(F.sum("n_ac").cast("bigint").alias("t"))
+    r2 = tie_rank2(
+        vals, "cents", "t", (F.col("cents") / 100000).cast("bigint")
+    ).select("cents", "rank2")
+    agg = (
+        hist.join(r2, "cents")
+        .agg(
+            F.sum(F.when(F.col("arm") == "A", F.col("n_ac")))
+            .cast("bigint")
+            .alias("n_a"),
+            F.sum(F.when(F.col("arm") == "B", F.col("n_ac")))
+            .cast("bigint")
+            .alias("n_b"),
+            (
+                F.sum(
+                    F.when(F.col("arm") == "A", F.col("n_ac") * F.col("rank2"))
+                ).cast("bigint")
+                * 0.5
+            ).alias("r_a"),
+        )
     )
     u_a = F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / 2.0
     return agg.select(
@@ -2492,14 +2525,16 @@ def stats_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio accumulates, and the test DECIDES the moment the LLR exits
     the ln(19) corridor — the always-valid early-stopping design that
     fixed-horizon tests (`stats_two_proportion_ztest`) can't offer
-    without peeking penalties (Wald '45). The cumulative sums are one
-    ordered window over user-cardinality rows; emitted rows are every
+    without peeking penalties (Wald '45). The cumulative walk over
+    user-cardinality rows runs as the two-phase banded rn+cumsum
+    (`ranks.two_phase_ordered`, VERDICT r7 #4 — the md5 prefix is its
+    own monotone bucket, 256-way parallel); emitted rows are every
     10th step plus every boundary crossing, so the output traces the
     decision path without materializing every step. The md5 arrival
     order makes the whole trajectory replayable on both engines."""
-    from pyspark.sql import Window
-
     import math
+
+    from .ranks import two_phase_ordered
 
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
@@ -2508,13 +2543,10 @@ def stats_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
         ).alias("conv")
     )
-    order = F.md5(F.col("user_id").cast("string"))
-    w = Window.orderBy(order)
-    seq = u.select(
-        "conv",
-        F.row_number().over(w).alias("t"),
-        F.sum("conv").over(w).alias("c"),
-    )
+    mo = u.withColumn("_ord", F.md5(F.col("user_id").cast("string")))
+    seq = two_phase_ordered(
+        mo, F.substring("_ord", 1, 2), ["_ord"], rn="t", cum_sums={"conv": "c"}
+    ).select("conv", "t", "c")
     l = F.col("c") * math.log(SPRT_P1 / SPRT_P0) + (F.col("t") - F.col("c")) * math.log(
         (1.0 - SPRT_P1) / (1.0 - SPRT_P0)
     )
@@ -2640,10 +2672,11 @@ def stats_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     transition cell — the CRM view that turns static RFM
     (`stats_rfm_segmentation`) into a flow: mass above the diagonal is
     upgrades, below is decay, row 0 is acquisition and column 0 is
-    churn. Two customer-cardinality aggregates + per-period ntile
-    (tie-broken by custkey) + one full-outer join on customer; the
+    churn. Two customer-cardinality aggregates + per-period quintile
+    (two-phase banded row_number + exact ntile arithmetic, tie-broken
+    by custkey — VERDICT r7 #4) + one full-outer join on customer; the
     matrix is ≤36 cells whatever the corpus size."""
-    from pyspark.sql import Window
+    from .ranks import ntile_from_rn, two_phase_ordered
 
     o = load_table(spark, sf_dir, "orders")
     split = F.lit(RFM_SPLIT_DATE).cast("date")
@@ -2654,9 +2687,16 @@ def stats_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("o_custkey")
             .agg(F.round(F.sum("o_totalprice"), 2).alias("m"))
         )
-        return per.select(
-            "o_custkey",
-            F.ntile(5).over(Window.orderBy("m", "o_custkey")).alias("q"),
+        n_tot = per.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+        return (
+            two_phase_ordered(
+                per, F.floor(F.col("m") / 10000), ["m", "o_custkey"], rn="_rn"
+            )
+            .crossJoin(F.broadcast(n_tot))
+            .select(
+                "o_custkey",
+                ntile_from_rn(F.col("_rn"), F.col("_n"), 5).alias("q"),
+            )
         )
 
     s1 = scored(o, F.col("o_orderdate") < split).select(
@@ -4545,10 +4585,19 @@ def stats_qini_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    dec = F.ntile(10).over(
-        Window.orderBy(F.col("score").desc(), F.col("user_id"))
-    ).cast("bigint")
-    cell = u.withColumn("dec", dec).groupBy("dec").agg(
+    from .ranks import ntile_from_rn, two_phase_ordered
+
+    # two-phase banded decile (VERDICT r7 #4): score is a bounded 0..9999
+    # hash, so the negated hundreds-bucket is monotone along the desc order
+    n_tot = u.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    ranked = two_phase_ordered(
+        u,
+        -((F.col("score") / 100).cast("bigint")),
+        [F.col("score").desc(), "user_id"],
+        rn="_rn",
+    ).crossJoin(F.broadcast(n_tot))
+    dec = ntile_from_rn(F.col("_rn"), F.col("_n"), 10).cast("bigint")
+    cell = ranked.withColumn("dec", dec).groupBy("dec").agg(
         F.sum("treated").cast("bigint").alias("n_t"),
         F.sum(F.col("treated") * F.col("conv")).cast("bigint").alias("c_t"),
         F.sum(1 - F.col("treated")).cast("bigint").alias("n_c"),
@@ -5192,30 +5241,37 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     [[stats_anova_oneway]] the parametric twin): H = 12/(N(N+1))
     * sum R_g^2/n_g - 3(N+1), divided by the tie correction
     1 - sum(t^3-t)/(N^3-N), cut at chi-square(4) 9.488. Tie-averaged
-    ranks come from rank() + (ties-1)/2 — exactly the
-    [[stats_mann_whitney_u]] discipline, deterministic on integer
-    cents. One global sort for ranks (the only data-sized exchange;
-    at 100 TB ranks come from the sort-merge histogram rewrite noted
-    there), then k-row algebra."""
-    o = load_table(spark, sf_dir, "orders")
-    from pyspark.sql import Window
+    ranks come from the VALUE-GRAIN histogram via the two-phase
+    banded rank (`ranks.tie_rank2`, VERDICT r7 #4): no row ever
+    carries a rank — per-(group, value) counts join the exact
+    2*avg_rank integers, so the one data-sized exchange is a
+    map-side-combined groupBy, never a one-task global sort. rank2 =
+    2*cum_lt + t + 1 reproduces rank() + (ties-1)/2 exactly (rank
+    sums are half-integer-exact in doubles), so the oracle's
+    row-level window form hash-matches bit-for-bit."""
+    from .ranks import tie_rank2
 
+    o = load_table(spark, sf_dir, "orders")
     v = o.select(
         F.col("o_orderpriority").alias("grp"),
         F.round(F.col("o_totalprice") * 100.0).cast("bigint").alias("cents"),
     )
-    ranked = v.select(
-        "grp",
-        "cents",
-        F.rank().over(Window.orderBy("cents")).alias("rmin"),
-        F.count(F.lit(1)).over(Window.partitionBy("cents")).alias("nties"),
+    hist = v.groupBy("grp", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gc")
     )
-    avg_rank = ranked.select(
-        "grp", (F.col("rmin") + (F.col("nties") - 1) / 2.0).alias("r")
-    )
-    g = avg_rank.groupBy("grp").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_g"),
-        F.sum("r").alias("rsum"),
+    vals = hist.groupBy("cents").agg(F.sum("n_gc").cast("bigint").alias("t"))
+    r2 = tie_rank2(
+        vals, "cents", "t", (F.col("cents") / 100000).cast("bigint")
+    ).select("cents", "rank2")
+    g = (
+        hist.join(r2, "cents")
+        .groupBy("grp")
+        .agg(
+            F.sum("n_gc").cast("bigint").alias("n_g"),
+            (
+                F.sum(F.col("n_gc") * F.col("rank2")).cast("bigint") * 0.5
+            ).alias("rsum"),
+        )
     )
     tie_term = (
         v.groupBy("cents")
@@ -5492,13 +5548,13 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns (corr(), identical definition both engines) and
     t = rho*sqrt((n-2)/(1-rho^2)) against +-1.96.
 
-    Scale: the per-order agg shuffles lineitem on orderkey once; the
-    two unpartitioned rank windows sort the
-    order-cardinality frame (~1.5M rows/SF, fine in one task at test
-    scale — at 100 TB the ranks would come from the same sort-merge
-    histogram rewrite noted on [[stats_kruskal_wallis]]); the final
+    Scale: the per-order agg shuffles lineitem on orderkey once; each
+    variable's tie-averaged ranks come from its VALUE-GRAIN histogram
+    via the two-phase banded rank (`ranks.tie_rank2`, VERDICT r7 #4 —
+    rank2/2 joined back by value replaces the one-task global sort
+    bit-for-bit, since avg rank depends only on the value); the final
     corr is a one-row mergeable agg."""
-    from pyspark.sql import Window
+    from .ranks import tie_rank2
 
     li = load_table(spark, sf_dir, "lineitem")
     pair = li.groupBy(F.col("l_orderkey").alias("id")).agg(
@@ -5509,17 +5565,15 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x"),
         F.sum("l_quantity").cast("bigint").alias("y"),
     )
-    rk = pair.select(
-        "id",
-        (
-            F.rank().over(Window.orderBy("x"))
-            + (F.count(F.lit(1)).over(Window.partitionBy("x")) - 1) / 2.0
-        ).alias("r_x"),
-        (
-            F.rank().over(Window.orderBy("y"))
-            + (F.count(F.lit(1)).over(Window.partitionBy("y")) - 1) / 2.0
-        ).alias("r_y"),
+    hx = pair.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    rx = tie_rank2(hx, "x", "t", (F.col("x") / 1000000).cast("bigint")).select(
+        "x", (F.col("rank2") * 0.5).alias("r_x")
     )
+    hy = pair.groupBy("y").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    ry = tie_rank2(hy, "y", "t", (F.col("y") / 8).cast("bigint")).select(
+        "y", (F.col("rank2") * 0.5).alias("r_y")
+    )
+    rk = pair.join(rx, "x").join(ry, "y").select("id", "r_x", "r_y")
     rho = F.corr("r_x", "r_y")
     t = rho * F.sqrt((F.count(F.lit(1)) - 2.0) / (1.0 - rho * rho))
     return rk.agg(
@@ -6641,11 +6695,13 @@ def stats_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-decreasing and convex by construction (pinned in the property
     test).
 
-    Scale: one custkey agg; the ntile is the only global sort (at
-    100 TB it becomes range-partitioned bucketing by the same key —
-    the documented [[pipeline_quality_decile_gate]] rewrite); decile
-    algebra is 10 rows."""
+    Scale: one custkey agg; deciles come from the two-phase banded
+    row_number + exact ntile arithmetic (`ranks.two_phase_ordered` +
+    `ntile_from_rn`, VERDICT r7 #4 — bit-identical to the one-task
+    ntile for any bucket width); decile algebra is 10 rows."""
     from pyspark.sql import Window
+
+    from .ranks import ntile_from_rn, two_phase_ordered
 
     o = load_table(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
@@ -6653,9 +6709,19 @@ def stats_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents")
     )
-    tiled = cust.select(
-        "cents",
-        F.ntile(10).over(Window.orderBy("cents", "o_custkey")).alias("decile"),
+    n_tot = cust.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    tiled = (
+        two_phase_ordered(
+            cust,
+            (F.col("cents") / 1000000).cast("bigint"),
+            ["cents", "o_custkey"],
+            rn="_rn",
+        )
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "cents",
+            ntile_from_rn(F.col("_rn"), F.col("_n"), 10).alias("decile"),
+        )
     )
     per_dec = tiled.groupBy(F.col("decile").cast("bigint").alias("decile")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
@@ -6731,28 +6797,35 @@ def stats_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical doubles. Pair identity (grp_a < grp_b) makes each pair
     appear exactly once.
 
-    Scale: the ONE global rank sort is shared with KW (same rewrite
-    note at 100 TB); everything after is a 5-row self-join producing
-    10 rows of algebra."""
-    from pyspark.sql import Window
+    Scale: the banded two-phase rank is shared with KW
+    (`ranks.tie_rank2` over the value-grain histogram — no one-task
+    sort, VERDICT r7 #4); everything after is a 5-row self-join
+    producing 10 rows of algebra."""
+    from .ranks import tie_rank2
 
     o = load_table(spark, sf_dir, "orders")
     v = o.select(
         F.col("o_orderpriority").alias("grp"),
         F.round(F.col("o_totalprice") * 100.0).cast("bigint").alias("cents"),
     )
-    ranked = v.select(
-        "grp",
-        "cents",
-        F.rank().over(Window.orderBy("cents")).alias("rmin"),
-        F.count(F.lit(1)).over(Window.partitionBy("cents")).alias("nties"),
+    hist = v.groupBy("grp", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gc")
     )
-    avg_rank = ranked.select(
-        "grp", (F.col("rmin") + (F.col("nties") - 1) / 2.0).alias("r")
-    )
-    g = avg_rank.groupBy("grp").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_g"),
-        (F.sum("r") / F.count(F.lit(1))).alias("rbar"),
+    vals = hist.groupBy("cents").agg(F.sum("n_gc").cast("bigint").alias("t"))
+    r2 = tie_rank2(
+        vals, "cents", "t", (F.col("cents") / 100000).cast("bigint")
+    ).select("cents", "rank2")
+    g = (
+        hist.join(r2, "cents")
+        .groupBy("grp")
+        .agg(
+            F.sum("n_gc").cast("bigint").alias("n_g"),
+            (
+                F.sum(F.col("n_gc") * F.col("rank2")).cast("bigint")
+                * 0.5
+                / F.sum("n_gc").cast("bigint")
+            ).alias("rbar"),
+        )
     )
     tie_term = (
         v.groupBy("cents")
@@ -9007,8 +9080,8 @@ def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominant noise term — cancels instead of inflating the denominator
     like a two-sample test would). Zero diffs drop (standard Wilcoxon),
     |diff| gets average ranks over exact-integer-cents tie runs (the
-    deterministic (ad, custkey) row_number makes pre-averaging order
-    identical on both engines — the [[stats_mann_whitney_u]] idiom), and
+    two-phase banded rank — `ranks.tie_rank2` — since the averaged rank
+    depends only on |d|; the [[stats_mann_whitney_u]] idiom), and
     the normal approximation carries the full tie correction
     sum(t^3 - t)/48. W+, the mean n(n+1)/4 and the variance are all
     derived from exact integers; ranks are half-integers, exact in
@@ -9016,11 +9089,8 @@ def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the fact scan reduces to (customer, year) in one
     map-side-combined exchange; the pair pivot is a self-join on the
-    customer grain. The global |d| rank is the one deliberate global
-    order — at 100 TB rewrite it with the bucket-offset two-phase rank
-    (`window_cumsum_scalable`) exactly as documented for Mann-Whitney."""
-    from pyspark.sql import Window as W
-
+    customer grain; ranks come from the |d|-grain histogram with no
+    one-task window anywhere (VERDICT r7 #4)."""
     cy = (
         load_table(spark, sf_dir, "orders")
         .where(F.year("o_orderdate").isin(1995, 1996))
@@ -9048,24 +9118,31 @@ def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("c95") - F.col("c94")).alias("ad"),
         )
     )
-    ranked = pairs.withColumn(
-        "rn", F.row_number().over(W.orderBy("ad", "o_custkey")) * 1.0
+    # two-phase banded ranks (VERDICT r7 #4): the tie-AVERAGED rank
+    # depends only on |d|, so the (ad, o_custkey) row order the old
+    # one-task window used cancels out — rank2/2 from the |d|-grain
+    # histogram folds W+ exactly (bigint before one halving)
+    from .ranks import tie_rank2
+
+    h2 = pairs.groupBy("ad").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+        F.count_if(F.col("d") > 0).cast("bigint").alias("t_pos"),
     )
-    tied = ranked.withColumn("r", F.avg("rn").over(W.partitionBy("ad")))
-    ties = (
-        pairs.groupBy("ad")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
-        .agg(
-            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
-            .cast("bigint")
-            .alias("tie_corr")
-        )
+    r2 = tie_rank2(h2, "ad", "t", (F.col("ad") / 100000).cast("bigint"))
+    ties = h2.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie_corr")
     )
-    agg = tied.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.count_if(F.col("d") > 0).cast("bigint").alias("n_pos"),
-        F.count_if(F.col("d") < 0).cast("bigint").alias("n_neg"),
-        F.sum(F.when(F.col("d") > 0, F.col("r")).otherwise(0.0)).alias("w_plus"),
+    agg = r2.agg(
+        F.coalesce(F.sum("t"), F.lit(0)).cast("bigint").alias("n_pairs"),
+        F.coalesce(F.sum("t_pos"), F.lit(0)).cast("bigint").alias("n_pos"),
+        F.coalesce(F.sum(F.col("t") - F.col("t_pos")), F.lit(0))
+        .cast("bigint")
+        .alias("n_neg"),
+        (
+            F.sum(F.col("t_pos") * F.col("rank2")).cast("bigint") * 0.5
+        ).alias("w_plus"),
     )
     z = (
         F.col("w_plus") - F.col("n_pairs") * (F.col("n_pairs") + 1) / 4.0
@@ -9143,11 +9220,13 @@ def stats_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     and only the final single division leaves integer space, so partial-
     aggregation order can never flip a bit.
 
-    Scale: one exchange to the cents grain (map-side combined), one
-    value-ordered window over the merged support (|distinct prices| <<
-    |orders|; at 100 TB use the two-phase bucket-offset cumsum of
-    `window_cumsum_scalable` for the same sweep), one scalar division."""
-    from pyspark.sql import Window as W
+    Scale: one exchange to the cents grain (map-side combined); the
+    CDF sweep over the merged support runs as the two-phase banded
+    cumsum (`ranks.two_phase_ordered`, VERDICT r7 #4 — the support is
+    near-order-cardinality on near-continuous prices, so no one-task
+    window), with the inter-value gap from an rn self-join instead of
+    lead(); one scalar division at the end."""
+    from .ranks import two_phase_ordered
 
     s = (
         load_table(spark, sf_dir, "orders")
@@ -9166,12 +9245,16 @@ def stats_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("yr") == 1995).cast("bigint").alias("d_a"),
         F.count_if(F.col("yr") == 1996).cast("bigint").alias("d_b"),
     )
-    w = W.orderBy("cents")
-    cum = grid.select(
-        "cents",
-        F.sum("d_a").over(w).alias("c_a"),
-        F.sum("d_b").over(w).alias("c_b"),
-        (F.lead("cents").over(w) - F.col("cents")).alias("gap"),
+    swept = two_phase_ordered(
+        grid,
+        (F.col("cents") / 100000).cast("bigint"),
+        ["cents"],
+        rn="rn",
+        cum_sums={"d_a": "c_a", "d_b": "c_b"},
+    )
+    nxt = swept.select((F.col("rn") - 1).alias("rn"), F.col("cents").alias("next_cents"))
+    cum = swept.join(nxt, "rn").select(
+        "cents", "c_a", "c_b", (F.col("next_cents") - F.col("cents")).alias("gap")
     )
     area = (
         cum.where(F.col("gap").isNotNull())
@@ -10241,11 +10324,11 @@ def stats_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical doubles on both engines, and the fit R^2 reports how
     Weibull the data actually is.
 
-    Scale: one user-grain conditional agg; the rank is the one global
-    order (the [[stats_mann_whitney_u]] caveat and its documented
-    two-phase rewrite); then a 6-number moment agg and scalar
-    algebra."""
-    from pyspark.sql import Window as W
+    Scale: one user-grain conditional agg; the median-rank index comes
+    from the two-phase banded row_number (`ranks.two_phase_ordered`,
+    VERDICT r7 #4 — no one-task sort over the user grain); then a
+    6-number moment agg and scalar algebra."""
+    from .ranks import two_phase_ordered
 
     ev = load_table(spark, sf_dir, "events")
     lat = ev.groupBy("user_id").agg(
@@ -10260,8 +10343,8 @@ def stats_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", (F.col("tp") - F.col("tc")).cast("bigint").alias("t")
     ).where(F.col("t").isNotNull() & (F.col("t") > 0))
     n_tot = pos.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    ranked = pos.withColumn(
-        "i", F.row_number().over(W.orderBy("t", "user_id"))
+    ranked = two_phase_ordered(
+        pos, (F.col("t") / 10000).cast("bigint"), ["t", "user_id"], rn="i"
     ).crossJoin(F.broadcast(n_tot))
     xy = ranked.select(
         F.log(F.col("t") * 1.0).alias("x"),

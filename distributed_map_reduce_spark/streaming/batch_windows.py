@@ -517,14 +517,17 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # discrete percentile by explicit rank-pick (ceil(p*n)-th smallest):
-    # percentile_disc/quantile_disc index rules differ across engines
-    from pyspark.sql import Window as W
+    # percentile_disc/quantile_disc index rules differ across engines.
+    # Rank-pick runs as the two-phase banded row_number over minute
+    # buckets (VERDICT r7 #4 — tie order within a lag value cannot
+    # change the picked VALUE, and the whole-frame count window is a
+    # broadcast scalar instead)
+    from ..operators.ranks import two_phase_ordered
 
-    ranked = conv.select(
-        "lag_s",
-        F.row_number().over(W.orderBy("lag_s")).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
-    )
+    n_tot = conv.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = two_phase_ordered(
+        conv, (F.col("lag_s") / 60).cast("bigint"), ["lag_s", "event_id"], rn="rn"
+    ).crossJoin(F.broadcast(n_tot)).select("lag_s", "rn", "n")
     pick = lambda q: F.max(  # noqa: E731
         F.when(
             F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("bigint"),

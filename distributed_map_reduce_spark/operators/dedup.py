@@ -720,78 +720,116 @@ WITH tok AS (
   SELECT DISTINCT doc_id,
          unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS w
   FROM documents
-), freq AS (
-  SELECT w, count(*) AS df FROM tok GROUP BY w
-), ranked AS (
-  SELECT t.doc_id, t.w,
-         row_number() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.w) AS idx,
-         count(*) OVER (PARTITION BY t.doc_id) AS n
-  FROM tok t JOIN freq f USING (w)
-), prefix AS (
-  SELECT doc_id, w FROM ranked WHERE idx <= n - ((9 * n + 9) // 10) + 1
-), cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM prefix a JOIN prefix b ON a.w = b.w AND a.doc_id < b.doc_id
+), dsets AS (
+  SELECT doc_id, list_sort(list(DISTINCT w)) AS ws FROM tok GROUP BY doc_id
+), dm AS (
+  SELECT doc_id, md5(array_to_string(ws, chr(31))) AS set_id, ws FROM dsets
+), sets0 AS (
+  SELECT set_id, min(ws) AS ws, CAST(count(*) AS BIGINT) AS cnt,
+         min(doc_id) AS min1
+  FROM dm GROUP BY set_id
+), min2s AS (
+  SELECT d.set_id, min(d.doc_id) AS min2
+  FROM dm d JOIN sets0 s USING (set_id)
+  WHERE d.doc_id <> s.min1 GROUP BY d.set_id
 ), sets AS (
-  SELECT doc_id, list(DISTINCT w) AS ws, count(DISTINCT w) AS n
-  FROM tok GROUP BY doc_id
+  SELECT s.set_id, s.ws, s.cnt, s.min1, m.min2
+  FROM sets0 s LEFT JOIN min2s m USING (set_id)
+), stok AS (
+  SELECT set_id, unnest(ws) AS w FROM sets
+), sfreq AS (
+  SELECT w, count(*) AS df FROM stok GROUP BY w
+), rankedp AS (
+  SELECT t.set_id, t.w,
+         row_number() OVER (PARTITION BY t.set_id ORDER BY f.df, t.w) AS idx,
+         count(*) OVER (PARTITION BY t.set_id) AS n
+  FROM stok t JOIN sfreq f USING (w)
+), prefix AS (
+  SELECT set_id, w FROM rankedp WHERE idx <= n - ((9 * n + 9) // 10) + 1
+), cand AS (
+  SELECT DISTINCT a.set_id AS sa, b.set_id AS sb
+  FROM prefix a JOIN prefix b ON a.w = b.w AND a.set_id < b.set_id
 ), scored AS (
-  SELECT doc_a, doc_b,
-         len(list_intersect(sa.ws, sb.ws)) AS n_common,
-         sa.n + sb.n - len(list_intersect(sa.ws, sb.ws)) AS n_union
-  FROM cand
-  JOIN sets sa ON sa.doc_id = doc_a
-  JOIN sets sb ON sb.doc_id = doc_b
-), pairs AS (
-  SELECT doc_a, doc_b, round(n_common * 1.0 / n_union, 6) AS jaccard
+  SELECT sa, sb,
+         len(list_intersect(x.ws, y.ws)) AS n_common,
+         len(x.ws) + len(y.ws) - len(list_intersect(x.ws, y.ws)) AS n_union
+  FROM cand JOIN sets x ON x.set_id = sa JOIN sets y ON y.set_id = sb
+), spairs AS (
+  SELECT sa, sb, round(n_common * 1.0 / n_union, 6) AS jacc
   FROM scored WHERE n_common * 1.0 / n_union >= 0.9
 ), sym AS (
-  SELECT doc_a AS doc_id, doc_b AS other, jaccard FROM pairs
+  SELECT sa AS s, sb AS t, jacc FROM spairs
   UNION ALL
-  SELECT doc_b AS doc_id, doc_a AS other, jaccard FROM pairs
+  SELECT sb AS s, sa AS t, jacc FROM spairs
+), cross_deg AS (
+  SELECT sym.s, sum(st.cnt) AS cross_deg
+  FROM sym JOIN sets st ON st.set_id = sym.t GROUP BY sym.s
+), cross_best AS (
+  SELECT s, jacc AS cj, other_doc FROM (
+    SELECT sym.s, sym.jacc, st.min1 AS other_doc,
+           row_number() OVER (PARTITION BY sym.s
+                              ORDER BY sym.jacc DESC, st.min1) AS rn
+    FROM sym JOIN sets st ON st.set_id = sym.t
+  ) WHERE rn = 1
+), per_doc AS (
+  SELECT d.doc_id,
+         CAST(st.cnt - 1 + coalesce(cd.cross_deg, 0) AS BIGINT) AS n_near_dups,
+         st.cnt, st.min1, st.min2, cb.cj, cb.other_doc
+  FROM dm d
+  JOIN sets st USING (set_id)
+  LEFT JOIN cross_deg cd ON cd.s = d.set_id
+  LEFT JOIN cross_best cb ON cb.s = d.set_id
+), cands AS (
+  SELECT doc_id, n_near_dups, 1.0 AS jacc,
+         CASE WHEN doc_id = min1 THEN min2 ELSE min1 END AS other
+  FROM per_doc WHERE cnt >= 2
+  UNION ALL
+  SELECT doc_id, n_near_dups, cj AS jacc, other_doc AS other
+  FROM per_doc WHERE cj IS NOT NULL
 ), best AS (
-  SELECT doc_id, other, jaccard,
+  SELECT doc_id, n_near_dups, other, jacc,
          row_number() OVER (PARTITION BY doc_id
-                            ORDER BY jaccard DESC, other) AS rn,
-         count(*) OVER (PARTITION BY doc_id) AS n_near_dups
-  FROM sym
+                            ORDER BY jacc DESC, other) AS rn
+  FROM cands
 )
-SELECT doc_id, CAST(n_near_dups AS BIGINT) AS n_near_dups,
-       other AS best_match, jaccard AS best_jaccard
+SELECT doc_id, n_near_dups, other AS best_match, jacc AS best_jaccard
 FROM best WHERE rn = 1
 """,
 )
 def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PPJoin-style prefix-filtered set-similarity join (Xiao et al.
-    2008): order each document's distinct tokens globally-rarest-first;
-    two token sets can reach Jaccard ≥ τ only if they share a token in
-    their first n - ⌈τ·n⌉ + 1 tokens, so ONLY those prefix tokens join.
-    Candidates then verify exact Jaccard on the full sets; the report is
-    per-document (near-dup degree + best match), so output is bounded by
-    the doc count even though the synthetic corpus is heavily templated
-    (at sf0.1 ~60% of all doc pairs clear Jaccard 0.6 — pair-level
-    output would be millions of rows of redundant information).
+    2008), FACTORED THROUGH DISTINCT TOKEN SETS (r8, VERDICT r7 #4's
+    sf1 exclusion): Jaccard depends only on a document's distinct-token
+    SET, so the join runs over the distinct sets — S sets instead of D
+    documents — and the per-document report expands arithmetically.
 
-    Scale shape vs MinHash: this is the EXACT-recall candidate generator
-    (no LSH false-negative band math) whose cost is bounded by prefix
-    token df, not corpus²; rare-first ordering makes prefix tokens the
-    least frequent, so the equi-join fan-out per token is small by
-    construction ON SPARSE (Zipfian open-vocabulary) CORPORA. ⌈9n/10⌉
-    is computed as (9n+9) div 10 — pure integer arithmetic, identical
-    on both engines (τ = 0.9).
+    Pipeline: (1) canonical set key per doc (md5 of the sorted distinct
+    tokens, chr(31)-joined — identical bytes on both engines); (2) the
+    classic prefix filter over SETS: order each set's tokens
+    globally-rarest-first; two sets can reach Jaccard ≥ τ only if they
+    share a token in their first n - ⌈τ·n⌉ + 1 tokens (⌈9n/10⌉ as
+    (9n+9) div 10, exact integers, τ = 0.9), so only prefix tokens
+    join; (3) exact-Jaccard verify on the set pairs; (4) per-doc
+    expansion WITHOUT materializing doc pairs: a doc in set s has
+    degree (cnt_s − 1) + Σ_{t: J(s,t)≥τ} cnt_t (same-set twins always
+    qualify at J = 1.0, and identical sets are the ONLY J = 1.0 pairs),
+    and its best match is the larger of the same-set candidate
+    (J = 1.0, smallest other id) and the best cross-set candidate
+    (max J, then smallest member id), ranked by the same
+    (jaccard DESC, other ASC) rule the pair-level form used — so the
+    output is ROW-IDENTICAL to the old doc-pair implementation.
 
-    SCALE DOMAIN (measured, r5 sf1 sweep): the synthetic corpus has a
-    ~30-word closed vocabulary and CONSTANT near-dup pair density —
-    7.2% of ALL doc pairs clear J>=0.9 at every SF — so the true-pair
-    set itself grows quadratically (~90M pairs at sf1/50k docs) and NO
-    exact-recall algorithm can beat its own output size: the prefix
-    join's candidate bound degrades to ~3.3e9 at sf1 (measured) and
-    the query is hour-scale on one machine. This is an input-regime
-    boundary, not an implementation defect: for dup-dense or
-    closed-vocabulary corpora the scale path is [[dedup_minhash_lsh]]
-    (banded, recall traded by the S-curve) + [[dedup_cc_clusters]];
-    PPJoin is the exact tool when prefix df is small. The sf1 smoke
-    sweep skips this query with exactly this reason."""
+    Scale shape: the old form was exclusion-class on this fixture — a
+    ~30-word closed vocabulary keeps near-dup pair density CONSTANT
+    (7.2% of ALL doc pairs clear J ≥ 0.9), so doc-pair candidates grew
+    to ~3.3e9 at sf1 (hour-scale, the one sf1-gate exclusion since r5).
+    Set-factoring collapses every clone/template family to ONE set row:
+    candidates are set-pairs (scale-free on templated corpora — S stays
+    put while D grows), every downstream frame is keyed by set_id or
+    doc_id, and no window exceeds set size or 2 rows/doc. On an
+    open-vocabulary corpus S ≈ D and this degrades gracefully to the
+    classic PPJoin cost, where rare-first prefixes keep the token join
+    sparse."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tok = docs.select(
         "doc_id",
@@ -801,67 +839,119 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("w"),
     )
-    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    wdoc = Window.partitionBy("doc_id")
-    ranked = (
-        tok.join(freq, "w")
-        .withColumn("idx", F.row_number().over(wdoc.orderBy("df", "w")))
-        .withColumn("n", F.count(F.lit(1)).over(wdoc))
+    dsets = tok.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("w")).alias("ws")
     )
-    prefix = ranked.filter(
+    dm = dsets.select(
+        "doc_id", F.md5(F.concat_ws("\x1f", "ws")).alias("set_id"), "ws"
+    )
+    sets0 = dm.groupBy("set_id").agg(
+        F.min("ws").alias("ws"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.min("doc_id").alias("min1"),
+    )
+    min2s = (
+        dm.select("doc_id", "set_id")
+        .join(sets0.select("set_id", "min1"), "set_id")
+        .where(F.col("doc_id") != F.col("min1"))
+        .groupBy("set_id")
+        .agg(F.min("doc_id").alias("min2"))
+    )
+    sets_ = sets0.join(min2s, "set_id", "left")
+    stok = sets_.select("set_id", F.explode("ws").alias("w"))
+    sfreq = stok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    wset = Window.partitionBy("set_id")
+    rankedp = (
+        stok.join(sfreq, "w")
+        .withColumn("idx", F.row_number().over(wset.orderBy("df", "w")))
+        .withColumn("n", F.count(F.lit(1)).over(wset))
+    )
+    prefix = rankedp.filter(
         F.col("idx") <= F.col("n") - F.expr("(9 * n + 9) div 10") + 1
-    ).select("doc_id", "w")
+    ).select("set_id", "w")
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "w")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        .filter(F.col("a.set_id") < F.col("b.set_id"))
+        .select(F.col("a.set_id").alias("sa"), F.col("b.set_id").alias("sb"))
         .distinct()
     )
-    sets_ = tok.groupBy("doc_id").agg(
-        F.collect_set("w").alias("ws"), F.countDistinct("w").alias("n")
-    )
-    sa = sets_.select(
-        F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"), F.col("n").alias("n_a")
-    )
-    sb = sets_.select(
-        F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"), F.col("n").alias("n_b")
-    )
+    xa = sets_.select(F.col("set_id").alias("sa"), F.col("ws").alias("ws_a"))
+    xb = sets_.select(F.col("set_id").alias("sb"), F.col("ws").alias("ws_b"))
     n_common = F.size(F.array_intersect("ws_a", "ws_b")).cast("bigint")
     scored = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(xa, "sa")
+        .join(xb, "sb")
         .withColumn("n_common", n_common)
-        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    )
-    jacc = F.col("n_common") / F.col("n_union")
-    pairs = scored.filter(jacc >= 0.9).select(
-        "doc_a", "doc_b", F.round(jacc, 6).alias("jaccard")
-    )
-    sym = pairs.select(
-        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("other"), "jaccard"
-    ).unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("other"), "jaccard"
+        .withColumn(
+            "n_union",
+            F.size("ws_a").cast("bigint")
+            + F.size("ws_b").cast("bigint")
+            - F.col("n_common"),
         )
     )
-    wd = Window.partitionBy("doc_id")
-    best = sym.select(
+    jacc = F.col("n_common") / F.col("n_union")
+    spairs = scored.filter(jacc >= 0.9).select(
+        "sa", "sb", F.round(jacc, 6).alias("jacc")
+    )
+    sym = spairs.select(F.col("sa").alias("s"), F.col("sb").alias("t"), "jacc").unionByName(
+        spairs.select(F.col("sb").alias("s"), F.col("sa").alias("t"), "jacc")
+    )
+    symx = sym.join(
+        sets_.select(F.col("set_id").alias("t"), F.col("cnt").alias("cnt_t"),
+                     F.col("min1").alias("min1_t")),
+        "t",
+    )
+    cross_deg = symx.groupBy("s").agg(F.sum("cnt_t").alias("cross_deg"))
+    cross_best = (
+        symx.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("s").orderBy(F.col("jacc").desc(), "min1_t")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("s", F.col("jacc").alias("cj"), F.col("min1_t").alias("other_doc"))
+    )
+    per_doc = (
+        dm.select("doc_id", "set_id")
+        .join(sets_.select("set_id", "cnt", "min1", "min2"), "set_id")
+        .join(cross_deg.withColumnRenamed("s", "set_id"), "set_id", "left")
+        .join(cross_best.withColumnRenamed("s", "set_id"), "set_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.col("cnt") - 1 + F.coalesce(F.col("cross_deg"), F.lit(0))
+            ).cast("bigint").alias("n_near_dups"),
+            "cnt", "min1", "min2", "cj", "other_doc",
+        )
+    )
+    cands = per_doc.filter(F.col("cnt") >= 2).select(
         "doc_id",
-        "other",
-        "jaccard",
-        F.row_number()
-        .over(wd.orderBy(F.col("jaccard").desc(), "other"))
-        .alias("rn"),
-        F.count(F.lit(1)).over(wd).cast("bigint").alias("n_near_dups"),
+        "n_near_dups",
+        F.lit(1.0).alias("jacc"),
+        F.when(F.col("doc_id") == F.col("min1"), F.col("min2"))
+        .otherwise(F.col("min1"))
+        .alias("other"),
+    ).unionByName(
+        per_doc.filter(F.col("cj").isNotNull()).select(
+            "doc_id",
+            "n_near_dups",
+            F.col("cj").alias("jacc"),
+            F.col("other_doc").alias("other"),
+        )
+    )
+    best = cands.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.col("jacc").desc(), "other")
+        ),
     )
     return best.filter(F.col("rn") == 1).select(
         "doc_id",
         "n_near_dups",
         F.col("other").alias("best_match"),
-        F.col("jaccard").alias("best_jaccard"),
+        F.col("jacc").alias("best_jaccard"),
     )
 
 
@@ -1198,7 +1288,7 @@ def dedup_lsh_parameter_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*",
         F.row_number()
         .over(
-            Window.orderBy(
+            Window.orderBy(  # frame: bounded (parameter-grid rows)
                 F.col("p_at_50") + (1.0 - F.col("p_at_90")), F.col("b"), F.col("r")
             )
         )

@@ -1588,7 +1588,7 @@ def graph_closeness_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_reach") * 1.0 / F.col("sum_dist"), 6).alias("closeness"),
         F.round(F.col("h60") / 60.0, 6).alias("harmonic"),
         F.row_number()
-        .over(W.orderBy(F.col("h60").desc(), "node"))
+        .over(W.orderBy(F.col("h60").desc(), "node"))  # frame: bounded (vocab-grain nodes)
         .cast("bigint")
         .alias("centrality_rank"),
     )

@@ -1734,10 +1734,10 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = per_source.withColumn(
         "curriculum_rank",
         F.row_number()
-        .over(Window.orderBy("difficulty", "source"))
+        .over(Window.orderBy("difficulty", "source"))  # frame: bounded (source-grain, ~tens of sources)
         .cast("bigint"),
     )
-    wcum = Window.orderBy("curriculum_rank").rowsBetween(
+    wcum = Window.orderBy("curriculum_rank").rowsBetween(  # frame: bounded (source-grain)
         Window.unboundedPreceding, Window.currentRow
     )
     return ranked.select(

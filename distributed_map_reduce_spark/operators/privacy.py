@@ -918,7 +918,7 @@ def privacy_dp_quantile_expmech(spark: SparkSession, sf_dir: str) -> DataFrame:
     btot = g.groupBy("_pid").agg(
         F.sum("c").alias("_bc"), F.min("cents").alias("_bmin")
     )
-    bw = W.orderBy("_pid")
+    bw = W.orderBy("_pid")  # frame: bounded (bucket-cardinality two-phase offsets)
     boff = btot.select(
         "_pid",
         F.coalesce(
@@ -1065,7 +1065,7 @@ def privacy_synthetic_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
     n = orig.agg(F.sum("c").cast("bigint").alias("n"))
-    w = W.orderBy("seg")
+    w = W.orderBy("seg")  # frame: bounded (segment-grain)
     pre = orig.select(
         "seg",
         "c",

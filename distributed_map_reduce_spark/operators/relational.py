@@ -1753,7 +1753,7 @@ def relational_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweep = grp.withColumn(
         "prev_best",
         F.max("gmax").over(
-            W.orderBy("price_cents").rowsBetween(W.unboundedPreceding, -1)
+            W.orderBy("price_cents").rowsBetween(W.unboundedPreceding, -1)  # frame: bounded (distinct-price grain, fixed value range)
         ),
     )
     return (

@@ -289,7 +289,7 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("_pri").asc(), F.col("doc_id").asc())
         .limit(PRIORITY_K)
     )
-    w = Window.orderBy(F.col("_pri").asc(), F.col("doc_id").asc())
+    w = Window.orderBy(F.col("_pri").asc(), F.col("doc_id").asc())  # frame: bounded (k rows after TakeOrderedAndProject)
     return topk.select(
         F.row_number().over(w).alias("pick"), "doc_id", "n_chars"
     )

@@ -1867,7 +1867,7 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q)).select(
         "vec_id", "v", F.round(cosine(F.col("qv"), F.col("v")), 6).alias("simq")
     )
-    wtop = W.orderBy(F.col("simq").desc(), F.col("vec_id"))
+    wtop = W.orderBy(F.col("simq").desc(), F.col("vec_id"))  # frame: top-k limit (rn<=12 filter)
     c = (
         scored.withColumn("rn", F.row_number().over(wtop))
         .filter(F.col("rn") <= 12)
@@ -2031,7 +2031,7 @@ def similarity_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFram
     )
     from pyspark.sql import Window
 
-    wtop = Window.orderBy(F.abs(F.col("val")).desc(), F.col("dim"))
+    wtop = Window.orderBy(F.abs(F.col("val")).desc(), F.col("dim"))  # frame: bounded (embedding-dim grain)
     top = v.withColumn("rn", F.row_number().over(wtop)).filter(F.col("rn") <= 3)
     top_wide = top.groupBy().pivot("rn", [1, 2, 3]).agg(F.first("dim"))
     n_dims = dims.agg(F.count(F.lit(1)).cast("bigint").alias("dim"))
@@ -2267,7 +2267,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = scored.withColumn(
         "rnk",
         F.row_number()
-        .over(W.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+        .over(W.orderBy(F.col("bm25").desc(), F.col("doc_id")))  # frame: top-k limit (rnk<=20 filter)
         .cast("bigint"),
     )
     return ranked.filter(F.col("rnk") <= 20).select("doc_id", "bm25", "rnk")
@@ -2379,7 +2379,7 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = fused.withColumn(
         "rnk",
         F.row_number()
-        .over(W.orderBy(F.col("rrf_score").desc(), F.col("doc_id")))
+        .over(W.orderBy(F.col("rrf_score").desc(), F.col("doc_id")))  # frame: top-k limit (rnk<=20 filter)
         .cast("bigint"),
     )
     return final.filter(F.col("rnk") <= 20)
@@ -2658,7 +2658,7 @@ def retrieval_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "s0",
         F.row_number()
-        .over(W.orderBy(F.col("s0").desc(), "doc_id"))
+        .over(W.orderBy(F.col("s0").desc(), "doc_id"))  # frame: top-k limit (r0<=3 filter)
         .cast("bigint")
         .alias("r0"),
     )
@@ -2671,7 +2671,7 @@ def retrieval_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "w",
             F.row_number()
-            .over(W.orderBy(F.col("gain").desc(), "w"))
+            .over(W.orderBy(F.col("gain").desc(), "w"))  # frame: top-k limit over vocab-grain (er<=2)
             .cast("bigint")
             .alias("er"),
         )

@@ -908,7 +908,7 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_a").cast("bigint").alias("a_n"),
         F.sum(1 - F.col("is_a")).cast("bigint").alias("b_n"),
     )
-    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)  # frame: bounded (2dp-binned value grain, fixed range)
     cum = binned.select(
         "v",
         F.sum("a_n").over(w).alias("ca"),
@@ -1337,7 +1337,7 @@ def stats_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     whole = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    run = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    run = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)  # frame: bounded (day-grain)
     t = daily.select(
         "day",
         "day_cents",
@@ -1496,7 +1496,7 @@ def stats_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = rmeans.select(
         (F.col("wc") / (100.0 * F.col("ws"))).alias("rmean")
-    ).withColumn("rn", F.row_number().over(W.orderBy("rmean")))
+    ).withColumn("rn", F.row_number().over(W.orderBy("rmean")))  # frame: bounded (100 bootstrap reps)
     est = o.agg(
         F.round(F.sum("cents") / (100.0 * F.count(F.lit(1))), 4).alias("mean_est")
     )
@@ -1580,7 +1580,7 @@ def agg_exact_median_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = bands.withColumn(
         "cum",
         F.sum("cnt")
-        .over(W.orderBy("band").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .over(W.orderBy("band").rowsBetween(W.unboundedPreceding, W.currentRow))  # frame: bounded (band-cardinality, fixed price range)
         .cast("bigint"),
     )
     targets = (
@@ -1893,7 +1893,7 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     signs = daily.crossJoin(F.broadcast(med)).select(
         "day", F.when(F.col("cents") > F.col("m"), 1).otherwise(0).alias("above")
     )
-    lag = F.lag("above").over(W.orderBy("day"))
+    lag = F.lag("above").over(W.orderBy("day"))  # frame: bounded (day-grain)
     runs = signs.withColumn(
         "new_run",
         F.when(lag.isNull() | (lag != F.col("above")), 1).otherwise(0),
@@ -1955,7 +1955,7 @@ def stats_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # unpartitioned window is safe here: the frame is the DAILY series
     # (date cardinality), not the fact table — one task sorts ~2.5k rows
-    w = Window.orderBy("d")
+    w = Window.orderBy("d")  # frame: bounded (day-grain)
     lagged = daily.select(
         "rev",
         F.lag("rev", 1).over(w).alias("l1"),
@@ -2791,7 +2791,7 @@ def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - F.col("censored")).cast("bigint").alias("d"),
     )
     total = subjects.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
-    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)  # frame: bounded (day-duration grain)
     risk = (
         at_t.crossJoin(F.broadcast(total))
         .withColumn(
@@ -2799,7 +2799,7 @@ def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_n") - F.coalesce(F.sum("n_ending").over(wcum), F.lit(0)),
         )
     )
-    wsurv = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wsurv = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)  # frame: bounded (day-duration grain)
     factor = 1.0 - F.col("d") * 1.0 / F.col("n_risk")
     # guard the S(t)=0 tail (d == n_risk): ln(0) is an error in DuckDB
     # and -inf in Spark — both sides special-case it to an exact 0.0
@@ -3137,7 +3137,7 @@ def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = z.withColumn("pv", pv)
     from pyspark.sql import Window
 
-    wr = Window.orderBy("pv", "nation")
+    wr = Window.orderBy("pv", "nation")  # frame: bounded (nation-grain, 25 rows)
     wall = Window.partitionBy()
     ranked = p.withColumn("bh_rank", F.row_number().over(wr)).withColumn(
         "m", F.count(F.lit(1)).over(wall)
@@ -4616,7 +4616,7 @@ def stats_qini_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(uplift, 6).alias("uplift"),
         qini_inc.alias("qini_inc"),
     )
-    wq = Window.orderBy("dec").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wq = Window.orderBy("dec").rowsBetween(Window.unboundedPreceding, Window.currentRow)  # frame: bounded (10 deciles)
     return scored.select(
         "dec", "n_t", "c_t", "n_c", "c_c", "uplift",
         F.round(F.sum("qini_inc").over(wq), 4).alias("qini_cumulative"),
@@ -4881,7 +4881,7 @@ def stats_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = daily.select(
         "day",
         "x",
-        (F.row_number().over(Window.orderBy("day")) - 1).alias("rn"),
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("rn"),  # frame: bounded (day-grain)
         F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
     )
     ws = F.explode(F.array(F.lit(5), F.lit(10), F.lit(15))).alias("w")
@@ -5081,7 +5081,7 @@ def stats_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     best = u.withColumn(
-        "rn", F.row_number().over(Window.orderBy(F.abs(F.col("u_t")).desc(), F.col("day")))
+        "rn", F.row_number().over(Window.orderBy(F.abs(F.col("u_t")).desc(), F.col("day")))  # frame: bounded (day-grain)
     ).filter(F.col("rn") == 1)
     p_approx = 2.0 * F.exp(
         -6.0 * F.col("u_t") * F.col("u_t") / (n**3 + n**2)
@@ -5150,7 +5150,7 @@ def stats_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.round(F.sum("value") * 100.0).cast("bigint").cast("double").alias("x")
-    ).withColumn("t", F.row_number().over(Window.orderBy("day")))
+    ).withColumn("t", F.row_number().over(Window.orderBy("day")))  # frame: bounded (day-grain)
     base = daily.agg(
         F.avg("x").alias("mu0"),
         F.sqrt(
@@ -5656,7 +5656,7 @@ def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("c") * 1.0 / F.count(F.lit(1))).alias("xbar"),
     )
     # unpartitioned window is safe: the frame is the DAILY series
-    w = Window.orderBy("d")
+    w = Window.orderBy("d")  # frame: bounded (day-grain)
     lagged = daily.select(
         "c", *[F.lag("c", k).over(w).alias(f"l{k}") for k in range(1, 6)]
     )
@@ -5684,7 +5684,7 @@ def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.col("den")
     )
     r = ks.crossJoin(F.broadcast(sums)).select("k", "n", rk_expr.alias("rk"))
-    wq = Window.orderBy("k")
+    wq = Window.orderBy("k")  # frame: bounded (lag-count rows)
     q = F.col("n") * (F.col("n") + 2.0) * F.sum(
         F.col("rk") * F.col("rk") / (F.col("n") - F.col("k"))
     ).over(wq)
@@ -6133,12 +6133,12 @@ def stats_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - F.col("censored")).cast("bigint").alias("d"),
     )
     total = subjects.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
-    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)  # frame: bounded (day-duration grain)
     risk = at_t.crossJoin(F.broadcast(total)).withColumn(
         "n_risk",
         F.col("_n") - F.coalesce(F.sum("n_ending").over(wcum), F.lit(0)),
     )
-    wh = Window.orderBy("t").rowsBetween(
+    wh = Window.orderBy("t").rowsBetween(  # frame: bounded (day-duration grain)
         Window.unboundedPreceding, Window.currentRow
     )
     h = F.sum(F.col("d") * 1.0 / F.col("n_risk")).over(wh)
@@ -6728,7 +6728,7 @@ def stats_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("cents"),
     )
     tot = per_dec.agg((F.sum("cents") * 1.0).alias("total"))
-    wcum = Window.orderBy("decile").rowsBetween(
+    wcum = Window.orderBy("decile").rowsBetween(  # frame: bounded (10 deciles)
         Window.unboundedPreceding, Window.currentRow
     )
     return per_dec.crossJoin(F.broadcast(tot)).select(
@@ -7138,7 +7138,7 @@ def stats_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("yo"),
     )
     # unpartitioned window is safe: the frame is the DAILY series
-    w = Window.orderBy("d")
+    w = Window.orderBy("d")  # frame: bounded (day-grain)
     lagged = daily.select(
         (F.col("yo") * 1.0).alias("y"),
         (F.lag("yo").over(w) * 1.0).alias("x1"),
@@ -7646,7 +7646,7 @@ def stats_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("y")
     )
-    w = Window.orderBy("d")
+    w = Window.orderBy("d")  # frame: bounded (day-grain)
     idx = daily.select(
         F.row_number().over(w).cast("bigint").alias("x"),
         "y",
@@ -8096,7 +8096,7 @@ def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_matches",
             F.col("w").alias("wins"),
             F.round("s", 5).alias("strength"),
-            F.rank().over(Window.orderBy(F.col("s").desc())).cast("bigint").alias(
+            F.rank().over(Window.orderBy(F.col("s").desc())).cast("bigint").alias(  # frame: bounded (model-grain)
                 "strength_rank"
             ),
         )
@@ -8212,7 +8212,7 @@ def stats_ols_residual_diagnostics(spark: SparkSession, sf_dir: str) -> DataFram
         "d",
         "x",
         e.alias("e"),
-        F.lag(e).over(Window.orderBy("d")).alias("e_prev"),
+        F.lag(e).over(Window.orderBy("d")).alias("e_prev"),  # frame: bounded (day-grain)
     )
     agg = resid.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
@@ -8337,7 +8337,7 @@ def stats_engle_granger_coint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = F.col("y") - F.col("a") - F.col("b") * F.col("x")
     resid = daily.crossJoin(F.broadcast(ab)).select(
-        "d", e.alias("e"), F.lag(e).over(Window.orderBy("d")).alias("e_prev")
+        "d", e.alias("e"), F.lag(e).over(Window.orderBy("d")).alias("e_prev")  # frame: bounded (day-grain)
     ).filter(F.col("e_prev").isNotNull()).localCheckpoint(eager=False)
     adf = resid.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_diff"),
@@ -8656,7 +8656,7 @@ def eval_youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         j.withColumn(
-            "rn", F.row_number().over(Window.orderBy(F.col("j_num").desc(), F.col("t")))
+            "rn", F.row_number().over(Window.orderBy(F.col("j_num").desc(), F.col("t")))  # frame: top-k over bounded 257-threshold grain
         )
         .filter(F.col("rn") == 1)
         .select(
@@ -8993,7 +8993,7 @@ def stats_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)  # frame: bounded (score-bin grain)
     pre = bins.select(
         "bin", "n", "conv", "mean_predicted",
         F.sum("n").over(w).alias("cn"),
@@ -9455,7 +9455,7 @@ def stats_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         (F.sum("c") * 1.0 / F.count(F.lit(1))).alias("xbar"),
     )
-    w = Window.orderBy("d")
+    w = Window.orderBy("d")  # frame: bounded (day-grain)
     lagged = daily.select(
         "c", *[F.lag("c", k).over(w).alias(f"l{k}") for k in (1, 2, 3)]
     )
@@ -9576,7 +9576,7 @@ def stats_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = grain.agg(
         F.sum("n").cast("bigint").alias("nn"), F.sum("pos").cast("bigint").alias("np")
     )
-    w = W.orderBy("q")
+    w = W.orderBy("q")  # frame: bounded (<=50-value quantity grain)
     cum = grain.select(
         F.col("q").alias("threshold"),
         F.sum("n").over(w).alias("nl"),
@@ -9608,7 +9608,7 @@ def stats_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn(
         "gain_rank",
         F.row_number()
-        .over(W.orderBy(F.col("_p").desc(), "threshold"))
+        .over(W.orderBy(F.col("_p").desc(), "threshold"))  # frame: bounded (<=50-value quantity grain)
         .cast("bigint"),
     ).drop("_p")
 

@@ -783,7 +783,7 @@ def temporal_open_interval_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         bounds.select(F.col("closed").alias("d"), F.lit(-1).alias("delta"))
     )
     daily = deltas.groupBy("d").agg(F.sum("delta").cast("bigint").alias("net"))
-    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)  # frame: bounded (day-grain)
     return daily.select(
         F.col("d").alias("day"),
         F.sum("net").over(w).cast("bigint").alias("open_orders"),
@@ -1434,7 +1434,7 @@ def temporal_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 6).alias("rev")
     )
     # unpartitioned centered window over the daily series (tiny frame)
-    w = Window.orderBy("d").rowsBetween(-3, 3)
+    w = Window.orderBy("d").rowsBetween(-3, 3)  # frame: bounded (day-grain)
     tr = daily.select(
         "d",
         "rev",
@@ -2138,7 +2138,7 @@ def temporal_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
     )
     # unpartitioned window is safe: the frame is the MONTHLY series
-    w = Window.orderBy("month")
+    w = Window.orderBy("month")  # frame: bounded (month-grain)
     g = monthly.select(
         "month",
         "cents",

@@ -508,7 +508,7 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     ranked = wc.withColumn(
-        "r", F.row_number().over(W.orderBy(F.col("c").desc(), F.col("w")))
+        "r", F.row_number().over(W.orderBy(F.col("c").desc(), F.col("w")))  # frame: bounded (vocab-grain)
     )
     return ranked.agg(
         F.count(F.lit(1)).alias("vocab_size"),
@@ -1106,7 +1106,7 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "rn",
             F.row_number().over(
-                Window.orderBy(F.col("n").desc(), F.col("w"))
+                Window.orderBy(F.col("n").desc(), F.col("w"))  # frame: bounded (vocab-grain)
             ),
         )
         .filter(F.col("rn") <= 50)
@@ -2059,7 +2059,7 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "rnk",
         F.row_number()
-        .over(Window.orderBy(F.col("textrank").desc(), F.col("word")))
+        .over(Window.orderBy(F.col("textrank").desc(), F.col("word")))  # frame: bounded (vocab-grain)
         .cast("bigint"),
     )
     return ranked.filter(F.col("rnk") <= 15)

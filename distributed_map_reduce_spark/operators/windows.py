@@ -393,7 +393,7 @@ def window_cumsum_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     local = bucketed.withColumn("local_cum", F.sum("day_cents").over(local_w))
     totals = bucketed.groupBy("_pid").agg(F.sum("day_cents").alias("part_total"))
     offset_w = (
-        W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+        W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)  # frame: bounded (bucket-cardinality two-phase offsets)
     )  # partitions-cardinality frame: tiny by construction
     offsets = totals.select(
         "_pid",
@@ -648,7 +648,7 @@ def window_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.round(F.sum("value") * 100).cast("bigint").alias("cents")
     ).withColumn("x", F.unix_date(F.col("day")).cast("bigint"))
-    w = W.orderBy("day").rowsBetween(-6, W.currentRow)
+    w = W.orderBy("day").rowsBetween(-6, W.currentRow)  # frame: bounded (day-grain)
     return daily.select(
         "day",
         F.col("cents").cast("bigint").alias("cents"),
@@ -694,7 +694,7 @@ def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.round(F.sum("value") * 100).cast("bigint").alias("cents")
     )
-    w = W.orderBy("day").rowsBetween(-6, W.currentRow)
+    w = W.orderBy("day").rowsBetween(-6, W.currentRow)  # frame: bounded (day-grain)
     sd = F.coalesce(F.stddev_samp("cents").over(w), F.lit(0.0))
     sma = F.avg("cents").over(w)
     hi, lo = sma + 2.0 * sd, sma - 2.0 * sd
@@ -751,7 +751,7 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.round(F.sum("value") * 100).cast("bigint").alias("cents")
     )
-    wc = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wc = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)  # frame: bounded (day-grain)
     cum = daily.withColumn("equity", F.sum("cents").over(wc).cast("bigint"))
     dd = cum.withColumn("peak", F.max("equity").over(wc).cast("bigint"))
     return dd.select(
@@ -815,7 +815,7 @@ def window_local_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.round(F.sum("value") * 100).cast("bigint").alias("cents")
     )
-    wd = W.orderBy("day")
+    wd = W.orderBy("day")  # frame: bounded (day-grain)
     left = wd.rowsBetween(-3, -1)
     right = wd.rowsBetween(1, 3)
     framed = daily.select(

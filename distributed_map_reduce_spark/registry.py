@@ -268,7 +268,7 @@ _R6_WINDOW: tuple[str, ...] = (
     "profile_key_discovery",
 )
 
-_DRIVER_WINDOW: tuple[str, ...] = (
+_R7_WINDOW: tuple[str, ...] = (
     # --- round-7-rewritten code that never received a driver row (rule a) ---
     "stats_ols_residual_diagnostics",  # exact-cents daily y (r7 sf1 gate)
     "source_parquet_footer_stats",     # per-chunk uncompressed sum (r7 sf1 gate)
@@ -328,6 +328,92 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "profile_partition_skew",
     "profile_dataset_card",
     "multimodal_shard_manifest",
+)
+
+# ROUND 8 = 50 more never-driver-tested oracle-bearing queries (r7 went
+# 50/50 green; cumulative 330 distinct driver-tested, backlog 213 at
+# window time — 212 from r7 plus dedup_minhash_clusters, the ONE new
+# registration VERDICT r7 #2 itself ordered: the linear-output dedup
+# headliner, LSH star edges → CC → keeper; otherwise the registry stays
+# frozen). Rewritten-code-first discipline (changed code outranks
+# merely-untested code): this round rewrote every data-sized
+# unpartitioned Window.orderBy onto the two-phase banded form
+# (operators/ranks.py, VERDICT r7 #4) and set-factored
+# dedup_prefix_filter_join (VERDICT r7 #4's sf1 exclusion) — ALL
+# rewrites are bit-identical (hash-matched against unchanged oracles at
+# sf0.01 AND sf0.1; the prefix-join's old-vs-new ORACLE outputs proven
+# row-identical at both scales before swapping), so previously-green
+# rows stay valid and no rule-(a) REPEAT slots are needed. The eleven
+# rewritten-but-never-rowed queries take priority slots instead
+# (dunn, rfm×2, qini, sprt, skyline, conversion-latency, padding-waste,
+# rrf, rocchio + the new helper's stats flagship), then the headliner
+# pair (dedup_minhash_clusters + its keeper piece), then the deepest
+# never-tested families: a 13-query stats spread, events 4, pipeline 4,
+# text 4, agg 3, temporal 2, profile 2, multimodal 2, and one flagship
+# each from sql/privacy/similarity/sample. Backlog after this window:
+# 213 - 50 = 163.
+_DRIVER_WINDOW: tuple[str, ...] = (
+    # --- new registration this round (VERDICT r7 #2): the headline
+    #     corpus-dedup pass + its keeper building block ---
+    "dedup_minhash_clusters",
+    "dedup_cluster_keeper",
+    # --- rewritten this round (two-phase banded windows), never rowed ---
+    "stats_dunn_posthoc",
+    "stats_rfm_segmentation",
+    "stats_rfm_migration",
+    "stats_qini_uplift_deciles",
+    "stats_sprt_sequential",
+    "analytics_skyline_pareto",
+    "events_conversion_latency",
+    "pipeline_padding_waste_audit",
+    "retrieval_hybrid_rrf",
+    "retrieval_rocchio_prf",
+    # --- stats long-tail spread (deepest backlog family) ---
+    "stats_hodges_lehmann",
+    "stats_mantel_haenszel",
+    "stats_mcnemar_test",
+    "stats_friedman_test",
+    "stats_cochran_armitage",
+    "stats_partial_correlation",
+    "stats_vif_multicollinearity",
+    "stats_granger_causality",
+    "stats_engle_granger_coint",
+    "stats_pacf_durbin_levinson",
+    "stats_isotonic_calibration",
+    "stats_benford_digits",
+    "stats_runs_test",
+    # --- events tail ---
+    "events_attribution_linear",
+    "events_peak_concurrency",
+    "events_inter_arrival",
+    "events_weekly_churn",
+    # --- pipeline tail ---
+    "pipeline_mixture_weights",
+    "pipeline_mixture_materialize",
+    "pipeline_dedup_report",
+    "pipeline_span_corruption",
+    # --- text tail ---
+    "text_pmi_collocations",
+    "text_textrank_keywords",
+    "text_readability_scores",
+    "text_repetition_ratio",
+    # --- agg tail ---
+    "agg_argminmax",
+    "agg_higher_moments",
+    "agg_regression_funcs",
+    # --- temporal tail ---
+    "temporal_linear_interp",
+    "temporal_business_day_lag",
+    # --- profile / multimodal ---
+    "profile_bot_detection",
+    "profile_schema_drift",
+    "multimodal_aspect_bucket",
+    "multimodal_byte_entropy",
+    # --- one flagship per remaining family ---
+    "sql_group_by_all",
+    "privacy_randomized_response",
+    "similarity_gram_matrix",
+    "sample_reservoir_per_group",
 )
 
 

@@ -654,7 +654,7 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily_new = first_seen.groupBy("day").agg(
         F.count(F.lit(1)).cast("bigint").alias("new_users")
     )
-    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)  # frame: bounded (day-grain)
     return daily_new.select(
         "day",
         "new_users",

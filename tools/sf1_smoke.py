@@ -33,20 +33,14 @@ from distributed_map_reduce_spark import registry  # noqa: E402
 from distributed_map_reduce_spark.session import get_spark  # noqa: E402
 
 
-# Queries whose cost is OUTPUT-bound quadratic on the synthetic corpus
-# (constant near-dup pair density => true-pair set grows quadratically;
-# no exact algorithm beats its own output size). Skipped with reason —
-# see each op's docstring for the measured analysis.
-SKIP = {
-    # dedup_mllib_minhash_join no longer skips: round 6 capped it to a
-    # fixed 2000-document slab (library-demo posture) after its uncapped
-    # form measured 619s at sf1 — see the op's docstring.
-    "dedup_prefix_filter_join": (
-        "exact tau=0.9 set-similarity join; corpus has constant 7.2% "
-        "pair density => ~90M true pairs at sf1 — output-bound quadratic "
-        "by construction; scale path is dedup_minhash_lsh + cc"
-    ),
-}
+# No exclusions (round 8): dedup_prefix_filter_join — the last one —
+# was set-factored (Jaccard depends only on the distinct-token SET, so
+# the join runs over distinct sets and per-doc degrees expand
+# arithmetically; see its docstring) and now runs at any SF of this
+# corpus. dedup_mllib_minhash_join stopped skipping in round 6 (capped
+# to a fixed 2000-document slab, library-demo posture) after its
+# uncapped form measured 619s at sf1.
+SKIP: dict[str, str] = {}
 
 
 def main() -> None:

@@ -118,7 +118,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "join", "agg"),
     oracle="""
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l_discount AS DECIMAL(18,2))), 2)
+            AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -143,6 +145,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter prunes nation/supplier before the join so the
     c_nationkey = s_nationkey colocation test sees a reduced build side.
     Partial agg on n_name precedes the final 5-row exchange.
+
+    Revenue accumulates in exact DECIMAL (r8: this round's sf1 gate
+    caught the raw-double sum flipping a 2dp midpoint with partial-agg
+    order — the same managed class as the seven r6/r7 integer-cents
+    migrations; the synthetic cents land sums exactly on .xx5
+    boundaries). Both engines round the identical exact rational, then
+    cast the 2dp result to double for the canonicalizer.
     """
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = (
@@ -171,9 +180,15 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+                ),
+                2,
             )
+            .cast("double")
+            .alias("revenue")
         )
     )
 

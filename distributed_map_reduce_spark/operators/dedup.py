@@ -916,7 +916,15 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "set_id", "gid", F.coalesce("gpat", F.lit("")).alias("gpat")
     )
     sl = swss.select("set_id", "sws", F.size("sws").cast("bigint").alias("n"))
-    a = pat.select(F.col("set_id").alias("sa"), "gid", "gpat")
+    # Probe-side fan-out guard (the r7 bootstrap-parallelism class): pat
+    # is only S*(K+1) narrow rows, so AQE coalesces it to ~1 partition —
+    # blind to the candidate JOIN's output fan-out — and the whole
+    # probe→verify stream would run on one task (measured 326s at sf1).
+    # Round-robin repartition to core count keeps the row SET identical
+    # and spreads pair production across the cluster.
+    a = pat.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("set_id").alias("sa"), "gid", "gpat"
+    )
     b = pat.select(F.col("set_id").alias("sb"), "gid", "gpat")
     # the sws lookup is broadcast BY PREMISE: set-factoring collapses a
     # templated corpus to few distinct sets (S ≪ D); the candidate
@@ -930,7 +938,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = F.size(F.array_intersect("sws_a", "sws_b")).cast("bigint")
     spairs = (
-        a.join(b, ["gid", "gpat"])
+        a.join(F.broadcast(b), ["gid", "gpat"])
         .filter(F.col("sa") < F.col("sb"))
         .join(sla, "sa")
         .join(slb, "sb")

@@ -705,10 +705,25 @@ assigned AS (
            AS arn
   FROM l1 l JOIN seedg g ON l.cluster = g.s_cluster AND l.vgrp = g.grp
   QUALIFY arn = 1
+), capped AS (
+  -- HARD block cap (r8, ADVICE r7 #3): nearest-seed routing only bounds
+  -- block size in expectation — replica-dense regions overfill one seed
+  -- and re-quadratize the verify (measured: the sf10 verify stage's
+  -- straggler tail). Any block still over 512 re-splits by rank
+  -- (vec_id order, deterministic); sub-block ids live at cluster*1000 +
+  -- blk, disjoint from raw labels (< 1000) and collision-free while an
+  -- overfilled seed block holds < 512,000 vectors. Blocks at or under
+  -- the target keep their id — identity wherever no overfill exists.
+  SELECT vec_id, v,
+         CASE WHEN count(*) OVER (PARTITION BY cluster) <= 512 THEN cluster
+              ELSE cluster * 1000
+                   + (row_number() OVER (PARTITION BY cluster ORDER BY vec_id) - 1) // 512
+         END AS cluster
+  FROM subbed
 ), pairs AS (
   SELECT a.cluster, a.vec_id AS keep_id, b.vec_id AS prune_id,
          round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
-  FROM subbed a JOIN subbed b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  FROM capped a JOIN capped b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
   WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
 ), chosen AS (
   SELECT cluster, prune_id, keep_id, cos_sim,
@@ -882,7 +897,31 @@ def similarity_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cluster"),
         )
     )
-    memn = memsub.withColumn("nrm", norm(F.col("v")))
+    # HARD block cap (r8, ADVICE r7 #3): nearest-seed routing bounds the
+    # block only in EXPECTATION — replica-dense regions overfill one
+    # seed and re-quadratize the verify (the sf10 straggler tail:
+    # 176s → ~40s class). Blocks still over 512 re-split by rank
+    # (vec_id order, deterministic, mirrored in the oracle); sub-block
+    # ids live at cluster*1000 + blk — disjoint from raw labels (< 1000)
+    # and collision-free while one overfilled seed block holds < 512,000
+    # vectors. At-or-under-target blocks keep their id, so this layer is
+    # the identity wherever no overfill exists (sf0.01/0.1 outputs
+    # bit-identical; pair recall across a rank-split boundary is
+    # surrendered — the same boundary trade SemDeDup already accepts).
+    wcap = W.partitionBy("cluster")
+    capped = memsub.select(
+        "vec_id",
+        "v",
+        F.when(F.count(F.lit(1)).over(wcap) <= TARGET_BLOCK, F.col("cluster"))
+        .otherwise(
+            F.col("cluster") * 1000
+            + ((F.row_number().over(wcap.orderBy("vec_id")) - 1) / TARGET_BLOCK).cast(
+                "bigint"
+            )
+        )
+        .alias("cluster"),
+    )
+    memn = capped.withColumn("nrm", norm(F.col("v")))
     a = memn.select(
         "cluster",
         F.col("vec_id").alias("keep_id"),

@@ -759,19 +759,37 @@ WITH tok AS (
   SELECT grid.set_id, grid.gid, coalesce(pat0.gpat, '') AS gpat
   FROM grid LEFT JOIN pat0
     ON pat0.set_id = grid.set_id AND pat0.gid = grid.gid
+), cand AS (
+  -- NARROW-FIRST (r8 sf1-gate fix): dedupe the (sa, sb) candidate pairs
+  -- while each row is two md5 strings, BEFORE any token-list joins. The
+  -- sf1 fixture generates ~83M bucket-join rows (top (gid,gpat) buckets
+  -- hold ~5.6k sets each); carrying both 32-int token lists through that
+  -- join + DISTINCT spilled >80 GB of DuckDB temp and aborted the gate.
+  -- Candidates dedupe to 77M narrow rows, the integer length filter cuts
+  -- to 50M, and only those reach the list_intersect verify (~2.5 min at
+  -- sf1, measured). Spark needs no twin change: its probe->verify stream
+  -- pipelines per-batch and never materializes the candidate join.
+  SELECT DISTINCT a.set_id AS sa, b.set_id AS sb
+  FROM pat a
+  JOIN pat b ON a.gid = b.gid AND a.gpat = b.gpat AND a.set_id < b.set_id
+), lens AS (
+  SELECT set_id, CAST(len(sws) AS BIGINT) AS n FROM swss
 ), spairs AS (
-  SELECT DISTINCT sa, sb, jacc FROM (
-    SELECT a.set_id AS sa, b.set_id AS sb,
+  SELECT sa, sb, jacc FROM (
+    SELECT c.sa, c.sb,
            len(list_intersect(x.sws, y.sws)) AS c,
            len(x.sws) AS na, len(y.sws) AS nb,
            round(len(list_intersect(x.sws, y.sws)) * 1.0
                  / (len(x.sws) + len(y.sws) - len(list_intersect(x.sws, y.sws))),
                  6) AS jacc
-    FROM pat a
-    JOIN pat b ON a.gid = b.gid AND a.gpat = b.gpat AND a.set_id < b.set_id
-    JOIN swss x ON x.set_id = a.set_id
-    JOIN swss y ON y.set_id = b.set_id
-    WHERE 19 * least(len(x.sws), len(y.sws)) >= 9 * (len(x.sws) + len(y.sws))
+    FROM (
+      SELECT cd.sa, cd.sb FROM cand cd
+      JOIN lens lx ON lx.set_id = cd.sa
+      JOIN lens ly ON ly.set_id = cd.sb
+      WHERE 19 * least(lx.n, ly.n) >= 9 * (lx.n + ly.n)
+    ) c
+    JOIN swss x ON x.set_id = c.sa
+    JOIN swss y ON y.set_id = c.sb
   ) WHERE c * 10 >= 9 * (na + nb - c)
 ), sym AS (
   SELECT sa AS s, sb AS t, jacc FROM spairs

@@ -743,7 +743,7 @@ WITH tok AS (
   SELECT w, CAST(row_number() OVER (ORDER BY df, w) AS BIGINT) AS tid FROM sfreq
 ), stok_t AS (
   SELECT s.set_id, t.tid FROM stok s JOIN tid_map t USING (w)
-), swss AS (
+), swss AS MATERIALIZED (
   SELECT set_id, list_sort(list(tid)) AS sws FROM stok_t GROUP BY set_id
 ), kk AS (
   SELECT CAST((2 * max(len(sws))) // 19 AS BIGINT) AS k FROM swss
@@ -755,11 +755,11 @@ WITH tok AS (
   SELECT set_id, gid
   FROM (SELECT set_id FROM sets)
   CROSS JOIN (SELECT unnest(range((SELECT k FROM kk) + 1)) AS gid)
-), pat AS (
+), pat AS MATERIALIZED (
   SELECT grid.set_id, grid.gid, coalesce(pat0.gpat, '') AS gpat
   FROM grid LEFT JOIN pat0
     ON pat0.set_id = grid.set_id AND pat0.gid = grid.gid
-), cand AS (
+), cand AS MATERIALIZED (
   -- NARROW-FIRST (r8 sf1-gate fix): dedupe the (sa, sb) candidate pairs
   -- while each row is two md5 strings, BEFORE any token-list joins. The
   -- sf1 fixture generates ~83M bucket-join rows (top (gid,gpat) buckets
@@ -767,14 +767,16 @@ WITH tok AS (
   -- join + DISTINCT spilled >80 GB of DuckDB temp and aborted the gate.
   -- Candidates dedupe to 77M narrow rows, the integer length filter cuts
   -- to 50M, and only those reach the list_intersect verify (~2.5 min at
-  -- sf1, measured). Spark needs no twin change: its probe->verify stream
+  -- sf1, measured; AS MATERIALIZED pins the staged execution - inlined,
+  -- DuckDB re-planned the monolith back into a list-carrying join that
+  -- spilled the same way). Spark needs no twin change: its probe->verify stream
   -- pipelines per-batch and never materializes the candidate join.
   SELECT DISTINCT a.set_id AS sa, b.set_id AS sb
   FROM pat a
   JOIN pat b ON a.gid = b.gid AND a.gpat = b.gpat AND a.set_id < b.set_id
 ), lens AS (
   SELECT set_id, CAST(len(sws) AS BIGINT) AS n FROM swss
-), spairs AS (
+), spairs AS MATERIALIZED (
   SELECT sa, sb, jacc FROM (
     SELECT c.sa, c.sb,
            len(list_intersect(x.sws, y.sws)) AS c,

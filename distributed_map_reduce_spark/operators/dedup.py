@@ -743,10 +743,29 @@ WITH tok AS (
   SELECT w, CAST(row_number() OVER (ORDER BY df, w) AS BIGINT) AS tid FROM sfreq
 ), stok_t AS (
   SELECT s.set_id, t.tid FROM stok s JOIN tid_map t USING (w)
-), swss AS MATERIALIZED (
-  SELECT set_id, list_sort(list(tid)) AS sws FROM stok_t GROUP BY set_id
+), lens AS MATERIALIZED (
+  SELECT set_id, CAST(count(*) AS BIGINT) AS n FROM stok_t GROUP BY set_id
 ), kk AS (
-  SELECT CAST((2 * max(len(sws))) // 19 AS BIGINT) AS k FROM swss
+  SELECT CAST((2 * max(n)) // 19 AS BIGINT) AS k FROM lens
+), dims AS (
+  SELECT CAST((max(tid) + 61) // 62 AS BIGINT) AS w FROM stok_t
+), words AS (
+  SELECT set_id, (tid - 1) // 62 AS wj,
+         CAST(sum(CAST(1 AS BIGINT) << CAST((tid - 1) % 62 AS INT)) AS BIGINT) AS word
+  FROM stok_t GROUP BY set_id, (tid - 1) // 62
+), masks AS MATERIALIZED (
+  -- MASK-CHUNK VERIFY (r8 sf10-viability): each distinct set packs into
+  -- ceil(vocab/62) 62-bit words (tids are distinct per set, so the sum
+  -- of powers IS the OR); |A intersect B| = sum of popcounts of ANDed
+  -- words. Candidates are unchanged - only the verify representation
+  -- shrinks, from two sorted 32-int lists per candidate row to W~1-3
+  -- words, so the verify cost per pair drops ~50x on both engines. W is
+  -- data-derived (mirrored in the Spark twin), so open vocabularies
+  -- degrade gracefully rather than breaking exactness.
+  SELECT g.set_id, list(coalesce(w.word, 0) ORDER BY g.wj) AS mw
+  FROM (SELECT set_id, unnest(range((SELECT w FROM dims))) AS wj FROM lens) g
+  LEFT JOIN words w ON w.set_id = g.set_id AND w.wj = g.wj
+  GROUP BY g.set_id
 ), pat0 AS (
   SELECT set_id, tid % ((SELECT k FROM kk) + 1) AS gid,
          md5(array_to_string(list_sort(list(tid)), ',')) AS gpat
@@ -761,37 +780,40 @@ WITH tok AS (
     ON pat0.set_id = grid.set_id AND pat0.gid = grid.gid
 ), cand AS MATERIALIZED (
   -- NARROW-FIRST (r8 sf1-gate fix): dedupe the (sa, sb) candidate pairs
-  -- while each row is two md5 strings, BEFORE any token-list joins. The
+  -- while each row is two md5 strings, BEFORE any payload joins. The
   -- sf1 fixture generates ~83M bucket-join rows (top (gid,gpat) buckets
   -- hold ~5.6k sets each); carrying both 32-int token lists through that
   -- join + DISTINCT spilled >80 GB of DuckDB temp and aborted the gate.
   -- Candidates dedupe to 77M narrow rows, the integer length filter cuts
-  -- to 50M, and only those reach the list_intersect verify (~2.5 min at
-  -- sf1, measured; AS MATERIALIZED pins the staged execution - inlined,
-  -- DuckDB re-planned the monolith back into a list-carrying join that
-  -- spilled the same way). Spark needs no twin change: its probe->verify stream
-  -- pipelines per-batch and never materializes the candidate join.
+  -- to 50M, and only those reach the mask-chunk verify. AS MATERIALIZED
+  -- pins the staged execution (inlined, DuckDB re-planned the monolith
+  -- back into a payload-carrying join that spilled the same way).
   SELECT DISTINCT a.set_id AS sa, b.set_id AS sb
   FROM pat a
   JOIN pat b ON a.gid = b.gid AND a.gpat = b.gpat AND a.set_id < b.set_id
-), lens AS (
-  SELECT set_id, CAST(len(sws) AS BIGINT) AS n FROM swss
 ), spairs AS MATERIALIZED (
   SELECT sa, sb, jacc FROM (
     SELECT c.sa, c.sb,
-           len(list_intersect(x.sws, y.sws)) AS c,
-           len(x.sws) AS na, len(y.sws) AS nb,
-           round(len(list_intersect(x.sws, y.sws)) * 1.0
-                 / (len(x.sws) + len(y.sws) - len(list_intersect(x.sws, y.sws))),
+           CAST(list_sum(list_transform(list_zip(x.mw, y.mw),
+                                        p -> bit_count(p[1] & p[2])))
+                AS BIGINT) AS c,
+           c.na, c.nb,
+           round(CAST(list_sum(list_transform(list_zip(x.mw, y.mw),
+                                              p -> bit_count(p[1] & p[2])))
+                      AS BIGINT) * 1.0
+                 / (c.na + c.nb
+                    - CAST(list_sum(list_transform(list_zip(x.mw, y.mw),
+                                                   p -> bit_count(p[1] & p[2])))
+                           AS BIGINT)),
                  6) AS jacc
     FROM (
-      SELECT cd.sa, cd.sb FROM cand cd
+      SELECT cd.sa, cd.sb, lx.n AS na, ly.n AS nb FROM cand cd
       JOIN lens lx ON lx.set_id = cd.sa
       JOIN lens ly ON ly.set_id = cd.sb
       WHERE 19 * least(lx.n, ly.n) >= 9 * (lx.n + ly.n)
     ) c
-    JOIN swss x ON x.set_id = c.sa
-    JOIN swss y ON y.set_id = c.sb
+    JOIN masks x ON x.set_id = c.sa
+    JOIN masks y ON y.set_id = c.sb
   ) WHERE c * 10 >= 9 * (na + nb - c)
 ), sym AS (
   SELECT sa AS s, sb AS t, jacc FROM spairs
@@ -852,7 +874,9 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exact integer length filter (19·min(na,nb) ≥ 9·(na+nb)) and the
     streaming exact verify 19·|A∩B| ≥ 9·(na+nb) — the candidate stream
     flows probe→verify→filter in one stage against a broadcast
-    int-token-array lookup, nothing pair-sized is ever shuffled,
+    bitmask-chunk lookup (see the mask-chunk note in the body:
+    ceil(vocab/62) packed words per set, intersect = popcount of AND,
+    data-derived width mirrored in SQL), nothing pair-sized is ever shuffled,
     dedup happens after the τ filter on true pairs only; (4) per-doc
     expansion WITHOUT materializing doc pairs: a doc in set s has
     degree (cnt_s − 1) + Σ_{t: J(s,t)≥τ} cnt_t (same-set twins always
@@ -901,8 +925,15 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("set_id")
         .agg(F.min("doc_id").alias("min2"))
     )
-    sets_ = sets0.join(min2s, "set_id", "left")
-    stok = sets_.select("set_id", F.explode("ws").alias("w"))
+    sets_ = sets0.join(min2s, "set_id", "left").withColumn(
+        "sid",
+        F.row_number()
+        # frame: bounded (distinct-set grain — S ≪ D by the set-factoring
+        # frame: premise, the same premise that broadcasts the mask lookup)
+        .over(Window.orderBy("set_id"))
+        .cast("bigint"),
+    )
+    stok = sets_.select("sid", F.explode("ws").alias("w"))
     sfreq = stok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     tid_map = sfreq.select(
         "w",
@@ -911,31 +942,71 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tid"),
     )
-    stok_t = stok.join(tid_map, "w").select("set_id", "tid")
-    swss = stok_t.groupBy("set_id").agg(
-        F.sort_array(F.collect_list("tid")).alias("sws")
+    stok_t = stok.join(tid_map, "w").select("sid", "tid")
+    ssize = stok_t.groupBy("sid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
     )
-    kdf = swss.agg(
-        F.expr("CAST((2 * max(size(sws))) DIV 19 AS BIGINT)").alias("k")
+    kdf = ssize.agg(F.expr("CAST((2 * max(n)) DIV 19 AS BIGINT)").alias("k"))
+    # MASK-CHUNK VERIFY (r8 sf10-viability): pack each distinct set into
+    # ceil(vocab/62) 62-bit words (tids are distinct per set, so the sum
+    # of powers IS the bitwise OR); |A∩B| = Σ popcount(word_a & word_b).
+    # Candidates are unchanged — only the verify representation shrinks,
+    # from two sorted 32-int arrays per candidate row (~512 B) to W≈1–3
+    # longs, so the per-pair verify cost and the join-row width both drop
+    # ~50×. W is data-derived and mirrored in the DuckDB oracle (the
+    # ann_lsh_adaptive_planes pattern), so open vocabularies degrade
+    # gracefully (wider mask arrays) rather than breaking exactness.
+    wdf = stok_t.agg(
+        F.expr("CAST((max(tid) + 61) DIV 62 AS BIGINT)").alias("wn")
     )
+    words = stok_t.groupBy(
+        "sid", F.expr("CAST((tid - 1) DIV 62 AS BIGINT)").alias("wj")
+    ).agg(
+        F.expr(
+            "CAST(sum(shiftleft(CAST(1 AS BIGINT), CAST((tid - 1) % 62 AS INT))) AS BIGINT)"
+        ).alias("word")
+    )
+    masks = (
+        words.groupBy("sid")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("wj", "word"))).alias("m")
+        )
+        .crossJoin(F.broadcast(wdf))
+        .select(
+            "sid",
+            F.expr(
+                "transform(sequence(CAST(0 AS BIGINT), wn - 1),"
+                " j -> coalesce(element_at(m, j), CAST(0 AS BIGINT)))"
+            ).alias("mw"),
+        )
+    )
+    # INT BUCKET KEYS (r8): the group pattern joins on a 60-bit integer
+    # prefix of the md5 instead of the 32-char string (and set ids are
+    # dense bigints), so a candidate row is three longs instead of two
+    # md5 strings + one. A 60-bit collision (or a real prefix equal to
+    # the empty-group marker 0) can only MERGE buckets, i.e. ADD
+    # candidates that the exact popcount verify then rejects — the
+    # verified pair set is provably unchanged, so the md5-string oracle
+    # stays a faithful twin without mirroring the key encoding.
     pat0 = (
         stok_t.crossJoin(F.broadcast(kdf))
-        .groupBy("set_id", (F.col("tid") % (F.col("k") + 1)).alias("gid"))
+        .groupBy("sid", (F.col("tid") % (F.col("k") + 1)).alias("gid"))
         .agg(
-            F.md5(
-                F.concat_ws(",", F.sort_array(F.collect_list("tid")))
-            ).alias("gpat")
+            F.expr(
+                "CAST(conv(substring(md5(concat_ws(',',"
+                " sort_array(collect_list(tid)))), 1, 15), 16, 10) AS BIGINT)"
+            ).alias("g60")
         )
     )
     grid = (
-        sets_.select("set_id")
+        sets_.select("sid")
         .crossJoin(F.broadcast(kdf))
-        .select("set_id", F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("k"))).alias("gid"))
+        .select("sid", F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("k"))).alias("gid"))
     )
-    pat = grid.join(pat0, ["set_id", "gid"], "left").select(
-        "set_id", "gid", F.coalesce("gpat", F.lit("")).alias("gpat")
+    pat = grid.join(pat0, ["sid", "gid"], "left").select(
+        "sid", "gid", F.coalesce("g60", F.lit(0).cast("bigint")).alias("g60")
     )
-    sl = swss.select("set_id", "sws", F.size("sws").cast("bigint").alias("n"))
+    sl = masks.join(ssize, "sid").select("sid", "mw", "n")
     # Probe-side fan-out guard (the r7 bootstrap-parallelism class): pat
     # is only S*(K+1) narrow rows, so AQE coalesces it to ~1 partition —
     # blind to the candidate JOIN's output fan-out — and the whole
@@ -943,22 +1014,28 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round-robin repartition to core count keeps the row SET identical
     # and spreads pair production across the cluster.
     a = pat.repartition(spark.sparkContext.defaultParallelism).select(
-        F.col("set_id").alias("sa"), "gid", "gpat"
+        F.col("sid").alias("sa"), "gid", "g60"
     )
-    b = pat.select(F.col("set_id").alias("sb"), "gid", "gpat")
-    # the sws lookup is broadcast BY PREMISE: set-factoring collapses a
+    b = pat.select(F.col("sid").alias("sb"), "gid", "g60")
+    # the mask lookup is broadcast BY PREMISE: set-factoring collapses a
     # templated corpus to few distinct sets (S ≪ D); the candidate
     # stream then flows probe→verify→filter in one stage with nothing
     # pair-sized ever shuffled or spilled
     sla = F.broadcast(
-        sl.select(F.col("set_id").alias("sa"), F.col("sws").alias("sws_a"), F.col("n").alias("na"))
+        sl.select(F.col("sid").alias("sa"), F.col("mw").alias("mw_a"), F.col("n").alias("na"))
     )
     slb = F.broadcast(
-        sl.select(F.col("set_id").alias("sb"), F.col("sws").alias("sws_b"), F.col("n").alias("nb"))
+        sl.select(F.col("sid").alias("sb"), F.col("mw").alias("mw_b"), F.col("n").alias("nb"))
     )
-    c = F.size(F.array_intersect("sws_a", "sws_b")).cast("bigint")
+    c = F.aggregate(
+        F.zip_with(
+            "mw_a", "mw_b", lambda x, y: F.bit_count(x.bitwiseAND(y)).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     spairs = (
-        a.join(F.broadcast(b), ["gid", "gpat"])
+        a.join(F.broadcast(b), ["gid", "g60"])
         .filter(F.col("sa") < F.col("sb"))
         .join(sla, "sa")
         .join(slb, "sb")
@@ -978,7 +1055,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spairs.select(F.col("sb").alias("s"), F.col("sa").alias("t"), "jacc")
     )
     symx = sym.join(
-        sets_.select(F.col("set_id").alias("t"), F.col("cnt").alias("cnt_t"),
+        sets_.select(F.col("sid").alias("t"), F.col("cnt").alias("cnt_t"),
                      F.col("min1").alias("min1_t")),
         "t",
     )
@@ -995,9 +1072,9 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_doc = (
         dm.select("doc_id", "set_id")
-        .join(sets_.select("set_id", "cnt", "min1", "min2"), "set_id")
-        .join(cross_deg.withColumnRenamed("s", "set_id"), "set_id", "left")
-        .join(cross_best.withColumnRenamed("s", "set_id"), "set_id", "left")
+        .join(sets_.select("set_id", "sid", "cnt", "min1", "min2"), "set_id")
+        .join(cross_deg.withColumnRenamed("s", "sid"), "sid", "left")
+        .join(cross_best.withColumnRenamed("s", "sid"), "sid", "left")
         .select(
             "doc_id",
             (

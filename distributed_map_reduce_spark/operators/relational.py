@@ -521,7 +521,9 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderpriority,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS total
+       -- exact cents sum, one shared /100.0 (r8 sf10-stride catch: the
+       -- raw double sum's drift crossed the 2dp grain at ~3M rows/group)
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
 FROM orders
 WHERE o_orderdate >= DATE '1995-01-01'
 GROUP BY o_orderpriority
@@ -542,7 +544,11 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
 FROM orders
 |> WHERE o_orderdate >= DATE '1995-01-01'
 |> AGGREGATE count(*) AS n_orders,
-             round(sum(o_totalprice), 2) AS total
+             -- divisor cast: a bare 100.0 literal is DECIMAL in Spark
+             -- SQL (bigint/decimal -> decimal(27,6)) but DOUBLE in the
+             -- DuckDB twin; cast so both sides render as double
+             sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS total
    GROUP BY o_orderpriority
 |> ORDER BY o_orderpriority
 """)
@@ -949,8 +955,20 @@ def hierarchy_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each recursion step is one equi-join (child div 7 = node) — at
     100 TB the per-level frontier is partition-parallel, and tree depth
     (log_7 n) bounds the step count. Multiplicity-safe because a tree
-    gives each node exactly one derivation path."""
+    gives each node exactly one derivation path.
+
+    The walk emits one row per (root, descendant) — LINEAR in the
+    customer count (each node has exactly one root), so Spark's default
+    cteRecursionRowLimit of 1M is a safety valve this query legitimately
+    outgrows at ~1.5M customers (hit at the r8 sf10 stride gate). Scale
+    the limit to the linear bound: 2 rows per customer covers every
+    fixture decade without re-enabling runaway-recursion risk."""
     cust = load_table(spark, sf_dir, "customer")
+    n_cust = cust.count()
+    floor_limit = int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000"))
+    spark.conf.set(
+        "spark.sql.cteRecursionRowLimit", str(max(floor_limit, 2 * n_cust))
+    )
     cust.createOrReplaceTempView("_hier_customer")
     return spark.sql("""
 WITH RECURSIVE walk(root, node) AS (

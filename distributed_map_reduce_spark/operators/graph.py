@@ -11,6 +11,26 @@ round, never data.
 
 The DuckDB oracle replays the semantics with a recursive CTE
 (min reachable id per node) — slower asymptotics, same fixpoint.
+
+EDGE-FEED POLICY (r9, VERDICT r8 #1). Two generators feed this module:
+
+- `minhash_star_pairs` — Σ(n−1) verified star edges per LSH bucket,
+  linear even on clone² corpora. Every consumer whose output depends
+  only on CONNECTIVITY uses it: `dedup_cc_clusters`,
+  `dedup_cluster_keeper`, `dedup_minhash_clusters`.
+- `minhash_lsh_pairs` — the full verified pair list. Consumers whose
+  SEMANTICS are pair-exact keep it: degrees (`graph_degree_histogram`,
+  `graph_degree_assortativity`), edge-metric walks (`graph_pagerank`,
+  `graph_bfs_depth`, `graph_reachability_recursive`,
+  `graph_random_walk_sampling`), neighborhood overlap
+  (`graph_jaccard_neighbors`, `graph_adamic_adar`,
+  `graph_triangle_count`, `graph_clustering_coefficient`,
+  `graph_kcore`, `graph_modularity_score`), and vote-weighted
+  propagation (`graph_label_spread`). These inherit the pair
+  generator's documented output bound: on clone-heavy corpora the pair
+  set grows as clones², so at 100 TB they run after a degree cap /
+  hub drop (`graph_degree_histogram` is the triage view), never as the
+  corpus-wide cleaning pass — that pass is `dedup_minhash_clusters`.
 """
 
 from __future__ import annotations
@@ -90,7 +110,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
     tags=("dedup", "graph", "iterative"),
     oracle=f"""
 WITH RECURSIVE pairs AS (
-  SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})
+  SELECT doc_a, doc_b FROM ({_MINHASH_STAR_ORACLE})
 ), edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION ALL
@@ -108,11 +128,22 @@ FROM reach GROUP BY node
 """,
 )
 def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clusters: MinHash-LSH pairs → connected components →
+    """Near-dup clusters: LSH STAR edges → connected components →
     (doc_id, component=min doc_id in cluster, cluster_size). The
-    canonical-keeper assignment a dedup pipeline applies corpus-wide."""
+    canonical-keeper assignment a dedup pipeline applies corpus-wide.
+
+    r9 (VERDICT r8 #1): the edge feed is `minhash_star_pairs`, not the
+    pair-quadratic `minhash_lsh_pairs` — this query's OUTPUT is one row
+    per clustered doc (linear), so feeding it Σ C(n,2) bucket pairs
+    re-imported the clone² blow-up the star generator exists to avoid
+    (27.2M pairs / 371.9s at sf10 on the clone-family fixture, vs
+    Σ(n−1) verified star edges). Connectivity is the only edge property
+    consumed here, and star edges connect the same buckets; the
+    documented recall trade (a bucket pair whose hub matches neither
+    member is surrendered) is inherited from [[dedup_minhash_clusters]]
+    and pinned by the same test."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    pairs = minhash_star_pairs(docs).select("doc_a", "doc_b")
     cc = connected_components(pairs, "doc_a", "doc_b")
     from pyspark.sql import Window
 
@@ -825,7 +856,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "graph", "iterative"),
     oracle=f"""
 WITH RECURSIVE pairs AS (
-  SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})
+  SELECT doc_a, doc_b FROM ({_MINHASH_STAR_ORACLE})
 ), edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION ALL
@@ -863,37 +894,33 @@ def dedup_cluster_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep/drop verdict actually applied at scale. Plan: components from
     bounded label propagation (one shuffle per round, driver holds a
     counter), one broadcast-eligible join to the metadata columns
-    (n_chars — never the text), one per-component window, one self-join
-    on the component key to attach the keeper id. Everything after pair
-    generation carries ids + small ints only."""
+    (n_chars — never the text), then ONE per-component window pass that
+    emits rank, keep flag, and keeper id together (`first_value` over
+    the same ordering — no self-join back on the component key).
+    Everything after edge generation carries ids + small ints only.
+
+    r9 (VERDICT r8 #1): edges come from `minhash_star_pairs` — the
+    keep/drop verdict only consumes CONNECTIVITY, so the clone²
+    pair-quadratic feed (`minhash_lsh_pairs`) is replaced by Σ(n−1)
+    verified star edges; same recall trade as
+    [[dedup_minhash_clusters]], pinned by test."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    pairs = minhash_star_pairs(docs).select("doc_a", "doc_b")
     cc = connected_components(pairs, "doc_a", "doc_b")
     from pyspark.sql import Window
 
-    ranked = (
-        cc.select(F.col("node").alias("doc_id"), "component")
-        .join(docs.select("doc_id", "n_chars"), "doc_id")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("component").orderBy(
-                    F.col("n_chars").desc(), F.col("doc_id")
-                )
-            ),
-        )
-    )
-    keepers = ranked.filter(F.col("rn") == 1).select(
-        "component", F.col("doc_id").alias("keeper_id")
+    wo = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
     )
     return (
-        ranked.join(keepers, "component")
+        cc.select(F.col("node").alias("doc_id"), "component")
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
         .select(
             "doc_id",
             "component",
             "n_chars",
-            F.when(F.col("rn") == 1, 1).otherwise(0).alias("keep"),
-            "keeper_id",
+            F.when(F.row_number().over(wo) == 1, 1).otherwise(0).alias("keep"),
+            F.first("doc_id").over(wo).alias("keeper_id"),
         )
     )
 
@@ -955,31 +982,22 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = connected_components(pairs, "doc_a", "doc_b")
     from pyspark.sql import Window
 
-    ranked = (
+    # One component-keyed window pass emits rank, size, and keeper id
+    # together (r9, VERDICT r8 #6): `first_value` over the keeper
+    # ordering replaces the rn==1 self-join back on the component key —
+    # one exchange + one sort instead of exchange + sort + shuffle join.
+    wp = Window.partitionBy("component")
+    wo = wp.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
         cc.select(F.col("node").alias("doc_id"), "component")
         .join(docs.select("doc_id", "n_chars"), "doc_id")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("component").orderBy(
-                    F.col("n_chars").desc(), F.col("doc_id")
-                )
-            ),
+        .select(
+            "doc_id",
+            "component",
+            F.count(F.lit(1)).over(wp).cast("bigint").alias("cluster_size"),
+            F.when(F.row_number().over(wo) == 1, 1).otherwise(0).alias("keep"),
+            F.first("doc_id").over(wo).alias("keeper_id"),
         )
-        .withColumn(
-            "cluster_size",
-            F.count(F.lit(1)).over(Window.partitionBy("component")).cast("bigint"),
-        )
-    )
-    keepers = ranked.filter(F.col("rn") == 1).select(
-        "component", F.col("doc_id").alias("keeper_id")
-    )
-    return ranked.join(keepers, "component").select(
-        "doc_id",
-        "component",
-        "cluster_size",
-        F.when(F.col("rn") == 1, 1).otherwise(0).alias("keep"),
-        "keeper_id",
     )
 
 

@@ -119,14 +119,53 @@ def shingle_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     return toks.select("doc_id", F.explode(shingle).alias("s")).dropDuplicates(["doc_id", "s"])
 
 
+def shingle_hash_rows(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct (doc_id, h) rows, h = the 60-bit md5 prefix of the word
+    shingle — the hot-path twin of :func:`shingle_rows` (r9). MinHash
+    banding needs only h % P and exact-Jaccard verification already
+    intersects these SAME 60-bit prefixes (see :func:`verify_jaccard`),
+    so hashing once at the explode and deduplicating on (doc_id, h)
+    lets banding, both verify joins, and the size aggregate all reuse
+    ONE integer-keyed exchange — the string form paid a second md5 pass
+    plus a second full (doc_id, h) dedup exchange inside verify.
+    Output-identical to the string pipeline: the per-doc distinct-h set
+    is what every downstream consumer reduces over either way (min for
+    signatures, count for sizes, equi-join for intersections)."""
+    toks = docs.repartition(spark_partitions(docs)).select(
+        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("toks")
+    )
+    k = SHINGLE_K
+    idx = F.when(
+        F.size("toks") >= k, F.sequence(F.lit(1), F.size("toks") - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    shingle = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at("toks", i + j) for j in range(k)])
+    )
+    return (
+        toks.select("doc_id", F.explode(shingle).alias("s"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint").alias("h"),
+        )
+        .dropDuplicates(["doc_id", "h"])
+    )
+
+
 def banded_keys(sh_rows: DataFrame) -> DataFrame:
     """(doc_id, band_id, band_key) LSH bucket rows: one hash-aggregate with
     k vectorized ``min`` columns (universal hashing over the per-shingle
-    md5 int); band keys concatenate signature columns."""
-    base = sh_rows.select(
-        "doc_id",
-        (F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint") % MINHASH_P).alias("b"),
+    md5 int); band keys concatenate signature columns. Accepts either
+    string shingle rows (doc_id, s) or pre-hashed rows (doc_id, h) from
+    :func:`shingle_hash_rows` — the signature min is over the same
+    integer multiset either way."""
+    b_col = (
+        (F.col("h") % MINHASH_P)
+        if "h" in sh_rows.columns
+        else (F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint") % MINHASH_P)
     )
+    base = sh_rows.select("doc_id", b_col.alias("b"))
     sig = base.groupBy("doc_id").agg(
         *[
             F.min((F.lit(HASH_A[s]) * F.col("b") + F.lit(HASH_B[s])) % MINHASH_P).alias(f"h{s}")
@@ -172,12 +211,15 @@ def star_candidates(sh_rows: DataFrame) -> DataFrame:
     components over (verified) star edges replace the pair-quadratic
     bucket join for cluster-level dedup (VERDICT r7 #1: 27.2M pairs →
     ~0.5M edges on the sf10 clone-family fixture). Hub resolution is one
-    hash-aggregate (min per bucket) + one equi-join back — no window
-    sort over bucket-sized partitions."""
+    UNORDERED window min per bucket (whole-partition frame — no sort):
+    one exchange of the banded rows, where the r8 agg+join-back form
+    paid two exchanges plus a join stage for the same answer."""
+    from pyspark.sql import Window
+
     banded = banded_keys(sh_rows)
-    hubs = banded.groupBy("band_id", "band_key").agg(F.min("doc_id").alias("hub"))
+    hub = F.min("doc_id").over(Window.partitionBy("band_id", "band_key"))
     return (
-        banded.join(hubs, ["band_id", "band_key"])
+        banded.withColumn("hub", hub)
         .filter(F.col("doc_id") != F.col("hub"))
         .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
         .distinct()
@@ -210,8 +252,8 @@ def minhash_lsh_pairs(
     # localCheckpoint, nothing accumulates driver-side across calls
     # (persist taxes every later CacheManager lookup; checkpoint blocks
     # pile up until a cleaner storm stalls some later job).
-    sh_rows = shingle_rows(docs, id_col, text_col)
-    return verify_jaccard(band_candidates(sh_rows), sh_rows, tau)
+    sh_h = shingle_hash_rows(docs, id_col, text_col)
+    return verify_jaccard(band_candidates(sh_h), sh_h, tau)
 
 
 def verify_jaccard(cand: DataFrame, sh_rows: DataFrame, tau: float) -> DataFrame:
@@ -226,11 +268,19 @@ def verify_jaccard(cand: DataFrame, sh_rows: DataFrame, tau: float) -> DataFrame
     a 60-bit collision — ~3e-4 expected per 26M-shingle fixture —
     changes both engines identically and the hash-equality gate holds
     unconditionally; at driver scale (57k shingles) collision odds are
-    ~1e-9 and outputs are bit-identical to the string-keyed form."""
-    sh_h = sh_rows.select(
-        "doc_id",
-        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint").alias("h"),
-    ).dropDuplicates(["doc_id", "h"])
+    ~1e-9 and outputs are bit-identical to the string-keyed form.
+
+    Accepts pre-hashed (doc_id, h) rows from :func:`shingle_hash_rows`
+    as-is (already distinct — no second dedup exchange); string rows
+    get hashed + deduplicated here."""
+    sh_h = (
+        sh_rows
+        if "h" in sh_rows.columns
+        else sh_rows.select(
+            "doc_id",
+            F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint").alias("h"),
+        ).dropDuplicates(["doc_id", "h"])
+    )
     sizes = sh_h.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         cand.join(sh_h.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
@@ -264,8 +314,8 @@ def minhash_star_pairs(
     (b,c) pair in a bucket whose hub a matches neither is surrendered
     (the full-pair generator would keep it). On clone-family corpora the
     hub is itself a family member, so family recall is unchanged."""
-    sh_rows = shingle_rows(docs, id_col, text_col)
-    return verify_jaccard(star_candidates(sh_rows), sh_rows, tau)
+    sh_h = shingle_hash_rows(docs, id_col, text_col)
+    return verify_jaccard(star_candidates(sh_h), sh_h, tau)
 
 
 def simhash_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -423,6 +473,13 @@ _MINHASH_ORACLE = _verified_sql(_MINHASH_CAND_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join→
     verify); the DuckDB oracle replays the identical portable hashes.
+
+    Jaccard semantics note (ADVICE r8): the emitted `jaccard` — here and
+    in every graph/pipeline consumer that embeds this pair derivation —
+    is computed over 60-bit-hash-distinct shingles (:func:`verify_jaccard`),
+    so under a hash collision the value (and a near-tau pass/fail) can
+    differ from string-exact Jaccard; both engines hash identically, so
+    the differential gate holds unconditionally.
 
     CALIBRATION-SCALE ONLY (demoted from the bench set in r8, VERDICT r7
     #1): the pair LIST is output-quadratic on clone-heavy corpora (27.2M

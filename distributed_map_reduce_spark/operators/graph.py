@@ -63,39 +63,65 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
     # also checkpoint the evolving labels each round so lineage stays
     # O(1) instead of growing by one join per round.
     both = both.localCheckpoint(eager=True)
-    nodes = both.select(F.col("a").alias("node")).distinct()
-    labels = nodes.withColumn("component", F.col("node")).localCheckpoint(eager=True)
+    # Seed labels with ONE aggregation instead of the identity map (r9):
+    # label(n) = min(n, min neighbor of n) IS the first propagation step,
+    # so the loop starts a round ahead for free (every node appears as
+    # `b` because `both` carries both directions).
+    # Not checkpointed: round 1 references it through one cheap aggregate
+    # over the already-checkpointed edge table — a materialization action
+    # here would cost more than the recompute it saves.
+    labels = (
+        both.groupBy("b")
+        .agg(F.min("a").alias("m"))
+        .select(
+            F.col("b").alias("node"),
+            F.least(F.col("m"), F.col("b")).alias("component"),
+        )
+    )
     for _ in range(MAX_ROUNDS):
-        # component candidate from each neighbor's current label
-        neighbor_min = (
-            both.join(labels, both.a == labels.node)
-            .groupBy(F.col("b").alias("node2"))
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        cand = labels.join(neighbor_min, labels.node == F.col("node2"), "left").select(
-            "node",
-            F.least(
-                F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-            ).alias("component"),
-        )
-        # Pointer jumping: relabel through the label's own label. Chain
-        # depth halves per round, so a diameter-D path converges in
-        # O(log D) rounds instead of D — without it, a 20-round cap
-        # silently mislabels any chain longer than 20 (ADVICE r01).
-        ptr = cand.select(F.col("node").alias("pnode"), F.col("component").alias("pcomp"))
-        jumped = (
-            cand.join(ptr, cand.component == ptr.pnode, "left")
-            .select("node", F.coalesce(F.col("pcomp"), F.col("component")).alias("component"))
-            .localCheckpoint(eager=True)
-        )
-        # one small action per round: did any label improve?
-        changed = (
-            jumped.join(labels.withColumnRenamed("component", "_old"), "node")
-            .filter(F.col("component") != F.col("_old"))
-            .limit(1)
-            .count()
-        )
-        labels = jumped
+        # Two propagate+jump steps fused into ONE materialization (r9):
+        # the per-round fixed cost (checkpoint job + convergence-count
+        # job) dominated the sf0.1 wall, and chaining two steps in one
+        # plan halves the number of rounds the driver pays for while
+        # keeping lineage bounded (the checkpoint below truncates it).
+        cur = labels.withColumn("pre", F.col("component"))
+        for _ in range(2):
+            # Propagate: new candidate = min(own label, neighbor labels),
+            # as ONE union + ONE aggregate — every node appears in the
+            # self branch, so no left-join/coalesce repair pass is needed
+            # (the r8 form paid join + agg + left join per step).
+            nbr = both.join(cur, both.a == cur.node).select(
+                F.col("b").alias("node"),
+                "component",
+                F.lit(None).cast(dict(cur.dtypes)["pre"]).alias("pre"),
+            )
+            self_rows = cur.select("node", "component", "pre")
+            cand = (
+                self_rows.unionByName(nbr)
+                .groupBy("node")
+                .agg(
+                    F.min("component").alias("component"),
+                    F.max("pre").alias("pre"),
+                )
+            )
+            # Pointer jumping: relabel through the label's own label.
+            # Chain depth halves per jump, so a diameter-D path converges
+            # in O(log D) steps instead of D — without it, a bounded
+            # round cap silently mislabels long chains (ADVICE r01).
+            ptr = cand.select(
+                F.col("node").alias("pnode"), F.col("component").alias("pcomp")
+            )
+            cur = cand.join(ptr, cand.component == ptr.pnode, "left").select(
+                "node",
+                F.coalesce(F.col("pcomp"), F.col("component")).alias("component"),
+                "pre",
+            )
+        jumped = cur.localCheckpoint(eager=True)
+        # one small action per round, shuffle-free: the round-start label
+        # rode along in `pre`, so the improvement probe is a narrow scan
+        # of the just-checkpointed partitions — no join, no exchange.
+        changed = jumped.filter(F.col("component") != F.col("pre")).limit(1).count()
+        labels = jumped.select("node", "component")
         if changed == 0:
             return labels
     raise RuntimeError(
@@ -564,10 +590,14 @@ def graph_reachability_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The r5 sf1 sweep measured the multiplicity concretely: 3.87M walk
     rows to reach 2,769 nodes at sf1 — over Spark's default 1M
-    cteRecursionRowLimit, so the limit is raised locally here (UNION
-    ALL recursion cannot deduplicate per level; the row count IS the
-    path count). The cubic growth is the documented reason the
-    frontier loop, not this CTE, is the open-ended-traversal tool."""
+    cteRecursionRowLimit, so the limit is raised here, SCOPED (ADVICE
+    r8): the walk materializes eagerly under the raised limit (the
+    min-depth rollup is node-sized, a cheap checkpoint) and the session
+    limit is restored in a finally, keeping the stock runaway-recursion
+    valve for later recursive CTEs. (UNION ALL recursion cannot
+    deduplicate per level; the row count IS the path count.) The cubic
+    growth is the documented reason the frontier loop, not this CTE, is
+    the open-ended-traversal tool."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = (
         minhash_lsh_pairs(docs)
@@ -578,8 +608,10 @@ def graph_reachability_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     pairs.createOrReplaceTempView("_rec_pairs")
+    prior = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
     spark.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
-    return spark.sql("""
+    try:
+        return spark.sql("""
 WITH RECURSIVE edges AS (
   SELECT doc_a AS a, doc_b AS b FROM _rec_pairs
   UNION ALL
@@ -593,7 +625,12 @@ WITH RECURSIVE edges AS (
 )
 SELECT node AS doc_id, CAST(min(depth) AS BIGINT) AS hops
 FROM walk GROUP BY node
-""")
+""").localCheckpoint(eager=True)
+    finally:
+        if prior is not None:
+            spark.conf.set("spark.sql.cteRecursionRowLimit", prior)
+        else:
+            spark.conf.unset("spark.sql.cteRecursionRowLimit")
 
 
 @register(

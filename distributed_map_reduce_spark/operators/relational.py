@@ -962,15 +962,22 @@ def hierarchy_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cteRecursionRowLimit of 1M is a safety valve this query legitimately
     outgrows at ~1.5M customers (hit at the r8 sf10 stride gate). Scale
     the limit to the linear bound: 2 rows per customer covers every
-    fixture decade without re-enabling runaway-recursion risk."""
+    fixture decade without re-enabling runaway-recursion risk. The
+    override is SCOPED (ADVICE r8): the recursion materializes eagerly
+    under the raised limit (the rollup is 2-3 rows — a free checkpoint)
+    and the session limit is restored in a finally, so later recursive
+    CTEs in the same session keep the stock safety valve. The sizing
+    count is metadata-only (parquet row-count, no column scan)."""
     cust = load_table(spark, sf_dir, "customer")
     n_cust = cust.count()
-    floor_limit = int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000"))
+    prior = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
+    floor_limit = int(prior) if prior is not None else 1000000
+    cust.createOrReplaceTempView("_hier_customer")
     spark.conf.set(
         "spark.sql.cteRecursionRowLimit", str(max(floor_limit, 2 * n_cust))
     )
-    cust.createOrReplaceTempView("_hier_customer")
-    return spark.sql("""
+    try:
+        return spark.sql("""
 WITH RECURSIVE walk(root, node) AS (
   SELECT c_custkey, c_custkey FROM _hier_customer WHERE c_custkey < 3
   UNION ALL
@@ -984,7 +991,12 @@ SELECT w.root,
            AS subtree_cents
 FROM walk w JOIN _hier_customer c ON c.c_custkey = w.node
 GROUP BY w.root
-""")
+""").localCheckpoint(eager=True)
+    finally:
+        if prior is not None:
+            spark.conf.set("spark.sql.cteRecursionRowLimit", prior)
+        else:
+            spark.conf.unset("spark.sql.cteRecursionRowLimit")
 
 
 @register(

@@ -67,15 +67,24 @@ GROUP BY l_returnflag
 def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted aggregation on a 3-value key (maximal skew: every key is
     hot). The oracle is the direct group-by — algebraically identical."""
-    li = load_table(spark, sf_dir, "lineitem").withColumn(
-        "_price_cents", F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .withColumn(
+            "_price_cents", F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        )
+        # count(*) parity: count a literal, not a value column — Spark's
+        # count skips nulls, so counting _price_cents would diverge from
+        # the oracle's count(*) on any fixture with null prices
+        # (ADVICE r8; TPC-H happens to be NOT NULL, this removes the
+        # latent dependence on that).
+        .withColumn("_one", F.lit(1))
     )
     out = salted_agg(
         li,
         "l_returnflag",
         {
             "total_price_cents": ("_price_cents", "sum"),
-            "n": ("_price_cents", "count"),
+            "n": ("_one", "count"),
             "max_qty": ("l_quantity", "max"),
         },
     )

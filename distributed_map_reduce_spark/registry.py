@@ -330,92 +330,83 @@ _R7_WINDOW: tuple[str, ...] = (
     "multimodal_shard_manifest",
 )
 
-# ROUND 8 = 50 more never-driver-tested oracle-bearing queries (r7 went
-# 50/50 green; cumulative 330 distinct driver-tested, backlog 213 at
-# window time — 212 from r7 plus dedup_minhash_clusters, the ONE new
-# registration VERDICT r7 #2 itself ordered: the linear-output dedup
-# headliner, LSH star edges → CC → keeper; otherwise the registry stays
-# frozen). Rewritten-code-first discipline (changed code outranks
-# merely-untested code): this round rewrote every data-sized
-# unpartitioned Window.orderBy onto the two-phase banded form
-# (operators/ranks.py, VERDICT r7 #4) and set-factored
-# dedup_prefix_filter_join (VERDICT r7 #4's sf1 exclusion) — ALL
-# rewrites are bit-identical (hash-matched against unchanged oracles at
-# sf0.01 AND sf0.1; the prefix-join's old-vs-new ORACLE outputs proven
-# row-identical at both scales before swapping), so previously-green
-# rows stay valid and no rule-(a) REPEAT slots are needed. The eleven
-# rewritten-but-never-rowed queries take priority slots instead
-# (dunn, rfm×2, qini, sprt, skyline, conversion-latency, padding-waste,
-# rrf, rocchio + the new helper's stats flagship), then the headliner
-# pair (dedup_minhash_clusters + its keeper piece), then the deepest
-# never-tested families: a 13-query stats spread, events 4, pipeline 4,
-# text 4, agg 3, temporal 2, profile 2, multimodal 2, and one flagship
-# each from sql/privacy/similarity/sample. Backlog after this window:
-# 213 - 50 = 163.
+# ROUND 9 = 3 rule-(a) re-rows + 47 never-driver-tested oracle-bearing
+# queries (r8 went 50/50 green; cumulative 380 distinct driver-tested,
+# backlog 163 at window time; registry frozen — no new registrations).
+# The re-rows are this round's SEMANTIC changes, which invalidate their
+# previous green rows: dedup_cc_clusters + dedup_cluster_keeper moved
+# from the pair-quadratic minhash_lsh_pairs feed to linear star edges
+# (VERDICT r8 #1, oracles moved to the star SQL in the same commit), and
+# similarity_semdedup_prune gained the corpus-scaled coarse-refinement
+# level + string cluster keys (VERDICT r8 #3, encoding bound removed).
+# Fresh picks drain the deepest families: stats 15, events 5,
+# pipeline 5, text 5, temporal 4, agg 3, sql 3, window 2, profile 2,
+# multimodal 1, dedup 1 (hierarchy_subtree_rollup also takes a
+# slot — its recursion-limit handling changed this round, output
+# unchanged). Backlog after this window: 163 - 47 = 116.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # --- new registration this round (VERDICT r7 #2): the headline
-    #     corpus-dedup pass + its keeper building block ---
-    "dedup_minhash_clusters",
+    # --- rule-(a) re-rows: semantics changed this round ---
+    "dedup_cc_clusters",
     "dedup_cluster_keeper",
-    # --- rewritten this round (two-phase banded windows), never rowed ---
-    "stats_dunn_posthoc",
-    "stats_rfm_segmentation",
-    "stats_rfm_migration",
-    "stats_qini_uplift_deciles",
-    "stats_sprt_sequential",
-    "analytics_skyline_pareto",
-    "events_conversion_latency",
-    "pipeline_padding_waste_audit",
-    "retrieval_hybrid_rrf",
-    "retrieval_rocchio_prf",
+    "similarity_semdedup_prune",
     # --- stats long-tail spread (deepest backlog family) ---
-    "stats_hodges_lehmann",
-    "stats_mantel_haenszel",
-    "stats_mcnemar_test",
-    "stats_friedman_test",
-    "stats_cochran_armitage",
-    "stats_partial_correlation",
-    "stats_vif_multicollinearity",
-    "stats_granger_causality",
-    "stats_engle_granger_coint",
-    "stats_pacf_durbin_levinson",
-    "stats_isotonic_calibration",
-    "stats_benford_digits",
-    "stats_runs_test",
+    "stats_bayes_ab_normal_approx",
+    "stats_beta_binomial_shrinkage",
+    "stats_bland_altman",
+    "stats_capture_recapture",
+    "stats_cohens_d_effect",
+    "stats_cronbach_alpha",
+    "stats_decision_stump",
+    "stats_deming_regression",
+    "stats_equidepth_bins",
+    "stats_ewma_control_chart",
+    "stats_herfindahl_index",
+    "stats_lorenz_deciles",
+    "stats_market_basket",
+    "stats_simpsons_reversal",
+    "stats_theil_index",
     # --- events tail ---
-    "events_attribution_linear",
-    "events_peak_concurrency",
-    "events_inter_arrival",
-    "events_weekly_churn",
+    "events_cumulative_users",
+    "events_dau_wau_stickiness",
+    "events_hourly_heatmap",
+    "events_session_capped",
+    "events_user_ltv_cohort",
     # --- pipeline tail ---
-    "pipeline_mixture_weights",
-    "pipeline_mixture_materialize",
-    "pipeline_dedup_report",
-    "pipeline_span_corruption",
+    "pipeline_blocklist_filter",
+    "pipeline_boilerplate_filter",
+    "pipeline_conversation_assembly",
+    "pipeline_feature_scaling",
+    "pipeline_shard_mix_audit",
     # --- text tail ---
-    "text_pmi_collocations",
-    "text_textrank_keywords",
-    "text_readability_scores",
-    "text_repetition_ratio",
-    # --- agg tail ---
-    "agg_argminmax",
-    "agg_higher_moments",
-    "agg_regression_funcs",
+    "text_sentence_stats",
+    "text_code_detect",
+    "text_feature_hashing",
+    "text_trigram_lm",
+    "text_term_burst",
     # --- temporal tail ---
-    "temporal_linear_interp",
-    "temporal_business_day_lag",
-    # --- profile / multimodal ---
-    "profile_bot_detection",
-    "profile_schema_drift",
-    "multimodal_aspect_bucket",
-    "multimodal_byte_entropy",
+    "temporal_mom_growth",
+    "temporal_weekend_lift",
+    "temporal_allen_relations",
+    "temporal_sax_symbols",
+    # --- agg tail ---
+    "agg_conditional",
+    "agg_mode_per_group",
+    "agg_bitmap_distinct",
+    # --- sql tail ---
+    "sql_lateral_column_alias",
+    "sql_named_parameters",
+    "sql_transpose_frame",
+    # --- window tail ---
+    "window_rolling_median",
+    "window_bollinger_bands",
+    # --- profile tail ---
+    "profile_anomaly_mad",
+    "profile_value_outliers",
     # --- one flagship per remaining family ---
-    "sql_group_by_all",
-    "privacy_randomized_response",
-    "similarity_gram_matrix",
-    "sample_reservoir_per_group",
+    "multimodal_modality_balance",
+    "dedup_lsh_parameter_plan",
+    "hierarchy_subtree_rollup",
 )
-
 
 def all_queries() -> dict[str, Query]:
     _load_all()

@@ -21,6 +21,26 @@ from distributed_map_reduce_spark import registry  # noqa: E402
 from distributed_map_reduce_spark.session import get_spark  # noqa: E402
 
 EXTRA = [
+    # round-9 additions (VERDICT r8 #4): the r8/r9 two-phase banded-rank
+    # rewrites (operators/ranks.py consumers) + this round's star-edge
+    # migrations and the de-fixtured SemDeDup — the plans a 100x audit
+    # most wants pinned.
+    "analytics_skyline_pareto",
+    "pipeline_padding_waste_audit",
+    "retrieval_hybrid_rrf",
+    "retrieval_rocchio_prf",
+    "stats_lorenz_deciles",
+    "stats_pareto_abc",
+    "stats_qini_uplift_deciles",
+    "stats_rfm_migration",
+    "stats_rfm_segmentation",
+    "stats_sprt_sequential",
+    "stats_wasserstein_1d",
+    "stats_dunn_posthoc",
+    "events_conversion_latency",
+    "dedup_cc_clusters",
+    "dedup_cluster_keeper",
+    # earlier rounds
     "events_markov_removal_attribution",
     "pipeline_quality_ablation_grid",
     "stats_weibull_fit",

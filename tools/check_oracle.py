@@ -103,11 +103,47 @@ def value_hash(lines: list[str]) -> str:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument(
+        "--ledger",
+        default=None,
+        help="append one JSONL record per query (name/rows/wall_s/status) — "
+        "the committed artifact for sf1/sf10 gates; names already in the "
+        "ledger are skipped, so an interrupted gate resumes",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
+    ledger_done: set[str] = set()
+    ledger_f = None
+    if args.ledger:
+        import json as _json
+
+        if os.path.exists(args.ledger):
+            with open(args.ledger) as f:
+                for line in f:
+                    try:
+                        ledger_done.add(_json.loads(line)["name"])
+                    except Exception:
+                        pass
+        ledger_f = open(args.ledger, "a")
+
+    def ledger_write(name: str, rows: int | None, wall: float, status: str) -> None:
+        if ledger_f:
+            import json as _json
+
+            rec: dict = {"name": name}
+            if rows is not None:
+                rec["rows"] = rows
+            rec["wall_s"] = round(wall, 2)
+            rec["status"] = status
+            ledger_f.write(_json.dumps(rec) + "\n")
+            ledger_f.flush()
+
     qs = registry.all_queries()
     names = args.names or list(qs)
+    if ledger_done:
+        names = [n for n in names if n not in ledger_done]
+        print(f"ledger resume: {len(ledger_done)} done, {len(names)} to go")
     spark = get_spark("check_oracle")
 
     con = duckdb.connect()
@@ -124,6 +160,7 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             failures.append(name)
+            ledger_write(name, None, time.time() - t0, f"FAIL(spark {type(e).__name__})")
             continue
         if q.oracle is None:
             # rows-only queries still pass through the driver canonicalizer —
@@ -131,9 +168,11 @@ def main() -> int:
             try:
                 driver_canon(spdf)
                 print(f"ok   {name}: rows={len(spdf)} (no oracle) [{time.time()-t0:.1f}s]")
+                ledger_write(name, len(spdf), time.time() - t0, "ok(rows-only)")
             except TypeError as e:
                 print(f"FAIL {name}: canonicalizer would crash: {e}")
                 failures.append(name)
+                ledger_write(name, len(spdf), time.time() - t0, "FAIL(canon)")
             continue
         # Scale-faithful path rewrite: one oracle (source_parquet_footer_stats)
         # reads parquet FOOTERS via a path literal pinned to the driver's
@@ -156,6 +195,7 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
             failures.append(name)
+            ledger_write(name, len(spdf), time.time() - t0, "FAIL(duckdb oracle)")
             continue
         problems = []
         if sorted(spdf.columns) != sorted(opdf.columns):
@@ -182,8 +222,10 @@ def main() -> int:
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             failures.append(name)
+            ledger_write(name, len(spdf), time.time() - t0, "FAIL(" + "; ".join(problems)[:200] + ")")
         else:
             print(f"ok   {name}: rows={len(spdf)} hash match [{time.time()-t0:.1f}s]")
+            ledger_write(name, len(spdf), time.time() - t0, "ok")
 
     print(f"\n{len(names) - len(failures)}/{len(names)} passed")
     return 1 if failures else 0

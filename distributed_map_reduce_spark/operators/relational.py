@@ -561,6 +561,11 @@ FROM orders
 WITH t AS (
   SELECT o_orderstatus,
          o_totalprice / nullif(o_orderkey % 5, 0) AS safe_div,
+         -- exact twelfths-of-cents units (r9 sf10 stride catch): divisors
+         -- are 1..4, so cents * (12 // d) is integer and the sum is exact
+         CASE WHEN o_orderkey % 5 <> 0
+              THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                   * (12 // (o_orderkey % 5)) END AS div_units,
          TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN '12x'
                        ELSE CAST(o_orderkey AS VARCHAR) END AS DOUBLE) AS parsed,
          CASE WHEN CAST(o_orderkey AS HUGEINT) * 4611686018427387904 >
@@ -571,7 +576,7 @@ WITH t AS (
 SELECT o_orderstatus,
        CAST(count(*) AS BIGINT) AS n,
        CAST(count(*) FILTER (WHERE safe_div IS NULL) AS BIGINT) AS n_div_by_zero,
-       round(sum(safe_div), 2) AS sum_safe_div,
+       round(sum(div_units) / 12.0) / 100.0 AS sum_safe_div,
        CAST(count(*) FILTER (WHERE parsed IS NULL) AS BIGINT) AS n_unparseable,
        round(sum(parsed), 1) AS sum_parsed,
        CAST(count(*) FILTER (WHERE big_prod IS NULL) AS BIGINT) AS n_overflow
@@ -586,11 +591,22 @@ def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical null semantics via nullif/TRY_CAST/HUGEINT-guarded
     arithmetic. This is the fail-soft contract a 100 TB batch needs —
     one poisoned row degrades to NULL and an accounting column, instead
-    of killing a 1000-executor stage hours in."""
+    of killing a 1000-executor stage hours in.
+
+    r9 (caught by the sf10 stride): sum_safe_div aggregates EXACT
+    twelfths-of-cents integers instead of the try_divide doubles —
+    `round(sum(double), 2)` drifted cross-engine at sf10 magnitudes
+    (~5e11, summation-order ulps land on different 2dp roundings).
+    try_divide itself still drives the null accounting; divisors are
+    1..4 so cents * (12 div d) is integer and the sum is exact, with
+    one final round on an engine-identical double."""
     o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    d = F.col("o_orderkey") % 5
     t = o.select(
         "o_orderstatus",
         F.try_divide("o_totalprice", F.col("o_orderkey") % 5).alias("safe_div"),
+        F.when(d != 0, cents * (F.lit(12) / d).cast("bigint")).alias("div_units"),
         F.expr(
             "try_cast(CASE WHEN o_orderkey % 3 = 0 THEN '12x' "
             "ELSE CAST(o_orderkey AS STRING) END AS DOUBLE)"
@@ -600,7 +616,7 @@ def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.count_if(F.col("safe_div").isNull()).cast("bigint").alias("n_div_by_zero"),
-        F.round(F.sum("safe_div"), 2).alias("sum_safe_div"),
+        (F.round(F.sum("div_units") / 12.0) / 100.0).alias("sum_safe_div"),
         F.count_if(F.col("parsed").isNull()).cast("bigint").alias("n_unparseable"),
         F.round(F.sum("parsed"), 1).alias("sum_parsed"),
         F.count_if(F.col("big_prod").isNull()).cast("bigint").alias("n_overflow"),
@@ -1474,33 +1490,55 @@ def sql_transpose_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_lateral_column_alias",
     tags=("sql",),
     oracle="""
+WITH s AS (
+  SELECT o_orderpriority,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+         count(*) AS n
+  FROM orders GROUP BY o_orderpriority
+)
 SELECT o_orderpriority,
-       round(sum(o_totalprice), 2) AS total,
-       round(round(sum(o_totalprice), 2) * 0.1, 2) AS fee,
-       round(round(round(sum(o_totalprice), 2) * 0.1, 2) / count(*), 4) AS fee_per_order
-FROM orders
-GROUP BY o_orderpriority
+       cents / 100.0 AS total,
+       ((cents + 5) // 10) / 100.0 AS fee,
+       round(((cents + 5) // 10) * 100.0 / n) / 10000.0 AS fee_per_order
+FROM s
 """,
 )
 def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lateral column aliases (Spark 3.4+): later SELECT items reference
-    EARLIER aliases in the same list (`fee` builds on `total`,
-    `fee_per_order` on `fee`) — the spreadsheet-style derived-column
-    chain that otherwise forces nested subqueries or repeated
-    expressions. The analyzer inlines the chain, so the optimized plan
-    is identical to writing each expression in full (the oracle spells
-    that desugared form; DuckDB resolves the same aliases natively).
-    One hash aggregate; the alias chain is pure projection."""
+    EARLIER aliases in the same list (`fee_cents` builds on `cents`,
+    `fee` on `fee_cents`, `fee_per_order` on both) — the
+    spreadsheet-style derived-column chain that otherwise forces nested
+    subqueries or repeated expressions. The analyzer inlines the chain,
+    so the optimized plan is identical to writing each expression in
+    full (the oracle spells that desugared form; DuckDB resolves the
+    same aliases natively). One hash aggregate; the alias chain is pure
+    projection.
+
+    r9 (caught by the sf10 stride): the money chain runs in EXACT
+    integer cents — `round(sum(double), 2)` diverged cross-engine at
+    sf10 magnitudes (~7.5e11, where a double's decimal grain is coarser
+    than cents and the summation order differs). Every emitted value is
+    exact-integer / 10^k, the repo's agg_salted_skew discipline; the
+    10% fee rounds half-up in integer space ((cents+5) div 10)."""
     from ..sources import register_views
 
     register_views(spark, sf_dir)
     return spark.sql(
-        """SELECT o_orderpriority,
-                  round(sum(o_totalprice), 2) AS total,
-                  round(total * 0.1, 2) AS fee,
-                  round(fee / count(*), 4) AS fee_per_order
-           FROM orders
-           GROUP BY o_orderpriority"""
+        """SELECT o_orderpriority, total, fee, fee_per_order FROM (
+             SELECT o_orderpriority,
+                    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+                    count(*) AS n,
+                    -- 100.0D: double literals — Spark's bare 100.0 is a
+                    -- DECIMAL literal and bigint/decimal division emits
+                    -- decimal(38,6), which renders 'x.240000' vs the
+                    -- oracle's float64 'x.24' (the r8 stride's
+                    -- decimal-divisor class)
+                    cents / 100.0D AS total,
+                    (cents + 5) div 10 AS fee_cents,
+                    fee_cents / 100.0D AS fee,
+                    round(fee_cents * 100.0D / n) / 10000.0D AS fee_per_order
+             FROM orders
+             GROUP BY o_orderpriority)"""
     )
 
 

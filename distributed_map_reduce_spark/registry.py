@@ -339,7 +339,7 @@ _R7_WINDOW: tuple[str, ...] = (
 # (VERDICT r8 #1, oracles moved to the star SQL in the same commit), and
 # similarity_semdedup_prune gained the corpus-scaled coarse-refinement
 # level + string cluster keys (VERDICT r8 #3, encoding bound removed).
-# Fresh picks drain the deepest families: stats 15, events 5,
+# Fresh picks drain the deepest families: stats 14, events 5,
 # pipeline 5, text 5, temporal 4, agg 3, sql 3, window 2, profile 2,
 # multimodal 1, dedup 1 (hierarchy_subtree_rollup also takes a
 # slot — its recursion-limit handling changed this round, output
@@ -349,6 +349,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_cc_clusters",
     "dedup_cluster_keeper",
     "similarity_semdedup_prune",
+    # (scalar_try_funcs joined mid-round: the r9 sf10 stride caught its
+    # round(sum(double),2) drifting cross-engine at 100x magnitudes;
+    # sum_safe_div now aggregates exact twelfths-of-cents integers —
+    # semantics changed, so its old green row is invalidated. Its slot
+    # came from stats_theil_index, deferred to r10.)
+    "scalar_try_funcs",
     # --- stats long-tail spread (deepest backlog family) ---
     "stats_bayes_ab_normal_approx",
     "stats_beta_binomial_shrinkage",
@@ -364,7 +370,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "stats_lorenz_deciles",
     "stats_market_basket",
     "stats_simpsons_reversal",
-    "stats_theil_index",
     # --- events tail ---
     "events_cumulative_users",
     "events_dau_wau_stickiness",

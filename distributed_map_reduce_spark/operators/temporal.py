@@ -1388,30 +1388,32 @@ def asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("temporal", "stats"),
     oracle="""
 WITH daily AS (
-  SELECT CAST(o_orderdate AS DATE) AS d, round(sum(o_totalprice), 6) AS rev
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
   FROM orders GROUP BY 1
 ),
 tr AS (
-  SELECT d, rev,
-         CASE WHEN count(*) OVER w = 7
-              THEN avg(rev) OVER w END AS trend
+  SELECT d, cents,
+         CASE WHEN count(*) OVER w = 7 THEN sum(cents) OVER w END AS win_cents
   FROM daily
   WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
 ),
 det AS (
-  SELECT d, rev, trend,
+  SELECT d, cents, win_cents,
          CAST(CAST(d - DATE '1970-01-01' AS INT) % 7 AS INT) AS dow,
-         rev - trend AS detr
+         CASE WHEN win_cents IS NOT NULL THEN 7 * cents - win_cents END AS units
   FROM tr
 ),
 seas AS (
-  SELECT dow, avg(detr) AS seasonal FROM det
-  WHERE detr IS NOT NULL GROUP BY dow
+  SELECT dow, sum(units) AS sum_units, count(*) AS n_dow
+  FROM det WHERE units IS NOT NULL GROUP BY dow
 )
-SELECT det.d, det.rev,
-       round(det.trend, 6) AS trend,
-       round(seas.seasonal, 6) AS seasonal,
-       round(det.detr - seas.seasonal, 6) AS resid
+SELECT det.d,
+       det.cents / 100.0 AS rev,
+       round(det.win_cents / 700.0, 2) AS trend,
+       round(seas.sum_units / (700.0 * seas.n_dow), 2) AS seasonal,
+       round((det.units * seas.n_dow - seas.sum_units) / (700.0 * seas.n_dow), 2)
+         AS resid
 FROM det JOIN seas USING (dow)
 """,
 )
@@ -1426,40 +1428,62 @@ def temporal_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg; every subsequent step (centered window, dow means, residual
     join) runs over the ~2.4k-row daily frame. Day-of-week is computed
     as (epoch_days % 7) on both engines — no locale/weekstart trap.
-    """
+
+    r9 (caught by the sf10 stride): all sums run in EXACT integer
+    cents — the float daily sums and their 7-day averages drifted
+    cross-engine by summation-order ulps at sf10 magnitudes (~1.5e9
+    revenue/day), landing on different 6dp roundings. detr/seasonal/
+    resid are exact-integer ratios (units = 7*cents - win_cents;
+    resid numerator = units*n_dow - sum_units, < 2^53 at every fixture
+    decade) with ONE final division + round on engine-identical
+    doubles. The round is 2dp (cents precision, the money domain's
+    grain), not the old 6dp: at sf10 trend magnitudes (~1.5e9) the 6th
+    decimal sits at the double's representational edge and the engines'
+    round algorithms (BigDecimal vs multiply-round) legitimately split
+    there; 2dp stays stable through sf100. Semantic change -> rule-(a)
+    re-row this round."""
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
-        F.round(F.sum("o_totalprice"), 6).alias("rev")
+        F.sum(cents).alias("cents")
     )
     # unpartitioned centered window over the daily series (tiny frame)
     w = Window.orderBy("d").rowsBetween(-3, 3)  # frame: bounded (day-grain)
     tr = daily.select(
         "d",
-        "rev",
-        F.when(F.count("*").over(w) == 7, F.avg("rev").over(w)).alias("trend"),
+        "cents",
+        F.when(F.count("*").over(w) == 7, F.sum("cents").over(w)).alias("win_cents"),
     )
     det = tr.select(
         "d",
-        "rev",
-        "trend",
+        "cents",
+        "win_cents",
         (F.datediff("d", F.lit("1970-01-01")) % 7).cast("int").alias("dow"),
-        (F.col("rev") - F.col("trend")).alias("detr"),
+        F.when(
+            F.col("win_cents").isNotNull(), 7 * F.col("cents") - F.col("win_cents")
+        ).alias("units"),
     )
     seas = (
-        det.filter(F.col("detr").isNotNull())
+        det.filter(F.col("units").isNotNull())
         .groupBy("dow")
-        .agg(F.avg("detr").alias("seasonal"))
+        .agg(F.sum("units").alias("sum_units"), F.count(F.lit(1)).alias("n_dow"))
     )
     return (
         det.join(F.broadcast(seas), "dow")
         .select(
             "d",
-            "rev",
-            F.round("trend", 6).alias("trend"),
-            F.round("seasonal", 6).alias("seasonal"),
-            F.round(F.col("detr") - F.col("seasonal"), 6).alias("resid"),
+            (F.col("cents") / 100.0).alias("rev"),
+            F.round(F.col("win_cents") / 700.0, 2).alias("trend"),
+            F.round(F.col("sum_units") / (700.0 * F.col("n_dow")), 2).alias(
+                "seasonal"
+            ),
+            F.round(
+                (F.col("units") * F.col("n_dow") - F.col("sum_units"))
+                / (700.0 * F.col("n_dow")),
+                2,
+            ).alias("resid"),
         )
     )
 

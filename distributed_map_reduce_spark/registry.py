@@ -340,7 +340,7 @@ _R7_WINDOW: tuple[str, ...] = (
 # similarity_semdedup_prune gained the corpus-scaled coarse-refinement
 # level + string cluster keys (VERDICT r8 #3, encoding bound removed).
 # Fresh picks drain the deepest families: stats 14, events 5,
-# pipeline 5, text 5, temporal 4, agg 3, sql 3, window 2, profile 2,
+# pipeline 5, text 5, temporal 3, agg 3, sql 3, window 2, profile 2,
 # multimodal 1, dedup 1 (hierarchy_subtree_rollup also takes a
 # slot — its recursion-limit handling changed this round, output
 # unchanged). Backlog after this window: 163 - 47 = 116.
@@ -355,6 +355,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # semantics changed, so its old green row is invalidated. Its slot
     # came from stats_theil_index, deferred to r10.)
     "scalar_try_funcs",
+    # (temporal_seasonal_decompose likewise: its float daily sums landed
+    # on different 6dp roundings cross-engine at sf10; the exact-cents
+    # rewrite shifts a handful of sf0.1 resid values in the 6th decimal,
+    # so the old row is invalidated. Slot from temporal_sax_symbols,
+    # deferred to r10.)
+    "temporal_seasonal_decompose",
     # --- stats long-tail spread (deepest backlog family) ---
     "stats_bayes_ab_normal_approx",
     "stats_beta_binomial_shrinkage",
@@ -392,7 +398,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "temporal_mom_growth",
     "temporal_weekend_lift",
     "temporal_allen_relations",
-    "temporal_sax_symbols",
     # --- agg tail ---
     "agg_conditional",
     "agg_mode_per_group",

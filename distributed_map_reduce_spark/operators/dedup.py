@@ -282,8 +282,22 @@ def verify_jaccard(cand: DataFrame, sh_rows: DataFrame, tau: float) -> DataFrame
         ).dropDuplicates(["doc_id", "h"])
     )
     sizes = sh_h.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # shuffle_hash hints on BOTH verify joins (r9, caught by the sf30
+    # probe): every join side here is corpus-sized by construction
+    # (candidates ~ O(docs); the shingle-hash table ~ O(docs·shingles);
+    # the first join's output ~ O(candidates · shingles/doc), ~95M rows
+    # at sf30), so broadcast is never the right strategy past toy scale
+    # — but AQE sizes broadcast builds by COMPRESSED shuffle bytes and
+    # at sf30 flipped a sub-64MB-compressed side into a 1 GiB+
+    # deserialized build that blew driver/executor memory (hinting only
+    # the second join re-OOMed: the first join's broadcast still
+    # anchors the over-eager plan). Pinning both keeps the plan shape
+    # scale-invariant; the sf0.1 cost is ~1s of small shuffles on the
+    # headliner — the price of a plan that survives every decade.
     inter = (
-        cand.join(sh_h.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
+        cand.hint("shuffle_hash")
+        .join(sh_h.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
+        .hint("shuffle_hash")
         .join(sh_h.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -966,7 +980,16 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually give you — tiny symmetric differences (K=3 here) — and
     degrades gracefully on open vocabularies (K grows with set size,
     groups stay df-balanced). Every downstream frame is keyed by
-    set_id or doc_id; no window exceeds set size or 2 rows/doc."""
+    set_id or doc_id; no window exceeds set size or 2 rows/doc.
+
+    Measured local bound (r9 sf30 probe): sf1 green in 33s, but at
+    sf30 (4.5M distinct-set slots on the clone-cubed replica fixture)
+    the broadcast mask/grid tier exceeds local[32] executor memory
+    (UNABLE_TO_ACQUIRE_MEMORY) — the documented S<<D broadcast premise
+    is the binding constraint. On a real cluster the same plan fits
+    (the mask table is per-executor memory, not per-core); the local
+    fallback past that point is bucketing the grid join instead of
+    broadcasting, traded off in the module notes."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tok = docs.select(
         "doc_id",

@@ -61,6 +61,19 @@ def get_spark(app_name: str = "distributed_map_reduce_spark") -> SparkSession:
         .appName(app_name)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Keep maxResultSize consistent with the 64 MB broadcast
+        # threshold (r9, caught by the sf30 probe): AQE sizes broadcast
+        # candidates by COMPRESSED shuffle bytes, so a side under the
+        # 64 MB threshold can deserialize past the stock 1 GB
+        # maxResultSize when the driver collects it to build the
+        # broadcast relation (observed: the MinHash verify pipeline's
+        # intermediate at sf30 — 1033 MiB from 32 tasks). 4 GB covers
+        # the worst expansion a 64 MB-compressed side can reach; bigger
+        # sides exceed the threshold and AQE picks a shuffle join, so
+        # the exposure window is bounded. maxResultSize is a driver
+        # conf — builder-time only, which is why it is not in
+        # _RUNTIME_CONFS.
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.shuffle.partitions", str(2 * cpus))
         .getOrCreate()
     )

@@ -370,15 +370,17 @@ def test_adaptive_planes_formula_and_topk(spark, sf_dir):
 
 
 def test_seasonal_decompose_identity(spark, sf_dir):
-    """rev == trend + seasonal + resid wherever trend is defined, and
-    seasonal components sum to ~0 across the 7 dows (mean-centered by
-    construction up to dow imbalance)."""
+    """rev == trend + seasonal + resid wherever trend is defined, up to
+    the output rounding grain: each of the three components is emitted
+    at 2dp (cents precision, r9 — stable at sf10 magnitudes where 6dp
+    sat at the double's representational edge), so the reconstruction
+    can be off by at most 3 * 0.005."""
     rows = all_queries()["temporal_seasonal_decompose"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
         if r["trend"] is not None:
             recon = r["trend"] + r["seasonal"] + r["resid"]
-            assert abs(recon - r["rev"]) < 1e-3
+            assert abs(recon - r["rev"]) < 0.02
 
 
 def test_pseudonymize_matches_raw_key_join(spark, sf_dir):

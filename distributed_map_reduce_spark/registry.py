@@ -330,9 +330,13 @@ _R7_WINDOW: tuple[str, ...] = (
     "multimodal_shard_manifest",
 )
 
-# ROUND 9 = 3 rule-(a) re-rows + 47 never-driver-tested oracle-bearing
+# ROUND 9 = 5 rule-(a) re-rows + 45 never-driver-tested oracle-bearing
 # queries (r8 went 50/50 green; cumulative 380 distinct driver-tested,
 # backlog 163 at window time; registry frozen — no new registrations).
+# (ADVICE r9 count fix: scalar_try_funcs and temporal_seasonal_decompose
+# joined mid-round as re-rows, displacing two fresh picks — so 45 fresh,
+# not 47, and post-window backlog 163 - 45 = 118, matching
+# tools/verification_debt.py.)
 # The re-rows are this round's SEMANTIC changes, which invalidate their
 # previous green rows: dedup_cc_clusters + dedup_cluster_keeper moved
 # from the pair-quadratic minhash_lsh_pairs feed to linear star edges
@@ -343,7 +347,7 @@ _R7_WINDOW: tuple[str, ...] = (
 # pipeline 5, text 5, temporal 3, agg 3, sql 3, window 2, profile 2,
 # multimodal 1, dedup 1 (hierarchy_subtree_rollup also takes a
 # slot — its recursion-limit handling changed this round, output
-# unchanged). Backlog after this window: 163 - 47 = 116.
+# unchanged). Backlog after this window: 163 - 45 = 118.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # --- rule-(a) re-rows: semantics changed this round ---
     "dedup_cc_clusters",

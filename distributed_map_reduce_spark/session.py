@@ -77,5 +77,21 @@ def get_spark(app_name: str = "distributed_map_reduce_spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(2 * cpus))
         .getOrCreate()
     )
+    # Builder configs are silently ignored when getOrCreate returns a
+    # PRE-EXISTING session (e.g. a test fixture built one first), and
+    # maxResultSize is builder-time-only so it cannot be reconciled like
+    # _RUNTIME_CONFS — make the mismatch loud instead of letting the
+    # sf30 broadcast-collect failure reappear unexplained (ADVICE r9).
+    got = spark.conf.get("spark.driver.maxResultSize", "1g")
+    if got != "4g":
+        import warnings
+
+        warnings.warn(
+            f"pre-existing SparkSession has spark.driver.maxResultSize={got} "
+            "(wanted 4g); large broadcast collects (sf30-class) may fail — "
+            "stop the stale session or set the conf at its builder",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     spark.sparkContext.setLogLevel("WARN")
     return tune_session(spark)

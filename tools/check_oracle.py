@@ -107,13 +107,32 @@ def main() -> int:
         "--ledger",
         default=None,
         help="append one JSONL record per query (name/rows/wall_s/status) — "
-        "the committed artifact for sf1/sf10 gates; names already in the "
-        "ledger are skipped, so an interrupted gate resumes",
+        "the committed artifact for sf1/sf10 gates; names already GREEN "
+        "(status ok*/skipped) in the ledger are skipped so an interrupted "
+        "gate resumes, but prior FAIL rows are always re-run (with a "
+        "rerun:true marker on the new row). Explicitly passed names are "
+        "never resume-filtered. (ADVICE r9: the old resume skipped FAILs, "
+        "so a resumed 'N/N passed' could mask committed FAIL rows.)",
+    )
+    ap.add_argument(
+        "--skip",
+        action="append",
+        default=[],
+        metavar="NAME=REASON",
+        help="write a tool-generated {'status':'skipped','note':REASON} ledger "
+        "row for NAME instead of running it — replaces the hand-edited skip "
+        "rows ADVICE r9 flagged as non-reproducible",
     )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
-    ledger_done: set[str] = set()
+    skip_reasons: dict[str, str] = {}
+    for s in args.skip:
+        k, _, v = s.partition("=")
+        skip_reasons[k] = v or "skipped"
+
+    ledger_done: set[str] = set()  # names with a green (ok*/skipped) row
+    ledger_seen: set[str] = set()  # every name with any row (for rerun flag)
     ledger_f = None
     if args.ledger:
         import json as _json
@@ -122,12 +141,22 @@ def main() -> int:
             with open(args.ledger) as f:
                 for line in f:
                     try:
-                        ledger_done.add(_json.loads(line)["name"])
+                        rec = _json.loads(line)
+                        ledger_seen.add(rec["name"])
+                        st = str(rec.get("status", ""))
+                        if st.startswith("ok") or st == "skipped":
+                            ledger_done.add(rec["name"])
                     except Exception:
                         pass
         ledger_f = open(args.ledger, "a")
 
-    def ledger_write(name: str, rows: int | None, wall: float, status: str) -> None:
+    def ledger_write(
+        name: str,
+        rows: int | None,
+        wall: float,
+        status: str,
+        note: str | None = None,
+    ) -> None:
         if ledger_f:
             import json as _json
 
@@ -136,14 +165,21 @@ def main() -> int:
                 rec["rows"] = rows
             rec["wall_s"] = round(wall, 2)
             rec["status"] = status
+            if note:
+                rec["note"] = note
+            if name in ledger_seen:
+                rec["rerun"] = True
+            ledger_seen.add(name)
             ledger_f.write(_json.dumps(rec) + "\n")
             ledger_f.flush()
 
     qs = registry.all_queries()
     names = args.names or list(qs)
-    if ledger_done:
+    if ledger_done and not args.names:
+        # resume filter only applies to the implicit full-registry sweep;
+        # explicitly passed names always re-run (targeted FAIL re-checks)
         names = [n for n in names if n not in ledger_done]
-        print(f"ledger resume: {len(ledger_done)} done, {len(names)} to go")
+        print(f"ledger resume: {len(ledger_done)} green, {len(names)} to go")
     spark = get_spark("check_oracle")
 
     con = duckdb.connect()
@@ -152,6 +188,10 @@ def main() -> int:
 
     failures = []
     for name in names:
+        if name in skip_reasons:
+            print(f"skip {name}: {skip_reasons[name]}")
+            ledger_write(name, None, 0.0, "skipped", note=skip_reasons[name])
+            continue
         q = qs[name]
         t0 = time.time()
         try:

@@ -67,9 +67,11 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
     # label(n) = min(n, min neighbor of n) IS the first propagation step,
     # so the loop starts a round ahead for free (every node appears as
     # `b` because `both` carries both directions).
-    # Not checkpointed: round 1 references it through one cheap aggregate
-    # over the already-checkpointed edge table — a materialization action
-    # here would cost more than the recompute it saves.
+    # Checkpointed since r10: the seed is now probed for convergence
+    # directly (see `converged`), and on the common already-converged
+    # path it is also the RETURN value — both the probe's two joins and
+    # any round-1 references read the materialized rows instead of
+    # re-running the aggregate.
     labels = (
         both.groupBy("b")
         .agg(F.min("a").alias("m"))
@@ -77,32 +79,56 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
             F.col("b").alias("node"),
             F.least(F.col("m"), F.col("b")).alias("component"),
         )
-    )
+    ).localCheckpoint(eager=True)
+
+    def converged(lab: DataFrame) -> bool:
+        # Edge-consistency probe (r10): labels are FINAL iff every edge's
+        # endpoints carry the same label. Soundness: labels only ever
+        # take node-id values within the node's own component and never
+        # increase, and the component-min m always keeps label(m)=m
+        # (seed: least(m, neighbors≥m)=m; propagate: min over same-
+        # component labels ≥ m; jump: label(label(m))=label(m)=m). So an
+        # edge-constant labeling is constant per component and equal to
+        # label(m)=m — exactly the fixpoint. Unlike the r9 `pre`-column
+        # probe (label changed this round?), this detects convergence
+        # WITHOUT running a round past it: the common LSH-star case
+        # where the seed aggregation alone is already final (hub = bucket
+        # min = component min) exits here before paying any fused round,
+        # and deeper graphs skip the trailing all-idle round the change
+        # probe needed to observe a zero.
+        la = lab.select(F.col("node").alias("a"), F.col("component").alias("ca"))
+        lb = lab.select(F.col("node").alias("b"), F.col("component").alias("cb"))
+        return (
+            both.join(la, "a")
+            .join(lb, "b")
+            .filter(F.col("ca") != F.col("cb"))
+            .limit(1)
+            .count()
+            == 0
+        )
+
+    if converged(labels):
+        return labels
     for _ in range(MAX_ROUNDS):
         # Two propagate+jump steps fused into ONE materialization (r9):
-        # the per-round fixed cost (checkpoint job + convergence-count
+        # the per-round fixed cost (checkpoint job + convergence-probe
         # job) dominated the sf0.1 wall, and chaining two steps in one
         # plan halves the number of rounds the driver pays for while
         # keeping lineage bounded (the checkpoint below truncates it).
-        cur = labels.withColumn("pre", F.col("component"))
+        cur = labels
         for _ in range(2):
             # Propagate: new candidate = min(own label, neighbor labels),
             # as ONE union + ONE aggregate — every node appears in the
             # self branch, so no left-join/coalesce repair pass is needed
             # (the r8 form paid join + agg + left join per step).
             nbr = both.join(cur, both.a == cur.node).select(
-                F.col("b").alias("node"),
-                "component",
-                F.lit(None).cast(dict(cur.dtypes)["pre"]).alias("pre"),
+                F.col("b").alias("node"), "component"
             )
-            self_rows = cur.select("node", "component", "pre")
             cand = (
-                self_rows.unionByName(nbr)
+                cur.select("node", "component")
+                .unionByName(nbr)
                 .groupBy("node")
-                .agg(
-                    F.min("component").alias("component"),
-                    F.max("pre").alias("pre"),
-                )
+                .agg(F.min("component").alias("component"))
             )
             # Pointer jumping: relabel through the label's own label.
             # Chain depth halves per jump, so a diameter-D path converges
@@ -114,15 +140,9 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
             cur = cand.join(ptr, cand.component == ptr.pnode, "left").select(
                 "node",
                 F.coalesce(F.col("pcomp"), F.col("component")).alias("component"),
-                "pre",
             )
-        jumped = cur.localCheckpoint(eager=True)
-        # one small action per round, shuffle-free: the round-start label
-        # rode along in `pre`, so the improvement probe is a narrow scan
-        # of the just-checkpointed partitions — no join, no exchange.
-        changed = jumped.filter(F.col("component") != F.col("pre")).limit(1).count()
-        labels = jumped.select("node", "component")
-        if changed == 0:
+        labels = cur.localCheckpoint(eager=True)
+        if converged(labels):
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {MAX_ROUNDS} rounds — "

@@ -31,6 +31,12 @@ EDGE-FEED POLICY (r9, VERDICT r8 #1). Two generators feed this module:
   set grows as clones², so at 100 TB they run after a degree cap /
   hub drop (`graph_degree_histogram` is the triage view), never as the
   corpus-wide cleaning pass — that pass is `dedup_minhash_clusters`.
+- `minhash_lsh_pairs_capped` (r10) — the EXECUTABLE form of that
+  triage: LSH buckets above LSH_BUCKET_CAP members are dropped before
+  the pair join, so candidates stay linear (Σ C(min(n, cap), 2)) on any
+  clone structure. `graph_pagerank_capped` demonstrates the tier end to
+  end; any pair-exact consumer above can swap feeds the same way when
+  the corpus is clone-heavy.
 """
 
 from __future__ import annotations
@@ -41,9 +47,12 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..sources import load_table
 from .dedup import (
+    _MINHASH_CAPPED_ORACLE,
     _MINHASH_ORACLE,
     _MINHASH_STAR_ORACLE,
+    LSH_BUCKET_CAP,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_capped,
     minhash_star_pairs,
 )
 
@@ -310,6 +319,61 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines round to 6 dp, far above double sum-order drift (~1e-15)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    pr = pagerank(pairs, "doc_a", "doc_b")
+    return pr.select(F.col("node").alias("doc_id"), F.round("pr", 6).alias("pagerank"))
+
+
+@register(
+    "graph_pagerank_capped",
+    tags=("graph", "dedup", "iterative", "scale"),
+    oracle=f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({_MINHASH_CAPPED_ORACLE})
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), deg AS (
+  SELECT a, count(*) AS outdeg FROM edges GROUP BY a
+), nn AS (
+  SELECT count(*) AS n FROM deg
+), p0 AS (
+  SELECT a AS node, 1.0 / (SELECT n FROM nn) AS pr FROM deg
+), p1 AS (
+  SELECT e.b AS node, 0.15 / (SELECT n FROM nn)
+         + 0.85 * sum(p.pr / d.outdeg) AS pr
+  FROM edges e JOIN p0 p ON e.a = p.node JOIN deg d ON e.a = d.a
+  GROUP BY e.b
+), p2 AS (
+  SELECT e.b AS node, 0.15 / (SELECT n FROM nn)
+         + 0.85 * sum(p.pr / d.outdeg) AS pr
+  FROM edges e JOIN p1 p ON e.a = p.node JOIN deg d ON e.a = d.a
+  GROUP BY e.b
+), p3 AS (
+  SELECT e.b AS node, 0.15 / (SELECT n FROM nn)
+         + 0.85 * sum(p.pr / d.outdeg) AS pr
+  FROM edges e JOIN p2 p ON e.a = p.node JOIN deg d ON e.a = d.a
+  GROUP BY e.b
+)
+SELECT node AS doc_id, round(pr, 6) AS pagerank FROM p3
+""",
+)
+def graph_pagerank_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the BUCKET-CAPPED near-dup pair graph — the
+    executable triage entry the edge-feed policy names for the
+    pair-exact graph tier at 100× (r10, VERDICT r9 missing #3): LSH
+    buckets with more than LSH_BUCKET_CAP (16) members are dropped
+    before the pair join, bounding candidates by Σ C(min(n, cap), 2) —
+    linear in the corpus however clone-heavy it is, where the uncapped
+    `graph_pagerank` inherits the pair generator's clones² output bound
+    (the 5 honest sf10 stride skips). Semantics: the surrendered
+    mega-buckets ARE the template families a curation pass handles via
+    `dedup_minhash_clusters`' linear star path; what remains is the
+    pairwise structure among ordinary documents, ranked by the same
+    3-iteration d=0.85 recursion as the uncapped query. Same oracle
+    shape, candidate CTE swapped for the capped one."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs_capped(docs).select("doc_a", "doc_b")
     pr = pagerank(pairs, "doc_a", "doc_b")
     return pr.select(F.col("node").alias("doc_id"), F.round("pr", 6).alias("pagerank"))
 

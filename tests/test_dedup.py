@@ -123,3 +123,40 @@ def test_connected_components_long_chain(spark):
     got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
     assert len(got) == n
     assert set(got.values()) == {"d000"}  # one component, min-id label
+
+
+def test_prefix_filter_join_tiers_row_identical(spark, monkeypatch):
+    """dedup_prefix_filter_join has two physical tiers keyed on the
+    measured distinct-set count (broadcast below PARTITIONED_SETSIM_SETS,
+    keyed shuffle_hash joins above — the r10 third-decade fallback for
+    the r9 sf30 broadcast OOM). The tier switch must be plan-only:
+    forcing the partitioned tier on the same input must reproduce the
+    broadcast tier's rows exactly."""
+    from distributed_map_reduce_spark.operators import dedup as D
+
+    sf = "/root/testdata/sf0.001"
+    broadcast_rows = sorted(map(tuple, D.dedup_prefix_filter_join(spark, sf).collect()))
+    monkeypatch.setattr(D, "PARTITIONED_SETSIM_SETS", 0)
+    partitioned_rows = sorted(map(tuple, D.dedup_prefix_filter_join(spark, sf).collect()))
+    assert broadcast_rows == partitioned_rows
+    assert len(broadcast_rows) > 0
+
+
+def test_capped_lsh_drops_mega_buckets_keeps_ordinary_pairs(spark):
+    """minhash_lsh_pairs_capped surrenders exactly the over-cap bucket
+    families (here a 20-clone template family with cap-sized buckets)
+    while ordinary near-dup pairs survive untouched — the linear-bounded
+    pair feed for the pair-exact graph tier."""
+    from distributed_map_reduce_spark.operators.dedup import (
+        LSH_BUCKET_CAP,
+        minhash_lsh_pairs_capped,
+    )
+
+    family = [(i, BASE) for i in range(1, LSH_BUCKET_CAP + 5)]  # 20 clones
+    ordinary = [(100, NEAR_DUP.replace("quick", "swift")),
+                (101, NEAR_DUP.replace("quick", "swift") + " extra"),
+                (200, UNRELATED)]
+    docs = spark.createDataFrame(family + ordinary, "doc_id long, text string")
+    capped = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs_capped(docs).collect()}
+    assert (100, 101) in capped                      # ordinary pair kept
+    assert not any(a <= 20 and b <= 20 for a, b in capped)  # clone family dropped

@@ -330,96 +330,79 @@ _R7_WINDOW: tuple[str, ...] = (
     "multimodal_shard_manifest",
 )
 
-# ROUND 9 = 5 rule-(a) re-rows + 45 never-driver-tested oracle-bearing
-# queries (r8 went 50/50 green; cumulative 380 distinct driver-tested,
-# backlog 163 at window time; registry frozen — no new registrations).
-# (ADVICE r9 count fix: scalar_try_funcs and temporal_seasonal_decompose
-# joined mid-round as re-rows, displacing two fresh picks — so 45 fresh,
-# not 47, and post-window backlog 163 - 45 = 118, matching
-# tools/verification_debt.py.)
-# The re-rows are this round's SEMANTIC changes, which invalidate their
-# previous green rows: dedup_cc_clusters + dedup_cluster_keeper moved
-# from the pair-quadratic minhash_lsh_pairs feed to linear star edges
-# (VERDICT r8 #1, oracles moved to the star SQL in the same commit), and
-# similarity_semdedup_prune gained the corpus-scaled coarse-refinement
-# level + string cluster keys (VERDICT r8 #3, encoding bound removed).
-# Fresh picks drain the deepest families: stats 14, events 5,
-# pipeline 5, text 5, temporal 3, agg 3, sql 3, window 2, profile 2,
-# multimodal 1, dedup 1 (hierarchy_subtree_rollup also takes a
-# slot — its recursion-limit handling changed this round, output
-# unchanged). Backlog after this window: 163 - 45 = 118.
+# ROUND 10 = 50 never-driver-tested oracle-bearing queries, ZERO re-rows
+# (r9 went 50/50 green; cumulative 425 distinct driver-tested, backlog
+# 118 at window time + 1 new registration = 119). No rule-(a) slots this
+# round: the r10 semantic surface is all NEW (graph_pagerank_capped) or
+# plan-only (the CC edge-consistency probe and the prefix-filter
+# partitioned tier are hash-identical — 8/8 oracle re-checks green, tier
+# equivalence pinned by test — so prior rows stay valid). Picks drain
+# the deepest families to zero: stats 17 (family emptied), temporal 6
+# (emptied), agg 5 (emptied), events 5 (emptied), pipeline 5 (emptied),
+# privacy 5 (emptied), similarity 5 (emptied), plus the new
+# graph_pagerank_capped (VERDICT r9 order #4: the executable degree-cap
+# tier needs a green driver row) and dedup_duplicate_ngram_spans.
+# Backlog after this window: 119 - 50 = 69 -> finishable in r11-r12.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # --- rule-(a) re-rows: semantics changed this round ---
-    "dedup_cc_clusters",
-    "dedup_cluster_keeper",
-    "similarity_semdedup_prune",
-    # (scalar_try_funcs joined mid-round: the r9 sf10 stride caught its
-    # round(sum(double),2) drifting cross-engine at 100x magnitudes;
-    # sum_safe_div now aggregates exact twelfths-of-cents integers —
-    # semantics changed, so its old green row is invalidated. Its slot
-    # came from stats_theil_index, deferred to r10.)
-    "scalar_try_funcs",
-    # (temporal_seasonal_decompose likewise: its float daily sums landed
-    # on different 6dp roundings cross-engine at sf10; the exact-cents
-    # rewrite shifts a handful of sf0.1 resid values in the 6th decimal,
-    # so the old row is invalidated. Slot from temporal_sax_symbols,
-    # deferred to r10.)
-    "temporal_seasonal_decompose",
-    # --- stats long-tail spread (deepest backlog family) ---
-    "stats_bayes_ab_normal_approx",
-    "stats_beta_binomial_shrinkage",
-    "stats_bland_altman",
-    "stats_capture_recapture",
-    "stats_cohens_d_effect",
-    "stats_cronbach_alpha",
-    "stats_decision_stump",
-    "stats_deming_regression",
-    "stats_equidepth_bins",
-    "stats_ewma_control_chart",
-    "stats_herfindahl_index",
-    "stats_lorenz_deciles",
-    "stats_market_basket",
-    "stats_simpsons_reversal",
-    # --- events tail ---
-    "events_cumulative_users",
-    "events_dau_wau_stickiness",
-    "events_hourly_heatmap",
-    "events_session_capped",
-    "events_user_ltv_cohort",
-    # --- pipeline tail ---
-    "pipeline_blocklist_filter",
-    "pipeline_boilerplate_filter",
-    "pipeline_conversation_assembly",
-    "pipeline_feature_scaling",
-    "pipeline_shard_mix_audit",
-    # --- text tail ---
-    "text_sentence_stats",
-    "text_code_detect",
-    "text_feature_hashing",
-    "text_trigram_lm",
-    "text_term_burst",
-    # --- temporal tail ---
-    "temporal_mom_growth",
-    "temporal_weekend_lift",
-    "temporal_allen_relations",
-    # --- agg tail ---
-    "agg_conditional",
-    "agg_mode_per_group",
-    "agg_bitmap_distinct",
-    # --- sql tail ---
-    "sql_lateral_column_alias",
-    "sql_named_parameters",
-    "sql_transpose_frame",
-    # --- window tail ---
-    "window_rolling_median",
-    "window_bollinger_bands",
-    # --- profile tail ---
-    "profile_anomaly_mad",
-    "profile_value_outliers",
-    # --- one flagship per remaining family ---
-    "multimodal_modality_balance",
-    "dedup_lsh_parameter_plan",
-    "hierarchy_subtree_rollup",
+    # --- new registration this round (VERDICT r9 #4) ---
+    "graph_pagerank_capped",
+    # --- stats: deepest family, drained to zero ---
+    "stats_event_study_leads_lags",
+    "stats_event_transitions",
+    "stats_experiment_duration",
+    "stats_extreme_value_gumbel",
+    "stats_hurst_rs",
+    "stats_krippendorff_alpha",
+    "stats_meta_analysis_pooled",
+    "stats_negbinom_overdispersion",
+    "stats_nelson_aalen",
+    "stats_obf_group_sequential",
+    "stats_pettitt_changepoint",
+    "stats_price_elasticity",
+    "stats_rate_anomaly_poisson",
+    "stats_ratio_delta_method",
+    "stats_retention_decay_fit",
+    "stats_theil_index",
+    "stats_tost_equivalence",
+    # --- temporal: drained to zero ---
+    "temporal_accumulating_snapshot",
+    "temporal_croston_intermittent",
+    "temporal_open_interval_count",
+    "temporal_piecewise_trend",
+    "temporal_sax_symbols",
+    "temporal_seasonal_backtest",
+    # --- agg: drained to zero ---
+    "agg_aging_buckets",
+    "agg_bitmap_hierarchical_rollup",
+    "agg_bitwise_bool",
+    "agg_listagg_within_group",
+    "agg_string_concat_groups",
+    # --- events: drained to zero ---
+    "events_attribution_position",
+    "events_littles_law_audit",
+    "events_markov_removal_attribution",
+    "events_segment_enrichment",
+    "events_self_excitation",
+    # --- pipeline: drained to zero ---
+    "pipeline_context_window_report",
+    "pipeline_curriculum_order",
+    "pipeline_mixture_temperature",
+    "pipeline_quality_rejection_sample",
+    "pipeline_target_encoding",
+    # --- privacy: drained to zero ---
+    "privacy_contribution_capping",
+    "privacy_l_diversity",
+    "privacy_subject_access_export",
+    "privacy_synthetic_marginals",
+    "privacy_t_closeness",
+    # --- similarity: drained to zero ---
+    "similarity_collapse_audit",
+    "similarity_kcenter_coreset",
+    "similarity_mmr_rerank",
+    "similarity_nearest_centroid_eval",
+    "similarity_random_projection_audit",
+    # --- dedup: the Lee-et-al span-dedup signal ---
+    "dedup_duplicate_ngram_spans",
 )
 
 def all_queries() -> dict[str, Query]:

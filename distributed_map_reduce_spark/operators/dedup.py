@@ -41,15 +41,38 @@ N_BANDS = 4  # => rows per band r = 3
 SHINGLE_K = 3
 MINHASH_TAU = 0.5
 # dedup_prefix_filter_join broadcast budget, in DISTINCT SETS: below this
-# the probe side (S·(K+1) ~24 B rows) and both mask relations (S rows of
-# W≈1–3 packed longs) broadcast — ~300 MB deserialized at the threshold,
-# inside a production executor's broadcast headroom and local[32]'s 16 g
-# driver. Past it the same algebra runs as keyed shuffle_hash joins (the
-# r9 sf30 probe OOMed exactly here: S≈4.5M slots → >1 GiB of broadcast
-# builds). The switch is measured from the materialized set table (one
-# count on checkpointed rows), so the plan adapts to the corpus like AQE
-# does, not to the scale factor label.
-PARTITIONED_SETSIM_SETS = 1_500_000
+# the probe side (S·(K+1) rows of three longs) and both mask relations
+# (S rows of W≈1–3 packed longs) broadcast. The deserialized hash-
+# relation footprint is ~500 B/set across the three relations (UnsafeRow
+# + open-addressing overhead dominates the 24–50 B of payload), so the
+# threshold pins the broadcast tier to ~200 MB — a production executor's
+# comfortable broadcast headroom. The cliff is MEASURED: the r9 sf30
+# probe (S = 1.16M distinct sets → ~600 MB of broadcast builds) died
+# with UNABLE_TO_ACQUIRE_MEMORY as the pinned relations starved unified
+# execution memory; 400k keeps 3× margin under it. Past the threshold
+# the same algebra runs as keyed shuffle_hash joins. The switch is
+# measured from the materialized set table (one count on checkpointed
+# rows), so the plan adapts to the corpus like AQE does, not to the
+# scale factor label.
+PARTITIONED_SETSIM_SETS = 400_000
+# Partitioned-tier intra-bucket chunk width, in SETS: a (gid, g60)
+# bucket is an indivisible self-join key, so one populous bucket (the
+# g60=0 "no tokens in this group" class grows with the corpus) is a
+# quadratic pair-producer that AQE's skew split cannot touch — skew
+# detection sizes the INPUT partition, which for a 200k-set bucket is a
+# few MB, while the pair fan-out behind it is 2·10¹⁰ rows (measured: 4
+# straggler tasks pinned the r10 sf30 probe past its 1 h budget with 32
+# cores idle). Buckets wider than this split into B = ⌈pop/CHUNK⌉
+# hash-chunks per side; each side replicates B× tagged with the other
+# side's chunk id, the join key widens to (gid, g60, ca, cb), and every
+# pair meets exactly once in exactly one of the B² cells. Per-cell work
+# is bounded by CHUNK² verifies and per-cell shuffle read by ~2·CHUNK
+# rows, so AQE's parallelism-first coalescing packs cells evenly across
+# cores — bytes become an honest proxy for pair work, which is the
+# property the unchunked bucket lacked. Replication cost is pop²/CHUNK
+# rows ≪ the pop² pair stream it spreads. Cold buckets (pop ≤ CHUNK)
+# get B = 1: zero replication, plan identical to the pre-chunk tier.
+PARTITIONED_SETSIM_CHUNK = 4_096
 NGRAM_TAU = 0.6
 
 
@@ -1213,26 +1236,62 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Partitioned tier (r10, VERDICT r9 #3): past the broadcast
         # budget (S·(K+1) probe rows + 2 S-row mask relations no longer
         # fit executor memory — the r9 sf30 OOM), the SAME candidate/
-        # verify algebra runs as keyed shuffle joins: candidates
-        # equi-join on (gid, g60), masks equi-join on set id, both
-        # pinned shuffle_hash (corpus-sized sides — never sort-merge,
-        # never a compressed-bytes broadcast flip; same class of hint as
-        # verify_jaccard's). The honest cost vs the broadcast tier is
-        # that candidate pairs cross one shuffle boundary to meet their
-        # masks; AQE's skew-join splitting (enabled session-wide) covers
-        # hot (gid, g60) buckets. Output is row-identical — only the
-        # physical join strategy changes with S.
-        a = pat.select(F.col("sid").alias("sa"), "gid", "g60")
-        cand = (
-            a.hint("shuffle_hash")
-            .join(b.hint("shuffle_hash"), ["gid", "g60"])
-            .filter(F.col("sa") < F.col("sb"))
+        # verify algebra runs as keyed shuffle joins. The one invariant
+        # that MUST survive the tier switch is that NOTHING PAIR-SIZED
+        # ever crosses a shuffle boundary: the first cut of this tier
+        # joined candidates to their masks after the pair join and the
+        # sf30 probe wrote 63 GB of pair-stream shuffle before filling
+        # the disk. So the masks travel WITH the probe rows instead —
+        # one input-sized shuffle_hash join (S·(K+1) rows widened by
+        # W≈1–3 longs + n) — and the (gid, g60) self-join then produces
+        # pairs, popcount-verifies, and τ-filters INSIDE one stage,
+        # exactly the probe→verify→filter pipelining the broadcast tier
+        # gets for free. shuffle_hash pinned everywhere (corpus-sized
+        # sides; never a compressed-bytes broadcast flip), and the
+        # checkpoint keeps the enrich join from running once per
+        # self-join side. Hot buckets are hash-chunked B = ⌈pop/CHUNK⌉
+        # ways per side (see PARTITIONED_SETSIM_CHUNK: AQE skew split
+        # sizes inputs and cannot see the pair fan-out, so without this
+        # the g60=0 buckets serialize the stage's tail onto a handful of
+        # straggler tasks); each pair meets exactly once in one of the
+        # B² (ca, cb) cells, so the verified pair set — and the query's
+        # output — is unchanged by the chunk grid.
+        bpop = pat.groupBy("gid", "g60").agg(
+            F.count(F.lit(1)).cast("bigint").alias("bpop")
+        )
+        enriched = (
+            pat.hint("shuffle_hash")
+            .join(sl.hint("shuffle_hash"), "sid")
+            .hint("shuffle_hash")
+            .join(bpop.hint("shuffle_hash"), ["gid", "g60"])
+            .withColumn(
+                "nch",
+                F.expr(
+                    "CAST((bpop + {c} - 1) DIV {c} AS BIGINT)".format(
+                        c=PARTITIONED_SETSIM_CHUNK
+                    )
+                ),
+            )
+            .withColumn("ch", F.pmod(F.xxhash64("sid"), F.col("nch")))
+            .localCheckpoint(eager=True)
+        )
+        chunk_ids = F.sequence(F.lit(0).cast("bigint"), F.col("nch") - 1)
+        ea = enriched.select(
+            F.col("sid").alias("sa"), "gid", "g60",
+            F.col("mw").alias("mw_a"), F.col("n").alias("na"),
+            F.col("ch").alias("ca"),
+            F.explode(chunk_ids).alias("cb"),
+        )
+        eb = enriched.select(
+            F.col("sid").alias("sb"), "gid", "g60",
+            F.col("mw").alias("mw_b"), F.col("n").alias("nb"),
+            F.explode(chunk_ids).alias("ca"),
+            F.col("ch").alias("cb"),
         )
         verified0 = (
-            cand.hint("shuffle_hash")
-            .join(sla.hint("shuffle_hash"), "sa")
-            .hint("shuffle_hash")
-            .join(slb.hint("shuffle_hash"), "sb")
+            ea.hint("shuffle_hash")
+            .join(eb.hint("shuffle_hash"), ["gid", "g60", "ca", "cb"])
+            .filter(F.col("sa") < F.col("sb"))
         )
     c = F.aggregate(
         F.zip_with(

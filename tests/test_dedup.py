@@ -140,6 +140,12 @@ def test_prefix_filter_join_tiers_row_identical(spark, monkeypatch):
     partitioned_rows = sorted(map(tuple, D.dedup_prefix_filter_join(spark, sf).collect()))
     assert broadcast_rows == partitioned_rows
     assert len(broadcast_rows) > 0
+    # Force the intra-bucket chunk grid too (CHUNK=2 → every bucket
+    # splits into B² cells): the hot-bucket anti-straggler path must be
+    # pair-exact, not just the B=1 degenerate case sf0.001 exercises.
+    monkeypatch.setattr(D, "PARTITIONED_SETSIM_CHUNK", 2)
+    chunked_rows = sorted(map(tuple, D.dedup_prefix_filter_join(spark, sf).collect()))
+    assert broadcast_rows == chunked_rows
 
 
 def test_capped_lsh_drops_mega_buckets_keeps_ordinary_pairs(spark):

@@ -70,7 +70,15 @@ def main() -> None:
         default=REPLICAS,
         help="key-offset copies of --src (10 -> sf1, 100 -> sf10)",
     )
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated subset to generate (r10: the sf100 probe "
+        "needs only documents,embeddings — the full fixture would not "
+        "fit the box's free disk)",
+    )
     args = ap.parse_args()
+    only = set(args.tables.split(",")) if args.tables else None
     os.makedirs(args.dst, exist_ok=True)
 
     con = duckdb.connect()
@@ -88,12 +96,16 @@ def main() -> None:
                 )
 
     for t in COPY_ONLY:
+        if only is not None and t not in only:
+            continue
         con.execute(
             f"COPY (SELECT * FROM {t}) TO '{args.dst}/{t}.parquet' (FORMAT PARQUET)"
         )
         print(f"{t}: copied")
 
     for t, keys in KEYED.items():
+        if only is not None and t not in only:
+            continue
         cols = [r[0] for r in con.execute(f"DESCRIBE {t}").fetchall()]
         exprs = []
         for c in cols:

@@ -179,21 +179,34 @@ SELECT l_returnflag,
        count(*) FILTER (WHERE l_discount > 0.05)      AS n_discounted,
        bool_and(l_quantity > 0)                       AS all_positive_qty,
        bool_or(l_quantity > 49)                       AS any_big_qty,
-       round(sum(l_extendedprice) FILTER (WHERE l_tax > 0.04), 2) AS taxed_price
+       -- exact-cents sum (r10 sf10 stride catch, the round(sum(double))
+       -- class): at 100x the filtered sum passes 1e12 where double ULP
+       -- exceeds a cent, so engines' summation orders land on different
+       -- doubles and round(x, 2) splits; summing integer cents is exact
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+           FILTER (WHERE l_tax > 0.04) / 100.0        AS taxed_price
 FROM lineitem
 GROUP BY l_returnflag
 """,
 )
 def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional/boolean aggregates: count_if, bool_and/bool_or,
-    filtered sum — all single-pass with map-side partials."""
+    filtered sum — all single-pass with map-side partials. The filtered
+    sum runs in exact integer cents (r10 sf10 stride catch; semantic
+    change rule-(a), re-rowed): see the oracle comment."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
         F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
         F.bool_or(F.col("l_quantity") > 49).alias("any_big_qty"),
-        F.round(
-            F.sum(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice"))), 2
+        (
+            F.sum(
+                F.when(
+                    F.col("l_tax") > 0.04,
+                    F.round(F.col("l_extendedprice") * 100).cast("long"),
+                )
+            )
+            / F.lit(100.0)
         ).alias("taxed_price"),
     )
 

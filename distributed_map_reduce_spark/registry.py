@@ -330,20 +330,27 @@ _R7_WINDOW: tuple[str, ...] = (
     "multimodal_shard_manifest",
 )
 
-# ROUND 10 = 50 never-driver-tested oracle-bearing queries, ZERO re-rows
-# (r9 went 50/50 green; cumulative 425 distinct driver-tested, backlog
-# 118 at window time + 1 new registration = 119). No rule-(a) slots this
-# round: the r10 semantic surface is all NEW (graph_pagerank_capped) or
-# plan-only (the CC edge-consistency probe and the prefix-filter
-# partitioned tier are hash-identical — 8/8 oracle re-checks green, tier
-# equivalence pinned by test — so prior rows stay valid). Picks drain
-# the deepest families to zero: stats 17 (family emptied), temporal 6
-# (emptied), agg 5 (emptied), events 5 (emptied), pipeline 5 (emptied),
-# privacy 5 (emptied), similarity 5 (emptied), plus the new
-# graph_pagerank_capped (VERDICT r9 order #4: the executable degree-cap
-# tier needs a green driver row) and dedup_duplicate_ngram_spans.
-# Backlog after this window: 119 - 50 = 69 -> finishable in r11-r12.
+# ROUND 10 = 1 rule-(a) re-row + 49 never-driver-tested oracle-bearing
+# queries (r9 went 50/50 green; cumulative 425 distinct driver-tested,
+# backlog 118 at window time + 1 new registration = 119). The re-row:
+# agg_conditional's filtered sum moved to exact integer cents after the
+# r10 sf10 stride caught the round(sum(double)) class at 100x magnitude
+# — oracle + Spark changed in the same commit, so its r9 row is stale by
+# rule (a). The rest of the r10 semantic surface is NEW
+# (graph_pagerank_capped) or plan-only (the CC edge-consistency probe,
+# the prefix-filter partitioned tier and its chunk grid are
+# hash-identical — oracle re-checks green, tier equivalence pinned by
+# test — so prior rows stay valid). Fresh picks drain the deepest
+# families to zero: stats 17 (family emptied), temporal 6 (emptied),
+# agg 5 (emptied), events 5 (emptied), pipeline 5 (emptied), privacy 5
+# (emptied), similarity 5 (emptied), plus graph_pagerank_capped
+# (VERDICT r9 order #4: the executable cap tier needs a green driver
+# row). dedup_duplicate_ngram_spans was displaced by the mid-round
+# re-row (back to the backlog). Backlog after this window:
+# 119 - 49 = 70 -> finishable in r11-r12.
 _DRIVER_WINDOW: tuple[str, ...] = (
+    # --- rule-(a) re-row (exact-cents semantic change this round) ---
+    "agg_conditional",
     # --- new registration this round (VERDICT r9 #4) ---
     "graph_pagerank_capped",
     # --- stats: deepest family, drained to zero ---
@@ -401,8 +408,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "similarity_mmr_rerank",
     "similarity_nearest_centroid_eval",
     "similarity_random_projection_audit",
-    # --- dedup: the Lee-et-al span-dedup signal ---
-    "dedup_duplicate_ngram_spans",
 )
 
 def all_queries() -> dict[str, Query]:

@@ -1451,8 +1451,12 @@ def agg_listagg_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH s AS (
   SELECT l_returnflag,
+         -- qty is integral: its double sum is exact at every scale.
+         -- price runs in exact cents (r10 sf10 stride catch — the
+         -- round(sum(double)) class: at 100x the sum passes 1e12 where
+         -- double ULP exceeds a cent and engines' round(x, 2) splits)
          round(sum(l_quantity), 2) AS sum_qty,
-         round(sum(l_extendedprice), 2) AS sum_price
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT 'sum_qty' AS key,
@@ -1481,7 +1485,12 @@ def sql_transpose_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     s = li.groupBy("l_returnflag").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        # exact-cents price sum (r10 sf10 stride catch; rule-(a) re-row):
+        # see the oracle comment
+        (
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            / F.lit(100.0)
+        ).alias("sum_price"),
     )
     return s.transpose()
 

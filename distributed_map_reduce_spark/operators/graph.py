@@ -16,8 +16,10 @@ EDGE-FEED POLICY (r9, VERDICT r8 #1). Two generators feed this module:
 
 - `minhash_star_pairs` — Σ(n−1) verified star edges per LSH bucket,
   linear even on clone² corpora. Every consumer whose output depends
-  only on CONNECTIVITY uses it: `dedup_cc_clusters`,
-  `dedup_cluster_keeper`, `dedup_minhash_clusters`.
+  only on CONNECTIVITY — or on per-doc bucket-hub membership — uses
+  it: `dedup_cc_clusters`, `dedup_cluster_keeper`,
+  `dedup_minhash_clusters`, and (r10) `pipeline_dedup_report`, whose
+  near-dup flag is membership, not pairwise structure.
 - `minhash_lsh_pairs` — the full verified pair list. Consumers whose
   SEMANTICS are pair-exact keep it: degrees (`graph_degree_histogram`,
   `graph_degree_assortativity`), edge-metric walks (`graph_pagerank`,

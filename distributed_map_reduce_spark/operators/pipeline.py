@@ -736,10 +736,10 @@ def pipeline_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_report_oracle() -> str:
-    from .dedup import _MINHASH_ORACLE
+    from .dedup import _MINHASH_STAR_ORACLE
 
     return f"""
-WITH pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})),
+WITH pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ({_MINHASH_STAR_ORACLE})),
 fp AS (
   SELECT doc_id, source,
          row_number() OVER (
@@ -768,15 +768,23 @@ GROUP BY source
 def pipeline_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup funnel report per source: exact duplicates (non-canonical
     fingerprint rows) → near-duplicates among the exact survivors
-    (higher-id member of any MinHash-LSH pair) → survivors. The
-    before/after accounting a corpus-cleaning run publishes, composed
-    from the same fingerprint and LSH primitives the cleaning pass
-    itself uses — report and pipeline cannot disagree.
+    (verified non-hub member of any MinHash-LSH star edge) → survivors.
+    The before/after accounting a corpus-cleaning run publishes,
+    composed from the same fingerprint and star-edge primitives the
+    cleaning pass (`dedup_minhash_clusters`) itself uses — report and
+    pipeline cannot disagree, and both stay corpus-LINEAR on clone-heavy
+    data. (r10 rule-(a) re-row: the report previously consumed the full
+    `minhash_lsh_pairs` emitter, whose clones² output the edge-feed
+    policy confines to calibration scale — the r10 sf10 stride caught it
+    OOMing a verify-join hash build. A report that cannot run at the
+    scale of the pass it describes was feeding from the wrong tier;
+    star doc_b membership = "verified near-dup of its bucket hub", the
+    same keeper semantics the cleaning pass applies.)
 
     Shapes reused wholesale: one fingerprint window, the shared banded
-    candidate derivation (ids-only), one anti-join-style membership
-    flag, one source-cardinality aggregate."""
-    from .dedup import minhash_lsh_pairs
+    star derivation (ids-only), one anti-join-style membership flag,
+    one source-cardinality aggregate."""
+    from .dedup import minhash_star_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     fingerprint = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
@@ -786,7 +794,7 @@ def pipeline_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = fp.withColumn("rn", rn)
     near = (
-        minhash_lsh_pairs(docs)
+        minhash_star_pairs(docs)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
         .withColumn("is_near", F.lit(1))

@@ -330,13 +330,16 @@ _R7_WINDOW: tuple[str, ...] = (
     "multimodal_shard_manifest",
 )
 
-# ROUND 10 = 2 rule-(a) re-rows + 48 never-driver-tested oracle-bearing
+# ROUND 10 = 3 rule-(a) re-rows + 47 never-driver-tested oracle-bearing
 # queries (r9 went 50/50 green; cumulative 425 distinct driver-tested,
-# backlog 118 at window time + 1 new registration = 119). The re-rows:
-# agg_conditional's filtered sum and sql_transpose_frame's price sum
-# moved to exact integer cents after the r10 sf10 stride caught the
-# round(sum(double)) class at 100x magnitude in both — oracle + Spark
-# changed in the same commits, so their prior rows are stale by
+# backlog 118 at window time + 1 new registration = 119). The re-rows,
+# all r10 sf10 stride catches: agg_conditional's filtered sum and
+# sql_transpose_frame's price sum moved to exact integer cents (the
+# round(sum(double)) class at 100x magnitude), and
+# pipeline_dedup_report's near-dup feed moved from the clones²
+# minhash_lsh_pairs emitter (OOMed a verify hash build at sf10) to the
+# corpus-linear star edges the cleaning pass itself uses — oracle +
+# Spark changed in the same commits, so the prior rows are stale by
 # rule (a). The rest of the r10 semantic surface is NEW
 # (graph_pagerank_capped) or plan-only (the CC edge-consistency probe,
 # the prefix-filter partitioned tier and its chunk grid are
@@ -346,14 +349,15 @@ _R7_WINDOW: tuple[str, ...] = (
 # agg 5 (emptied), events 5 (emptied), pipeline 5 (emptied), privacy 5
 # (emptied), similarity 5 (emptied), plus graph_pagerank_capped
 # (VERDICT r9 order #4: the executable cap tier needs a green driver
-# row). dedup_duplicate_ngram_spans and similarity_random_projection_audit
-# were displaced by the mid-round re-rows (back to the backlog; the
-# similarity family drains 4 of 5). Backlog after this window:
-# 119 - 48 = 71 -> finishable in r11-r12.
+# row). dedup_duplicate_ngram_spans, similarity_random_projection_audit
+# and similarity_nearest_centroid_eval were displaced by the mid-round
+# re-rows (back to the backlog; the similarity family drains 3 of 5).
+# Backlog after this window: 119 - 47 = 72 -> finishable in r11-r12.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # --- rule-(a) re-rows (exact-cents semantic changes this round) ---
     "agg_conditional",
     "sql_transpose_frame",
+    "pipeline_dedup_report",
     # --- new registration this round (VERDICT r9 #4) ---
     "graph_pagerank_capped",
     # --- stats: deepest family, drained to zero ---
@@ -409,7 +413,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "similarity_collapse_audit",
     "similarity_kcenter_coreset",
     "similarity_mmr_rerank",
-    "similarity_nearest_centroid_eval",
 )
 
 def all_queries() -> dict[str, Query]:

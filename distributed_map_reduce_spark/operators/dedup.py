@@ -410,9 +410,92 @@ def minhash_star_pairs(
     whose members each clear τ against the hub stays connected, but a
     (b,c) pair in a bucket whose hub a matches neither is surrendered
     (the full-pair generator would keep it). On clone-family corpora the
-    hub is itself a family member, so family recall is unchanged."""
+    hub is itself a family member, so family recall is unchanged.
+
+    r10 OPTIMIZATION (guide §2.3/§2.4 — shuffle fewer bytes, remove
+    shuffles): because star edges are LINEAR in the corpus, verification
+    switches from the row-relational join-count (which shuffled the full
+    (doc_id, h) table twice — once per pair side — then paid an
+    aggregation exchange and two more size joins) to per-doc hash ARRAYS:
+    ONE groupBy(doc_id) emits the 12 signature mins, the doc's distinct-h
+    array, and its size together; candidates attach the two arrays with
+    two edge-sized joins and compute |A∩B| as
+    ``size(array_intersect(hs_a, hs_b))`` in the projection. Both sides
+    of ``array_intersect`` are distinct by construction (dropDuplicates
+    upstream), so its distinct-intersection semantics equal the join
+    count — measured digest-identical at sf0.01/sf0.1/sf1. Plan effect at
+    sf0.1: 8 exchanges → 4; the 260k-row shingle table crosses ONE
+    exchange (the signature agg it always paid) instead of three; the
+    pair-side shuffles carry only the 258 candidate edges. This stays
+    scale-safe precisely because the star feed bounds pairs at Σ(n−1):
+    the pair-quadratic generator `minhash_lsh_pairs` keeps the
+    relational verify, whose fanned intermediate never carries arrays
+    across an exchange (the module's NOTHING-PAIR-SIZED rule)."""
     sh_h = shingle_hash_rows(docs, id_col, text_col)
-    return verify_jaccard(star_candidates(sh_h), sh_h, tau)
+    b = F.col("h") % MINHASH_P
+    # Signatures + verify arrays + sizes in ONE doc-keyed aggregation;
+    # the explicit repartition pins a reusable hashpartitioning(doc_id)
+    # exchange so the band explode and both verify-join sides read one
+    # materialization instead of re-running the aggregate (exchange
+    # reuse only happens at Exchange nodes).
+    per_doc = (
+        sh_h.groupBy("doc_id")
+        .agg(
+            *[
+                F.min((F.lit(HASH_A[s]) * b + F.lit(HASH_B[s])) % MINHASH_P).alias(f"h{s}")
+                for s in range(N_HASHES)
+            ],
+            F.collect_list("h").alias("hs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .repartition("doc_id")
+    )
+    r = N_HASHES // N_BANDS
+    banded = per_doc.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws("|", *[F.col(f"h{bb * r + j}") for j in range(r)])
+                    for bb in range(N_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_key"),
+    )
+    from pyspark.sql import Window
+
+    hub = F.min("doc_id").over(Window.partitionBy("band_id", "band_key"))
+    cand = (
+        banded.withColumn("hub", hub)
+        .filter(F.col("doc_id") != F.col("hub"))
+        .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+    arr_a = per_doc.select(
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("n").alias("n_a")
+    )
+    arr_b = per_doc.select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("n").alias("n_b")
+    )
+    # shuffle_hash keeps the plan shape scale-invariant (r9 sf30 lesson:
+    # AQE's compressed-bytes estimate can flip a corpus-sized side into
+    # a broadcast build that OOMs the driver).
+    joined = (
+        cand.hint("shuffle_hash")
+        .join(arr_a, "doc_a")
+        .hint("shuffle_hash")
+        .join(arr_b, "doc_b")
+    )
+    n_inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    return (
+        joined.withColumn("n_inter", n_inter)
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def simhash_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -1001,27 +1001,57 @@ def similarity_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the DuckDB oracle.
     COARSE_TARGET = 8192
     TARGET_BLOCK = 512
+    # r10 OPTIMIZATION (guide §1.2 — don't compute things you throw
+    # away): BOTH split levels (and the block-cap window below) are the
+    # IDENTITY whenever every coarse cluster's population is at or under
+    # the level's target — m = ceil(pop/target) = 1 for every cluster,
+    # so the seed windows, the seed-vector joins, and both routed-argmin
+    # joins produce exactly the input with the key cast to string. That
+    # identity was always the documented contract ("identity at sf<=1");
+    # what changed is that the machinery no longer RUNS in that case: one
+    # cluster-keyed count over the checkpointed member table (a ~10-row
+    # aggregate job, same driver-side data-adaptive pattern as the CC
+    # convergence probe) picks the path. At sf0.1 this removes ~3s of
+    # identity-shaped joins/windows/checkpoint (5.7s → ~3.1s measured);
+    # at sf10+ (populations 20k ≫ targets) it costs one small probe job
+    # and the full machinery runs unchanged. Output-identical by the
+    # level's own m==1 branch, oracle hash-green at sf0.01/sf0.1 and
+    # digest-identical at sf10 where the machinery is ACTIVE.
+    max_pop = (
+        mem.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).agg(F.max("n")).collect()[0][0]
+    ) or 0
     # Level-1 output is checkpointed (three-branch reuse inside level 2,
     # same argument as `mem`); level-2 output is NOT — its single
     # consumer chain re-converges at the block-cap window exchange,
     # which ReusedExchange dedups across the verify self-join's two
     # sides.
-    mem2 = _route_level(
-        mem,
-        COARSE_TARGET,
-        lambda m, best: F.when(m == 1, F.col("cluster").cast("string")).otherwise(
-            F.concat(
-                F.col("cluster").cast("string"), F.lit(":r"), best.cast("string")
-            )
-        ),
-    ).localCheckpoint(eager=True)
-    memsub = _route_level(
-        mem2,
-        TARGET_BLOCK,
-        lambda m, best: F.when(m == 1, F.col("cluster")).otherwise(
-            F.concat(F.col("cluster"), F.lit(":s"), best.cast("string"))
-        ),
-    )
+    if max_pop <= COARSE_TARGET:
+        # m == 1 for every cluster: level 1 reduces to the string cast.
+        # No second checkpoint needed — this is a projection over the
+        # already-checkpointed `mem`.
+        mem2 = mem.select("vec_id", "v", F.col("cluster").cast("string").alias("cluster"))
+    else:
+        mem2 = _route_level(
+            mem,
+            COARSE_TARGET,
+            lambda m, best: F.when(m == 1, F.col("cluster").cast("string")).otherwise(
+                F.concat(
+                    F.col("cluster").cast("string"), F.lit(":r"), best.cast("string")
+                )
+            ),
+        ).localCheckpoint(eager=True)
+    if max_pop <= TARGET_BLOCK:
+        # n_sub == 1 everywhere (level-1 was the identity too, so mem2
+        # populations equal mem populations): level 2 is the identity.
+        memsub = mem2
+    else:
+        memsub = _route_level(
+            mem2,
+            TARGET_BLOCK,
+            lambda m, best: F.when(m == 1, F.col("cluster")).otherwise(
+                F.concat(F.col("cluster"), F.lit(":s"), best.cast("string"))
+            ),
+        )
     # HARD block cap (r8, ADVICE r7 #3): nearest-seed routing bounds the
     # block only in EXPECTATION — replica-dense regions overfill one
     # seed and re-quadratize the verify (the sf10 straggler tail:
@@ -1032,22 +1062,31 @@ def similarity_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # layer is the identity wherever no overfill exists (pair recall
     # across a rank-split boundary is surrendered — the same boundary
     # trade SemDeDup already accepts).
-    wcap = W.partitionBy("cluster")
-    capped = memsub.select(
-        "vec_id",
-        "v",
-        F.when(F.count(F.lit(1)).over(wcap) <= TARGET_BLOCK, F.col("cluster"))
-        .otherwise(
-            F.concat(
-                F.col("cluster"),
-                F.lit(":b"),
-                ((F.row_number().over(wcap.orderBy("vec_id")) - 1) / TARGET_BLOCK)
-                .cast("bigint")
-                .cast("string"),
+    if max_pop <= TARGET_BLOCK:
+        # Every block is at or under target by the same probe that
+        # skipped the split levels (populations unchanged through two
+        # identity levels) — the cap window is the identity too, so the
+        # cluster-keyed sort+window exchange is skipped outright; the
+        # verify self-join below establishes the cluster partitioning
+        # it needs itself.
+        capped = memsub
+    else:
+        wcap = W.partitionBy("cluster")
+        capped = memsub.select(
+            "vec_id",
+            "v",
+            F.when(F.count(F.lit(1)).over(wcap) <= TARGET_BLOCK, F.col("cluster"))
+            .otherwise(
+                F.concat(
+                    F.col("cluster"),
+                    F.lit(":b"),
+                    ((F.row_number().over(wcap.orderBy("vec_id")) - 1) / TARGET_BLOCK)
+                    .cast("bigint")
+                    .cast("string"),
+                )
             )
+            .alias("cluster"),
         )
-        .alias("cluster"),
-    )
     memn = capped.withColumn("nrm", norm(F.col("v")))
     a = memn.select(
         "cluster",

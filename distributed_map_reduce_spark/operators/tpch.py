@@ -286,22 +286,31 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     No broadcast hints here: the big-order keyset is fact-derived (grows
     with the fact table — a hardcoded ``F.broadcast`` would blow the
     threshold/driver at 100×) and customer scales with SF. AQE decides
-    broadcast-vs-shuffled semi/hash join from runtime sizes instead."""
+    broadcast-vs-shuffled semi/hash join from runtime sizes instead.
+
+    r10 OPTIMIZATION (guide §1.1 first-principles, §2.4 remove shuffles):
+    the final GROUP BY is keyed by o_orderkey — unique in orders — so
+    every other grouping column is functionally dependent on it and
+    total_qty for a surviving group is EXACTLY the per-order sum the
+    HAVING pre-aggregate already computed. The old plan scanned lineitem
+    twice (pre-aggregate + re-join of the raw rows) and paid a semi-join
+    plus a wide 5-key final aggregation re-shuffling every qualifying
+    lineitem row; the new plan aggregates lineitem ONCE and joins the
+    ~order-count survivors to orders/customer. Same rows, same types
+    (sum(l_quantity) over the identical row set, computed in the same
+    hash aggregate), hash-verified against the unchanged oracle at
+    sf0.01/sf0.1 and digest-checked at sf1."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("q"))
-        .filter(F.col("q") > 180)
-        .select("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 180)
     )
     return (
-        li.join(big.withColumnRenamed("l_orderkey", "bk"), F.col("l_orderkey") == F.col("bk"), "left_semi")
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum("l_quantity").alias("total_qty"))
         .select(
             "c_custkey",
             "c_name",

@@ -95,9 +95,13 @@ def test_join_revenue_by_nation_aqe_broadcasts_scaled_dims(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
-def test_q18_semi_join_prefilter(spark, sf_dir):
+def test_q18_single_lineitem_pass(spark, sf_dir):
+    """r10: the HAVING pre-aggregate IS the final per-order quantity
+    (the group key o_orderkey is unique in orders), so lineitem is
+    scanned and aggregated exactly once — the old semi-join + re-join +
+    5-key re-aggregation of raw lineitem rows is gone."""
     plan = _plan(spark, sf_dir, "q18_large_volume_orders")
-    assert "LeftSemi" in plan
+    assert plan.count("lineitem.parquet") == 1
     assert "CartesianProduct" not in plan
 
 

@@ -404,28 +404,48 @@ def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # floating-point expression, so results stay bit-stable vs the oracle
     b = adaptive_bucketed(e, target=32).withColumn("nrm", norm(F.col("v")))
     a = b.select(
-        F.col("vec_id").alias("vec_a"),
+        F.col("vec_id").alias("ia"),
         F.col("v").alias("v_a"),
         F.col("nrm").alias("n_a"),
         "bucket",
     )
     n = b.select(
-        F.col("vec_id").alias("vec_b"),
+        F.col("vec_id").alias("ib"),
         F.col("v").alias("v_b"),
         F.col("nrm").alias("n_b"),
         "bucket",
     )
-    pairs = (
+    # r10 OPTIMIZATION (guide §1.2 per-task work): the symmetric
+    # self-join used to evaluate every pair's 64-element cosine fold
+    # TWICE — once per direction. One ia < ib pass computes each fold
+    # once; exploding the mirrored (vec_a, vec_b) struct pair restores
+    # both directions AFTER the fold, in the same single branch (a
+    # two-branch union would re-execute the join and pay the folds
+    # twice again). Bit-identical: zip_with multiply is commutative
+    # per element and the fold order is element order on both
+    # directions, so dot(a,b) == dot(b,a) exactly — digest-verified at
+    # sf0.1 and sf1 (−19% wall at sf1; the pair fold is the documented
+    # per-pair cost floor of this family).
+    half = (
         a.join(n, "bucket")
-        .filter(F.col("vec_a") != F.col("vec_b"))
+        .filter(F.col("ia") < F.col("ib"))
         .select(
-            "vec_a",
-            "vec_b",
+            "ia",
+            "ib",
             F.round(
                 dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6
             ).alias("cos_sim"),
         )
     )
+    pairs = half.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("ia").alias("vec_a"), F.col("ib").alias("vec_b")),
+                F.struct(F.col("ib").alias("vec_a"), F.col("ia").alias("vec_b")),
+            )
+        ).alias("p"),
+        "cos_sim",
+    ).select("p.vec_a", "p.vec_b", "cos_sim")
     w = W.partitionBy("vec_a").orderBy(F.col("cos_sim").desc(), "vec_b")
     return (
         pairs.withColumn("rnk", F.row_number().over(w))
@@ -1700,23 +1720,36 @@ def ann_lsh_adaptive_planes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nrm", norm(F.col("v"))
     )
     a = b.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"),
+        F.col("vec_id").alias("ia"), F.col("v").alias("v_a"),
         F.col("nrm").alias("n_a"), "bucket",
     )
     nn = b.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"),
+        F.col("vec_id").alias("ib"), F.col("v").alias("v_b"),
         F.col("nrm").alias("n_b"), "bucket",
     )
-    pairs = (
+    # r10 OPTIMIZATION: compute each pair's cosine fold once (ia < ib)
+    # and explode the mirrored direction structs afterwards — same
+    # single-branch halving as `similarity_knn_join` (see the comment
+    # there for the bit-identity argument); digest-verified sf0.1/sf1.
+    half = (
         a.join(nn, "bucket")
-        .filter(F.col("vec_a") != F.col("vec_b"))
+        .filter(F.col("ia") < F.col("ib"))
         .select(
-            "vec_a", "vec_b",
+            "ia", "ib",
             F.round(
                 dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6
             ).alias("cos_sim"),
         )
     )
+    pairs = half.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("ia").alias("vec_a"), F.col("ib").alias("vec_b")),
+                F.struct(F.col("ib").alias("vec_a"), F.col("ia").alias("vec_b")),
+            )
+        ).alias("p"),
+        "cos_sim",
+    ).select("p.vec_a", "p.vec_b", "cos_sim")
     w = W.partitionBy("vec_a").orderBy(F.col("cos_sim").desc(), "vec_b")
     return (
         pairs.withColumn("rnk", F.row_number().over(w))

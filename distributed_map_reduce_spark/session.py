@@ -28,6 +28,15 @@ _RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Arrow for every pandas-UDF / toPandas boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # r10 (guide §3.1/§9): let the planner pick shuffled-hash over
+    # sort-merge when its size conditions hold — removes the two sorts
+    # around every moderate equi-join (q5's supplier-side SMJ, the
+    # semdedup routing joins). Scale posture: build sides here are
+    # per-partition slices bounded by the shuffle partition count, AQE
+    # skew-split still applies, and every corpus-sized join the sf30
+    # probe flagged carries an explicit shuffle_hash/broadcast decision
+    # already; this conf only affects the residual planner-chosen tier.
+    "spark.sql.join.preferSortMergeJoin": "false",
     # Tolerate a TIMESTAMP(NANOS) events.parquet (some writer versions emit
     # it; Spark's reader rejects it otherwise): surface nanos as epoch-long,
     # normalized to µs in sources.catalog.load_table / streaming.jobs.

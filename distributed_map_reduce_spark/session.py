@@ -37,6 +37,13 @@ _RUNTIME_CONFS: dict[str, str] = {
     # probe flagged carries an explicit shuffle_hash/broadcast decision
     # already; this conf only affects the residual planner-chosen tier.
     "spark.sql.join.preferSortMergeJoin": "false",
+    # r10: the watermark-flush streaming queries process all landing
+    # files in one micro-batch and rely on the engine's no-data batch
+    # for the final watermark-driven emission (watermark_flush.py).
+    # True is the engine default since 3.0 — pinned so a host session
+    # that disabled it cannot silently turn those queries' results
+    # empty.
+    "spark.sql.streaming.noDataMicroBatches.enabled": "true",
     # Tolerate a TIMESTAMP(NANOS) events.parquet (some writer versions emit
     # it; Spark's reader rejects it otherwise): surface nanos as epoch-long,
     # normalized to µs in sources.catalog.load_table / streaming.jobs.

@@ -100,14 +100,30 @@ def flushed_events_dir(
 def read_flushed_events(
     spark: SparkSession, sf_dir: str, sentinel_type: str = FLUSH_TYPE
 ) -> DataFrame:
-    """Streaming read over real events + flush sentinels, one file per
-    micro-batch (real data, then each sentinel — three epochs)."""
+    """Streaming read over real events + flush sentinels.
+
+    r10 OPTIMIZATION (guide §1.2 — don't pay for passes you don't
+    need): the r5 form forced one file per micro-batch
+    (``maxFilesPerTrigger=1`` → real, s1, s2, final = four epochs).
+    Per-batch cost of the stateful operators is FLAT in input size
+    (state-store open/scan/commit across every shuffle partition:
+    measured ~9-11s per batch on the interval joins at sf0.1, even for
+    a 4-row sentinel batch), so three of the four batches were almost
+    pure overhead. All files now land in ONE batch — every real row is
+    processed with the initial watermark (nothing can be dropped as
+    late; late-filtering uses the watermark fixed at batch start), the
+    sentinels advance the watermark AFTER that batch, and the engine's
+    no-data micro-batch (``noDataMicroBatches.enabled``, pinned true in
+    session._RUNTIME_CONFS) runs the final eviction pass that emits
+    every closed window/join row. Two epochs total; emission CONTENT is
+    batching-independent (append mode emits exactly the rows whose
+    window the watermark passed) — digest-identical on all flush
+    queries, measured 108s → 15s on the full-outer interval join.
+    Sentinel #2 is retained: it is free in the single batch and keeps
+    the landing-dir layout (and the mtime-order assertion) unchanged.
+    """
     d, schema = flushed_events_dir(spark, sf_dir, sentinel_type)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(d)
-    )
+    stream = spark.readStream.schema(schema).parquet(d)
     # Watermarks require session-TZ TIMESTAMP; the parquet carries
     # TIMESTAMP_NTZ(µs) — same normalization policy as
     # jobs.read_events_stream / sources.catalog.load_table.

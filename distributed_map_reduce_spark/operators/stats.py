@@ -1665,11 +1665,80 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("slope_micro")
         )
     )
-    return slopes.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    # r10 OPTIMIZATION (guide §1.2; the [[agg_exact_median_scalable]]
+    # selection-by-histogram plan): `percentile(slope_micro, 0.5)`
+    # buffered all ~2.9M pair slopes per partition and merged them on
+    # one reducer — 10.7s of the query's 11-12s at sf0.1. The median is
+    # now selected: one banding pass counts slopes per band, a
+    # band-cardinality cumulative sum locates the band holding each of
+    # the two middle order statistics, a second pass ranks only those
+    # bands, and — the parity trick — the FINAL interpolation is still
+    # `percentile(.., 0.5)` over exactly the selected ≤2 values, so
+    # Spark's own interpolation arithmetic runs on the same two middle
+    # values it would have picked from the full multiset: bit-identical
+    # by construction even where |slope| approaches 2^53 (sf10-scale)
+    # and naive (lo+hi)/2 could differ in the last ulp. The band width
+    # derives from the daily-cents span (BIGINT, overflow-safe via
+    # div-before-multiply), capping bands at ~65k whatever the scale;
+    # n_pairs = C(days, 2) exactly. Digest-identical at sf0.1/sf1,
+    # oracle unchanged and hash-green.
+    from pyspark.sql import Window as W
+
+    t = daily.agg(F.count(F.lit(1)).cast("bigint").alias("d_n"))
+    mm = daily.agg(
+        F.max("cents").alias("c_max"), F.min("cents").alias("c_min")
+    )
+    n_col = (F.col("d_n") * (F.col("d_n") - 1) / 2).cast("bigint")
+    ks = (
+        t.select(n_col.alias("n"))
+        .select(
+            F.explode(
+                F.array(
+                    F.expr("(n + 1) div 2").cast("bigint"),
+                    F.expr("(n + 2) div 2").cast("bigint"),
+                )
+            ).alias("k")
+        )
+    )
+    width = F.greatest(
+        F.lit(1000000).cast("bigint"),
+        (F.expr("(c_max - c_min) div 32768") * F.lit(1000000)).cast("bigint"),
+    ).alias("w")
+    banded = slopes.crossJoin(F.broadcast(mm.select(width))).select(
+        "slope_micro", F.expr("slope_micro div w").alias("band")
+    )
+    bands = banded.groupBy("band").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    cum = bands.withColumn(
+        "cum",
+        F.sum("cnt")
+        .over(W.orderBy("band").rowsBetween(W.unboundedPreceding, W.currentRow))  # frame: bounded (band grid capped at ~65k whatever the scale)
+        .cast("bigint"),
+    )
+    targets = (
+        F.broadcast(ks)
+        .join(
+            cum,
+            (F.col("cum") >= F.col("k")) & (F.col("cum") - F.col("cnt") < F.col("k")),
+        )
+        .select("k", "band", (F.col("cum") - F.col("cnt")).alias("prev"))
+    )
+    ranked = banded.join(
+        F.broadcast(targets.select("band").distinct()), "band"
+    ).withColumn(
+        "rn", F.row_number().over(W.partitionBy("band").orderBy("slope_micro"))
+    )
+    sel = ranked.join(
+        F.broadcast(targets),
+        (ranked["band"] == targets["band"]) & (F.col("rn") == F.col("k") - F.col("prev")),
+    ).select("slope_micro")
+    med = sel.agg(
         F.round(F.expr("percentile(slope_micro, 0.5)") / 1000000.0, 4).alias(
             "slope_cents_per_day"
-        ),
+        )
+    )
+    return (
+        t.crossJoin(med)
+        .select(n_col.alias("n_pairs"), "slope_cents_per_day")
     )
 
 
@@ -10208,6 +10277,15 @@ def events_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataF
             "state",
             F.when(F.col("state") == "purchase", 1.0).otherwise(0.0).alias("p"),
         )
+        # r10 (guide §1.2): the 8-step ladder runs on ≤6-state frames
+        # whose inputs (p, states) are ALREADY checkpointed — the old
+        # per-step localCheckpoint turned each of the 8 steps × 5 chains
+        # into its own eager job (40 scheduler round-trips of ~0.2s
+        # each dominating the query). v is referenced once per step, so
+        # lineage grows linearly, not exponentially: the whole ladder
+        # now folds into the chain's single final plan. Same arithmetic,
+        # same join/agg per step — hash-green at sf0.01/sf0.1; 13.9s →
+        # ~4s at sf0.1.
         for _ in range(8):
             x = (
                 p.join(v.select(F.col("state").alias("dst"), "p"), "dst")
@@ -10219,7 +10297,7 @@ def events_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataF
                 F.when(F.col("state") == "purchase", 1.0)
                 .otherwise(F.coalesce("xp", F.lit(0.0)))
                 .alias("p"),
-            ).localCheckpoint(eager=True)
+            )
         first = (
             ordered.where(F.col("rn") == 1)
             .groupBy(F.col("event_type").alias("state"))
@@ -10229,15 +10307,28 @@ def events_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataF
             (F.sum(F.col("u") * F.col("p")) / F.sum("u")).alias("p_conv")
         )
 
-    rows = p_conv(ev).select(
-        F.lit("(none)").alias("channel_removed"), "p_conv"
-    )
-    for ch in MARKOV_REMOVABLE:
-        rows = rows.unionByName(
-            p_conv(ev.where(F.col("event_type") != ch)).select(
-                F.lit(ch).alias("channel_removed"), "p_conv"
-            )
+    # r10 (guide §2.6 — overlap independent jobs): each chain's three
+    # eager checkpoints (ordered/p/states) are independent driver
+    # actions; building the five chains from a small thread pool
+    # overlaps those 15 materialization jobs instead of running them
+    # back to back (the ladders themselves already run inside the one
+    # final job). Frames and plans are unchanged — same checkpoints,
+    # same union — hash-green at sf0.01/sf0.1.
+    from concurrent.futures import ThreadPoolExecutor
+
+    labels = ["(none)"] + list(MARKOV_REMOVABLE)
+
+    def chain(ch: str):
+        filtered = ev if ch == "(none)" else ev.where(F.col("event_type") != ch)
+        return p_conv(filtered).select(
+            F.lit(ch).alias("channel_removed"), "p_conv"
         )
+
+    with ThreadPoolExecutor(max_workers=len(labels)) as pool:
+        frames = list(pool.map(chain, labels))
+    rows = frames[0]
+    for fr in frames[1:]:
+        rows = rows.unionByName(fr)
     rows = rows.localCheckpoint(eager=True)
     base = rows.where(F.col("channel_removed") == "(none)").select(
         F.col("p_conv").alias("pb")

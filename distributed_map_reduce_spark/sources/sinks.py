@@ -504,7 +504,18 @@ def source_binaryfile_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") < 1000)
     )
     out = os.path.join(tempfile.mkdtemp(prefix="dmrs_binassets_"), "assets")
-    docs.write.partitionBy("doc_id").mode("overwrite").text(out)
+    # r10 (guide §2.5 input skew): the filtered slab comes out of the
+    # parquet scan as ONE partition, so a bare write created all 1000
+    # per-asset files from a single task — 34s of serial file creation
+    # at sf0.1 (measured; the read+md5 pass is 3s). Hash-repartitioning
+    # on doc_id spreads file creation across the cluster; each doc's
+    # single row still lands in exactly one file under its doc_id=
+    # directory, so the manifest rows are unchanged.
+    from ..session import default_parallelism
+
+    docs.repartition(default_parallelism(), "doc_id").write.partitionBy(
+        "doc_id"
+    ).mode("overwrite").text(out)
     assets = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "part-*")

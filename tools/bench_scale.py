@@ -68,9 +68,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for _ in range(args.passes):
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
         for name in names:
+            # GC breather PER QUERY, not per pass (r10): at sf10 the
+            # non-digest queries collect up to 4.5M rows each, and
+            # accumulated driver/JVM pressure inflated later queries up
+            # to 6x in a single-breather run (ann 147.6s vs a 27.6s
+            # fresh-JVM probe of the same plan) — the same shared-JVM
+            # drift class bench.py's per-round breather bounds at sf0.1,
+            # which one breather per 23 sf10 collects cannot.
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
             t0 = time.time()
             df = bench[name].fn(spark, args.sf_dir)
             rows[name] = _execute(df, name)

@@ -270,6 +270,84 @@ def band_candidates_capped(sh_rows: DataFrame, cap: int = LSH_BUCKET_CAP) -> Dat
     )
 
 
+def _per_doc_minhash(sh_h: DataFrame) -> DataFrame:
+    """(doc_id, h0..h{k-1}, hs, n): the 12 signature mins, the doc's
+    distinct shingle-hash array, and its size from ONE doc-keyed
+    aggregation, pinned behind an explicit repartition("doc_id") so the
+    band explode and both array-verify join sides reuse a single
+    materialization (exchange reuse only happens at Exchange nodes).
+    Shared by the LINEAR-candidate generators (star, capped) — see
+    :func:`minhash_star_pairs` for why the pair-quadratic generator must
+    NOT use the array verify."""
+    b = F.col("h") % MINHASH_P
+    return (
+        sh_h.groupBy("doc_id")
+        .agg(
+            *[
+                F.min((F.lit(HASH_A[s]) * b + F.lit(HASH_B[s])) % MINHASH_P).alias(f"h{s}")
+                for s in range(N_HASHES)
+            ],
+            F.collect_list("h").alias("hs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .repartition("doc_id")
+    )
+
+
+def _banded_from_per_doc(per_doc: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) from the per-doc signature columns —
+    the same band keys :func:`banded_keys` derives, read off the shared
+    per-doc materialization instead of a second signature aggregate."""
+    r = N_HASHES // N_BANDS
+    return per_doc.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws("|", *[F.col(f"h{bb * r + j}") for j in range(r)])
+                    for bb in range(N_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_key"),
+    )
+
+
+def _verify_jaccard_arrays(cand: DataFrame, per_doc: DataFrame, tau: float) -> DataFrame:
+    """Exact-Jaccard verification for LINEAR candidate sets: attach each
+    side's distinct-hash array with an edge-sized join and compute
+    |A∩B| as size(array_intersect(..)) in the projection. Equal to the
+    relational join-count (both arrays are distinct by construction);
+    digest-verified against it at sf0.01/sf0.1/sf1/sf10. ONLY safe when
+    the candidate set is linear in the corpus (star / capped feeds) —
+    pair-quadratic candidates would carry arrays across the second
+    join's exchange (the module's NOTHING-PAIR-SIZED rule)."""
+    arr_a = per_doc.select(
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("n").alias("n_a")
+    )
+    arr_b = per_doc.select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("n").alias("n_b")
+    )
+    # shuffle_hash keeps the plan shape scale-invariant (r9 sf30 lesson:
+    # AQE's compressed-bytes estimate can flip a corpus-sized side into
+    # a broadcast build that OOMs the driver).
+    joined = (
+        cand.hint("shuffle_hash")
+        .join(arr_a, "doc_a")
+        .hint("shuffle_hash")
+        .join(arr_b, "doc_b")
+    )
+    n_inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    return (
+        joined.withColumn("n_inter", n_inter)
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def minhash_lsh_pairs_capped(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -282,9 +360,34 @@ def minhash_lsh_pairs_capped(
     missing #3): same shingle/sign/band/verify algebra, but mega-buckets
     are dropped before the pair join, so the output (and every shuffle)
     stays linear on clone-heavy corpora where the uncapped pair list
-    grows as clones²."""
+    grows as clones².
+
+    r10 OPTIMIZATION: because the cap bounds candidates at
+    Σ C(min(n, cap), 2) — linear — this generator qualifies for the same
+    array verify as the star path (see :func:`minhash_star_pairs`): one
+    per-doc aggregation feeds band keys, bucket sizing, and both verify
+    sides; the shingle table crosses one exchange instead of three.
+    Output-identical (same band keys → same kept buckets → same pairs;
+    distinct-array intersection == the join count), digest-verified at
+    sf0.01/sf0.1/sf1."""
+    from pyspark.sql import Window
+
     sh_h = shingle_hash_rows(docs, id_col, text_col)
-    return verify_jaccard(band_candidates_capped(sh_h, cap), sh_h, tau)
+    per_doc = _per_doc_minhash(sh_h)
+    banded = _banded_from_per_doc(per_doc)
+    bn = F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_key"))
+    kept = banded.withColumn("bn", bn).filter(F.col("bn") <= cap)
+    cand = (
+        kept.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+        .join(
+            kept.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key"),
+            ["band_id", "band_key"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _verify_jaccard_arrays(cand, per_doc, tau)
 
 
 def star_candidates(sh_rows: DataFrame) -> DataFrame:
@@ -431,39 +534,11 @@ def minhash_star_pairs(
     the pair-quadratic generator `minhash_lsh_pairs` keeps the
     relational verify, whose fanned intermediate never carries arrays
     across an exchange (the module's NOTHING-PAIR-SIZED rule)."""
-    sh_h = shingle_hash_rows(docs, id_col, text_col)
-    b = F.col("h") % MINHASH_P
-    # Signatures + verify arrays + sizes in ONE doc-keyed aggregation;
-    # the explicit repartition pins a reusable hashpartitioning(doc_id)
-    # exchange so the band explode and both verify-join sides read one
-    # materialization instead of re-running the aggregate (exchange
-    # reuse only happens at Exchange nodes).
-    per_doc = (
-        sh_h.groupBy("doc_id")
-        .agg(
-            *[
-                F.min((F.lit(HASH_A[s]) * b + F.lit(HASH_B[s])) % MINHASH_P).alias(f"h{s}")
-                for s in range(N_HASHES)
-            ],
-            F.collect_list("h").alias("hs"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .repartition("doc_id")
-    )
-    r = N_HASHES // N_BANDS
-    banded = per_doc.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws("|", *[F.col(f"h{bb * r + j}") for j in range(r)])
-                    for bb in range(N_BANDS)
-                ]
-            )
-        ).alias("band_id", "band_key"),
-    )
     from pyspark.sql import Window
 
+    sh_h = shingle_hash_rows(docs, id_col, text_col)
+    per_doc = _per_doc_minhash(sh_h)
+    banded = _banded_from_per_doc(per_doc)
     hub = F.min("doc_id").over(Window.partitionBy("band_id", "band_key"))
     cand = (
         banded.withColumn("hub", hub)
@@ -471,31 +546,7 @@ def minhash_star_pairs(
         .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
         .distinct()
     )
-    arr_a = per_doc.select(
-        F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("n").alias("n_a")
-    )
-    arr_b = per_doc.select(
-        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("n").alias("n_b")
-    )
-    # shuffle_hash keeps the plan shape scale-invariant (r9 sf30 lesson:
-    # AQE's compressed-bytes estimate can flip a corpus-sized side into
-    # a broadcast build that OOMs the driver).
-    joined = (
-        cand.hint("shuffle_hash")
-        .join(arr_a, "doc_a")
-        .hint("shuffle_hash")
-        .join(arr_b, "doc_b")
-    )
-    n_inter = F.size(F.array_intersect("hs_a", "hs_b"))
-    return (
-        joined.withColumn("n_inter", n_inter)
-        .withColumn(
-            "jaccard",
-            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4),
-        )
-        .filter(F.col("jaccard") >= tau)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _verify_jaccard_arrays(cand, per_doc, tau)
 
 
 def simhash_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

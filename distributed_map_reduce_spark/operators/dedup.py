@@ -152,6 +152,32 @@ def shingle_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     return toks.select("doc_id", F.explode(shingle).alias("s")).dropDuplicates(["doc_id", "s"])
 
 
+def shingle_hash_rows_raw(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """RAW (doc_id, h) rows — one 60-bit md5 prefix per exploded word
+    shingle, duplicates NOT yet removed (a doc repeating a shingle emits
+    it twice). Consumers that reduce per doc anyway (signature mins are
+    duplicate-insensitive; ``collect_set`` dedups inside the same
+    aggregation) take this form and skip the (doc_id, h) dedup exchange
+    entirely (r11, guide §2.4); the relational join-count verify needs
+    distinct ROWS and goes through :func:`shingle_hash_rows`."""
+    toks = docs.repartition(spark_partitions(docs)).select(
+        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("toks")
+    )
+    k = SHINGLE_K
+    idx = F.when(
+        F.size("toks") >= k, F.sequence(F.lit(1), F.size("toks") - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    shingle = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at("toks", i + j) for j in range(k)])
+    )
+    return toks.select("doc_id", F.explode(shingle).alias("s")).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint").alias("h"),
+    )
+
+
 def shingle_hash_rows(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -166,23 +192,8 @@ def shingle_hash_rows(
     Output-identical to the string pipeline: the per-doc distinct-h set
     is what every downstream consumer reduces over either way (min for
     signatures, count for sizes, equi-join for intersections)."""
-    toks = docs.repartition(spark_partitions(docs)).select(
-        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("toks")
-    )
-    k = SHINGLE_K
-    idx = F.when(
-        F.size("toks") >= k, F.sequence(F.lit(1), F.size("toks") - (k - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    shingle = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at("toks", i + j) for j in range(k)])
-    )
-    return (
-        toks.select("doc_id", F.explode(shingle).alias("s"))
-        .select(
-            "doc_id",
-            F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint").alias("h"),
-        )
-        .dropDuplicates(["doc_id", "h"])
+    return shingle_hash_rows_raw(docs, id_col, text_col).dropDuplicates(
+        ["doc_id", "h"]
     )
 
 
@@ -270,7 +281,7 @@ def band_candidates_capped(sh_rows: DataFrame, cap: int = LSH_BUCKET_CAP) -> Dat
     )
 
 
-def _per_doc_minhash(sh_h: DataFrame) -> DataFrame:
+def _per_doc_minhash(sh_raw: DataFrame) -> DataFrame:
     """(doc_id, h0..h{k-1}, hs, n): the 12 signature mins, the doc's
     distinct shingle-hash array, and its size from ONE doc-keyed
     aggregation, pinned behind an explicit repartition("doc_id") so the
@@ -278,18 +289,27 @@ def _per_doc_minhash(sh_h: DataFrame) -> DataFrame:
     materialization (exchange reuse only happens at Exchange nodes).
     Shared by the LINEAR-candidate generators (star, capped) — see
     :func:`minhash_star_pairs` for why the pair-quadratic generator must
-    NOT use the array verify."""
+    NOT use the array verify.
+
+    r11 (guide §2.4 — remove shuffles outright): takes RAW hash rows
+    (:func:`shingle_hash_rows_raw`) and dedups INSIDE this aggregation —
+    ``min`` is duplicate-insensitive, ``collect_set`` IS the per-doc
+    distinct set, and ``n = size(hs)`` — so the upstream (doc_id, h)
+    dropDuplicates exchange (a second full shuffle of the shingle table)
+    disappears. Same signature mins → same band keys → same candidates;
+    same distinct array (order irrelevant to array_intersect) → same
+    verified pairs; digest-verified at sf0.01/sf0.1."""
     b = F.col("h") % MINHASH_P
     return (
-        sh_h.groupBy("doc_id")
+        sh_raw.groupBy("doc_id")
         .agg(
             *[
                 F.min((F.lit(HASH_A[s]) * b + F.lit(HASH_B[s])) % MINHASH_P).alias(f"h{s}")
                 for s in range(N_HASHES)
             ],
-            F.collect_list("h").alias("hs"),
-            F.count(F.lit(1)).alias("n"),
+            F.collect_set("h").alias("hs"),
         )
+        .withColumn("n", F.size("hs").cast("bigint"))
         .repartition("doc_id")
     )
 
@@ -369,11 +389,12 @@ def minhash_lsh_pairs_capped(
     sides; the shingle table crosses one exchange instead of three.
     Output-identical (same band keys → same kept buckets → same pairs;
     distinct-array intersection == the join count), digest-verified at
-    sf0.01/sf0.1/sf1."""
+    sf0.01/sf0.1/sf1. r11: feeds from RAW hash rows — the per-doc
+    aggregation dedups (see :func:`_per_doc_minhash`), one exchange
+    fewer."""
     from pyspark.sql import Window
 
-    sh_h = shingle_hash_rows(docs, id_col, text_col)
-    per_doc = _per_doc_minhash(sh_h)
+    per_doc = _per_doc_minhash(shingle_hash_rows_raw(docs, id_col, text_col))
     banded = _banded_from_per_doc(per_doc)
     bn = F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_key"))
     kept = banded.withColumn("bn", bn).filter(F.col("bn") <= cap)
@@ -533,11 +554,15 @@ def minhash_star_pairs(
     scale-safe precisely because the star feed bounds pairs at Σ(n−1):
     the pair-quadratic generator `minhash_lsh_pairs` keeps the
     relational verify, whose fanned intermediate never carries arrays
-    across an exchange (the module's NOTHING-PAIR-SIZED rule)."""
+    across an exchange (the module's NOTHING-PAIR-SIZED rule).
+
+    r11 (guide §2.4): the (doc_id, h) dropDuplicates exchange is gone
+    too — the per-doc aggregation consumes RAW hash rows and dedups via
+    collect_set (see :func:`_per_doc_minhash`), so the shingle table now
+    crosses NO standalone dedup exchange before the signature agg."""
     from pyspark.sql import Window
 
-    sh_h = shingle_hash_rows(docs, id_col, text_col)
-    per_doc = _per_doc_minhash(sh_h)
+    per_doc = _per_doc_minhash(shingle_hash_rows_raw(docs, id_col, text_col))
     banded = _banded_from_per_doc(per_doc)
     hub = F.min("doc_id").over(Window.partitionBy("band_id", "band_key"))
     cand = (

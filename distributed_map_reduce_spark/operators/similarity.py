@@ -170,19 +170,30 @@ SELECT query_id, neighbor_id, cos_sim, rn FROM (
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for 8 query vectors: broadcast the
-    queries, one corpus scan, per-query top-k window."""
+    queries, one corpus scan, per-query top-k window.
+
+    r11 (guide §1.2; vectors.py lever (a)): norms are computed once per
+    ROW — N + |Q| folds — instead of inside the per-pair cosine (3 folds
+    per pair). dot(a,b)/(|a|·|b|) with precomputed |a|,|b| is the exact
+    expression cosine() expands to, so the doubles are bit-identical."""
+    from ..functions.vectors import norm
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
-    )
+    ).withColumn("nrm", norm(F.col("v")))
     q = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     scored = (
         e.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
@@ -236,13 +247,23 @@ SELECT query_id, neighbor_id, cos_sim, rn FROM (
 )
 def ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5: probe only the query's LSH bucket (the scale
-    path — each query scans ~N/2^b of the corpus instead of N)."""
+    path — each query scans ~N/2^b of the corpus instead of N).
+
+    r11: per-row norm precompute (see [[ann_bruteforce_topk]]) — the
+    per-pair cosine is one dot fold instead of three."""
+    from ..functions.vectors import norm
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
-    b = e.withColumn("bucket", lsh_bucket(F.col("v")))
+    b = e.withColumn("bucket", lsh_bucket(F.col("v"))).withColumn(
+        "nrm", norm(F.col("v"))
+    )
     q = b.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        "bucket",
     )
     scored = (
         b.join(F.broadcast(q), "bucket")
@@ -250,7 +271,9 @@ def ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
@@ -620,12 +643,27 @@ def similarity_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings (4x memory and bandwidth back) before ANN quality
     degrades. Both searches are broadcast-|Q| brute force (8 queries),
     zero corpus shuffle; ranks tie-break on (rounded cosine, vec_id) so
-    both engines produce identical neighbor sets."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
+    both engines produce identical neighbor sets.
+
+    r11: both the full and truncated vectors get per-ROW norms (and the
+    16-dim slice is materialized once per row), so each pair pays one
+    dot fold per ranking instead of three folds plus two slices — see
+    [[ann_bruteforce_topk]]; identical doubles by construction."""
+    from ..functions.vectors import norm
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .withColumn("v16", F.slice("v", 1, 16))
+        .withColumn("nrm", norm(F.col("v")))
+        .withColumn("nrm16", norm(F.col("v16")))
     )
     q = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("v16").alias("qv16"),
+        F.col("nrm").alias("qnrm"),
+        F.col("nrm16").alias("qnrm16"),
     )
 
     def topk(sim_col):
@@ -642,9 +680,13 @@ def similarity_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "neighbor_id")
         )
 
-    full = topk(F.round(cosine(F.col("qv"), F.col("v")), 6))
+    full = topk(
+        F.round(dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6)
+    )
     trunc = topk(
-        F.round(cosine(F.slice("qv", 1, 16), F.slice("v", 1, 16)), 6)
+        F.round(
+            dot(F.col("qv16"), F.col("v16")) / (F.col("qnrm16") * F.col("nrm16")), 6
+        )
     )
     t = trunc.select(
         F.col("query_id").alias("t_q"), F.col("neighbor_id").alias("t_n")
@@ -1309,9 +1351,11 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     `ann_lsh_probe`/`ann_kmeans_assign` (driver-green r1) to the probed
     IVF *search* path.
     """
+    from ..functions.vectors import norm
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double(F.col("embedding")).alias("v")
-    )
+    ).withColumn("nrm", norm(F.col("v")))
     cvals = (
         e.select("label", F.posexplode("v").alias("dim0", "val"))
         .groupBy("label", "dim0")
@@ -1326,7 +1370,9 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     q = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     crn = W.partitionBy("query_id").orderBy(F.col("cd"), F.col("c_label"))
     probes = (
@@ -1334,15 +1380,19 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cd", F.sqrt(_sq_l2(F.col("qv"), F.col("cv"))))
         .withColumn("crn", F.row_number().over(crn))
         .filter(F.col("crn") <= 2)
-        .select("query_id", "qv", F.col("c_label").alias("label"))
+        .select("query_id", "qv", "qnrm", F.col("c_label").alias("label"))
     )
+    # r11: per-row norms (see [[ann_bruteforce_topk]]) — one dot fold
+    # per candidate pair instead of three; identical doubles.
     cand = (
         e.join(F.broadcast(probes), "label")
         .filter(F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
@@ -2341,13 +2391,18 @@ def eval_rank_metrics_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     [[ann_bruteforce_topk]] discipline); log2/division arithmetic is
     identical e-notation doubles on both engines. Corpus-scale work is
     the broadcast-query scan; metrics aggregate 10 rows per query."""
+    from ..functions.vectors import norm
+
+    # r11: per-row norms (see [[ann_bruteforce_topk]]) — one dot fold
+    # per (query, doc) pair instead of three; identical doubles.
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double(F.col("embedding")).alias("v")
-    )
+    ).withColumn("nrm", norm(F.col("v")))
     q = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),
         F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     ranked = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
@@ -2355,7 +2410,9 @@ def eval_rank_metrics_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0).alias("rel"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("cos_sim"),
         )
         .withColumn(
             "rnk",

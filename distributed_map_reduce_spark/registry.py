@@ -353,7 +353,7 @@ _R7_WINDOW: tuple[str, ...] = (
 # and similarity_nearest_centroid_eval were displaced by the mid-round
 # re-rows (back to the backlog; the similarity family drains 3 of 5).
 # Backlog after this window: 119 - 47 = 72 -> finishable in r11-r12.
-_DRIVER_WINDOW: tuple[str, ...] = (
+_DRIVER_WINDOW_R10: tuple[str, ...] = (
     # --- rule-(a) re-rows (exact-cents semantic changes this round) ---
     "agg_conditional",
     "sql_transpose_frame",
@@ -413,6 +413,83 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "similarity_collapse_audit",
     "similarity_kcenter_coreset",
     "similarity_mmr_rerank",
+)
+
+# ROUND 11 = 50 never-driver-tested oracle-bearing queries, ZERO re-rows
+# (r10 went 50/50 green; cumulative 472 distinct driver-tested, backlog
+# 72 at window time — computed from CORRECTNESS_r01..r10 vs the oracled
+# registry). This is an OPTIMIZATION round: every optimization this round
+# is digest-identical by construction (oracle re-checks green at
+# sf0.01/sf0.1 for each touched query), so no slot is spent on re-rows
+# and the window drains the backlog families whole: text 5, stream 5,
+# sql 4, window 4, multimodal 4, sample 4, profile 4, kv 4, source 4,
+# scalar 3, mr 3, layout 3, udtf 2, string 1. Backlog after this window:
+# 72 - 50 = 22 -> the registry closes out in round 12 (VERDICT r10 #7).
+_DRIVER_WINDOW: tuple[str, ...] = (
+    # --- stream: drained to zero ---
+    "stream_chained_time_windows",
+    "stream_interval_full_join_flush",
+    "stream_segment_enrichment_final",
+    "stream_session_dynamic_gap_flush",
+    "stream_trigger_available_now",
+    # --- text: drained to zero ---
+    "text_bigram_perplexity",
+    "text_boilerplate_ngrams",
+    "text_bpe_pair_stats",
+    "text_concordance_kwic",
+    "text_suffix_prefix_stitch",
+    # --- sql: drained to zero ---
+    "sql_identifier_dynamic",
+    "sql_interface_verbatim",
+    "sql_scripting_compound",
+    "sql_udf_declared",
+    # --- window: drained to zero ---
+    "window_hampel_filter",
+    "window_local_maxima",
+    "window_pattern_regex_funnel",
+    "window_rolling_regression",
+    # --- multimodal: drained to zero ---
+    "multimodal_arrow_batch_stats",
+    "multimodal_audio_framing",
+    "multimodal_interleaved_assembly",
+    "multimodal_patch_budget",
+    # --- sample: drained to zero ---
+    "sample_hoeffding_certificate",
+    "sample_importance_reweight",
+    "sample_variance_quota",
+    "sample_weighted_priority",
+    # --- profile: drained to zero ---
+    "profile_clock_skew_audit",
+    "profile_freshness_audit",
+    "profile_join_fanout",
+    "profile_observed_metrics",
+    # --- kv: drained to zero ---
+    "kv_prefix_scan",
+    "kv_secondary_index",
+    "kv_snapshot_read_asof",
+    "kv_ttl_expiry",
+    # --- source: drained to zero ---
+    "source_fixedwidth_parse",
+    "source_orc_roundtrip",
+    "source_text_roundtrip",
+    "source_xml_roundtrip",
+    # --- scalar: drained to zero ---
+    "scalar_bitwise_funcs",
+    "scalar_collation_compare",
+    "scalar_url_funcs",
+    # --- mr: drained to zero ---
+    "mr_grep_pattern",
+    "mr_reduce_side_join",
+    "mr_secondary_sort",
+    # --- layout: drained to zero ---
+    "layout_clustering_depth",
+    "layout_compaction_bins",
+    "layout_zonemap_skipping",
+    # --- udtf: drained to zero ---
+    "udtf_dynamic_schema",
+    "udtf_table_argument",
+    # --- singletons ---
+    "string_distance",
 )
 
 def all_queries() -> dict[str, Query]:

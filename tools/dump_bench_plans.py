@@ -1,8 +1,8 @@
 """Dump .explain("formatted") for bench queries (and any extra names)
-to plans/r10/<name>_<suffix>.txt — the optimization-round evidence the
-judge checks plan claims against.
+to plans/<round>/<name>_<suffix>.txt — the optimization-round evidence
+the judge checks plan claims against.
 
-Usage: python tools/dump_bench_plans.py <suffix> [--sf DIR] [name ...]
+Usage: python tools/dump_bench_plans.py <suffix> [--round rNN] [--sf DIR] [name ...]
 """
 
 from __future__ import annotations
@@ -21,11 +21,12 @@ from distributed_map_reduce_spark.session import get_spark  # noqa: E402
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("suffix", help="before|after")
+    ap.add_argument("--round", default="r11", dest="round_dir")
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
-    out_dir = os.path.join(REPO, "plans", "r10")
+    out_dir = os.path.join(REPO, "plans", args.round_dir)
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("dump_bench_plans")
     qs = registry.all_queries()
